@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.core.{QueryEntry, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — aggregations (A1–A13).
+  *
+  * All are hash aggregates with map-side partial aggregation (Spark does
+  * partial_count/partial_max before the shuffle — at 100 TB the shuffle
+  * carries one row per (partition, key), not per input row).
+  *
+  * Reference: models.py:180-184 (A1 with_package_counts),
+  * models.py:3585-3595 (A2), pipes/risk_score.py:31-58 (A3 Max),
+  * api_v3.py:591-597 (A4 ArrayAgg), risk.py:21-61 (A5 weighted severity),
+  * risk.py:64-92 (A6 exploitability cascade), models.py:305-315 (A7 risk),
+  * risk.py:108-121 (A8 package risk), utils.py:512-545 (A10 range string),
+  * utils.py:623-691 (A11 canonical content id),
+  * compute_advisory_todo.py:200-307 (A12 conflict matrix),
+  * flag_ghost_packages.py:44-48 (A13).
+  */
+object AggregationQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** A5/A6/A7 analog of risk.py: severity weight per source kind. */
+  private val weightExpr =
+    expr("""CASE event_type WHEN 'purchase' THEN 10 WHEN 'error' THEN 8
+           | WHEN 'signup' THEN 6 WHEN 'click' THEN 5 ELSE 2 END""".stripMargin)
+
+  private val weightSql =
+    """CASE event_type WHEN 'purchase' THEN 10 WHEN 'error' THEN 8
+      | WHEN 'signup' THEN 6 WHEN 'click' THEN 5 ELSE 2 END""".stripMargin
+
+  override val entries: Seq[QueryEntry] = Seq(
+    // A1 — count-distinct annotations per parent
+    q("a1_count_distinct",
+      """SELECT n.n_name,
+        |       count(DISTINCT o.o_custkey) AS active_customers,
+        |       count(*) AS order_cnt
+        |FROM nation n
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY n.n_name ORDER BY n.n_name""") { (s, dir) =>
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(countDistinct("o_custkey").as("active_customers"),
+          count(lit(1)).as("order_cnt"))
+        .orderBy("n_name")
+    },
+
+    // A2 — per-entity distinct-child counts (vulnerability counts per package)
+    q("a2_child_counts",
+      """SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(countDistinct("l_orderkey").as("n_orders"))
+        .orderBy("l_partkey")
+    },
+
+    // A3 — Max aggregate per group
+    q("a3_max",
+      """SELECT o_custkey, round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(round(max("o_totalprice"), 2).as("max_price"))
+        .orderBy("o_custkey")
+    },
+
+    // A4 — filtered distinct array-agg, canonical string serialization
+    q("a4_collect_filtered",
+      """SELECT o_custkey,
+        |       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+        |         AS f_priorities
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_custkey ORDER BY o_custkey""") { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_set("o_orderpriority")), ",")
+          .as("f_priorities"))
+        .orderBy("o_custkey")
+    },
+
+    // A5 — weighted severity: max(score × source-weight) per entity
+    q("a5_weighted_severity",
+      s"""SELECT user_id,
+         |       round(max(value * ($weightSql)), 2) AS weighted_severity
+         |FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(round(max(col("value") * weightExpr), 2).as("weighted_severity"))
+        .orderBy("user_id")
+    },
+
+    // A6 — exploitability cascade: max(when) priority ladder
+    q("a6_exploitability",
+      """SELECT user_id,
+        |       max(CASE WHEN event_type = 'error' THEN 2.0
+        |                WHEN event_type = 'purchase' THEN 1.0
+        |                ELSE 0.5 END) AS exploitability
+        |FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "error", 2.0)
+          .when(col("event_type") === "purchase", 1.0)
+          .otherwise(0.5)).as("exploitability"))
+        .orderBy("user_id")
+    },
+
+    // A7 — risk = min(weighted_severity × exploitability, cap) (models.py:305-315)
+    q("a7_risk",
+      s"""SELECT user_id,
+         |       least(round(max(value * ($weightSql)) / 1000, 2) *
+         |             max(CASE WHEN event_type = 'error' THEN 2.0
+         |                      WHEN event_type = 'purchase' THEN 1.0
+         |                      ELSE 0.5 END), 10.0) AS risk_score
+         |FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(least(
+          round(max(col("value") * weightExpr) / 1000, 2) *
+            max(when(col("event_type") === "error", 2.0)
+              .when(col("event_type") === "purchase", 1.0)
+              .otherwise(0.5)),
+          lit(10.0)).as("risk_score"))
+        .orderBy("user_id")
+    },
+
+    // A8 — package risk = max over related entities (two-level max)
+    q("a8_group_max",
+      """SELECT n.n_name, round(max(o.o_totalprice), 2) AS max_order
+        |FROM nation n
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY n.n_name ORDER BY n.n_name""") { (s, dir) =>
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      t(s, dir, "orders")
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(max("o_totalprice"), 2).as("max_order"))
+        .orderBy("n_name")
+    },
+
+    // A9 — plain counts per group (control-flow .count()/.exists())
+    q("a9_counts",
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    },
+
+    // A10 — min–max range string from mixed values (utils.py:512-545)
+    q("a10_range_string",
+      """SELECT p_type,
+        |       printf('%.2f', min(p_retailprice)) || '-' ||
+        |       printf('%.2f', max(p_retailprice)) AS price_range
+        |FROM part GROUP BY p_type ORDER BY p_type""") { (s, dir) =>
+      t(s, dir, "part")
+        .groupBy("p_type")
+        .agg(concat(
+          format_string("%.2f", min("p_retailprice")), lit("-"),
+          format_string("%.2f", max("p_retailprice"))).as("price_range"))
+        .orderBy("p_type")
+    },
+
+    // A11 — canonical content id: sha256 over normalized canonical string
+    q("a11_content_hash",
+      """SELECT doc_id,
+        |       sha256(lower(trim(text)) || '|' || lang || '|' || source)
+        |         AS content_id
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          sha2(concat_ws("|", lower(trim(col("text"))), col("lang"),
+            col("source")), 256).as("content_id"))
+        .orderBy("doc_id")
+    },
+
+    // A12 — conflict matrix: entities whose per-day event-type profiles
+    // disagree across days (>1 distinct profile ⇒ conflict)
+    q("a12_conflict_matrix",
+      """SELECT user_id, count(DISTINCT profile) AS n_profiles FROM (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+        |           AS profile
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE))
+        |GROUP BY user_id HAVING count(DISTINCT profile) > 1
+        |ORDER BY user_id""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(array_join(array_sort(collect_set("event_type")), ",")
+          .as("profile"))
+        .groupBy("user_id")
+        .agg(countDistinct("profile").as("n_profiles"))
+        .filter(col("n_profiles") > 1)
+        .orderBy("user_id")
+    },
+
+    // A13 — distinct-group count for progress stats (single row)
+    q("a13_distinct_count",
+      """SELECT count(*) AS n_groups FROM
+        |  (SELECT DISTINCT p_brand, p_type FROM part)""") { (s, dir) =>
+      t(s, dir, "part")
+        .select("p_brand", "p_type").distinct()
+        .agg(count(lit(1)).as("n_groups"))
+    },
+  )
+}
