@@ -19,6 +19,8 @@ object SparkEntry {
     JoinQueries,
     AggregationQueries,
     WindowSetQueries,
+    VersionQueries,
+    ScalarFunctionQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,95 @@
+package graft.functions
+
+/** CVSS base-score computation (v2, v3.0/v3.1) from vector strings.
+  *
+  * Re-expresses severity_systems.py:48-131 (which delegates to the `cvss`
+  * library); formulas implemented from the public FIRST specifications
+  * (CVSS v2 guide §3.2.1, CVSS v3.1 spec §7.1). CVSS v4 vectors are scored
+  * by their severity bucket via the published MacroVector approach only if
+  * needed later — the reference stores v4 vectors but derives risk from the
+  * numeric `value` column, not from re-scoring.
+  */
+object Cvss {
+
+  private def roundUp1(x: Double): Double = math.ceil(x * 10.0) / 10.0
+
+  /** CVSS v3.x base score from an AV:../AC:../PR:../UI:../S:../C:../I:../A:..
+    * vector (with or without the CVSS:3.x/ prefix). Returns None on
+    * malformed vectors. */
+  def v3BaseScore(vector: String): Option[Double] = {
+    val m = metrics(vector)
+    try {
+      val scopeChanged = m("S") == "C"
+      val av = m("AV") match {
+        case "N" => 0.85; case "A" => 0.62; case "L" => 0.55; case "P" => 0.2
+      }
+      val ac = m("AC") match { case "L" => 0.77; case "H" => 0.44 }
+      val pr = (m("PR"), scopeChanged) match {
+        case ("N", _)     => 0.85
+        case ("L", false) => 0.62
+        case ("L", true)  => 0.68
+        case ("H", false) => 0.27
+        case ("H", true)  => 0.5
+      }
+      val ui = m("UI") match { case "N" => 0.85; case "R" => 0.62 }
+      def cia(k: String) = m(k) match {
+        case "H" => 0.56; case "L" => 0.22; case "N" => 0.0
+      }
+      val iscBase = 1.0 - (1.0 - cia("C")) * (1.0 - cia("I")) * (1.0 - cia("A"))
+      val impact =
+        if (scopeChanged)
+          7.52 * (iscBase - 0.029) - 3.25 * math.pow(iscBase - 0.02, 15)
+        else 6.42 * iscBase
+      val exploitability = 8.22 * av * ac * pr * ui
+      val score =
+        if (impact <= 0) 0.0
+        else if (scopeChanged) roundUp1(math.min(1.08 * (impact + exploitability), 10.0))
+        else roundUp1(math.min(impact + exploitability, 10.0))
+      Some(score)
+    } catch { case _: Exception => None }
+  }
+
+  /** CVSS v2 base score from an AV:../AC:../Au:../C:../I:../A:.. vector. */
+  def v2BaseScore(vector: String): Option[Double] = {
+    val m = metrics(vector)
+    try {
+      val av = m("AV") match { case "N" => 1.0; case "A" => 0.646; case "L" => 0.395 }
+      val ac = m("AC") match { case "L" => 0.71; case "M" => 0.61; case "H" => 0.35 }
+      val au = m("AU") match { case "N" => 0.704; case "S" => 0.56; case "M" => 0.45 }
+      def cia(k: String) = m(k) match {
+        case "C" => 0.660; case "P" => 0.275; case "N" => 0.0
+      }
+      val impact = 10.41 * (1 - (1 - cia("C")) * (1 - cia("I")) * (1 - cia("A")))
+      val exploitability = 20 * av * ac * au
+      val fImpact = if (impact == 0) 0.0 else 1.176
+      val score = ((0.6 * impact) + (0.4 * exploitability) - 1.5) * fImpact
+      Some(math.round(score * 10.0) / 10.0)
+    } catch { case _: Exception => None }
+  }
+
+  /** Score a vector by sniffing its version. */
+  def baseScore(vector: String): Option[Double] = {
+    val v = vector.trim
+    if (v.startsWith("CVSS:3")) v3BaseScore(v)
+    else if (v.startsWith("CVSS:4")) None // bucket-only; see scaladoc
+    else if (v.contains("Au:")) v2BaseScore(v)
+    else v3BaseScore(v)
+  }
+
+  /** Severity bucket per the public v3 ratings (also applied to v2 for the
+    * reference's severity_range use, utils.py:512-545). */
+  def rating(score: Double): String =
+    if (score <= 0.0) "none"
+    else if (score < 4.0) "low"
+    else if (score < 7.0) "medium"
+    else if (score < 9.0) "high"
+    else "critical"
+
+  private def metrics(vector: String): Map[String, String] =
+    vector.trim.split('/').toSeq
+      .filter(_.contains(':'))
+      .map { p =>
+        val i = p.indexOf(':')
+        p.substring(0, i).toUpperCase -> p.substring(i + 1).toUpperCase
+      }.toMap
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Registration of the domain functions as Spark UDFs (SQL + Column API).
+  *
+  * These are the only non-builtin scalar functions the engine needs
+  * (SURVEY §2.11); everything else is `org.apache.spark.sql.functions`.
+  * They are deterministic (marked `asNondeterministic` NOT set) so Catalyst
+  * can push/pre-compute them; sort keys in particular are plain string
+  * columns afterwards, keeping windows/joins inside Tungsten.
+  */
+object GraftFunctions {
+
+  val versionSortKeyUdf =
+    udf((scheme: String, v: String) => VersionOrd.sortKey(scheme, v))
+  val versionCmpUdf =
+    udf((scheme: String, a: String, b: String) => VersionOrd.compare(scheme, a, b))
+  val versionInRangeUdf = udf((version: String, spec: String) =>
+    try Vers.versionInRange(version, spec) catch { case _: Exception => false })
+  val versExactPinsUdf = udf((spec: String) =>
+    try Vers.exactVersions(spec)._1 catch { case _: Exception => Seq.empty[String] })
+  val versExcludedUdf = udf((spec: String) =>
+    try Vers.exactVersions(spec)._2 catch { case _: Exception => Seq.empty[String] })
+  val purlNormalizeUdf = udf((purl: String) =>
+    try PurlCodec.normalize(purl) catch { case _: Exception => null })
+  val purlPlainUdf = udf((purl: String) =>
+    try PurlCodec.parse(purl).plain.format catch { case _: Exception => null })
+  val purlVersionSchemeUdf = udf((purl: String) =>
+    try PurlCodec.parse(purl).versionScheme catch { case _: Exception => "generic" })
+  val contentIdUdf = udf((text: String) => CanonicalJson.contentId(text))
+  val cvssBaseScoreUdf = udf((vector: String) =>
+    Cvss.baseScore(vector).map(Double.box).orNull)
+  val cvssRatingUdf = udf((score: Double) => Cvss.rating(score))
+  val severityScoreUdf = udf((value: String) =>
+    Risk.parseScore(value).map(Double.box).orNull)
+  val urlDomainUdf = udf((url: String) => Risk.urlDomain(url))
+
+  def versionSortKey(scheme: Column, v: Column): Column =
+    versionSortKeyUdf(scheme, v)
+  def versionInRange(version: Column, spec: Column): Column =
+    versionInRangeUdf(version, spec)
+
+  /** Register all functions for spark.sql use. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("version_sort_key", versionSortKeyUdf)
+    spark.udf.register("version_cmp", versionCmpUdf)
+    spark.udf.register("version_in_range", versionInRangeUdf)
+    spark.udf.register("vers_exact_pins", versExactPinsUdf)
+    spark.udf.register("vers_excluded", versExcludedUdf)
+    spark.udf.register("purl_normalize", purlNormalizeUdf)
+    spark.udf.register("purl_plain", purlPlainUdf)
+    spark.udf.register("purl_version_scheme", purlVersionSchemeUdf)
+    spark.udf.register("content_id", contentIdUdf)
+    spark.udf.register("cvss_base_score", cvssBaseScoreUdf)
+    spark.udf.register("cvss_rating", cvssRatingUdf)
+    spark.udf.register("severity_score", severityScoreUdf)
+    spark.udf.register("url_domain", urlDomainUdf)
+    ()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+/** Package URL (purl) codec — parse / normalize / format.
+  *
+  * Re-expresses the reference's PackageURL handling: normalize_purl
+  * (utils.py:594-600, models.py:927-950), plain_purl (utils.py:410-422),
+  * update_purl_version (utils.py:157-173), purl_to_dict (utils.py:572-591).
+  *
+  * Follows the public purl spec: `pkg:type/namespace/name@version
+  * ?qualifiers#subpath`; type lowercased; qualifier keys lowercased and
+  * sorted; empty qualifier values dropped.
+  */
+object PurlCodec {
+
+  final case class Purl(
+      ptype: String,
+      namespace: String,     // "" when absent
+      name: String,
+      version: String,       // "" when absent
+      qualifiers: Map[String, String],
+      subpath: String) {     // "" when absent
+
+    /** Canonical string form. */
+    def format: String = {
+      val sb = new StringBuilder("pkg:")
+      sb.append(ptype)
+      if (namespace.nonEmpty) sb.append('/').append(namespace)
+      sb.append('/').append(name)
+      if (version.nonEmpty) sb.append('@').append(version)
+      if (qualifiers.nonEmpty)
+        sb.append('?').append(qualifiers.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("&"))
+      if (subpath.nonEmpty) sb.append('#').append(subpath)
+      sb.toString
+    }
+
+    /** plain purl: qualifiers + subpath stripped (utils.py:410-422). */
+    def plain: Purl = copy(qualifiers = Map.empty, subpath = "")
+
+    /** update_purl_version (utils.py:157-173). */
+    def withVersion(v: String): Purl = copy(version = v)
+
+    /** Version-range scheme for this package type (univers
+      * RANGE_CLASS_BY_SCHEMES subset). */
+    def versionScheme: String = ptype match {
+      case "npm" | "cargo" | "gem" | "golang" | "composer" | "hex" => "semver"
+      case "pypi"  => "pypi"
+      case "deb"   => "deb"
+      case "rpm"   => "rpm"
+      case "maven" => "maven"
+      case "apk"   => "alpine"
+      case _       => "generic"
+    }
+  }
+
+  /** Parse a purl string; throws IllegalArgumentException on malformed
+    * input (callers route bad rows to the error channel). */
+  def parse(purl: String): Purl = {
+    val s = purl.trim
+    require(s.startsWith("pkg:"), s"not a purl: $purl")
+    var rest = s.stripPrefix("pkg:").dropWhile(_ == '/')
+    // subpath
+    val (beforeSub, subpath) = rest.indexOf('#') match {
+      case -1 => (rest, "")
+      case i  => (rest.substring(0, i), rest.substring(i + 1).trim)
+    }
+    // qualifiers
+    val (beforeQ, qualStr) = beforeSub.indexOf('?') match {
+      case -1 => (beforeSub, "")
+      case i  => (beforeSub.substring(0, i), beforeSub.substring(i + 1))
+    }
+    val qualifiers = qualStr.split('&').toSeq.filter(_.contains("="))
+      .map { kv =>
+        val i = kv.indexOf('=')
+        kv.substring(0, i).toLowerCase -> decode(kv.substring(i + 1))
+      }
+      .filter(_._2.nonEmpty).toMap
+    // version
+    val (path, version) = beforeQ.lastIndexOf('@') match {
+      case -1 => (beforeQ, "")
+      case i  => (beforeQ.substring(0, i), decode(beforeQ.substring(i + 1)))
+    }
+    val segs = path.split('/').toSeq.filter(_.nonEmpty).map(decode)
+    require(segs.length >= 2, s"purl needs type/name: $purl")
+    val ptype = segs.head.toLowerCase
+    val name = segs.last
+    val namespace = segs.slice(1, segs.length - 1).mkString("/")
+    require(name.nonEmpty, s"purl needs a name: $purl")
+    Purl(ptype, namespace, normalizeName(ptype, name), version, qualifiers,
+      subpath)
+  }
+
+  /** Round-trip normalization (models.py:927-950 save()-time normalize). */
+  def normalize(purl: String): String = parse(purl).format
+
+  private def normalizeName(ptype: String, name: String): String =
+    ptype match {
+      // per purl spec these types have case-insensitive names
+      case "pypi"                  => name.toLowerCase.replace('_', '-')
+      case "deb" | "npm" | "golang" => name.toLowerCase
+      case _                        => name
+    }
+
+  private def decode(s: String): String = {
+    // minimal percent-decoding (purl spec allows %XX escapes)
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length + 1 && i + 2 < s.length + 1
+          && i + 2 <= s.length - 1) {
+          try {
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch {
+            case _: NumberFormatException => sb.append(s.charAt(i)); i += 1
+          }
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+  }
+}

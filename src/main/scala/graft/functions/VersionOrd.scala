@@ -1,0 +1,285 @@
+package graft.functions
+
+/** Ecosystem-aware version ordering.
+  *
+  * Re-expresses the semantics the reference gets from the `univers` library
+  * (RANGE_CLASS_BY_SCHEMES, vulnerabilities/models.py:64-66): per-ecosystem
+  * version comparison driving version_rank (SURVEY W1), next-non-vulnerable
+  * (W3), nearest-fix as-of joins (J7/J8) and range membership (V1-V5).
+  *
+  * Spark-first design: instead of a comparator (unusable in a distributed
+  * sort), every scheme compiles a version string into a **sortable key
+  * string** whose lexicographic (UTF-16) order equals the scheme's version
+  * order. Windows/sorts/joins then order by the key column — plain codegen'd
+  * string comparisons, shuffle-friendly, no driver-side sorting.
+  * `compare` is defined as key comparison, so sort order and comparison can
+  * never diverge.
+  *
+  * Key encoding primitives:
+  *   - numeric segment  → '#' + 2-digit length + digits  (bigint-safe)
+  *   - alpha segment    → '@' + lowercased chars
+  *   - scheme-specific low markers (..) sort below printables
+  *   - terminators let "1.0~rc" sort BEFORE "1.0" (Debian-style)
+  */
+object VersionOrd {
+
+  /** Schemes with dedicated semantics; anything else falls back to generic. */
+  val schemes: Set[String] = Set(
+    "semver", "npm", "cargo", "gem", "golang", "composer", "nginx", "hex",
+    "pypi", "deb", "ubuntu", "rpm", "maven", "generic", "apk", "alpine")
+
+  private final val Term = '\u0004'      // global end-of-key sentinel
+  private final val Low1 = '\u0001'      // sorts before everything
+  private final val Low2 = '\u0002'
+  private final val Low3 = '\u0003'
+  private final val High = '\u00ff'      // sorts after any marker/printable
+  private final val NumMark = '#'
+  private final val AlphaMark = '@'
+
+  private def encNum(digits: String): String = {
+    val d = digits.dropWhile(_ == '0') match { case "" => "0"; case s => s }
+    f"$NumMark${d.length}%02d$d"
+  }
+  private def encAlpha(s: String): String = AlphaMark + s.toLowerCase
+
+  /** Split into alternating digit / non-digit runs. */
+  private def runs(s: String): List[String] =
+    if (s.isEmpty) Nil
+    else {
+      val isD = s.head.isDigit
+      val (h, t) = s.span(_.isDigit == isD)
+      h :: runs(t)
+    }
+
+  // ---------------------------------------------------------------- semver
+  /** SemVer 2.0.0: MAJOR.MINOR.PATCH[-prerelease][+build]; prerelease sorts
+    * before release; numeric prerelease ids < alphanumeric ids; build
+    * metadata ignored.
+    */
+  private def semverKey(v0: String): String = {
+    val v = v0.trim.stripPrefix("v").stripPrefix("V")
+    val noBuild = v.takeWhile(_ != '+')
+    val (core, pre) = noBuild.indexOf('-') match {
+      case -1 => (noBuild, "")
+      case i  => (noBuild.substring(0, i), noBuild.substring(i + 1))
+    }
+    val nums = core.split('.').toSeq.map(s => s.filter(_.isDigit) match {
+      case "" => encNum("0")
+      case d  => encNum(d)
+    })
+    // pad core to 3 components so "1.2" == "1.2.0"
+    val padded = (nums ++ Seq.fill(3)(encNum("0"))).take(math.max(3, nums.size))
+    val preKey =
+      if (pre.isEmpty) High.toString // release: after any prerelease
+      else Low1.toString + pre.split('.').map { id =>
+        if (id.nonEmpty && id.forall(_.isDigit)) encNum(id) else encAlpha(id)
+      }.mkString
+    padded.mkString + preKey + Term
+  }
+
+  // ----------------------------------------------------------------- pypi
+  /** PEP 440 (core subset): [epoch!]release[{a|b|rc}N][.postN][.devN].
+    * Trailing-zero release segments are insignificant; dev < pre < final
+    * < post. Local version segments compare lexically after everything.
+    */
+  private def pypiKey(v0: String): String = {
+    val v = v0.trim.toLowerCase.stripPrefix("v")
+    val (pub, local) = v.indexOf('+') match {
+      case -1 => (v, "")
+      case i  => (v.substring(0, i), v.substring(i + 1))
+    }
+    val (epoch, rest) = pub.indexOf('!') match {
+      case -1 => ("0", pub)
+      case i  => (pub.substring(0, i), pub.substring(i + 1))
+    }
+    // normalize separators and spellings
+    val r = rest.replace('-', '.').replace('_', '.')
+      .replace("alpha", "a").replace("beta", "b")
+      .replace("preview", "rc").replace("pre", "rc").replace(".c", ".rc")
+    val rx = raw"^([0-9.]+?)(?:\.?(a|b|rc)\.?([0-9]*))?(?:\.(post|r|rev)\.?([0-9]*))?(?:\.(dev)\.?([0-9]*))?$$".r
+    val (release, preP, preN, postP, postN, devP, devN) = r match {
+      case rx(rel, p1, n1, p2, n2, p3, n3) =>
+        (rel, Option(p1), Option(n1).getOrElse(""), Option(p2),
+          Option(n2).getOrElse(""), Option(p3), Option(n3).getOrElse(""))
+      case _ => (r, None, "", None, "", None, "")
+    }
+    val relNums = release.split('.').filter(_.nonEmpty).map(_.takeWhile(_.isDigit))
+      .filter(_.nonEmpty).map(BigInt(_))
+    val trimmed = relNums.reverse.dropWhile(_ == 0).reverse
+    val relKey = trimmed.map(n => encNum(n.toString)).mkString
+    val num = (s: String) => encNum(if (s.isEmpty) "0" else s)
+    // phase marker: dev-only '1' < a '2' < b '3' < rc '4' < final '5'
+    val phase = preP match {
+      case Some("a")  => "2" + num(preN)
+      case Some("b")  => "3" + num(preN)
+      case Some("rc") => "4" + num(preN)
+      case None if devP.isDefined && postP.isEmpty => "1" + num(devN)
+      case _          => "5"
+    }
+    // post: absent '0', present '1'+n ; dev within a pre/post phase:
+    // present sorts before absent ('0' < '1')
+    val post = postP.map(_ => "1" + num(postN)).getOrElse("0")
+    val dev =
+      if (preP.isEmpty && postP.isEmpty) "1" // consumed in phase or final
+      else devP.map(_ => "0" + num(devN)).getOrElse("1")
+    encNum(if (epoch.isEmpty) "0" else epoch) + Low2 + relKey + Low2 + phase +
+      post + dev + encAlpha(local) + Term
+  }
+
+  // ------------------------------------------------------------------ deb
+  /** Debian policy 5.6.12: [epoch:]upstream[-revision]; alternating
+    * non-digit/digit parts; '~' sorts before everything including end of
+    * part; letters sort before non-letters.
+    */
+  private def debChar(c: Char): Char =
+    if (c == '~') Low1
+    else if (c.isLetter) c.toLower
+    else (0x100 + c.toInt).toChar // non-letter symbols after letters
+
+  private def debPartKey(s: String): String = {
+    // empty part still emits its end-of-nondigit marker so "" aligns with
+    // the leading marker every non-empty part starts with ("" < "1")
+    if (s.isEmpty) return Low2.toString
+    val sb = new StringBuilder
+    var rest = s
+    var expectDigit = false
+    while (rest.nonEmpty) {
+      if (expectDigit) {
+        val (d, t) = rest.span(_.isDigit)
+        sb.append(encNum(if (d.isEmpty) "0" else d)); rest = t
+      } else {
+        val (a, t) = rest.span(!_.isDigit)
+        a.foreach(c => sb.append(debChar(c)))
+        sb.append(Low2) // end-of-nondigit-part: "" < any letter, but '~' < ""
+        rest = t
+      }
+      expectDigit = !expectDigit
+    }
+    sb.toString
+  }
+
+  private def debKey(v0: String): String = {
+    val v = v0.trim
+    val (epoch, rest) = v.indexOf(':') match {
+      case -1 => ("0", v)
+      case i  => (v.substring(0, i), v.substring(i + 1))
+    }
+    val (upstream, revision) = rest.lastIndexOf('-') match {
+      case -1 => (rest, "")
+      case i  => (rest.substring(0, i), rest.substring(i + 1))
+    }
+    encNum(epoch.filter(_.isDigit) match { case "" => "0"; case e => e }) +
+      debPartKey(upstream) + Low3 + debPartKey(revision) + Term
+  }
+
+  // ------------------------------------------------------------------ rpm
+  /** rpmvercmp: digit/alpha segments, separators split segments;
+    * '~' sorts before everything, '^' after base but before next segment.
+    */
+  private def rpmSegKey(s: String): String = {
+    val sb = new StringBuilder
+    var rest = s
+    while (rest.nonEmpty) {
+      rest.head match {
+        case '~' => sb.append(Low1); rest = rest.tail
+        case '^' => sb.append(Low3); rest = rest.tail
+        case c if c.isDigit =>
+          val (d, t) = rest.span(_.isDigit)
+          sb.append(encNum(d)); rest = t
+        case c if c.isLetter =>
+          // rpmvercmp: an alpha segment sorts BEFORE a numeric segment,
+          // so alpha gets a marker below NumMark ('#')
+          val (a, t) = rest.span(_.isLetter)
+          sb.append('\u0010').append(a.toLowerCase); rest = t
+        case _ => rest = rest.tail // separator
+      }
+    }
+    sb.toString
+  }
+
+  private def rpmKey(v0: String): String = {
+    val v = v0.trim
+    val (epoch, rest) = v.indexOf(':') match {
+      case -1 => ("0", v)
+      case i  => (v.substring(0, i), v.substring(i + 1))
+    }
+    encNum(epoch.filter(_.isDigit) match { case "" => "0"; case e => e }) +
+      rpmSegKey(rest) + Low2 + Term
+  }
+
+  // ---------------------------------------------------------------- maven
+  private final val MQAlpha = '\u0011'
+  private final val MQBeta = '\u0012'
+  private final val MQMilestone = '\u0013'
+  private final val MQRc = '\u0014'
+  private final val MQSnapshot = '\u0015'
+  private final val MQRelease = '\u0016'
+  private final val MQSp = '\u0017'
+  private final val MQOther = '\u0018'
+
+  private val mavenQualifierRank: Map[String, Char] = Map(
+    "alpha" -> MQAlpha, "a" -> MQAlpha,
+    "beta" -> MQBeta, "b" -> MQBeta,
+    "milestone" -> MQMilestone, "m" -> MQMilestone,
+    "rc" -> MQRc, "cr" -> MQRc, "preview" -> MQRc,
+    "snapshot" -> MQSnapshot,
+    "" -> MQRelease, "final" -> MQRelease, "ga" -> MQRelease,
+    "release" -> MQRelease,
+    "sp" -> MQSp)
+
+  /** Maven ComparableVersion (subset): dot/dash tokens, known qualifier
+    * ranking, trailing zero/release tokens insignificant. Unknown
+    * qualifiers sort after "sp" lexically (documented divergence from full
+    * Maven ListItem recursion).
+    */
+  private def mavenKey(v0: String): String = {
+    val toks = v0.trim.toLowerCase.split("[.-]").toSeq.filter(_.nonEmpty)
+      .flatMap(runs) // also split digit/alpha transitions
+    // numeric prefix vs qualifier tail: "1.0-snapshot" == ("1", snapshot)
+    // because trailing zeros of the numeric part are insignificant even
+    // when a qualifier follows (1.0-snapshot < 1 in Maven)
+    val (nums, tail) = toks.span(_.forall(_.isDigit))
+    val trimmedNums = nums.reverse.dropWhile(t => BigInt("0" + t) == 0).reverse
+    val encTail = tail.map { tk =>
+      if (tk.forall(_.isDigit)) encNum(tk)
+      else mavenQualifierRank.get(tk).map(_.toString)
+        .getOrElse(MQOther.toString + tk)
+    }
+    // trailing release-rank tokens are insignificant (1.0 == 1.0.ga)
+    val strippedTail = encTail.reverse
+      .dropWhile(e => e == MQRelease.toString || e == encNum("0")).reverse
+    trimmedNums.map(encNum).mkString + strippedTail.mkString + MQRelease + Term
+  }
+
+  // -------------------------------------------------------------- generic
+  /** Generic dotted comparison: digit runs numeric, alpha runs lexical,
+    * numeric sorts before alpha at the same position, shorter prefix first.
+    */
+  private def genericKey(v0: String): String = {
+    val v = v0.trim.toLowerCase.stripPrefix("v")
+    v.split("[.\\-_+:]").toSeq.filter(_.nonEmpty).flatMap(runs).map { tk =>
+      if (tk.forall(_.isDigit)) encNum(tk) else encAlpha(tk)
+    }.mkString + Term
+  }
+
+  /** Sortable key string: lexicographic order == scheme version order. */
+  def sortKey(scheme: String, version: String): String = {
+    val s = Option(scheme).getOrElse("generic").toLowerCase
+    val v = Option(version).getOrElse("")
+    s match {
+      case "semver" | "npm" | "cargo" | "gem" | "golang" | "composer" |
+          "nginx" | "hex" => semverKey(v)
+      case "pypi"           => pypiKey(v)
+      case "deb" | "ubuntu" => debKey(v)
+      case "rpm"            => rpmKey(v)
+      case "apk" | "alpine" => genericKey(v)
+      case "maven"          => mavenKey(v)
+      case _                => genericKey(v)
+    }
+  }
+
+  /** Scheme-aware comparison; defined via sortKey so sorts and compares
+    * can never disagree. */
+  def compare(scheme: String, a: String, b: String): Int =
+    sortKey(scheme, a).compareTo(sortKey(scheme, b))
+}

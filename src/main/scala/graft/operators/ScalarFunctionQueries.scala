@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.core.{QueryEntry, QueryModule, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.7 — scalar functions (F1–F24), exercised over testdata with
+  * independently-formulated DuckDB oracles.
+  *
+  * Reference: utils.py:594-600 (F1 purl), utils.py:410-422 (F2 plain purl),
+  * utils.py:370-374 (F5 cleanup), utils.py:612-620 (F7 normalize_text),
+  * utils.py:342-350 (F8 reference id), importer.py:147-154 (F9 classify),
+  * models.py:1334-1348 (F10 alias URL), risk.py:42-46 (F11 domain),
+  * severity_systems.py:48-131 (F12 CVSS), risk.py:30-38 (F14 textual map),
+  * utils.py:639-643 (F15 hashes), utils.py:326-339 (F18 description),
+  * utils.py:110-115 (F20 contains_alpha), pipelines/collect_commits.py
+  * (F21 commit regex), pipes/risk_score.py:19-26 (F23 HALF_UP),
+  * models.py:559-585 (F24 CWE dim join).
+  */
+object ScalarFunctionQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  override val entries: Seq[QueryEntry] = Seq(
+    // F1/F2/F3 — purl build + normalize + plain (roundtrip through codec)
+    q("f1_purl_codec",
+      """SELECT p_partkey,
+        |       'pkg:npm/' || replace(lower(p_name), ' ', '-') ||
+        |         '@' || p_size || '.0.0' AS purl,
+        |       'pkg:npm/' || replace(lower(p_name), ' ', '-') ||
+        |         '@' || p_size || '.0.0' AS plain_purl
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      // input deliberately non-canonical (pkg:NPM, qualifier noise) — the
+      // codec must normalize to the oracle's canonical form
+      val raw = t(s, dir, "part").withColumn("raw_purl",
+        concat(lit("pkg:NPM/"),
+          regexp_replace(lower(col("p_name")), " ", "-"),
+          lit("@"), col("p_size"), lit(".0.0?Empty=&ignored=")))
+      raw.select(col("p_partkey"),
+        GraftFunctions.purlNormalizeUdf(col("raw_purl")).as("purl"),
+        GraftFunctions.purlPlainUdf(col("raw_purl")).as("plain_purl"))
+        .orderBy("p_partkey")
+    },
+
+    // F5/F20 — version-string cleanup + contains_alpha
+    q("f5_cleanup",
+      """SELECT p_partkey,
+        |       ltrim(trim(' v' || p_size || '.0'), 'vV') AS clean_version,
+        |       (p_name ~ '.*[a-zA-Z].*') AS has_alpha
+        |FROM part ORDER BY p_partkey""") { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          ltrim(trim(concat(lit(" v"), col("p_size"), lit(".0"))), "vV")
+            .as("clean_version"),
+          col("p_name").rlike("[a-zA-Z]").as("has_alpha"))
+        .orderBy("p_partkey")
+    },
+
+    // F7 — normalize_text: lowercase, strip all whitespace
+    q("f7_normalize_text",
+      """SELECT doc_id,
+        |       lower(regexp_replace(text, '\s', '', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(regexp_replace(col("text"), "\\s", "")).as("norm"))
+        .orderBy("doc_id")
+    },
+
+    // F8/F11 — reference id (last URL path segment) + domain extraction
+    q("f8_url_parts",
+      """SELECT doc_id,
+        |       regexp_extract('https://www.' || source ||
+        |         '.example.com/advisories/ADV-' || doc_id, '[^/]+$', 0)
+        |         AS ref_id,
+        |       source || '.example.com' AS domain
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val withUrl = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://www."), col("source"),
+          lit(".example.com/advisories/ADV-"), col("doc_id")))
+      withUrl.select(col("doc_id"),
+        regexp_extract(col("url"), "[^/]+$", 0).as("ref_id"),
+        GraftFunctions.urlDomainUdf(col("url")).as("domain"))
+        .orderBy("doc_id")
+    },
+
+    // F9/F10 — alias classification + URL derivation (when/otherwise chain)
+    q("f9_alias_classify",
+      """SELECT event_id, alias,
+        |       CASE WHEN alias LIKE 'CVE-%' THEN 'cve'
+        |            WHEN alias LIKE 'GHSA-%' THEN 'ghsa'
+        |            WHEN alias LIKE 'RHSA-%' THEN 'rhsa'
+        |            ELSE 'other' END AS alias_type,
+        |       CASE WHEN alias LIKE 'CVE-%'
+        |              THEN 'https://nvd.nist.gov/vuln/detail/' || alias
+        |            WHEN alias LIKE 'GHSA-%'
+        |              THEN 'https://github.com/advisories/' || alias
+        |            ELSE NULL END AS alias_url
+        |FROM (SELECT event_id,
+        |             CASE WHEN event_type = 'error' THEN 'CVE-2024-' || event_id
+        |                  WHEN event_type = 'purchase' THEN 'GHSA-' || event_id
+        |                  WHEN event_type = 'signup' THEN 'RHSA-2024:' || event_id
+        |                  ELSE 'LOCAL-' || event_id END AS alias
+        |      FROM events) ORDER BY event_id""") { (s, dir) =>
+      val withAlias = t(s, dir, "events").select(col("event_id"),
+        when(col("event_type") === "error",
+          concat(lit("CVE-2024-"), col("event_id")))
+          .when(col("event_type") === "purchase",
+            concat(lit("GHSA-"), col("event_id")))
+          .when(col("event_type") === "signup",
+            concat(lit("RHSA-2024:"), col("event_id")))
+          .otherwise(concat(lit("LOCAL-"), col("event_id"))).as("alias"))
+      withAlias.select(col("event_id"), col("alias"),
+        when(col("alias").startsWith("CVE-"), "cve")
+          .when(col("alias").startsWith("GHSA-"), "ghsa")
+          .when(col("alias").startsWith("RHSA-"), "rhsa")
+          .otherwise("other").as("alias_type"),
+        when(col("alias").startsWith("CVE-"),
+          concat(lit("https://nvd.nist.gov/vuln/detail/"), col("alias")))
+          .when(col("alias").startsWith("GHSA-"),
+            concat(lit("https://github.com/advisories/"), col("alias")))
+          .otherwise(lit(null)).as("alias_url"))
+        .orderBy("event_id")
+    },
+
+    // F12 — CVSS v3.1 base score computed by the Scala engine, oracle
+    // re-derives it arithmetically (unchanged-scope formula)
+    q("f12_cvss_score",
+      """WITH v AS (
+        |  SELECT event_id,
+        |         CASE WHEN value > 100 THEN 0.77 ELSE 0.44 END AS ac,
+        |         CASE WHEN event_type IN ('error','purchase') THEN 0.56
+        |              WHEN event_type = 'signup' THEN 0.22 ELSE 0.0 END AS c,
+        |         CASE WHEN event_type = 'error' THEN 0.56 ELSE 0.22 END AS i
+        |  FROM events)
+        |SELECT event_id,
+        |       CASE WHEN (1 - (1-c)*(1-i)) <= 0 THEN 0.0
+        |            ELSE ceil(least(6.42 * (1 - (1-c)*(1-i)) +
+        |                 8.22 * 0.85 * ac * 0.85 * 0.85, 10.0) * 10) / 10
+        |       END AS base_score
+        |FROM v ORDER BY event_id""") { (s, dir) =>
+      val vec = t(s, dir, "events").select(col("event_id"),
+        concat(lit("CVSS:3.1/AV:N/AC:"),
+          when(col("value") > 100, "L").otherwise("H"),
+          lit("/PR:N/UI:N/S:U/C:"),
+          when(col("event_type").isin("error", "purchase"), "H")
+            .when(col("event_type") === "signup", "L").otherwise("N"),
+          lit("/I:"), when(col("event_type") === "error", "H").otherwise("L"),
+          lit("/A:N")).as("vector"))
+      vec.select(col("event_id"),
+        GraftFunctions.cvssBaseScoreUdf(col("vector")).as("base_score"))
+        .orderBy("event_id")
+    },
+
+    // F14 — textual severity → numeric score map
+    q("f14_severity_score",
+      """SELECT event_id,
+        |       CASE WHEN event_type = 'error' THEN 10.0
+        |            WHEN event_type = 'purchase' THEN 8.0
+        |            WHEN event_type = 'signup' THEN 6.5
+        |            WHEN event_type = 'click' THEN 3.0
+        |            ELSE 0.0 END AS score
+        |FROM events ORDER BY event_id""") { (s, dir) =>
+      val sevText = t(s, dir, "events").select(col("event_id"),
+        when(col("event_type") === "error", "critical")
+          .when(col("event_type") === "purchase", "HIGH")
+          .when(col("event_type") === "signup", "moderate")
+          .when(col("event_type") === "click", "low")
+          .otherwise("none").as("sev"))
+      sevText.select(col("event_id"),
+        GraftFunctions.severityScoreUdf(col("sev")).as("score"))
+        .orderBy("event_id")
+    },
+
+    // F15 — hash functions (sha256 in A11; md5 + sha1-style here)
+    q("f15_hashes",
+      """SELECT doc_id, md5(text) AS md5_hash,
+        |       sha256(text || '|' || lang) AS sha_hash
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("md5_hash"),
+          sha2(concat_ws("|", col("text"), col("lang")), 256).as("sha_hash"))
+        .orderBy("doc_id")
+    },
+
+    // F16 — date handling: UTC month truncation + counts
+    q("f16_date_trunc",
+      """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("month")
+    },
+
+    // F18 — build_description: merge summary+description unless contained
+    q("f18_build_description",
+      """SELECT doc_id,
+        |       CASE WHEN contains(text, substr(text, 1, 10))
+        |              AND length(text) > 10 THEN text
+        |            ELSE substr(text, 1, 10) || chr(10) || text END AS description
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("summary", substring(col("text"), 1, 10))
+      d.select(col("doc_id"),
+        when(col("text").contains(col("summary")) && length(col("text")) > 10,
+          col("text"))
+          .otherwise(concat_ws("\n", col("summary"), col("text")))
+          .as("description"))
+        .orderBy("doc_id")
+    },
+
+    // F21 — commit-hash validation regex
+    q("f21_commit_check",
+      """SELECT doc_id, md5(text) AS maybe_commit,
+        |       (md5(text) ~ '^[0-9a-f]{7,40}$') AS is_commit,
+        |       (source ~ '^[0-9a-f]{7,40}$') AS source_is_commit
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("maybe_commit"),
+          md5(col("text")).rlike("^[0-9a-f]{7,40}$").as("is_commit"),
+          col("source").rlike("^[0-9a-f]{7,40}$").as("source_is_commit"))
+        .orderBy("doc_id")
+    },
+
+    // F23 — Decimal HALF_UP rounding parity
+    q("f23_round_halfup",
+      """SELECT o_orderkey,
+        |       CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS DOUBLE)
+        |         AS rounded1,
+        |       CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) *
+        |                  CAST(0.5 AS DECIMAL(2,1)), 1) AS DOUBLE) AS half1
+        |FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice").cast("decimal(12,2)"), 1).cast("double")
+            .as("rounded1"),
+          round(col("o_totalprice").cast("decimal(12,2)") *
+            lit(BigDecimal("0.5")).cast("decimal(2,1)"), 1).cast("double")
+            .as("half1"))
+        .orderBy("o_orderkey")
+    },
+
+    // F24 — CWE-style dimension lookup: format + broadcast dim join
+    q("f24_cwe_lookup",
+      """SELECT p.p_partkey, 'CWE-' || p.p_size AS cwe_id,
+        |       coalesce(d.name, 'unknown') AS cwe_name
+        |FROM part p
+        |LEFT JOIN (VALUES (10, 'buffer-overflow'), (20, 'input-validation'),
+        |                  (30, 'injection'), (40, 'xss')) AS d(sz, name)
+        |  ON p.p_size = d.sz
+        |ORDER BY p.p_partkey""") { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val dim = Seq((10, "buffer-overflow"), (20, "input-validation"),
+        (30, "injection"), (40, "xss")).toDF("sz", "name")
+      t(s, dir, "part")
+        .join(broadcast(dim), col("p_size") === col("sz"), "left")
+        .select(col("p_partkey"),
+          concat(lit("CWE-"), col("p_size")).as("cwe_id"),
+          coalesce(col("name"), lit("unknown")).as("cwe_name"))
+        .orderBy("p_partkey")
+    },
+  )
+}

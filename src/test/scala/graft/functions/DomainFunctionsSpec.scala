@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PurlCodecSpec extends AnyFunSuite {
+  test("parse full purl") {
+    val p = PurlCodec.parse("pkg:maven/org.apache/commons-io@2.7?classifier=sources#src/main")
+    assert(p.ptype == "maven")
+    assert(p.namespace == "org.apache")
+    assert(p.name == "commons-io")
+    assert(p.version == "2.7")
+    assert(p.qualifiers == Map("classifier" -> "sources"))
+    assert(p.subpath == "src/main")
+  }
+
+  test("format round-trip is canonical") {
+    assert(PurlCodec.normalize("pkg:PyPI/Django_Rest@3.1") == "pkg:pypi/django-rest@3.1")
+    assert(PurlCodec.normalize("pkg:npm/%40angular/core@12.0.0")
+      == "pkg:npm/@angular/core@12.0.0")
+    assert(PurlCodec.normalize("pkg:deb/debian/curl@7.50.3-1") == "pkg:deb/debian/curl@7.50.3-1")
+  }
+
+  test("plain purl strips qualifiers and subpath (utils.py:410-422)") {
+    val p = PurlCodec.parse("pkg:maven/g/a@1.0?type=jar#sub")
+    assert(p.plain.format == "pkg:maven/g/a@1.0")
+  }
+
+  test("withVersion (utils.py:157-173)") {
+    assert(PurlCodec.parse("pkg:npm/lodash@4.0.0").withVersion("4.17.21").format
+      == "pkg:npm/lodash@4.17.21")
+  }
+
+  test("version scheme per type") {
+    assert(PurlCodec.parse("pkg:npm/x@1").versionScheme == "semver")
+    assert(PurlCodec.parse("pkg:pypi/x@1").versionScheme == "pypi")
+    assert(PurlCodec.parse("pkg:deb/d/x@1").versionScheme == "deb")
+    assert(PurlCodec.parse("pkg:generic/x@1").versionScheme == "generic")
+  }
+
+  test("malformed purls throw") {
+    intercept[IllegalArgumentException](PurlCodec.parse("not-a-purl"))
+    intercept[IllegalArgumentException](PurlCodec.parse("pkg:onlytype"))
+  }
+}
+
+class CanonicalJsonSpec extends AnyFunSuite {
+  test("keys sorted, compact separators") {
+    assert(CanonicalJson.canonical(Map("b" -> 1, "a" -> 2)) == """{"a":2,"b":1}""")
+  }
+  test("lists sorted, falsy dropped (utils.py:623-691 normalize_list)") {
+    assert(CanonicalJson.canonical(Seq("b", "a", "", null)) == """["a","b"]""")
+  }
+  test("strings trimmed") {
+    assert(CanonicalJson.canonical("  x  ") == "\"x\"")
+  }
+  test("stable content id") {
+    val a = Map("summary" -> "Issue", "aliases" -> Seq("CVE-2024-1", "GHSA-x"))
+    val b = Map("aliases" -> Seq("GHSA-x", "CVE-2024-1"), "summary" -> "Issue")
+    assert(CanonicalJson.contentId(a) == CanonicalJson.contentId(b))
+    assert(CanonicalJson.contentId(a).length == 64)
+    assert(CanonicalJson.contentId(a) != CanonicalJson.contentId(Map("summary" -> "Other")))
+  }
+}
+
+class CvssSpec extends AnyFunSuite {
+  private def v3(vec: String): Double = Cvss.v3BaseScore(vec).get
+
+  test("CVSS v3.1 known scores (FIRST spec examples)") {
+    // Log4Shell
+    assert(v3("CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:C/C:H/I:H/A:H") == 10.0)
+    // Heartbleed-style partial
+    assert(v3("CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:N/A:N") == 7.5)
+    assert(v3("CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H") == 9.8)
+    assert(v3("CVSS:3.1/AV:L/AC:L/PR:L/UI:N/S:U/C:H/I:H/A:H") == 7.8)
+    assert(v3("CVSS:3.1/AV:N/AC:H/PR:N/UI:R/S:U/C:L/I:N/A:N") == 3.1)
+    assert(v3("CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:N/I:N/A:N") == 0.0)
+  }
+
+  test("CVSS v2 known scores") {
+    assert(Cvss.v2BaseScore("AV:N/AC:L/Au:N/C:C/I:C/A:C").get == 10.0)
+    assert(Cvss.v2BaseScore("AV:N/AC:L/Au:N/C:P/I:P/A:P").get == 7.5)
+    assert(Cvss.v2BaseScore("AV:N/AC:M/Au:N/C:P/I:N/A:N").get == 4.3)
+    assert(Cvss.v2BaseScore("AV:L/AC:L/Au:N/C:N/I:N/A:N").get == 0.0)
+  }
+
+  test("version sniffing + malformed") {
+    assert(Cvss.baseScore("CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H").contains(9.8))
+    assert(Cvss.baseScore("AV:N/AC:L/Au:N/C:P/I:P/A:P").contains(7.5))
+    assert(Cvss.baseScore("garbage").isEmpty)
+    assert(Cvss.v3BaseScore("CVSS:3.1/AV:X/AC:L").isEmpty)
+  }
+
+  test("ratings") {
+    assert(Cvss.rating(0.0) == "none")
+    assert(Cvss.rating(3.9) == "low")
+    assert(Cvss.rating(4.0) == "medium")
+    assert(Cvss.rating(7.0) == "high")
+    assert(Cvss.rating(9.0) == "critical")
+  }
+}
+
+class RiskSpec extends AnyFunSuite {
+  test("parse numeric and textual severities (risk.py:30-38)") {
+    assert(Risk.parseScore("7.5").contains(7.5))
+    assert(Risk.parseScore("CRITICAL").contains(10.0))
+    assert(Risk.parseScore("moderate").contains(6.5))
+    assert(Risk.parseScore("").isEmpty)
+    assert(Risk.parseScore("unknown-text").isEmpty)
+  }
+
+  test("url domain extraction (risk.py:42-46)") {
+    assert(Risk.urlDomain("https://www.nvd.nist.gov/vuln/detail/x") == "nvd.nist.gov")
+    assert(Risk.urlDomain("http://github.com/a/b") == "github.com")
+    assert(Risk.urlDomain("") == "")
+  }
+
+  test("weighted severity max(score*w/10) round1 (risk.py:21-61)") {
+    val sevs = Seq(("7.5", "https://nvd.example"), ("critical", "https://other.example"))
+    // default weight 5: max(7.5*0.5, 10*0.5) = 5.0
+    assert(Risk.weightedSeverity(sevs).contains(5.0))
+    val weighted = Risk.weightedSeverity(sevs, Map("nvd.example" -> 10))
+    assert(weighted.contains(7.5)) // 7.5*1.0 beats 10*0.5
+    assert(Risk.weightedSeverity(Nil).isEmpty)
+  }
+
+  test("exploitability cascade (risk.py:64-92)") {
+    assert(Risk.exploitability(hasExploit = true, Nil, hasExploitReference = false) == 2.0)
+    assert(Risk.exploitability(hasExploit = false, Seq(0.9), hasExploitReference = false) == 2.0)
+    assert(Risk.exploitability(hasExploit = false, Seq(0.5), hasExploitReference = true) == 1.0)
+    assert(Risk.exploitability(hasExploit = false, Nil, hasExploitReference = false) == 0.5)
+  }
+
+  test("risk = min(ws*e, 10) HALF_UP 1 decimal (models.py:305-315)") {
+    assert(Risk.riskScore(7.5, 2.0) == 10.0) // capped
+    assert(Risk.riskScore(3.2, 2.0) == 6.4)
+    assert(Risk.riskScore(3.25, 1.0) == 3.3) // HALF_UP
+    assert(Risk.riskScore(0.0, 2.0) == 0.0)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Truth tables for ecosystem version ordering — the executable spec the
+  * reference keeps as univers doctests + the nginx table
+  * (tests/pipelines/test_nginx_importer_pipeline.py:44-91). */
+class VersionOrdSpec extends AnyFunSuite {
+
+  private def lt(scheme: String, a: String, b: String): Unit =
+    assert(VersionOrd.compare(scheme, a, b) < 0,
+      s"[$scheme] expected $a < $b")
+  private def eqv(scheme: String, a: String, b: String): Unit =
+    assert(VersionOrd.compare(scheme, a, b) == 0,
+      s"[$scheme] expected $a == $b")
+
+  test("semver ordering") {
+    lt("semver", "1.0.0", "2.0.0")
+    lt("semver", "1.0.0", "1.1.0")
+    lt("semver", "1.1.0", "1.1.1")
+    lt("semver", "1.9.0", "1.10.0")   // numeric, not lexical
+    lt("semver", "9.9.9", "10.0.0")
+    lt("semver", "1.0.0-alpha", "1.0.0")
+    lt("semver", "1.0.0-alpha", "1.0.0-alpha.1")
+    lt("semver", "1.0.0-alpha.1", "1.0.0-alpha.beta")
+    lt("semver", "1.0.0-alpha.beta", "1.0.0-beta")
+    lt("semver", "1.0.0-beta", "1.0.0-beta.2")
+    lt("semver", "1.0.0-beta.2", "1.0.0-beta.11")
+    lt("semver", "1.0.0-beta.11", "1.0.0-rc.1")
+    lt("semver", "1.0.0-rc.1", "1.0.0")
+    eqv("semver", "1.2", "1.2.0")
+    eqv("semver", "v1.2.3", "1.2.3")
+    eqv("semver", "1.0.0+build1", "1.0.0+build2") // build ignored
+  }
+
+  test("pypi (PEP 440) ordering") {
+    lt("pypi", "1.0", "1.1")
+    lt("pypi", "1.9", "1.10")
+    eqv("pypi", "1.0", "1.0.0")      // trailing zeros insignificant
+    eqv("pypi", "1.0", "1.0.0.0")
+    lt("pypi", "1.0.dev1", "1.0a1")
+    lt("pypi", "1.0a1", "1.0a2")
+    lt("pypi", "1.0a2", "1.0b1")
+    lt("pypi", "1.0b1", "1.0rc1")
+    lt("pypi", "1.0rc1", "1.0")
+    lt("pypi", "1.0", "1.0.post1")
+    lt("pypi", "1.0.post1", "1.1")
+    lt("pypi", "1.0a1.dev1", "1.0a1")
+    lt("pypi", "0.9", "1!0.1")       // epoch dominates
+    eqv("pypi", "1.0RC1", "1.0rc1")  // case-insensitive
+  }
+
+  test("debian ordering") {
+    lt("deb", "1.0", "1.1")
+    lt("deb", "1.0", "1.0-1")
+    lt("deb", "1.0-1", "1.0-2")
+    lt("deb", "1.0~rc1", "1.0")      // tilde sorts before release
+    lt("deb", "1.0~rc1", "1.0~rc2")
+    lt("deb", "1.0", "1:0.5")        // epoch dominates
+    lt("deb", "2.0-1", "1:1.0-1")
+    lt("deb", "1.0a", "1.0+b")       // letters before symbols
+    lt("deb", "1.2.3", "1.2.3a")
+    lt("deb", "09", "10")            // leading zeros numeric
+  }
+
+  test("rpm ordering") {
+    lt("rpm", "1.0", "1.1")
+    lt("rpm", "1.0~beta", "1.0")     // tilde pre-release
+    lt("rpm", "1.0", "1.0^post")     // caret post-release
+    lt("rpm", "1.0^post", "1.0.1")
+    lt("rpm", "1.0", "1:0.1")        // epoch
+    lt("rpm", "1.05", "1.6")         // numeric segments: 5 < 6
+    lt("rpm", "1.0.a", "1.0.1")      // alpha < numeric in rpm
+  }
+
+  test("maven ordering") {
+    lt("maven", "1.0", "1.1")
+    eqv("maven", "1.0", "1")         // trailing zeros insignificant
+    eqv("maven", "1.0", "1.0.ga")
+    lt("maven", "1.0-alpha-1", "1.0-beta-1")
+    lt("maven", "1.0-beta-1", "1.0-rc1")
+    lt("maven", "1.0-rc1", "1.0-SNAPSHOT")
+    lt("maven", "1.0-SNAPSHOT", "1.0")
+    lt("maven", "1.0", "1.0-sp")
+    lt("maven", "1.0-sp", "1.0.1")
+    lt("maven", "1.0-alpha-1", "1.0-1") // qualifier < number
+  }
+
+  test("generic ordering") {
+    lt("generic", "1.0", "1.0.1")
+    lt("generic", "1.9", "1.10")
+    lt("generic", "0.9.8", "0.10.0")
+    eqv("generic", "V1.0", "1.0")
+    lt("generic", "2021.1", "2021.2")
+  }
+
+  test("nginx-style versions use semver ordering") {
+    lt("nginx", "1.5.9", "1.5.10")
+    lt("nginx", "1.5.10", "1.6.0")
+    lt("nginx", "0.6.18", "1.20.0")
+  }
+
+  test("sortKey lexicographic order equals compare order") {
+    val versions = Seq("0.1.0", "1.0.0-alpha", "1.0.0-alpha.1", "1.0.0-rc.1",
+      "1.0.0", "1.0.1", "1.2.0", "1.10.0", "2.0.0")
+    val byKey = versions.sortBy(VersionOrd.sortKey("semver", _))
+    assert(byKey == versions)
+  }
+}
