@@ -21,6 +21,11 @@ object SparkEntry {
     WindowSetQueries,
     VersionQueries,
     ScalarFunctionQueries,
+    DedupGroupQueries,
+    TextAnalysisQueries,
+    TextDedupQueries,
+    SimilarityQueries,
+    MultimodalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

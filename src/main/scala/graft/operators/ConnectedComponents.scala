@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components + in-partition union-find.
+  *
+  * Re-expresses the reference's advisory-grouping (SURVEY D2):
+  * pipes/group_advisories.py:182-245 replaces an O(n²) merge with a
+  * union-find over advisories sharing an advisory_id or alias.
+  *
+  * Two paths, mirroring the reference's own two-level design:
+  *  1. `labelPropagation` — global iterative min-label propagation over an
+  *     edge DataFrame. Each round is one shuffle (join + groupBy-min);
+  *     rounds ≈ graph diameter. Advisory/alias graphs are hub-shaped
+  *     (small diameter), so this converges in a handful of rounds at any
+  *     scale. Early-stops when no label changes.
+  *  2. `dsu` — plain Scala union-find for use INSIDE a group
+  *     (`groupByKey.mapGroups`), after D3 content-hash pre-bucketing has
+  *     made each group small (pipes/group_advisories.py:248-285). No
+  *     shuffle beyond the bucketing groupBy.
+  */
+object ConnectedComponents {
+
+  /** Global CC by min-label propagation.
+    * @param edges DataFrame with long columns (src, dst); undirected.
+    * @return DataFrame (node: Long, component: Long) — component is the
+    *         minimum node id reachable.
+    */
+  def labelPropagation(spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .union(edges.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
+    // adjacency is reused every round — cache it
+    val adj = sym.distinct().cache()
+    // localCheckpoint truncates lineage each round — without it the plan
+    // deepens every iteration and the driver OOMs compiling it
+    var labels = adj.groupBy(col("src").as("node"))
+      .agg(min("dst").as("m"))
+      .select(col("node"), least(col("m"), col("node")).as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // component(n) <- min(component(n), min over neighbors m of component(m))
+      val viaNeighbors = adj
+        .join(labels.withColumnRenamed("node", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("node"))
+        .agg(min("component").as("nbr_component"))
+      val next = labels.withColumnRenamed("component", "old")
+        .join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), coalesce(col("nbr_component"), col("old")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next.filter(col("component") < col("old")).limit(1).count()
+      labels = next.select("node", "component")
+      converged = changed == 0
+      iter += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** In-partition union-find over (id, keys) members: ids sharing any key
+    * are grouped. Returns id → root (min id of its group). Use inside
+    * mapGroups after content-hash bucketing keeps groups small. */
+  def dsu(members: Seq[(Long, Seq[String])]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    members.foreach { case (id, _) => parent.getOrElseUpdate(id, id) }
+    val byKey = scala.collection.mutable.Map[String, Long]()
+    members.foreach { case (id, keys) =>
+      keys.foreach { k =>
+        byKey.get(k) match {
+          case Some(other) => union(id, other)
+          case None        => byKey(k) = id
+        }
+      }
+    }
+    members.map { case (id, _) => id -> find(id) }.toMap
+  }
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.core.{QueryEntry, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2.9 — dedup / grouping / correlation operators (D1–D12).
+  *
+  * Reference: remove_duplicate_advisories.py:27-111 (D1),
+  * pipes/group_advisories.py:182-285 (D2 union-find, D3 bucketing,
+  * D4 set materialization, D12 precedence primary),
+  * compute_advisory_todo.py:36-307 (D6 todos, D7 conflicts),
+  * flag_ghost_packages.py:35-90 (D8), populate_vulnerability_summary
+  * (D9), collect_commits.py:26-110 (D10), models.py:1217-1249 (D11).
+  */
+object DedupGroupQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  override val entries: Seq[QueryEntry] = Seq(
+    // D1 — content-id dedup, keep oldest row per content hash
+    q("d1_content_dedup",
+      """SELECT doc_id, content_id FROM (
+        |  SELECT doc_id, sha256(lower(trim(text))) AS content_id,
+        |         row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+        |                            ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""") { (s, dir) =>
+      val hashed = t(s, dir, "documents")
+        .withColumn("content_id", sha2(lower(trim(col("text"))), 256))
+      val w = Window.partitionBy("content_id").orderBy("doc_id")
+      hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "content_id")
+        .orderBy("doc_id")
+    },
+
+    // D2 — connected components over the bipartite order/part graph
+    // (advisories-sharing-aliases shape). Label propagation; rows-only
+    // driver check (recursive closure is not tractable oracle SQL) —
+    // correctness is pinned by ConnectedComponentsSpec truth tables.
+    qNoOracle("d2_connected_components") { (s, dir) =>
+      val edges = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      ConnectedComponents.labelPropagation(s, edges)
+        .groupBy("component")
+        .agg(count(lit(1)).as("size"), min("node").as("min_node"))
+        .orderBy("component")
+    },
+
+    // D3 — content-hash pre-bucketing before identity merge
+    q("d3_hash_buckets",
+      """SELECT CAST(strpos('0123456789abcdef',
+        |            substr(sha256(lower(trim(text))), 1, 1)) - 1 AS BIGINT)
+        |         AS bucket,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT sha256(lower(trim(text)))) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY bucket""") { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("content_id", sha2(lower(trim(col("text"))), 256))
+        .withColumn("bucket",
+          (instr(lit("0123456789abcdef"), substring(col("content_id"), 1, 1))
+            - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("content_id").as("n_distinct"))
+        .orderBy("bucket")
+    },
+
+    // D6 — data-quality ToDo classification (when-chain)
+    q("d6_todo_flags",
+      """SELECT doc_id,
+        |       CASE WHEN length(trim(text)) < 40 THEN 'missing_summary'
+        |            WHEN n_chars < 150 THEN 'missing_packages'
+        |            WHEN lang IS NULL OR lang = '' THEN 'missing_lang'
+        |            ELSE 'ok' END AS todo
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(length(trim(col("text"))) < 40, "missing_summary")
+            .when(col("n_chars") < 150, "missing_packages")
+            .when(col("lang").isNull || col("lang") === "", "missing_lang")
+            .otherwise("ok").as("todo"))
+        .orderBy("doc_id")
+    },
+
+    // D7 — conflict detection: per p_type, do brands disagree on the
+    // (sorted) set of sizes they ship? (>1 distinct profile ⇒ conflict)
+    q("d7_conflict_sets",
+      """SELECT p_type, count(DISTINCT profile) AS n_profiles FROM (
+        |  SELECT p_type, p_brand,
+        |         string_agg(DISTINCT printf('%03d', p_size), ','
+        |                    ORDER BY printf('%03d', p_size)) AS profile
+        |  FROM part GROUP BY p_type, p_brand)
+        |GROUP BY p_type HAVING count(DISTINCT profile) > 1
+        |ORDER BY p_type""") { (s, dir) =>
+      t(s, dir, "part")
+        .groupBy("p_type", "p_brand")
+        .agg(array_join(array_sort(collect_set(format_string("%03d",
+          col("p_size")))), ",").as("profile"))
+        .groupBy("p_type")
+        .agg(countDistinct("profile").as("n_profiles"))
+        .filter(col("n_profiles") > 1)
+        .orderBy("p_type")
+    },
+
+    // D8 — ghost flagging: version not present in the known-versions dim
+    // (left-anti on the composite key)
+    q("d8_ghost_flag",
+      """SELECT p.p_partkey FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (SELECT DISTINCT p_type, p_size FROM part
+        |                 WHERE p_size % 3 <> 0) k
+        |  WHERE k.p_type = p.p_type AND k.p_size = p.p_size)
+        |ORDER BY p.p_partkey""") { (s, dir) =>
+      val known = t(s, dir, "part")
+        .filter(pmod(col("p_size"), lit(3)) =!= 0)
+        .select(col("p_type").as("k_type"), col("p_size").as("k_size"))
+        .distinct()
+      t(s, dir, "part")
+        .join(broadcast(known),
+          col("p_type") === col("k_type") && col("p_size") === col("k_size"),
+          "left_anti")
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    },
+
+    // D9 — summary back-fill from the best record per group
+    // (max n_chars, tie → lowest doc_id)
+    q("d9_backfill",
+      """SELECT d.doc_id, b.doc_id AS best_doc_id FROM documents d
+        |JOIN (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |        ORDER BY n_chars DESC, doc_id) AS rn FROM documents) b
+        |  ON b.lang = d.lang AND b.rn = 1
+        |ORDER BY d.doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy("lang").orderBy(col("n_chars").desc,
+        col("doc_id"))
+      val best = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang").as("b_lang"), col("doc_id").as("best_doc_id"))
+      docs.join(broadcast(best), col("lang") === col("b_lang"))
+        .select("doc_id", "best_doc_id")
+        .orderBy("doc_id")
+    },
+
+    // D10 — fix-commit harvesting from reference URLs
+    q("d10_commit_harvest",
+      """SELECT doc_id,
+        |       regexp_extract(url, '(.*)/commit/[0-9a-f]+', 1) AS vcs_url,
+        |       regexp_extract(url, '/commit/([0-9a-f]+)', 1) AS commit_hash
+        |FROM (SELECT doc_id,
+        |             CASE WHEN doc_id % 3 = 0
+        |               THEN 'https://github.com/org/' || source || '/commit/'
+        |                    || md5(text)
+        |               ELSE 'https://example.com/advisory/' || doc_id
+        |             END AS url
+        |      FROM documents)
+        |WHERE url LIKE '%/commit/%' ORDER BY doc_id""") { (s, dir) =>
+      val withUrl = t(s, dir, "documents").withColumn("url",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("https://github.com/org/"), col("source"),
+            lit("/commit/"), md5(col("text"))))
+          .otherwise(concat(lit("https://example.com/advisory/"),
+            col("doc_id"))))
+      withUrl.filter(col("url").contains("/commit/"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "(.*)/commit/[0-9a-f]+", 1).as("vcs_url"),
+          regexp_extract(col("url"), "/commit/([0-9a-f]+)", 1)
+            .as("commit_hash"))
+        .orderBy("doc_id")
+    },
+
+    // D11 — confidence-max upsert: keep the highest-confidence relation row
+    q("d11_confidence_max",
+      """SELECT o_custkey, o_orderkey AS kept_order,
+        |       round(o_totalprice, 2) AS confidence FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |            ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max_by(col("o_orderkey"),
+          struct(col("o_totalprice"), (-col("o_orderkey")).as("tb")))
+          .as("kept_order"),
+          round(max("o_totalprice"), 2).as("confidence"))
+        .orderBy("o_custkey")
+    },
+
+    // D12 — precedence-based primary selection within a group
+    q("d12_precedence_primary",
+      """SELECT p_type, p_partkey AS primary_part FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_type
+        |            ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part)
+        |WHERE rn = 1 ORDER BY p_type""") { (s, dir) =>
+      t(s, dir, "part")
+        .groupBy("p_type")
+        .agg(max_by(col("p_partkey"),
+          struct(col("p_retailprice"), (-col("p_partkey")).as("tb")))
+          .as("primary_part"))
+        .orderBy("p_type")
+    },
+  )
+}

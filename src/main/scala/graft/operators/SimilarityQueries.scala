@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.core.{QueryEntry, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim).
+  *
+  * Scale design:
+  *  - Brute-force top-k only for a bounded probe set (the 100 TB baseline:
+  *    probes broadcast against the corpus, map-side dot products, per-probe
+  *    top-k via partial aggregation — never corpus×corpus).
+  *  - The scale path is IVF: assign every vector to its nearest coarse
+  *    centroid (here: a deterministic per-label seed), probe only matching
+  *    partitions — turning the similarity join into an equi-join on the
+  *    partition key.
+  *  - Cosines are computed in double and rounded before ranking so rank
+  *    order is reproducible across engines (float sum-order noise).
+  */
+object SimilarityQueries extends QueryModule {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  /** dot(a,b) via zip_with + aggregate (codegen'd, no UDF). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Oracle-side dot product over unnested (idx, val) pairs — DuckDB list
+    * lambdas with index are version-sensitive, so the oracle uses
+    * generate_subscripts-free explicit indexing. */
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+
+  override val entries: Seq[QueryEntry] = Seq(
+    // Brute-force cosine top-k for a probe subset (vec_id % 100 = 0)
+    q("x_ann_topk",
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         round($dotSql /
+         |           (sqrt(list_sum(list_transform(a.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |            sqrt(list_sum(list_transform(b.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |           AS cos_sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 100 = 0)
+         |SELECT probe_id, neighbor_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM pairs)
+         |WHERE rn <= 10 ORDER BY probe_id, rn""") { (s, dir) =>
+      val e = emb(s, dir)
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val corpus = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"))
+      val cos = round(dot(col("pe"), col("ce")) /
+        (norm(col("pe")) * norm(col("ce"))), 6)
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      broadcast(probes).join(corpus, col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("probe_id", "neighbor_id", "cos_sim")
+        .orderBy("probe_id", "cos_sim", "neighbor_id")
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
+
+    // Embedding-cosine near-duplicate pairs within label partitions
+    q("x_embed_neardup",
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round($dotSql /
+         |         (sqrt(list_sum(list_transform(a.embedding,
+         |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |          sqrt(list_sum(list_transform(b.embedding,
+         |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |         AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE a.vec_id % 20 = 0
+         |  AND $dotSql /
+         |      (sqrt(list_sum(list_transform(a.embedding,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(b.embedding,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.5
+         |ORDER BY vec_a, vec_b""") { (s, dir) =>
+      val e = emb(s, dir)
+      val a = e.filter(pmod(col("vec_id"), lit(20)) === 0)
+        .select(col("vec_id").as("vec_a"), col("label"),
+          col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+        col("embedding").as("eb"))
+      val cosRaw = dot(col("ea"), col("eb")) /
+        (norm(col("ea")) * norm(col("eb")))
+      a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cos_raw", cosRaw)
+        .filter(col("cos_raw") >= 0.5)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cos_raw"), 6).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // IVF-style ANN: coarse centroids = the min-vec_id vector per label
+    // (deterministic seeds); probes search ONLY their nearest centroid's
+    // partition → similarity join becomes an equi-join on label
+    q("x_ann_ivf",
+      s"""WITH cent AS (
+         |  SELECT e.label, e.embedding FROM embeddings e
+         |  JOIN (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label) m
+         |    ON e.label = m.label AND e.vec_id = m.mv),
+         |assign AS (
+         |  SELECT vec_id AS probe_id, label AS best_label FROM (
+         |    SELECT a.vec_id, b.label,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.label) AS rn
+         |    FROM embeddings a, cent b
+         |    WHERE a.vec_id % 100 = 0)
+         |  WHERE rn = 1),
+         |hits AS (
+         |  SELECT s.probe_id, b.vec_id AS neighbor_id,
+         |         round($dotSql /
+         |           (sqrt(list_sum(list_transform(a.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |            sqrt(list_sum(list_transform(b.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |           AS cos_sim
+         |  FROM assign s
+         |  JOIN embeddings a ON a.vec_id = s.probe_id
+         |  JOIN embeddings b ON b.label = s.best_label
+         |                   AND b.vec_id <> s.probe_id)
+         |SELECT probe_id, neighbor_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM hits)
+         |WHERE rn <= 5 ORDER BY probe_id, rn""") { (s, dir) =>
+      val e = emb(s, dir).cache()
+      val seeds = e.groupBy(col("label").as("s_label"))
+        .agg(min("vec_id").as("mv"))
+      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
+          e("vec_id") === seeds("mv"))
+        .select(col("s_label").as("c_label"), col("embedding").as("cemb"))
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val centCos = round(dot(col("pe"), col("cemb")) /
+        (norm(col("pe")) * norm(col("cemb"))), 6)
+      val wAssign = Window.partitionBy("probe_id")
+        .orderBy(col("c_cos").desc, col("c_label"))
+      val assign = broadcast(probes).crossJoin(broadcast(cent))
+        .withColumn("c_cos", centCos)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("pe"), col("c_label").as("best_label"))
+      val corpus = e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"), col("embedding").as("ce"))
+      val cos = round(dot(col("pe"), col("ce")) /
+        (norm(col("pe")) * norm(col("ce"))), 6)
+      val wTop = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      broadcast(assign).join(corpus,
+        col("best_label") === col("n_label") &&
+          col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "cos_sim")
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
+  )
+}

@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.core.{QueryEntry, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication over `documents`: exact, n-gram Jaccard via
+  * inverted index, MinHash+LSH banding, SimHash.
+  *
+  * Scale design (the 100 TB path):
+  *  - NO all-pairs comparison anywhere. Exact dedup is a hash groupBy;
+  *    Jaccard candidates come from an inverted shingle index (join on
+  *    shingle, bounded per-bucket); MinHash candidates come from LSH band
+  *    buckets. Both candidate joins are equi-joins Catalyst can shuffle
+  *    on the bucket key, with AQE skew-split on hot shingles.
+  *  - Hash family is md5 over strings (same function exists in DuckDB, so
+  *    the oracle can re-derive signatures bit-for-bit).
+  */
+object TextDedupQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Distinct word-2-shingle set per doc (set semantics for Jaccard). */
+  private def shingles(d: DataFrame): DataFrame =
+    d.withColumn("toks", filter(split(trim(col("text")), " "), x => x =!= ""))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("shingle", explode_outer(expr(
+        "array_distinct(transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1])))")))
+      .select("doc_id", "lang", "source", "shingle")
+
+  private val shinglesSql =
+    """SELECT doc_id, lang, source, unnest(list_distinct(
+      |         list_transform(range(1, len(toks)),
+      |                        i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+      |FROM (SELECT doc_id, lang, source,
+      |             list_filter(string_split(trim(text), ' '), x -> x <> '')
+      |               AS toks
+      |      FROM documents) WHERE len(toks) >= 2""".stripMargin
+
+  override val entries: Seq[QueryEntry] = Seq(
+    // Exact dedup: hash-groupBy on normalized content, keep min id, emit
+    // group size (distinct from d1 which emits the survivor rows)
+    q("x_dedup_exact",
+      """SELECT sha256(lower(trim(text))) AS content_id,
+        |       min(doc_id) AS keeper, count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY content_id""") { (s, dir) =>
+      docs(s, dir)
+        .groupBy(sha2(lower(trim(col("text"))), 256).as("content_id"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dupes"))
+        .orderBy("content_id")
+    },
+
+    // n-gram Jaccard near-dup: inverted shingle index within (lang, source)
+    // buckets; candidates = docs sharing ≥1 shingle; exact Jaccard =
+    // |∩| / (|A|+|B|-|∩|) ≥ 0.5
+    q("x_ngram_jaccard",
+      s"""WITH sh AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.lang = b.lang
+         |   AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |       CAST(round(CAST(p.shared AS DECIMAL(18,6)) /
+         |            (sa.n + sb.n - p.shared), 4) AS DOUBLE) AS jaccard
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc_id = p.doc_a
+         |JOIN sizes sb ON sb.doc_id = p.doc_b
+         |WHERE CAST(p.shared AS DECIMAL(18,6)) / (sa.n + sb.n - p.shared) >= 0.5
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val sh = shingles(docs(s, dir)).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
+        col("source"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("source").as("source_b"), col("shingle").as("shingle_b"))
+      val pairs = a.join(b,
+        col("shingle") === col("shingle_b") && col("lang") === col("lang_b")
+          && col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("shared"))
+      val jac = col("shared").cast("decimal(18,6)") /
+        (col("na") + col("nb") - col("shared"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(jac >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(jac, 4).cast("double").as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // MinHash + LSH: 8 md5-derived min-hashes, 4 bands × 2 rows; candidate
+    // pairs share a band bucket within (lang, source); emitted with the
+    // signature-estimated similarity (matching fraction of the 8 hashes)
+    q("x_minhash_lsh",
+      s"""WITH sh AS ($shinglesSql),
+         |sig AS (
+         |  SELECT doc_id, lang, source,
+         |         ${(0 until 8).map(i =>
+              s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")}
+         |  FROM sh GROUP BY doc_id, lang, source),
+         |bands AS (
+         |  SELECT doc_id, lang, source, band, bucket FROM (
+         |    SELECT doc_id, lang, source,
+         |           unnest([0, 1, 2, 3]) AS band,
+         |           unnest([md5(h0 || h1), md5(h2 || h3),
+         |                   md5(h4 || h5), md5(h6 || h7)]) AS bucket
+         |    FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.lang = b.lang AND a.source = b.source
+         |   AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST((${(0 until 8).map(i =>
+              s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")})
+         |            AS DOUBLE) / 8 AS est_sim
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.doc_a
+         |JOIN sig sb ON sb.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val sh = shingles(docs(s, dir))
+      val hashCols: Seq[Column] = (0 until 8).map(i =>
+        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+      val sig = sh.groupBy("doc_id", "lang", "source")
+        .agg(hashCols.head, hashCols.tail: _*).cache()
+      val bands = sig.select(col("doc_id"), col("lang"), col("source"),
+        explode(array(
+          struct(lit(0).as("band"), md5(concat(col("h0"), col("h1"))).as("bucket")),
+          struct(lit(1).as("band"), md5(concat(col("h2"), col("h3"))).as("bucket")),
+          struct(lit(2).as("band"), md5(concat(col("h4"), col("h5"))).as("bucket")),
+          struct(lit(3).as("band"), md5(concat(col("h6"), col("h7"))).as("bucket"))
+        )).as("bb"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.lang") === col("b.lang")
+          && col("a.source") === col("b.source")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(i => col(s"h$i").as(s"sa_h$i")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(i => col(s"h$i").as(s"sb_h$i")): _*)
+      val matches = (0 until 8).map(i =>
+        when(col(s"sa_h$i") === col(s"sb_h$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (matches.cast("double") / 8).as("est_sim"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash (16-bit demo width; the md5-hex formulation is replicated in
+    // the oracle bit-for-bit; production width is parameterized in Scala)
+    q("x_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+        |                        x -> x <> '')) AS tok
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, b.bit,
+        |         sum(CASE WHEN
+        |           ((strpos('0123456789abcdef',
+        |                    substr(md5(tok), 1 + b.bit // 4, 1)) - 1)
+        |            // CASE b.bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |                            WHEN 2 THEN 2 ELSE 1 END) % 2 = 1
+        |           THEN 1 ELSE -1 END) AS s
+        |  FROM tok, (SELECT unnest(range(0, 16)) AS bit) b
+        |  GROUP BY doc_id, b.bit)
+        |SELECT doc_id,
+        |       sum(CASE WHEN s > 0 THEN CAST(power(2, 15 - bit) AS BIGINT)
+        |                ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"),
+          explode(filter(split(trim(col("text")), " "), x => x =!= ""))
+            .as("tok"))
+      val bitsDim = (0 until 16).map(b => lit(b))
+      val withBit = tok.select(col("doc_id"), col("tok"),
+        explode(array(bitsDim: _*)).as("bit"))
+      // hex digit (bit/4) of md5(tok), tested at weight 8/4/2/1
+      val hexDigit = instr(lit("0123456789abcdef"),
+        substring(md5(col("tok")), (col("bit") / 4).cast("int") + 1, lit(1))) - 1
+      val mask = when(pmod(col("bit"), lit(4)) === 0, 8)
+        .when(pmod(col("bit"), lit(4)) === 1, 4)
+        .when(pmod(col("bit"), lit(4)) === 2, 2).otherwise(1)
+      val contrib = when(pmod((hexDigit / mask).cast("int"), lit(2)) === 1, 1)
+        .otherwise(-1)
+      withBit
+        .groupBy("doc_id", "bit")
+        .agg(sum(contrib).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0,
+          pow(lit(2), lit(15) - col("bit")).cast("long")).otherwise(0L))
+          .as("simhash"))
+        .orderBy("doc_id")
+    },
+  )
+}
