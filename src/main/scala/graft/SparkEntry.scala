@@ -26,6 +26,7 @@ object SparkEntry {
     TextDedupQueries,
     SimilarityQueries,
     MultimodalQueries,
+    StreamingQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

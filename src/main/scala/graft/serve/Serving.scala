@@ -1,0 +1,81 @@
+package graft.serve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Serving-layer queries: the reference's API querysets as parameterized
+  * DataFrame functions over the derived tables (SURVEY §2.3–§2.6, §3.3).
+  *
+  * Serving reads pre-computed marts (advisories+latest, unfurled links,
+  * ranks, risks) — every function here is a filter/join/aggregate over
+  * them, with nested JSON responses assembled via collect_list(struct)
+  * instead of per-row Python (api_v3.py:399-444).
+  */
+object Serving {
+
+  /** latest_affecting_advisories_for_purl (models.py:2946-2953): the
+    * advisories whose affected set contains this concrete purl version. */
+  def affectingAdvisories(advisories: DataFrame, unfurled: DataFrame,
+      basePurl: String, version: String): DataFrame =
+    unfurled.filter(col("base_purl") === basePurl &&
+        col("version") === version && col("is_affected"))
+      .select("avid")
+      .join(advisories.filter(col("is_latest")), Seq("avid"), "left_semi")
+
+  /** Bulk purl lookup with is_vulnerable flags (api_v3.py:253-339, J13+J3). */
+  def bulkLookup(unfurled: DataFrame, purls: DataFrame): DataFrame = {
+    val vulnerable = unfurled.filter(col("is_affected"))
+      .select(col("base_purl"), col("version")).distinct()
+        .withColumn("is_vulnerable", lit(true))
+    purls.join(broadcast(vulnerable), Seq("base_purl", "version"), "left")
+      .withColumn("is_vulnerable", coalesce(col("is_vulnerable"), lit(false)))
+  }
+
+  /** Search cascade (models.py:150-178): exact alias → alias prefix →
+    * summary contains; first non-empty tier wins. Driver-side short-
+    * circuit mirrors the reference's exists() checks. */
+  def searchAdvisories(advisories: DataFrame, query: String): DataFrame = {
+    val latest = advisories.filter(col("is_latest"))
+    val exact = latest.filter(array_contains(col("aliases"), query))
+    if (!exact.isEmpty) return exact
+    val prefix = latest.filter(
+      exists(col("aliases"), a => upper(a).startsWith(query.toUpperCase)))
+    if (!prefix.isEmpty) return prefix
+    latest.filter(lower(col("summary")).contains(query.toLowerCase))
+  }
+
+  /** Package detail (views.py:160-198): affecting advisories + nearest
+    * fixes + next non-vulnerable version, nested per package. */
+  def packageDetail(unfurled: DataFrame, ranked: DataFrame,
+      nearestFix: DataFrame): DataFrame = {
+    val affected = unfurled.filter(col("is_affected"))
+      .join(nearestFix,
+        Seq("avid", "base_purl"), "left")
+      .filter(col("version") === col("affected_version"))
+      .groupBy("base_purl", "version")
+      .agg(collect_list(struct(col("avid"),
+        col("nearest_fixed_version"))).as("affecting"))
+    // next non-vulnerable: min rank among versions of the group with rank >
+    // current that are never affected (W3 semantics)
+    val vulnerableVersions = unfurled.filter(col("is_affected"))
+      .select(col("base_purl"), col("version")).distinct()
+    val safe = ranked.join(vulnerableVersions, Seq("base_purl", "version"),
+      "left_anti")
+      .select(col("base_purl").as("s_purl"), col("version").as("safe_version"),
+        col("version_rank").as("safe_rank"))
+    val withNext = ranked.join(safe,
+      col("base_purl") === col("s_purl") &&
+        col("safe_rank") > col("version_rank"), "left")
+      .groupBy(col("base_purl"), col("version"))
+      .agg(min_by(col("safe_version"), col("safe_rank"))
+        .as("next_non_vulnerable"))
+    affected.join(withNext, Seq("base_purl", "version"), "left")
+  }
+
+  /** Vulnerability counts per package group (A1/A2). */
+  def vulnerabilityCounts(unfurled: DataFrame): DataFrame =
+    unfurled.filter(col("is_affected"))
+      .groupBy("base_purl")
+      .agg(countDistinct("avid").as("advisory_count"),
+        countDistinct("version").as("affected_version_count"))
+}

@@ -1,0 +1,167 @@
+package graft.derive
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.OsvIngest
+import graft.operators.SparkTestSession
+import graft.serve.Serving
+
+/** End-to-end advisory pipeline on synthetic OSV fixtures:
+  * ingest → content-id/latest → impacts → unfurl → rank → nearest fix →
+  * risk → advisory sets → serving. Mirrors the reference's golden-file
+  * style (util_tests.py:24-60) with in-code expectations.
+  */
+class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
+
+  private def osv(id: String, summary: String, aliases: Seq[String],
+      purl: String, ecosystem: String, introduced: String, fixed: String,
+      severity: Option[(String, String)] = None,
+      modified: String = "2024-01-10T00:00:00Z"): String = {
+    val sev = severity.map { case (t, sc) =>
+      s""","severity":[{"type":"$t","score":"$sc"}]"""
+    }.getOrElse("")
+    s"""{"id":"$id","summary":"$summary",
+       |"aliases":[${aliases.map("\"" + _ + "\"").mkString(",")}],
+       |"modified":"$modified",
+       |"affected":[{"package":{"ecosystem":"$ecosystem","name":"x","purl":"$purl"},
+       |  "ranges":[{"type":"ECOSYSTEM","events":[
+       |    {"introduced":"$introduced"},{"fixed":"$fixed"}]}]}],
+       |"references":[{"type":"ADVISORY","url":"https://nvd.nist.gov/vuln/detail/$id"},
+       |               {"type":"EXPLOIT","url":"https://exploit.example/$id"}]
+       |$sev}""".stripMargin.replaceAll("\n", "")
+  }
+
+  private lazy val pipeline = {
+    val sp = spark
+    import sp.implicits._
+    val raw = Seq(
+      ("pypa", osv("PYSEC-1", "SQL injection in x", Seq("CVE-2024-100"),
+        "pkg:pypi/x", "PyPI", "1.0", "1.4",
+        Some("CVSS_V3" -> "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H"))),
+      // same logical advisory, newer content version (same avid)
+      ("pypa", osv("PYSEC-1", "SQL injection in x (updated)",
+        Seq("CVE-2024-100"), "pkg:pypi/x", "PyPI", "1.0", "1.4",
+        Some("CVSS_V3" -> "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H"),
+        modified = "2024-02-01T00:00:00Z")),
+      // different source, same CVE → same advisory set
+      ("ghsa", osv("GHSA-aaaa", "x SQLi", Seq("CVE-2024-100"),
+        "pkg:pypi/x", "PyPI", "1.0", "1.4")),
+      // unrelated advisory
+      ("ghsa", osv("GHSA-bbbb", "other bug", Seq("CVE-2024-200"),
+        "pkg:pypi/y", "PyPI", "0", "2.0"))
+    ).toDF("datasource_id", "json")
+    val advisories = AdvisoryDerive.withContentIdAndLatest(
+      OsvIngest.parse(sp, raw).toDF())
+    val versionsDim = Seq(
+      ("pkg:pypi/x", "0.9"), ("pkg:pypi/x", "1.0"), ("pkg:pypi/x", "1.2"),
+      ("pkg:pypi/x", "1.4"), ("pkg:pypi/x", "1.5"),
+      ("pkg:pypi/y", "1.0"), ("pkg:pypi/y", "2.0"))
+      .toDF("base_purl", "version")
+    val impacts = AdvisoryDerive.impacts(advisories)
+    val unfurled = AdvisoryDerive.unfurl(impacts, versionsDim).cache()
+    val ranked = AdvisoryDerive.versionRank(versionsDim).cache()
+    (advisories.cache(), impacts, unfurled, ranked)
+  }
+
+  test("ingest parses OSV ranges into vers specs") {
+    val (advisories, impacts, _, _) = pipeline
+    val row = impacts.filter(col("avid") === "pypa/PYSEC-1").collect().head
+    assert(row.getAs[String]("affecting_vers") == "vers:pypi/>=1.0|<1.4")
+    assert(row.getAs[String]("fixed_vers") == "vers:pypi/=1.4")
+    assert(advisories.count() == 4)
+  }
+
+  test("is_latest flags the newest content version per avid (W2)") {
+    val (advisories, _, _, _) = pipeline
+    val latest = advisories.filter(col("is_latest") &&
+      col("avid") === "pypa/PYSEC-1").collect()
+    assert(latest.length == 1)
+    assert(latest.head.getAs[String]("summary").contains("updated"))
+  }
+
+  test("unfurl resolves ranges to concrete versions (V2)") {
+    val (_, _, unfurled, _) = pipeline
+    val affected = unfurled.filter(col("avid") === "pypa/PYSEC-1" &&
+      col("is_affected")).select("version").collect().map(_.getString(0)).sorted
+    assert(affected.toSeq == Seq("1.0", "1.2"))
+    val fixed = unfurled.filter(col("avid") === "pypa/PYSEC-1" &&
+      col("is_fixed")).select("version").collect().map(_.getString(0))
+    assert(fixed.toSeq == Seq("1.4"))
+  }
+
+  test("nearest fix per affected version (J7)") {
+    val (_, _, unfurled, ranked) = pipeline
+    val nf = AdvisoryDerive.nearestFix(unfurled, ranked)
+      .filter(col("avid") === "pypa/PYSEC-1")
+      .collect().map(r => r.getAs[String]("affected_version") ->
+        r.getAs[String]("nearest_fixed_version")).toMap
+    assert(nf == Map("1.0" -> "1.4", "1.2" -> "1.4"))
+  }
+
+  test("risk trio: weighted severity, exploitability, capped risk (A5-A7)") {
+    val (advisories, _, _, _) = pipeline
+    val risk = AdvisoryDerive.advisoryRisk(advisories)
+      .filter(col("avid") === "pypa/PYSEC-1").collect().head
+    // cvss 9.8 * default weight 5 / 10 = 4.9; exploit ref → e = 1.0
+    assert(risk.getAs[Double]("weighted_severity") == 4.9)
+    assert(risk.getAs[Double]("exploitability") == 1.0)
+    assert(risk.getAs[Double]("risk_score") == 4.9)
+  }
+
+  test("advisory sets group by shared alias with precedence primary (D2-D4)") {
+    val (advisories, _, _, _) = pipeline
+    val sets = AdvisoryDerive.advisorySets(spark, advisories)
+      .collect().map(r => r.getAs[String]("avid") ->
+        r.getAs[String]("primary_avid")).toMap
+    assert(sets("pypa/PYSEC-1") == sets("ghsa/GHSA-aaaa")) // same CVE
+    assert(sets("ghsa/GHSA-bbbb") != sets("pypa/PYSEC-1"))
+  }
+
+  test("serving: affecting advisories + bulk lookup + package detail") {
+    val sp = spark
+    import sp.implicits._
+    val (advisories, _, unfurled, ranked) = pipeline
+    val aff = Serving.affectingAdvisories(advisories, unfurled,
+      "pkg:pypi/x", "1.2").select("avid").collect().map(_.getString(0))
+    assert(aff.toSet == Set("pypa/PYSEC-1", "ghsa/GHSA-aaaa"))
+
+    val lookup = Serving.bulkLookup(unfurled,
+      Seq(("pkg:pypi/x", "1.2"), ("pkg:pypi/x", "1.5"))
+        .toDF("base_purl", "version"))
+      .collect().map(r => r.getString(1) -> r.getAs[Boolean]("is_vulnerable"))
+      .toMap
+    assert(lookup == Map("1.2" -> true, "1.5" -> false))
+
+    val nf = AdvisoryDerive.nearestFix(unfurled, ranked)
+    val detail = Serving.packageDetail(unfurled, ranked, nf)
+      .filter(col("base_purl") === "pkg:pypi/x" && col("version") === "1.2")
+      .collect().head
+    assert(detail.getAs[String]("next_non_vulnerable") == "1.4")
+  }
+
+  test("search cascade: exact alias beats substring (models.py:150-178)") {
+    val (advisories, _, _, _) = pipeline
+    val exact = Serving.searchAdvisories(advisories, "CVE-2024-200")
+      .select("avid").collect().map(_.getString(0))
+    assert(exact.toSeq == Seq("ghsa/GHSA-bbbb"))
+    val substring = Serving.searchAdvisories(advisories, "sql")
+      .select("avid").collect().map(_.getString(0)).toSet
+    assert(substring == Set("pypa/PYSEC-1", "ghsa/GHSA-aaaa"))
+  }
+
+  test("conflict detection flags disagreeing sources (D7)") {
+    val sp = spark
+    import sp.implicits._
+    val raw = Seq(
+      ("s1", osv("A-1", "bug", Seq("CVE-1"), "pkg:pypi/z", "PyPI", "1.0", "2.0")),
+      ("s2", osv("B-1", "bug", Seq("CVE-1"), "pkg:pypi/z", "PyPI", "1.0", "3.0"))
+    ).toDF("datasource_id", "json")
+    val adv = AdvisoryDerive.withContentIdAndLatest(
+      OsvIngest.parse(sp, raw).toDF())
+    val c = AdvisoryDerive.conflicts(adv).collect()
+    assert(c.length == 1)
+    assert(c.head.getAs[String]("alias") == "CVE-1")
+    assert(c.head.getAs[Long]("n_profiles") == 2L)
+  }
+}
