@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan audit: prints the formatted physical plan for representative
+  * queries and flags scale hazards (missing pushed filters, non-broadcast
+  * dimension joins, global windows). Run: sbt "runMain graft.ExplainAudit
+  * [queryName ...]". */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Sessions.local("graft-explain", "8")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("p2_filter_eq", "j2_threehop_guard", "j1_m2m_join",
+        "a1_count_distinct", "w1_version_rank", "x_ngram_jaccard",
+        "x_ann_topk", "v2_unfurl")
+    names.foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        val df = fn(spark, dir)
+        val plan = df.queryExecution.executedPlan
+        val s = plan.toString
+        val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(s).isDefined
+        val bcast = s.contains("BroadcastHashJoin")
+        val smj = s.contains("SortMergeJoin")
+        val globalWin = s.contains("Window") && s.contains("SinglePartition")
+        println(s"== $n: pushedFilters=$pushed broadcastJoin=$bcast " +
+          s"sortMergeJoin=$smj globalWindowHazard=$globalWin " +
+          s"wholeStageCodegen=${s.contains("WholeStageCodegen")}")
+      }
+    }
+    spark.stop()
+  }
+}

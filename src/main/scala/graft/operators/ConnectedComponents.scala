@@ -32,8 +32,21 @@ object ConnectedComponents {
     val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
+    // Size the iteration's parallelism to the graph, not the session
+    // default: each round is several stages over the (usually much
+    // smaller) label table, and at 32 partitions the fixed task overhead
+    // dominates for small graphs. ~1M edges per partition.
+    val nEdges = sym.count()
+    val nPart = math.max(4, math.min(512, (nEdges / 1000000L).toInt + 1))
     // adjacency is reused every round — cache it
-    val adj = sym.distinct().cache()
+    val adj = sym.distinct().repartition(nPart, col("dst")).cache()
+    val sq = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", nPart)
+    try labelPropagationLoop(adj, maxIter)
+    finally sq.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
+  }
+
+  private def labelPropagationLoop(adj: DataFrame, maxIter: Int): DataFrame = {
     // localCheckpoint truncates lineage each round — without it the plan
     // deepens every iteration and the driver OOMs compiling it
     var labels = adj.groupBy(col("src").as("node"))
@@ -43,17 +56,27 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // component(n) <- min(component(n), min over neighbors m of component(m))
+      // 1) neighbor-min: component(n) <- min over neighbors m of component(m)
       val viaNeighbors = adj
         .join(labels.withColumnRenamed("node", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("node"))
         .agg(min("component").as("nbr_component"))
-      val next = labels.withColumnRenamed("component", "old")
+      val stepped = labels.withColumnRenamed("component", "old")
         .join(viaNeighbors, Seq("node"), "left")
         .select(col("node"), col("old"),
           least(col("old"), coalesce(col("nbr_component"), col("old")))
             .as("component"))
+      // 2) pointer jump: component(n) <- component(component(n)) — doubles
+      //    propagation distance per round, so rounds ≈ log2(diameter)
+      //    instead of diameter
+      val jumpTo = stepped
+        .select(col("node").as("j_node"), col("component").as("j_component"))
+      val next = stepped
+        .join(jumpTo, col("component") === col("j_node"), "left")
+        .select(col("node"), col("old"),
+          least(col("component"),
+            coalesce(col("j_component"), col("component"))).as("component"))
         .localCheckpoint()
       val changed = next.filter(col("component") < col("old")).limit(1).count()
       labels = next.select("node", "component")
