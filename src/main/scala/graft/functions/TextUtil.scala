@@ -1,0 +1,58 @@
+package graft.functions
+
+/** Remaining scalar helpers (SURVEY F4/F19/F21/F22). */
+object TextUtil {
+
+  /** Markdown front-matter split (utils.py:91-107): returns
+    * (frontMatterYaml, body). */
+  def splitFrontMatter(text: String): (String, String) = {
+    val t = Option(text).getOrElse("")
+    if (!t.startsWith("---")) return ("", t)
+    val rest = t.stripPrefix("---")
+    val end = rest.indexOf("\n---")
+    if (end < 0) ("", t)
+    else (rest.substring(0, end).stripPrefix("\n").trim,
+      rest.substring(end + 4).stripPrefix("\n"))
+  }
+
+  /** purl → map with empty-string defaults (utils.py:572-591). */
+  def purlToDict(purl: String): Map[String, String] = {
+    val p = PurlCodec.parse(purl)
+    Map(
+      "type" -> p.ptype,
+      "namespace" -> p.namespace,
+      "name" -> p.name,
+      "version" -> p.version,
+      "qualifiers" -> p.qualifiers.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("&"),
+      "subpath" -> p.subpath)
+  }
+
+  /** Commit-hash validation (utils.py is_commit). */
+  def isCommit(s: String): Boolean =
+    s != null && s.matches("^[0-9a-f]{7,40}$")
+
+  /** VCS URL normalization subset (collect_commits.py:92-257):
+    * npm-style shortcuts + scheme suffix cleanup. */
+  def normalizeVcsUrl(url: String): String = {
+    val u = Option(url).getOrElse("").trim
+      .stripPrefix("git+").stripSuffix(".git")
+    if (u.startsWith("github:")) s"https://github.com/${u.stripPrefix("github:")}"
+    else if (u.startsWith("gitlab:")) s"https://gitlab.com/${u.stripPrefix("gitlab:")}"
+    else if (u.startsWith("bitbucket:")) s"https://bitbucket.org/${u.stripPrefix("bitbucket:")}"
+    else if (u.startsWith("git://")) "https://" + u.stripPrefix("git://")
+    else u
+  }
+
+  /** Patch-source classification (F22, pipes/advisory.py:203-250):
+    * a reference URL is a commit patch, a downloadable patch, or a plain
+    * reference. */
+  def classifyPatchSource(url: String): String = {
+    val u = Option(url).getOrElse("")
+    val commitLike = "/commit/([0-9a-f]{7,40})".r.findFirstIn(u).isDefined ||
+      "/commits/([0-9a-f]{7,40})".r.findFirstIn(u).isDefined
+    if (commitLike) "commit_patch"
+    else if (u.endsWith(".patch") || u.endsWith(".diff")) "patch"
+    else "reference"
+  }
+}
