@@ -14,7 +14,8 @@ object Sessions {
     *     cluster runs inherit sane file-split sizes.
     */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
-    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    b.config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.shuffle.partitions", cpus)

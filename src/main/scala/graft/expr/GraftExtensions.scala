@@ -1,0 +1,81 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, ExpressionInfo, GreaterThanOrEqual, LessThan, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{Vers, VersionOrd}
+
+/** Engine extensions: native function registration + the optional
+  * optimizer rule from SURVEY §4 — rewrite `version_in_range(v, <const
+  * simple interval>)` into two sort-key string comparisons, turning the
+  * domain predicate into plain codegen'd string bounds.
+  *
+  * Activate with spark.sql.extensions=graft.expr.GraftExtensions
+  * (set by graft.core.Sessions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("version_sort_key_native"),
+      new ExpressionInfo(classOf[VersionSortKeyExpr].getName,
+        "version_sort_key_native"),
+      (args: Seq[Expression]) => VersionSortKeyExpr(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("version_in_range_native"),
+      new ExpressionInfo(classOf[VersionInRangeExpr].getName,
+        "version_in_range_native"),
+      (args: Seq[Expression]) => VersionInRangeExpr(args(0), args(1))))
+    e.injectOptimizerRule(_ => ConstantVersionRangeRewrite)
+  }
+}
+
+/** Rewrite rule: a constant `vers:` spec that is a single pure interval
+  * ([>=lo], [<hi], or both, no pins/exclusions) becomes sort-key bounds:
+  *   version_in_range(v, 'vers:s/>=a|<b')
+  *     → sort_key(s, v) >= key(a) AND sort_key(s, v) < key(b)
+  * Semantics are identical by construction (Vers.contains compares the
+  * same keys); the win is two string comparisons instead of an interval
+  * walk, and a shape Catalyst can fold/reorder freely. */
+object ConstantVersionRangeRewrite extends Rule[LogicalPlan] {
+
+  private def keyLit(scheme: String, v: String): Expression =
+    Literal(UTF8String.fromString(VersionOrd.sortKey(scheme, v)), StringType)
+
+  private def rewrite(expr: Expression): Expression = expr.transformUp {
+    case vir @ VersionInRangeExpr(version, Literal(spec, StringType))
+        if spec != null =>
+      val parsed =
+        try Some(Vers.parse(spec.toString)) catch { case _: Exception => None }
+      parsed match {
+        case Some(r) =>
+          val ops = r.constraints.map(_.op)
+          val pure = ops.nonEmpty && ops.forall(o => o == ">=" || o == "<") &&
+            ops.count(_ == ">=") <= 1 && ops.count(_ == "<") <= 1
+          if (!pure) vir
+          else {
+            val schemeLit = Literal(UTF8String.fromString(r.scheme), StringType)
+            val key = VersionSortKeyExpr(schemeLit, version)
+            val lower = r.constraints.find(_.op == ">=")
+              .map(c => GreaterThanOrEqual(key, keyLit(r.scheme, c.version)))
+            val upper = r.constraints.find(_.op == "<")
+              .map(c => LessThan(key, keyLit(r.scheme, c.version)))
+            (lower, upper) match {
+              case (Some(l), Some(u)) => And(l, u)
+              case (Some(l), None)    => l
+              case (None, Some(u))    => u
+              case _                  => vir
+            }
+          }
+        case None => vir
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f: Filter => f.copy(condition = rewrite(f.condition))
+  }
+}

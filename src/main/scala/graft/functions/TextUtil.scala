@@ -28,6 +28,10 @@ object TextUtil {
       "subpath" -> p.subpath)
   }
 
+  /** clean_summary (F6, importer.py:717-723): strip + NUL → U+FFFD. */
+  def cleanSummary(s: String): String =
+    Option(s).getOrElse("").trim.replace('\u0000', '\ufffd')
+
   /** Commit-hash validation (utils.py is_commit). */
   def isCommit(s: String): Boolean =
     s != null && s.matches("^[0-9a-f]{7,40}$")

@@ -153,5 +153,19 @@ object VersionQueries extends QueryModule {
         .select("p_brand", "p_partkey", "version")
         .orderBy("p_brand")
     },
+    // V7 — native Catalyst expression path: same membership as V1 but via
+    // version_in_range_native + the ConstantVersionRangeRewrite rule
+    // (the optimizer turns the constant range into sort-key bounds)
+    q("v7_native_range",
+      s"""SELECT p_partkey FROM part
+         |WHERE p_size >= 10
+         |  AND (p_size < 40 OR (p_size = 40 AND p_partkey % 10 < 5))
+         |ORDER BY p_partkey""") { (s, dir) =>
+      withVersion(s, dir)
+        .filter(expr(
+          "version_in_range_native(version, 'vers:semver/>=10.0.0|<40.5.0')"))
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    },
   )
 }
