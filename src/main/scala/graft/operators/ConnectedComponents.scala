@@ -42,11 +42,60 @@ object ConnectedComponents {
     val adj = sym.distinct().repartition(nPart, col("dst")).cache()
     val sq = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", nPart)
-    try labelPropagationLoop(adj, maxIter)
+    try labelPropagationLoop(spark, adj, maxIter)
     finally sq.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
   }
 
-  private def labelPropagationLoop(adj: DataFrame, maxIter: Int): DataFrame = {
+  /** Contracted-graph edge count below which the remainder is solved with
+    * the in-partition DSU on the driver (the contracted graph after one
+    * round is component-level — orders of magnitude smaller than the
+    * input; iterate distributed rounds until it fits, then finish). */
+  private val LocalFinishThreshold = 200000L
+
+  /** Contract edges to component level and, if small, finish locally:
+    * returns Some(component → root) mapping DataFrame. */
+  private def tryLocalFinish(spark: SparkSession, adj: DataFrame,
+      labels: DataFrame): Option[DataFrame] = {
+    import spark.implicits._
+    val compEdges = adj
+      .join(labels.select(col("node"), col("component").as("c_src")),
+        col("src") === col("node"))
+      .drop("node")
+      .join(labels.select(col("node"), col("component").as("c_dst")),
+        col("dst") === col("node"))
+      .select(col("c_src"), col("c_dst"))
+      .filter(col("c_src") =!= col("c_dst"))
+      .distinct()
+      .localCheckpoint()
+    if (compEdges.count() > LocalFinishThreshold) None
+    else {
+      val pairs = compEdges.as[(Long, Long)].collect()
+      val roots = dsuEdges(pairs)
+      Some(roots.toSeq.toDF("component", "root"))
+    }
+  }
+
+  /** Plain union-find over explicit edges. */
+  def dsuEdges(pairs: Iterable[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def labelPropagationLoop(spark: SparkSession, adj: DataFrame,
+      maxIter: Int): DataFrame = {
     // localCheckpoint truncates lineage each round — without it the plan
     // deepens every iteration and the driver OOMs compiling it
     var labels = adj.groupBy(col("src").as("node"))
@@ -56,6 +105,19 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // hybrid finish: once the contracted component graph is small, solve
+      // the remainder on the driver and map labels through the result
+      tryLocalFinish(spark, adj, labels) match {
+        case Some(mapping) =>
+          val done = labels
+            .join(broadcast(mapping), Seq("component"), "left")
+            .select(col("node"),
+              least(coalesce(col("root"), col("component")), col("component"))
+                .as("component"))
+          adj.unpersist()
+          return done
+        case None => ()
+      }
       // 1) neighbor-min: component(n) <- min over neighbors m of component(m)
       val viaNeighbors = adj
         .join(labels.withColumnRenamed("node", "dst2"),
@@ -67,21 +129,26 @@ object ConnectedComponents {
         .select(col("node"), col("old"),
           least(col("old"), coalesce(col("nbr_component"), col("old")))
             .as("component"))
-      // 2) pointer jump: component(n) <- component(component(n)) — doubles
-      //    propagation distance per round, so rounds ≈ log2(diameter)
-      //    instead of diameter
-      val jumpTo = stepped
-        .select(col("node").as("j_node"), col("component").as("j_component"))
+      // 2) pointer jump: component(n) <- component(component(n)). On
+      //    hub-shaped graphs neighbor-min already spreads through hubs, so
+      //    one jump is kept for chain-shaped regions; measured on the
+      //    bench graph more jumps add joins without cutting rounds.
+      val to = stepped.select(col("node").as("j_node"),
+        col("component").as("j_component"))
       val next = stepped
-        .join(jumpTo, col("component") === col("j_node"), "left")
+        .join(to, col("component") === col("j_node"), "left")
         .select(col("node"), col("old"),
           least(col("component"),
             coalesce(col("j_component"), col("component"))).as("component"))
         .localCheckpoint()
-      val changed = next.filter(col("component") < col("old")).limit(1).count()
       labels = next.select("node", "component")
-      converged = changed == 0
       iter += 1
+      // convergence probe every other round (each probe is one more job)
+      if (iter % 2 == 0 || iter >= maxIter) {
+        val changed = next.filter(col("component") < col("old")).limit(1).count()
+        converged = changed == 0
+      }
+      if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] iteration $iter converged=$converged")
     }
     adj.unpersist()
     labels
