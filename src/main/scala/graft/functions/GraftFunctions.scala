@@ -31,7 +31,8 @@ object GraftFunctions {
     try PurlCodec.parse(purl).versionScheme catch { case _: Exception => "generic" })
   val contentIdUdf = udf((text: String) => CanonicalJson.contentId(text))
   val cvssBaseScoreUdf = udf((vector: String) =>
-    Cvss.baseScore(vector).map(Double.box).orNull)
+    if (vector == null) null
+    else Cvss.baseScore(vector).map(Double.box).orNull)
   val cvssRatingUdf = udf((score: Double) => Cvss.rating(score))
   val severityScoreUdf = udf((value: String) =>
     Risk.parseScore(value).map(Double.box).orNull)

@@ -270,7 +270,7 @@ object VersionOrd {
       case "semver" | "npm" | "cargo" | "gem" | "golang" | "composer" |
           "nginx" | "hex" => semverKey(v)
       case "pypi"           => pypiKey(v)
-      case "deb" | "ubuntu" => debKey(v)
+      case "deb" | "debian" | "ubuntu" => debKey(v)
       case "rpm"            => rpmKey(v)
       case "apk" | "alpine" => genericKey(v)
       case "maven"          => mavenKey(v)

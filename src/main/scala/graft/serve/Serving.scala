@@ -16,11 +16,13 @@ object Serving {
   /** latest_affecting_advisories_for_purl (models.py:2946-2953): the
     * advisories whose affected set contains this concrete purl version. */
   def affectingAdvisories(advisories: DataFrame, unfurled: DataFrame,
-      basePurl: String, version: String): DataFrame =
-    unfurled.filter(col("base_purl") === basePurl &&
-        col("version") === version && col("is_affected"))
+      basePurl: String, version: String): DataFrame = {
+    val affectingAvids = unfurled.filter(col("base_purl") === basePurl &&
+      col("version") === version && col("is_affected"))
       .select("avid")
-      .join(advisories.filter(col("is_latest")), Seq("avid"), "left_semi")
+    advisories.filter(col("is_latest"))
+      .join(affectingAvids, Seq("avid"), "left_semi")
+  }
 
   /** Bulk purl lookup with is_vulnerable flags (api_v3.py:253-339, J13+J3). */
   def bulkLookup(unfurled: DataFrame, purls: DataFrame): DataFrame = {

@@ -1,0 +1,73 @@
+package graft.derive
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GoldenFiles
+import graft.export.FederatedExport
+import graft.ingest.AdvisoryJsonIngest
+import graft.operators.SparkTestSession
+import graft.serve.Serving
+
+/** Golden-file pipeline test over the FIXTURES.md §1 advisory fixtures:
+  * every derived table is canonical-JSON-compared to
+  * src/test/resources/expected/<table>.json (regen with GRAFT_REGEN=1) — the
+  * reference's check_results_against_json pattern (util_tests.py:24-60).
+  */
+class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
+
+  private val fixturesDir = "src/test/resources/fixtures/advisories"
+
+  private lazy val derived: Map[String, DataFrame] = {
+    val sp = spark
+    import sp.implicits._
+    val advisories = AdvisoryDerive.withContentIdAndLatest(
+      Seq("pypa", "ghsa", "debian").map(src =>
+        AdvisoryJsonIngest.readTree(sp, s"$fixturesDir/$src", src).toDF())
+        .reduce(_ unionByName _)).cache()
+    val versionsDim = Seq(
+      ("pkg:pypi/foo", "0.6.0"), ("pkg:pypi/foo", "0.6.18"),
+      ("pkg:pypi/foo", "1.0.0"), ("pkg:pypi/foo", "1.20.0"),
+      ("pkg:pypi/foo", "1.20.1"),
+      ("pkg:pypi/bar", "1.0"), ("pkg:pypi/bar", "2.0"),
+      ("pkg:npm/baz", "0.9.0"), ("pkg:npm/baz", "1.0.0"),
+      ("pkg:npm/baz", "1.4.9"), ("pkg:npm/baz", "1.5.0"),
+      ("pkg:npm/baz", "2.0.0"),
+      ("pkg:deb/debian/curl", "7.50.3-1"), ("pkg:deb/debian/curl", "7.50.3-2"))
+      .toDF("base_purl", "version")
+    val impacts = AdvisoryDerive.impacts(advisories)
+    val unfurled = AdvisoryDerive.unfurl(impacts, versionsDim).cache()
+    val ranked = AdvisoryDerive.versionRank(versionsDim)
+    val risk = AdvisoryDerive.advisoryRisk(advisories)
+    Map(
+      "advisories" -> advisories.select("avid", "unique_content_id",
+        "is_latest", "summary"),
+      "impacted_packages" -> impacts,
+      "impact_links" -> unfurled,
+      "version_ranks" -> ranked,
+      "risk_scores" -> risk,
+      "nearest_fixes" -> AdvisoryDerive.nearestFix(unfurled, ranked),
+      "package_risk" -> AdvisoryDerive.packageRisk(unfurled, risk),
+      "advisory_sets" -> AdvisoryDerive.advisorySets(sp, advisories),
+      "todos" -> AdvisoryDerive.todos(advisories),
+      "conflicts" -> AdvisoryDerive.conflicts(advisories),
+      "changelog" -> AdvisoryDerive.changeLog(advisories)
+        .select("avid", "action_type", "source_url", "actor"),
+      "api_affecting_foo_1_0_0" -> Serving.affectingAdvisories(
+        advisories, unfurled, "pkg:pypi/foo", "1.0.0")
+        .select("avid", "summary", "aliases"),
+      "export_yaml" -> FederatedExport.serialize(
+        advisories.withColumn("risk_score", lit(null).cast("double"))),
+    )
+  }
+
+  Seq("advisories", "impacted_packages", "impact_links", "version_ranks",
+    "risk_scores", "nearest_fixes", "package_risk", "advisory_sets",
+    "todos", "conflicts", "changelog", "api_affecting_foo_1_0_0",
+    "export_yaml").foreach { name =>
+    test(s"golden: $name") {
+      GoldenFiles.check(name, derived(name))
+    }
+  }
+}
