@@ -74,6 +74,29 @@ object Serving {
     affected.join(withNext, Seq("base_purl", "version"), "left")
   }
 
+  /** CPE-style reference lookup (J14, api.py:693-731): advisories whose
+    * references carry the given reference_id (exact or bulk). */
+  def byReferenceId(advisories: DataFrame, referenceIds: Seq[String]): DataFrame =
+    advisories.filter(col("is_latest"))
+      .filter(exists(col("references"),
+        r => r.getField("reference_id").isin(referenceIds: _*)))
+
+  /** purl-prefix package search (P3, models.py:746-764): istartswith on
+    * the package url. */
+  def searchPackages(packages: DataFrame, prefix: String): DataFrame =
+    packages.filter(lower(col("base_purl")).startsWith(prefix.toLowerCase))
+
+  /** Keyed pagination (W6): stable page after an order key — for serving
+    * use keyed pagination, not OFFSET, so deep pages stay O(page). */
+  def pageAfter(df: DataFrame, orderCol: String, after: Option[String],
+      pageSize: Int): DataFrame = {
+    val ordered = after match {
+      case Some(k) => df.filter(col(orderCol) > k)
+      case None    => df
+    }
+    ordered.orderBy(col(orderCol)).limit(pageSize)
+  }
+
   /** Vulnerability counts per package group (A1/A2). */
   def vulnerabilityCounts(unfurled: DataFrame): DataFrame =
     unfurled.filter(col("is_affected"))

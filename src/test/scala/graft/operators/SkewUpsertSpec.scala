@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.derive.Upserts
+
+class SkewSpec extends AnyFunSuite with SparkTestSession {
+  test("salted count matches plain count") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}"))
+      .toDF("k")
+    val plain = df.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, col("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted countDistinct matches plain countDistinct") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 2000).map(i => ("hot", s"v${i % 37}")).toDF("k", "v")
+      .union((1 to 100).map(i => ("cold", s"v${i % 7}")).toDF("k", "v"))
+    val plain = df.groupBy("k").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCountDistinct(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("two-phase top-k per key matches global window") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 500).map(i => (s"k${i % 5}", i.toDouble)).toDF("k", "v")
+      .repartition(8)
+    val got = Skew.topKPerKey(df, col("k"), col("v"), 3)
+      .select("k", "v").collect().map(r => (r.getString(0), r.getDouble(1)))
+      .toSet
+    val want = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, vs) => vs.sortBy(-_._2).take(3) }.toSet
+    assert(got == want)
+  }
+}
+
+class UpsertsSpec extends AnyFunSuite with SparkTestSession {
+  test("confidenceMax keeps higher confidence, existing wins ties (models.py:1217-1249)") {
+    val sp = spark
+    import sp.implicits._
+    val existing = Seq(("p1", "v1", 80, "old"), ("p2", "v2", 50, "old"))
+      .toDF("pkg", "vuln", "confidence", "who")
+    val incoming = Seq(("p1", "v1", 90, "new"), ("p2", "v2", 50, "new"),
+      ("p3", "v3", 10, "new")).toDF("pkg", "vuln", "confidence", "who")
+    val merged = Upserts.confidenceMax(existing, incoming, Seq("pkg", "vuln"))
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getString(3))).toSet
+    assert(merged == Set(("p1", 90, "new"), ("p2", 50, "old"), ("p3", 10, "new")))
+  }
+
+  test("insertIgnoreConflicts and updateOrCreate") {
+    val sp = spark
+    import sp.implicits._
+    val existing = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val incoming = Seq(("b", 99), ("c", 3)).toDF("k", "v")
+    val ignored = Upserts.insertIgnoreConflicts(existing, incoming, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ignored == Map("a" -> 1, "b" -> 2, "c" -> 3))
+    val updated = Upserts.updateOrCreate(existing, incoming, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(updated == Map("a" -> 1, "b" -> 99, "c" -> 3))
+  }
+}
