@@ -53,7 +53,8 @@ object OsvIngest {
       .otherwise("generic")
 
   /** OSV range events → affected-range constraints (>=introduced, <fixed,
-    * <=last_affected). */
+    * <=last_affected), plus the explicit `versions` list as `=` pins
+    * (PyPA commonly enumerates concrete versions instead of ranges). */
   private def affectingConstraints(a: Column): Column = {
     val evs = flatten(transform(coalesce(a.getField("ranges"),
       array().cast("array<struct<type:string,events:array<map<string,string>>>>")),
@@ -66,7 +67,9 @@ object OsvIngest {
           .when(element_at(e, "last_affected").isNotNull,
             concat(lit("<="), element_at(e, "last_affected")))
           .otherwise(lit(null)))))
-    filter(evs, c => c.isNotNull)
+    val pins = transform(coalesce(a.getField("versions"),
+      array().cast("array<string>")), v => concat(lit("="), v))
+    filter(concat(evs, pins), c => c.isNotNull)
   }
 
   /** fixed events become `=` pins (the reference's exact-fixed semantics). */

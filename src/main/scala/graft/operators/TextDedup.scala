@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Library API for the training-data dedup family (the parameterized form
+  * of the TextDedupQueries demonstrations): exact, MinHash+LSH, n-gram
+  * Jaccard, SimHash — each returning DataFrames composable with the rest
+  * of the engine.
+  *
+  * All candidate generation is equi-join on a bucket key (content hash,
+  * shingle, LSH band bucket) — never an all-pairs product — so every
+  * function here scales with data × bucket width, not data².
+  */
+object TextDedup {
+
+  /** Exact dedup on normalized content: returns input rows + `content_id`
+    * + `is_duplicate` (true for every row but the keeper). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df.withColumn("content_id",
+      sha2(lower(trim(col(textCol))), 256))
+    val w = Window.partitionBy("content_id").orderBy(col(idCol))
+    hashed.withColumn("is_duplicate", row_number().over(w) > 1)
+  }
+
+  /** Distinct word n-gram shingles per row: (id, shingle). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(toks) - $n),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $n))))""".stripMargin))
+        .as("shingle"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs via inverted shingle index.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    val jac = col("shared").cast("double") /
+      (col("na") + col("nb") - col("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signatures: (id, h0..h{k-1}) via the md5('i|'||shingle) hash
+    * family (deterministic, engine-portable). */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, numHashes: Int = 16): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs: signatures banded `bands` ways; pairs
+    * sharing any band bucket are candidates, scored by matching-hash
+    * fraction. Pairs with estimated similarity ≥ threshold survive. */
+  def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minHashSignatures(df, textCol, idCol, n, numHashes).cache()
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bucket"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sig.select(col("id").as("id_a") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sb = sig.select(col("id").as("id_b") +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_similarity", matches.cast("double") / numHashes)
+      .filter(col("est_similarity") >= threshold)
+      .select("id_a", "id_b", "est_similarity")
+  }
+
+  /** SimHash of configurable bit width (md5-hex bit sampling per token);
+    * near-dup pairs = signatures within `maxHamming` bits, candidates via
+    * band buckets over the signature. */
+  def simHash(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 64): DataFrame = {
+    require(bits > 0 && bits <= 64 && bits % 4 == 0)
+    val tok = df.select(col(idCol).as("id"),
+      explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
+        .as("tok"))
+    val withBit = tok.select(col("id"), col("tok"),
+      explode(array((0 until bits).map(lit): _*)).as("bit"))
+    val hexDigit = instr(lit("0123456789abcdef"),
+      substring(md5(col("tok")), (col("bit") / 4).cast("int") + 1, lit(1))) - 1
+    val mask = when(pmod(col("bit"), lit(4)) === 0, 8)
+      .when(pmod(col("bit"), lit(4)) === 1, 4)
+      .when(pmod(col("bit"), lit(4)) === 2, 2).otherwise(1)
+    val contrib = when(pmod((hexDigit / mask).cast("int"), lit(2)) === 1, 1)
+      .otherwise(-1)
+    withBit.groupBy("id", "bit").agg(sum(contrib).as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0,
+        pow(lit(2.0), lit(bits - 1) - col("bit")).cast("long"))
+        .otherwise(0L)).as("simhash"))
+  }
+}
