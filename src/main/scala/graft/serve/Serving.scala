@@ -74,6 +74,47 @@ object Serving {
     affected.join(withNext, Seq("base_purl", "version"), "left")
   }
 
+  /** Nested API response for the affecting advisories of one purl version
+    * (api_v3.py:566-743 bulk shape): advisory fields + aliases + severity
+    * list + risk trio + the ArrayAgg'd fixed-by versions per advisory
+    * (A4), assembled with collect_list(struct) instead of per-row Python.
+    */
+  def affectingAdvisoriesDetail(advisories: DataFrame, unfurled: DataFrame,
+      riskScores: DataFrame, basePurl: String, version: String): DataFrame = {
+    val affecting = affectingAdvisories(advisories, unfurled, basePurl, version)
+    val fixedBy = unfurled.filter(col("base_purl") === basePurl &&
+        col("is_fixed"))
+      .groupBy("avid")
+      .agg(array_sort(collect_set(col("version"))).as("fixed_by_versions"))
+    affecting
+      .join(riskScores, Seq("avid"), "left")
+      .join(fixedBy, Seq("avid"), "left")
+      .select(col("avid"), col("summary"),
+        array_sort(col("aliases")).as("aliases"),
+        expr("transform(severities, s -> struct(s.scoring_system, s.value))")
+          .as("severities"),
+        col("weighted_severity"), col("exploitability"), col("risk_score"),
+        coalesce(col("fixed_by_versions"), array()).as("fixed_by_versions"))
+  }
+
+  /** Next non-vulnerable version per package version (W3): lowest-ranked
+    * safe version above each version's rank within the purl group. */
+  def nonVulnerableVersions(unfurled: DataFrame, ranked: DataFrame): DataFrame = {
+    val vulnerable = unfurled.filter(col("is_affected"))
+      .select(col("base_purl"), col("version")).distinct()
+    val safe = ranked.join(vulnerable, Seq("base_purl", "version"), "left_anti")
+      .select(col("base_purl").as("s_purl"), col("version").as("safe_version"),
+        col("version_rank").as("safe_rank"))
+    ranked.join(safe,
+      col("base_purl") === col("s_purl") &&
+        col("safe_rank") > col("version_rank"), "left")
+      .groupBy(col("base_purl"), col("version"))
+      .agg(min_by(col("safe_version"), col("safe_rank"))
+        .as("next_non_vulnerable"),
+        max_by(col("safe_version"), col("safe_rank"))
+          .as("latest_non_vulnerable"))
+  }
+
   /** CPE-style reference lookup (J14, api.py:693-731): advisories whose
     * references carry the given reference_id (exact or bulk). */
   def byReferenceId(advisories: DataFrame, referenceIds: Seq[String]): DataFrame =

@@ -57,6 +57,11 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
       "api_affecting_foo_1_0_0" -> Serving.affectingAdvisories(
         advisories, unfurled, "pkg:pypi/foo", "1.0.0")
         .select("avid", "summary", "aliases"),
+      "api_affecting_detail_foo_1_0_0" -> Serving.affectingAdvisoriesDetail(
+        advisories, unfurled, risk, "pkg:pypi/foo", "1.0.0"),
+      "packages" -> AdvisoryDerive.packages(versionsDim),
+      "non_vulnerable_versions" ->
+        Serving.nonVulnerableVersions(unfurled, ranked),
       "export_yaml" -> FederatedExport.serialize(
         advisories.withColumn("risk_score", lit(null).cast("double"))),
     )
@@ -65,6 +70,7 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
   Seq("advisories", "impacted_packages", "impact_links", "version_ranks",
     "risk_scores", "nearest_fixes", "package_risk", "advisory_sets",
     "todos", "conflicts", "changelog", "api_affecting_foo_1_0_0",
+    "api_affecting_detail_foo_1_0_0", "packages", "non_vulnerable_versions",
     "export_yaml").foreach { name =>
     test(s"golden: $name") {
       GoldenFiles.check(name, derived(name))
