@@ -128,33 +128,40 @@ object TextDedupQueries extends QueryModule {
       val hashCols: Seq[Column] = (0 until 8).map(i =>
         min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
       val sig = sh.groupBy("doc_id", "lang", "source")
-        .agg(hashCols.head, hashCols.tail: _*).cache()
-      val bands = sig.select(col("doc_id"), col("lang"), col("source"),
-        explode(array(
-          struct(lit(0).as("band"), md5(concat(col("h0"), col("h1"))).as("bucket")),
-          struct(lit(1).as("band"), md5(concat(col("h2"), col("h3"))).as("bucket")),
-          struct(lit(2).as("band"), md5(concat(col("h4"), col("h5"))).as("bucket")),
-          struct(lit(3).as("band"), md5(concat(col("h6"), col("h7"))).as("bucket"))
-        )).as("bb"))
+        .agg(hashCols.head, hashCols.tail: _*).localCheckpoint()
+      // carry the signature THROUGH the band self-join: candidates and
+      // their match score come out of one join instead of candidate-join
+      // + two signature re-joins
+      val bands = sig.select(
+        (Seq(col("doc_id"), col("lang"), col("source")) ++
+          (0 until 8).map(i => col(s"h$i")) :+
+          explode(array(
+            struct(lit(0).as("band"), md5(concat(col("h0"), col("h1"))).as("bucket")),
+            struct(lit(1).as("band"), md5(concat(col("h2"), col("h3"))).as("bucket")),
+            struct(lit(2).as("band"), md5(concat(col("h4"), col("h5"))).as("bucket")),
+            struct(lit(3).as("band"), md5(concat(col("h6"), col("h7"))).as("bucket"))
+          )).as("bb")): _*)
         .select(col("doc_id"), col("lang"), col("source"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.lang") === col("b.lang")
-          && col("a.source") === col("b.source")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sa = sig.select(col("doc_id").as("doc_a") +:
-        (0 until 8).map(i => col(s"h$i").as(s"sa_h$i")): _*)
-      val sb = sig.select(col("doc_id").as("doc_b") +:
-        (0 until 8).map(i => col(s"h$i").as(s"sb_h$i")): _*)
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+          struct((0 until 8).map(i => col(s"h$i")): _*).as("sig"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("lang"),
+        col("source"), col("band"), col("bucket"), col("sig").as("sig_a"))
+      val b = bands.select(col("doc_id").as("doc_b"),
+        col("lang").as("lang_b"), col("source").as("source_b"),
+        col("band").as("band_b"), col("bucket").as("bucket_b"),
+        col("sig").as("sig_b"))
       val matches = (0 until 8).map(i =>
-        when(col(s"sa_h$i") === col(s"sb_h$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand.join(sa, "doc_a").join(sb, "doc_b")
+        when(col("sig_a").getField(s"h$i") === col("sig_b").getField(s"h$i"),
+          1).otherwise(0)).reduce(_ + _)
+      a.join(b,
+        col("band") === col("band_b") && col("bucket") === col("bucket_b")
+          && col("lang") === col("lang_b")
+          && col("source") === col("source_b")
+          && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(first(matches).as("m"))
         .select(col("doc_a"), col("doc_b"),
-          (matches.cast("double") / 8).as("est_sim"))
+          (col("m").cast("double") / 8).as("est_sim"))
         .orderBy("doc_a", "doc_b")
     },
 
