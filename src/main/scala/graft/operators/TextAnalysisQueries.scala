@@ -139,5 +139,51 @@ object TextAnalysisQueries extends QueryModule {
         .agg(min(md5(col("shingle"))).as("fingerprint"))
         .orderBy("doc_id")
     },
+    // Character-level Shannon entropy (quality signal: gibberish and
+    // boilerplate both sit at entropy extremes)
+    q("x_char_entropy",
+      """SELECT doc_id,
+        |       CAST(round(CAST(-sum(p * ln(p)) AS DECIMAL(18,6)), 4)
+        |            AS DOUBLE) AS entropy
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST(count(*) AS DOUBLE) /
+        |           sum(count(*)) OVER (PARTITION BY doc_id) AS p
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM documents)
+        |  GROUP BY doc_id, ch)
+        |GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val chars = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+      val freq = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy("doc_id")
+      freq
+        .withColumn("p", col("n").cast("double") / sum("n").over(tot))
+        .groupBy("doc_id")
+        .agg(round((-sum(col("p") * log(col("p")))).cast("decimal(18,6)"), 4)
+          .cast("double").as("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition ratio: distinct tokens / total tokens (near-1 = diverse,
+    // low = repetitive boilerplate)
+    q("x_repetition",
+      """SELECT doc_id,
+        |       CAST(round(CAST(len(list_distinct(toks)) AS DECIMAL(18,6)) /
+        |            len(toks), 4) AS DOUBLE) AS distinct_ratio
+        |FROM (SELECT doc_id, list_filter(string_split(trim(text), ' '),
+        |              x -> x <> '') AS toks FROM documents)
+        |WHERE len(toks) > 0 ORDER BY doc_id""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("toks",
+          filter(split(trim(col("text")), " "), x => x =!= ""))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          round(size(array_distinct(col("toks"))).cast("decimal(18,6)") /
+            size(col("toks")), 4).cast("double").as("distinct_ratio"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -150,6 +150,22 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(substring == Set("pypa/PYSEC-1", "ghsa/GHSA-aaaa"))
   }
 
+  test("severity relation: donors match by advisory_id OR alias (J11)") {
+    val sp = spark
+    import sp.implicits._
+    val (advisories, _, _, _) = pipeline
+    val donors = Seq(
+      ("epss/E1", "CVE-2024-100"), // matches two advisories via alias
+      ("epss/E2", "GHSA-bbbb"),    // matches by advisory_id
+      ("epss/E3", "CVE-9999-1"))   // matches nothing
+      .toDF("donor_id", "match_key")
+    val related = AdvisoryDerive.relateSeverities(advisories, donors)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(related == Set(
+      ("pypa/PYSEC-1", "epss/E1"), ("ghsa/GHSA-aaaa", "epss/E1"),
+      ("ghsa/GHSA-bbbb", "epss/E2")))
+  }
+
   test("conflict detection flags disagreeing sources (D7)") {
     val sp = spark
     import sp.implicits._
