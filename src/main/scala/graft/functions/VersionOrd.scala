@@ -251,6 +251,55 @@ object VersionOrd {
     trimmedNums.map(encNum).mkString + strippedTail.mkString + MQRelease + Term
   }
 
+  // --------------------------------------------------------------- alpine
+  /** Alpine apk-tools ordering (the scheme the reference patches into
+    * univers, models.py:87): numeric dotted core, optional trailing
+    * letter, `_alpha/_beta/_pre/_rc` sort before release, `_p` (patch)
+    * after, then `-rN` package revision. */
+  private val alpineSuffixRank = Map(
+    "alpha" -> '1', "beta" -> '2', "pre" -> '3', "rc" -> '4')
+
+  private def alpineKey(v0: String): String = {
+    val v = v0.trim.toLowerCase.stripPrefix("v")
+    // split off -rN revision
+    val (main, rev) = v.lastIndexOf("-r") match {
+      case i if i >= 0 && v.drop(i + 2).nonEmpty &&
+        v.drop(i + 2).forall(_.isDigit) => (v.take(i), v.drop(i + 2))
+      case _ => (v, "0")
+    }
+    val (core, suffixes) = main.indexOf('_') match {
+      case -1 => (main, Seq.empty[String])
+      case i  => (main.take(i), main.drop(i + 1).split('_').toSeq)
+    }
+    // numeric segments + optional single trailing letter
+    val (nums, letter) = core.split('.').toSeq.filter(_.nonEmpty)
+      .partition(_.headOption.exists(_.isDigit)) match {
+        case (ns, _) =>
+          val last = ns.lastOption.getOrElse("")
+          if (last.nonEmpty && last.last.isLetter)
+            (ns.init :+ last.dropRight(1), last.last.toString)
+          else (ns, "")
+      }
+    val numKey = nums.map(n => encNum(n.filter(_.isDigit) match {
+      case "" => "0"; case d => d
+    })).mkString
+    val letterKey = if (letter.isEmpty) Low1.toString else "@" + letter
+    // suffix phase: pre-release '1'-'4' < release '5' < patch '6'
+    val suffixKey = suffixes.headOption match {
+      case Some(s) =>
+        val (word, num) = s.span(_.isLetter)
+        alpineSuffixRank.get(word) match {
+          case Some(r) => r.toString + encNum(
+            if (num.isEmpty) "0" else num)
+          case None if word == "p" => "6" + encNum(
+            if (num.isEmpty) "0" else num)
+          case None => "5"
+        }
+      case None => "5"
+    }
+    numKey + Low2 + letterKey + Low2 + suffixKey + encNum(rev) + Term
+  }
+
   // -------------------------------------------------------------- generic
   /** Generic dotted comparison: digit runs numeric, alpha runs lexical,
     * numeric sorts before alpha at the same position, shorter prefix first.
@@ -272,7 +321,7 @@ object VersionOrd {
       case "pypi"           => pypiKey(v)
       case "deb" | "debian" | "ubuntu" => debKey(v)
       case "rpm"            => rpmKey(v)
-      case "apk" | "alpine" => genericKey(v)
+      case "apk" | "alpine" => alpineKey(v)
       case "maven"          => mavenKey(v)
       case _                => genericKey(v)
     }

@@ -86,6 +86,30 @@ class VersionOrdSpec extends AnyFunSuite {
     lt("maven", "1.0-alpha-1", "1.0-1") // qualifier < number
   }
 
+  test("alpine (apk) ordering — the scheme the reference patches (models.py:87)") {
+    lt("alpine", "1.2.2", "1.2.3")
+    lt("alpine", "1.2.3_alpha", "1.2.3_beta")
+    lt("alpine", "1.2.3_beta", "1.2.3_pre1")
+    lt("alpine", "1.2.3_pre1", "1.2.3_rc1")
+    lt("alpine", "1.2.3_rc1", "1.2.3")
+    lt("alpine", "1.2.3", "1.2.3_p1")     // patch release after
+    lt("alpine", "1.2.3_p1", "1.2.3_p2")
+    lt("alpine", "1.2.3", "1.2.3a")       // letter suffix is newer
+    lt("alpine", "1.2.3a", "1.2.3b")
+    lt("alpine", "1.2.3-r1", "1.2.3-r2")  // package revision
+    lt("alpine", "1.2.3_rc1-r9", "1.2.3-r0")
+    lt("alpine", "1.9.0", "1.10.0")
+  }
+
+  test("edge cases: deep pypi/deb/rpm forms") {
+    lt("pypi", "1.0.post1", "1.0.post2")
+    lt("pypi", "1.0.post1.dev2", "1.0.post1")
+    lt("deb", "2:1.1~rc1-1", "2:1.1-1")
+    lt("deb", "2:1.1-1", "2:1.1-1ubuntu1")
+    lt("rpm", "1.0.z", "1.0.1")           // alpha segment < numeric
+    lt("rpm", "1.0~rc1^post", "1.0")      // tilde dominates
+  }
+
   test("generic ordering") {
     lt("generic", "1.0", "1.0.1")
     lt("generic", "1.9", "1.10")
