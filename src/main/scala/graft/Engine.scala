@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{Sessions, Tables}
+import graft.derive.AdvisoryDerive
+import graft.functions.GraftFunctions
+
+/** One-call facade for library users: build a session with the engine's
+  * extensions, register the domain functions + testdata views, and expose
+  * the advisory pipeline as a single call.
+  *
+  * A user of the reference switches by pointing `runAdvisoryPipeline` at
+  * their advisory log + versions dimension and reading the returned marts
+  * (or the registered `graft_*` views) with plain `spark.sql`.
+  */
+object Engine {
+
+  /** Derived marts of one pipeline run. */
+  final case class Marts(
+      advisories: DataFrame,
+      impacts: DataFrame,
+      unfurled: DataFrame,
+      packages: DataFrame,
+      versionRanks: DataFrame,
+      nearestFixes: DataFrame,
+      advisoryRisk: DataFrame,
+      packageRisk: DataFrame,
+      advisorySets: DataFrame,
+      todos: DataFrame,
+      conflicts: DataFrame,
+      changeLog: DataFrame)
+
+  /** Session with extensions + registered functions. */
+  def newSession(appName: String = "graft", cpus: String = "32"): SparkSession = {
+    val spark = Sessions.local(appName, cpus)
+    GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Register the testdata tables as SQL views (spark.sql surface). */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, dir)
+  }
+
+  /** Full derivation: advisory log + versions dimension → every derived
+    * mart, also registered as `graft_<name>` temp views. */
+  def runAdvisoryPipeline(spark: SparkSession, rawAdvisories: DataFrame,
+      versionsDim: DataFrame,
+      severityWeights: Map[String, Int] = Map.empty): Marts = {
+    val advisories =
+      AdvisoryDerive.withContentIdAndLatest(rawAdvisories).cache()
+    val impacts = AdvisoryDerive.impacts(advisories)
+    val unfurled = AdvisoryDerive.unfurl(impacts, versionsDim).cache()
+    val ranked = AdvisoryDerive.versionRank(versionsDim).cache()
+    val risk = AdvisoryDerive.advisoryRisk(advisories, severityWeights)
+    val marts = Marts(
+      advisories = advisories,
+      impacts = impacts,
+      unfurled = unfurled,
+      packages = AdvisoryDerive.packages(versionsDim),
+      versionRanks = ranked,
+      nearestFixes = AdvisoryDerive.nearestFix(unfurled, ranked),
+      advisoryRisk = risk,
+      packageRisk = AdvisoryDerive.packageRisk(unfurled, risk),
+      advisorySets = AdvisoryDerive.advisorySets(spark, advisories),
+      todos = AdvisoryDerive.todos(advisories),
+      conflicts = AdvisoryDerive.conflicts(advisories),
+      changeLog = AdvisoryDerive.changeLog(advisories))
+    Seq(
+      "advisories" -> marts.advisories,
+      "impacts" -> marts.impacts,
+      "unfurled" -> marts.unfurled,
+      "packages" -> marts.packages,
+      "version_ranks" -> marts.versionRanks,
+      "nearest_fixes" -> marts.nearestFixes,
+      "advisory_risk" -> marts.advisoryRisk,
+      "package_risk" -> marts.packageRisk,
+      "advisory_sets" -> marts.advisorySets,
+      "todos" -> marts.todos,
+      "conflicts" -> marts.conflicts,
+      "changelog" -> marts.changeLog,
+    ).foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }
+    marts
+  }
+}
