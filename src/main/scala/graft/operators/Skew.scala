@@ -35,6 +35,24 @@ object Skew {
       .groupBy("key")
       .agg(sum("_partial").as("distinct_cnt"))
 
+  /** Scale-safe global row numbering (the W7 alternative): a global
+    * `row_number() over (order by ...)` is a single-partition sort, so at
+    * scale we range-partition by the order key, sort within partitions,
+    * and add per-partition offsets — identical output, no single-task
+    * bottleneck. */
+  def globalRowNumber(df: DataFrame, order: Column, numPartitions: Int = 32,
+      outCol: String = "row_number"): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.repartitionByRange(numPartitions, order)
+      .sortWithinPartitions(order)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
+    }
+    spark.createDataFrame(indexed,
+      StructType(sorted.schema.fields :+ StructField(outCol, LongType)))
+  }
+
   /** Skew-safe global top-k per key: per-partition top-k first (narrow),
     * then top-k of the union — the window never sees more than
     * partitions×k rows per key. */

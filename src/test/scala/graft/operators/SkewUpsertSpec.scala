@@ -45,6 +45,34 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
   }
 }
 
+class GlobalRowNumberSpec extends AnyFunSuite with SparkTestSession {
+  test("range-partitioned global row numbering matches the window form") {
+    val sp = spark
+    import sp.implicits._
+    val df = scala.util.Random.shuffle((1 to 500).toList).toDF("v")
+      .repartition(8)
+    val got = Skew.globalRowNumber(df, col("v"), numPartitions = 6)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((1 to 500).forall(v => got(v) == v.toLong))
+  }
+}
+
+class PipelineRunnerSpec extends AnyFunSuite {
+  import graft.derive.Pipeline
+  test("steps run in order with timing; failure stops the run (T6)") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val log = Pipeline.execute("demo", Seq(
+      Pipeline.Step("a")(() => seen += "a"),
+      Pipeline.Step("b")(() => { seen += "b"; throw new RuntimeException("boom") }),
+      Pipeline.Step("c")(() => seen += "c")))
+    assert(seen.toSeq == Seq("a", "b"))
+    assert(log.map(_.step) == Seq("a", "b"))
+    assert(log.last.exitcode == 1 && log.last.error.contains("boom"))
+    assert(log.head.exitcode == 0)
+    assert(log.forall(_.pipeline_id == "demo"))
+  }
+}
+
 class UpsertsSpec extends AnyFunSuite with SparkTestSession {
   test("confidenceMax keeps higher confidence, existing wins ties (models.py:1217-1249)") {
     val sp = spark
