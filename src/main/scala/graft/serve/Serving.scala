@@ -138,6 +138,20 @@ object Serving {
     ordered.orderBy(col(orderCol)).limit(pageSize)
   }
 
+  /** AdvisorySet summaries (A3, api_v3.py:623-630): per group the max
+    * weighted severity / exploitability over members plus the recomputed
+    * capped risk (api_v3.py:743 min(max_exp*max_sev, 10)). */
+  def advisorySetSummaries(sets: DataFrame, riskScores: DataFrame): DataFrame =
+    sets.join(riskScores, Seq("avid"), "left")
+      .groupBy("group_id")
+      .agg(first("primary_avid").as("primary_avid"),
+        count(lit(1)).as("member_count"),
+        max("weighted_severity").as("max_severity"),
+        max("exploitability").as("max_exploitability"))
+      .withColumn("risk_score",
+        round(least(coalesce(col("max_severity"), lit(0.0)) *
+          coalesce(col("max_exploitability"), lit(0.0)), lit(10.0)), 1))
+
   /** Vulnerability counts per package group (A1/A2). */
   def vulnerabilityCounts(unfurled: DataFrame): DataFrame =
     unfurled.filter(col("is_affected"))

@@ -62,6 +62,8 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
       "packages" -> AdvisoryDerive.packages(versionsDim),
       "non_vulnerable_versions" ->
         Serving.nonVulnerableVersions(unfurled, ranked),
+      "advisory_set_summaries" -> Serving.advisorySetSummaries(
+        AdvisoryDerive.advisorySets(sp, advisories), risk),
       "export_yaml" -> FederatedExport.serialize(
         advisories.withColumn("risk_score", lit(null).cast("double"))),
     )
@@ -71,7 +73,7 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
     "risk_scores", "nearest_fixes", "package_risk", "advisory_sets",
     "todos", "conflicts", "changelog", "api_affecting_foo_1_0_0",
     "api_affecting_detail_foo_1_0_0", "packages", "non_vulnerable_versions",
-    "export_yaml").foreach { name =>
+    "advisory_set_summaries", "export_yaml").foreach { name =>
     test(s"golden: $name") {
       GoldenFiles.check(name, derived(name))
     }
