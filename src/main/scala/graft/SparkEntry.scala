@@ -27,6 +27,7 @@ object SparkEntry {
     SimilarityQueries,
     MultimodalQueries,
     StreamingQueries,
+    ScaleQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
