@@ -109,6 +109,22 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(risk.getAs[Double]("risk_score") == 4.9)
   }
 
+  test("risk with weight dimension + exploit catalog (A5/A6 full form)") {
+    val sp = spark
+    import sp.implicits._
+    val (advisories, _, _, _) = pipeline
+    val weightsDim = Seq(("nvd.nist.gov", 10)).toDF("domain", "weight")
+    val exploitAvids = Seq("pypa/PYSEC-1").toDF("avid")
+    val risk = AdvisoryDerive.advisoryRiskFull(advisories, weightsDim,
+      exploitAvids)
+      .filter(col("avid") === "pypa/PYSEC-1").collect().head
+    // severity url is empty in OSV fixtures → default weight 5 → ws 4.9;
+    // exploit catalog hit lifts exploitability to 2.0, risk = 9.8
+    assert(risk.getAs[Double]("weighted_severity") == 4.9)
+    assert(risk.getAs[Double]("exploitability") == 2.0)
+    assert(risk.getAs[Double]("risk_score") == 9.8)
+  }
+
   test("advisory sets group by shared alias with precedence primary (D2-D4)") {
     val (advisories, _, _, _) = pipeline
     val sets = AdvisoryDerive.advisorySets(spark, advisories)
