@@ -264,7 +264,8 @@ object JoinQueries extends QueryModule {
     // J14 — reference-prefix lookup (CPE-style): JSON prop extraction + join
     q("j14_ref_lookup",
       """SELECT e.event_type, count(*) AS cnt,
-        |       sum(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS k_sum
+        |       CAST(sum(CAST(json_extract_string(e.props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS k_sum
         |FROM events e
         |WHERE e.user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
         |GROUP BY e.event_type ORDER BY e.event_type""") { (s, dir) =>

@@ -36,10 +36,21 @@ object TextDedup {
 
   /** Exact n-gram Jaccard near-duplicate pairs via inverted shingle index.
     * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    *
+    * `maxDf` caps the document frequency of shingles admitted to the
+    * inverted index: a shingle shared by k documents emits O(k²) candidate
+    * pairs, so one stop-shingle ("of the") in a 100 TB corpus would emit a
+    * quadratic pair list. Stop-shingles above the cap are dropped from BOTH
+    * the index and the per-doc sizes (standard stop-shingle removal — the
+    * jaccard is then exact over the retained shingle vocabulary).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 2, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n).cache()
+      n: Int = 2, threshold: Double = 0.8,
+      maxDf: Int = 10000): DataFrame = {
+    val raw = shingles(df, textCol, idCol, n)
+    val df_ = raw.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    val sh = raw.join(df_.filter(col("_df") <= maxDf).select("shingle"),
+      Seq("shingle")).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val shared = sh.select(col("id").as("id_a"), col("shingle"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
@@ -70,7 +81,7 @@ object TextDedup {
     * fraction. Pairs with estimated similarity ≥ threshold survive. */
   def minHashLshPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 2, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minHashSignatures(df, textCol, idCol, n, numHashes).cache()
@@ -80,8 +91,16 @@ object TextDedup {
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
-      .join(banded.select(col("id").as("id_b"), col("band"), col("bucket")),
+    // Degenerate-bucket guard: a band bucket holding k ids emits O(k²)
+    // candidates. Buckets above the cap (boilerplate / empty docs hashing
+    // identically) are dropped — their members still pair through their
+    // other, more selective bands.
+    val okBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+      .select("band", "bucket")
+    val capped = banded.join(okBuckets, Seq("band", "bucket"))
+    val cand = capped.select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(capped.select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -118,8 +137,53 @@ object TextDedup {
       .otherwise(-1)
     withBit.groupBy("id", "bit").agg(sum(contrib).as("s"))
       .groupBy("id")
+      // Integer shifts, not pow(2.0, n): doubles lose exactness past 2^53
+      // and 2^63 overflows the long cast — signatures must be bit-exact
+      // or downstream dedup diverges per engine.
       .agg(sum(when(col("s") > 0,
-        pow(lit(2.0), lit(bits - 1) - col("bit")).cast("long"))
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${bits - 1} - bit AS INT))"))
         .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: candidates via band buckets over the
+    * signature (pigeonhole: two signatures within `maxHamming` bits must
+    * agree on at least one of `bands` disjoint bit chunks whenever
+    * `bands > maxHamming`), verified with an exact popcount of the XOR.
+    * Returns (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming.
+    *
+    * Candidate generation is an equi-join on (band, chunk value) — never
+    * all-pairs — so it scales like LSH, with `maxBucketSize` guarding
+    * degenerate buckets exactly as in [[minHashLshPairs]].
+    */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(bands > maxHamming,
+      "need bands > maxHamming for the pigeonhole guarantee")
+    val width = bits / bands
+    val sig = simHash(df, textCol, idCol, bits).cache()
+    val chunkCols = (0 until bands).map { b =>
+      val chunk = expr(
+        s"shiftrightunsigned(simhash, ${b * width}) & ${(1L << width) - 1}")
+      struct(lit(b).as("band"), chunk.as("chunk"))
+    }
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array(chunkCols: _*)).as("bc"))
+      .select(col("id"), col("simhash"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val okBuckets = banded.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
+      .select("band", "chunk")
+    val capped = banded.join(okBuckets, Seq("band", "chunk"))
+    capped.select(col("id").as("id_a"), col("simhash").as("sig_a"),
+        col("band"), col("chunk"))
+      .join(capped.select(col("id").as("id_b"), col("simhash").as("sig_b"),
+        col("band"), col("chunk")), Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -183,8 +183,9 @@ object TextDedupQueries extends QueryModule {
         |  FROM tok, (SELECT unnest(range(0, 16)) AS bit) b
         |  GROUP BY doc_id, b.bit)
         |SELECT doc_id,
-        |       sum(CASE WHEN s > 0 THEN CAST(power(2, 15 - bit) AS BIGINT)
-        |                ELSE 0 END) AS simhash
+        |       CAST(sum(CASE WHEN s > 0
+        |                THEN (CAST(1 AS BIGINT) << CAST(15 - bit AS INTEGER))
+        |                ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       val tok = docs(s, dir)
         .select(col("doc_id"),
@@ -206,8 +207,8 @@ object TextDedupQueries extends QueryModule {
         .agg(sum(contrib).as("s"))
         .groupBy("doc_id")
         .agg(sum(when(col("s") > 0,
-          pow(lit(2), lit(15) - col("bit")).cast("long")).otherwise(0L))
-          .as("simhash"))
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(15 - bit AS INT))"))
+          .otherwise(0L)).as("simhash"))
         .orderBy("doc_id")
     },
   )

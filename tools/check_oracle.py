@@ -40,7 +40,9 @@ def values_close(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        # Byte-exact: the driver hashes serialized values with no tolerance,
+        # so any float drift here is a real cross-engine failure.
+        return a == b
     return a == b
 
 
