@@ -211,9 +211,13 @@ object AdvisoryDerive {
     */
   def advisorySets(spark: SparkSession, advisories: DataFrame): DataFrame = {
     val latest = advisories.filter(col("is_latest"))
+    // Node ids need uniqueness, not density or order: xxhash64(avid) is
+    // embarrassingly parallel, where a row_number over a global Window
+    // would funnel every advisory through one partition — the single
+    // worst scale hazard in this pipeline. Component/group ids are then
+    // the min hash in the component (deterministic for a given avid set).
     val ids = latest.select(col("avid")).distinct()
-      .withColumn("node_id", row_number().over(
-        Window.orderBy("avid")).cast("long"))
+      .withColumn("node_id", xxhash64(col("avid")))
     val keys = latest
       .select(col("avid"), explode(concat(col("aliases"),
         array(col("advisory_id")))).as("key"))

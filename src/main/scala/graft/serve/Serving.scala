@@ -24,13 +24,26 @@ object Serving {
       .join(affectingAvids, Seq("avid"), "left_semi")
   }
 
-  /** Bulk purl lookup with is_vulnerable flags (api_v3.py:253-339, J13+J3). */
+  /** Bulk purl lookup with is_vulnerable flags (api_v3.py:253-339, J13+J3).
+    *
+    * The request list is the bounded side (an API call's purls — thousands
+    * at most), so THAT is what gets broadcast; the vulnerable set derives
+    * from the full unfurled corpus and must stream map-side. Broadcasting
+    * the corpus side would OOM the driver at production scale.
+    */
   def bulkLookup(unfurled: DataFrame, purls: DataFrame): DataFrame = {
-    val vulnerable = unfurled.filter(col("is_affected"))
+    // Step 1 streams the corpus map-side against the broadcast request
+    // list (left_semi, build = purls), so `hits` is bounded by the request
+    // size. Step 2 then broadcasts only those bounded hits to flag the
+    // original list. (An outer join preserving purls can't build the purls
+    // side, so the one-join form would force a corpus broadcast.)
+    val hits = unfurled.filter(col("is_affected"))
       .select(col("base_purl"), col("version")).distinct()
-        .withColumn("is_vulnerable", lit(true))
-    purls.join(broadcast(vulnerable), Seq("base_purl", "version"), "left")
-      .withColumn("is_vulnerable", coalesce(col("is_vulnerable"), lit(false)))
+      .join(broadcast(purls), Seq("base_purl", "version"), "left_semi")
+      .withColumn("_hit", lit(true))
+    purls.join(broadcast(hits), Seq("base_purl", "version"), "left")
+      .withColumn("is_vulnerable", coalesce(col("_hit"), lit(false)))
+      .drop("_hit")
   }
 
   /** Search cascade (models.py:150-178): exact alias → alias prefix →

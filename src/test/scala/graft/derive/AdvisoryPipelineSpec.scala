@@ -142,12 +142,46 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
       "pkg:pypi/x", "1.2").select("avid").collect().map(_.getString(0))
     assert(aff.toSet == Set("pypa/PYSEC-1", "ghsa/GHSA-aaaa"))
 
-    val lookup = Serving.bulkLookup(unfurled,
+    val lookupDf = Serving.bulkLookup(unfurled,
       Seq(("pkg:pypi/x", "1.2"), ("pkg:pypi/x", "1.5"))
         .toDF("base_purl", "version"))
+    val lookup = lookupDf
       .collect().map(r => r.getString(1) -> r.getAs[Boolean]("is_vulnerable"))
       .toMap
     assert(lookup == Map("1.2" -> true, "1.5" -> false))
+    // Scale guard: every broadcast must be request-bounded — either the
+    // raw request list (no aggregate in its subtree) or the hits of a
+    // left_semi against the broadcast request list. The round-1 bug
+    // (broadcasting the corpus-derived distinct) had a bare HashAggregate
+    // under the exchange with no semi join. Traversal descends through
+    // AQE wrappers (collect() above finalized the adaptive plan).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec        => Seq(s.plan)
+        case other                    => other.children
+      }
+      p +: inner.flatMap(allNodes)
+    }
+    val nodes = allNodes(lookupDf.queryExecution.executedPlan)
+    val exchanges = nodes.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(exchanges.nonEmpty, "bulkLookup should broadcast the request list")
+    exchanges.foreach { b =>
+      val sub = allNodes(b)
+      val hasSemi = sub.exists {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+        case _ => false
+      }
+      val corpusFree = !sub.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+      assert(hasSemi || corpusFree,
+        s"unbounded broadcast side in bulkLookup plan:\n$b")
+    }
 
     val nf = AdvisoryDerive.nearestFix(unfurled, ranked)
     val detail = Serving.packageDetail(unfurled, ranked, nf)

@@ -55,4 +55,60 @@ class TextDedupLibSpec extends AnyFunSuite with SparkTestSession {
     val hamming14 = java.lang.Long.bitCount(hashes(1L) ^ hashes(4L))
     assert(hamming13 < hamming14)
   }
+
+  test("simhash 64-bit uses the full width (bit 63 reachable, no overflow)") {
+    // pow(2.0, 63).cast(long) saturated at Long.MaxValue; shiftleft must
+    // produce genuinely negative signatures when bit 63 is set.
+    val hashes = TextDedup.simHash(docs, "text", "id", bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes.values.exists(_ < 0L), "some signature should set bit 63")
+    assert(hashes.values.forall(_ != Long.MaxValue))
+  }
+
+  test("simhash pairs: banded candidates + exact hamming verify") {
+    val pairs = TextDedup.simHashPairs(docs, "text", "id",
+      bits = 64, bands = 8, maxHamming = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0) // identical docs, hamming 0
+    // unrelated docs (1,4) must not survive the hamming cut
+    assert(!pairs.contains((1L, 4L)))
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
+  test("ngram jaccard df-cap drops stop-shingles from index and sizes") {
+    val sp = spark
+    import sp.implicits._
+    // "of the" appears in every doc (df=4 > cap 3) and must not pair the
+    // otherwise-unrelated docs 3 and 4; docs 1/2 still pair on their own
+    // distinctive shingles.
+    val d = Seq(
+      (1L, "alpha beta gamma of the"),
+      (2L, "alpha beta gamma of the"),
+      (3L, "delta echo of the"),
+      (4L, "zulu yankee of the"))
+      .toDF("id", "text")
+    val pairs = TextDedup.ngramJaccardPairs(d, "text", "id",
+      n = 2, threshold = 0.5, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash LSH bucket cap suppresses degenerate buckets") {
+    val sp = spark
+    import sp.implicits._
+    // 6 identical boilerplate docs would emit C(6,2)=15 pairs per band;
+    // with maxBucketSize=5 their buckets are dropped entirely, while the
+    // distinct near-dup pair (10,11) still surfaces.
+    val d = (1L to 6L).map(i => (i, "same boilerplate text repeated here"))
+      .toDF("id", "text")
+      .union(Seq(
+        (10L, "unique snowflake content one two three"),
+        (11L, "unique snowflake content one two four")).toDF("id", "text"))
+    val pairs = TextDedup.minHashLshPairs(d, "text", "id",
+      n = 2, numHashes = 16, bands = 8, threshold = 0.3, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.exists { case (a, b) => a <= 6L && b <= 6L })
+  }
 }
