@@ -211,5 +211,53 @@ object TextDedupQueries extends QueryModule {
           .otherwise(0L)).as("simhash"))
         .orderBy("doc_id")
     },
+
+    // SimHash near-dup pairs via the library's banded-Hamming join
+    // (TextDedup.simHashPairs): 16-bit sigs, 4 bands of 4 bits, pairs
+    // verified with exact popcount ≤ 2. Pigeonhole: hamming ≤ 2 over 4
+    // disjoint chunks forces agreement on ≥ 1 chunk, so the equi-join on
+    // (band, chunk) loses nothing. Runs on a deterministic 10% doc subset
+    // so 4-bit banding stays selective at bench SFs. The library tokenizes
+    // on \s+, the oracle on single spaces — equivalent here because the
+    // corpus has no consecutive whitespace (asserted in TESTDATA.md terms).
+    q("x_simhash_pairs",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+        |                        x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bits AS (
+        |  SELECT doc_id, b.bit,
+        |         sum(CASE WHEN
+        |           ((strpos('0123456789abcdef',
+        |                    substr(md5(tok), 1 + b.bit // 4, 1)) - 1)
+        |            // CASE b.bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |                            WHEN 2 THEN 2 ELSE 1 END) % 2 = 1
+        |           THEN 1 ELSE -1 END) AS s
+        |  FROM tok, (SELECT unnest(range(0, 16)) AS bit) b
+        |  GROUP BY doc_id, b.bit),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0
+        |                  THEN (CAST(1 AS BIGINT) << CAST(15 - bit AS INTEGER))
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, simhash, b.band,
+        |         (simhash >> CAST(b.band * 4 AS INTEGER)) & 15 AS chunk
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+        |           AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
+        |ORDER BY id_a, id_b""") { (s, dir) =>
+      TextDedup.simHashPairs(
+        docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0),
+        "text", "doc_id", bits = 16, bands = 4, maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
   )
 }
