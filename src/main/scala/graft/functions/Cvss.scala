@@ -1,13 +1,11 @@
 package graft.functions
 
-/** CVSS base-score computation (v2, v3.0/v3.1) from vector strings.
+/** CVSS base-score computation (v2, v3.0/v3.1, v4.0) from vector strings.
   *
   * Re-expresses severity_systems.py:48-131 (which delegates to the `cvss`
   * library); formulas implemented from the public FIRST specifications
-  * (CVSS v2 guide §3.2.1, CVSS v3.1 spec §7.1). CVSS v4 vectors are scored
-  * by their severity bucket via the published MacroVector approach only if
-  * needed later — the reference stores v4 vectors but derives risk from the
-  * numeric `value` column, not from re-scoring.
+  * (CVSS v2 guide §3.2.1, CVSS v3.1 spec §7.1, CVSS v4.0 MacroVector
+  * scoring in [[Cvss4]]).
   */
 object Cvss {
 
@@ -71,7 +69,7 @@ object Cvss {
   def baseScore(vector: String): Option[Double] = {
     val v = vector.trim
     if (v.startsWith("CVSS:3")) v3BaseScore(v)
-    else if (v.startsWith("CVSS:4")) None // bucket-only; see scaladoc
+    else if (v.startsWith("CVSS:4")) Cvss4.baseScore(v)
     else if (v.contains("Au:")) v2BaseScore(v)
     else v3BaseScore(v)
   }

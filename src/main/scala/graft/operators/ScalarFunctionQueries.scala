@@ -154,6 +154,38 @@ object ScalarFunctionQueries extends QueryModule {
         .orderBy("event_id")
     },
 
+    // F12b — CVSS v4.0 MacroVector base score (Cvss4.baseScore) over a
+    // synthetic vector grid. The oracle pins the score of each distinct
+    // (AV, VC, VI) combination: constants are the FIRST v4.0 MacroVector
+    // algorithm's output, cross-validated bit-exact against the published
+    // scores in the reference's fixture files (e.g. AV:N/VC:H/VI:H grid
+    // cell = the 9.3 suse-cvss-scores-expected.json vector).
+    q("f12b_cvss4_score",
+      """SELECT event_id,
+        |       CASE WHEN event_type = 'error'
+        |              THEN (CASE WHEN value > 100 THEN 9.3 ELSE 8.6 END)
+        |            WHEN event_type = 'purchase'
+        |              THEN (CASE WHEN value > 100 THEN 8.8 ELSE 7.1 END)
+        |            WHEN event_type = 'signup'
+        |              THEN (CASE WHEN value > 100 THEN 6.9 ELSE 5.3 END)
+        |            ELSE 0.0 END AS base_score
+        |FROM events ORDER BY event_id""") { (s, dir) =>
+      val vec = t(s, dir, "events").select(col("event_id"),
+        concat(lit("CVSS:4.0/AV:"),
+          when(col("value") > 100, "N").otherwise("A"),
+          lit("/AC:L/AT:N/PR:N/UI:N/VC:"),
+          when(col("event_type").isin("error", "purchase"), "H")
+            .when(col("event_type") === "signup", "L").otherwise("N"),
+          lit("/VI:"),
+          when(col("event_type") === "error", "H")
+            .when(col("event_type").isin("purchase", "signup"), "L")
+            .otherwise("N"),
+          lit("/VA:N/SC:N/SI:N/SA:N")).as("vector"))
+      vec.select(col("event_id"),
+        GraftFunctions.cvssBaseScoreUdf(col("vector")).as("base_score"))
+        .orderBy("event_id")
+    },
+
     // F14 — textual severity → numeric score map
     q("f14_severity_score",
       """SELECT event_id,

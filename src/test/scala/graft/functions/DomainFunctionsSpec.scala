@@ -97,6 +97,54 @@ class CvssSpec extends AnyFunSuite {
     assert(Cvss.rating(7.0) == "high")
     assert(Cvss.rating(9.0) == "critical")
   }
+
+  test("CVSS v4.0 published scores (reference fixtures + spec example)") {
+    // severity_systems.py:99 docstring example
+    assert(Cvss4.baseScore(
+      "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:H/SI:H/SA:N")
+      .contains(9.9))
+    // suse-cvss-scores-expected.json
+    assert(Cvss4.baseScore(
+      "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:N/SI:N/SA:N")
+      .contains(9.3))
+    // ubuntu_osv_advisoryv2-expected.json
+    assert(Cvss4.baseScore(
+      "CVSS:4.0/AV:A/AC:L/AT:P/PR:L/UI:P/VC:H/VI:N/VA:N/SC:N/SI:N/SA:N")
+      .contains(4.1))
+    // github_osv_expected_8.json
+    assert(Cvss4.baseScore(
+      "CVSS:4.0/AV:N/AC:H/AT:P/PR:L/UI:N/VC:L/VI:L/VA:N/SC:N/SI:N/SA:N")
+      .contains(2.3))
+  }
+
+  test("CVSS v4.0 structural rules") {
+    // no impact anywhere -> 0.0 (spec §8.2)
+    assert(Cvss4.baseScore(
+      "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:N/VI:N/VA:N/SC:N/SI:N/SA:N")
+      .contains(0.0))
+    // X-padded long-form vector parses (E:X defaults to Attacked)
+    assert(Cvss4.baseScore(
+      "CVSS:4.0/AV:N/AC:L/AT:P/PR:H/UI:P/VC:N/VI:N/VA:N/SC:H/SI:H/SA:H/" +
+        "E:X/CR:X/IR:X/AR:X/MAV:X/MAC:X/MAT:X/MPR:X/MUI:X/MVC:X/MVI:X/" +
+        "MVA:X/MSC:X/MSI:X/MSA:X/S:X/AU:X/R:X/V:X/RE:X/U:X").isDefined)
+    // monotonicity: degrading a single metric never raises the score
+    def s(vc: String, av: String) = Cvss4.baseScore(
+      s"CVSS:4.0/AV:$av/AC:L/AT:N/PR:N/UI:N/VC:$vc/VI:L/VA:N/SC:N/SI:N/SA:N").get
+    assert(s("H", "N") >= s("L", "N"))
+    assert(s("L", "N") >= s("N", "N"))
+    assert(s("H", "N") >= s("H", "P"))
+    // worst and best macrovectors hit the table anchors
+    assert(Cvss4.baseScore(
+      "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:H/SI:S/SA:S")
+      .contains(10.0))
+    // malformed vectors refuse rather than misscore
+    assert(Cvss4.baseScore("CVSS:4.0/AV:N/AC:L").isEmpty)
+    assert(Cvss4.baseScore("CVSS:4.0/garbage").isEmpty)
+    // dispatch through the version sniffer
+    assert(Cvss.baseScore(
+      "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:N/SI:N/SA:N")
+      .contains(9.3))
+  }
 }
 
 class RiskSpec extends AnyFunSuite {
