@@ -149,6 +149,35 @@ object AdvisoryDerive {
       "risk_score")
   }
 
+  /** Risk trio with external severity donors (A6 high_epss tier on real
+    * feed data): donors — e.g. EpssIngest.donors rows — relate to
+    * advisories by advisory_id OR alias (J11, relate_severities.py:61-119),
+    * and any related epss donor above the threshold lifts exploitability
+    * to 2.0 (risk.py:64-92). The donor→avid join shuffles on the match
+    * key (both sides corpus-scale); only the resulting high-epss avid set
+    * — bounded by the donors above threshold, a few percent of the EPSS
+    * feed — is broadcast back onto the risk table.
+    */
+  def advisoryRiskWithDonors(advisories: DataFrame, donorSevs: DataFrame,
+      weightsDim: DataFrame): DataFrame = {
+    val base = advisoryRiskInternal(advisories, weightsDim)
+    val highEpssDonors = donorSevs
+      .filter(col("scoring_system") === "epss" &&
+        col("score") > graft.ingest.EpssIngest.HighEpssThreshold)
+      .select("donor_id", "match_key")
+    val donated = relateSeverities(advisories, highEpssDonors)
+      .select("avid").distinct()
+      .withColumn("donated_high_epss", lit(true))
+    base.join(broadcast(donated), Seq("avid"), "left")
+      .withColumn("exploitability",
+        when(coalesce(col("donated_high_epss"), lit(false)), 2.0)
+          .otherwise(col("exploitability")))
+      .withColumn("risk_score",
+        round(least(coalesce(col("weighted_severity"), lit(0.0)) *
+          col("exploitability"), lit(10.0)), 1))
+      .select("avid", "weighted_severity", "exploitability", "risk_score")
+  }
+
   /** Risk trio per advisory (A5–A7): weighted severity (severity value ×
     * source-domain weight), exploitability cascade, capped risk. */
   def advisoryRisk(advisories: DataFrame,

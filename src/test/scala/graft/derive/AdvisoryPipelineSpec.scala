@@ -190,6 +190,33 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(detail.getAs[String]("next_non_vulnerable") == "1.4")
   }
 
+  test("EPSS feed parses and a high-epss donor lifts exploitability (A6)") {
+    val sp = spark
+    import sp.implicits._
+    val (advisories, _, _, _) = pipeline
+    val epss = graft.ingest.EpssIngest.fromCsv(sp,
+      "src/test/resources/fixtures/epss/epss_scores_sample.csv")
+    val rows = epss.collect().map(r => r.getAs[String]("cve") ->
+      r.getAs[Double]("score")).toMap
+    assert(rows == Map("CVE-2024-100" -> 0.94321, "CVE-2024-200" -> 0.00512,
+      "CVE-2024-300" -> 0.81002, "CVE-2024-400" -> 7e-05))
+    assert(epss.select("published_at").distinct().collect().head
+      .getTimestamp(0) != null)
+
+    val donors = graft.ingest.EpssIngest.donors(epss)
+    val weights = Seq.empty[(String, Int)].toDF("domain", "weight")
+    val risk = AdvisoryDerive.advisoryRiskWithDonors(advisories, donors, weights)
+      .collect().map(r => r.getAs[String]("avid") ->
+        (r.getAs[Double]("exploitability"), r.getAs[Double]("risk_score")))
+      .toMap
+    // CVE-2024-100 has epss 0.94 > 0.8 → both advisories carrying that
+    // alias jump to the 2.0 tier; risk = min(4.9 * 2, 10) = 9.8
+    assert(risk("pypa/PYSEC-1") == (2.0, 9.8))
+    assert(risk("ghsa/GHSA-aaaa")._1 == 2.0)
+    // CVE-2024-200 scores 0.005 → GHSA-bbbb stays on its exploit-ref tier
+    assert(risk("ghsa/GHSA-bbbb")._1 == 1.0)
+  }
+
   test("search cascade: exact alias beats substring (models.py:150-178)") {
     val (advisories, _, _, _) = pipeline
     val exact = Serving.searchAdvisories(advisories, "CVE-2024-200")
