@@ -7,13 +7,14 @@ import graft.ingest._
 import graft.operators.SparkTestSession
 
 /** Capstone: every source parser (OSV, NVD, GitHub GraphQL, Debian
-  * tracker, AdvisoryData JSON) feeds the SAME normalized model and flows
-  * through one Engine.runAdvisoryPipeline call — the reference's ~40
-  * importers reduce to raw→AdvisoryRow mappings over a shared pipeline.
+  * tracker, AdvisoryData JSON, GitLab YAML, RedHat CSAF) feeds the SAME
+  * normalized model and flows through one Engine.runAdvisoryPipeline
+  * call — the reference's ~70 importers reduce to raw→AdvisoryRow
+  * mappings over a shared pipeline.
   */
 class MultiSourceSpec extends AnyFunSuite with SparkTestSession {
 
-  test("five source formats unify through one pipeline run") {
+  test("seven source formats unify through one pipeline run") {
     val sp = spark
     import sp.implicits._
 
@@ -63,8 +64,40 @@ class MultiSourceSpec extends AnyFunSuite with SparkTestSession {
         |"url":"https://p/x"}"""
         .stripMargin.replaceAll("\n", ""))).toDF("datasource_id", "json"))
 
+    val gitlab = GitlabIngest.parse(sp, Seq(("gitlab",
+      "npm/left/CVE-2030-1.yml",
+      """---
+        |identifier: "CVE-2030-1"
+        |package_slug: "npm/left"
+        |title: "gitlab view"
+        |description: "left is vulnerable."
+        |pubdate: "2024-01-07"
+        |affected_range: "<2.0.0"
+        |fixed_versions:
+        |- "2.0.0"
+        |urls:
+        |- "https://nvd.nist.gov/vuln/detail/CVE-2030-1"
+        |identifiers:
+        |- "CVE-2030-1"
+        |""".stripMargin)).toDF("datasource_id", "path", "yaml"))
+
+    val redhat = RedhatIngest.parse(sp, Seq(("redhat",
+      """{"document":{"csaf_version":"2.0",
+        |"aggregate_severity":{"text":"Moderate"},
+        |"notes":[{"category":"summary","text":"redhat view"}],
+        |"references":[],
+        |"tracking":{"id":"RHSA-2030:0101",
+        |"initial_release_date":"2024-01-08T00:00:00+00:00"}},
+        |"vulnerabilities":[{"cve":"CVE-2030-1"}],
+        |"product_tree":{"branches":[{"branches":[
+        |{"category":"architecture","branches":[
+        |{"product":{"product_identification_helper":
+        |{"purl":"pkg:rpm/redhat/nodejs-left@2.0.0-1.el9"}}}]}]}]}}"""
+        .stripMargin.replaceAll("\n", ""))).toDF("datasource_id", "json"))
+
     val raw = Seq(osv.toDF(), nvd.toDF(), gh.toDF(), deb.toDF(),
-      fixture.toDF()).reduce(_ unionByName _)
+      fixture.toDF(), gitlab.toDF(), redhat.toDF())
+      .reduce(_ unionByName _)
     val versionsDim = Seq(
       ("pkg:npm/left", "1.0.0"), ("pkg:npm/left", "2.0.0"),
       ("pkg:deb/debian/node-left", "1.9-1"),
@@ -73,24 +106,26 @@ class MultiSourceSpec extends AnyFunSuite with SparkTestSession {
 
     val marts = Engine.runAdvisoryPipeline(sp, raw, versionsDim)
 
-    // all five sources landed
-    assert(marts.advisories.select("datasource_id").distinct().count() == 5)
-    // the four CVE-2030-1 views group into ONE advisory set; NVD
-    // (precedence 10) is the primary
+    // all seven sources landed
+    assert(marts.advisories.select("datasource_id").distinct().count() == 7)
+    // the six CVE-2030-1 views group into ONE advisory set; RedHat
+    // (precedence 200, closest to source) is the primary
     val sets = marts.advisorySets.collect()
       .map(r => r.getAs[String]("avid") -> r.getAs[String]("primary_avid"))
       .toMap
     val cve1Members = Seq("osv/OSV-1", "nvd/CVE-2030-1", "github/GHSA-m-1",
-      "debian/CVE-2030-1/node-left")
+      "debian/CVE-2030-1/node-left", "gitlab/npm/left/CVE-2030-1",
+      "redhat/RHSA-2030:0101")
     assert(cve1Members.map(sets).toSet.size == 1)
-    assert(sets("osv/OSV-1") == "nvd/CVE-2030-1")
+    assert(sets("osv/OSV-1") == "redhat/RHSA-2030:0101")
     assert(sets("pypa/PYSEC-X") != sets("osv/OSV-1"))
     // unfurl agrees across formats: npm/left 1.0.0 affected, 2.0.0 fixed
+    // (osv + gh + gitlab all resolve the same concrete versions)
     val leftRows = marts.unfurled
       .filter(col("base_purl") === "pkg:npm/left").collect()
       .map(r => (r.getAs[String]("avid"), r.getAs[String]("version"),
         r.getAs[Boolean]("is_affected"), r.getAs[Boolean]("is_fixed")))
-    assert(leftRows.count(t => t._2 == "1.0.0" && t._3) == 2) // osv + gh
-    assert(leftRows.count(t => t._2 == "2.0.0" && t._4) == 2)
+    assert(leftRows.count(t => t._2 == "1.0.0" && t._3) == 3)
+    assert(leftRows.count(t => t._2 == "2.0.0" && t._4) == 3)
   }
 }
