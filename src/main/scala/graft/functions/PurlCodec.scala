@@ -43,7 +43,9 @@ object PurlCodec {
     /** Version-range scheme for this package type (univers
       * RANGE_CLASS_BY_SCHEMES subset). */
     def versionScheme: String = ptype match {
-      case "npm" | "cargo" | "gem" | "golang" | "composer" | "hex" => "semver"
+      case "npm" | "cargo" | "composer" | "hex" => "semver"
+      case "gem"    => "gem"
+      case "golang" => "golang"
       case "pypi"  => "pypi"
       case "deb"   => "deb"
       case "rpm"   => "rpm"

@@ -300,6 +300,37 @@ object VersionOrd {
     numKey + Low2 + letterKey + Low2 + suffixKey + encNum(rev) + Term
   }
 
+  // ------------------------------------------------------------- rubygems
+  /** Rank of a zero segment followed by a positive number: above Term (so
+    * `1.0.1` > `1`) while a zero followed by an alpha ranks below Term via
+    * Low2 (so `1.0.b` < `1`). */
+  private final val ZeroHigh = '\u0005'
+
+  /** Gem::Version semantics: the version splits into digit/letter runs
+    * (`-` first becomes `.pre.`), trailing zero segments are insignificant,
+    * and comparison pads with zeros where String segments sort below
+    * Integer ones (any letter ⇒ prerelease). Faithful per-position order:
+    * alpha < zero-run-before-alpha < end < zero-run-before-number <
+    * positive number — a zero's rank relative to end-of-version depends on
+    * the first non-zero segment after it, hence the lookahead.
+    */
+  private def gemKey(v0: String): String = {
+    val v = v0.trim.toLowerCase.stripPrefix("v").replace("-", ".pre.")
+    val segs = "[0-9]+|[a-z]+".r.findAllIn(v).toList
+    val isZero = (s: String) => s.forall(_.isDigit) && s.forall(_ == '0')
+    val trimmed = segs.reverse.dropWhile(isZero).reverse
+    val keys = trimmed.zipWithIndex.map { case (s, i) =>
+      if (!s.forall(_.isDigit)) Low1.toString + s
+      else if (!isZero(s)) encNum(s)
+      else {
+        val next = trimmed.drop(i + 1).find(t => !isZero(t))
+        if (next.exists(t => !t.forall(_.isDigit))) Low2.toString
+        else ZeroHigh.toString
+      }
+    }
+    keys.mkString + Term
+  }
+
   // -------------------------------------------------------------- generic
   /** Generic dotted comparison: digit runs numeric, alpha runs lexical,
     * numeric sorts before alpha at the same position, shorter prefix first.
@@ -316,8 +347,15 @@ object VersionOrd {
     val s = Option(scheme).getOrElse("generic").toLowerCase
     val v = Option(version).getOrElse("")
     s match {
-      case "semver" | "npm" | "cargo" | "gem" | "golang" | "composer" |
+      // golang is NOT an alias of convenience: x/mod/semver.Compare is
+      // plain SemVer 2.0 precedence, and pseudo-versions
+      // (v0.0.0-20191109021931-daa7c04131f5) order correctly through it —
+      // the 14-digit timestamp is one alphanumeric prerelease id whose
+      // lexical order equals its numeric order (golang truth-table cases
+      // in version_order_cases.jsonl pin this).
+      case "semver" | "npm" | "cargo" | "golang" | "composer" |
           "nginx" | "hex" => semverKey(v)
+      case "gem"            => gemKey(v)
       case "pypi"           => pypiKey(v)
       case "deb" | "debian" | "ubuntu" => debKey(v)
       case "rpm"            => rpmKey(v)
