@@ -298,6 +298,70 @@ object AdvisoryDerive {
       .distinct()
   }
 
+  /** SSVC decision mart (collect_ssvc_trees.py:43-189 + models.py:4051-4071):
+    * one row per (source avid, vector) from ssvc-system severities, with
+    * the vector expanded to its option list and decision. Distributed
+    * shape: explode severities → per-row vector parse (UDF — the decode
+    * is a tiny dictionary walk), distinct on the model's
+    * (vector, source_advisory) uniqueness key.
+    */
+  def ssvcDecisions(advisories: DataFrame): DataFrame = {
+    val parse = GraftFunctions.ssvcParseUdf
+    advisories.filter(col("is_latest"))
+      .select(col("avid").as("source_avid"),
+        col("advisory_id").as("source_advisory_id"),
+        col("url").as("source_url"),
+        explode(col("severities")).as("s"))
+      .filter(col("s.scoring_system") === "ssvc")
+      .select(col("source_avid"), col("source_advisory_id"),
+        col("source_url"),
+        col("s.scoring_elements").as("vector"),
+        parse(col("s.scoring_elements")).as("parsed"))
+      .filter(col("parsed").isNotNull)
+      .select(col("source_avid"), col("source_advisory_id"),
+        col("source_url"), col("vector"),
+        col("parsed.options").as("options"),
+        col("parsed.decision").as("decision"))
+      .dropDuplicates("vector", "source_avid")
+  }
+
+  /** SSVC → advisory relations (collect_ssvc_trees.py:65-82): every
+    * advisory whose advisory_id or alias equals the SSVC source's
+    * advisory_id relates to that decision, minus the source itself.
+    * Reuses the J11 match-key join (shuffles on the key; the ssvc table
+    * is severity-bounded). */
+  def ssvcRelations(advisories: DataFrame, ssvc: DataFrame): DataFrame =
+    relateSeverities(advisories,
+      ssvc.select(col("source_avid").as("donor_id"),
+        col("source_advisory_id").as("match_key")).distinct())
+      .filter(col("avid") =!= col("donor_id"))
+      .select(col("avid"), col("donor_id").as("source_avid"))
+
+  /** PackageCommitPatch mart (models.py:2892-2924): commit references
+    * harvested from advisories (D10 semantics — VCS-normalized commit
+    * URLs) joined with patch-text donors, checksummed with sha512 exactly
+    * like compute_patch_checksum (utils.py:866-870), unique per
+    * (commit_hash, vcs_url). `patches` rows: (vcs_url, commit_hash,
+    * patch_text). */
+  def commitPatches(advisories: DataFrame, patches: DataFrame): DataFrame = {
+    val commitRefs = advisories.filter(col("is_latest"))
+      .select(col("avid"), explode(col("references")).as("r"))
+      .select(col("avid"), col("r.url").as("url"))
+      .filter(col("url").rlike("/(commit|commits)/[0-9a-f]{7,40}"))
+      .select(col("avid"),
+        regexp_extract(col("url"), "(.*?)/(?:commit|commits)/[0-9a-f]+", 1)
+          .as("vcs_url"),
+        regexp_extract(col("url"), "/(?:commit|commits)/([0-9a-f]+)", 1)
+          .as("commit_hash"))
+    commitRefs
+      .join(patches, Seq("vcs_url", "commit_hash"), "left")
+      .groupBy("vcs_url", "commit_hash")
+      .agg(array_sort(collect_set(col("avid"))).as("avids"),
+        first(col("patch_text"), ignoreNulls = true).as("patch_text"))
+      .withColumn("patch_checksum",
+        when(col("patch_text").isNotNull, sha2(col("patch_text"), 512)))
+  }
+
   /** T3 — re-unfurl staleness selection (unfurl_version_range.py:201-212):
     * impacts never unfurled (null watermark) first, then those older than
     * the cutoff — nulls-first ordering per the reference. */

@@ -38,6 +38,14 @@ object GraftFunctions {
     Risk.parseScore(value).map(Double.box).orNull)
   val urlDomainUdf = udf((url: String) => Risk.urlDomain(url))
 
+  /** Parsed SSVC vector: expanded options (vector order) + decision. */
+  final case class SsvcOption(name: String, value: String)
+  final case class SsvcParsed(options: Seq[SsvcOption], decision: String)
+  val ssvcParseUdf = udf((vector: String) =>
+    Ssvc.parseVector(vector).map { case (opts, d) =>
+      SsvcParsed(opts.map { case (n, v) => SsvcOption(n, v) }, d)
+    }.orNull)
+
   def versionSortKey(scheme: Column, v: Column): Column =
     versionSortKeyUdf(scheme, v)
   def versionInRange(version: Column, spec: Column): Column =
@@ -58,6 +66,7 @@ object GraftFunctions {
     spark.udf.register("cvss_rating", cvssRatingUdf)
     spark.udf.register("severity_score", severityScoreUdf)
     spark.udf.register("url_domain", urlDomainUdf)
+    spark.udf.register("ssvc_parse", ssvcParseUdf)
     ()
   }
 }

@@ -23,10 +23,49 @@ object Ssvc {
     }
     val d = decision(exploitation, automatable, technicalImpact,
       missionWellbeing) match {
-      case "Act" => "C"; case "Attend" => "A"; case "Track*" => "S"
+      // letter convention per collect_ssvc_trees.py REVERSE_DECISION:
+      // T=Track, R=Track*, A=Attend, C=Act
+      case "Act" => "C"; case "Attend" => "A"; case "Track*" => "R"
       case _ => "T"
     }
     s"SSVCv2/E:$e/A:$a/T:$t/M:$m/D:$d/"
+  }
+
+  /** Metric letter → (name, value-expansion) maps
+    * (collect_ssvc_trees.py:171-186 REVERSE_POINTS / REVERSE_DECISION). */
+  private val ReversePoints: Map[String, (String, Map[String, String])] = Map(
+    "E" -> ("Exploitation", Map("N" -> "none", "P" -> "poc", "A" -> "active")),
+    "A" -> ("Automatable", Map("N" -> "no", "Y" -> "yes")),
+    "T" -> ("Technical Impact", Map("P" -> "partial", "T" -> "total")),
+    "P" -> ("Mission Prevalence",
+      Map("M" -> "minimal", "S" -> "support", "E" -> "essential")),
+    "B" -> ("Public Well-being Impact",
+      Map("M" -> "minimal", "A" -> "material", "I" -> "irreversible")),
+    "M" -> ("Mission & Well-being",
+      Map("L" -> "low", "M" -> "medium", "H" -> "high")))
+
+  private val ReverseDecision: Map[String, String] =
+    Map("T" -> "Track", "R" -> "Track*", "A" -> "Attend", "C" -> "Act")
+
+  /** Parse an SSVCv2 vector into its expanded option list (vector order
+    * preserved) and decision; None when the vector is malformed or carries
+    * no decodable decision (collect_ssvc_trees.py:191-231). */
+  def parseVector(vector: String): Option[(Seq[(String, String)], String)] = {
+    val v = Option(vector).getOrElse("").trim
+    if (!v.startsWith("SSVCv2/")) return None
+    val parts = v.stripPrefix("SSVCv2/").split('/').filter(_.contains(':'))
+    var decision: Option[String] = None
+    val options = Seq.newBuilder[(String, String)]
+    parts.foreach { p =>
+      val i = p.indexOf(':')
+      val (k, value) = (p.substring(0, i), p.substring(i + 1))
+      if (k == "D") decision = ReverseDecision.get(value)
+      else ReversePoints.get(k).foreach { case (name, mapping) =>
+        mapping.get(value).foreach(x => options += (name -> x))
+      }
+    }
+    val opts = options.result()
+    decision.filter(_ => opts.nonEmpty).map(d => (opts, d))
   }
 
   /** Coordinator decision table (CISA SSVC guide). */

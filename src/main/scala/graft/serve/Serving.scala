@@ -165,6 +165,29 @@ object Serving {
         round(least(coalesce(col("max_severity"), lit(0.0)) *
           coalesce(col("max_exploitability"), lit(0.0)), lit(10.0)), 1))
 
+  /** Nested SSVC lists per advisory (api_v3.py:424-443: the
+    * related_ssvcs / source_ssvcs Prefetch shape — vector, decision,
+    * options, source advisory url). `ssvc` from
+    * AdvisoryDerive.ssvcDecisions, `relations` from ssvcRelations. */
+  def advisorySsvc(advisories: DataFrame, ssvc: DataFrame,
+      relations: DataFrame): DataFrame = {
+    val ssvcStruct = struct(col("vector"), col("decision"), col("options"),
+      col("source_url"))
+    val related = relations.join(ssvc, Seq("source_avid"))
+      .groupBy("avid")
+      .agg(collect_list(ssvcStruct).as("related_ssvcs"))
+    val source = ssvc.groupBy(col("source_avid").as("avid"))
+      .agg(collect_list(ssvcStruct).as("source_ssvcs"))
+    advisories.filter(col("is_latest"))
+      .select("avid", "summary", "aliases")
+      .join(related, Seq("avid"), "left")
+      .join(source, Seq("avid"), "left")
+      .withColumn("related_ssvcs",
+        coalesce(col("related_ssvcs"), array()))
+      .withColumn("source_ssvcs",
+        coalesce(col("source_ssvcs"), array()))
+  }
+
   /** Vulnerability counts per package group (A1/A2). */
   def vulnerabilityCounts(unfurled: DataFrame): DataFrame =
     unfurled.filter(col("is_affected"))
