@@ -46,6 +46,57 @@ object Serving {
       .drop("_hit")
   }
 
+  /** The latest-affecting / latest-fixed-by queryset family
+    * (models.py:2946-3067) as one parameterized form. `purls` is the
+    * bounded request list (base_purl, version); `mode` selects which
+    * unfurl edge qualifies an advisory:
+    *  - "affecting": latest_affecting_advisories_for_purl(s)
+    *  - "fixed": latest_fixed_by_advisories_for_purl(s)
+    *  - "both": latest_advisories_for_purl(s) (affecting ∪ fixed-by)
+    * The reference's `_all_impacts_unfurled_at__isnull=False` guard is
+    * implicit here: unfurled rows only exist for unfurled impacts.
+    * Scale shape: corpus streams against the broadcast request, the
+    * matched avid set (request-bounded) semi-joins advisories.
+    */
+  def advisoriesForPurls(advisories: DataFrame, unfurled: DataFrame,
+      purls: DataFrame, mode: String = "affecting"): DataFrame = {
+    val edge = mode match {
+      case "affecting" => col("is_affected")
+      case "fixed"     => col("is_fixed")
+      case "both"      => col("is_affected") || col("is_fixed")
+    }
+    val avids = unfurled.filter(edge)
+      .join(broadcast(purls), Seq("base_purl", "version"), "left_semi")
+      .select("avid").distinct()
+    advisories.filter(col("is_latest"))
+      .join(broadcast(avids), Seq("avid"), "left_semi")
+  }
+
+  /** latest_*_advisory_purls_pairs (models.py:2966-2978, 3003-3015):
+    * distinct (versioned purl, avid) pairs for a request list. */
+  def advisoryPurlPairs(unfurled: DataFrame, purls: DataFrame,
+      mode: String = "affecting"): DataFrame = {
+    val edge = mode match {
+      case "affecting" => col("is_affected")
+      case "fixed"     => col("is_fixed")
+      case "both"      => col("is_affected") || col("is_fixed")
+    }
+    unfurled.filter(edge)
+      .join(broadcast(purls), Seq("base_purl", "version"), "left_semi")
+      .select(concat(col("base_purl"), lit("@"), col("version")).as("purl"),
+        col("avid"))
+      .distinct()
+  }
+
+  /** todo_excluded (models.py:3069-3073, TODO_EXCLUDED_PIPELINES): drop
+    * advisories from datasources flagged exclude_from_package_todo —
+    * a data-shaped dimension set, broadcast by construction. */
+  def todoExcluded(advisories: DataFrame,
+      excludedDatasources: DataFrame): DataFrame =
+    advisories.join(
+      broadcast(excludedDatasources.select("datasource_id")),
+      Seq("datasource_id"), "left_anti")
+
   /** Search cascade (models.py:150-178): exact alias → alias prefix →
     * summary contains; first non-empty tier wins. Driver-side short-
     * circuit mirrors the reference's exists() checks. */

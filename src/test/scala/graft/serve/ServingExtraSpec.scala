@@ -35,6 +35,41 @@ class ServingExtraSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Set("pkg:npm/lodash", "pkg:npm/express"))
   }
 
+  test("latest-affecting/fixed-by/both queryset variants (S9)") {
+    val sp = spark
+    import sp.implicits._
+    val advs = Seq(
+      ("src/A", "ds1", true), ("src/B", "ds1", true), ("src/C", "ds2", true),
+      ("src/A-old", "ds1", false))
+      .toDF("avid", "datasource_id", "is_latest")
+    // unfurled rows only exist for latest advisories (impacts() filters
+    // is_latest), mirroring the reference's is_latest + unfurled-at guard
+    val unfurled = Seq(
+      ("src/A", "pkg:npm/x", "1.0", true, false),
+      ("src/A", "pkg:npm/x", "2.0", false, true),
+      ("src/B", "pkg:npm/x", "2.0", true, false),
+      ("src/C", "pkg:npm/y", "1.0", true, false))
+      .toDF("avid", "base_purl", "version", "is_affected", "is_fixed")
+    val req = Seq(("pkg:npm/x", "2.0")).toDF("base_purl", "version")
+
+    def avids(mode: String) =
+      Serving.advisoriesForPurls(advs, unfurled, req, mode)
+        .select("avid").collect().map(_.getString(0)).toSet
+    // x@2.0: B affects it, A fixes by it, C unrelated
+    assert(avids("affecting") == Set("src/B"))
+    assert(avids("fixed") == Set("src/A"))
+    assert(avids("both") == Set("src/A", "src/B"))
+
+    val pairs = Serving.advisoryPurlPairs(unfurled, req, "both")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("pkg:npm/x@2.0", "src/A"), ("pkg:npm/x@2.0", "src/B")))
+
+    val kept = Serving.todoExcluded(advs,
+      Seq("ds2").toDF("datasource_id"))
+      .select("avid").collect().map(_.getString(0)).toSet
+    assert(kept == Set("src/A", "src/B", "src/A-old"))
+  }
+
   test("keyed pagination is stable and O(page) (W6)") {
     val sp = spark
     import sp.implicits._
