@@ -49,7 +49,15 @@ object ConnectedComponents {
   /** Contracted-graph edge count below which the remainder is solved with
     * the in-partition DSU on the driver (the contracted graph after one
     * round is component-level — orders of magnitude smaller than the
-    * input; iterate distributed rounds until it fits, then finish). */
+    * input; iterate distributed rounds until it fits, then finish).
+    *
+    * MEMORY BOUND: the collected rows are exactly two longs each (the
+    * contract projects to (c_src, c_dst) before the count guard), so the
+    * driver holds ≤ threshold × 16 bytes ≈ 3.2 MB of payload plus tuple
+    * overhead — a fixed bound that cannot widen if upstream edge rows
+    * grow columns. `tryLocalFinish` asserts the two-column shape so any
+    * future schema change fails fast instead of silently inflating the
+    * collect. */
   private val LocalFinishThreshold = 200000L
 
   /** Contract edges to component level and, if small, finish locally:
@@ -67,6 +75,13 @@ object ConnectedComponents {
       .filter(col("c_src") =!= col("c_dst"))
       .distinct()
       .localCheckpoint()
+    // the collect below is bounded: ≤ LocalFinishThreshold rows of exactly
+    // two long columns (see threshold scaladoc)
+    assert(compEdges.schema.fields.length == 2 &&
+      compEdges.schema.fields.forall(
+        _.dataType == org.apache.spark.sql.types.LongType),
+      s"local-finish expects (long, long) component edges, " +
+        s"got ${compEdges.schema.simpleString}")
     if (compEdges.count() > LocalFinishThreshold) None
     else {
       val pairs = compEdges.as[(Long, Long)].collect()
