@@ -68,36 +68,126 @@ object Ssvc {
     decision.filter(_ => opts.nonEmpty).map(d => (opts, d))
   }
 
-  /** Coordinator decision table (CISA SSVC guide). */
+  /** The full coordinator decision table, transcribed verbatim from the
+    * public CISA SSVC guide (the same 36-entry lookup the reference embeds
+    * in utils.py:815-852). An explicit table, not case heuristics: round 1
+    * compressed it into patterns and got four cells wrong (Track* where
+    * the guide says Track). */
+  private val DecisionTable: Map[(String, String, String, String), String] = Map(
+    ("none", "no", "partial", "low") -> "Track",
+    ("none", "no", "partial", "medium") -> "Track",
+    ("none", "no", "partial", "high") -> "Track",
+    ("none", "no", "total", "low") -> "Track",
+    ("none", "no", "total", "medium") -> "Track",
+    ("none", "no", "total", "high") -> "Track*",
+    ("none", "yes", "partial", "low") -> "Track",
+    ("none", "yes", "partial", "medium") -> "Track",
+    ("none", "yes", "partial", "high") -> "Attend",
+    ("none", "yes", "total", "low") -> "Track",
+    ("none", "yes", "total", "medium") -> "Track",
+    ("none", "yes", "total", "high") -> "Attend",
+    ("poc", "no", "partial", "low") -> "Track",
+    ("poc", "no", "partial", "medium") -> "Track",
+    ("poc", "no", "partial", "high") -> "Track*",
+    ("poc", "no", "total", "low") -> "Track",
+    ("poc", "no", "total", "medium") -> "Track*",
+    ("poc", "no", "total", "high") -> "Attend",
+    ("poc", "yes", "partial", "low") -> "Track",
+    ("poc", "yes", "partial", "medium") -> "Track",
+    ("poc", "yes", "partial", "high") -> "Attend",
+    ("poc", "yes", "total", "low") -> "Track",
+    ("poc", "yes", "total", "medium") -> "Track*",
+    ("poc", "yes", "total", "high") -> "Attend",
+    ("active", "no", "partial", "low") -> "Track",
+    ("active", "no", "partial", "medium") -> "Track",
+    ("active", "no", "partial", "high") -> "Attend",
+    ("active", "no", "total", "low") -> "Track",
+    ("active", "no", "total", "medium") -> "Attend",
+    ("active", "no", "total", "high") -> "Act",
+    ("active", "yes", "partial", "low") -> "Attend",
+    ("active", "yes", "partial", "medium") -> "Attend",
+    ("active", "yes", "partial", "high") -> "Act",
+    ("active", "yes", "total", "low") -> "Attend",
+    ("active", "yes", "total", "medium") -> "Act",
+    ("active", "yes", "total", "high") -> "Act")
+
+  /** Coordinator decision (CISA SSVC guide); "Track" for off-table input
+    * normalizations (e.g. unknown exploitation text → none). */
   def decision(exploitation: String, automatable: String,
       technicalImpact: String, missionWellbeing: String): String = {
-    val e = exploitation.toLowerCase
-    val a = automatable.equalsIgnoreCase("yes")
-    val t = technicalImpact.equalsIgnoreCase("total")
-    val m = missionWellbeing.toLowerCase
-    (e, a, t, m) match {
-      // active exploitation
-      case ("active", true, _, "high")      => "Act"
-      case ("active", true, true, "medium") => "Act"
-      case ("active", true, _, _)           => "Attend"
-      case ("active", false, true, "high")  => "Act"
-      case ("active", false, _, "high")     => "Attend"
-      case ("active", false, true, "medium") => "Attend"
-      case ("active", false, _, _)          => "Track*"
-      // poc
-      case ("poc", true, _, "high")         => "Attend"
-      case ("poc", true, true, "medium")    => "Track*"
-      case ("poc", true, _, _)              => "Track"
-      case ("poc", false, true, "high")     => "Attend"
-      case ("poc", false, _, "high")        => "Track*"
-      case ("poc", false, true, "medium")   => "Track*"
-      case ("poc", false, _, _)             => "Track"
-      // none
-      case (_, true, _, "high")             => "Attend"
-      case (_, true, true, "medium")        => "Track*"
-      case (_, true, _, _)                  => "Track"
-      case (_, false, true, "high")         => "Track*"
-      case (_, false, _, _)                 => "Track"
+    val e = exploitation.toLowerCase match {
+      case x @ ("active" | "poc") => x
+      case _ => "none"
+    }
+    val a = if (automatable.equalsIgnoreCase("yes")) "yes" else "no"
+    val t = if (technicalImpact.equalsIgnoreCase("total")) "total" else "partial"
+    val m = missionWellbeing.toLowerCase match {
+      case x @ ("high" | "medium") => x
+      case _ => "low"
+    }
+    DecisionTable((e, a, t, m))
+  }
+
+  /** Mission Prevalence × Public Well-being Impact → Mission & Well-being
+    * (utils.py:766-787, CISA guide table). */
+  private val MissionWellBeing: Map[(String, String), String] = Map(
+    ("minimal", "minimal") -> "low",
+    ("minimal", "material") -> "medium",
+    ("minimal", "irreversible") -> "high",
+    ("support", "minimal") -> "medium",
+    ("support", "material") -> "medium",
+    ("support", "irreversible") -> "high",
+    ("essential", "minimal") -> "high",
+    ("essential", "material") -> "high",
+    ("essential", "irreversible") -> "high")
+
+  private val VectorLetter: Map[String, (String, Map[String, String])] =
+    ReversePoints.map { case (letter, (name, m)) =>
+      name -> (letter, m.map(_.swap))
+    }
+
+  /** ssvc_calculator (utils.py:752-863): an SSVC options list (named
+    * decision values, e.g. from a vulnrichment "other/ssvc" metric) →
+    * (vector string, decision). Missing Mission Prevalence defaults to
+    * minimal, missing Public Well-being to material; Mission & Well-being
+    * derives from the table; options render in input order followed by
+    * the derived M and the D decision letter, then the timestamp. */
+  def calculator(options: Seq[(String, String)],
+      timestamp: Option[String] = None): Option[(String, String)] = {
+    // an input Mission & Well-being is always recomputed from the table
+    // (utils.py:785-787 overwrites it), so drop it before appending ours
+    val given = options.map { case (k, v) => k -> v.toLowerCase }
+      .filterNot(_._1 == "Mission & Well-being")
+    val withDefaults = given ++
+      (if (!given.exists(_._1 == "Mission Prevalence"))
+        Seq("Mission Prevalence" -> "minimal") else Seq.empty) ++
+      (if (!given.exists(_._1 == "Public Well-being Impact"))
+        Seq("Public Well-being Impact" -> "material") else Seq.empty)
+    val dict = withDefaults.toMap
+    val mw = for {
+      p <- dict.get("Mission Prevalence")
+      b <- dict.get("Public Well-being Impact")
+      m <- MissionWellBeing.get((p, b))
+    } yield m
+    val all = withDefaults ++ mw.map("Mission & Well-being" -> _).toSeq
+    val rendered = all.flatMap { case (name, value) =>
+      VectorLetter.get(name).flatMap { case (letter, toLetter) =>
+        toLetter.get(value).map(l => s"$letter:$l")
+      }
+    }
+    if (rendered.isEmpty) return None
+    val d = for {
+      e <- dict.get("Exploitation")
+      a <- dict.get("Automatable")
+      t <- dict.get("Technical Impact")
+      m <- mw
+      dec <- DecisionTable.get((e, a, t, m))
+    } yield dec
+    d.map { dec =>
+      val dLetter = Map("Track" -> "T", "Track*" -> "R", "Attend" -> "A",
+        "Act" -> "C")(dec)
+      val ts = timestamp.map(_ + "/").getOrElse("")
+      (s"SSVCv2/${rendered.mkString("/")}/D:$dLetter/$ts", dec)
     }
   }
 }

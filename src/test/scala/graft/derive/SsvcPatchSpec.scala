@@ -48,7 +48,7 @@ class SsvcPatchSpec extends AnyFunSuite with SparkTestSession {
         "Public Well-being Impact" -> "material",
         "Mission & Well-being" -> "high"), "Act")))
     // Track* letter is R per the reference's REVERSE_DECISION
-    assert(Ssvc.vector("active", "no", "partial", "low").endsWith("D:R/"))
+    assert(Ssvc.vector("poc", "no", "total", "medium").endsWith("D:R/"))
     assert(Ssvc.parseVector("SSVCv2/E:N/A:N/T:P/D:R/").get._2 == "Track*")
     assert(Ssvc.parseVector("garbage").isEmpty)
     assert(Ssvc.parseVector("SSVCv2/E:A/").isEmpty) // no decision

@@ -1,0 +1,176 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Ssvc
+import graft.operators.SparkTestSession
+
+class SsvcCalculatorSpec extends AnyFunSuite {
+  test("ssvc_calculator ground truth (test_vulnrichment.py:38-69)") {
+    assert(Ssvc.calculator(
+      Seq("Exploitation" -> "poc", "Automatable" -> "no",
+        "Technical Impact" -> "partial"),
+      Some("2024-05-28T15:58:04Z")) ==
+      Some(("SSVCv2/E:P/A:N/T:P/P:M/B:A/M:M/D:T/2024-05-28T15:58:04Z/",
+        "Track")))
+    assert(Ssvc.calculator(
+      Seq("Exploitation" -> "active", "Automatable" -> "no",
+        "Technical Impact" -> "total",
+        "Mission Prevalence" -> "Minimal",
+        "Public Well-being Impact" -> "Material",
+        "Mission & Well-being" -> "medium"),
+      Some("2024-05-28T15:58:04Z")) ==
+      Some(("SSVCv2/E:A/A:N/T:T/P:M/B:A/M:M/D:A/2024-05-28T15:58:04Z/",
+        "Attend")))
+  }
+
+  test("decision table matches the CISA guide cells round 1 got wrong") {
+    assert(Ssvc.decision("active", "no", "partial", "low") == "Track")
+    assert(Ssvc.decision("active", "no", "partial", "medium") == "Track")
+    assert(Ssvc.decision("active", "no", "total", "low") == "Track")
+    assert(Ssvc.decision("none", "yes", "total", "medium") == "Track")
+    assert(Ssvc.decision("active", "no", "total", "medium") == "Attend")
+    assert(Ssvc.decision("poc", "no", "total", "medium") == "Track*")
+  }
+}
+
+class AlpineIngestSpec extends AnyFunSuite with SparkTestSession {
+  private val secdb =
+    """{"archs": ["x86_64", "aarch64"], "reponame": "main",
+      |"distroversion": "v3.19",
+      |"packages": [{"pkg": {"name": "xen", "secfixes": {
+      |  "4.10.0-r2": ["CVE-2030-7540 XSA-252"],
+      |  "4.10.0-r1": ["XSA-248_someting (oddball)"],
+      |  "0": ["notvalid"]
+      |}}}]}""".stripMargin.replaceAll("\n", "")
+
+  test("secdb explodes to per-(pkg, version, vuln) advisories (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = AlpineIngest.parse(sp,
+      Seq(("alpine_linux", secdb)).toDF("datasource_id", "json"))
+      .collect().map(a => a.advisory_id -> a).toMap
+    // the "notvalid" id row drops entirely; the parenthetical is removed
+    // and the _ suffix cleaned
+    assert(rows.keySet == Set(
+      "xen/v3.19/4.10.0-r2/CVE-2030-7540",
+      "xen/v3.19/4.10.0-r1/XSA-248-someting"))
+    val cveRow = rows("xen/v3.19/4.10.0-r2/CVE-2030-7540")
+    assert(cveRow.aliases == Seq("CVE-2030-7540", "XSA-252"))
+    assert(cveRow.references.map(_.url) ==
+      Seq("https://nvd.nist.gov/vuln/detail/CVE-2030-7540"))
+    assert(cveRow.affected.map(_.purl).sorted == Seq(
+      "pkg:apk/alpine/xen?arch=aarch64&distroversion=v3.19&reponame=main",
+      "pkg:apk/alpine/xen?arch=x86_64&distroversion=v3.19&reponame=main"))
+    assert(cveRow.affected.head.fixed_vers == "vers:alpine/=4.10.0-r2")
+    val xsaRow = rows("xen/v3.19/4.10.0-r1/XSA-248-someting")
+    assert(xsaRow.references.head.url ==
+      "https://xenbits.xen.org/xsa/advisory-someting.html")
+  }
+}
+
+class NginxIngestSpec extends AnyFunSuite with SparkTestSession {
+  private val page =
+    """<html><body><ul>
+      |<li><p>Buffer overwrite in HTTP/3<br>Severity: medium<br>
+      |<a href="https://mailman.nginx.org/pipermail/ann/X.html">Advisory</a><br>
+      |<a href="https://www.cve.org/CVERecord?id=CVE-2030-32760">CVE-2030-32760</a><br>
+      |Not vulnerable: 1.27.0+, 1.26.1+<br>
+      |Vulnerable: 1.25.0-1.25.5, 1.26.0</p></li>
+      |<li><p>Windows directory traversal<br>Severity: major<br>
+      |<a href="/download/patch.2009.dav.txt">The patch</a><br>
+      |<a href="http://cve.mitre.org/cgi-bin/cvename.cgi?name=CVE-2030-3898">CVE-2030-3898</a><br>
+      |Not vulnerable: 0.8.41+<br>
+      |Vulnerable: nginx/Windows 0.7.52-0.8.40</p></li>
+      |</ul></body></html>""".stripMargin.replaceAll("\n", "")
+
+  test("security advisories page parses per-paragraph (S2, V5 inputs)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = NginxIngest.parse(sp,
+      Seq(("nginx", page)).toDF("datasource_id", "html"))
+      .collect().map(a => a.advisory_id -> a).toMap
+    assert(rows.keySet == Set("CVE-2030-32760", "CVE-2030-3898"))
+
+    val h3 = rows("CVE-2030-32760")
+    assert(h3.summary == "Buffer overwrite in HTTP/3")
+    assert(h3.severities.map(s => (s.scoring_system, s.value)) ==
+      Seq(("generic_textual", "medium")))
+    val ap = h3.affected.head
+    assert(ap.purl == "pkg:nginx/nginx")
+    assert(ap.affecting_vers ==
+      "vers:nginx/>=1.25.0|<=1.25.5|=1.26.0")
+    assert(ap.fixed_vers == "vers:nginx/>=1.27.0|>=1.26.1")
+    assert(h3.references.exists(r =>
+      r.url == "https://nvd.nist.gov/vuln/detail/CVE-2030-32760"))
+    assert(h3.references.exists(_.url.contains("mailman")))
+
+    val win = rows("CVE-2030-3898")
+    assert(win.affected.head.purl == "pkg:nginx/nginx?os=windows")
+    assert(win.affected.head.affecting_vers ==
+      "vers:nginx/>=0.7.52|<=0.8.40")
+    assert(win.references.exists(r => r.reference_type == "patch" &&
+      r.url == "https://nginx.org/download/patch.2009.dav.txt"))
+    // an anchor whose text IS the CVE id takes the alias branch (the
+    // reference keeps the nvd link, not the mitre href —
+    // nginx_importer.py:212-219)
+    assert(win.references.exists(r => r.reference_type == "advisory" &&
+      r.url == "https://nvd.nist.gov/vuln/detail/CVE-2030-3898"))
+    assert(!win.references.exists(_.url.contains("cve.mitre.org")))
+  }
+}
+
+class VulnrichmentIngestSpec extends AnyFunSuite with SparkTestSession {
+  private val cve =
+    """{"cveMetadata": {"cveId": "CVE-2030-4901", "state": "PUBLISHED",
+      |  "datePublished": "2030-06-26T23:31:05.422Z"},
+      |"containers": {"cna": {
+      |  "descriptions": [{"lang": "en", "value": "Stored XSS in widget."}],
+      |  "metrics": [{"cvssV3_1": {
+      |    "vectorString": "CVSS:3.1/AV:N/AC:L/PR:L/UI:R/S:C/C:H/I:H/A:N",
+      |    "baseScore": 8.7}}],
+      |  "affected": [{"cpes": ["cpe:2.3:a:acme:widget:*:*:*:*:*:*:*:*"]}],
+      |  "references": [
+      |    {"url": "https://acme.example/issues/461773",
+      |     "tags": ["issue-tracking", "permissions-required"]},
+      |    {"url": "https://hackerone.example/reports/2508114"}],
+      |  "problemTypes": [{"descriptions": [
+      |    {"cweId": "CWE-79", "description": "XSS"},
+      |    {"description": "see CWE-80 text"}]}]},
+      |"adp": [{"metrics": [{"other": {"type": "ssvc", "content": {
+      |  "options": [{"Exploitation": "none"}, {"Automatable": "no"},
+      |              {"Technical Impact": "total"}],
+      |  "timestamp": "2030-06-28T03:55:15.710247Z"}}}]}]}}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("CVE 5.x record parses: cvss + ssvc metrics, cpes, weaknesses (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = VulnrichmentIngest.parse(sp,
+      Seq(("vulnrichment", cve)).toDF("datasource_id", "json")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "CVE-2030-4901")
+    assert(a.summary == "Stored XSS in widget.")
+    assert(a.weaknesses == Seq(79, 80))
+    val sevs = a.severities.map(s => s.scoring_system -> s).toMap
+    assert(sevs("cvssv3.1").value == "8.7")
+    assert(sevs("cvssv3.1").scoring_elements
+      .startsWith("CVSS:3.1/AV:N"))
+    // ssvc: E:none/A:no/T:total -> M&W defaults to medium -> Track
+    assert(sevs("ssvc").value == "Track")
+    assert(sevs("ssvc").scoring_elements ==
+      "SSVCv2/E:N/A:N/T:T/P:M/B:A/M:M/D:T/2030-06-28T03:55:15Z/")
+    assert(a.references.exists(r => r.reference_type == "bug" &&
+      r.reference_id == "461773"))
+    assert(a.references.exists(r => r.reference_type == "other" &&
+      r.reference_id == "2508114"))
+    assert(a.references.exists(r =>
+      r.reference_id.startsWith("cpe:2.3:a:acme")))
+    // feeds the SSVC mart end-to-end
+    val ssvc = graft.derive.AdvisoryDerive.ssvcDecisions(
+      graft.derive.AdvisoryDerive.withContentIdAndLatest(
+        Seq(a).toDF()))
+    assert(ssvc.collect().head.getAs[String]("decision") == "Track")
+  }
+}
