@@ -298,6 +298,20 @@ object AdvisoryDerive {
       .distinct()
   }
 
+  /** AdvisoryExploit mart (enhance_with_exploitdb.py:72-130,
+    * enhance_with_metasploit.py:59-130, Exploit model models.py:1720-1808):
+    * catalog records — KEV, Exploit-DB, Metasploit, all shaped as
+    * (alias, record_id, data_source, dates, description, flags) — match
+    * advisories by alias and dedupe per the improvers' seen-key
+    * (advisory, data_source, record_id). The catalog side is bounded
+    * (tens of thousands of rows) and broadcasts. */
+  def advisoryExploits(advisories: DataFrame, records: DataFrame): DataFrame = {
+    val links = aliasLinks(advisories)
+    links.join(broadcast(records), Seq("alias"))
+      .dropDuplicates("avid", "data_source", "record_id")
+      .drop("alias")
+  }
+
   /** SSVC decision mart (collect_ssvc_trees.py:43-189 + models.py:4051-4071):
     * one row per (source avid, vector) from ssvc-system severities, with
     * the vector expanded to its option list and decision. Distributed

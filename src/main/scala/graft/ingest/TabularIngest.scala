@@ -41,4 +41,85 @@ object TabularIngest {
     aliasLinks.join(broadcast(exploits), col("alias") === col("cve"))
       .select(col("avid"), col("cve"), col("data_source"),
         col("known_ransomware_campaign_use"))
+
+  /** Exploit-DB files_exploits.csv schema subset
+    * (v2_improvers/enhance_with_exploitdb.py:64-130). */
+  val exploitDbSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("file", StringType),
+    StructField("description", StringType),
+    StructField("date_published", StringType),
+    StructField("author", StringType),
+    StructField("type", StringType),
+    StructField("platform", StringType),
+    StructField("port", StringType),
+    StructField("date_added", StringType),
+    StructField("date_updated", StringType),
+    StructField("verified", StringType),
+    StructField("codes", StringType),
+    StructField("tags", StringType),
+    StructField("aliases", StringType),
+    StructField("screenshot_url", StringType),
+    StructField("application_url", StringType),
+    StructField("source_url", StringType)))
+
+  /** Parse Exploit-DB's catalog CSV into per-alias exploit records: the
+    * `codes` column holds `;`-separated CVE/OSVDB ids, each becoming one
+    * match key (enhance_with_exploitdb.py:72-130, Exploit model
+    * models.py:1720-1808). */
+  def exploitDbFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(exploitDbSchema).csv(path)
+      .filter(col("codes").isNotNull && length(trim(col("codes"))) > 0)
+      .select(explode(split(col("codes"), ";")).as("alias"),
+        lit("Exploit-DB").as("data_source"),
+        to_date(col("date_added")).as("date_added"),
+        col("description"),
+        // the reference maps the catalog's `verified` flag here
+        // (enhance_with_exploitdb.py:119)
+        (col("verified") === "1").as("known_ransomware_campaign_use"),
+        to_date(col("date_published")).as("source_date_published"),
+        col("type").as("exploit_type"),
+        col("platform"),
+        to_date(col("date_updated")).as("source_date_updated"),
+        col("source_url"),
+        lit(null).cast("string").as("notes"))
+      .withColumn("record_id", col("alias"))
+      .filter(length(col("alias")) > 0)
+
+  private val MetasploitRecord = StructType(Seq(
+    StructField("description", StringType),
+    StructField("notes", MapType(StringType, ArrayType(StringType))),
+    StructField("platform", StringType),
+    StructField("path", StringType),
+    StructField("disclosure_date", StringType),
+    StructField("references", ArrayType(StringType))))
+
+  /** Parse the Metasploit modules JSON (one object keyed by module name)
+    * into per-reference exploit records
+    * (v2_improvers/enhance_with_metasploit.py:59-130). */
+  def metasploitFromJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").text(path)
+    raw.select(explode(from_json(col("value"),
+        MapType(StringType, MetasploitRecord))).as(Seq("module", "r")))
+      .filter(col("r.path").isNotNull)
+      .select(col("r.*"))
+      .select(
+        explode(filter(coalesce(col("references"),
+          array().cast("array<string>")),
+          ref => !ref.startsWith("OSVDB") && !ref.startsWith("URL-")))
+          .as("alias"),
+        col("path").as("record_id"),
+        lit("Metasploit").as("data_source"),
+        lit(null).cast("date").as("date_added"),
+        col("description"),
+        lit(false).as("known_ransomware_campaign_use"),
+        to_date(col("disclosure_date")).as("source_date_published"),
+        lit(null).cast("string").as("exploit_type"),
+        col("platform"),
+        lit(null).cast("date").as("source_date_updated"),
+        concat(
+          lit("https://github.com/rapid7/metasploit-framework/tree/master"),
+          col("path")).as("source_url"),
+        to_json(col("notes")).as("notes"))
+  }
 }

@@ -239,6 +239,26 @@ object Serving {
         coalesce(col("source_ssvcs"), array()))
   }
 
+  /** Nested exploit list per advisory (the Exploit model's serving shape,
+    * models.py:1720-1812 incl. the Known/Unknown rendering of
+    * known_ransomware_campaign_use). `exploits` from
+    * AdvisoryDerive.advisoryExploits. */
+  def advisoryExploitsDetail(advisories: DataFrame,
+      exploits: DataFrame): DataFrame = {
+    val nested = exploits.groupBy("avid")
+      .agg(collect_list(struct(
+        col("data_source"), col("record_id"), col("description"),
+        col("date_added"), col("source_date_published"),
+        col("exploit_type"), col("platform"), col("source_url"),
+        when(col("known_ransomware_campaign_use"), "Known")
+          .otherwise("Unknown").as("known_ransomware_campaign_use")))
+        .as("exploits"))
+    advisories.filter(col("is_latest"))
+      .select("avid", "summary", "aliases")
+      .join(nested, Seq("avid"), "left")
+      .withColumn("exploits", coalesce(col("exploits"), array()))
+  }
+
   /** Vulnerability counts per package group (A1/A2). */
   def vulnerabilityCounts(unfurled: DataFrame): DataFrame =
     unfurled.filter(col("is_affected"))
