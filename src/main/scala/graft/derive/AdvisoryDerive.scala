@@ -367,14 +367,21 @@ object AdvisoryDerive {
           .as("vcs_url"),
         regexp_extract(col("url"), "/(?:commit|commits)/([0-9a-f]+)", 1)
           .as("commit_hash"))
-    commitRefs
+    commitPatchesFromLinks(commitRefs, patches)
+  }
+
+  /** commitPatches over pre-extracted structured links — the importer-fed
+    * path (AdvisoryJsonIngest.commitLinks yields the
+    * fixed_by_commit_patches rows importers carry,
+    * importer.py:207-301). */
+  def commitPatchesFromLinks(links: DataFrame, patches: DataFrame): DataFrame =
+    links.select("avid", "vcs_url", "commit_hash")
       .join(patches, Seq("vcs_url", "commit_hash"), "left")
       .groupBy("vcs_url", "commit_hash")
       .agg(array_sort(collect_set(col("avid"))).as("avids"),
         first(col("patch_text"), ignoreNulls = true).as("patch_text"))
       .withColumn("patch_checksum",
         when(col("patch_text").isNotNull, sha2(col("patch_text"), 512)))
-  }
 
   /** T3 — re-unfurl staleness selection (unfurl_version_range.py:201-212):
     * impacts never unfurled (null watermark) first, then those older than

@@ -96,10 +96,34 @@ object AdvisoryJsonIngest {
       .as[AdvisoryRow]
   }
 
+  /** Structured fixed-by commit links (importer.py:207-301 PatchData /
+    * fixed_by_commit_patches): (avid, vcs_url, commit_hash) rows that
+    * AdvisoryRow cannot carry — feed them to
+    * AdvisoryDerive.commitPatchesFromLinks. */
+  def commitLinks(spark: SparkSession, raw: DataFrame): DataFrame =
+    raw.withColumn("a", from_json(col("json"), schema))
+      .select(
+        concat(col("datasource_id"), lit("/"), col("a.advisory_id"))
+          .as("avid"),
+        explode(coalesce(col("a.affected_packages"), array().cast(
+          schema("affected_packages").dataType.simpleString))).as("ap"))
+      .select(col("avid"),
+        explode(col("ap.fixed_by_commit_patches")).as("p"))
+      .select(col("avid"), col("p.vcs_url").as("vcs_url"),
+        col("p.commit_hash").as("commit_hash"))
+      .filter(col("vcs_url").isNotNull && col("commit_hash").isNotNull)
+      .distinct()
+
   /** Read a directory of per-advisory JSON files. */
   def readTree(spark: SparkSession, path: String, datasourceId: String): Dataset[AdvisoryRow] = {
     val raw = spark.read.option("wholetext", "true").text(path)
       .select(col("value").as("json"), lit(datasourceId).as("datasource_id"))
     parse(spark, raw)
   }
+
+  /** Raw (json, datasource_id) rows for a tree — for secondary extracts
+    * like [[commitLinks]]. */
+  def rawTree(spark: SparkSession, path: String, datasourceId: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(col("value").as("json"), lit(datasourceId).as("datasource_id"))
 }

@@ -23,8 +23,13 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
     val sp = spark
     import sp.implicits._
     val advisories = AdvisoryDerive.withContentIdAndLatest(
-      Seq("pypa", "ghsa", "debian").map(src =>
-        AdvisoryJsonIngest.readTree(sp, s"$fixturesDir/$src", src).toDF())
+      (Seq("pypa", "ghsa", "debian").map(src =>
+        AdvisoryJsonIngest.readTree(sp, s"$fixturesDir/$src", src).toDF()) :+
+        graft.ingest.VulnrichmentIngest.parse(sp,
+          sp.read.option("wholetext", "true")
+            .text("src/test/resources/fixtures/vulnrichment")
+            .select(col("value").as("json"),
+              lit("vulnrichment").as("datasource_id"))).toDF())
         .reduce(_ unionByName _)).cache()
     val versionsDim = Seq(
       ("pkg:pypi/foo", "0.6.0"), ("pkg:pypi/foo", "0.6.18"),
@@ -66,6 +71,31 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
         AdvisoryDerive.advisorySets(sp, advisories), risk),
       "export_yaml" -> FederatedExport.serialize(
         advisories.withColumn("risk_score", lit(null).cast("double"))),
+      // round-2 marts: EPSS-donated risk, SSVC decisions + serving,
+      // structured commit patches, queryset variants
+      "risk_scores_epss" -> AdvisoryDerive.advisoryRiskWithDonors(
+        advisories,
+        graft.ingest.EpssIngest.donors(graft.ingest.EpssIngest.fromCsv(sp,
+          "src/test/resources/fixtures/epss/epss_scores_golden.csv")),
+        Seq.empty[(String, Int)].toDF("domain", "weight")),
+      "ssvc_decisions" -> AdvisoryDerive.ssvcDecisions(advisories),
+      "ssvc_serving" -> Serving.advisorySsvc(advisories,
+        AdvisoryDerive.ssvcDecisions(advisories),
+        AdvisoryDerive.ssvcRelations(advisories,
+          AdvisoryDerive.ssvcDecisions(advisories))),
+      "commit_patches" -> AdvisoryDerive.commitPatchesFromLinks(
+        AdvisoryJsonIngest.commitLinks(sp, Seq("pypa", "ghsa", "debian")
+          .map(src => AdvisoryJsonIngest.rawTree(sp, s"$fixturesDir/$src", src))
+          .reduce(_ unionByName _)),
+        Seq(("https://github.com/o/foo", "deadbeefdeadbeefdeadbeefdeadbeefdeadbeef",
+          "--- a/resolver.c\n+++ b/resolver.c\n@@ -1 +1 @@\n-off by one\n+fixed\n"))
+          .toDF("vcs_url", "commit_hash", "patch_text")),
+      "api_fixed_by_foo" -> Serving.advisoriesForPurls(advisories, unfurled,
+        Seq(("pkg:pypi/foo", "1.20.0")).toDF("base_purl", "version"),
+        mode = "fixed").select("avid", "summary", "aliases"),
+      "api_purl_pairs" -> Serving.advisoryPurlPairs(unfurled,
+        Seq(("pkg:pypi/foo", "1.0.0"), ("pkg:pypi/foo", "1.20.0"))
+          .toDF("base_purl", "version"), mode = "both"),
     )
   }
 
@@ -73,7 +103,9 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
     "risk_scores", "nearest_fixes", "package_risk", "advisory_sets",
     "todos", "conflicts", "changelog", "api_affecting_foo_1_0_0",
     "api_affecting_detail_foo_1_0_0", "packages", "non_vulnerable_versions",
-    "advisory_set_summaries", "export_yaml").foreach { name =>
+    "advisory_set_summaries", "export_yaml", "risk_scores_epss",
+    "ssvc_decisions", "ssvc_serving", "commit_patches", "api_fixed_by_foo",
+    "api_purl_pairs").foreach { name =>
     test(s"golden: $name") {
       GoldenFiles.check(name, derived(name))
     }
