@@ -38,6 +38,17 @@ object GraftFunctions {
     Risk.parseScore(value).map(Double.box).orNull)
   val urlDomainUdf = udf((url: String) => Risk.urlDomain(url))
 
+  val cleanSummaryUdf = udf((s: String) => TextUtil.cleanSummary(s))
+  val frontMatterUdf = udf((s: String) => {
+    val (front, body) = TextUtil.splitFrontMatter(s)
+    (front, body)
+  })
+  val patchSourceUdf = udf((url: String) => TextUtil.classifyPatchSource(url))
+  val ssvcDecisionUdf = udf((e: String, a: String, t: String, m: String) =>
+    Ssvc.decision(e, a, t, m))
+  val ssvcVectorUdf = udf((e: String, a: String, t: String, m: String) =>
+    Ssvc.vector(e, a, t, m))
+
   /** Parsed SSVC vector: expanded options (vector order) + decision. */
   final case class SsvcOption(name: String, value: String)
   final case class SsvcParsed(options: Seq[SsvcOption], decision: String)
@@ -67,6 +78,11 @@ object GraftFunctions {
     spark.udf.register("severity_score", severityScoreUdf)
     spark.udf.register("url_domain", urlDomainUdf)
     spark.udf.register("ssvc_parse", ssvcParseUdf)
+    spark.udf.register("clean_summary", cleanSummaryUdf)
+    spark.udf.register("front_matter", frontMatterUdf)
+    spark.udf.register("patch_source", patchSourceUdf)
+    spark.udf.register("ssvc_decision", ssvcDecisionUdf)
+    spark.udf.register("ssvc_vector", ssvcVectorUdf)
     ()
   }
 }

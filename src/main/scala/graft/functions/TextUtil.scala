@@ -30,7 +30,10 @@ object TextUtil {
 
   /** clean_summary (F6, importer.py:717-723): strip + NUL → U+FFFD. */
   def cleanSummary(s: String): String =
-    Option(s).getOrElse("").trim.replace('\u0000', '\ufffd')
+    // strip (Unicode whitespace), not Java trim: trim removes every char
+    // <= U+0020 including the NULs Python's str.strip keeps -- an edge
+    // NUL must survive to be replaced, exactly as in the reference.
+    Option(s).getOrElse("").strip.replace('\u0000', '\ufffd')
 
   /** Commit-hash validation (utils.py is_commit). */
   def isCommit(s: String): Boolean =

@@ -295,5 +295,140 @@ object ScalarFunctionQueries extends QueryModule {
           coalesce(col("name"), lit("unknown")).as("cwe_name"))
         .orderBy("p_partkey")
     },
+
+    // F6 — clean_summary: strip + NUL → U+FFFD (importer.py:717-723),
+    // exercised on text with injected NULs and edge whitespace
+    q("f6_clean_summary",
+      """SELECT doc_id,
+        |       replace(trim(chr(0) || ' ' || text || '  '),
+        |               chr(0), chr(65533)) AS cleaned
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        GraftFunctions.cleanSummaryUdf(
+          concat(lit("\u0000 "), col("text"), lit("  "))).as("cleaned"))
+        .orderBy("doc_id")
+    },
+
+    // F13 — SSVC coordinator decision + vector over the full input grid
+    // (the 36-entry CISA table; the oracle re-derives decisions from the
+    // published table and letters from the vector convention)
+    q("f13_ssvc_decision",
+      """WITH g AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_type = 'error' THEN 'active'
+        |              WHEN event_type = 'purchase' THEN 'poc'
+        |              ELSE 'none' END AS e,
+        |         CASE WHEN value > 100 THEN 'yes' ELSE 'no' END AS a,
+        |         CASE WHEN event_type IN ('error','signup') THEN 'total'
+        |              ELSE 'partial' END AS t,
+        |         CASE WHEN user_id % 3 = 0 THEN 'high'
+        |              WHEN user_id % 3 = 1 THEN 'medium'
+        |              ELSE 'low' END AS m
+        |  FROM events),
+        |d AS (
+        |  SELECT event_id, e, a, t, m,
+        |    CASE e || '|' || a || '|' || t || '|' || m
+        |      WHEN 'none|no|partial|low' THEN 'Track'
+        |      WHEN 'none|no|partial|medium' THEN 'Track'
+        |      WHEN 'none|no|partial|high' THEN 'Track'
+        |      WHEN 'none|no|total|low' THEN 'Track'
+        |      WHEN 'none|no|total|medium' THEN 'Track'
+        |      WHEN 'none|no|total|high' THEN 'Track*'
+        |      WHEN 'none|yes|partial|low' THEN 'Track'
+        |      WHEN 'none|yes|partial|medium' THEN 'Track'
+        |      WHEN 'none|yes|partial|high' THEN 'Attend'
+        |      WHEN 'none|yes|total|low' THEN 'Track'
+        |      WHEN 'none|yes|total|medium' THEN 'Track'
+        |      WHEN 'none|yes|total|high' THEN 'Attend'
+        |      WHEN 'poc|no|partial|low' THEN 'Track'
+        |      WHEN 'poc|no|partial|medium' THEN 'Track'
+        |      WHEN 'poc|no|partial|high' THEN 'Track*'
+        |      WHEN 'poc|no|total|low' THEN 'Track'
+        |      WHEN 'poc|no|total|medium' THEN 'Track*'
+        |      WHEN 'poc|no|total|high' THEN 'Attend'
+        |      WHEN 'poc|yes|partial|low' THEN 'Track'
+        |      WHEN 'poc|yes|partial|medium' THEN 'Track'
+        |      WHEN 'poc|yes|partial|high' THEN 'Attend'
+        |      WHEN 'poc|yes|total|low' THEN 'Track'
+        |      WHEN 'poc|yes|total|medium' THEN 'Track*'
+        |      WHEN 'poc|yes|total|high' THEN 'Attend'
+        |      WHEN 'active|no|partial|low' THEN 'Track'
+        |      WHEN 'active|no|partial|medium' THEN 'Track'
+        |      WHEN 'active|no|partial|high' THEN 'Attend'
+        |      WHEN 'active|no|total|low' THEN 'Track'
+        |      WHEN 'active|no|total|medium' THEN 'Attend'
+        |      WHEN 'active|no|total|high' THEN 'Act'
+        |      WHEN 'active|yes|partial|low' THEN 'Attend'
+        |      WHEN 'active|yes|partial|medium' THEN 'Attend'
+        |      WHEN 'active|yes|partial|high' THEN 'Act'
+        |      WHEN 'active|yes|total|low' THEN 'Attend'
+        |      WHEN 'active|yes|total|medium' THEN 'Act'
+        |      WHEN 'active|yes|total|high' THEN 'Act'
+        |    END AS decision
+        |  FROM g)
+        |SELECT event_id, decision,
+        |       'SSVCv2/E:' ||
+        |         CASE e WHEN 'active' THEN 'A' WHEN 'poc' THEN 'P'
+        |                ELSE 'N' END ||
+        |       '/A:' || CASE a WHEN 'yes' THEN 'Y' ELSE 'N' END ||
+        |       '/T:' || CASE t WHEN 'total' THEN 'T' ELSE 'P' END ||
+        |       '/M:' || CASE m WHEN 'high' THEN 'H' WHEN 'medium' THEN 'M'
+        |                       ELSE 'L' END ||
+        |       '/D:' || CASE decision WHEN 'Act' THEN 'C'
+        |                  WHEN 'Attend' THEN 'A' WHEN 'Track*' THEN 'R'
+        |                  ELSE 'T' END || '/' AS vector
+        |FROM d ORDER BY event_id""") { (s, dir) =>
+      val g = t(s, dir, "events").select(col("event_id"),
+        when(col("event_type") === "error", "active")
+          .when(col("event_type") === "purchase", "poc")
+          .otherwise("none").as("e"),
+        when(col("value") > 100, "yes").otherwise("no").as("a"),
+        when(col("event_type").isin("error", "signup"), "total")
+          .otherwise("partial").as("t"),
+        when(pmod(col("user_id"), lit(3)) === 0, "high")
+          .when(pmod(col("user_id"), lit(3)) === 1, "medium")
+          .otherwise("low").as("m"))
+      g.select(col("event_id"),
+        GraftFunctions.ssvcDecisionUdf(col("e"), col("a"), col("t"),
+          col("m")).as("decision"),
+        GraftFunctions.ssvcVectorUdf(col("e"), col("a"), col("t"),
+          col("m")).as("vector"))
+        .orderBy("event_id")
+    },
+
+    // F19 — markdown front-matter split (utils.py:91-107): half the docs
+    // get a synthetic front-matter block, half stay plain
+    q("f19_front_matter",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'lang: ' || lang
+        |            ELSE '' END AS front,
+        |       text AS body
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val input = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("---\nlang: "), col("lang"), lit("\n---\n"), col("text")))
+        .otherwise(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        GraftFunctions.frontMatterUdf(input).as("fm"))
+        .select(col("doc_id"), col("fm._1").as("front"),
+          col("fm._2").as("body"))
+        .orderBy("doc_id")
+    },
+
+    // F22 — patch-source classification (pipes/advisory.py:203-250)
+    q("f22_patch_classify",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'commit_patch'
+        |            WHEN doc_id % 3 = 1 THEN 'patch'
+        |            ELSE 'reference' END AS source_kind
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val url = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("https://github.com/o/r/commit/"), md5(col("text"))))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("https://host/fix-"), col("doc_id"), lit(".patch")))
+        .otherwise(concat(lit("https://host/ref/"), col("doc_id")))
+      t(s, dir, "documents").select(col("doc_id"),
+        GraftFunctions.patchSourceUdf(url).as("source_kind"))
+        .orderBy("doc_id")
+    },
   )
 }
