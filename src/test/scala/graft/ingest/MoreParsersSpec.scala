@@ -174,3 +174,46 @@ class VulnrichmentIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(ssvc.collect().head.getAs[String]("decision") == "Track")
   }
 }
+
+class SuseScoreIngestSpec extends AnyFunSuite with SparkTestSession {
+  private val feed =
+    """---
+      |CVE-2030-0230:
+      |  cvss:
+      |    - version: 2.0
+      |      score: 4.3
+      |      vector: AV:N/AC:M/Au:N/C:N/I:N/A:P
+      |    - version: 3.1
+      |      score: 3.7
+      |      vector: CVSS:3.1/AV:N/AC:H/PR:N/UI:N/S:U/C:N/I:N/A:L
+      |CVE-2030-1605:
+      |  cvss:
+      |    - version: 5
+      |      score: 9.9
+      |      vector: CVSS:5.0/whatever
+      |    - version: 4
+      |      score: 9.3
+      |      vector: CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:N/SI:N/SA:N
+      |""".stripMargin
+
+  test("suse scores map to per-CVE severity advisories (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val ds = SuseScoreIngest.parse(sp,
+      Seq(("suse_score", feed)).toDF("datasource_id", "yaml"))
+    val rows = ds.collect().map(a => a.advisory_id -> a).toMap
+    assert(rows.keySet == Set("CVE-2030-0230", "CVE-2030-1605"))
+    assert(rows("CVE-2030-0230").severities
+      .map(s => (s.scoring_system, s.value)).toSet ==
+      Set(("cvssv2", "4.3"), ("cvssv3.1", "3.7")))
+    // unsupported version 5 dropped, v4 kept
+    assert(rows("CVE-2030-1605").severities
+      .map(_.scoring_system) == Seq("cvssv4"))
+
+    val donors = SuseScoreIngest.donors(ds).collect()
+    assert(donors.length == 3)
+    val d = donors.find(_.getAs[String]("scoring_system") == "cvssv4").get
+    assert(d.getAs[String]("match_key") == "CVE-2030-1605")
+    assert(d.getAs[Double]("score") == 9.3)
+  }
+}

@@ -70,3 +70,66 @@ class EventsStreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 }
+
+/** flatMapGroupsWithState maintenance of the latest pointer: import on
+  * first sight, update on strictly newer versions, silence on stale or
+  * duplicate re-delivery — the streaming form of W2 + T5. */
+class AdvisoryStreamingSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ave(avid: String, cid: String, t: String) =
+    AdvisoryVersionEvent(avid, cid, Timestamp.valueOf(t))
+
+  test("latest pointer emits import/update and drops stale arrivals") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[AdvisoryVersionEvent]
+    val query = AdvisoryStreaming.latestChanges(sp, mem.toDS())
+      .writeStream.format("memory").queryName("adv_changes")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ave("pypa/P-1", "c1", "2024-01-01 00:00:00"))
+      query.processAllAvailable()
+      mem.addData(
+        ave("pypa/P-1", "c2", "2024-02-01 00:00:00"), // newer -> update
+        ave("pypa/P-1", "c0", "2023-12-01 00:00:00"), // stale -> dropped
+        ave("ghsa/G-1", "g1", "2024-01-05 00:00:00")) // new avid -> import
+      query.processAllAvailable()
+      mem.addData(ave("pypa/P-1", "c2", "2024-02-01 00:00:00")) // dup
+      query.processAllAvailable()
+      val rows = sp.sql(
+        """SELECT avid, action_type, unique_content_id FROM adv_changes
+          |ORDER BY action_time, avid""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows == Seq(
+        ("pypa/P-1", "import", "c1"),
+        ("ghsa/G-1", "import", "g1"),
+        ("pypa/P-1", "update", "c2")))
+    } finally query.stop()
+  }
+
+  test("multi-version micro-batch collapses in batch-window order") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[AdvisoryVersionEvent]
+    val query = AdvisoryStreaming.latestChanges(sp, mem.toDS())
+      .writeStream.format("memory").queryName("adv_changes2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one batch delivers three versions out of order
+      mem.addData(
+        ave("deb/D-1", "c2", "2024-02-01 00:00:00"),
+        ave("deb/D-1", "c1", "2024-01-01 00:00:00"),
+        ave("deb/D-1", "c3", "2024-03-01 00:00:00"))
+      query.processAllAvailable()
+      val rows = sp.sql(
+        "SELECT action_type, unique_content_id FROM adv_changes2 " +
+          "ORDER BY action_time").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      // ordered within the batch: oldest imports, each newer updates
+      assert(rows == Seq(("import", "c1"), ("update", "c2"),
+        ("update", "c3")))
+    } finally query.stop()
+  }
+}
