@@ -40,6 +40,24 @@ object ConnectedComponents {
     val nPart = math.max(4, math.min(512, (nEdges / 1000000L).toInt + 1))
     // adjacency is reused every round — cache it
     val adj = sym.distinct().repartition(nPart, col("dst")).cache()
+    val nDistinct = adj.count()
+    // Round-0 fast path: when the whole graph already fits the bounded
+    // driver finish (same 16-bytes-per-edge bound as tryLocalFinish),
+    // skip the distributed rounds entirely — 4+ label-prop jobs cost far
+    // more than one small collect. Past the threshold the iterative
+    // contract-then-finish hybrid below is unchanged; the 100 TB path
+    // never takes this branch.
+    if (nDistinct <= 2L * LocalFinishThreshold) {
+      import spark.implicits._
+      val pairs = adj.filter(col("src") < col("dst"))
+        .as[(Long, Long)].collect()
+      val roots = dsuEdges(pairs)
+      val rootsDf = roots.toSeq.toDF("node", "root")
+      return adj.select(col("src").as("node")).distinct()
+        .join(broadcast(rootsDf), Seq("node"), "left")
+        .select(col("node"), coalesce(col("root"), col("node"))
+          .as("component"))
+    }
     val sq = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", nPart)
     try labelPropagationLoop(spark, adj, maxIter)
