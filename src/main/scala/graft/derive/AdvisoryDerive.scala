@@ -312,6 +312,14 @@ object AdvisoryDerive {
       .drop("alias")
   }
 
+  /** AdvisoryPOC mart (enhance_with_github_poc.py:42-80): PoC repo links
+    * matched to advisories by alias, unique per (advisory, url) like the
+    * improver's update_or_create key. */
+  def advisoryPocs(advisories: DataFrame, pocs: DataFrame): DataFrame =
+    aliasLinks(advisories).join(broadcast(pocs), Seq("alias"))
+      .dropDuplicates("avid", "url")
+      .drop("alias")
+
   /** SSVC decision mart (collect_ssvc_trees.py:43-189 + models.py:4051-4071):
     * one row per (source avid, vector) from ssvc-system severities, with
     * the vector expanded to its option list and decision. Distributed

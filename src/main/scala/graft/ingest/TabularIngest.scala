@@ -86,6 +86,26 @@ object TabularIngest {
       .withColumn("record_id", col("alias"))
       .filter(length(col("alias")) > 0)
 
+  /** PoC-in-GitHub tree (v2_improvers/enhance_with_github_poc.py:42-80):
+    * one `<CVE-id>.json` per vulnerability holding an array of PoC repos;
+    * the filename is the match alias. */
+  def githubPocFromTree(spark: SparkSession, path: String): DataFrame = {
+    val pocSchema = ArrayType(StructType(Seq(
+      StructField("html_url", StringType),
+      StructField("created_at", StringType),
+      StructField("updated_at", StringType))))
+    spark.read.option("wholetext", "true")
+      .option("pathGlobFilter", "*.json").text(path)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.json$", 1).as("alias"),
+        explode(from_json(col("value"), pocSchema)).as("p"))
+      .filter(col("p.html_url").isNotNull)
+      .select(trim(col("alias")).as("alias"),
+        col("p.html_url").as("url"),
+        to_timestamp(col("p.created_at")).as("created_at"),
+        to_timestamp(col("p.updated_at")).as("updated_at"))
+  }
+
   private val MetasploitRecord = StructType(Seq(
     StructField("description", StringType),
     StructField("notes", MapType(StringType, ArrayType(StringType))),
