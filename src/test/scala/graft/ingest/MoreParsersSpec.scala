@@ -217,3 +217,87 @@ class SuseScoreIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(d.getAs[Double]("score") == 9.3)
   }
 }
+
+class CurlIngestSpec extends AnyFunSuite with SparkTestSession {
+  private val entry =
+    """{"id": "CURL-CVE-2030-27536",
+      |"aliases": ["CVE-2030-27536"],
+      |"summary": "GSS delegation too eager",
+      |"published": "2030-03-20T08:00:00.00Z",
+      |"affected": [{"versions": ["7.86.0", "7.87.0", "7.88.0"],
+      |  "ranges": [{"type": "SEMVER",
+      |    "events": [{"introduced": "7.86.0"}, {"fixed": "7.88.1"}]}]}],
+      |"database_specific": {
+      |  "www": "https://curl.se/docs/CVE-2030-27536.html",
+      |  "issue": "https://hackerone.example/reports/1895135",
+      |  "URL": "https://curl.se/docs/CVE-2030-27536.json",
+      |  "severity": "Low",
+      |  "CWE": {"id": "CWE-305"}}}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("curl OSV-variant parses pins, fixed event and db-specific (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = CurlIngest.parse(sp,
+      Seq(("curl", entry)).toDF("datasource_id", "json")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "CURL-CVE-2030-27536")
+    assert(a.aliases == Seq("CVE-2030-27536"))
+    assert(a.weaknesses == Seq(305))
+    val ap = a.affected.head
+    assert(ap.purl == "pkg:generic/curl.se/curl")
+    assert(ap.affecting_vers == "vers:generic/=7.86.0|=7.87.0|=7.88.0")
+    assert(ap.fixed_vers == "vers:generic/=7.88.1")
+    assert(a.references.map(_.reference_type).sorted == Seq("advisory", "bug"))
+    assert(a.severities.head.value == "Low")
+    assert(a.url == "https://curl.se/docs/CVE-2030-27536.json")
+
+    // non-CVE first alias is skipped like the reference
+    val bad = entry.replace("CVE-2030-27536\"]", "WHAT-1\"]")
+    assert(CurlIngest.parse(sp,
+      Seq(("curl", bad)).toDF("datasource_id", "json")).collect().isEmpty)
+  }
+}
+
+class ArchIngestSpec extends AnyFunSuite with SparkTestSession {
+  private val feed =
+    """[{"name": "AVG-2030",
+      |"packages": ["chromium", "electron"],
+      |"severity": "Critical",
+      |"type": "arbitrary code execution",
+      |"affected": "89.0.4389.114-1",
+      |"fixed": "90.0.4430.72-1",
+      |"issues": ["CVE-2030-21227"],
+      |"advisories": ["ASA-202104-1"]},
+      |{"name": "AVG-2031",
+      |"packages": ["vim"],
+      |"severity": "Totally Made Up",
+      |"type": "unknown",
+      |"affected": "8.2", "fixed": null,
+      |"issues": ["CVE-2030-9"], "advisories": []}]"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("AVG records explode to per-package pins (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = ArchIngest.parse(sp,
+      Seq(("archlinux", feed)).toDF("datasource_id", "json"))
+      .collect().map(a => a.advisory_id -> a).toMap
+    val a = rows("AVG-2030")
+    assert(a.aliases == Seq("CVE-2030-21227", "ASA-202104-1"))
+    assert(a.summary == "arbitrary code execution")
+    assert(a.affected.map(_.purl) ==
+      Seq("pkg:alpm/archlinux/chromium", "pkg:alpm/archlinux/electron"))
+    assert(a.affected.head.affecting_vers == "vers:alpm/=89.0.4389.114-1")
+    assert(a.affected.head.fixed_vers == "vers:alpm/=90.0.4430.72-1")
+    assert(a.severities.map(_.value) == Seq("Critical"))
+    assert(a.references.map(_.reference_id) == Seq("AVG-2030", "ASA-202104-1"))
+    // unknown severity text drops; unknown type blanks the summary;
+    // null fixed leaves an empty pin list
+    val b = rows("AVG-2031")
+    assert(b.severities.isEmpty)
+    assert(b.summary == "")
+    assert(b.affected.head.fixed_vers == "vers:alpm/")
+  }
+}
