@@ -301,3 +301,48 @@ class ArchIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(b.affected.head.fixed_vers == "vers:alpm/")
   }
 }
+
+class ApacheHttpdIngestSpec extends AnyFunSuite with SparkTestSession {
+  private val cve =
+    """{"CVE_data_meta": {"ID": "CVE-2030-28614"},
+      |"description": {"description_data": [
+      |  {"lang": "eng", "value": "read beyond bounds via ap_rwrite()"}]},
+      |"impact": [{"other": "low"}],
+      |"problemtype": {"problemtype_data": [
+      |  {"description": [{"lang": "eng",
+      |    "value": "CWE-190 Integer Overflow"}]},
+      |  {"description": [{"lang": "eng",
+      |    "value": "CWE-200 Exposure of Sensitive Information"}]}]},
+      |"affects": {"vendor": {"vendor_data": [
+      |  {"product": {"product_data": [
+      |    {"version": {"version_data": [
+      |      {"version_value": "2.4.0", "version_affected": ">="},
+      |      {"version_value": "2.4.53", "version_affected": "<="},
+      |      {"version_value": "APACHE_1_2b1", "version_affected": "="},
+      |      {"version_value": "1.0", "version_affected": "?="}]}}]}}]}},
+      |"timeline": [
+      |  {"time": "2030-06-08", "value": "public"},
+      |  {"time": "2030-06-09", "value": "2.4.54 release"},
+      |  {"time": "2030-06-10", "value": "never release 1.x"}]}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("CVE 4.0 record parses: constraints, inverted fix, severity (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = ApacheHttpdIngest.parse(sp,
+      Seq(("apache_httpd", cve)).toDF("datasource_id", "json")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "CVE-2030-28614")
+    assert(a.summary.startsWith("read beyond bounds"))
+    assert(a.severities.map(s => (s.scoring_system, s.value)) ==
+      Seq(("apache_httpd", "low")))
+    assert(a.weaknesses == Seq(190, 200))
+    val ap = a.affected.head
+    assert(ap.purl == "pkg:apache/httpd")
+    // svn-tag and ?= rows dropped; timeline release inverts to !=
+    assert(ap.affecting_vers == "vers:semver/>=2.4.0|<=2.4.53|!=2.4.54")
+    assert(ap.fixed_vers == "vers:semver/=2.4.54")
+    assert(a.date_published.get.toString.startsWith("2030-06-08"))
+  }
+}
