@@ -346,3 +346,42 @@ class ApacheHttpdIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(a.date_published.get.toString.startsWith("2030-06-08"))
   }
 }
+
+class FixCommitsIngestSpec extends AnyFunSuite with SparkTestSession {
+  test("commit log groups CVE/GHSA mentions into per-vuln advisories (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val commits = Seq(
+      ("aaa111", "fix heap overflow\n\nFixes cve-2030-1111 in resolver"),
+      ("bbb222", "backport CVE-2030-1111 fix to 4.x"),
+      ("ccc333", "patch GHSA-qqqq-wwww-rrrr plus CVE-2030-2222"),
+      ("ddd444", "unrelated refactor"))
+      .toDF("commit_hash", "message")
+    val rows = FixCommitsIngest.fromCommits(sp, commits,
+      "https://github.com/torvalds/linux", "linux_fix_commits")
+      .collect().map(a => a.advisory_id -> a).toMap
+    // case-insensitive match, uppercased ids, one advisory per vuln
+    assert(rows.keySet ==
+      Set("CVE-2030-1111", "CVE-2030-2222", "GHSA-QQQQ-WWWW-RRRR"))
+    val a = rows("CVE-2030-1111")
+    assert(a.references.map(_.reference_id).sorted == Seq("aaa111", "bbb222"))
+    assert(a.references.head.url.startsWith(
+      "https://github.com/torvalds/linux/commit/"))
+    assert(a.affected.map(_.purl).distinct == Seq("pkg:github/torvalds/linux"))
+    assert(a.summary.contains("aaa111:fix heap overflow"))
+
+    val links = FixCommitsIngest.commitLinks(sp, commits,
+      "https://github.com/torvalds/linux", "linux_fix_commits").collect()
+    assert(links.length == 4) // (2 + 1 + 1) vuln-commit pairs
+    assert(links.forall(_.getAs[String]("vcs_url") ==
+      "https://github.com/torvalds/linux"))
+  }
+
+  test("project registry mirrors the reference's 37 fix-commit pipelines") {
+    assert(FixCommitsIngest.Projects.size == 37)
+    assert(FixCommitsIngest.Projects("collect_qemu_fix_commits")._2 ==
+      "https://gitlab.com/qemu-project/qemu")
+    assert(FixCommitsIngest.purlForRepo("https://gitlab.com/wireshark/wireshark")
+      .contains("pkg:gitlab/wireshark/wireshark"))
+  }
+}
