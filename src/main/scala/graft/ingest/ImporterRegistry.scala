@@ -1,0 +1,99 @@
+package graft.ingest
+
+/** The reference's importer registry, line for line
+  * (importers/__init__.py + the pipelines/v2_importers files), mapped to the
+  * Spark entry point that replaces each pipeline. This is the
+  * "switch from the reference" table: look up your pipeline_id, call the
+  * named reader over the fetched raw bytes (clone/HTTP fetch stays the
+  * driver-side ingestion boundary in both systems).
+  */
+object ImporterRegistry {
+
+  sealed trait Support { def entryPoint: String }
+  /** A dedicated parser exists for this source's format. */
+  final case class Dedicated(entryPoint: String) extends Support
+  /** Served by a shared operator parameterized per source. */
+  final case class Shared(entryPoint: String) extends Support
+  /** Not implemented yet; the note says what the format needs. */
+  final case class Missing(note: String) extends Support {
+    val entryPoint = ""
+  }
+
+  /** pipeline_id → (datasource_id, support). */
+  val registry: Map[String, (String, Support)] = Map(
+    // OSV-format family — one shared parser (importers share osv.py)
+    "pypa_importer_v2" -> ("pypa", Shared("OsvIngest.readTree")),
+    "pysec_importer_v2" -> ("pysec", Shared("OsvIngest.readTree")),
+    "github_osv_importer_v2" -> ("github_osv", Shared("OsvIngest.readTree")),
+    "ubuntu_osv_importer_v2" -> ("ubuntu_osv", Shared("OsvIngest.readTree")),
+    "oss_fuzz_importer_v2" -> ("oss_fuzz", Shared("OsvIngest.readTree")),
+    // dedicated format parsers
+    "nvd_importer_v2" -> ("nvd", Dedicated("NvdIngest.parse")),
+    "github_importer_v2" -> ("github", Dedicated("GithubIngest.parse")),
+    "debian_importer_v2" -> ("debian", Dedicated("DebianTrackerIngest.parse")),
+    "gitlab_importer_v2" -> ("gitlab", Dedicated("GitlabIngest.parse")),
+    "redhat_importer_v2" -> ("redhat", Dedicated("RedhatIngest.parse")),
+    "alpine_linux_importer_v2" -> ("alpine_linux", Dedicated("AlpineIngest.parse")),
+    "nginx_importer_v2" -> ("nginx", Dedicated("NginxIngest.parse")),
+    "vulnrichment_importer_v2" -> ("vulnrichment", Dedicated("VulnrichmentIngest.parse")),
+    "suse_importer_v2" -> ("suse_score", Dedicated("SuseScoreIngest.parse")),
+    "curl_importer_v2" -> ("curl", Dedicated("CurlIngest.parse")),
+    "archlinux_importer_v2" -> ("archlinux", Dedicated("ArchIngest.parse")),
+    "apache_httpd_importer_v2" -> ("apache_httpd", Dedicated("ApacheHttpdIngest.parse")),
+    "epss_importer_v2" -> ("epss", Dedicated("EpssIngest.fromCsv + donors")),
+    // enrichment catalogs (improver-side in the reference)
+    "enhance_with_kev_v2" -> ("kev", Dedicated("TabularIngest.kevFromCsv")),
+    "enhance_with_exploitdb_v2" -> ("exploitdb", Dedicated("TabularIngest.exploitDbFromCsv")),
+    "enhance_with_metasploit_v2" -> ("metasploit", Dedicated("TabularIngest.metasploitFromJson")),
+    "enhance_with_github_poc" -> ("github_poc", Dedicated("TabularIngest.githubPocFromTree")),
+    "collect_ssvc_trees" -> ("vulnrichment", Dedicated("AdvisoryDerive.ssvcDecisions")),
+    // OVAL XML family
+    "suse_oval_importer" -> ("suse_oval", Shared("OvalIngest.parse")),
+    "debian_oval_importer" -> ("debian_oval", Shared("OvalIngest.parse")),
+    // not yet implemented — each needs its own small format parser
+    "mozilla_importer_v2" -> ("mozilla",
+      Missing("MFSA yaml front-matter + markdown body tree")),
+    "apache_kafka_importer_v2" -> ("apache_kafka",
+      Missing("cve-list HTML table scrape")),
+    "apache_tomcat_importer_v2" -> ("apache_tomcat",
+      Missing("security-page HTML scrape")),
+    "openssl_importer_v2" -> ("openssl",
+      Missing("openssl vulnerabilities.xml")),
+    "postgresql_importer_v2" -> ("postgresql",
+      Missing("support/security HTML table")),
+    "xen_importer_v2" -> ("xen", Missing("xsa.json feed")),
+    "istio_importer_v2" -> ("istio",
+      Missing("istio.io markdown front-matter tree")),
+    "elixir_security_importer_v2" -> ("elixir_security",
+      Missing("hex advisory YAML tree")),
+    "ruby_importer_v2" -> ("ruby_advisory_db",
+      Missing("rubysec advisory-db YAML tree")),
+    "nodejs_security_wg" -> ("npm",
+      Missing("nodejs security-wg JSON tree")),
+    "retiredotnet_importer_v2" -> ("retiredotnet",
+      Missing("RetireNet JSON tree")),
+    "gentoo_importer_v2" -> ("gentoo", Missing("GLSA XML tree")),
+    "glibc_importer_v2" -> ("glibc", Missing("advisories text tree")),
+    "mattermost_importer_v2" -> ("mattermost",
+      Missing("security updates HTML table")),
+    "fireeye_importer_v2" -> ("fireeye",
+      Missing("markdown advisory tree")),
+    "project-kb-msr-2019_v2" -> ("project_kb_msr2019",
+      Missing("MSR2019 dataset CSV")),
+    "project-kb-statements_v2" -> ("project_kb_statements",
+      Missing("statement.yaml tree")),
+    "aosp_dataset_fix_commits" -> ("aosp",
+      Missing("AOSP dataset fix-commit CSV")),
+    "linux_kernel_cves_fix_commits" -> ("linux_kernel",
+      Missing("linux kernel CVE fix-commit dataset"))) ++
+    // the 37 per-repo fix-commit pipelines — one shared Spark operator
+    FixCommitsIngest.Projects.map { case (pid, (ds, _)) =>
+      pid -> (ds, Shared("FixCommitsIngest.fromCommits"): Support)
+    }
+
+  def implemented: Map[String, (String, Support)] =
+    registry.filter { case (_, (_, s)) => !s.isInstanceOf[Missing] }
+
+  def missing: Map[String, (String, Support)] =
+    registry.filter { case (_, (_, s)) => s.isInstanceOf[Missing] }
+}

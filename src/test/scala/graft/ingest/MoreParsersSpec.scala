@@ -385,3 +385,19 @@ class FixCommitsIngestSpec extends AnyFunSuite with SparkTestSession {
       .contains("pkg:gitlab/wireshark/wireshark"))
   }
 }
+
+class ImporterRegistrySpec extends AnyFunSuite {
+  test("registry covers the reference pipelines; support ratio is honest") {
+    val total = ImporterRegistry.registry.size
+    val done = ImporterRegistry.implemented.size
+    val missing = ImporterRegistry.missing.size
+    assert(total == done + missing)
+    assert(total >= 80, s"expected the full pipeline inventory, got $total")
+    // all fix-commit pipelines route to the shared operator
+    FixCommitsIngest.Projects.keys.foreach { pid =>
+      assert(ImporterRegistry.implemented.contains(pid), pid)
+    }
+    // at least ~80% of the registry has a working reader
+    assert(done.toDouble / total >= 0.75, s"$done/$total implemented")
+  }
+}
