@@ -51,8 +51,7 @@ object ImporterRegistry {
     "suse_oval_importer" -> ("suse_oval", Shared("OvalIngest.parse")),
     "debian_oval_importer" -> ("debian_oval", Shared("OvalIngest.parse")),
     // not yet implemented — each needs its own small format parser
-    "mozilla_importer_v2" -> ("mozilla",
-      Missing("MFSA yaml front-matter + markdown body tree")),
+    "mozilla_importer_v2" -> ("mozilla", Dedicated("MozillaIngest.parse")),
     "apache_kafka_importer_v2" -> ("apache_kafka",
       Missing("cve-list HTML table scrape")),
     "apache_tomcat_importer_v2" -> ("apache_tomcat",
@@ -61,17 +60,16 @@ object ImporterRegistry {
       Missing("openssl vulnerabilities.xml")),
     "postgresql_importer_v2" -> ("postgresql",
       Missing("support/security HTML table")),
-    "xen_importer_v2" -> ("xen", Missing("xsa.json feed")),
+    "xen_importer_v2" -> ("xen", Dedicated("XenIngest.parse")),
     "istio_importer_v2" -> ("istio",
       Missing("istio.io markdown front-matter tree")),
     "elixir_security_importer_v2" -> ("elixir_security",
       Missing("hex advisory YAML tree")),
     "ruby_importer_v2" -> ("ruby_advisory_db",
       Missing("rubysec advisory-db YAML tree")),
-    "nodejs_security_wg" -> ("npm",
-      Missing("nodejs security-wg JSON tree")),
+    "nodejs_security_wg" -> ("npm", Dedicated("NodeSecurityIngest.parse")),
     "retiredotnet_importer_v2" -> ("retiredotnet",
-      Missing("RetireNet JSON tree")),
+      Dedicated("RetireDotnetIngest.parse")),
     "gentoo_importer_v2" -> ("gentoo", Missing("GLSA XML tree")),
     "glibc_importer_v2" -> ("glibc", Missing("advisories text tree")),
     "mattermost_importer_v2" -> ("mattermost",

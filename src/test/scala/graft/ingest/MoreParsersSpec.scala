@@ -401,3 +401,154 @@ class ImporterRegistrySpec extends AnyFunSuite {
     assert(done.toDouble / total >= 0.75, s"$done/$total implemented")
   }
 }
+
+class SmallFeedsSpec extends AnyFunSuite with SparkTestSession {
+  test("xen xsa.json explodes to XSA advisories (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val feed =
+      """[{"xsas": [
+        |{"xsa": "468", "title": "x86: PV guest escape",
+        | "public_time": "2030-05-12T11:00:00Z",
+        | "cve": ["CVE-2030-1713"]},
+        |{"xsa": null, "title": "placeholder"}]}]"""
+        .stripMargin.replaceAll("\n", "")
+    val rows = XenIngest.parse(sp,
+      Seq(("xen", feed)).toDF("datasource_id", "json")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.advisory_id == "XSA-468")
+    assert(rows.head.aliases == Seq("CVE-2030-1713"))
+    assert(rows.head.references.head.url ==
+      "https://xenbits.xen.org/xsa/advisory-468.html")
+  }
+
+  test("retiredotnet groups packages and extracts the CVE alias (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val doc =
+      """{"description": "RCE described in CVE-2030-1302 for widget",
+        |"link": "https://example.org/adv/1302",
+        |"packages": [
+        |  {"id": "Widget.Core", "affected": "1.0.0"},
+        |  {"id": "Widget.Core", "affected": "1.1.0", "fix": "1.2.0"},
+        |  {"id": "Other.Pkg", "fix": "2.0.1"},
+        |  {"id": null, "affected": "9.9"}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val rows = RetireDotnetIngest.parse(sp,
+      Seq(("retiredotnet", "Content/2030-01.json", doc))
+        .toDF("datasource_id", "path", "json")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "retiredotnet-2030-01")
+    assert(a.aliases == Seq("CVE-2030-1302"))
+    val byPurl = a.affected.map(p => p.purl -> p).toMap
+    assert(byPurl.keySet == Set("pkg:nuget/Widget.Core", "pkg:nuget/Other.Pkg"))
+    assert(byPurl("pkg:nuget/Widget.Core").affecting_vers ==
+      "vers:semver/=1.0.0|=1.1.0")
+    assert(byPurl("pkg:nuget/Widget.Core").fixed_vers == "vers:semver/=1.2.0")
+    assert(byPurl("pkg:nuget/Other.Pkg").fixed_vers == "vers:semver/=2.0.1")
+  }
+
+  test("nodejs security-wg advisory parses npm ranges + sentinels (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val doc =
+      """{"id": "213", "title": "Prototype pollution in widget",
+        |"overview": "long text",
+        |"created_at": "2030-04-01T00:00:00.000Z",
+        |"cvss_vector": "CVSS:3.0/AV:N/AC:L/PR:N/UI:N/S:U/C:N/I:H/A:N",
+        |"cvss_score": "7.5",
+        |"module_name": "widget",
+        |"vulnerable_versions": "<1.2.3 || >=2.0.0 <2.0.5",
+        |"patched_versions": ">=1.2.3 <2.0.0 || >=2.0.5",
+        |"cves": ["CVE-2030-4444"],
+        |"references": ["https://hackerone.example/reports/5"]}"""
+        .stripMargin.replaceAll("\n", "")
+    val rows = NodeSecurityIngest.parse(sp,
+      Seq(("npm", doc)).toDF("datasource_id", "json")).collect()
+    val a = rows.head
+    assert(a.advisory_id == "213")
+    assert(a.aliases == Seq("CVE-2030-4444"))
+    assert(a.severities.map(_.scoring_system) == Seq("cvssv3"))
+    val ap = a.affected.head
+    assert(ap.purl == "pkg:npm/widget")
+    assert(ap.affecting_vers == "vers:semver/<1.2.3|>=2.0.0|<2.0.5")
+    assert(ap.fixed_vers == "vers:semver/>=1.2.3|<2.0.0|>=2.0.5")
+
+    // sentinel handling: full-range marker and impossible patch range
+    val sentinel = doc
+      .replace("<1.2.3 || >=2.0.0 <2.0.5", "<=99.999.99999")
+      .replace(">=1.2.3 <2.0.0 || >=2.0.5", "<0.0.0")
+    val b = NodeSecurityIngest.parse(sp,
+      Seq(("npm", sentinel)).toDF("datasource_id", "json")).collect().head
+    assert(b.affected.head.affecting_vers == "vers:semver/*")
+    assert(b.affected.head.fixed_vers == "vers:semver/")
+  }
+}
+
+class MozillaIngestSpec extends AnyFunSuite with SparkTestSession {
+  private val yml =
+    """announced: March 19, 2030
+      |impact: Critical
+      |fixed_in:
+      |  - Firefox 124.0.1
+      |  - Firefox ESR 115.9.1
+      |description: |
+      |  <p>Out of bound write in the JIT.</p>
+      |advisories:
+      |  CVE-2030-29943:
+      |    title: oob range analysis
+      |    impact: critical
+      |    description: |
+      |      <p>Range analysis OOB read.</p>
+      |  not-a-cve:
+      |    impact: low
+      |    description: ignored
+      |""".stripMargin
+
+  private val md =
+    """---
+      |announced: 2030-01-09
+      |impact: High
+      |fixed_in:
+      |  - Thunderbird 115.6.1
+      |---
+      |
+      |### Description
+      |
+      |A heap overflow when parsing mail headers.
+      |
+      |More detail here.
+      |
+      |### Acknowledgements
+      |ignored
+      |""".stripMargin
+
+  test("yml advisory fans out per CVE; md takes the Description body (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = MozillaIngest.parse(sp, Seq(
+      ("mozilla", "announce/2030/mfsa2030-15.yml", yml),
+      ("mozilla", "announce/2030/mfsa2030-01.md", md),
+      ("mozilla", "announce/2030/notmatching.txt", "junk"))
+      .toDF("datasource_id", "path", "text"))
+      .collect().map(a => a.advisory_id -> a).toMap
+    // non-CVE advisory key dropped; yml with advisories -> per-CVE rows
+    assert(rows.keySet == Set("mfsa2030-15/CVE-2030-29943", "mfsa2030-01"))
+    val y = rows("mfsa2030-15/CVE-2030-29943")
+    assert(y.aliases == Seq("CVE-2030-29943"))
+    assert(y.summary.contains("Out of bound write"))
+    assert(y.summary.contains("Range analysis OOB read."))
+    assert(y.severities.map(_.value) == Seq("critical"))
+    assert(y.affected.map(_.purl) ==
+      Seq("pkg:mozilla/Firefox", "pkg:mozilla/Firefox ESR"))
+    assert(y.affected.head.fixed_vers == "vers:generic/=124.0.1")
+
+    val m = rows("mfsa2030-01")
+    assert(m.summary ==
+      "A heap overflow when parsing mail headers.\n\nMore detail here.")
+    assert(m.severities.map(_.value) == Seq("high"))
+    assert(m.affected.head.purl == "pkg:mozilla/Thunderbird")
+    assert(m.date_published.get.toString.startsWith("2030-01-09"))
+  }
+}
