@@ -99,7 +99,10 @@ object GitlabIngest {
       if (alt.startsWith("[") || alt.startsWith("("))
         bracketConstraints(alt)
       else
-        alt.replace("~> ", "~>").split("[,\\s]+").toSeq
+        // gem/npm native ranges separate operator and version with a
+        // space (">= 5.2.4.3, < 6.0.0") — glue them before tokenizing
+        alt.replaceAll("(>=|<=|!=|==|~>|[<>=])\\s+", "$1")
+          .split("[,\\s]+").toSeq
           .filter(_.nonEmpty).flatMap(opToken)
     }
 

@@ -64,9 +64,9 @@ object ImporterRegistry {
     "istio_importer_v2" -> ("istio",
       Missing("istio.io markdown front-matter tree")),
     "elixir_security_importer_v2" -> ("elixir_security",
-      Missing("hex advisory YAML tree")),
+      Dedicated("ElixirIngest.parse")),
     "ruby_importer_v2" -> ("ruby_advisory_db",
-      Missing("rubysec advisory-db YAML tree")),
+      Dedicated("RubyIngest.parse")),
     "nodejs_security_wg" -> ("npm", Dedicated("NodeSecurityIngest.parse")),
     "retiredotnet_importer_v2" -> ("retiredotnet",
       Dedicated("RetireDotnetIngest.parse")),

@@ -552,3 +552,81 @@ class MozillaIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(m.date_published.get.toString.startsWith("2030-01-09"))
   }
 }
+
+class RubyElixirSpec extends AnyFunSuite with SparkTestSession {
+  test("rubysec gem advisory: inverted unaffected + patched ranges (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val gemYaml =
+      """---
+        |gem: actionpack
+        |cve: "2030-8164"
+        |ghsa: "8727-m6gj"
+        |url: https://groups.example/ruby-security-ann/x
+        |title: "Possible Strong Parameters Bypass"
+        |description: "There is a strong parameters bypass vector."
+        |date: 2030-05-18
+        |cvss_v3: "8.8"
+        |unaffected_versions:
+        |  - "< 4.0.0"
+        |patched_versions:
+        |  - ">= 5.2.4.3, < 6.0.0"
+        |  - ">= 6.0.3.1"
+        |""".stripMargin
+    val rows = RubyIngest.parse(sp,
+      Seq(("ruby_advisory_db", "gems/actionpack/CVE-2030-8164.yml", gemYaml))
+        .toDF("datasource_id", "path", "yaml")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "gems/actionpack/CVE-2030-8164")
+    assert(a.aliases == Seq("CVE-2030-8164", "GHSA-8727-m6gj"))
+    assert(a.summary.startsWith("Possible Strong Parameters Bypass\n"))
+    assert(a.severities.map(s => (s.scoring_system, s.value)) ==
+      Seq(("cvssv3", "8.8")))
+    val byKind = a.affected.map(p => p.affecting_vers -> p.fixed_vers)
+    // "< 4.0.0" unaffected inverts into ">=4.0.0" affecting
+    assert(byKind.contains(("vers:gem/>=4.0.0", "vers:gem/")))
+    assert(byKind.contains(("vers:gem/", "vers:gem/>=5.2.4.3|<6.0.0")))
+    assert(byKind.contains(("vers:gem/", "vers:gem/>=6.0.3.1")))
+    // rubies subdir maps to the engine purl
+    val rubies = RubyIngest.parse(sp,
+      Seq(("ruby_advisory_db", "rubies/jruby/CVE-2030-1.yml",
+        "---\nengine: jruby\ncve: \"2030-0001\"\npatched_versions:\n  - \">= 9.4\"\n"))
+        .toDF("datasource_id", "path", "yaml")).collect().head
+    assert(rubies.affected.head.purl == "pkg:ruby/jruby")
+  }
+
+  test("elixir advisory: unaffected + inverted patched constraints (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val yml =
+      """---
+        |package: coherence
+        |cve: "2030-1000"
+        |link: https://github.com/x/coherence/issues/270
+        |description: "Privilege escalation in coherence."
+        |patched_versions:
+        |  - "~> 0.5.2"
+        |unaffected_versions:
+        |  - "< 0.5.0"
+        |""".stripMargin
+    val rows = ElixirIngest.parse(sp,
+      Seq(("elixir_security", "packages/coherence/2030-1000.yml", yml))
+        .toDF("datasource_id", "path", "yaml")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    // the reference keeps only the last two path segments
+    // (elixir_security_importer.py:76-78)
+    assert(a.advisory_id == "coherence/2030-1000")
+    assert(a.aliases == Seq("CVE-2030-1000"))
+    assert(a.affected.head.purl == "pkg:hex/coherence")
+    // "< 0.5.0" stays; "~> 0.5.2" strips to "0.5.2" then inverts
+    assert(a.affected.head.affecting_vers == "vers:semver/<0.5.0|!=0.5.2")
+
+    // non-CVE advisory is skipped
+    val noCve = yml.replace("cve: \"2030-1000\"", "cve: \"\"")
+    assert(ElixirIngest.parse(sp,
+      Seq(("elixir_security", "packages/coherence/x.yml", noCve))
+        .toDF("datasource_id", "path", "yaml")).collect().isEmpty)
+  }
+}
