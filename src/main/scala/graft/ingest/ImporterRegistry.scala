@@ -77,13 +77,13 @@ object ImporterRegistry {
     "fireeye_importer_v2" -> ("fireeye",
       Missing("markdown advisory tree")),
     "project-kb-msr-2019_v2" -> ("project_kb_msr2019",
-      Missing("MSR2019 dataset CSV")),
+      Dedicated("FixCommitDatasetsIngest.projectKbMsr2019")),
     "project-kb-statements_v2" -> ("project_kb_statements",
       Missing("statement.yaml tree")),
     "aosp_dataset_fix_commits" -> ("aosp",
-      Missing("AOSP dataset fix-commit CSV")),
+      Dedicated("FixCommitDatasetsIngest.aosp")),
     "linux_kernel_cves_fix_commits" -> ("linux_kernel",
-      Missing("linux kernel CVE fix-commit dataset"))) ++
+      Dedicated("FixCommitDatasetsIngest.linuxKernelCves"))) ++
     // the 37 per-repo fix-commit pipelines — one shared Spark operator
     FixCommitsIngest.Projects.map { case (pid, (ds, _)) =>
       pid -> (ds, Shared("FixCommitsIngest.fromCommits"): Support)

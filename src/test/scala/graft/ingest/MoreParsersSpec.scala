@@ -630,3 +630,67 @@ class RubyElixirSpec extends AnyFunSuite with SparkTestSession {
         .toDF("datasource_id", "path", "yaml")).collect().isEmpty)
   }
 }
+
+class FixCommitDatasetsSpec extends AnyFunSuite with SparkTestSession {
+  test("project-kb MSR2019 csv groups commits per vulnerability (S2)") {
+    val sp = spark
+    val dir = java.nio.file.Files.createTempDirectory("kb")
+    java.nio.file.Files.write(dir.resolve("vulas.csv"),
+      """vuln_id,repo,sha,flag
+        |CVE-2030-5005,https://github.com/apache/struts,abc123abc123,POC
+        |CVE-2030-5005,https://github.com/apache/struts,def456def456,
+        |CVE-2030-5005,https://github.com/apache/struts,abc123abc123,dup
+        |NOVCS-1,,zzz,
+        |""".stripMargin.getBytes("UTF-8"))
+    val rows = FixCommitDatasetsIngest.projectKbMsr2019(sp,
+      dir.resolve("vulas.csv").toString).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "CVE-2030-5005")
+    assert(a.references.map(_.reference_id) ==
+      Seq("abc123abc123", "def456def456"))
+    assert(a.affected.head.purl == "pkg:github/apache/struts")
+  }
+
+  test("aosp json splits comma cveIds and keeps commit refs (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val doc =
+      """{"cveId": "CVE-2030-0001,CVE-2030-0002",
+        |"vulnerabilityType": "EoP", "severity": "High",
+        |"dateReported": "2030-02-03",
+        |"fixes": [{"patchUrl": "https://android.googlesource.com/x/+/aa11",
+        |           "commitId": "aa11"},
+        |          {"patchUrl": null, "commitId": null}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val rows = FixCommitDatasetsIngest.aosp(sp,
+      Seq(("aosp", "cves/CVE-2030-0001.json", doc))
+        .toDF("datasource_id", "path", "json")).collect()
+    assert(rows.map(_.advisory_id).sorted.toSeq ==
+      Seq("CVE-2030-0001", "CVE-2030-0002"))
+    assert(rows.head.references.map(_.reference_id) == Seq("aa11"))
+    assert(rows.head.severities.map(_.value) == Seq("High"))
+  }
+
+  test("linux kernel security.txt parses version headers + sha lines (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val txt =
+      """CVEs fixed in 5.10.1:
+        |  CVE-2030-29660: f4d3ff3c1d9895fb2188e0c1ed9d1b07b8
+        |  CVE-2030-29661: a12b33c4
+        |
+        |CVEs fixed in 5.10.2:
+        |  CVE-2030-29660: deadbeefdead
+        |  garbage line without colon
+        |""".stripMargin
+    val rows = FixCommitDatasetsIngest.linuxKernelCves(sp,
+      Seq(txt).toDF("text")).collect().map(a => a.advisory_id -> a).toMap
+    // short sha a12b33c4 (8 chars) fails the 12+ hex guard
+    assert(rows.keySet == Set("CVE-2030-29660"))
+    val a = rows("CVE-2030-29660")
+    assert(a.references.length == 2)
+    assert(a.affected.map(_.fixed_vers).toSet ==
+      Set("vers:generic/=5.10.1", "vers:generic/=5.10.2"))
+  }
+}
