@@ -61,8 +61,7 @@ object ImporterRegistry {
     "postgresql_importer_v2" -> ("postgresql",
       Missing("support/security HTML table")),
     "xen_importer_v2" -> ("xen", Dedicated("XenIngest.parse")),
-    "istio_importer_v2" -> ("istio",
-      Missing("istio.io markdown front-matter tree")),
+    "istio_importer_v2" -> ("istio", Dedicated("IstioIngest.parse")),
     "elixir_security_importer_v2" -> ("elixir_security",
       Dedicated("ElixirIngest.parse")),
     "ruby_importer_v2" -> ("ruby_advisory_db",
@@ -79,7 +78,7 @@ object ImporterRegistry {
     "project-kb-msr-2019_v2" -> ("project_kb_msr2019",
       Dedicated("FixCommitDatasetsIngest.projectKbMsr2019")),
     "project-kb-statements_v2" -> ("project_kb_statements",
-      Missing("statement.yaml tree")),
+      Dedicated("ProjectKbStatementsIngest.parse")),
     "aosp_dataset_fix_commits" -> ("aosp",
       Dedicated("FixCommitDatasetsIngest.aosp")),
     "linux_kernel_cves_fix_commits" -> ("linux_kernel",

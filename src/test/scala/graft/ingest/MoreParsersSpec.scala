@@ -694,3 +694,77 @@ class FixCommitDatasetsSpec extends AnyFunSuite with SparkTestSession {
       Set("vers:generic/=5.10.1", "vers:generic/=5.10.2"))
   }
 }
+
+class IstioKbSpec extends AnyFunSuite with SparkTestSession {
+  test("istio bulletin: front matter, release phrases, dual purls (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val md =
+      """---
+        |title: ISTIO-SECURITY-2030-005
+        |description: Exposure of debug endpoint.
+        |cves: [CVE-2030-12345, not-a-cve]
+        |publishdate: 2030-06-11
+        |releases: ["All releases prior to 1.5.9", "1.6.0 to 1.6.5", "1.7.0"]
+        |---
+        |body text""".stripMargin
+    val rows = IstioIngest.parse(sp, Seq(
+      ("istio", "content/en/news/security/ISTIO-SECURITY-2030-005/index.md", md),
+      ("istio", "content/en/news/security/_index.md", md))
+      .toDF("datasource_id", "path", "text")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "ISTIO-SECURITY-2030-005")
+    assert(a.aliases == Seq("CVE-2030-12345"))
+    assert(a.affected.map(_.purl) ==
+      Seq("pkg:github/istio/istio", "pkg:golang/istio.io/istio"))
+    assert(a.affected.head.affecting_vers ==
+      "vers:semver/<1.5.9|>=1.6.0|<=1.6.5|=1.7.0")
+    assert(a.affected(1).affecting_vers ==
+      "vers:golang/<1.5.9|>=1.6.0|<=1.6.5|=1.7.0")
+    assert(a.date_published.get.toString.startsWith("2030-06-11"))
+  }
+
+  test("project-kb statement: notes, commits, artifact pins (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val yml =
+      """vulnerability_id: CVE-2030-3333
+        |notes:
+        |  - text: "Fixed via upstream patch."
+        |    links:
+        |      - https://issues.example/BUG-1
+        |fixes:
+        |  - id: main
+        |    commits:
+        |      - id: "aabbccddee112233aabb"
+        |        repository: https://github.com/apache/struts
+        |      - id: "not a commit"
+        |        repository: https://github.com/apache/struts
+        |artifacts:
+        |  - id: pkg:maven/org.apache.struts/struts2-core@2.5.20
+        |    affected: true
+        |  - id: pkg:maven/org.apache.struts/struts2-core@2.5.22
+        |    affected: false
+        |  - id: not-a-purl
+        |    affected: true
+        |""".stripMargin
+    val rows = ProjectKbStatementsIngest.parse(sp, Seq(
+      ("project_kb_statements",
+        "statements/CVE-2030-3333/statement.yaml", yml),
+      ("project_kb_statements", "statements/other/notes.yaml", yml))
+      .toDF("datasource_id", "path", "yaml")).collect()
+    assert(rows.length == 1) // only statement.yaml files parse
+    val a = rows.head
+    assert(a.advisory_id == "CVE-2030-3333")
+    assert(a.summary == "Fixed via upstream patch.")
+    assert(a.references.exists(r => r.reference_type == "commit" &&
+      r.reference_id == "aabbccddee112233aabb"))
+    assert(a.references.exists(_.url == "https://issues.example/BUG-1"))
+    assert(a.references.count(_.reference_type == "commit") == 1)
+    val ap = a.affected.head
+    assert(ap.purl == "pkg:maven/org.apache.struts/struts2-core")
+    assert(ap.affecting_vers == "vers:maven/=2.5.20")
+    assert(ap.fixed_vers == "vers:maven/=2.5.22")
+  }
+}
