@@ -69,8 +69,8 @@ object ImporterRegistry {
     "nodejs_security_wg" -> ("npm", Dedicated("NodeSecurityIngest.parse")),
     "retiredotnet_importer_v2" -> ("retiredotnet",
       Dedicated("RetireDotnetIngest.parse")),
-    "gentoo_importer_v2" -> ("gentoo", Missing("GLSA XML tree")),
-    "glibc_importer_v2" -> ("glibc", Missing("advisories text tree")),
+    "gentoo_importer_v2" -> ("gentoo", Dedicated("GentooIngest.parse")),
+    "glibc_importer_v2" -> ("glibc", Dedicated("GlibcIngest.parse")),
     "mattermost_importer_v2" -> ("mattermost",
       Missing("security updates HTML table")),
     "fireeye_importer_v2" -> ("fireeye",

@@ -768,3 +768,78 @@ class IstioKbSpec extends AnyFunSuite with SparkTestSession {
     assert(ap.fixed_vers == "vers:maven/=2.5.22")
   }
 }
+
+class GentooGlibcSpec extends AnyFunSuite with SparkTestSession {
+  test("GLSA xml: cve refs, impact severity, package ranges (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val xml =
+      """<?xml version="1.0"?>
+        |<glsa id="203012-07">
+        |  <title>Widget: Multiple vulnerabilities</title>
+        |  <synopsis>Multiple vulnerabilities were found in Widget.</synopsis>
+        |  <affected>
+        |    <package name="net-misc/widget" auto="yes" arch="*">
+        |      <unaffected range="ge" slot="0">2.4.1</unaffected>
+        |      <vulnerable range="lt">2.4.1</vulnerable>
+        |    </package>
+        |  </affected>
+        |  <impact type="high"><p>Remote code execution.</p></impact>
+        |  <references>
+        |    <uri link="https://nvd.example/CVE-2030-1000">CVE-2030-1000</uri>
+        |    <uri>CVE-2030-1001 extra text</uri>
+        |    <uri>not a cve</uri>
+        |  </references>
+        |</glsa>""".stripMargin
+    val rows = GentooIngest.parse(sp,
+      Seq(("gentoo", xml)).toDF("datasource_id", "xml")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "GLSA-203012-07")
+    assert(a.summary == "Multiple vulnerabilities were found in Widget.")
+    assert(a.aliases == Seq("CVE-2030-1000", "CVE-2030-1001"))
+    assert(a.severities.map(_.value) == Seq("high"))
+    val byKind = a.affected.map(p =>
+      (p.purl, p.affecting_vers, p.fixed_vers)).toSet
+    assert(byKind == Set(
+      ("pkg:ebuild/net-misc/widget?slot=0", "vers:ebuild/",
+        "vers:ebuild/>=2.4.1"),
+      ("pkg:ebuild/net-misc/widget", "vers:ebuild/<2.4.1",
+        "vers:ebuild/")))
+    // malformed xml drops, no crash
+    assert(GentooIngest.parse(sp,
+      Seq(("gentoo", "<glsa")).toDF("datasource_id", "xml"))
+      .collect().isEmpty)
+  }
+
+  test("glibc advisory text: paragraphs + commit metadata (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val txt =
+      """printf: incorrect output for integers
+        |
+        |When the format string contains a long width, printf may write
+        |beyond the buffer.
+        |
+        |CVE-Id: CVE-2030-0003
+        |Public-Date: 2030-01-31
+        |Vulnerable-Commit: aaaa1111bbbb2222cccc (2.37)
+        |Fix-Commit: dddd3333eeee4444ffff (2.39)
+        |Fix-Commit: 9999888877776666aaaa (2.38-27)
+        |""".stripMargin
+    val rows = GlibcIngest.parse(sp, Seq(
+      ("glibc", "advisories/GLIBC-SA-2030-0003", txt),
+      ("glibc", "advisories/README", txt))
+      .toDF("datasource_id", "path", "text")).collect()
+    assert(rows.length == 1) // non-GLIBC-SA files skipped
+    val a = rows.head
+    assert(a.advisory_id == "GLIBC-SA-2030-0003")
+    assert(a.aliases == Seq("CVE-2030-0003"))
+    assert(a.summary.startsWith("printf: incorrect output"))
+    assert(a.affected.head.purl == "pkg:sid/gnu.org/glibc")
+    assert(a.affected.head.affecting_vers == "vers:generic/=2.37")
+    assert(a.affected.head.fixed_vers == "vers:generic/=2.38-27|=2.39")
+    assert(a.references.count(_.reference_type == "commit") == 3)
+    assert(a.date_published.get.toString.startsWith("2030-01-31"))
+  }
+}
