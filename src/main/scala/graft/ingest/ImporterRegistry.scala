@@ -57,9 +57,9 @@ object ImporterRegistry {
     "apache_tomcat_importer_v2" -> ("apache_tomcat",
       Missing("security-page HTML scrape")),
     "openssl_importer_v2" -> ("openssl",
-      Missing("openssl vulnerabilities.xml")),
+      Dedicated("OpensslIngest.parse")),
     "postgresql_importer_v2" -> ("postgresql",
-      Missing("support/security HTML table")),
+      Dedicated("PostgresqlIngest.parse")),
     "xen_importer_v2" -> ("xen", Dedicated("XenIngest.parse")),
     "istio_importer_v2" -> ("istio", Dedicated("IstioIngest.parse")),
     "elixir_security_importer_v2" -> ("elixir_security",

@@ -843,3 +843,72 @@ class GentooGlibcSpec extends AnyFunSuite with SparkTestSession {
     assert(a.date_published.get.toString.startsWith("2030-01-31"))
   }
 }
+
+class OpensslPostgresSpec extends AnyFunSuite with SparkTestSession {
+  test("openssl secjson: version rows to openssl constraints (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val doc =
+      """{"cveMetadata": {"cveId": "CVE-2030-0464"},
+        |"containers": {"cna": {
+        |  "title": "X.509 policy constraints DoS",
+        |  "datePublic": "2030-03-21T00:00:00Z",
+        |  "descriptions": [{"lang": "en",
+        |    "value": "A security vulnerability has been identified."}],
+        |  "metrics": [{"other": {"content": {"text": "Low"}}}],
+        |  "references": [
+        |    {"name": "OpenSSL Advisory", "url": "https://www.openssl.org/news/secadv/20300321.txt", "tags": ["vendor-advisory"]},
+        |    {"name": "3.1.1 commit", "url": "https://github.example/openssl/commit/aa", "tags": ["patch"]}],
+        |  "affected": [{"versions": [
+        |    {"version": "3.1.0", "lessThan": "3.1.1", "status": "affected"},
+        |    {"version": "1.1.1", "lessThanOrEqual": "1.1.1t", "status": "affected"},
+        |    {"version": "1.0.2", "status": "affected"},
+        |    {"version": "9.9.9", "status": "unaffected"}]}]}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val rows = OpensslIngest.parse(sp,
+      Seq(("openssl", doc)).toDF("datasource_id", "json")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "CVE-2030-0464")
+    assert(a.severities.map(_.value) == Seq("Low"))
+    val byAff = a.affected.map(p => p.affecting_vers -> p.fixed_vers).toSet
+    assert(byAff == Set(
+      ("vers:openssl/>=3.1.0|<3.1.1", "vers:openssl/=3.1.1"),
+      ("vers:openssl/>=1.1.1|<=1.1.1t", "vers:openssl/"),
+      ("vers:openssl/=1.0.2", "vers:openssl/")))
+    assert(a.references.exists(r => r.reference_type == "commit" &&
+      r.url.endsWith("/commit/aa")))
+    assert(a.references.exists(r => r.reference_type == "advisory"))
+  }
+
+  test("postgresql security table rows parse (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val html =
+      """<html><table><tbody>
+        |<tr>
+        | <td><span class="nobr">CVE-2030-1552</span><br>
+        |     <a href="/support/security/CVE-2030-1552/">more</a></td>
+        | <td>12, 13, 14</td>
+        | <td>12.9, 13.5, 14.1</td>
+        | <td><a href="https://www.first.org/cvss/calculator/v3-calculator?vector=AV:N/AC:H/PR:L/UI:N/S:U/C:H/I:H/A:H&amp;version=3.0">7.1</a></td>
+        | <td>Memory disclosure in certain queries on Windows builds</td>
+        |</tr>
+        |<tr><td>not enough cells</td></tr>
+        |</tbody></table></html>""".stripMargin.replaceAll("\n", "")
+    val rows = PostgresqlIngest.parse(sp,
+      Seq(("postgresql", html)).toDF("datasource_id", "html")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "CVE-2030-1552")
+    assert(a.severities.head.scoring_system == "cvssv3")
+    assert(a.severities.head.value == "7.1")
+    assert(a.severities.head.scoring_elements.startsWith("CVSS:3.0/AV:N"))
+    val ap = a.affected.head
+    assert(ap.purl == "pkg:generic/postgresql?os=windows")
+    assert(ap.affecting_vers == "vers:generic/=12|=13|=14")
+    assert(ap.fixed_vers == "vers:generic/=12.9|=13.5|=14.1")
+    assert(a.references.exists(_.url ==
+      "https://www.postgresql.org/support/security/CVE-2030-1552/"))
+  }
+}
