@@ -53,7 +53,7 @@ object ImporterRegistry {
     // not yet implemented — each needs its own small format parser
     "mozilla_importer_v2" -> ("mozilla", Dedicated("MozillaIngest.parse")),
     "apache_kafka_importer_v2" -> ("apache_kafka",
-      Missing("cve-list HTML table scrape")),
+      Dedicated("ApacheKafkaIngest.parse")),
     "apache_tomcat_importer_v2" -> ("apache_tomcat",
       Missing("security-page HTML scrape")),
     "openssl_importer_v2" -> ("openssl",
@@ -72,9 +72,9 @@ object ImporterRegistry {
     "gentoo_importer_v2" -> ("gentoo", Dedicated("GentooIngest.parse")),
     "glibc_importer_v2" -> ("glibc", Dedicated("GlibcIngest.parse")),
     "mattermost_importer_v2" -> ("mattermost",
-      Missing("security updates HTML table")),
+      Dedicated("MattermostIngest.parse")),
     "fireeye_importer_v2" -> ("fireeye",
-      Missing("markdown advisory tree")),
+      Dedicated("FireeyeIngest.parse")),
     "project-kb-msr-2019_v2" -> ("project_kb_msr2019",
       Dedicated("FixCommitDatasetsIngest.projectKbMsr2019")),
     "project-kb-statements_v2" -> ("project_kb_statements",

@@ -912,3 +912,110 @@ class OpensslPostgresSpec extends AnyFunSuite with SparkTestSession {
       "https://www.postgresql.org/support/security/CVE-2030-1552/"))
   }
 }
+
+class FireeyeMattermostSpec extends AnyFunSuite with SparkTestSession {
+  test("fireeye markdown sections parse (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val md =
+      """# MNDT-2030-0012
+        |
+        |Widget Elevation of Privilege
+        |
+        |## Description
+        |
+        |The widget service mishandles tokens.
+        |
+        |## Impact
+        |
+        |High - Arbitrary Ring 0 code execution
+        |
+        |## CVE Reference
+        |
+        |CVE-2030-42712
+        |
+        |## Common Weakness Enumeration
+        |
+        |CWE-379: Creation of Temporary File
+        |
+        |## References
+        |
+        |- [Mitre CVE](https://www.cve.org/CVERecord?id=CVE-2030-42712)
+        |""".stripMargin
+    val rows = FireeyeIngest.parse(sp, Seq(
+      ("fireeye", "2030/MNDT-2030-0012.md", md),
+      ("fireeye", "README.md", md))
+      .toDF("datasource_id", "path", "text")).collect()
+    assert(rows.length == 1)
+    val a = rows.head
+    assert(a.advisory_id == "MNDT-2030-0012")
+    assert(a.aliases == Seq("CVE-2030-42712"))
+    assert(a.summary.contains("Widget Elevation of Privilege"))
+    assert(a.summary.contains("mishandles tokens"))
+    assert(a.severities.map(_.value) == Seq("High"))
+    assert(a.weaknesses == Seq(379))
+    assert(a.references.head.url ==
+      "https://www.cve.org/CVERecord?id=CVE-2030-42712")
+  }
+
+  test("mattermost feed: id precedence, repo dim, fix pins (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val feed =
+      """[{"issue_id": "MMSA-2030-00123, CVE-2030-20222",
+        |  "cve_id": "CVE-2030-20222",
+        |  "details": "Crafted post crashes the server.",
+        |  "platform": "Mattermost Server",
+        |  "severity": "High",
+        |  "fix_versions": ["v9.5.2", "and 9.4.4", " "]},
+        | {"issue_id": "", "cve_id": "garbage", "platform": "Unknown"}]"""
+        .stripMargin.replaceAll("\n", "")
+    val rows = MattermostIngest.parse(sp,
+      Seq(("mattermost", feed)).toDF("datasource_id", "json")).collect()
+    assert(rows.length == 1) // no valid ids on the second record
+    val a = rows.head
+    assert(a.advisory_id == "MMSA-2030-00123")
+    assert(a.aliases == Seq("CVE-2030-20222", "CVE-2030-20222"))
+    assert(a.severities.map(s => (s.scoring_system, s.value)) ==
+      Seq(("cvssv3.1_qr", "High")))
+    val ap = a.affected.head
+    assert(ap.purl == "pkg:github/mattermost/mattermost-server")
+    assert(ap.fixed_vers == "vers:semver/=9.5.2|=9.4.4")
+  }
+}
+
+class ApacheKafkaIngestSpec extends AnyFunSuite with SparkTestSession {
+  test("kafka cve-list sections parse ranges and facts (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val html =
+      """<div class="td-content">
+        |<h2 id="CVE-2030-25194"><a href="https://nvd.example/CVE-2030-25194">RCE via connect</a></h2>
+        |<p>A possible security vulnerability was identified in Apache
+        |Kafka Connect.</p>
+        |<table>
+        | <tr><th>Versions affected</th></tr><tr><td><p>2.3.0 to 3.3.1</p></td></tr>
+        | <tr><th>Fixed versions</th></tr><tr><td><p>3.4.0, 3.3.2</p></td></tr>
+        | <tr><th>Issue announced</th></tr><tr><td><p>2030-02-07</p></td></tr>
+        |</table>
+        |<h2 id="CVE-2021-44228"><a href="https://x/log4j">log4shell</a></h2>
+        |<p>Only affects log4j appender users.</p>
+        |<table>
+        | <tr><th>Versions affected</th></tr><tr><td><p>all</p></td></tr>
+        |</table>
+        |</div>""".stripMargin.replaceAll("\n", "")
+    val rows = ApacheKafkaIngest.parse(sp,
+      Seq(("apache_kafka", html)).toDF("datasource_id", "html"))
+      .collect().map(a => a.advisory_id -> a).toMap
+    assert(rows.keySet == Set("CVE-2030-25194", "CVE-2021-44228"))
+    val a = rows("CVE-2030-25194")
+    assert(a.summary.startsWith("A possible security vulnerability"))
+    val ap = a.affected.head
+    assert(ap.purl == "pkg:apache/kafka")
+    assert(ap.affecting_vers == "vers:semver/>=2.3.0|<=3.3.1")
+    assert(ap.fixed_vers == "vers:semver/=3.4.0|=3.3.2")
+    assert(a.date_published.get.toString.startsWith("2030-02-07"))
+    // log4j CVEs carry no ranges by the reference's explicit list
+    assert(rows("CVE-2021-44228").affected.isEmpty)
+  }
+}
