@@ -50,12 +50,11 @@ object ImporterRegistry {
     // OVAL XML family
     "suse_oval_importer" -> ("suse_oval", Shared("OvalIngest.parse")),
     "debian_oval_importer" -> ("debian_oval", Shared("OvalIngest.parse")),
-    // not yet implemented — each needs its own small format parser
     "mozilla_importer_v2" -> ("mozilla", Dedicated("MozillaIngest.parse")),
     "apache_kafka_importer_v2" -> ("apache_kafka",
       Dedicated("ApacheKafkaIngest.parse")),
     "apache_tomcat_importer_v2" -> ("apache_tomcat",
-      Missing("security-page HTML scrape")),
+      Dedicated("TomcatIngest.parse")),
     "openssl_importer_v2" -> ("openssl",
       Dedicated("OpensslIngest.parse")),
     "postgresql_importer_v2" -> ("postgresql",

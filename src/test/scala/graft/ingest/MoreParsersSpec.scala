@@ -397,8 +397,8 @@ class ImporterRegistrySpec extends AnyFunSuite {
     FixCommitsIngest.Projects.keys.foreach { pid =>
       assert(ImporterRegistry.implemented.contains(pid), pid)
     }
-    // at least ~80% of the registry has a working reader
-    assert(done.toDouble / total >= 0.75, s"$done/$total implemented")
+    // every pipeline in the registry now has a working reader
+    assert(missing == 0, s"unexpected Missing rows: $missing")
   }
 }
 
@@ -1017,5 +1017,40 @@ class ApacheKafkaIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(a.date_published.get.toString.startsWith("2030-02-07"))
     // log4j CVEs carry no ranges by the reference's explicit list
     assert(rows("CVE-2021-44228").affected.isEmpty)
+  }
+}
+
+class TomcatIngestSpec extends AnyFunSuite with SparkTestSession {
+  test("tomcat security page: fixed-in sections + affects lines (S2)") {
+    val sp = spark
+    import sp.implicits._
+    val html =
+      """<h3 id="Fixed_in_Apache_Tomcat_10.1.35"><span>Fixed in Apache Tomcat 10.1.35</span></h3>
+        |<div class="text">
+        |<p><strong>Important: RCE via session persistence</strong>
+        |   <a href="https://cve.example/CVE-2030-24813">CVE-2030-24813</a></p>
+        |<p>Details about partial PUT uploads.</p>
+        |<p>Affects: 10.1.0-M1 to 10.1.34</p>
+        |<p><strong>Low: info disclosure</strong>
+        |   <a href="https://cve.example/CVE-2030-99999">CVE-2030-99999</a></p>
+        |<p>Affects: &lt;10.1.20</p>
+        |</div>
+        |<h3 id="not_a_fix_section">other</h3>""".stripMargin
+        .replaceAll("\n", "")
+    val rows = TomcatIngest.parse(sp,
+      Seq(("apache_tomcat", "https://tomcat.apache.org/security-10.html",
+        html)).toDF("datasource_id", "page_url", "html"))
+      .collect().map(a => a.advisory_id -> a).toMap
+    assert(rows.keySet == Set("security-10/CVE-2030-24813",
+      "security-10/CVE-2030-99999"))
+    val a = rows("security-10/CVE-2030-24813")
+    assert(a.summary == "Important: RCE via session persistence")
+    assert(a.affected.map(_.purl).toSet ==
+      Set("pkg:apache/tomcat", "pkg:maven/org.apache.tomcat/tomcat"))
+    assert(a.affected.head.affecting_vers ==
+      "vers:semver/>=10.1.0-M1|<=10.1.34")
+    assert(a.affected.head.fixed_vers == "vers:semver/=10.1.35")
+    val b = rows("security-10/CVE-2030-99999")
+    assert(b.affected.head.affecting_vers == "vers:semver/<10.1.20")
   }
 }
