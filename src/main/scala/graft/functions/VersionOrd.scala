@@ -26,7 +26,8 @@ object VersionOrd {
   /** Schemes with dedicated semantics; anything else falls back to generic. */
   val schemes: Set[String] = Set(
     "semver", "npm", "cargo", "gem", "golang", "composer", "nginx", "hex",
-    "pypi", "deb", "ubuntu", "rpm", "maven", "generic", "apk", "alpine")
+    "pypi", "deb", "ubuntu", "rpm", "alpm", "maven", "generic", "apk",
+    "alpine")
 
   private final val Term = '\u0004'      // global end-of-key sentinel
   private final val Low1 = '\u0001'      // sorts before everything
@@ -207,6 +208,45 @@ object VersionOrd {
       rpmSegKey(rest) + Low2 + Term
   }
 
+  // ----------------------------------------------------------------- alpm
+  /** pacman vercmp: derived from rpmvercmp (same digit/alpha segment
+    * walk, epoch:) with ONE divergence — a trailing alpha segment makes
+    * the version OLDER than its bare prefix (1.0a < 1.0 < 1.0.1), so the
+    * alpha marker sorts below the end-of-version marker. */
+  private def alpmSegKey(s: String): String = {
+    val sb = new StringBuilder
+    var rest = s
+    while (rest.nonEmpty) {
+      rest.head match {
+        case c if c.isDigit =>
+          val (d, t) = rest.span(_.isDigit)
+          sb.append(encNum(d)); rest = t
+        case c if c.isLetter =>
+          val (a, t) = rest.span(_.isLetter)
+          sb.append(Low1).append(a.toLowerCase); rest = t
+        case _ => rest = rest.tail // separator
+      }
+    }
+    sb.toString
+  }
+
+  private def alpmKey(v0: String): String = {
+    val v = v0.trim
+    val (epoch, rest) = v.indexOf(':') match {
+      case -1 => ("0", v)
+      case i  => (v.substring(0, i), v.substring(i + 1))
+    }
+    // pkgrel after '-' compares numerically at the end
+    val (pkgver, pkgrel) = rest.lastIndexOf('-') match {
+      case -1 => (rest, "0")
+      case i  => (rest.substring(0, i), rest.substring(i + 1))
+    }
+    encNum(epoch.filter(_.isDigit) match { case "" => "0"; case e => e }) +
+      alpmSegKey(pkgver) + Low2 +
+      encNum(pkgrel.filter(_.isDigit) match { case "" => "0"; case d => d }) +
+      Term
+  }
+
   // ---------------------------------------------------------------- maven
   private final val MQAlpha = '\u0011'
   private final val MQBeta = '\u0012'
@@ -359,6 +399,7 @@ object VersionOrd {
       case "pypi"           => pypiKey(v)
       case "deb" | "debian" | "ubuntu" => debKey(v)
       case "rpm"            => rpmKey(v)
+      case "alpm"           => alpmKey(v)
       case "apk" | "alpine" => alpineKey(v)
       case "maven"          => mavenKey(v)
       case _                => genericKey(v)
