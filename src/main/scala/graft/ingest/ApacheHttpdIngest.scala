@@ -64,14 +64,14 @@ object ApacheHttpdIngest {
 
     val alias = col("CVE_data_meta.ID")
     val advUrl = concat(lit(BaseUrl), alias, lit(".json"))
-    val summary = element_at(filter(
+    val summary = try_element_at(filter(
       coalesce(col("description.description_data"),
         array().cast("array<struct<lang:string,value:string>>")),
-      d => d.getField("lang") === "eng"), 1)
+      d => d.getField("lang") === "eng"), lit(1))
 
-    val sev = element_at(filter(transform(coalesce(col("impact"),
+    val sev = try_element_at(filter(transform(coalesce(col("impact"),
       array().cast("array<struct<other:string>>")),
-      i => i.getField("other")), v => v.isNotNull), 1)
+      i => i.getField("other")), v => v.isNotNull), lit(1))
     val sevs = when(sev.isNotNull, array(struct(
       lit("apache_httpd").as("scoring_system"), sev.as("value"),
       lit("").as("scoring_elements"), advUrl.as("url"))))
@@ -100,16 +100,16 @@ object ApacheHttpdIngest {
 
     val timeline = coalesce(col("timeline"),
       array().cast("array<struct<time:string,value:string>>"))
-    val datePublished = element_at(transform(filter(timeline,
-      t => t.getField("value") === "public"), t => t.getField("time")), 1)
+    val datePublished = try_element_at(transform(filter(timeline,
+      t => t.getField("value") === "public"), t => t.getField("time")), lit(1))
     // "x.y.z release" / "release x.y.z" entries → inverted != constraints
     val fixedFromTimeline = filter(transform(
       filter(timeline, t => t.getField("value").contains("release") &&
         !t.getField("value").contains("never")),
       t => {
         val words = split(t.getField("value"), " ")
-        val first = element_at(words, 1)
-        val last = element_at(words, -1)
+        val first = try_element_at(words, lit(1))
+        val last = try_element_at(words, lit(-1))
         when(last.contains("release") && versionLike(first), first)
           .when(first.contains("release") && versionLike(last), last)
       }), v => v.isNotNull)

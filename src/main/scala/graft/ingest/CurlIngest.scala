@@ -37,13 +37,13 @@ object CurlIngest {
     val o = raw.withColumn("c", from_json(col("json"), curlSchema))
       .select(col("datasource_id"), col("c.*"))
       // invalid/missing CVE alias rows are skipped (curl_importer.py:55-60)
-      .filter(element_at(coalesce(col("aliases"),
-        array().cast("array<string>")), 1).startsWith("CVE"))
+      .filter(try_element_at(coalesce(col("aliases"),
+        array().cast("array<string>")), lit(1)).startsWith("CVE"))
 
-    val a0 = element_at(col("affected"), 1)
-    val range0 = element_at(a0.getField("ranges"), 1)
-    val fixedEvent = element_at(element_at(range0.getField("events"), 2),
-      "fixed")
+    val a0 = try_element_at(col("affected"), lit(1))
+    val range0 = try_element_at(a0.getField("ranges"), lit(1))
+    val fixedEvent = try_element_at(
+      try_element_at(range0.getField("events"), lit(2)), lit("fixed"))
     val pins = transform(coalesce(a0.getField("versions"),
       array().cast("array<string>")), v => concat(lit("="), v))
 

@@ -57,7 +57,7 @@ object MattermostIngest {
 
     withIds.select(
       col("datasource_id"),
-      element_at(col("ids"), 1).as("advisory_id"),
+      try_element_at(col("ids"), lit(1)).as("advisory_id"),
       coalesce(col("details"), lit("")).as("summary"),
       slice(col("ids"), 2, 1000).as("aliases"),
       array(struct(lit("https://mattermost.com/security-updates/")

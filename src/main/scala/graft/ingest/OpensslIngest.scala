@@ -54,9 +54,9 @@ object OpensslIngest {
       .filter(col("cve").isNotNull)
 
     val summary = coalesce(
-      element_at(col("descriptions"), 1).getField("value"),
+      try_element_at(col("descriptions"), lit(1)).getField("value"),
       col("title"), lit(""))
-    val sevText = element_at(col("metrics"), 1)
+    val sevText = try_element_at(col("metrics"), lit(1))
       .getField("other").getField("content").getField("text")
     val sevs = when(sevText.isNotNull, array(struct(
       lit("generic_textual").as("scoring_system"), sevText.as("value"),
@@ -70,8 +70,8 @@ object OpensslIngest {
         "array<struct<name:string,url:string,tags:array<string>>>")),
       r => r.getField("url").isNotNull), r => {
       val name = lower(coalesce(r.getField("name"), lit("")))
-      val tag = lower(coalesce(element_at(coalesce(r.getField("tags"),
-        array().cast("array<string>")), 1), lit("")))
+      val tag = lower(coalesce(try_element_at(coalesce(r.getField("tags"),
+        array().cast("array<string>")), lit(1)), lit("")))
       struct(
         r.getField("url").as("url"),
         when(name.contains("commit") || tag === "patch", "commit")

@@ -105,7 +105,7 @@ object RedhatIngest {
     // rpm purls with a version become (<v affected, =v fixed) impacts
     // (redhat_importer.py:139-168); rpmmod and versionless purls drop.
     val leafPurls = array_distinct(filter(flatten(transform(
-      filter(coalesce(col("product_tree.branches").getItem(0)
+      filter(coalesce(try_element_at(col("product_tree.branches"), lit(1))
         .getField("branches"), array().cast(ArrayType(ProductBranch))),
         b => b.getField("category") =!= "product_family"),
       b => transform(coalesce(b.getField("branches"),

@@ -164,10 +164,10 @@ object VulnrichmentIngest {
           regexp_extract(d.getField("description"), "CWE-(\\d+)", 1))
           .cast("int")))), w => w.isNotNull)))
 
-    val summary = element_at(filter(
+    val summary = try_element_at(filter(
       coalesce(col("containers.cna.descriptions"),
         array().cast("array<struct<lang:string,value:string>>")),
-      d => d.getField("lang").isin("en", "en-US")), -1)
+      d => d.getField("lang").isin("en", "en-US")), lit(-1))
 
     withMetrics.select(
       col("datasource_id"),

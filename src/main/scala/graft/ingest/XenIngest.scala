@@ -23,7 +23,7 @@ object XenIngest {
     import spark.implicits._
     raw
       .select(col("datasource_id"),
-        explode(element_at(from_json(col("json"), xsaSchema), 1)
+        explode(try_element_at(from_json(col("json"), xsaSchema), lit(1))
           .getField("xsas")).as("x"))
       .filter(col("x.xsa").isNotNull)
       .select(
