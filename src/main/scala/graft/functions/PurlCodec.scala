@@ -46,6 +46,9 @@ object PurlCodec {
       case "npm" | "cargo" | "composer" | "hex" => "semver"
       case "gem"    => "gem"
       case "golang" => "golang"
+      case "nuget"  => "nuget"
+      case "alpm"   => "alpm"
+      case "ebuild" => "ebuild"
       case "pypi"  => "pypi"
       case "deb"   => "deb"
       case "rpm"   => "rpm"

@@ -26,8 +26,8 @@ object VersionOrd {
   /** Schemes with dedicated semantics; anything else falls back to generic. */
   val schemes: Set[String] = Set(
     "semver", "npm", "cargo", "gem", "golang", "composer", "nginx", "hex",
-    "pypi", "deb", "ubuntu", "rpm", "alpm", "maven", "generic", "apk",
-    "alpine")
+    "pypi", "deb", "ubuntu", "rpm", "alpm", "nuget", "maven", "generic",
+    "apk", "alpine")
 
   private final val Term = '\u0004'      // global end-of-key sentinel
   private final val Low1 = '\u0001'      // sorts before everything
@@ -340,6 +340,30 @@ object VersionOrd {
     numKey + Low2 + letterKey + Low2 + suffixKey + encNum(rev) + Term
   }
 
+  // ---------------------------------------------------------------- nuget
+  /** NuGetVersion: up to four numeric parts (missing = 0, so
+    * 1.0 == 1.0.0 == 1.0.0.0) with SemVer2 prerelease compared
+    * CASE-INSENSITIVELY; build metadata ignored. */
+  private def nugetKey(v0: String): String = {
+    val v = v0.trim.stripPrefix("v").stripPrefix("V")
+    val noBuild = v.takeWhile(_ != '+')
+    val (core, pre) = noBuild.indexOf('-') match {
+      case -1 => (noBuild, "")
+      case i  => (noBuild.substring(0, i), noBuild.substring(i + 1))
+    }
+    val nums = core.split('.').toSeq.map(s => s.filter(_.isDigit) match {
+      case "" => encNum("0")
+      case d  => encNum(d)
+    })
+    val padded = (nums ++ Seq.fill(4)(encNum("0"))).take(math.max(4, nums.size))
+    val preKey =
+      if (pre.isEmpty) High.toString
+      else Low1.toString + pre.toLowerCase.split('.').map { id =>
+        if (id.nonEmpty && id.forall(_.isDigit)) encNum(id) else encAlpha(id)
+      }.mkString
+    padded.mkString + preKey + Term
+  }
+
   // ------------------------------------------------------------- rubygems
   /** Rank of a zero segment followed by a positive number: above Term (so
     * `1.0.1` > `1`) while a zero followed by an alpha ranks below Term via
@@ -396,6 +420,7 @@ object VersionOrd {
       case "semver" | "npm" | "cargo" | "golang" | "composer" |
           "nginx" | "hex" => semverKey(v)
       case "gem"            => gemKey(v)
+      case "nuget"          => nugetKey(v)
       case "pypi"           => pypiKey(v)
       case "deb" | "debian" | "ubuntu" => debKey(v)
       case "rpm"            => rpmKey(v)

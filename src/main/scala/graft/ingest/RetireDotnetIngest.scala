@@ -41,9 +41,9 @@ object RetireDotnetIngest {
         p => p.getField("fix")), v => v.isNotNull))
       when(n.isNotNull && (size(aff) > 0 || size(fix) > 0), struct(
         concat(lit("pkg:nuget/"), n).as("purl"),
-        concat(lit("vers:semver/"), array_join(transform(array_sort(aff),
+        concat(lit("vers:nuget/"), array_join(transform(array_sort(aff),
           v => concat(lit("="), v)), "|")).as("affecting_vers"),
-        concat(lit("vers:semver/"), array_join(transform(array_sort(fix),
+        concat(lit("vers:nuget/"), array_join(transform(array_sort(fix),
           v => concat(lit("="), v)), "|")).as("fixed_vers")))
     }), p => p.isNotNull)
 

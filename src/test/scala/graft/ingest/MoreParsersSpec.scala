@@ -444,9 +444,9 @@ class SmallFeedsSpec extends AnyFunSuite with SparkTestSession {
     val byPurl = a.affected.map(p => p.purl -> p).toMap
     assert(byPurl.keySet == Set("pkg:nuget/Widget.Core", "pkg:nuget/Other.Pkg"))
     assert(byPurl("pkg:nuget/Widget.Core").affecting_vers ==
-      "vers:semver/=1.0.0|=1.1.0")
-    assert(byPurl("pkg:nuget/Widget.Core").fixed_vers == "vers:semver/=1.2.0")
-    assert(byPurl("pkg:nuget/Other.Pkg").fixed_vers == "vers:semver/=2.0.1")
+      "vers:nuget/=1.0.0|=1.1.0")
+    assert(byPurl("pkg:nuget/Widget.Core").fixed_vers == "vers:nuget/=1.2.0")
+    assert(byPurl("pkg:nuget/Other.Pkg").fixed_vers == "vers:nuget/=2.0.1")
   }
 
   test("nodejs security-wg advisory parses npm ranges + sentinels (S2)") {
