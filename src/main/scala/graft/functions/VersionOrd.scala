@@ -27,7 +27,7 @@ object VersionOrd {
   val schemes: Set[String] = Set(
     "semver", "npm", "cargo", "gem", "golang", "composer", "nginx", "hex",
     "pypi", "deb", "ubuntu", "rpm", "alpm", "nuget", "maven", "generic",
-    "apk", "alpine")
+    "apk", "alpine", "ebuild")
 
   private final val Term = '\u0004'      // global end-of-key sentinel
   private final val Low1 = '\u0001'      // sorts before everything
@@ -425,7 +425,10 @@ object VersionOrd {
       case "deb" | "debian" | "ubuntu" => debKey(v)
       case "rpm"            => rpmKey(v)
       case "alpm"           => alpmKey(v)
-      case "apk" | "alpine" => alpineKey(v)
+      // alpine's version scheme is derived from Gentoo's (PMS §3.3:
+      // numeric parts, optional trailing letter, _alpha<_beta<_pre<_rc<
+      // release<_p phases, -rN revision) — ebuild shares the key
+      case "apk" | "alpine" | "ebuild" => alpineKey(v)
       case "maven"          => mavenKey(v)
       case _                => genericKey(v)
     }
