@@ -93,6 +93,7 @@ object AdvisoryJsonIngest {
       to_timestamp(col("a.date_published")).as("date_published"),
       coalesce(col("a.url"), lit("")).as("url"),
       lit(precedence).as("precedence"))
+      .filter(col("advisory_id").isNotNull)
       .as[AdvisoryRow]
   }
 

@@ -58,6 +58,7 @@ object DebianTrackerIngest {
       concat(lit("https://security-tracker.debian.org/tracker/"), col("cve"))
         .as("url"),
       lit(5).as("precedence"))
+      .filter(col("advisory_id").isNotNull)
       .as[AdvisoryRow]
   }
 }

@@ -37,7 +37,9 @@ object FireeyeIngest {
     if (stem.toUpperCase == "README" || !relPath.endsWith(".md")) return None
     val lines = text.replace("\r\n", "\n").replace("\n\n", "\n").split('\n')
       .toSeq
-    if (lines.isEmpty) return None
+    // a disclosure always opens with its "# <id>" header; anything else
+    // is an unparseable file
+    if (lines.isEmpty || !lines.head.startsWith("#")) return None
     val sections = mdSections(lines)
     def section(h: String): Seq[String] =
       sections.getOrElse(h, Seq.empty).map(_.trim).filter(_.nonEmpty)

@@ -86,6 +86,7 @@ object GithubIngest {
       to_timestamp(col("n.publishedAt")).as("date_published"),
       coalesce(col("n.permalink"), lit("")).as("url"),
       lit(7).as("precedence"))
+      .filter(col("advisory_id").isNotNull)
       .as[AdvisoryRow]
   }
 }

@@ -127,7 +127,8 @@ object GitlabIngest {
     * (gitlab_importer.py:183-330). */
   def parseOne(yaml: org.yaml.snakeyaml.Yaml, datasourceId: String,
       relPath: String, text: String): Option[AdvisoryRow] = {
-    val doc = yaml.load[Object](text) match {
+    val doc = (try yaml.load[Object](text)
+      catch { case _: Exception => null }) match {
       case m: java.util.Map[_, _] =>
         m.asInstanceOf[java.util.Map[String, Object]]
       case _ => return None

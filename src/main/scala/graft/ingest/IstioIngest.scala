@@ -45,7 +45,8 @@ object IstioIngest {
       relPath: String, text: String): Option[AdvisoryRow] = {
     if (relPath.endsWith("_index.md")) return None
     val (front, _) = TextUtil.splitFrontMatter(text)
-    val data = yaml.load[Object](front) match {
+    val data = (try yaml.load[Object](front)
+      catch { case _: Exception => null }) match {
       case m: java.util.Map[_, _] =>
         m.asInstanceOf[java.util.Map[String, Object]]
       case _ => return None

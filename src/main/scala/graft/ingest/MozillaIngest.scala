@@ -87,7 +87,8 @@ object MozillaIngest {
     val isMd = fileName.endsWith(".md")
     val (yamlText, body) =
       if (isMd) TextUtil.splitFrontMatter(text) else (text, "")
-    val data = yaml.load[Object](yamlText) match {
+    val data = (try yaml.load[Object](yamlText)
+      catch { case _: Exception => null }) match {
       case m: java.util.Map[_, _] =>
         m.asInstanceOf[java.util.Map[String, Object]]
       case _ => return Seq.empty

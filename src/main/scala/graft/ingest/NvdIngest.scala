@@ -78,6 +78,7 @@ object NvdIngest {
       concat(lit("https://nvd.nist.gov/vuln/detail/"), col("cve.id"))
         .as("url"),
       lit(10).as("precedence")) // NVD is a high-precedence source
+      .filter(col("advisory_id").isNotNull)
       .as[AdvisoryRow]
   }
 }

@@ -141,6 +141,7 @@ object OsvIngest {
       to_timestamp(col("published")).as("date_published"),
       concat(lit("https://osv.dev/vulnerability/"), col("id")).as("url"),
       lit(precedence).as("precedence"))
+      .filter(col("advisory_id").isNotNull)
       .as[AdvisoryRow]
   }
 

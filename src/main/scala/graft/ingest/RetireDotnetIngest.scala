@@ -26,7 +26,11 @@ object RetireDotnetIngest {
     import spark.implicits._
     val o = raw.withColumn("d", from_json(col("json"), schema))
       .withColumn("stem", regexp_extract(col("path"), "([^/]+)\\.json$", 1))
-      .filter(length(col("stem")) > 0)
+      // from_json yields a struct of nulls on malformed input; a record
+      // with no description, link or packages is an unparsed file
+      .filter(length(col("stem")) > 0 &&
+        (col("d.description").isNotNull || col("d.link").isNotNull ||
+          col("d.packages").isNotNull))
 
     val pkgs = coalesce(col("d.packages"),
       array().cast(ArrayType(schema("packages").dataType

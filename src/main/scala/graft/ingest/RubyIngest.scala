@@ -37,7 +37,8 @@ object RubyIngest {
 
   def parseOne(yaml: org.yaml.snakeyaml.Yaml, datasourceId: String,
       relPath: String, text: String): Option[AdvisoryRow] = {
-    val doc = yaml.load[Object](text) match {
+    val doc = (try yaml.load[Object](text)
+      catch { case _: Exception => null }) match {
       case m: java.util.Map[_, _] =>
         m.asInstanceOf[java.util.Map[String, Object]]
       case _ => return None

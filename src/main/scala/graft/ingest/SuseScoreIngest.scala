@@ -28,7 +28,8 @@ object SuseScoreIngest {
 
   def parseOne(yaml: org.yaml.snakeyaml.Yaml, datasourceId: String,
       text: String): Seq[AdvisoryRow] = {
-    val doc = yaml.load[Object](text) match {
+    val doc = (try yaml.load[Object](text)
+      catch { case _: Exception => null }) match {
       case m: java.util.Map[_, _] =>
         m.asInstanceOf[java.util.Map[String, Object]]
       case _ => return Seq.empty

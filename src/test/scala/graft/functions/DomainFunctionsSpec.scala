@@ -117,6 +117,29 @@ class CvssSpec extends AnyFunSuite {
       .contains(2.3))
   }
 
+  test("CVSS v4.0 total over the full base-vector grid") {
+    // Every fully-specified base vector must score in [0,10]: this walks
+    // all 104,976 combinations, so a missing macrovector key, an
+    // unreachable max-composed candidate, or a depth-table hole would
+    // surface as a None or an exception on some cell.
+    var n = 0
+    for {
+      av <- Seq("N", "A", "L", "P"); ac <- Seq("L", "H")
+      at <- Seq("N", "P"); pr <- Seq("N", "L", "H"); ui <- Seq("N", "P", "A")
+      vc <- Seq("H", "L", "N"); vi <- Seq("H", "L", "N")
+      va <- Seq("H", "L", "N"); sc <- Seq("H", "L", "N")
+      si <- Seq("H", "L", "N"); sa <- Seq("H", "L", "N")
+    } {
+      val vec = s"CVSS:4.0/AV:$av/AC:$ac/AT:$at/PR:$pr/UI:$ui/" +
+        s"VC:$vc/VI:$vi/VA:$va/SC:$sc/SI:$si/SA:$sa"
+      val s = Cvss4.baseScore(vec)
+      assert(s.isDefined, s"no score for $vec")
+      assert(s.get >= 0.0 && s.get <= 10.0, s"out of range for $vec: $s")
+      n += 1
+    }
+    assert(n == 104976)
+  }
+
   test("CVSS v4.0 structural rules") {
     // no impact anywhere -> 0.0 (spec §8.2)
     assert(Cvss4.baseScore(
