@@ -29,7 +29,9 @@ object Engine {
       advisorySets: DataFrame,
       todos: DataFrame,
       conflicts: DataFrame,
-      changeLog: DataFrame)
+      changeLog: DataFrame,
+      ssvcDecisions: DataFrame,
+      ssvcRelations: DataFrame)
 
   /** Session with extensions + registered functions. */
   def newSession(appName: String = "graft", cpus: String = "32"): SparkSession = {
@@ -55,6 +57,7 @@ object Engine {
     val unfurled = AdvisoryDerive.unfurl(impacts, versionsDim).cache()
     val ranked = AdvisoryDerive.versionRank(versionsDim).cache()
     val risk = AdvisoryDerive.advisoryRisk(advisories, severityWeights)
+    val ssvc = AdvisoryDerive.ssvcDecisions(advisories)
     val marts = Marts(
       advisories = advisories,
       impacts = impacts,
@@ -67,7 +70,9 @@ object Engine {
       advisorySets = AdvisoryDerive.advisorySets(spark, advisories),
       todos = AdvisoryDerive.todos(advisories),
       conflicts = AdvisoryDerive.conflicts(advisories),
-      changeLog = AdvisoryDerive.changeLog(advisories))
+      changeLog = AdvisoryDerive.changeLog(advisories),
+      ssvcDecisions = ssvc,
+      ssvcRelations = AdvisoryDerive.ssvcRelations(advisories, ssvc))
     Seq(
       "advisories" -> marts.advisories,
       "impacts" -> marts.impacts,
@@ -81,6 +86,8 @@ object Engine {
       "todos" -> marts.todos,
       "conflicts" -> marts.conflicts,
       "changelog" -> marts.changeLog,
+      "ssvc_decisions" -> marts.ssvcDecisions,
+      "ssvc_relations" -> marts.ssvcRelations,
     ).foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }
     marts
   }
