@@ -27,6 +27,7 @@ object SparkEntry {
     SimilarityQueries,
     MultimodalQueries,
     StreamingQueries,
+    ServingQueries,
     ScaleQueries,
   )
 
