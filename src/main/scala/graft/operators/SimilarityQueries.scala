@@ -71,7 +71,12 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     },
 
-    // Embedding-cosine near-duplicate pairs within label partitions
+    // Embedding-cosine near-duplicate pairs within label partitions.
+    // Threshold 0.3 (not the classic 0.9): the fixture embeddings are
+    // near-orthogonal random vectors (max within-label cosine ≈ 0.41),
+    // so 0.3 keeps the oracle non-vacuous — a handful of pairs at every
+    // SF — proving the dot/norm arithmetic and rounding cross-engine
+    // rather than comparing two empty sets.
     q("x_embed_neardup",
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       round($dotSql /
@@ -87,7 +92,7 @@ object SimilarityQueries extends QueryModule {
          |      (sqrt(list_sum(list_transform(a.embedding,
          |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
          |       sqrt(list_sum(list_transform(b.embedding,
-         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.5
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3
          |ORDER BY vec_a, vec_b""") { (s, dir) =>
       val e = emb(s, dir)
       val a = e.filter(pmod(col("vec_id"), lit(20)) === 0)
@@ -99,7 +104,7 @@ object SimilarityQueries extends QueryModule {
         (norm(col("ea")) * norm(col("eb")))
       a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
         .withColumn("cos_raw", cosRaw)
-        .filter(col("cos_raw") >= 0.5)
+        .filter(col("cos_raw") >= 0.3)
         .select(col("vec_a"), col("vec_b"),
           round(col("cos_raw"), 6).as("cos_sim"))
         .orderBy("vec_a", "vec_b")

@@ -259,5 +259,97 @@ object TextDedupQueries extends QueryModule {
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")
     },
+
+    // n-gram Jaccard, CAPPED scale-safe form: the library's
+    // TextDedup.ngramJaccardPairs with a shingle document-frequency cap
+    // (maxDf = 40 — chosen so the corpus's hot stop-shingles actually get
+    // dropped at every SF, exercising the cap path). The cap is a
+    // deterministic count filter, so the oracle replicates it exactly via
+    // HAVING count(*) <= 40. This is the formulation the 100 TB path
+    // runs: one stop-shingle shared by k docs would otherwise emit O(k²)
+    // candidate pairs. (Library tokenizes on \s+, oracle on single
+    // spaces — equivalent on this corpus, same note as x_simhash_pairs.)
+    q("x_ngram_jaccard_capped",
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(toks)),
+        |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split(trim(text), ' '), x -> x <> '')
+        |                 AS toks
+        |        FROM documents) WHERE len(toks) >= 2),
+        |keep AS (SELECT shingle FROM raw GROUP BY shingle
+        |         HAVING count(*) <= 40),
+        |sh AS (SELECT raw.doc_id, raw.shingle
+        |       FROM raw JOIN keep USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |       CAST(round(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared),
+        |                  4) AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.id_a
+        |JOIN sizes sb ON sb.doc_id = p.id_b
+        |WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5
+        |ORDER BY id_a, id_b""") { (s, dir) =>
+      TextDedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+          n = 2, threshold = 0.5, maxDf = 40)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 4).cast("double").as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash+LSH, CAPPED scale-safe form: TextDedup.minHashLshPairs with
+    // the degenerate-bucket guard small enough (maxBucketSize = 2) that
+    // buckets are really dropped at every SF — members still pair through
+    // their other, more selective bands, which the oracle reproduces with
+    // the same HAVING count(*) <= 2 filter before the band self-join.
+    q("x_minhash_lsh_capped",
+      s"""WITH raw AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |           list_transform(range(1, len(toks)),
+         |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+         |  FROM (SELECT doc_id,
+         |               list_filter(string_split(trim(text), ' '), x -> x <> '')
+         |                 AS toks
+         |        FROM documents) WHERE len(toks) >= 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |         ${(0 until 16).map(i =>
+              s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")}
+         |  FROM raw GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
+         |         unnest([${(0 until 4).map(b =>
+              s"md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3})")
+              .mkString(", ")}]) AS bucket
+         |  FROM sig),
+         |ok AS (SELECT band, bucket FROM bands GROUP BY 1, 2
+         |       HAVING count(*) <= 2),
+         |capped AS (SELECT bands.* FROM bands JOIN ok USING (band, bucket)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |       CAST((${(0 until 16).map(i =>
+              s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")})
+         |            AS DOUBLE) / 16 AS est_similarity
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.id_a
+         |JOIN sig sb ON sb.doc_id = c.id_b
+         |WHERE (${(0 until 16).map(i =>
+              s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")})
+         |      >= 8
+         |ORDER BY id_a, id_b""") { (s, dir) =>
+      TextDedup.minHashLshPairs(docs(s, dir), "text", "doc_id",
+          n = 2, numHashes = 16, bands = 4, threshold = 0.5,
+          maxBucketSize = 2)
+        .orderBy("id_a", "id_b")
+    },
   )
 }
