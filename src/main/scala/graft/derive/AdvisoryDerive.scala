@@ -247,6 +247,15 @@ object AdvisoryDerive {
     // the min hash in the component (deterministic for a given avid set).
     val ids = latest.select(col("avid")).distinct()
       .withColumn("node_id", xxhash64(col("avid")))
+    // Collision guard: a 64-bit hash collision (birthday-bound real at
+    // billions of advisories) would silently merge two unrelated
+    // advisories into one set — fail loudly instead. One cheap aggregate
+    // over the id table; swap in a wider hash if this ever fires.
+    val Array(nAvid, nNode) = ids
+      .agg(countDistinct("avid"), countDistinct("node_id"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nAvid == nNode,
+      s"xxhash64 node-id collision: $nAvid distinct avids -> $nNode node ids")
     val keys = latest
       .select(col("avid"), explode(concat(col("aliases"),
         array(col("advisory_id")))).as("key"))

@@ -154,23 +154,26 @@ object Ssvc {
     * the derived M and the D decision letter, then the timestamp. */
   def calculator(options: Seq[(String, String)],
       timestamp: Option[String] = None): Option[(String, String)] = {
-    // an input Mission & Well-being is always recomputed from the table
-    // (utils.py:785-787 overwrites it), so drop it before appending ours
-    val given = options.map { case (k, v) => k -> v.toLowerCase }
-      .filterNot(_._1 == "Mission & Well-being")
-    val withDefaults = given ++
-      (if (!given.exists(_._1 == "Mission Prevalence"))
-        Seq("Mission Prevalence" -> "minimal") else Seq.empty) ++
-      (if (!given.exists(_._1 == "Public Well-being Impact"))
-        Seq("Public Well-being Impact" -> "material") else Seq.empty)
-    val dict = withDefaults.toMap
+    // Mirror the reference's Python-dict semantics exactly
+    // (utils.py:760, 779-787): duplicate option names collapse with the
+    // LAST value winning but the FIRST occurrence's position kept, and a
+    // given Mission & Well-being is overwritten IN PLACE by the derived
+    // value (not filtered-and-appended) so the rendered vector preserves
+    // its original slot. LinkedHashMap update has exactly dict's
+    // keep-position-update-value behavior.
+    val dict = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    options.foreach { case (k, v) => dict(k) = v.toLowerCase }
+    if (!dict.contains("Mission Prevalence"))
+      dict("Mission Prevalence") = "minimal"
+    if (!dict.contains("Public Well-being Impact"))
+      dict("Public Well-being Impact") = "material"
     val mw = for {
       p <- dict.get("Mission Prevalence")
       b <- dict.get("Public Well-being Impact")
       m <- MissionWellBeing.get((p, b))
     } yield m
-    val all = withDefaults ++ mw.map("Mission & Well-being" -> _).toSeq
-    val rendered = all.flatMap { case (name, value) =>
+    mw.foreach(m => dict("Mission & Well-being") = m)
+    val rendered = dict.toSeq.flatMap { case (name, value) =>
       VectorLetter.get(name).flatMap { case (letter, toLetter) =>
         toLetter.get(value).map(l => s"$letter:$l")
       }

@@ -236,15 +236,22 @@ object VersionOrd {
       case -1 => ("0", v)
       case i  => (v.substring(0, i), v.substring(i + 1))
     }
-    // pkgrel after '-' compares numerically at the end
+    // pkgrel after '-' compares last, with the same rpm-style segment
+    // walk pacman applies to it (so '1.5' is 1 then 5, not the digit
+    // concatenation 15). DOCUMENTED DIVERGENCE from vercmp: pacman
+    // IGNORES pkgrel when only one side carries it (vercmp '1.0'
+    // '1.0-2' == 0) — a context-sensitive equality a total-order sort
+    // key cannot encode, so a missing pkgrel keys as 0 here and
+    // '1.0' < '1.0-2'. Callers comparing against pkgrel-less specs
+    // should strip pkgrel from both sides first.
     val (pkgver, pkgrel) = rest.lastIndexOf('-') match {
       case -1 => (rest, "0")
-      case i  => (rest.substring(0, i), rest.substring(i + 1))
+      case i  => (rest.substring(0, i),
+        if (rest.length == i + 1) "0" else rest.substring(i + 1))
     }
     encNum(epoch.filter(_.isDigit) match { case "" => "0"; case e => e }) +
       alpmSegKey(pkgver) + Low2 +
-      encNum(pkgrel.filter(_.isDigit) match { case "" => "0"; case d => d }) +
-      Term
+      alpmSegKey(pkgrel) + Term
   }
 
   // ---------------------------------------------------------------- maven

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -78,6 +78,12 @@ object VulnrichmentIngest {
     "mailing-list" -> "mailing_list", "third-party-advisory" -> "advisory",
     "vendor-advisory" -> "advisory", "vdb-entry" -> "advisory")
 
+  /** Mapped reference type for one tag, null when the tag is unmapped. */
+  private def refTypeForTag(tag: Column): Column =
+    RefTypeByTag.foldLeft(lit(null).cast("string")) {
+      case (acc, (t, v)) => when(tag === t, v).otherwise(acc)
+    }
+
   /** Parse a DataFrame of raw CVE 5.x JSON strings (columns
     * `datasource_id`, `json`, optional `path`). */
   def parse(spark: SparkSession, raw: DataFrame,
@@ -138,11 +144,17 @@ object VulnrichmentIngest {
       array().cast("array<struct<url:string,tags:array<string>>>")),
       r => struct(
         r.getField("url").as("url"),
-        coalesce(RefTypeByTag.foldLeft(lit(null).cast("string")) {
-          case (acc, (tag, t)) =>
-            when(array_contains(coalesce(r.getField("tags"),
-              array().cast("array<string>")), tag), t).otherwise(acc)
-        }, lit("other")).as("reference_type"),
+        // The reference loops the record's tags IN DATA ORDER with the
+        // last mapped tag winning (vulnrichment_importer.py:161-163), so
+        // fold over the tags array itself — a fixed tag-precedence fold
+        // would disagree on records carrying several mapped tags (e.g.
+        // ['vendor-advisory', 'exploit']).
+        coalesce(
+          aggregate(
+            coalesce(r.getField("tags"), array().cast("array<string>")),
+            lit(null).cast("string"),
+            (acc, tag) => coalesce(refTypeForTag(tag), acc)),
+          lit("other")).as("reference_type"),
         regexp_extract(r.getField("url"), "[^/]+$", 0).as("reference_id")))
     val cpeRefs = transform(array_sort(array_distinct(
       flatten(transform(coalesce(col("containers.cna.affected"),
@@ -154,15 +166,24 @@ object VulnrichmentIngest {
         lit("other").as("reference_type"),
         cpe.as("reference_id")))
 
+    // The reference adds BOTH the cweId-derived and the description-
+    // derived CWE per problemType description (vulnrichment_importer.py:
+    // 184-197) — emit both into the flattened set instead of coalescing.
+    // regexp_extract returns '' (not null) on a non-matching non-null
+    // input (e.g. cweId = 'NVD-CWE-noinfo'), so empties are nulled out
+    // before the int cast rather than short-circuiting a coalesce.
+    def cweNum(c: Column): Column = {
+      val digits = regexp_extract(c, "CWE-(\\d+)", 1)
+      when(digits === "", lit(null)).otherwise(digits).cast("int")
+    }
     val weaknesses = array_sort(array_distinct(filter(flatten(transform(
       coalesce(col("containers.cna.problemTypes"),
         array().cast(CnaType("problemTypes").dataType.simpleString)),
-      pt => transform(coalesce(pt.getField("descriptions"), array().cast(
-        "array<struct<cweId:string,description:string>>")),
-        d => coalesce(
-          regexp_extract(d.getField("cweId"), "CWE-(\\d+)", 1),
-          regexp_extract(d.getField("description"), "CWE-(\\d+)", 1))
-          .cast("int")))), w => w.isNotNull)))
+      pt => flatten(transform(coalesce(pt.getField("descriptions"),
+        array().cast(
+          "array<struct<cweId:string,description:string>>")),
+        d => array(cweNum(d.getField("cweId")),
+          cweNum(d.getField("description"))))))), w => w.isNotNull)))
 
     val summary = try_element_at(filter(
       coalesce(col("containers.cna.descriptions"),

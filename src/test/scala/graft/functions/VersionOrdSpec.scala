@@ -101,6 +101,19 @@ class VersionOrdSpec extends AnyFunSuite {
     lt("alpine", "1.9.0", "1.10.0")
   }
 
+  test("alpm (pacman vercmp) pkgrel ordering") {
+    lt("alpm", "1.0-1", "1.0-2")
+    // pkgrel walks digit segments like the pkgver ('1.5' is 1 then 5,
+    // not the digit concatenation 15)
+    lt("alpm", "1.0-1.5", "1.0-2")
+    lt("alpm", "1.0-1", "1.0-1.5")
+    lt("alpm", "1.0-2", "1.1-1")
+    eqv("alpm", "1.0-1", "1.0-1")
+    // DOCUMENTED DIVERGENCE from vercmp (which ignores pkgrel when only
+    // one side has it): a missing pkgrel keys as 0, so '1.0' < '1.0-2'
+    lt("alpm", "1.0", "1.0-2")
+  }
+
   test("edge cases: deep pypi/deb/rpm forms") {
     lt("pypi", "1.0.post1", "1.0.post2")
     lt("pypi", "1.0.post1.dev2", "1.0.post1")

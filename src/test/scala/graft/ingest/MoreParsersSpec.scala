@@ -32,6 +32,23 @@ class SsvcCalculatorSpec extends AnyFunSuite {
     assert(Ssvc.decision("active", "no", "total", "medium") == "Attend")
     assert(Ssvc.decision("poc", "no", "total", "medium") == "Track*")
   }
+
+  test("python-dict vector layout: in-place M&W overwrite, dup keys") {
+    // a given Mission & Well-being keeps its input SLOT but is always
+    // recomputed (utils.py:785-787 overwrites in the dict, which
+    // preserves insertion position): here (minimal, material) -> medium
+    // replaces the given 'low' at position 2
+    assert(Ssvc.calculator(
+      Seq("Exploitation" -> "none", "Mission & Well-being" -> "low",
+        "Automatable" -> "no", "Technical Impact" -> "total")) ==
+      Some(("SSVCv2/E:N/M:M/A:N/T:T/P:M/B:A/D:T/", "Track")))
+    // duplicate option names collapse like a python dict: LAST value
+    // wins, FIRST occurrence's position kept
+    assert(Ssvc.calculator(
+      Seq("Exploitation" -> "none", "Automatable" -> "no",
+        "Exploitation" -> "active", "Technical Impact" -> "total")) ==
+      Some(("SSVCv2/E:A/A:N/T:T/P:M/B:A/M:M/D:A/", "Attend")))
+  }
 }
 
 class AlpineIngestSpec extends AnyFunSuite with SparkTestSession {
@@ -172,6 +189,39 @@ class VulnrichmentIngestSpec extends AnyFunSuite with SparkTestSession {
       graft.derive.AdvisoryDerive.withContentIdAndLatest(
         Seq(a).toDF()))
     assert(ssvc.collect().head.getAs[String]("decision") == "Track")
+  }
+
+  private val cve2 =
+    """{"cveMetadata": {"cveId": "CVE-2030-4902", "state": "PUBLISHED",
+      |  "datePublished": "2030-06-26T23:31:05.422Z"},
+      |"containers": {"cna": {
+      |  "descriptions": [{"lang": "en", "value": "Overflow."}],
+      |  "references": [
+      |    {"url": "https://a.example/adv/1",
+      |     "tags": ["vendor-advisory", "exploit"]},
+      |    {"url": "https://b.example/adv/2",
+      |     "tags": ["exploit", "vendor-advisory"]}],
+      |  "problemTypes": [{"descriptions": [
+      |    {"cweId": "CWE-89", "description": "variant of CWE-90"},
+      |    {"cweId": "NVD-CWE-noinfo", "description": "see CWE-91"}]}]}}}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("tag order + dual CWE extraction (vulnrichment_importer.py:161,184)") {
+    val sp = spark
+    import sp.implicits._
+    val a = VulnrichmentIngest.parse(sp,
+      Seq(("vulnrichment", cve2)).toDF("datasource_id", "json"))
+      .collect().head
+    // the LAST mapped tag in data order wins, like the reference's loop:
+    // [vendor-advisory, exploit] -> exploit; [exploit, vendor-advisory]
+    // -> advisory
+    val byId = a.references.map(r => r.reference_id -> r.reference_type).toMap
+    assert(byId("1") == "exploit")
+    assert(byId("2") == "advisory")
+    // BOTH the cweId-derived and description-derived CWE are kept per
+    // description, and a non-CWE cweId ('NVD-CWE-noinfo') doesn't mask
+    // the description fallback
+    assert(a.weaknesses == Seq(89, 90, 91))
   }
 }
 
