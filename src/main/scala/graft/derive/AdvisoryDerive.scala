@@ -400,6 +400,63 @@ object AdvisoryDerive {
       .withColumn("patch_checksum",
         when(col("patch_text").isNotNull, sha2(col("patch_text"), 512)))
 
+  /** AdvisoryMitigations mart (models.py:3473-3531): one row per
+    * (advisory, version-less base purl) with the remediation sets the v3
+    * detail serves. The reference fills this table by human curation
+    * (views.py mitigation_curation); the derivable parts are recomputed
+    * here from the advisory content itself:
+    *  - upgrade_to_versions — the advisory's fixed package versions for
+    *    that purl (the unfurl is_fixed edge set)
+    *  - patches — the advisory's PackageCommitPatch links
+    *    (commitPatches rows), rendered as vcs_url@commit_hash ids
+    * The curated-text fields (downgrade/replace sets, config_change,
+    * filter_ports_ips and the *_note columns) have no automated source —
+    * they carry the model's blank default and are populated by the
+    * curation workflow (upsert = recompute + coalesce over a curated
+    * overlay table, like every mart here).
+    *
+    * Scale: one groupBy per input keyed on (avid, base_purl) / avid; the
+    * patch side is advisory-bounded and joins broadcast.
+    */
+  def mitigations(unfurled: DataFrame, patches: DataFrame): DataFrame = {
+    val perPurl = unfurled.groupBy("avid", "base_purl")
+      .agg(
+        array_sort(collect_set(when(col("is_fixed"), col("version"))))
+          .as("upgrade_to_versions"),
+        max(col("is_affected")).as("_impacted"))
+      .filter(col("_impacted"))
+      .drop("_impacted")
+    val patchesByAvid = patches
+      .select(explode(col("avids")).as("avid"),
+        concat(col("vcs_url"), lit("@"), col("commit_hash")).as("patch_id"))
+      .groupBy("avid")
+      .agg(array_sort(collect_set("patch_id")).as("patches"))
+    perPurl.join(patchesByAvid, Seq("avid"), "left")
+      .select(col("avid"), col("base_purl"),
+        col("upgrade_to_versions"),
+        lit("").as("upgrade_to_versions_note"),
+        array().cast("array<string>").as("downgrade_to_versions"),
+        lit("").as("downgrade_to_versions_note"),
+        coalesce(col("patches"), array()).as("patches"),
+        lit("").as("patches_note"),
+        lit("").as("config_change"),
+        lit("").as("config_change_note"),
+        lit("").as("filter_ports_ips"),
+        lit("").as("filter_ports_ips_note"),
+        array().cast("array<string>").as("replace_with_packages"),
+        lit("").as("replace_package_note"))
+  }
+
+  /** Mitigation curation queue (views.py MitigationCuration view, the
+    * MISSING_FIXED_BY_PACKAGE todo): per advisory, the impacted base
+    * purls with NO fixed-by package — the `curation_items` the template
+    * renders. */
+  def mitigationCurationItems(unfurled: DataFrame): DataFrame =
+    unfurled.groupBy("avid", "base_purl")
+      .agg(max(col("is_affected")).as("_aff"), max(col("is_fixed")).as("_fix"))
+      .filter(col("_aff") && !col("_fix"))
+      .select("avid", "base_purl")
+
   /** T3 — re-unfurl staleness selection (unfurl_version_range.py:201-212):
     * impacts never unfurled (null watermark) first, then those older than
     * the cutoff — nulls-first ordering per the reference. */

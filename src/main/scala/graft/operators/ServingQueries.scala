@@ -60,6 +60,55 @@ object ServingQueries extends QueryModule {
         .select("avid").orderBy("avid")
     },
 
+    // AdvisoryMitigations mart (models.py:3473-3531) through the REAL
+    // derive path: synthetic commit links run commitPatchesFromLinks,
+    // the unfurled table feeds the per-(avid, purl) upgrade sets, and
+    // AdvisoryDerive.mitigations assembles the remediation rows the v3
+    // detail nests. Arrays are joined to strings for the hash compare.
+    q("s10_mitigations",
+      s"""WITH u AS ($unfurledSql),
+         |fixedv AS (SELECT DISTINCT avid, base_purl, version FROM u
+         |           WHERE is_fixed),
+         |up AS (SELECT avid, base_purl,
+         |              string_agg(version, ',' ORDER BY version) AS upgrades
+         |       FROM fixedv GROUP BY 1, 2),
+         |imp AS (SELECT DISTINCT avid, base_purl FROM u WHERE is_affected),
+         |pl AS (
+         |  SELECT DISTINCT 'adv/' || CAST(l_orderkey % 50 AS VARCHAR) AS avid,
+         |         'https://git.example/r' || CAST(l_partkey % 5 AS VARCHAR) ||
+         |           '@' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
+         |           AS patch_id
+         |  FROM lineitem WHERE l_orderkey % 7 = 0),
+         |pa AS (SELECT avid,
+         |              string_agg(patch_id, ',' ORDER BY patch_id)
+         |                AS patch_ids
+         |       FROM pl GROUP BY 1)
+         |SELECT imp.avid, imp.base_purl,
+         |       coalesce(up.upgrades, '') AS upgrades,
+         |       coalesce(pa.patch_ids, '') AS patch_ids
+         |FROM imp
+         |LEFT JOIN up ON imp.avid = up.avid AND imp.base_purl = up.base_purl
+         |LEFT JOIN pa ON imp.avid = pa.avid
+         |ORDER BY imp.avid, imp.base_purl""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val links = Tables(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(7)) === 0)
+        .select(
+          concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
+          concat(lit("https://git.example/r"), pmod(col("l_partkey"), lit(5)))
+            .as("vcs_url"),
+          substring(md5(col("l_partkey").cast("string")), 1, 8)
+            .as("commit_hash"))
+      val patches = graft.derive.AdvisoryDerive.commitPatchesFromLinks(links,
+        Seq.empty[(String, String, String)]
+          .toDF("vcs_url", "commit_hash", "patch_text"))
+      graft.derive.AdvisoryDerive.mitigations(unfurled(s, dir), patches)
+        .select(col("avid"), col("base_purl"),
+          array_join(col("upgrade_to_versions"), ",").as("upgrades"),
+          array_join(col("patches"), ",").as("patch_ids"))
+        .orderBy("avid", "base_purl")
+    },
+
     // latest_advisory_purls_pairs, both edges (models.py:2966-2978,
     // 3003-3015)
     q("s9_purl_pairs",

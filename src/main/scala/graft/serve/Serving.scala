@@ -144,13 +144,14 @@ object Serving {
     * (A4), assembled with collect_list(struct) instead of per-row Python.
     */
   def affectingAdvisoriesDetail(advisories: DataFrame, unfurled: DataFrame,
-      riskScores: DataFrame, basePurl: String, version: String): DataFrame = {
+      riskScores: DataFrame, basePurl: String, version: String,
+      mitigations: Option[DataFrame] = None): DataFrame = {
     val affecting = affectingAdvisories(advisories, unfurled, basePurl, version)
     val fixedBy = unfurled.filter(col("base_purl") === basePurl &&
         col("is_fixed"))
       .groupBy("avid")
       .agg(array_sort(collect_set(col("version"))).as("fixed_by_versions"))
-    affecting
+    val base = affecting
       .join(riskScores, Seq("avid"), "left")
       .join(fixedBy, Seq("avid"), "left")
       .select(col("avid"), col("summary"),
@@ -159,6 +160,22 @@ object Serving {
           .as("severities"),
         col("weighted_severity"), col("exploitability"), col("risk_score"),
         coalesce(col("fixed_by_versions"), array()).as("fixed_by_versions"))
+    // Optional remediation block (AdvisoryMitigations,
+    // models.py:3473-3531): the per-purl mitigation rows nested per
+    // advisory — upgrade purl sets, patch links, config-change text —
+    // the v3 detail's mitigations prefetch.
+    mitigations match {
+      case None => base
+      case Some(mit) =>
+        val nested = mit
+          .groupBy("avid")
+          .agg(sort_array(collect_list(struct(
+            col("base_purl"), col("upgrade_to_versions"),
+            col("patches"), col("config_change"),
+            col("replace_with_packages")))).as("mitigations"))
+        base.join(nested, Seq("avid"), "left")
+          .withColumn("mitigations", coalesce(col("mitigations"), array()))
+    }
   }
 
   /** Next non-vulnerable version per package version (W3): lowest-ranked

@@ -45,6 +45,14 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
     val unfurled = AdvisoryDerive.unfurl(impacts, versionsDim).cache()
     val ranked = AdvisoryDerive.versionRank(versionsDim)
     val risk = AdvisoryDerive.advisoryRisk(advisories)
+    val commitPatches = AdvisoryDerive.commitPatchesFromLinks(
+      AdvisoryJsonIngest.commitLinks(sp, Seq("pypa", "ghsa", "debian")
+        .map(src => AdvisoryJsonIngest.rawTree(sp, s"$fixturesDir/$src", src))
+        .reduce(_ unionByName _)),
+      Seq(("https://github.com/o/foo", "deadbeefdeadbeefdeadbeefdeadbeefdeadbeef",
+        "--- a/resolver.c\n+++ b/resolver.c\n@@ -1 +1 @@\n-off by one\n+fixed\n"))
+        .toDF("vcs_url", "commit_hash", "patch_text"))
+    val mitigations = AdvisoryDerive.mitigations(unfurled, commitPatches)
     Map(
       "advisories" -> advisories.select("avid", "unique_content_id",
         "is_latest", "summary"),
@@ -63,7 +71,11 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
         advisories, unfurled, "pkg:pypi/foo", "1.0.0")
         .select("avid", "summary", "aliases"),
       "api_affecting_detail_foo_1_0_0" -> Serving.affectingAdvisoriesDetail(
-        advisories, unfurled, risk, "pkg:pypi/foo", "1.0.0"),
+        advisories, unfurled, risk, "pkg:pypi/foo", "1.0.0",
+        mitigations = Some(mitigations)),
+      "mitigations" -> mitigations,
+      "mitigation_curation" ->
+        AdvisoryDerive.mitigationCurationItems(unfurled),
       "packages" -> AdvisoryDerive.packages(versionsDim),
       "non_vulnerable_versions" ->
         Serving.nonVulnerableVersions(unfurled, ranked),
@@ -83,13 +95,7 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
         AdvisoryDerive.ssvcDecisions(advisories),
         AdvisoryDerive.ssvcRelations(advisories,
           AdvisoryDerive.ssvcDecisions(advisories))),
-      "commit_patches" -> AdvisoryDerive.commitPatchesFromLinks(
-        AdvisoryJsonIngest.commitLinks(sp, Seq("pypa", "ghsa", "debian")
-          .map(src => AdvisoryJsonIngest.rawTree(sp, s"$fixturesDir/$src", src))
-          .reduce(_ unionByName _)),
-        Seq(("https://github.com/o/foo", "deadbeefdeadbeefdeadbeefdeadbeefdeadbeef",
-          "--- a/resolver.c\n+++ b/resolver.c\n@@ -1 +1 @@\n-off by one\n+fixed\n"))
-          .toDF("vcs_url", "commit_hash", "patch_text")),
+      "commit_patches" -> commitPatches,
       "api_fixed_by_foo" -> Serving.advisoriesForPurls(advisories, unfurled,
         Seq(("pkg:pypi/foo", "1.20.0")).toDF("base_purl", "version"),
         mode = "fixed").select("avid", "summary", "aliases"),
@@ -105,7 +111,8 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
     "api_affecting_detail_foo_1_0_0", "packages", "non_vulnerable_versions",
     "advisory_set_summaries", "export_yaml", "risk_scores_epss",
     "ssvc_decisions", "ssvc_serving", "commit_patches", "api_fixed_by_foo",
-    "api_purl_pairs").foreach { name =>
+    "api_purl_pairs", "mitigations", "mitigation_curation")
+    .foreach { name =>
     test(s"golden: $name") {
       GoldenFiles.check(name, derived(name))
     }
