@@ -307,6 +307,51 @@ object AdvisoryDerive {
       .distinct()
   }
 
+  /** CVE→advisory CVSS3.1 mapping (pipelines/add_cvss31_to_CVEs.py:25-102,
+    * pipeline_id "add_cvssv3.1_to_CVEs"): advisories carrying an NVD
+    * cvssv3 severity URL get the cvssv3.1 score of the NVD advisory
+    * aliased to that CVE. Steps, Spark-first:
+    *  1. carriers — explode severities, keep scoring_system 'cvssv3'
+    *     with url starting https://nvd.nist.gov/vuln/detail/CVE-, and
+    *     regex the CVE id out of the URL (same CVE-\d{4}-\d{4,7}
+    *     pattern);
+    *  2. donors — the NVD datasource's advisories keyed by alias, with
+    *     their cvssv3.1 severities (created_by='nvd_importer' filter);
+    *  3. equi-join carrier cve_id = donor alias; emit one cvssv3.1
+    *     severity row per carrier advisory, with the update_or_create
+    *     uniqueness key (system, url, value, scoring_elements) as a
+    *     distinct.
+    * Scale: both sides shuffle on the CVE key; the severity explosion is
+    * map-side; no driver loops (the reference pages through Python
+    * batches of 1000).
+    */
+  def cveCvss31Severities(advisories: DataFrame,
+      nvdDatasource: String = "nvd"): DataFrame = {
+    val latest = advisories.filter(col("is_latest"))
+    val carriers = latest
+      .select(col("avid"), explode(col("severities")).as("s"))
+      .filter(col("s.scoring_system") === "cvssv3" &&
+        col("s.url").startsWith("https://nvd.nist.gov/vuln/detail/CVE-"))
+      .select(col("avid"),
+        regexp_extract(col("s.url"), "(CVE-\\d{4}-\\d{4,7})", 1).as("cve_id"))
+      .filter(col("cve_id") =!= "")
+      .distinct()
+    val donors = latest
+      .filter(col("datasource_id") === nvdDatasource)
+      .select(col("aliases"), explode(col("severities")).as("s"))
+      .filter(col("s.scoring_system") === "cvssv3.1")
+      .select(explode(col("aliases")).as("alias"),
+        col("s.value").as("value"),
+        col("s.scoring_elements").as("scoring_elements"))
+    carriers.join(donors, carriers("cve_id") === donors("alias"))
+      .select(col("avid"), col("cve_id"),
+        lit("cvssv3.1").as("scoring_system"),
+        concat(lit("https://nvd.nist.gov/vuln/detail/"), col("cve_id"))
+          .as("url"),
+        col("value"), col("scoring_elements"))
+      .distinct()
+  }
+
   /** AdvisoryExploit mart (enhance_with_exploitdb.py:72-130,
     * enhance_with_metasploit.py:59-130, Exploit model models.py:1720-1808):
     * catalog records — KEV, Exploit-DB, Metasploit, all shaped as

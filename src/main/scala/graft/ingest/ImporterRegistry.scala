@@ -47,6 +47,8 @@ object ImporterRegistry {
     "enhance_with_metasploit_v2" -> ("metasploit", Dedicated("TabularIngest.metasploitFromJson")),
     "enhance_with_github_poc" -> ("github_poc", Dedicated("TabularIngest.githubPocFromTree")),
     "collect_ssvc_trees" -> ("vulnrichment", Dedicated("AdvisoryDerive.ssvcDecisions")),
+    "add_cvssv3.1_to_CVEs" -> ("nvd",
+      Dedicated("AdvisoryDerive.cveCvss31Severities")),
     // OVAL XML family
     "suse_oval_importer" -> ("suse_oval", Shared("OvalIngest.parse")),
     "debian_oval_importer" -> ("debian_oval", Shared("OvalIngest.parse")),

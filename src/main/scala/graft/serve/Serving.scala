@@ -203,10 +203,28 @@ object Serving {
       .filter(exists(col("references"),
         r => r.getField("reference_id").isin(referenceIds: _*)))
 
-  /** purl-prefix package search (P3, models.py:746-764): istartswith on
-    * the package url. */
-  def searchPackages(packages: DataFrame, prefix: String): DataFrame =
-    packages.filter(lower(col("base_purl")).startsWith(prefix.toLowerCase))
+  /** Package search (P3, models.py:746-764 PackageQuerySet.search):
+    * best-effort cascade — when the query parses as a purl it is
+    * normalized through the codec exactly like the reference's
+    * plain_purl (qualifiers and subpath stripped, VERSION kept) and
+    * prefix-matched case-insensitively on package_url; otherwise the
+    * raw query icontains-matches. Ordered by package_url like the
+    * queryset. So `pkg:npm/lodash@4.17.0?arch=x64` normalizes before
+    * matching instead of failing the literal prefix. */
+  def searchPackages(packages: DataFrame, query: String): DataFrame = {
+    val q = Option(query).map(_.trim).getOrElse("")
+    if (q.isEmpty) return packages.limit(0)
+    val asPurl =
+      try Some(graft.functions.PurlCodec.parse(q).plain.format)
+      catch { case _: Exception => None }
+    val filtered = asPurl match {
+      case Some(p) =>
+        packages.filter(lower(col("package_url")).startsWith(p.toLowerCase))
+      case None =>
+        packages.filter(lower(col("package_url")).contains(q.toLowerCase))
+    }
+    filtered.orderBy("package_url")
+  }
 
   /** Keyed pagination (W6): stable page after an order key — for serving
     * use keyed pagination, not OFFSET, so deep pages stay O(page). */

@@ -25,14 +25,60 @@ class ServingExtraSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq("a/1"))
   }
 
-  test("searchPackages purl prefix (P3)") {
+  test("searchPackages purl-heuristic cascade (models.py:746-764)") {
     val sp = spark
     import sp.implicits._
-    val pkgs = Seq("pkg:npm/lodash", "pkg:npm/express", "pkg:pypi/django")
-      .toDF("base_purl")
-    val got = Serving.searchPackages(pkgs, "PKG:NPM/")
-      .collect().map(_.getString(0)).toSet
-    assert(got == Set("pkg:npm/lodash", "pkg:npm/express"))
+    val pkgs = Seq(
+      "pkg:npm/lodash@4.17.0", "pkg:npm/lodash@4.17.21",
+      "pkg:npm/express@4.0.0", "pkg:pypi/django@3.2")
+      .toDF("package_url")
+    def search(q: String) = Serving.searchPackages(pkgs, q)
+      .collect().map(_.getString(0)).toSeq
+    // fielded purl with qualifiers: normalized through the codec first
+    // (qualifiers stripped, version kept), then istartswith
+    assert(search("pkg:npm/lodash@4.17.0?arch=x64&os=linux") ==
+      Seq("pkg:npm/lodash@4.17.0"))
+    // version-less purl prefix-matches every version
+    assert(search("pkg:NPM/Lodash") ==
+      Seq("pkg:npm/lodash@4.17.0", "pkg:npm/lodash@4.17.21"))
+    // non-purl query falls back to icontains
+    assert(search("LODASH") ==
+      Seq("pkg:npm/lodash@4.17.0", "pkg:npm/lodash@4.17.21"))
+    assert(search("") == Seq.empty)
+    // ordered by package_url like the reference queryset
+    assert(search("pkg:npm/") == Seq("pkg:npm/express@4.0.0",
+      "pkg:npm/lodash@4.17.0", "pkg:npm/lodash@4.17.21"))
+  }
+
+  test("reference archive state machine (archive_urls.py:28-60)") {
+    val sp = spark
+    import sp.implicits._
+    val refs = Seq(
+      ("https://a.example/1", null.asInstanceOf[String]),   // pending
+      ("https://a.example/2", null.asInstanceOf[String]),   // pending
+      ("https://a.example/3", "NO_ARCHIVE"),                // attempted
+      ("https://a.example/4", "https://web.archive.example/4"), // done
+      ("ftp://a.example/5", null.asInstanceOf[String]))     // non-http
+      .toDF("url", "archive_url")
+    val pending = graft.derive.ReferenceArchive.pendingArchive(refs)
+      .select("url").collect().map(_.getString(0)).toSet
+    // NO_ARCHIVE and already-archived rows are excluded; non-http urls
+    // are skipped by the improver loop
+    assert(pending == Set("https://a.example/1", "https://a.example/2"))
+    // fetch round: /1 found an archive, /2 found nothing -> NO_ARCHIVE;
+    // /3 and /4 keep their state, the unattempted non-http row stays null
+    val fetched = Seq(
+      ("https://a.example/1", "https://web.archive.example/1"),
+      ("https://a.example/2", null.asInstanceOf[String]))
+      .toDF("url", "archive_url")
+    val after = graft.derive.ReferenceArchive
+      .applyArchiveResults(refs, fetched)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after("https://a.example/1") == "https://web.archive.example/1")
+    assert(after("https://a.example/2") == "NO_ARCHIVE")
+    assert(after("https://a.example/3") == "NO_ARCHIVE")
+    assert(after("https://a.example/4") == "https://web.archive.example/4")
+    assert(after("ftp://a.example/5") == null)
   }
 
   test("latest-affecting/fixed-by/both queryset variants (S9)") {
