@@ -27,40 +27,46 @@ object ConnectedComponents {
     * @return DataFrame (node: Long, component: Long) — component is the
     *         minimum node id reachable.
     */
+  /** @param finishThreshold override of [[LocalFinishThreshold]] (specs
+    *        force 0 to exercise the distributed loop on small graphs) */
   def labelPropagation(spark: SparkSession, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      finishThreshold: Long = LocalFinishThreshold): DataFrame = {
     val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
-    // Size the iteration's parallelism to the graph, not the session
-    // default: each round is several stages over the (usually much
-    // smaller) label table, and at 32 partitions the fixed task overhead
-    // dominates for small graphs. ~1M edges per partition.
-    val nEdges = sym.count()
-    val nPart = math.max(4, math.min(512, (nEdges / 1000000L).toInt + 1))
-    // adjacency is reused every round — cache it
-    val adj = sym.distinct().repartition(nPart, col("dst")).cache()
-    val nDistinct = adj.count()
+    // One materialization decides the path AND feeds whichever path runs
+    // (the earlier two-count shape — count edges for sizing, count
+    // distinct for the fast-path test — scanned the input twice).
+    val dist = sym.distinct().localCheckpoint()
+    val nDistinct = dist.count()
     // Round-0 fast path: when the whole graph already fits the bounded
     // driver finish (same 16-bytes-per-edge bound as tryLocalFinish),
     // skip the distributed rounds entirely — 4+ label-prop jobs cost far
     // more than one small collect. Past the threshold the iterative
     // contract-then-finish hybrid below is unchanged; the 100 TB path
     // never takes this branch.
-    if (nDistinct <= 2L * LocalFinishThreshold) {
+    if (nDistinct <= 2L * finishThreshold) {
       import spark.implicits._
-      val pairs = adj.filter(col("src") < col("dst"))
+      val pairs = dist.filter(col("src") < col("dst"))
         .as[(Long, Long)].collect()
       val roots = dsuEdges(pairs)
       val rootsDf = roots.toSeq.toDF("node", "root")
-      return adj.select(col("src").as("node")).distinct()
+      return dist.select(col("src").as("node")).distinct()
         .join(broadcast(rootsDf), Seq("node"), "left")
         .select(col("node"), coalesce(col("root"), col("node"))
           .as("component"))
     }
+    // Size the iteration's parallelism to the graph, not the session
+    // default: each round is several stages over the (usually much
+    // smaller) label table, and at 32 partitions the fixed task overhead
+    // dominates for small graphs. ~1M edges per partition.
+    val nPart = math.max(4, math.min(512, (nDistinct / 1000000L).toInt + 1))
+    // adjacency is reused every round — cache the repartitioned form
+    val adj = dist.repartition(nPart, col("dst")).cache()
     val sq = spark.conf.getOption("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", nPart)
-    try labelPropagationLoop(spark, adj, maxIter)
+    try labelPropagationLoop(spark, adj, maxIter, finishThreshold)
     finally sq.foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
   }
 
@@ -81,7 +87,7 @@ object ConnectedComponents {
   /** Contract edges to component level and, if small, finish locally:
     * returns Some(component → root) mapping DataFrame. */
   private def tryLocalFinish(spark: SparkSession, adj: DataFrame,
-      labels: DataFrame): Option[DataFrame] = {
+      labels: DataFrame, finishThreshold: Long): Option[DataFrame] = {
     import spark.implicits._
     val compEdges = adj
       .join(labels.select(col("node"), col("component").as("c_src")),
@@ -100,7 +106,7 @@ object ConnectedComponents {
         _.dataType == org.apache.spark.sql.types.LongType),
       s"local-finish expects (long, long) component edges, " +
         s"got ${compEdges.schema.simpleString}")
-    if (compEdges.count() > LocalFinishThreshold) None
+    if (compEdges.count() > finishThreshold) None
     else {
       val pairs = compEdges.as[(Long, Long)].collect()
       val roots = dsuEdges(pairs)
@@ -128,7 +134,7 @@ object ConnectedComponents {
   }
 
   private def labelPropagationLoop(spark: SparkSession, adj: DataFrame,
-      maxIter: Int): DataFrame = {
+      maxIter: Int, finishThreshold: Long): DataFrame = {
     // localCheckpoint truncates lineage each round — without it the plan
     // deepens every iteration and the driver OOMs compiling it
     var labels = adj.groupBy(col("src").as("node"))
@@ -140,7 +146,7 @@ object ConnectedComponents {
     while (iter < maxIter && !converged) {
       // hybrid finish: once the contracted component graph is small, solve
       // the remainder on the driver and map labels through the result
-      tryLocalFinish(spark, adj, labels) match {
+      tryLocalFinish(spark, adj, labels, finishThreshold) match {
         case Some(mapping) =>
           val done = labels
             .join(broadcast(mapping), Seq("component"), "left")

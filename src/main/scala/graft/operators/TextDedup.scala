@@ -48,9 +48,12 @@ object TextDedup {
       n: Int = 2, threshold: Double = 0.8,
       maxDf: Int = 10000): DataFrame = {
     val raw = shingles(df, textCol, idCol, n)
-    val df_ = raw.groupBy("shingle").agg(count(lit(1)).as("_df"))
-    val sh = raw.join(df_.filter(col("_df") <= maxDf).select("shingle"),
-      Seq("shingle")).cache()
+    // df-cap via a window count over the shingle partition: one shuffle,
+    // against the two a groupBy + equi-join re-derivation would cost
+    val sh = raw
+      .withColumn("_df",
+        count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("_df") <= maxDf).drop("_df").cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val shared = sh.select(col("id").as("id_a"), col("shingle"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
@@ -84,35 +87,44 @@ object TextDedup {
       threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minHashSignatures(df, textCol, idCol, n, numHashes).cache()
+    // Signatures are carried THROUGH the band self-join so candidates and
+    // their match score come out of one join — the candidate-join +
+    // two-signature-re-join shape costs two extra corpus-wide shuffles.
+    // localCheckpoint bounds the lineage so the self-join reads the
+    // materialized signatures instead of recomputing the shingle pass
+    // per side (numHashes × 32 B per doc — cheap at any scale).
+    val sig = minHashSignatures(df, textCol, idCol, n, numHashes)
+      .localCheckpoint()
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => col(s"h${b * rows + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("bucket"))
     }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = sig.select(col("id"),
+      struct((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // Degenerate-bucket guard: a band bucket holding k ids emits O(k²)
     // candidates. Buckets above the cap (boilerplate / empty docs hashing
     // identically) are dropped — their members still pair through their
-    // other, more selective bands.
-    val okBuckets = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
-      .select("band", "bucket")
-    val capped = banded.join(okBuckets, Seq("band", "bucket"))
-    val cand = capped.select(col("id").as("id_a"), col("band"), col("bucket"))
-      .join(capped.select(col("id").as("id_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val sa = sig.select(col("id").as("id_a") +:
-      (0 until numHashes).map(i => col(s"h$i").as(s"a$i")): _*)
-    val sb = sig.select(col("id").as("id_b") +:
-      (0 until numHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    // other, more selective bands. Window count over the bucket key: one
+    // shuffle, which the band self-join below then reuses.
+    val capped = banded
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("_n") <= maxBucketSize).drop("_n")
     val matches = (0 until numHashes)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .map(i => when(col("sig_a").getField(s"h$i") ===
+        col("sig_b").getField(s"h$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_similarity", matches.cast("double") / numHashes)
+    capped.select(col("id").as("id_a"), col("sig").as("sig_a"),
+        col("band"), col("bucket"))
+      .join(capped.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first(matches).as("_m"))
+      .withColumn("est_similarity", col("_m").cast("double") / numHashes)
       .filter(col("est_similarity") >= threshold)
       .select("id_a", "id_b", "est_similarity")
   }
@@ -162,7 +174,7 @@ object TextDedup {
     require(bands > maxHamming,
       "need bands > maxHamming for the pigeonhole guarantee")
     val width = bits / bands
-    val sig = simHash(df, textCol, idCol, bits).cache()
+    val sig = simHash(df, textCol, idCol, bits).localCheckpoint()
     val chunkCols = (0 until bands).map { b =>
       val chunk = expr(
         s"shiftrightunsigned(simhash, ${b * width}) & ${(1L << width) - 1}")
@@ -172,10 +184,11 @@ object TextDedup {
       explode(array(chunkCols: _*)).as("bc"))
       .select(col("id"), col("simhash"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val okBuckets = banded.groupBy("band", "chunk")
-      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucketSize)
-      .select("band", "chunk")
-    val capped = banded.join(okBuckets, Seq("band", "chunk"))
+    // bucket cap via window count (one shuffle the self-join reuses)
+    val capped = banded
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy("band", "chunk")))
+      .filter(col("_n") <= maxBucketSize).drop("_n")
     capped.select(col("id").as("id_a"), col("simhash").as("sig_a"),
         col("band"), col("chunk"))
       .join(capped.select(col("id").as("id_b"), col("simhash").as("sig_b"),

@@ -37,4 +37,24 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestSession {
     assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
     assert(Seq(20L, 21L).forall(cc(_) == 20L))
   }
+
+  test("distributed loop path (finishThreshold = 0) matches the fast path") {
+    import spark.implicits._
+    // a longer chain (diameter 8) + hub + pair; threshold 0 disables the
+    // round-0 collect AND the bounded local finish until the contracted
+    // graph is empty, so the iterative neighbor-min/pointer-jump rounds
+    // themselves must converge
+    val edges = (
+      (1L to 8L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L), (100L, 102L), (100L, 103L), (100L, 104L)) ++
+        Seq((200L, 201L))).toDF("src", "dst")
+    val slow = ConnectedComponents
+      .labelPropagation(spark, edges, finishThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = ConnectedComponents.labelPropagation(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slow == fast)
+    assert((1L to 9L).forall(slow(_) == 1L))
+    assert(Seq(100L, 101L, 102L, 103L, 104L).forall(slow(_) == 100L))
+  }
 }
