@@ -502,6 +502,60 @@ object AdvisoryDerive {
       .filter(col("_aff") && !col("_fix"))
       .select("avid", "base_purl")
 
+  /** D9 — summary back-fill (populate_vulnerability_summary_pipeline.py:
+    * 21-71, pipeline_id "populate_vulnerability_summaries"): blank-summary
+    * advisories receive the summary of the best (latest-collected,
+    * non-empty) NVD advisory sharing a CVE alias. One row per back-filled
+    * advisory: (avid, summary). Shuffles on the CVE key; best-donor pick
+    * is a window over the (bounded) per-alias donor group. */
+  def backfillSummaries(advisories: DataFrame,
+      nvdDatasource: String = "nvd"): DataFrame = {
+    val latest = advisories.filter(col("is_latest"))
+    val donors = latest
+      .filter(col("datasource_id") === nvdDatasource &&
+        length(col("summary")) > 0)
+      .select(explode(col("aliases")).as("alias"),
+        col("summary").as("donor_summary"), col("date_collected"))
+      .filter(col("alias").startsWith("CVE-"))
+    val w = Window.partitionBy("alias")
+      .orderBy(col("date_collected").desc, col("donor_summary"))
+    val best = donors.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).select("alias", "donor_summary")
+    val blank = latest.filter(length(col("summary")) === 0)
+      .select(col("avid"), explode(col("aliases")).as("alias"))
+      .filter(col("alias").startsWith("CVE-"))
+    blank.join(best, Seq("alias"))
+      .groupBy("avid")
+      .agg(min("donor_summary").as("summary"))
+  }
+
+  /** D8 — ghost-package flagging (flag_ghost_packages.py:35-90): exact
+    * version pins claimed by impacts that do not exist in the upstream
+    * known-versions dimension. Left-anti join keyed on the package
+    * group. */
+  def ghostPackages(impactsDf: DataFrame, versionsDim: DataFrame): DataFrame =
+    impactsDf.select(col("base_purl"),
+        explode(GraftFunctions.versExactPinsUdf(col("affecting_vers")))
+          .as("version"))
+      .distinct()
+      .join(versionsDim.select("base_purl", "version"),
+        Seq("base_purl", "version"), "left_anti")
+
+  /** mark_unfurl_version_range_v2 (mark_unfurl_version_range.py:79-124):
+    * per advisory, whether ALL its impacts have been unfurl-attempted
+    * (last_range_unfurl_at set) and whether all attempts also succeeded
+    * (last_successful_range_unfurl_at set) — the two flags that gate
+    * `_all_impacts_unfurled_at` / complete_advisories_import. min() over
+    * booleans = the reference's NOT EXISTS(unattempted) subquery, as one
+    * partial-aggregatable groupBy. */
+  def allImpactsUnfurled(impactsWithWatermark: DataFrame): DataFrame =
+    impactsWithWatermark.groupBy("avid")
+      .agg(
+        min(col("last_range_unfurl_at").isNotNull).as("all_attempted"),
+        min(col("last_range_unfurl_at").isNotNull &&
+          col("last_successful_range_unfurl_at").isNotNull)
+          .as("all_successful"))
+
   /** T3 — re-unfurl staleness selection (unfurl_version_range.py:201-212):
     * impacts never unfurled (null watermark) first, then those older than
     * the cutoff — nulls-first ordering per the reference. */

@@ -83,7 +83,39 @@ object ImporterRegistry {
     "aosp_dataset_fix_commits" -> ("aosp",
       Dedicated("FixCommitDatasetsIngest.aosp")),
     "linux_kernel_cves_fix_commits" -> ("linux_kernel",
-      Dedicated("FixCommitDatasetsIngest.linuxKernelCves"))) ++
+      Dedicated("FixCommitDatasetsIngest.linuxKernelCves")),
+    // v1 npm security-wg importer (same dataset as nodejs_security_wg)
+    "npm_importer" -> ("npm", Dedicated("NodeSecurityIngest.parse")),
+    // Derive-side pipelines (no datasource — they recompute marts from
+    // the advisory corpus; each maps to a deterministic Spark derivation)
+    "remove_duplicate_advisories" ->
+      ("-", Shared("AdvisoryDerive.dedupeByContent")),
+    "compute_advisory_todo" -> ("-", Shared("AdvisoryDerive.todos")),
+    "compute_advisory_todo_v2" ->
+      ("-", Shared("AdvisoryDerive.todos + conflicts")),
+    "compute_package_risk" -> ("-", Shared("AdvisoryDerive.packageRisk")),
+    "compute_package_risk_v2" ->
+      ("-", Shared("AdvisoryDerive.advisoryRiskFull + packageRisk")),
+    "compute_version_rank" -> ("-", Shared("AdvisoryDerive.versionRank")),
+    "compute_version_rank_v2" -> ("-", Shared("AdvisoryDerive.versionRank")),
+    "flag_ghost_packages" -> ("-", Shared("AdvisoryDerive.ghostPackages")),
+    "flag_ghost_packages_v2" -> ("-", Shared("AdvisoryDerive.ghostPackages")),
+    "group_advisories_for_packages" ->
+      ("-", Shared("AdvisoryDerive.advisorySets")),
+    "populate_vulnerability_summaries" ->
+      ("-", Shared("AdvisoryDerive.backfillSummaries")),
+    "relate_severities_v2" -> ("-", Shared("AdvisoryDerive.relateSeverities")),
+    "unfurl_version_range_v2" ->
+      ("-", Shared("AdvisoryDerive.unfurl + staleImpacts")),
+    "mark_unfurl_version_range_v2" ->
+      ("-", Shared("AdvisoryDerive.allImpactsUnfurled")),
+    "collect_fix_commits_v2" -> ("-", Shared("AdvisoryDerive.commitPatches")),
+    "collect_ref_fix_commits_v2" ->
+      ("-", Shared("AdvisoryDerive.commitPatches")),
+    "federate_vulnerabilities_v2" ->
+      ("-", Shared("FederatedExport.serialize")),
+    "archive_improver_pipeline" ->
+      ("-", Shared("ReferenceArchive.pendingArchive + applyArchiveResults"))) ++
     // the 37 per-repo fix-commit pipelines — one shared Spark operator
     FixCommitsIngest.Projects.map { case (pid, (ds, _)) =>
       pid -> (ds, Shared("FixCommitsIngest.fromCommits"): Support)

@@ -20,18 +20,22 @@ object DedupGroupQueries extends QueryModule {
     Tables(s, dir, n)
 
   override val entries: Seq[QueryEntry] = Seq(
-    // D1 — content-id dedup, keep oldest row per content hash
+    // D1 — content-id dedup, keep oldest row per content hash. Survivor
+    // selection is a groupBy-min, NOT a window row_number: min() partial-
+    // aggregates map-side (combiner before the shuffle), where the window
+    // would shuffle every row and sort each hash partition — the
+    // difference between bytes-shuffled ∝ distinct hashes and ∝ corpus
+    // at 100 TB. (The oracle SQL keeps the reference's row_number
+    // formulation; the result set is identical.)
     q("d1_content_dedup",
       """SELECT doc_id, content_id FROM (
         |  SELECT doc_id, sha256(lower(trim(text))) AS content_id,
         |         row_number() OVER (PARTITION BY sha256(lower(trim(text)))
         |                            ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""") { (s, dir) =>
-      val hashed = t(s, dir, "documents")
-        .withColumn("content_id", sha2(lower(trim(col("text"))), 256))
-      val w = Window.partitionBy("content_id").orderBy("doc_id")
-      hashed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      t(s, dir, "documents")
+        .groupBy(sha2(lower(trim(col("text"))), 256).as("content_id"))
+        .agg(min("doc_id").as("doc_id"))
         .select("doc_id", "content_id")
         .orderBy("doc_id")
     },

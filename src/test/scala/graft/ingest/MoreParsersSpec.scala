@@ -449,6 +449,18 @@ class ImporterRegistrySpec extends AnyFunSuite {
     }
     // every pipeline in the registry now has a working reader
     assert(missing == 0, s"unexpected Missing rows: $missing")
+    // the derive-side pipelines resolve too (the recompute model): every
+    // reference pipeline_id that is not an importer maps to a derivation
+    Seq("remove_duplicate_advisories", "compute_advisory_todo_v2",
+      "compute_package_risk_v2", "compute_version_rank_v2",
+      "flag_ghost_packages_v2", "group_advisories_for_packages",
+      "populate_vulnerability_summaries", "relate_severities_v2",
+      "unfurl_version_range_v2", "mark_unfurl_version_range_v2",
+      "collect_fix_commits_v2", "collect_ref_fix_commits_v2",
+      "federate_vulnerabilities_v2", "archive_improver_pipeline",
+      "add_cvssv3.1_to_CVEs", "npm_importer").foreach { pid =>
+      assert(ImporterRegistry.implemented.contains(pid), pid)
+    }
   }
 }
 
