@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit for the engine's scale contracts, asserted against
+  * parquet-backed scans (in-memory relations would be collapsed by
+  * ConvertToLocalRelation and prove nothing):
+  *  - scans prune columns and push filters;
+  *  - the dedup library's candidate generation never degrades to a
+  *    cross product / nested-loop join — every candidate join is an
+  *    equi-join on a bucket key;
+  *  - survivor selection partial-aggregates (map-side combine) instead
+  *    of window-sorting the corpus.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec        => Seq(s.plan)
+      case other                    => other.children
+    }
+    p +: inner.flatMap(allNodes)
+  }
+
+  private lazy val docsDir: String = {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("planaudit").toString
+    (0 until 200).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 13} w${i % 5} w${i % 3} w${i % 11}",
+        if (i % 2 == 0) "en" else "fr", s"src${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def docs: DataFrame = spark.read.parquet(docsDir)
+
+  test("parquet scan prunes columns and pushes filters") {
+    val df = docs.filter(col("lang") === "en").select("doc_id")
+    df.collect()
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet scan")
+    val meta = scans.head.metadata
+    assert(meta("PushedFilters").contains("EqualTo(lang,en)"),
+      s"filter not pushed: ${meta("PushedFilters")}")
+    // projection reaches the scan: only the filter + output columns read
+    assert(scans.head.schema.fieldNames.toSet == Set("doc_id", "lang"),
+      s"scan reads ${scans.head.schema.fieldNames.mkString(",")}")
+  }
+
+  test("dedup candidate joins never degrade to cross products") {
+    val cases: Seq[(String, DataFrame)] = Seq(
+      "ngramJaccardPairs" ->
+        TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 2, threshold = 0.1, maxDf = 50),
+      "minHashLshPairs" ->
+        TextDedup.minHashLshPairs(docs, "text", "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.1, maxBucketSize = 50),
+      "simHashPairs" ->
+        TextDedup.simHashPairs(docs, "text", "doc_id",
+          bits = 16, bands = 4, maxHamming = 2, maxBucketSize = 50))
+    cases.foreach { case (name, df) =>
+      df.collect()
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val bad = nodes.filter(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      assert(bad.isEmpty,
+        s"$name plan contains a non-equi join: ${bad.map(_.nodeName)}")
+      val hasEquiJoin = nodes.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      assert(hasEquiJoin, s"$name should candidate-join on a bucket key")
+    }
+  }
+
+  test("content-dedup survivor pick partial-aggregates, no window sort") {
+    val df = docs
+      .groupBy(sha2(lower(trim(col("text"))), 256).as("content_id"))
+      .agg(min("doc_id").as("doc_id"))
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "survivor selection must not window-sort the corpus")
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    // partial (map-side combine) + final pair around the exchange
+    assert(aggs.size >= 2,
+      s"expected partial+final aggregation, got ${aggs.size} agg nodes")
+  }
+}
