@@ -109,6 +109,18 @@ object ServingQueries extends QueryModule {
         .orderBy("avid", "base_purl")
     },
 
+    // Mitigation curation queue (views.py MitigationCuration / the
+    // MISSING_FIXED_BY_PACKAGE todo): impacted purls with no fixed-by
+    // package, through the real derive function
+    q("s11_curation_queue",
+      s"""WITH u AS ($unfurledSql)
+         |SELECT avid, base_purl FROM u GROUP BY 1, 2
+         |HAVING bool_or(is_affected) AND NOT bool_or(is_fixed)
+         |ORDER BY avid, base_purl""".stripMargin) { (s, dir) =>
+      graft.derive.AdvisoryDerive.mitigationCurationItems(unfurled(s, dir))
+        .orderBy("avid", "base_purl")
+    },
+
     // latest_advisory_purls_pairs, both edges (models.py:2966-2978,
     // 3003-3015)
     q("s9_purl_pairs",

@@ -34,6 +34,59 @@ object StreamingQueries extends QueryModule {
         .orderBy("event_id")
     },
 
+    // T3 — re-unfurl staleness selection through the REAL derive function
+    // (unfurl_version_range.py:201-212): synthetic impacts carry a
+    // nullable unfurl watermark; never-attempted rows (null) first, then
+    // those at/below the cutoff
+    q("t3_stale_impacts",
+      """SELECT avid, base_purl, last_range_unfurl_at FROM (
+        |  SELECT 'adv/' || CAST(o_orderkey % 40 AS VARCHAR) AS avid,
+        |         'pkg:npm/p' || CAST(o_custkey % 15 AS VARCHAR) AS base_purl,
+        |         CASE WHEN o_orderkey % 5 <> 0 THEN o_orderdate END
+        |           AS last_range_unfurl_at
+        |  FROM orders)
+        |WHERE last_range_unfurl_at IS NULL
+        |   OR last_range_unfurl_at <= TIMESTAMP '1997-01-01'
+        |ORDER BY last_range_unfurl_at NULLS FIRST, avid, base_purl""") {
+      (s, dir) =>
+      val impacts = t(s, dir, "orders").select(
+        concat(lit("adv/"), pmod(col("o_orderkey"), lit(40))).as("avid"),
+        concat(lit("pkg:npm/p"), pmod(col("o_custkey"), lit(15)))
+          .as("base_purl"),
+        when(pmod(col("o_orderkey"), lit(5)) =!= 0, col("o_orderdate"))
+          .as("last_range_unfurl_at"))
+      graft.derive.AdvisoryDerive.staleImpacts(impacts,
+          java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+        .orderBy(asc_nulls_first("last_range_unfurl_at"), col("avid"),
+          col("base_purl"))
+    },
+
+    // T-family: all-impacts-unfurled marking
+    // (mark_unfurl_version_range.py:79-124) — per-advisory
+    // attempted/successful conjunctions as one partial-aggregatable
+    // groupBy (min over booleans = the reference's NOT EXISTS probes)
+    q("t7_unfurl_marks",
+      """SELECT avid, bool_and(att IS NOT NULL) AS all_attempted,
+        |       bool_and(att IS NOT NULL AND succ IS NOT NULL)
+        |         AS all_successful
+        |FROM (
+        |  SELECT 'adv/' || CAST(o_orderkey % 40 AS VARCHAR) AS avid,
+        |         CASE WHEN o_orderkey % 5 <> 0 THEN o_orderdate END AS att,
+        |         CASE WHEN o_orderkey % 5 <> 0 AND o_orderkey % 3 <> 0
+        |              THEN o_orderdate END AS succ
+        |  FROM orders)
+        |GROUP BY avid ORDER BY avid""") { (s, dir) =>
+      val impacts = t(s, dir, "orders").select(
+        concat(lit("adv/"), pmod(col("o_orderkey"), lit(40))).as("avid"),
+        when(pmod(col("o_orderkey"), lit(5)) =!= 0, col("o_orderdate"))
+          .as("last_range_unfurl_at"),
+        when(pmod(col("o_orderkey"), lit(5)) =!= 0 &&
+          pmod(col("o_orderkey"), lit(3)) =!= 0, col("o_orderdate"))
+          .as("last_successful_range_unfurl_at"))
+      graft.derive.AdvisoryDerive.allImpactsUnfurled(impacts)
+        .orderBy("avid")
+    },
+
     // T4 — import-once pending queue (anti-join vs processed marker set)
     q("t4_pending_queue",
       """SELECT e.event_id, e.event_type FROM events e
