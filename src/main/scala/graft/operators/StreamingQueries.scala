@@ -87,6 +87,34 @@ object StreamingQueries extends QueryModule {
         .orderBy("avid")
     },
 
+    // T5 — append-only change log through the REAL derive function
+    // (ChangeLog models.py:1530-1717): first collected version of an
+    // avid is an 'import' event, every later one an 'update', ordered by
+    // the (date_collected, content-id) total order
+    q("t5_changelog",
+      """SELECT avid, action_time, action_type, source_url, actor FROM (
+        |  SELECT 'adv/' || CAST(o_orderkey % 50 AS VARCHAR) AS avid,
+        |         o_orderdate AS action_time,
+        |         CASE WHEN row_number() OVER (
+        |                PARTITION BY o_orderkey % 50
+        |                ORDER BY o_orderdate,
+        |                         md5(CAST(o_orderkey AS VARCHAR))) = 1
+        |              THEN 'import' ELSE 'update' END AS action_type,
+        |         'https://src.example/' || CAST(o_orderkey % 50 AS VARCHAR)
+        |           AS source_url,
+        |         'graft' AS actor
+        |  FROM orders)
+        |ORDER BY avid, action_time, action_type""") { (s, dir) =>
+      val advisories = t(s, dir, "orders").select(
+        concat(lit("adv/"), pmod(col("o_orderkey"), lit(50))).as("avid"),
+        col("o_orderdate").as("date_collected"),
+        md5(col("o_orderkey").cast("string")).as("unique_content_id"),
+        concat(lit("https://src.example/"), pmod(col("o_orderkey"), lit(50)))
+          .as("url"))
+      graft.derive.AdvisoryDerive.changeLog(advisories)
+        .orderBy("avid", "action_time", "action_type")
+    },
+
     // T4 — import-once pending queue (anti-join vs processed marker set)
     q("t4_pending_queue",
       """SELECT e.event_id, e.event_type FROM events e
