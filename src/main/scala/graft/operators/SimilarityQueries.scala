@@ -54,12 +54,16 @@ object SimilarityQueries extends QueryModule {
          |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM pairs)
          |WHERE rn <= 10 ORDER BY probe_id, rn""") { (s, dir) =>
       val e = emb(s, dir)
+      // norms precomputed per SIDE (probes + corpus) — inside the join
+      // they'd be re-derived per PAIR, tripling the hot-loop flops for a
+      // bit-identical value
       val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        .withColumn("pn", norm(col("pe")))
       val corpus = e.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce"))
-      val cos = round(dot(col("pe"), col("ce")) /
-        (norm(col("pe")) * norm(col("ce"))), 6)
+        .withColumn("cn", norm(col("ce")))
+      val cos = round(dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6)
       val w = Window.partitionBy("probe_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       broadcast(probes).join(corpus, col("probe_id") =!= col("neighbor_id"))
@@ -98,10 +102,11 @@ object SimilarityQueries extends QueryModule {
       val a = e.filter(pmod(col("vec_id"), lit(20)) === 0)
         .select(col("vec_id").as("vec_a"), col("label"),
           col("embedding").as("ea"))
+        .withColumn("na", norm(col("ea")))
       val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
         col("embedding").as("eb"))
-      val cosRaw = dot(col("ea"), col("eb")) /
-        (norm(col("ea")) * norm(col("eb")))
+        .withColumn("nb", norm(col("eb")))
+      val cosRaw = dot(col("ea"), col("eb")) / (col("na") * col("nb"))
       a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
         .withColumn("cos_raw", cosRaw)
         .filter(col("cos_raw") >= 0.3)
@@ -153,21 +158,24 @@ object SimilarityQueries extends QueryModule {
       val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
           e("vec_id") === seeds("mv"))
         .select(col("s_label").as("c_label"), col("embedding").as("cemb"))
+        .withColumn("centn", norm(col("cemb")))
       val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        .withColumn("pn", norm(col("pe")))
       val centCos = round(dot(col("pe"), col("cemb")) /
-        (norm(col("pe")) * norm(col("cemb"))), 6)
+        (col("pn") * col("centn")), 6)
       val wAssign = Window.partitionBy("probe_id")
         .orderBy(col("c_cos").desc, col("c_label"))
       val assign = broadcast(probes).crossJoin(broadcast(cent))
         .withColumn("c_cos", centCos)
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
-        .select(col("probe_id"), col("pe"), col("c_label").as("best_label"))
+        .select(col("probe_id"), col("pe"), col("pn"),
+          col("c_label").as("best_label"))
       val corpus = e.select(col("vec_id").as("neighbor_id"),
         col("label").as("n_label"), col("embedding").as("ce"))
-      val cos = round(dot(col("pe"), col("ce")) /
-        (norm(col("pe")) * norm(col("ce"))), 6)
+        .withColumn("cn", norm(col("ce")))
+      val cos = round(dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6)
       val wTop = Window.partitionBy("probe_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
       broadcast(assign).join(corpus,
