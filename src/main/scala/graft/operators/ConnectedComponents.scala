@@ -57,11 +57,15 @@ object ConnectedComponents {
         .select(col("node"), coalesce(col("root"), col("node"))
           .as("component"))
     }
-    // Size the iteration's parallelism to the graph, not the session
-    // default: each round is several stages over the (usually much
-    // smaller) label table, and at 32 partitions the fixed task overhead
-    // dominates for small graphs. ~1M edges per partition.
-    val nPart = math.max(4, math.min(512, (nDistinct / 1000000L).toInt + 1))
+    // Size the iteration's parallelism to the graph AND the runtime:
+    // ~256k edges per partition so each round's join tasks stay
+    // CPU-bound, floored at the cluster's core count — this path only
+    // runs past the fast-path bound (≥400k edges), where fewer
+    // partitions than cores would serialize the rounds (measured: the
+    // old 1M-edges/partition sizing ran a 6M-edge rehearsal on 4
+    // partitions of a 32-core runtime).
+    val nPart = math.max(spark.sparkContext.defaultParallelism,
+      math.min(8192, (nDistinct / 262144L).toInt + 1))
     // adjacency is reused every round — cache the repartitioned form
     val adj = dist.repartition(nPart, col("dst")).cache()
     val sq = spark.conf.getOption("spark.sql.shuffle.partitions")

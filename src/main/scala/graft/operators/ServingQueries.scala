@@ -109,6 +109,21 @@ object ServingQueries extends QueryModule {
         .orderBy("avid", "base_purl")
     },
 
+    // with_package_counts (models.py:179-183): the queryset's
+    // Count(distinct) annotations per advisory
+    q("s12_package_counts",
+      s"""WITH u AS ($unfurledSql)
+         |SELECT avid,
+         |       count(DISTINCT CASE WHEN is_affected
+         |                      THEN base_purl || '@' || version END)
+         |         AS vulnerable_package_count,
+         |       count(DISTINCT CASE WHEN is_fixed
+         |                      THEN base_purl || '@' || version END)
+         |         AS patched_package_count
+         |FROM u GROUP BY avid ORDER BY avid""".stripMargin) { (s, dir) =>
+      Serving.advisoryPackageCounts(unfurled(s, dir)).orderBy("avid")
+    },
+
     // Mitigation curation queue (views.py MitigationCuration / the
     // MISSING_FIXED_BY_PACKAGE todo): impacted purls with no fixed-by
     // package, through the real derive function

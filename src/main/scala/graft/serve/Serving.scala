@@ -97,18 +97,43 @@ object Serving {
       broadcast(excludedDatasources.select("datasource_id")),
       Seq("datasource_id"), "left_anti")
 
-  /** Search cascade (models.py:150-178): exact alias → alias prefix →
-    * summary contains; first non-empty tier wins. Driver-side short-
-    * circuit mirrors the reference's exists() checks. */
+  /** Search cascade (models.py:150-178 VulnerabilityQuerySet.search),
+    * tier for tier: exact id → exact alias → id-or-alias icontains →
+    * reference-id-or-summary icontains; the first non-empty tier wins,
+    * ordered by id. The driver-side isEmpty probes mirror the
+    * reference's exists() short-circuits (SURVEY §4 row 1). */
   def searchAdvisories(advisories: DataFrame, query: String): DataFrame = {
+    val q = Option(query).map(_.trim).getOrElse("")
     val latest = advisories.filter(col("is_latest"))
-    val exact = latest.filter(array_contains(col("aliases"), query))
-    if (!exact.isEmpty) return exact
-    val prefix = latest.filter(
-      exists(col("aliases"), a => upper(a).startsWith(query.toUpperCase)))
-    if (!prefix.isEmpty) return prefix
-    latest.filter(lower(col("summary")).contains(query.toLowerCase))
+    if (q.isEmpty) return latest.limit(0)
+    val lowered = q.toLowerCase
+    val tiers = Seq[DataFrame](
+      latest.filter(col("advisory_id") === q),
+      latest.filter(array_contains(col("aliases"), q)),
+      latest.filter(lower(col("advisory_id")).contains(lowered) ||
+        exists(col("aliases"), a => lower(a).contains(lowered))),
+      latest.filter(lower(col("summary")).contains(lowered) ||
+        exists(col("references"),
+          r => lower(r.getField("reference_id")).contains(lowered))))
+    tiers.take(3).foreach { t =>
+      if (!t.isEmpty) return t.orderBy("advisory_id")
+    }
+    tiers.last.orderBy("advisory_id")
   }
+
+  /** with_package_counts (models.py:179-183): per advisory, the distinct
+    * affected and fixed-by package version counts — the queryset's
+    * Count(distinct) annotations as one partial-aggregatable groupBy
+    * over the unfurl links. */
+  def advisoryPackageCounts(unfurled: DataFrame): DataFrame =
+    unfurled.groupBy("avid")
+      .agg(
+        count_distinct(when(col("is_affected"),
+          concat(col("base_purl"), lit("@"), col("version"))))
+          .as("vulnerable_package_count"),
+        count_distinct(when(col("is_fixed"),
+          concat(col("base_purl"), lit("@"), col("version"))))
+          .as("patched_package_count"))
 
   /** Package detail (views.py:160-198): affecting advisories + nearest
     * fixes + next non-vulnerable version, nested per package. */

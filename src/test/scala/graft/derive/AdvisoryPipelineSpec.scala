@@ -222,9 +222,19 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     val exact = Serving.searchAdvisories(advisories, "CVE-2024-200")
       .select("avid").collect().map(_.getString(0))
     assert(exact.toSeq == Seq("ghsa/GHSA-bbbb"))
+    // last-resort tier: summary icontains
     val substring = Serving.searchAdvisories(advisories, "sql")
       .select("avid").collect().map(_.getString(0)).toSet
     assert(substring == Set("pypa/PYSEC-1", "ghsa/GHSA-aaaa"))
+    // exact advisory_id is the FIRST tier
+    val byId = Serving.searchAdvisories(advisories, "GHSA-aaaa")
+      .select("avid").collect().map(_.getString(0))
+    assert(byId.toSeq == Seq("ghsa/GHSA-aaaa"))
+    // id icontains (tier 3) beats the summary tier: 'GHSA' hits both
+    // ghsa ids, never the summaries
+    val partial = Serving.searchAdvisories(advisories, "ghsa")
+      .select("avid").collect().map(_.getString(0)).toSet
+    assert(partial == Set("ghsa/GHSA-aaaa", "ghsa/GHSA-bbbb"))
   }
 
   test("severity relation: donors match by advisory_id OR alias (J11)") {
