@@ -31,7 +31,12 @@ object Engine {
       conflicts: DataFrame,
       changeLog: DataFrame,
       ssvcDecisions: DataFrame,
-      ssvcRelations: DataFrame)
+      ssvcRelations: DataFrame,
+      commitPatches: DataFrame,
+      mitigations: DataFrame,
+      mitigationCuration: DataFrame,
+      cvss31Severities: DataFrame,
+      packageCounts: DataFrame)
 
   /** Session with extensions + registered functions. */
   def newSession(appName: String = "graft", cpus: String = "32"): SparkSession = {
@@ -50,7 +55,9 @@ object Engine {
     * mart, also registered as `graft_<name>` temp views. */
   def runAdvisoryPipeline(spark: SparkSession, rawAdvisories: DataFrame,
       versionsDim: DataFrame,
-      severityWeights: Map[String, Int] = Map.empty): Marts = {
+      severityWeights: Map[String, Int] = Map.empty,
+      patchTexts: Option[DataFrame] = None): Marts = {
+    import spark.implicits._
     val advisories =
       AdvisoryDerive.withContentIdAndLatest(rawAdvisories).cache()
     val impacts = AdvisoryDerive.impacts(advisories)
@@ -58,6 +65,9 @@ object Engine {
     val ranked = AdvisoryDerive.versionRank(versionsDim).cache()
     val risk = AdvisoryDerive.advisoryRisk(advisories, severityWeights)
     val ssvc = AdvisoryDerive.ssvcDecisions(advisories)
+    val patches = AdvisoryDerive.commitPatches(advisories,
+      patchTexts.getOrElse(Seq.empty[(String, String, String)]
+        .toDF("vcs_url", "commit_hash", "patch_text")))
     val marts = Marts(
       advisories = advisories,
       impacts = impacts,
@@ -72,7 +82,13 @@ object Engine {
       conflicts = AdvisoryDerive.conflicts(advisories),
       changeLog = AdvisoryDerive.changeLog(advisories),
       ssvcDecisions = ssvc,
-      ssvcRelations = AdvisoryDerive.ssvcRelations(advisories, ssvc))
+      ssvcRelations = AdvisoryDerive.ssvcRelations(advisories, ssvc),
+      commitPatches = patches,
+      mitigations = AdvisoryDerive.mitigations(unfurled, patches),
+      mitigationCuration =
+        AdvisoryDerive.mitigationCurationItems(unfurled),
+      cvss31Severities = AdvisoryDerive.cveCvss31Severities(advisories),
+      packageCounts = graft.serve.Serving.advisoryPackageCounts(unfurled))
     Seq(
       "advisories" -> marts.advisories,
       "impacts" -> marts.impacts,
@@ -88,6 +104,11 @@ object Engine {
       "changelog" -> marts.changeLog,
       "ssvc_decisions" -> marts.ssvcDecisions,
       "ssvc_relations" -> marts.ssvcRelations,
+      "commit_patches" -> marts.commitPatches,
+      "mitigations" -> marts.mitigations,
+      "mitigation_curation" -> marts.mitigationCuration,
+      "cvss31_severities" -> marts.cvss31Severities,
+      "package_counts" -> marts.packageCounts,
     ).foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }
     marts
   }

@@ -81,12 +81,16 @@ object ConnectedComponents {
     *
     * MEMORY BOUND: the collected rows are exactly two longs each (the
     * contract projects to (c_src, c_dst) before the count guard), so the
-    * driver holds ≤ threshold × 16 bytes ≈ 3.2 MB of payload plus tuple
+    * driver holds ≤ threshold × 16 bytes = 16 MB of payload plus tuple
     * overhead — a fixed bound that cannot widen if upstream edge rows
-    * grow columns. `tryLocalFinish` asserts the two-column shape so any
-    * future schema change fails fast instead of silently inflating the
-    * collect. */
-  private val LocalFinishThreshold = 200000L
+    * grow columns, and far under any driver's result-size budget.
+    * Measured at the 10× rehearsal: a 1.1M-edge graph costs ~18 s of
+    * distributed rounds vs ~3 s collected, so the crossover sits well
+    * above this bound — billions-of-edges graphs (the real 100 TB case)
+    * still run the iterative contract-then-finish path.
+    * `tryLocalFinish` asserts the two-column shape so any future schema
+    * change fails fast instead of silently inflating the collect. */
+  private val LocalFinishThreshold = 1000000L
 
   /** Contract edges to component level and, if small, finish locally:
     * returns Some(component → root) mapping DataFrame. */

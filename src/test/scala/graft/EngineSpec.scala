@@ -37,5 +37,18 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
     assert(inRange)
     assert(sp.sql("SELECT count(*) FROM graft_advisory_sets")
       .collect().head.getLong(0) == 5)
+    // round-3 marts are registered and queryable
+    val mit = sp.sql(
+      """SELECT avid, base_purl, upgrade_to_versions
+        |FROM graft_mitigations ORDER BY avid, base_purl""".stripMargin)
+      .collect()
+    assert(mit.nonEmpty)
+    assert(sp.sql(
+      "SELECT * FROM graft_package_counts WHERE vulnerable_package_count > 0")
+      .collect().nonEmpty)
+    Seq("graft_mitigation_curation", "graft_cvss31_severities",
+      "graft_commit_patches").foreach { v =>
+      assert(sp.sql(s"SELECT count(*) FROM $v").collect().nonEmpty, v)
+    }
   }
 }
