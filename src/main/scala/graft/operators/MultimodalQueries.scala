@@ -20,6 +20,24 @@ object MultimodalQueries extends QueryModule {
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaMeta(doc_id: Long, n_bytes: Long, first_byte: Int,
       checksum: String, width: Int, height: Int)
+  final case class ResizedMeta(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int)
+
+  /** STUB resize: aspect-preserving fit into a `target`-pixel box, in
+    * pure integer math (floor division) so the oracle reproduces it
+    * bit-for-bit. A real implementation swaps the arithmetic for a codec
+    * call; the partition-batch shape is what the 100 TB path needs. */
+  def resizePartition(rows: Iterator[MediaMeta],
+      target: Int): Iterator[ResizedMeta] =
+    rows.map { m =>
+      val mx = math.max(m.width, m.height)
+      if (mx <= 0) ResizedMeta(m.doc_id, m.width, m.height, 0, 0)
+      else if (mx <= target)
+        ResizedMeta(m.doc_id, m.width, m.height, m.width, m.height)
+      else ResizedMeta(m.doc_id, m.width, m.height,
+        (m.width.toLong * target / mx).toInt,
+        (m.height.toLong * target / mx).toInt)
+    }
 
   /** STUB decoder: deterministic fake media decode (real impl would call
     * an image/audio codec here). Width/height derive from the byte length
@@ -57,6 +75,56 @@ object MultimodalQueries extends QueryModule {
       media.mapPartitions(decodePartition)
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // stub resize chained onto the stub decode in ONE partition pass
+    // (decode → feature transform without re-batching — the shape a
+    // mapInPandas pipeline composes)
+    q("x_multimodal_resize",
+      """SELECT doc_id, width, height,
+        |       CASE WHEN greatest(width, height) <= 0 THEN 0
+        |            WHEN greatest(width, height) <= 256 THEN width
+        |            ELSE CAST(width * 256 // greatest(width, height) AS INT)
+        |       END AS out_w,
+        |       CASE WHEN greatest(width, height) <= 0 THEN 0
+        |            WHEN greatest(width, height) <= 256 THEN height
+        |            ELSE CAST(height * 256 // greatest(width, height) AS INT)
+        |       END AS out_h
+        |FROM (SELECT doc_id,
+        |             CAST(length(text) % 640 AS INT) AS width,
+        |             CAST((length(text) // 640) % 480 AS INT) AS height
+        |      FROM documents)
+        |ORDER BY doc_id""") { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val media: Dataset[MediaRow] = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaRow]
+      media
+        .mapPartitions(rows => resizePartition(decodePartition(rows), 256))
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // frame sampling: the payload as an n_bytes/64-frame "video",
+    // every 8th frame index emitted — declarative sequence+explode, so
+    // Catalyst runs it codegen'd with no partition transform at all
+    q("x_multimodal_framesample",
+      """SELECT doc_id, CAST(unnest(range(0, n_frames, 8)) AS BIGINT)
+        |         AS frame_idx
+        |FROM (SELECT doc_id, length(text) // 64 AS n_frames
+        |      FROM documents)
+        |WHERE n_frames > 0
+        |ORDER BY doc_id, frame_idx""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("octet_length(encode(text, 'UTF-8')) div 64")
+            .cast("long").as("n_frames"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(8L)))
+            .as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
     },
 
     // multimodal partition layout: payload-size histogram per source
