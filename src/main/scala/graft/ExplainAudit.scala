@@ -13,7 +13,8 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("p2_filter_eq", "j2_threehop_guard", "j1_m2m_join",
         "a1_count_distinct", "w1_version_rank", "x_ngram_jaccard",
-        "x_ann_topk", "v2_unfurl")
+        "x_ngram_jaccard_capped", "x_minhash_lsh_capped", "x_ann_topk",
+        "x_ann_ivf", "v2_unfurl", "s10_mitigations", "d1_content_dedup")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)
