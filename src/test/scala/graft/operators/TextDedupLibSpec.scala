@@ -76,6 +76,59 @@ class TextDedupLibSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.keys.forall { case (a, b) => a < b })
   }
 
+  test("simhash pairs COMPLETE vs brute force (pigeonhole property)") {
+    // 40 docs over a tiny vocabulary → dense near-dup signature space.
+    // With bands > maxHamming and no effective bucket cap, the banded
+    // equi-join must find EXACTLY the brute-force pairs within the
+    // hamming bound — the pigeonhole guarantee the scaladoc claims.
+    val sp = spark
+    import sp.implicits._
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, s"tok${i % 5} tok${(i / 2) % 7} tok${i % 3} " +
+        s"tok${(i * 7) % 11}")).toDF("id", "text")
+    val sig = TextDedup.simHash(corpus, "text", "id", bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = TextDedup.simHashPairs(corpus, "text", "id",
+        bits = 16, bands = 4, maxHamming = 3, maxBucketSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"banded join diverged from brute force: " +
+      s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.nonEmpty, "fixture should produce near-dup pairs")
+  }
+
+  test("ngram jaccard COMPLETE vs brute force (inverted-index property)") {
+    // any pair with jaccard > 0 shares ≥1 shingle, so the inverted-index
+    // candidate join loses nothing when no shingle is capped — the
+    // library must equal a driver-side brute-force over the same corpus
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 30).map(i =>
+      (i.toLong, s"tok${i % 4} tok${(i / 3) % 5} tok${i % 2} " +
+        s"tok${(i * 3) % 7} tok${i % 4}"))
+    val corpus = rows.toDF("id", "text")
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.3
+    } yield (a, b)).toSet
+    val got = TextDedup.ngramJaccardPairs(corpus, "text", "id",
+        n = 2, threshold = 0.3, maxDf = 1000000)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(brute.nonEmpty)
+  }
+
   test("ngram jaccard df-cap drops stop-shingles from index and sizes") {
     val sp = spark
     import sp.implicits._
