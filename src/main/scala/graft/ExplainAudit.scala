@@ -18,8 +18,21 @@ object ExplainAudit {
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)
-        val plan = df.queryExecution.executedPlan
-        val s = plan.toString
+        // collect() executes THIS dataframe's own QueryExecution so its
+        // AdaptiveSparkPlanExec finalizes — count()/write() build a NEW
+        // query and leave this one's spans/joins undecided (audit
+        // queries are sf0.01-sized, so the collect is small)
+        df.collect()
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def render(p: SparkPlan): String = {
+          val inner = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec        => Seq(q.plan)
+            case other                    => other.children
+          }
+          p.nodeName + "\n" + p.toString + inner.map(render).mkString
+        }
+        val s = render(df.queryExecution.executedPlan)
         val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(s).isDefined
         val bcast = s.contains("BroadcastHashJoin")
         val smj = s.contains("SortMergeJoin")
