@@ -136,6 +136,60 @@ object ServingQueries extends QueryModule {
         .orderBy("avid", "base_purl")
     },
 
+    // Package-type directory (api_v3.py:342-353 PackageTypesView):
+    // distinct purl types ordered — the hourly-cached types listing as a
+    // one-column distinct over a synthetic packages table from `part`
+    q("s13_package_types",
+      """SELECT DISTINCT 't' || CAST(p_partkey % 7 AS VARCHAR) AS type
+        |FROM part ORDER BY type""".stripMargin) { (s, dir) =>
+      val packages = Tables(s, dir, "part")
+        .select(concat(lit("t"), pmod(col("p_partkey"), lit(7))).as("type"))
+      Serving.packageTypes(packages)
+    },
+
+    // Fixed-package details (views.py:438-478 get_fixed_package_details):
+    // per advisory the fixed-by versions flagged is_vulnerable (the
+    // Exists annotation against the affected set), ghosts excluded —
+    // ghost dimension = every p0 version "9" row
+    q("s14_fixed_details",
+      s"""WITH u AS ($unfurledSql),
+         |fixed AS (
+         |  SELECT DISTINCT avid, base_purl, version FROM u WHERE is_fixed),
+         |nonghost AS (
+         |  SELECT * FROM fixed
+         |  WHERE NOT (base_purl = 'pkg:npm/p0' AND version = '9')),
+         |vuln AS (
+         |  SELECT DISTINCT base_purl, version FROM u WHERE is_affected)
+         |SELECT f.avid, f.base_purl, f.version,
+         |       (v.base_purl IS NOT NULL) AS is_vulnerable
+         |FROM nonghost f
+         |LEFT JOIN vuln v
+         |  ON f.base_purl = v.base_purl AND f.version = v.version
+         |ORDER BY f.avid, f.base_purl, f.version""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ghosts = Seq(("pkg:npm/p0", "9")).toDF("base_purl", "version")
+      Serving.fixedPackageDetails(unfurled(s, dir), ghosts)
+        .select("avid", "base_purl", "version", "is_vulnerable")
+        .orderBy("avid", "base_purl", "version")
+    },
+
+    // fixed_by_packages (api_v3.py:355-365): per advisory the sorted
+    // distinct fixed-by purls as one collect_set aggregation (joined to
+    // a string for the hash compare)
+    q("s15_fixed_by_purls",
+      s"""WITH u AS ($unfurledSql)
+         |SELECT avid,
+         |       string_agg(DISTINCT base_purl || '@' || version, ','
+         |                  ORDER BY base_purl || '@' || version)
+         |         AS fixed_by_packages
+         |FROM u WHERE is_fixed AND version IS NOT NULL
+         |GROUP BY avid ORDER BY avid""".stripMargin) { (s, dir) =>
+      Serving.fixedByPackagePurls(unfurled(s, dir))
+        .select(col("avid"),
+          array_join(col("fixed_by_packages"), ",").as("fixed_by_packages"))
+        .orderBy("avid")
+    },
+
     // latest_advisory_purls_pairs, both edges (models.py:2966-2978,
     // 3003-3015)
     q("s9_purl_pairs",

@@ -325,4 +325,46 @@ object Serving {
       .groupBy("base_purl")
       .agg(countDistinct("avid").as("advisory_count"),
         countDistinct("version").as("affected_version_count"))
+
+  /** Package-type directory (api_v3.py:342-353 PackageTypesView): the
+    * distinct purl types ordered by type — the reference caches this
+    * hourly; here it is a partial-aggregatable distinct over one pruned
+    * column, so the scan reads only `type`. */
+  def packageTypes(packages: DataFrame): DataFrame =
+    packages.select("type").distinct().orderBy("type")
+
+  /** Fixed-package details (views.py:438-478 get_fixed_package_details):
+    * per advisory the fixed-by package versions, each flagged
+    * is_vulnerable = "is this fix version itself affected by some latest
+    * unfurled advisory" (the reference's Exists annotation), with ghost
+    * packages excluded (is_ghost=False filter).
+    *
+    * Scale shape: the vulnerable set is a corpus-wide distinct on
+    * (base_purl, version) equi-joined back — partial-aggregatable, no
+    * broadcast of the corpus; the ghost dimension is the bounded side
+    * and anti-joins broadcast. */
+  def fixedPackageDetails(unfurled: DataFrame,
+      ghosts: DataFrame): DataFrame = {
+    val fixedRows = unfurled.filter(col("is_fixed"))
+      .select("avid", "base_purl", "version").distinct()
+      .join(broadcast(ghosts.select("base_purl", "version")),
+        Seq("base_purl", "version"), "left_anti")
+    val vulnerable = unfurled.filter(col("is_affected"))
+      .select("base_purl", "version").distinct()
+      .withColumn("_v", lit(true))
+    fixedRows.join(vulnerable, Seq("base_purl", "version"), "left")
+      .withColumn("is_vulnerable", coalesce(col("_v"), lit(false)))
+      .drop("_v")
+  }
+
+  /** fixed_by_packages (api_v3.py:355-365
+    * AffectedByAdvisoryV3Serializer): per advisory the sorted distinct
+    * non-null fixed-by package urls — the values_list(...).exclude(
+    * isnull).distinct() as one collect_set aggregation. */
+  def fixedByPackagePurls(unfurled: DataFrame): DataFrame =
+    unfurled.filter(col("is_fixed") && col("version").isNotNull)
+      .groupBy("avid")
+      .agg(array_sort(collect_set(
+        concat(col("base_purl"), lit("@"), col("version"))))
+        .as("fixed_by_packages"))
 }

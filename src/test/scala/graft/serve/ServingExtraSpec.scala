@@ -116,6 +116,53 @@ class ServingExtraSpec extends AnyFunSuite with SparkTestSession {
     assert(kept == Set("src/A", "src/B", "src/A-old"))
   }
 
+  test("packageTypes distinct directory (api_v3.py:342-353)") {
+    val sp = spark
+    import sp.implicits._
+    val pkgs = Seq("npm", "pypi", "npm", "deb", "pypi")
+      .toDF("type").withColumn("extra", lit(1))
+    val got = Serving.packageTypes(pkgs).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("deb", "npm", "pypi"))
+  }
+
+  test("fixedPackageDetails flags is_vulnerable and drops ghosts (views.py:438-478)") {
+    val sp = spark
+    import sp.implicits._
+    val unfurled = Seq(
+      // A fixes x@2.0, but B affects x@2.0 -> is_vulnerable=true
+      ("src/A", "pkg:npm/x", "2.0", false, true),
+      ("src/B", "pkg:npm/x", "2.0", true, false),
+      // A fixes x@3.0, nothing affects it -> is_vulnerable=false
+      ("src/A", "pkg:npm/x", "3.0", false, true),
+      // C fixes y@1.0, but y@1.0 is a ghost -> excluded
+      ("src/C", "pkg:npm/y", "1.0", false, true))
+      .toDF("avid", "base_purl", "version", "is_affected", "is_fixed")
+    val ghosts = Seq(("pkg:npm/y", "1.0")).toDF("base_purl", "version")
+    val got = Serving.fixedPackageDetails(unfurled, ghosts)
+      .collect()
+      .map(r => (r.getAs[String]("avid"), r.getAs[String]("base_purl"),
+        r.getAs[String]("version"), r.getAs[Boolean]("is_vulnerable")))
+      .toSet
+    assert(got == Set(
+      ("src/A", "pkg:npm/x", "2.0", true),
+      ("src/A", "pkg:npm/x", "3.0", false)))
+  }
+
+  test("fixedByPackagePurls sorted distinct non-null (api_v3.py:355-365)") {
+    val sp = spark
+    import sp.implicits._
+    val unfurled = Seq(
+      ("src/A", "pkg:npm/x", "2.0", false, true),
+      ("src/A", "pkg:npm/x", "2.0", false, true), // duplicate collapses
+      ("src/A", "pkg:npm/a", "1.0", false, true),
+      ("src/A", "pkg:npm/z", null.asInstanceOf[String], false, true), // null dropped
+      ("src/A", "pkg:npm/w", "9.0", true, false)) // affected, not fixed
+      .toDF("avid", "base_purl", "version", "is_affected", "is_fixed")
+    val got = Serving.fixedByPackagePurls(unfurled)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    assert(got("src/A") == Seq("pkg:npm/a@1.0", "pkg:npm/x@2.0"))
+  }
+
   test("keyed pagination is stable and O(page) (W6)") {
     val sp = spark
     import sp.implicits._
