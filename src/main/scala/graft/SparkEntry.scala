@@ -26,6 +26,7 @@ object SparkEntry {
     TextDedupQueries,
     SimilarityQueries,
     MultimodalQueries,
+    CorpusQueries,
     StreamingQueries,
     ServingQueries,
     ScaleQueries,

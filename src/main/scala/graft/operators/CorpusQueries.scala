@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.core.{QueryEntry, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-corpus curation operators — the composition layer over the
+  * dedup/similarity/text-analysis families: composite quality filtering
+  * (Gopher/C4-style rule stacks), deterministic hash sampling,
+  * benchmark-contamination checks, and the end-to-end dedup pipeline
+  * (near-dup pairs → connected components → canonical selection).
+  *
+  * Scale design notes per operator are inline; the common rules:
+  * rule stacks and hash sampling are map-only (no shuffle), the
+  * contamination index broadcasts (benchmark suites are bounded), and
+  * pair generation everywhere rides the capped library forms
+  * ([[TextDedup.ngramJaccardPairs]], [[Similarity.signLshPairs]]) whose
+  * candidate joins are bucket equi-joins, never all-pairs.
+  */
+object CorpusQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Shared tokenizer: whitespace split, empties dropped (matches the
+    * dedup family's shingle tokenizer). */
+  private val toksSql =
+    """SELECT doc_id, source, n_chars,
+      |       list_filter(string_split(trim(text), ' '), x -> x <> '')
+      |         AS toks
+      |FROM documents""".stripMargin
+
+  private def withToks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"),
+      filter(split(trim(col("text")), " "), t => t =!= "").as("toks"))
+
+  /** 16-bit sign-LSH signature over integer-quantized embeddings, as
+    * DuckDB SQL — must stay bit-identical to
+    * [[Similarity.signLshPairs]]'s plane/weight arithmetic. */
+  private val sigSql: String = (0 until 16).map { j =>
+    s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+       |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+       |       * ((((i - 1) * 31 + ${j * 17}) % 7) - 3))) > 0
+       | THEN ${1L << j} ELSE 0 END)""".stripMargin.replace("\n", " ")
+  }.mkString("(", " + ", ")")
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+
+  private val normSql = (side: String) =>
+    s"sqrt(list_sum(list_transform($side.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  override val entries: Seq[QueryEntry] = Seq(
+    // Gopher-style composite quality rule stack (word-count bounds, mean
+    // word length, lexical diversity, stopword presence) — one map-only
+    // pass, whole-stage-codegen'd; at 100 TB this is scan-bound with zero
+    // shuffle. Each rule surfaces as its own flag so downstream can
+    // attribute rejections (the way quality-filter ablations need).
+    q("x_gopher_quality",
+      s"""WITH t AS ($toksSql)
+         |SELECT doc_id,
+         |  len(toks) AS n_words,
+         |  CAST(round(CAST(list_sum(list_transform(toks, x -> len(x)))
+         |         AS DOUBLE) / len(toks), 4) AS DOUBLE) AS mean_word_len,
+         |  CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks),
+         |         4) AS DOUBLE) AS distinct_ratio,
+         |  len(toks) BETWEEN 5 AND 10000 AS word_count_ok,
+         |  CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+         |    / len(toks) BETWEEN 2 AND 12 AS word_len_ok,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+         |    AS diversity_ok,
+         |  len(list_filter(toks,
+         |      x -> x IN ('the','a','of','el','le','der'))) > 0
+         |    AS stopword_ok,
+         |  (len(toks) BETWEEN 5 AND 10000)
+         |    AND (CAST(list_sum(list_transform(toks, x -> len(x)))
+         |           AS DOUBLE) / len(toks) BETWEEN 2 AND 12)
+         |    AND (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         |           >= 0.3)
+         |    AND (len(list_filter(toks,
+         |           x -> x IN ('the','a','of','el','le','der'))) > 0)
+         |    AS passes
+         |FROM t WHERE len(toks) > 0 ORDER BY doc_id""") {
+      (s, dir) =>
+      val nWords = size(col("toks")).cast("long")
+      val meanLen = aggregate(col("toks"), lit(0L),
+        (acc, t) => acc + length(t)).cast("double") / nWords
+      val distinctRatio =
+        size(array_distinct(col("toks"))).cast("double") / nWords
+      val stopHits = size(filter(col("toks"), x =>
+        Seq("the", "a", "of", "el", "le", "der")
+          .map(w => x === w).reduce(_ || _)))
+      val wordCountOk = nWords.between(5, 10000)
+      val wordLenOk = meanLen.between(2, 12)
+      val diversityOk = distinctRatio >= 0.3
+      val stopwordOk = stopHits > 0
+      withToks(s, dir)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          nWords.as("n_words"),
+          round(meanLen, 4).cast("double").as("mean_word_len"),
+          round(distinctRatio, 4).cast("double").as("distinct_ratio"),
+          wordCountOk.as("word_count_ok"),
+          wordLenOk.as("word_len_ok"),
+          diversityOk.as("diversity_ok"),
+          stopwordOk.as("stopword_ok"),
+          (wordCountOk && wordLenOk && diversityOk && stopwordOk)
+            .as("passes"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic hash sampling: keep rows whose md5(doc_id) prefix
+    // falls under the rate bound — reproducible across engines, runs,
+    // and cluster sizes (unlike rand()-based sample()), and map-only.
+    // '1a'/'100' hex ≈ a 10.2% rate.
+    q("x_hash_sample",
+      """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY doc_id""") { (s, dir) =>
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      docs(s, dir)
+        .select(col("doc_id"), bucket.as("bucket"))
+        .filter(col("bucket") < "1a")
+        .orderBy("doc_id")
+    },
+
+    // Stratified sampling: k docs per stratum, selected by hash order so
+    // the sample is deterministic. The per-stratum window is fine while
+    // strata are numerous and bounded (sources, languages); for a handful
+    // of corpus-scale strata use the sc3_topk_per_key two-phase shape
+    // (per-partition top-k, then merge) to avoid one task per stratum.
+    q("x_stratified_sample",
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY source, doc_id""") { (s, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    },
+
+    // Benchmark-contamination check: fraction of a doc's distinct 3-gram
+    // shingles that appear anywhere in the benchmark set (here the
+    // doc_id % 97 == 0 subset standing in for an eval suite). The
+    // benchmark VOCABULARY is the broadcast side — eval suites are
+    // bounded (millions of shingles, not corpus-scale) — so the corpus
+    // side streams map-side with no shuffle for the membership test;
+    // only the per-doc count aggregation shuffles.
+    q("x_contamination",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(trim(text), ' '), x -> x <> '')
+        |           AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |           AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM sh
+        |        WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+        |hit AS (SELECT s.doc_id, count(*) AS n_hit
+        |        FROM sh s JOIN bench b USING (shingle)
+        |        WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+        |SELECT h.doc_id, h.n_hit,
+        |       CAST(round(CAST(h.n_hit AS DOUBLE) / t.n_sh, 4) AS DOUBLE)
+        |         AS contamination,
+        |       CAST(h.n_hit AS DOUBLE) / t.n_sh >= 0.8 AS contaminated
+        |FROM hit h JOIN tot t USING (doc_id)
+        |ORDER BY doc_id""") { (s, dir) =>
+      val sh = TextDedup.shingles(docs(s, dir), "text", "doc_id", 3)
+      val bench = sh.filter(pmod(col("id"), lit(97)) === 0)
+        .select("shingle").distinct()
+      val corpus = sh.filter(pmod(col("id"), lit(97)) =!= 0)
+      val tot = corpus.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      val hit = corpus.join(broadcast(bench), Seq("shingle"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("n_hit"))
+      val rate = col("n_hit").cast("double") / col("n_sh")
+      hit.join(tot, "id")
+        .select(col("id").as("doc_id"), col("n_hit"),
+          round(rate, 4).cast("double").as("contamination"),
+          (rate >= 0.8).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // End-to-end dedup pipeline: capped n-gram Jaccard pairs (the
+    // scale-safe library form) → connected components over the pair
+    // graph → canonical document per cluster (max n_chars, ties to the
+    // smallest doc_id — "keep the richest copy"). This is the full
+    // near-dup REMOVAL dataflow a curation run executes, demonstrating
+    // that the pair generator, the distributed CC, and quality-based
+    // survivor selection compose. Oracle: same pairs in SQL + the d2
+    // bounded min-label recursive CTE + a window for the survivor.
+    q("x_dedup_pipeline",
+      """WITH RECURSIVE raw AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(toks)),
+        |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split(trim(text), ' '), x -> x <> '')
+        |                 AS toks
+        |        FROM documents) WHERE len(toks) >= 2),
+        |keep AS (SELECT shingle FROM raw GROUP BY shingle
+        |         HAVING count(*) <= 40),
+        |sh AS (SELECT raw.doc_id, raw.shingle
+        |       FROM raw JOIN keep USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT p.id_a AS src, p.id_b AS dst
+        |  FROM cand p
+        |  JOIN sizes sa ON sa.doc_id = p.id_a
+        |  JOIN sizes sb ON sb.doc_id = p.id_b
+        |  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |lbl(node, comp, i) AS (
+        |  SELECT src AS node, src AS comp, 0 AS i
+        |  FROM (SELECT DISTINCT src FROM sym)
+        |  UNION ALL
+        |  SELECT s.src AS node, min(l.comp) AS comp, l.i + 1 AS i
+        |  FROM lbl l JOIN sym s ON l.node = s.dst
+        |  WHERE l.i < 100
+        |  GROUP BY s.src, l.i),
+        |comp AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
+        |ranked AS (
+        |  SELECT component, node AS canonical_doc,
+        |         row_number() OVER (PARTITION BY component
+        |           ORDER BY d.n_chars DESC, node) AS rn,
+        |         count(*) OVER (PARTITION BY component) AS cluster_size
+        |  FROM comp JOIN documents d ON d.doc_id = comp.node)
+        |SELECT component, canonical_doc, cluster_size
+        |FROM ranked WHERE rn = 1 ORDER BY component""") {
+      (s, dir) =>
+      val pairs = TextDedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+        n = 2, threshold = 0.5, maxDf = 40)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comp = ConnectedComponents.labelPropagation(s, edges)
+      comp.join(docs(s, dir).select(col("doc_id"), col("n_chars")),
+          comp("node") === col("doc_id"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"),
+          // survivor = richest copy: maximize (n_chars, -doc_id)
+          max_by(col("node"), struct(col("n_chars"), -col("node")))
+            .as("canonical_doc"))
+        .select("component", "canonical_doc", "cluster_size")
+        .orderBy("component")
+    },
+
+    // Random-hyperplane (sign) LSH near-neighbor pairs over embeddings —
+    // the corpus×corpus candidate generator (Similarity.signLshPairs):
+    // 16 sign bits over integer-quantized vectors, 4 bands of 4 bits,
+    // candidates = equi-join on (band, chunk), exact-cosine verify at
+    // 0.3. The bucket cap (10000) cannot bind at bench SFs (a bucket is
+    // at most the corpus, 2000 rows) so the oracle omits that no-op
+    // filter; the cap semantics are spec-pinned in SimilarityLibSpec.
+    q("x_embed_lsh",
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, embedding, band, (sig >> (band * 4)) & 15 AS chunk
+         |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM b x JOIN b y
+         |    ON x.band = y.band AND x.chunk = y.chunk
+         |   AND x.vec_id < y.vec_id)
+         |SELECT c.vec_a, c.vec_b,
+         |       round($dotSql / (${normSql("a")} * ${normSql("b")}), 6)
+         |         AS cos_sim
+         |FROM cand c
+         |JOIN embeddings a ON a.vec_id = c.vec_a
+         |JOIN embeddings b ON b.vec_id = c.vec_b
+         |WHERE $dotSql / (${normSql("a")} * ${normSql("b")}) >= 0.3
+         |ORDER BY vec_a, vec_b""") { (s, dir) =>
+      Similarity.signLshPairs(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          col("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+  )
+}

@@ -52,7 +52,7 @@ object ServingQueries extends QueryModule {
          |FROM u JOIN $requestSql
          |  ON u.base_purl = req.base_purl AND u.version = req.version
          |WHERE u.is_affected
-         |ORDER BY avid""".stripMargin) { (s, dir) =>
+         |ORDER BY avid""") { (s, dir) =>
       val u = unfurled(s, dir)
       val advisories = u.select("avid").distinct()
         .withColumn("is_latest", lit(true))
@@ -89,7 +89,7 @@ object ServingQueries extends QueryModule {
          |FROM imp
          |LEFT JOIN up ON imp.avid = up.avid AND imp.base_purl = up.base_purl
          |LEFT JOIN pa ON imp.avid = pa.avid
-         |ORDER BY imp.avid, imp.base_purl""".stripMargin) { (s, dir) =>
+         |ORDER BY imp.avid, imp.base_purl""") { (s, dir) =>
       import s.implicits._
       val links = Tables(s, dir, "lineitem")
         .filter(pmod(col("l_orderkey"), lit(7)) === 0)
@@ -120,7 +120,7 @@ object ServingQueries extends QueryModule {
          |       count(DISTINCT CASE WHEN is_fixed
          |                      THEN base_purl || '@' || version END)
          |         AS patched_package_count
-         |FROM u GROUP BY avid ORDER BY avid""".stripMargin) { (s, dir) =>
+         |FROM u GROUP BY avid ORDER BY avid""") { (s, dir) =>
       Serving.advisoryPackageCounts(unfurled(s, dir)).orderBy("avid")
     },
 
@@ -131,7 +131,7 @@ object ServingQueries extends QueryModule {
       s"""WITH u AS ($unfurledSql)
          |SELECT avid, base_purl FROM u GROUP BY 1, 2
          |HAVING bool_or(is_affected) AND NOT bool_or(is_fixed)
-         |ORDER BY avid, base_purl""".stripMargin) { (s, dir) =>
+         |ORDER BY avid, base_purl""") { (s, dir) =>
       graft.derive.AdvisoryDerive.mitigationCurationItems(unfurled(s, dir))
         .orderBy("avid", "base_purl")
     },
@@ -141,7 +141,7 @@ object ServingQueries extends QueryModule {
     // one-column distinct over a synthetic packages table from `part`
     q("s13_package_types",
       """SELECT DISTINCT 't' || CAST(p_partkey % 7 AS VARCHAR) AS type
-        |FROM part ORDER BY type""".stripMargin) { (s, dir) =>
+        |FROM part ORDER BY type""") { (s, dir) =>
       val packages = Tables(s, dir, "part")
         .select(concat(lit("t"), pmod(col("p_partkey"), lit(7))).as("type"))
       Serving.packageTypes(packages)
@@ -165,7 +165,7 @@ object ServingQueries extends QueryModule {
          |FROM nonghost f
          |LEFT JOIN vuln v
          |  ON f.base_purl = v.base_purl AND f.version = v.version
-         |ORDER BY f.avid, f.base_purl, f.version""".stripMargin) { (s, dir) =>
+         |ORDER BY f.avid, f.base_purl, f.version""") { (s, dir) =>
       import s.implicits._
       val ghosts = Seq(("pkg:npm/p0", "9")).toDF("base_purl", "version")
       Serving.fixedPackageDetails(unfurled(s, dir), ghosts)
@@ -183,11 +183,55 @@ object ServingQueries extends QueryModule {
          |                  ORDER BY base_purl || '@' || version)
          |         AS fixed_by_packages
          |FROM u WHERE is_fixed AND version IS NOT NULL
-         |GROUP BY avid ORDER BY avid""".stripMargin) { (s, dir) =>
+         |GROUP BY avid ORDER BY avid""") { (s, dir) =>
       Serving.fixedByPackagePurls(unfurled(s, dir))
         .select(col("avid"),
           array_join(col("fixed_by_packages"), ",").as("fixed_by_packages"))
         .orderBy("avid")
+    },
+
+    // get_patches_bulk (api_v3.py:474-527): introduced/fixed commit
+    // patches per (package, advisory) for a bounded bulk request —
+    // synthetic patch links from lineitem, with suppkey-driven nulls so
+    // the "neither hash nor url" drop guard is exercised
+    q("s16_patches_bulk",
+      """WITH pl AS (
+        |  SELECT 'adv/' || CAST(l_orderkey % 50 AS VARCHAR) AS avid,
+        |         'pkg:npm/p' || CAST(l_partkey % 20 AS VARCHAR) AS base_purl,
+        |         CASE WHEN l_linenumber % 2 = 0 THEN 'fixed'
+        |              ELSE 'introduced' END AS patch_kind,
+        |         CASE WHEN l_suppkey % 5 = 0 THEN NULL
+        |              ELSE md5('c' || CAST(l_suppkey AS VARCHAR)) END
+        |           AS commit_hash,
+        |         CASE WHEN l_suppkey % 7 = 0 THEN NULL
+        |              ELSE 'https://github.com/org/r'
+        |                   || CAST(l_suppkey % 30 AS VARCHAR) END AS vcs_url
+        |  FROM lineitem)
+        |SELECT DISTINCT base_purl, avid, patch_kind, commit_hash, vcs_url
+        |FROM pl
+        |WHERE base_purl IN ('pkg:npm/p1', 'pkg:npm/p2', 'pkg:npm/p5')
+        |  AND avid IN ('adv/1', 'adv/3', 'adv/7')
+        |  AND (commit_hash IS NOT NULL OR vcs_url IS NOT NULL)
+        |ORDER BY base_purl, avid, patch_kind, commit_hash, vcs_url""") {
+      (s, dir) =>
+      import s.implicits._
+      val patchLinks = Tables(s, dir, "lineitem").select(
+        concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
+        concat(lit("pkg:npm/p"), pmod(col("l_partkey"), lit(20)))
+          .as("base_purl"),
+        when(pmod(col("l_linenumber"), lit(2)) === 0, "fixed")
+          .otherwise("introduced").as("patch_kind"),
+        when(pmod(col("l_suppkey"), lit(5)) === 0, lit(null))
+          .otherwise(md5(concat(lit("c"), col("l_suppkey"))))
+          .as("commit_hash"),
+        when(pmod(col("l_suppkey"), lit(7)) === 0, lit(null))
+          .otherwise(concat(lit("https://github.com/org/r"),
+            pmod(col("l_suppkey"), lit(30)))).as("vcs_url"))
+      val pkgReq = Seq("pkg:npm/p1", "pkg:npm/p2", "pkg:npm/p5")
+        .toDF("base_purl")
+      val advReq = Seq("adv/1", "adv/3", "adv/7").toDF("avid")
+      Serving.patchesBulk(patchLinks, pkgReq, advReq)
+        .orderBy("base_purl", "avid", "patch_kind", "commit_hash", "vcs_url")
     },
 
     // latest_advisory_purls_pairs, both edges (models.py:2966-2978,
@@ -198,7 +242,7 @@ object ServingQueries extends QueryModule {
          |FROM u JOIN $requestSql
          |  ON u.base_purl = req.base_purl AND u.version = req.version
          |WHERE u.is_affected OR u.is_fixed
-         |ORDER BY purl, avid""".stripMargin) { (s, dir) =>
+         |ORDER BY purl, avid""") { (s, dir) =>
       Serving.advisoryPurlPairs(unfurled(s, dir), request(s), "both")
         .orderBy("purl", "avid")
     },

@@ -62,6 +62,85 @@ object Similarity {
       .drop("_cent", "_centn", "_vn", "_ccos", "_crn")
   }
 
+  /** Random-hyperplane (sign) LSH near-neighbor pairs over an embedding
+    * column — the corpus×corpus complement of [[topK]]'s bounded-probe
+    * path: candidates come from an equi-join on (band, chunk) of a
+    * sign-bit signature, never an all-pairs product, then verify with the
+    * exact double cosine. Returns (id_a, id_b, cos_sim), id_a < id_b,
+    * cos_sim ≥ threshold.
+    *
+    * Sign bits are decided over INTEGER-quantized vectors (round(v×1000))
+    * against small integer hyperplanes derived from (dim, plane) index
+    * arithmetic — integer dot products make the bit decisions exact and
+    * engine-portable, where a float sum landing at the sign boundary
+    * could flip a bit per engine and desynchronize buckets.
+    *
+    * Recall: P[one bit agrees] = 1 − θ/π for angle θ, so a pair at
+    * cosine τ survives ≥1 of `bands` chunks with probability
+    * 1 − (1 − p^(bits/bands))^bands — narrower chunks trade candidate
+    * volume for recall exactly as in MinHash LSH banding. This is a
+    * candidate GENERATOR (recall < 1 by design); exact-above-threshold
+    * recall needs the brute-force [[topK]] or the IVF path.
+    *
+    * `maxBucketSize` guards degenerate buckets (e.g. zero vectors all
+    * hashing to signature 0): a bucket of k members emits O(k²)
+    * candidates, so buckets above the cap are dropped — their members
+    * still pair through their other, more selective bands. */
+  def signLshPairs(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 16, bands: Int = 4, threshold: Double = 0.3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(bits > 0 && bits <= 32 && bits % bands == 0,
+      "bands must divide bits (≤32)")
+    val width = bits / bands
+    // plane j sign bit: sum_i round(v_i*1000) * (((i*31 + j*17) % 7) - 3) > 0
+    def planeDot(j: Int): Column =
+      aggregate(
+        zip_with(col("_qv"), sequence(lit(0), size(col("_qv")) - 1),
+          (v, i) => v * (pmod(i * 31 + lit(j * 17), lit(7)) - lit(3))),
+        lit(0L), (acc, v) => acc + v)
+    val sig = (0 until bits)
+      .map(j => when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    // One signature pass, materialized (localCheckpoint) so the band
+    // self-join reads ~24 B/row instead of recomputing bits×dims integer
+    // products per side.
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("_qv", transform(col("vec"),
+        v => round(v.cast("double") * 1000).cast("long")))
+      .withColumn("sig", sig)
+      .withColumn("_n", l2Norm(col("vec")))
+      .drop("_qv")
+      .localCheckpoint()
+    val chunkCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftrightunsigned(sig, ${b * width}) & ${(1L << width) - 1}")
+          .as("chunk"))
+    }
+    val banded = base
+      .select(col("id"), col("vec"), col("_n"),
+        explode(array(chunkCols: _*)).as("bc"))
+      .select(col("id"), col("vec"), col("_n"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val capped = banded
+      .withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy("band", "chunk")))
+      .filter(col("_bn") <= maxBucketSize).drop("_bn")
+    capped.select(col("id").as("id_a"), col("vec").as("_va"),
+        col("_n").as("_na"), col("band"), col("chunk"))
+      .join(capped.select(col("id").as("id_b"), col("vec").as("_vb"),
+        col("_n").as("_nb"), col("band"), col("chunk")),
+        Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      // dedup candidates BEFORE the cosine so a pair sharing several
+      // bands pays for one verification, not one per shared band
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("_cos", dot(col("_va"), col("_vb")) /
+        (col("_na") * col("_nb")))
+      .filter(col("_cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
+  }
+
   /** IVF top-k: probes search only their assigned centroid's partition —
     * the similarity join becomes an equi-join on centroid_id. */
   def ivfTopK(probes: DataFrame, corpusAssigned: DataFrame,

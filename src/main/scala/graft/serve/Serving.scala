@@ -367,4 +367,22 @@ object Serving {
       .agg(array_sort(collect_set(
         concat(col("base_purl"), lit("@"), col("version"))))
         .as("fixed_by_packages"))
+
+  /** get_patches_bulk (api_v3.py:474-527): the introduced/fixed commit
+    * patches per (package, advisory) for one bulk-lookup request. Both
+    * request sides (package ids, advisory ids) are bounded page-sized
+    * lists — broadcast semi-joins, so the corpus-scale patch-link table
+    * is pruned before anything shuffles. Rows carrying neither a commit
+    * hash nor a VCS url are dropped, matching the reference's
+    * `if row["commit_hash"] or row["vcs_url"]` guard; duplicates
+    * collapse like its per-key `seen` set. */
+  def patchesBulk(patchLinks: DataFrame, packages: DataFrame,
+      advisories: DataFrame): DataFrame =
+    patchLinks
+      .join(broadcast(packages.select("base_purl")),
+        Seq("base_purl"), "left_semi")
+      .join(broadcast(advisories.select("avid")), Seq("avid"), "left_semi")
+      .filter(col("commit_hash").isNotNull || col("vcs_url").isNotNull)
+      .select("base_purl", "avid", "patch_kind", "commit_hash", "vcs_url")
+      .distinct()
 }

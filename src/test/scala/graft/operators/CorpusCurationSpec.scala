@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the corpus-curation operators (CorpusQueries) over planted
+  * fixtures — the oracle checks byte-equality on generated data; these pin
+  * the RULES on documents constructed to trip each one.
+  */
+class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
+
+  private def build(name: String, docs: DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory("corpus_spec").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    CorpusQueries.entries.find(_.name == name).get.build(spark, dir)
+  }
+
+  private def doc(id: Long, text: String, source: String = "src0") = {
+    (id, text, "en", source, text.length.toLong)
+  }
+
+  private def docsDF(rows: Seq[(Long, String, String, String, Long)]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("gopher rule stack trips each rule independently") {
+    val rows = docsDF(Seq(
+      doc(1, "the quick brown fox jumps over the lazy sleeping dog"), // all ok
+      doc(2, "the tiny doc"),                              // word_count fails (3 < 5)
+      doc(3, "the dup dup dup dup dup dup dup dup dup dup dup dup"), // diversity fails
+      doc(4, "quick brown foxes jump over seven lazy dogs"),   // stopword fails
+      doc(5, "the extraordinarily incomprehensible antidisestablishmentarian " +
+        "internationalization constitutionalization characteristically")))
+      // doc 5: mean word length > 12 -> word_len fails
+    val got = build("x_gopher_quality", rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1).getAs[Boolean]("passes"))
+    assert(!got(2).getAs[Boolean]("word_count_ok") &&
+      got(2).getAs[Boolean]("stopword_ok"))
+    assert(!got(3).getAs[Boolean]("diversity_ok") &&
+      !got(3).getAs[Boolean]("passes"))
+    assert(!got(4).getAs[Boolean]("stopword_ok") &&
+      got(4).getAs[Boolean]("word_count_ok"))
+    assert(!got(5).getAs[Boolean]("word_len_ok"))
+  }
+
+  test("contamination measures benchmark shingle overlap") {
+    // doc 0 (0 % 97 == 0) IS the benchmark; doc 1 copies it verbatim
+    // (contamination 1.0), doc 2 shares nothing, doc 3 shares a prefix
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = docsDF(Seq(
+      doc(0, bench),
+      doc(1, bench),
+      doc(2, "one two three four five six seven eight nine"),
+      doc(3, "alpha beta gamma delta unrelated tail words here")))
+    val got = build("x_contamination", rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("contamination"), r.getAs[Boolean]("contaminated")))
+      .toMap
+    assert(got(1) == ((1.0, true)))
+    assert(!got.contains(2)) // zero overlap -> not emitted
+    // doc 3: 6 distinct 3-gram shingles, 2 in the benchmark vocabulary
+    assert(got(3)._1 == 0.3333 && !got(3)._2)
+    assert(!got.contains(0)) // benchmark docs are excluded from the check
+  }
+
+  test("dedup pipeline keeps the richest copy per near-dup cluster") {
+    val base = "spark engine dedup pipeline canonical selection test words"
+    val rows = docsDF(Seq(
+      doc(10, base),
+      doc(11, base),                         // exact dup of 10
+      doc(12, base + " extra"),              // near-dup, longer (richest)
+      doc(20, "completely different content with no overlap at all here")))
+    val got = build("x_dedup_pipeline", rows).collect()
+      .map(r => (r.getAs[Long]("component"), r.getAs[Long]("canonical_doc"),
+        r.getAs[Long]("cluster_size")))
+    // one cluster {10,11,12}; canonical = 12 (max n_chars); singletons
+    // (doc 20, no edges) don't appear
+    assert(got.toSeq == Seq((10L, 12L, 3L)))
+  }
+
+  test("hash and stratified samples are deterministic and bounded") {
+    val rows = docsDF((1L to 200L).map(i =>
+      doc(i, s"document number $i body", s"src${i % 3}")))
+    val s1 = build("x_hash_sample", rows).collect().map(_.getLong(0)).toSeq
+    val s2 = build("x_hash_sample", rows).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 60)
+    val strat = build("x_stratified_sample", rows).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val perStratum = strat.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perStratum.keySet == Set("src0", "src1", "src2"))
+    assert(perStratum.values.forall(_ == 20))
+  }
+}

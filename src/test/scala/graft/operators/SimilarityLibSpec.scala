@@ -44,4 +44,49 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
     assert(hits.contains(1L))
     assert(!hits.exists(Set(3L, 4L)))
   }
+
+  private def lshVecs = {
+    val sp = spark
+    import sp.implicits._
+    // two planted near-dup groups + an isolated vector, 8-dim
+    Seq(
+      (1L, Array(1.0f, 0.2f, -0.3f, 0.8f, 0.1f, -0.5f, 0.4f, 0.9f)),
+      (2L, Array(1.0f, 0.2f, -0.3f, 0.8f, 0.1f, -0.5f, 0.4f, 0.9f)),
+      (3L, Array(0.99f, 0.21f, -0.3f, 0.8f, 0.1f, -0.5f, 0.4f, 0.9f)),
+      (4L, Array(-0.7f, 0.6f, 0.5f, -0.2f, 0.9f, 0.3f, -0.8f, 0.1f)),
+      (5L, Array(-0.7f, 0.6f, 0.5f, -0.2f, 0.9f, 0.3f, -0.8f, 0.1f)),
+      (6L, Array(0.1f, -0.9f, 0.2f, 0.1f, -0.4f, 0.7f, 0.3f, -0.6f)))
+      .toDF("id", "vec")
+  }
+
+  test("signLshPairs finds planted near-dups and is sound vs brute force") {
+    val got = Similarity.signLshPairs(lshVecs, "id", "vec",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    // identical vectors share every band -> guaranteed candidates
+    assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 5L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    // soundness: every emitted pair really is >= threshold (brute force)
+    val brute = lshVecs.as("a").join(lshVecs.as("b"),
+        col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    got.foreach { case (a, b, cos) =>
+      assert(brute((a, b)) >= 0.9, s"unsound pair ($a,$b)")
+      assert(math.abs(brute((a, b)) - cos) < 1e-5)
+    }
+    // the isolated vector pairs with nobody at this threshold
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("signLshPairs bucket cap drops degenerate buckets") {
+    // identical vectors share ALL 4 band buckets; cap 1 drops every
+    // bucket they share, so no candidates survive
+    val none = Similarity.signLshPairs(lshVecs, "id", "vec",
+      threshold = 0.0, maxBucketSize = 1).count()
+    assert(none == 0)
+  }
 }
