@@ -112,4 +112,50 @@ object Engine {
     ).foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }
     marts
   }
+
+  /** Derived marts of one corpus-curation run. */
+  final case class CorpusMarts(
+      quality: DataFrame,
+      nearDupPairs: DataFrame,
+      dedupClusters: DataFrame,
+      sample: DataFrame,
+      contamination: Option[DataFrame],
+      embedNearDupPairs: Option[DataFrame])
+
+  /** Full corpus curation: documents (+ optional benchmark suite and
+    * embeddings) → quality flags, near-dup pairs and clusters, a
+    * deterministic per-source sample, contamination measurements, and
+    * embedding near-dup candidates — also registered as
+    * `graft_corpus_<name>` temp views. The same composition
+    * CorpusQueries oracle-checks, exposed as one call; every stage is
+    * the capped scale-safe library form.
+    */
+  def runCorpusPipeline(spark: SparkSession, documents: DataFrame,
+      benchmark: Option[DataFrame] = None,
+      embeddings: Option[DataFrame] = None,
+      textCol: String = "text", idCol: String = "doc_id",
+      qualityCol: String = "n_chars", strataCol: String = "source",
+      samplePerStratum: Int = 1000): CorpusMarts = {
+    import graft.operators.{Corpus, Similarity, TextDedup}
+    val marts = CorpusMarts(
+      quality = Corpus.qualityFlags(documents, textCol),
+      nearDupPairs = TextDedup.minHashLshPairs(documents, textCol, idCol),
+      dedupClusters =
+        Corpus.dedupClusters(documents, textCol, idCol, qualityCol),
+      sample = Corpus.stratifiedSample(documents, strataCol, idCol,
+        samplePerStratum),
+      contamination = benchmark.map(b =>
+        Corpus.contamination(documents, b, textCol, idCol)),
+      embedNearDupPairs = embeddings.map(e =>
+        Similarity.signLshPairs(e, "vec_id", "embedding")))
+    (Seq(
+      "corpus_quality" -> marts.quality,
+      "corpus_neardup_pairs" -> marts.nearDupPairs,
+      "corpus_dedup_clusters" -> marts.dedupClusters,
+      "corpus_sample" -> marts.sample) ++
+      marts.contamination.map("corpus_contamination" -> _) ++
+      marts.embedNearDupPairs.map("corpus_embed_neardups" -> _))
+      .foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }
+    marts
+  }
 }

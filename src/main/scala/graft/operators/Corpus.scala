@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Library API for corpus curation — the parameterized forms behind
+  * CorpusQueries: composite quality rules, deterministic sampling,
+  * benchmark-contamination measurement, and the end-to-end near-dup
+  * removal pipeline. Everything here composes with [[TextDedup]] /
+  * [[Similarity]] and stays shuffle-minimal:
+  *
+  *  - quality rules and hash sampling are map-only (scan-bound at 100 TB);
+  *  - contamination broadcasts the benchmark VOCABULARY (eval suites are
+  *    bounded), so membership tests never shuffle the corpus;
+  *  - dedup clustering rides the capped pair generators and the
+  *    distributed connected-components loop.
+  */
+object Corpus {
+
+  /** Whitespace tokens, empties dropped (the dedup family's tokenizer). */
+  def tokens(textCol: Column): Column =
+    filter(split(trim(textCol), " "), t => t =!= "")
+
+  /** Gopher-style composite quality rule stack. Returns the input plus
+    * per-rule boolean flags and the combined `passes` — per-rule flags
+    * survive so downstream can attribute rejections (quality-filter
+    * ablations need the breakdown, not just the verdict). */
+  def qualityFlags(df: DataFrame, textCol: String,
+      minWords: Int = 5, maxWords: Int = 10000,
+      minMeanWordLen: Double = 2, maxMeanWordLen: Double = 12,
+      minDistinctRatio: Double = 0.3,
+      stopwords: Seq[String] =
+        Seq("the", "a", "of", "el", "le", "der")): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val meanLen = aggregate(toks, lit(0L),
+      (acc, t) => acc + length(t)).cast("double") / nWords
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nWords
+    val stopHits = size(filter(toks,
+      x => stopwords.map(w => x === w).reduce(_ || _)))
+    val wordCountOk = nWords.between(minWords, maxWords)
+    val wordLenOk = meanLen.between(minMeanWordLen, maxMeanWordLen)
+    val diversityOk = distinctRatio >= minDistinctRatio
+    val stopwordOk = stopHits > 0
+    df.filter(size(toks) > 0)
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", round(meanLen, 4).cast("double"))
+      .withColumn("distinct_ratio", round(distinctRatio, 4).cast("double"))
+      .withColumn("word_count_ok", wordCountOk)
+      .withColumn("word_len_ok", wordLenOk)
+      .withColumn("diversity_ok", diversityOk)
+      .withColumn("stopword_ok", stopwordOk)
+      .withColumn("passes",
+        wordCountOk && wordLenOk && diversityOk && stopwordOk)
+  }
+
+  /** Deterministic hash sample: rows whose md5(id) hex prefix sorts under
+    * `bound` ("1a" ≈ 10.2%). Reproducible across engines, runs, and
+    * cluster sizes (rand()-based sample() is none of those), and
+    * map-only — the filter runs inside the scan stage. */
+  def hashSample(df: DataFrame, idCol: String,
+      bound: String = "1a"): DataFrame =
+    df.filter(substring(md5(col(idCol).cast("string")), 1,
+      bound.length) < bound)
+
+  /** Deterministic stratified sample: `k` rows per stratum in md5 order.
+    * One shuffle on the stratum key; fine while strata are numerous and
+    * bounded — for a handful of corpus-scale strata combine with
+    * [[hashSample]] as a pre-filter (the sc3_topk_per_key two-phase
+    * shape) so no single stratum serializes through one task. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Benchmark contamination: per corpus doc, the count and fraction of
+    * its distinct word n-gram shingles appearing anywhere in the
+    * benchmark docs' vocabulary. Docs with zero overlap are not emitted.
+    * Returns (idCol, n_hit, contamination, contaminated). */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      flagAt: Double = 0.8): DataFrame = {
+    val sh = TextDedup.shingles(corpus, textCol, idCol, n)
+    val vocab = TextDedup.shingles(benchmark, textCol, idCol, n)
+      .select("shingle").distinct()
+    val tot = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val hit = sh.join(broadcast(vocab), Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    val rate = col("n_hit").cast("double") / col("n_sh")
+    hit.join(tot, "id")
+      .select(col("id").as(idCol), col("n_hit"),
+        round(rate, 4).cast("double").as("contamination"),
+        (rate >= flagAt).as("contaminated"))
+  }
+
+  /** End-to-end near-dup removal: capped n-gram Jaccard pairs →
+    * connected components → canonical doc per cluster ("keep the richest
+    * copy": max `qualityCol`, ties to the smallest id). Returns
+    * (component, canonical_doc, cluster_size); singletons (docs in no
+    * pair) are not emitted — they survive dedup by definition. */
+  def dedupClusters(docs: DataFrame, textCol: String, idCol: String,
+      qualityCol: String, n: Int = 2, threshold: Double = 0.5,
+      maxDf: Int = 10000): DataFrame = {
+    val spark = docs.sparkSession
+    val pairs = TextDedup.ngramJaccardPairs(docs, textCol, idCol,
+      n, threshold, maxDf)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents.labelPropagation(spark, edges)
+    comp.join(docs.select(col(idCol).as("_id"), col(qualityCol).as("_q")),
+        comp("node") === col("_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"),
+        max_by(col("node"), struct(col("_q"), -col("node")))
+          .as("canonical_doc"))
+      .select("component", "canonical_doc", "cluster_size")
+  }
+}

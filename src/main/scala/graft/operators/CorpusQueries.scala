@@ -3,7 +3,6 @@ package graft.operators
 import graft.core.{QueryEntry, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Training-corpus curation operators — the composition layer over the
   * dedup/similarity/text-analysis families: composite quality filtering
@@ -30,10 +29,6 @@ object CorpusQueries extends QueryModule {
       |       list_filter(string_split(trim(text), ' '), x -> x <> '')
       |         AS toks
       |FROM documents""".stripMargin
-
-  private def withToks(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"),
-      filter(split(trim(col("text")), " "), t => t =!= "").as("toks"))
 
   /** 16-bit sign-LSH signature over integer-quantized embeddings, as
     * DuckDB SQL — must stay bit-identical to
@@ -83,30 +78,10 @@ object CorpusQueries extends QueryModule {
          |    AS passes
          |FROM t WHERE len(toks) > 0 ORDER BY doc_id""") {
       (s, dir) =>
-      val nWords = size(col("toks")).cast("long")
-      val meanLen = aggregate(col("toks"), lit(0L),
-        (acc, t) => acc + length(t)).cast("double") / nWords
-      val distinctRatio =
-        size(array_distinct(col("toks"))).cast("double") / nWords
-      val stopHits = size(filter(col("toks"), x =>
-        Seq("the", "a", "of", "el", "le", "der")
-          .map(w => x === w).reduce(_ || _)))
-      val wordCountOk = nWords.between(5, 10000)
-      val wordLenOk = meanLen.between(2, 12)
-      val diversityOk = distinctRatio >= 0.3
-      val stopwordOk = stopHits > 0
-      withToks(s, dir)
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"),
-          nWords.as("n_words"),
-          round(meanLen, 4).cast("double").as("mean_word_len"),
-          round(distinctRatio, 4).cast("double").as("distinct_ratio"),
-          wordCountOk.as("word_count_ok"),
-          wordLenOk.as("word_len_ok"),
-          diversityOk.as("diversity_ok"),
-          stopwordOk.as("stopword_ok"),
-          (wordCountOk && wordLenOk && diversityOk && stopwordOk)
-            .as("passes"))
+      Corpus.qualityFlags(docs(s, dir), "text")
+        .select("doc_id", "n_words", "mean_word_len", "distinct_ratio",
+          "word_count_ok", "word_len_ok", "diversity_ok", "stopword_ok",
+          "passes")
         .orderBy("doc_id")
     },
 
@@ -119,10 +94,9 @@ object CorpusQueries extends QueryModule {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
         |ORDER BY doc_id""") { (s, dir) =>
-      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
-      docs(s, dir)
-        .select(col("doc_id"), bucket.as("bucket"))
-        .filter(col("bucket") < "1a")
+      Corpus.hashSample(docs(s, dir), "doc_id", "1a")
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
         .orderBy("doc_id")
     },
 
@@ -138,11 +112,7 @@ object CorpusQueries extends QueryModule {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20 ORDER BY source, doc_id""") { (s, dir) =>
-      val w = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      docs(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 20)
+      Corpus.stratifiedSample(docs(s, dir), "source", "doc_id", 20)
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     },
@@ -178,18 +148,11 @@ object CorpusQueries extends QueryModule {
         |       CAST(h.n_hit AS DOUBLE) / t.n_sh >= 0.8 AS contaminated
         |FROM hit h JOIN tot t USING (doc_id)
         |ORDER BY doc_id""") { (s, dir) =>
-      val sh = TextDedup.shingles(docs(s, dir), "text", "doc_id", 3)
-      val bench = sh.filter(pmod(col("id"), lit(97)) === 0)
-        .select("shingle").distinct()
-      val corpus = sh.filter(pmod(col("id"), lit(97)) =!= 0)
-      val tot = corpus.groupBy("id").agg(count(lit(1)).as("n_sh"))
-      val hit = corpus.join(broadcast(bench), Seq("shingle"), "left_semi")
-        .groupBy("id").agg(count(lit(1)).as("n_hit"))
-      val rate = col("n_hit").cast("double") / col("n_sh")
-      hit.join(tot, "id")
-        .select(col("id").as("doc_id"), col("n_hit"),
-          round(rate, 4).cast("double").as("contamination"),
-          (rate >= 0.8).as("contaminated"))
+      val d = docs(s, dir)
+      Corpus.contamination(
+          corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          benchmark = d.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "text", "doc_id", n = 3, flagAt = 0.8)
         .orderBy("doc_id")
     },
 
@@ -244,18 +207,8 @@ object CorpusQueries extends QueryModule {
         |SELECT component, canonical_doc, cluster_size
         |FROM ranked WHERE rn = 1 ORDER BY component""") {
       (s, dir) =>
-      val pairs = TextDedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
-        n = 2, threshold = 0.5, maxDf = 40)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      val comp = ConnectedComponents.labelPropagation(s, edges)
-      comp.join(docs(s, dir).select(col("doc_id"), col("n_chars")),
-          comp("node") === col("doc_id"))
-        .groupBy("component")
-        .agg(count(lit(1)).as("cluster_size"),
-          // survivor = richest copy: maximize (n_chars, -doc_id)
-          max_by(col("node"), struct(col("n_chars"), -col("node")))
-            .as("canonical_doc"))
-        .select("component", "canonical_doc", "cluster_size")
+      Corpus.dedupClusters(docs(s, dir), "text", "doc_id", "n_chars",
+          n = 2, threshold = 0.5, maxDf = 40)
         .orderBy("component")
     },
 

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, length}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ingest.AdvisoryJsonIngest
@@ -50,5 +51,45 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
       "graft_commit_patches").foreach { v =>
       assert(sp.sql(s"SELECT count(*) FROM $v").collect().nonEmpty, v)
     }
+  }
+
+  test("runCorpusPipeline registers queryable corpus marts") {
+    val sp = spark
+    import sp.implicits._
+    val base = "spark engine corpus pipeline mart registration test words"
+    val docs = Seq(
+      (1L, base, "src0"), (2L, base, "src0"),
+      (3L, base + " richer", "src1"),
+      (4L, "totally different content here with the usual words", "src1"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.5f, -0.2f, 0.8f)),
+      (2L, Array(1.0f, 0.5f, -0.2f, 0.8f)),
+      (3L, Array(-0.6f, 0.1f, 0.9f, -0.3f)))
+      .toDF("vec_id", "embedding")
+    val marts = Engine.runCorpusPipeline(sp, docs,
+      benchmark = Some(bench), embeddings = Some(vecs),
+      samplePerStratum = 1)
+    // cluster {1,2,3} survives as doc 3 (richest)
+    val canon = sp.sql(
+      "SELECT canonical_doc, cluster_size FROM graft_corpus_dedup_clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(canon.toSeq == Seq((3L, 3L)))
+    // docs copying the benchmark text are flagged contaminated
+    val contaminated = sp.sql(
+      "SELECT doc_id FROM graft_corpus_contamination WHERE contaminated")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(contaminated))
+    assert(sp.sql("SELECT * FROM graft_corpus_quality WHERE passes")
+      .collect().nonEmpty)
+    assert(sp.sql("SELECT count(*) FROM graft_corpus_sample")
+      .collect().head.getLong(0) == 2) // 1 per source stratum
+    // identical embeddings pair up through sign-LSH
+    val pairs = sp.sql(
+      "SELECT id_a, id_b FROM graft_corpus_embed_neardups")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
   }
 }
