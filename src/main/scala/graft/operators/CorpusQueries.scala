@@ -239,7 +239,7 @@ object CorpusQueries extends QueryModule {
          |WHERE $dotSql / (${normSql("a")} * ${normSql("b")}) >= 0.3
          |ORDER BY vec_a, vec_b""") { (s, dir) =>
       Similarity.signLshPairs(Tables(s, dir, "embeddings"),
-          "vec_id", "embedding")
+          "vec_id", "embedding", dims = Some(64))
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
           col("cos_sim"))
         .orderBy("vec_a", "vec_b")

@@ -14,6 +14,15 @@ object Similarity {
     aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Positionally-unrolled dot product for a KNOWN dimensionality: 64
+    * codegen'd multiply-adds instead of an interpreted higher-order
+    * lambda per element — ~10× cheaper in a hot verify loop, and
+    * bit-identical (same left-to-right double summation order). */
+  private def dotUnrolled(x: Column, y: Column, dims: Int): Column =
+    (1 to dims).map(i =>
+      element_at(x, i).cast("double") * element_at(y, i).cast("double"))
+      .reduce(_ + _)
+
   /** Cosine similarity between two Array[Float]/Array[Double] columns
     * (computed in double, codegen'd — no UDF). */
   def cosine(a: Column, b: Column): Column =
@@ -88,7 +97,7 @@ object Similarity {
     * still pair through their other, more selective bands. */
   def signLshPairs(df: DataFrame, idCol: String, vecCol: String,
       bits: Int = 16, bands: Int = 4, threshold: Double = 0.3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000, dims: Option[Int] = None): DataFrame = {
     require(bits > 0 && bits <= 32 && bits % bands == 0,
       "bands must divide bits (≤32)")
     val width = bits / bands
@@ -117,25 +126,36 @@ object Similarity {
         expr(s"shiftrightunsigned(sig, ${b * width}) & ${(1L << width) - 1}")
           .as("chunk"))
     }
+    // The band self-join and the candidate dedup run on NARROW rows
+    // (id + band + chunk): shuffling the vectors through the join would
+    // move two embeddings per candidate (a 60× wider shuffle); instead
+    // the deduped pair list joins the vectors back afterwards — the
+    // vector side is an equi-join on id that AQE broadcasts when small.
     val banded = base
-      .select(col("id"), col("vec"), col("_n"),
-        explode(array(chunkCols: _*)).as("bc"))
-      .select(col("id"), col("vec"), col("_n"),
+      .select(col("id"), explode(array(chunkCols: _*)).as("bc"))
+      .select(col("id"),
         col("bc.band").as("band"), col("bc.chunk").as("chunk"))
     val capped = banded
       .withColumn("_bn",
         count(lit(1)).over(Window.partitionBy("band", "chunk")))
       .filter(col("_bn") <= maxBucketSize).drop("_bn")
-    capped.select(col("id").as("id_a"), col("vec").as("_va"),
-        col("_n").as("_na"), col("band"), col("chunk"))
-      .join(capped.select(col("id").as("id_b"), col("vec").as("_vb"),
-        col("_n").as("_nb"), col("band"), col("chunk")),
+    val cand = capped.select(col("id").as("id_a"), col("band"), col("chunk"))
+      .join(capped.select(col("id").as("id_b"), col("band"), col("chunk")),
         Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      // dedup candidates BEFORE the cosine so a pair sharing several
-      // bands pays for one verification, not one per shared band
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("_cos", dot(col("_va"), col("_vb")) /
+      // dedup BEFORE verification so a pair sharing several bands pays
+      // for one cosine, not one per shared band
+      .select("id_a", "id_b").distinct()
+    // verify: positionally-unrolled dot when dims are known (codegen'd
+    // multiply-adds), higher-order-function fallback otherwise
+    def pairDot(a: Column, b: Column): Column =
+      dims.map(d => dotUnrolled(a, b, d)).getOrElse(dot(a, b))
+    cand
+      .join(base.select(col("id").as("id_a"), col("vec").as("_va"),
+        col("_n").as("_na")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("_vb"),
+        col("_n").as("_nb")), Seq("id_b"))
+      .withColumn("_cos", pairDot(col("_va"), col("_vb")) /
         (col("_na") * col("_nb")))
       .filter(col("_cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
