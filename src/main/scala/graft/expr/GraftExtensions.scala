@@ -30,6 +30,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VersionInRangeExpr].getName,
         "version_in_range_native"),
       (args: Seq[Expression]) => VersionInRangeExpr(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("array_dot_native"),
+      new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot_native"),
+      (args: Seq[Expression]) => ArrayDotExpr(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("sign_lsh_sig_native"),
+      new ExpressionInfo(classOf[SignLshSigExpr].getName,
+        "sign_lsh_sig_native"),
+      (args: Seq[Expression]) => SignLshSigExpr(args(0), args(1) match {
+        case l: Literal => l.value.asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"sign_lsh_sig_native bits must be a literal, got $other")
+      })))
     e.injectOptimizerRule(_ => ConstantVersionRangeRewrite)
   }
 }

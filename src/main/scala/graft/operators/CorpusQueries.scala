@@ -30,10 +30,10 @@ object CorpusQueries extends QueryModule {
       |         AS toks
       |FROM documents""".stripMargin
 
-  /** 16-bit sign-LSH signature over integer-quantized embeddings, as
+  /** 32-bit sign-LSH signature over integer-quantized embeddings, as
     * DuckDB SQL — must stay bit-identical to
     * [[Similarity.signLshPairs]]'s plane/weight arithmetic. */
-  private val sigSql: String = (0 until 16).map { j =>
+  private val sigSql: String = (0 until 32).map { j =>
     s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
        |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
        |       * ((((i - 1) * 31 + ${j * 17}) % 7) - 3))) > 0
@@ -214,16 +214,18 @@ object CorpusQueries extends QueryModule {
 
     // Random-hyperplane (sign) LSH near-neighbor pairs over embeddings —
     // the corpus×corpus candidate generator (Similarity.signLshPairs):
-    // 16 sign bits over integer-quantized vectors, 4 bands of 4 bits,
-    // candidates = equi-join on (band, chunk), exact-cosine verify at
-    // 0.3. The bucket cap (10000) cannot bind at bench SFs (a bucket is
-    // at most the corpus, 2000 rows) so the oracle omits that no-op
-    // filter; the cap semantics are spec-pinned in SimilarityLibSpec.
+    // 32 sign bits over integer-quantized vectors, 4 bands of 8 bits
+    // (4-bit chunks stop being selective beyond toy corpora: expected
+    // bucket size is N/2^width, so width must track log2(N)), candidates
+    // = equi-join on (band, chunk), exact-cosine verify at 0.3. The
+    // bucket cap (10000) cannot bind at bench SFs (a bucket is at most
+    // the corpus, 2000 rows) so the oracle omits that no-op filter; the
+    // cap semantics are spec-pinned in SimilarityLibSpec.
     q("x_embed_lsh",
       s"""WITH s AS (
          |  SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
          |b AS (
-         |  SELECT vec_id, embedding, band, (sig >> (band * 4)) & 15 AS chunk
+         |  SELECT vec_id, embedding, band, (sig >> (band * 8)) & 255 AS chunk
          |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -239,7 +241,7 @@ object CorpusQueries extends QueryModule {
          |WHERE $dotSql / (${normSql("a")} * ${normSql("b")}) >= 0.3
          |ORDER BY vec_a, vec_b""") { (s, dir) =>
       Similarity.signLshPairs(Tables(s, dir, "embeddings"),
-          "vec_id", "embedding", dims = Some(64))
+          "vec_id", "embedding")
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
           col("cos_sim"))
         .orderBy("vec_a", "vec_b")

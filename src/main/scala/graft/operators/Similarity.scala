@@ -10,18 +10,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Native codegen'd dot product ([[graft.expr.ArrayDotExpr]], resolved
+    * through the GraftExtensions function registry): the HOF form
+    * (`aggregate(zip_with(...))`) is CodegenFallback — interpreted per
+    * pair — and an unrolled `element_at` chain overflows the codegen
+    * method limit; both run the O(pairs × dims) verify loop ~20× slower
+    * than this compiled loop. Null when either input is null, lengths
+    * differ, or an element is null (the HOF semantics, now explicit). */
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Positionally-unrolled dot product for a KNOWN dimensionality: 64
-    * codegen'd multiply-adds instead of an interpreted higher-order
-    * lambda per element — ~10× cheaper in a hot verify loop, and
-    * bit-identical (same left-to-right double summation order). */
-  private def dotUnrolled(x: Column, y: Column, dims: Int): Column =
-    (1 to dims).map(i =>
-      element_at(x, i).cast("double") * element_at(y, i).cast("double"))
-      .reduce(_ + _)
+    call_function("array_dot_native", x, y)
 
   /** Cosine similarity between two Array[Float]/Array[Double] columns
     * (computed in double, codegen'd — no UDF). */
@@ -94,32 +91,32 @@ object Similarity {
     * `maxBucketSize` guards degenerate buckets (e.g. zero vectors all
     * hashing to signature 0): a bucket of k members emits O(k²)
     * candidates, so buckets above the cap are dropped — their members
-    * still pair through their other, more selective bands. */
+    * still pair through their other, more selective bands.
+    *
+    * Chunk width (bits/bands) must be sized to the corpus: a chunk takes
+    * 2^width distinct values, so expected bucket size is N/2^width — at
+    * 4-bit chunks every bucket holds 1/16th of the corpus and the band
+    * join degenerates toward all-pairs. Size width ≈ log2(N) − log2(target
+    * bucket size); the default (32 bits, 4 bands → 8-bit chunks) suits
+    * ~10^5-row partitions, larger corpora should raise `bits` (≤ 60). */
   def signLshPairs(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 16, bands: Int = 4, threshold: Double = 0.3,
-      maxBucketSize: Int = 10000, dims: Option[Int] = None): DataFrame = {
-    require(bits > 0 && bits <= 32 && bits % bands == 0,
-      "bands must divide bits (≤32)")
+      bits: Int = 32, bands: Int = 4, threshold: Double = 0.3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(bits > 0 && bits <= 60 && bits % bands == 0,
+      "bands must divide bits (≤60)")
     val width = bits / bands
-    // plane j sign bit: sum_i round(v_i*1000) * (((i*31 + j*17) % 7) - 3) > 0
-    def planeDot(j: Int): Column =
-      aggregate(
-        zip_with(col("_qv"), sequence(lit(0), size(col("_qv")) - 1),
-          (v, i) => v * (pmod(i * 31 + lit(j * 17), lit(7)) - lit(3))),
-        lit(0L), (acc, v) => acc + v)
-    val sig = (0 until bits)
-      .map(j => when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    // One signature pass, materialized (localCheckpoint) so the band
-    // self-join reads ~24 B/row instead of recomputing bits×dims integer
-    // products per side.
-    val base = df
+    // Signature = bits sign-plane dots in ONE compiled loop
+    // (SignLshSigExpr); the HOF per-plane formulation was interpreted and
+    // allocated two arrays per plane per row. One signature pass,
+    // materialized (localCheckpoint) so the band self-join reads
+    // ~24 B/row instead of recomputing bits×dims integer products per
+    // side.
+    val qv = transform(col("vec"),
+      v => round(v.cast("double") * 1000).cast("long"))
+    val base = graft.core.FanOut(df)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("_qv", transform(col("vec"),
-        v => round(v.cast("double") * 1000).cast("long")))
-      .withColumn("sig", sig)
+      .withColumn("sig", call_function("sign_lsh_sig_native", qv, lit(bits)))
       .withColumn("_n", l2Norm(col("vec")))
-      .drop("_qv")
       .localCheckpoint()
     val chunkCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -146,16 +143,13 @@ object Similarity {
       // dedup BEFORE verification so a pair sharing several bands pays
       // for one cosine, not one per shared band
       .select("id_a", "id_b").distinct()
-    // verify: positionally-unrolled dot when dims are known (codegen'd
-    // multiply-adds), higher-order-function fallback otherwise
-    def pairDot(a: Column, b: Column): Column =
-      dims.map(d => dotUnrolled(a, b, d)).getOrElse(dot(a, b))
+    // verify: native codegen'd dot — the O(pairs × dims) hot loop
     cand
       .join(base.select(col("id").as("id_a"), col("vec").as("_va"),
         col("_n").as("_na")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("vec").as("_vb"),
         col("_n").as("_nb")), Seq("id_b"))
-      .withColumn("_cos", pairDot(col("_va"), col("_vb")) /
+      .withColumn("_cos", dot(col("_va"), col("_vb")) /
         (col("_na") * col("_nb")))
       .filter(col("_cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))

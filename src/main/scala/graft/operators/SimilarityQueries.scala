@@ -23,10 +23,11 @@ object SimilarityQueries extends QueryModule {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
-  /** dot(a,b) via zip_with + aggregate (codegen'd, no UDF). */
+  /** dot(a,b) via the native codegen'd ArrayDotExpr (bit-identical to the
+    * HOF zip_with+aggregate form — same left-to-right double summation —
+    * but a compiled loop instead of an interpreted CodegenFallback). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("array_dot_native", a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -127,7 +127,7 @@ object TextAnalysisQueries extends QueryModule {
         |                x -> x <> '') AS toks FROM documents)
         |  WHERE len(toks) >= 3)
         |GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      val toks = t(s, dir, "documents")
+      val toks = graft.core.FanOut(t(s, dir, "documents"))
         .withColumn("toks", filter(split(trim(col("text")), " "),
           x => x =!= ""))
         .filter(size(col("toks")) >= 3)

@@ -24,9 +24,13 @@ object TextDedup {
     hashed.withColumn("is_duplicate", row_number().over(w) > 1)
   }
 
-  /** Distinct word n-gram shingles per row: (id, shingle). */
+  /** Distinct word n-gram shingles per row: (id, shingle). Fans the input
+    * out first ([[graft.core.FanOut]]): everything downstream of the
+    * shingle explode (min-hash signatures, the inverted index) is
+    * compute-bound map work that must not serialize on a single scan
+    * split. */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    graft.core.FanOut(df).select(col(idCol).as("id"),
       filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("id"), explode(expr(
@@ -135,7 +139,7 @@ object TextDedup {
   def simHash(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 64): DataFrame = {
     require(bits > 0 && bits <= 64 && bits % 4 == 0)
-    val tok = df.select(col(idCol).as("id"),
+    val tok = graft.core.FanOut(df).select(col(idCol).as("id"),
       explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
         .as("tok"))
     val withBit = tok.select(col("id"), col("tok"),

@@ -21,9 +21,12 @@ object TextDedupQueries extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Distinct word-2-shingle set per doc (set semantics for Jaccard). */
+  /** Distinct word-2-shingle set per doc (set semantics for Jaccard).
+    * Fanned out first: the md5 signature/index passes downstream must not
+    * serialize on a single scan split (see [[graft.core.FanOut]]). */
   private def shingles(d: DataFrame): DataFrame =
-    d.withColumn("toks", filter(split(trim(col("text")), " "), x => x =!= ""))
+    graft.core.FanOut(d)
+      .withColumn("toks", filter(split(trim(col("text")), " "), x => x =!= ""))
       .filter(size(col("toks")) >= 2)
       .withColumn("shingle", explode_outer(expr(
         "array_distinct(transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1])))")))
@@ -187,7 +190,7 @@ object TextDedupQueries extends QueryModule {
         |                THEN (CAST(1 AS BIGINT) << CAST(15 - bit AS INTEGER))
         |                ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      val tok = docs(s, dir)
+      val tok = graft.core.FanOut(docs(s, dir))
         .select(col("doc_id"),
           explode(filter(split(trim(col("text")), " "), x => x =!= ""))
             .as("tok"))
