@@ -18,9 +18,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Corpus {
 
-  /** Whitespace tokens, empties dropped (the dedup family's tokenizer). */
+  /** Whitespace tokens (any `\s+` run, matching [[TextDedup.shingles]]'s
+    * tokenizer exactly — pinned by CorpusLibSpec's whitespace-variant
+    * fixtures), empties dropped. */
   def tokens(textCol: Column): Column =
-    filter(split(trim(textCol), " "), t => t =!= "")
+    filter(split(trim(textCol), "\\s+"), t => t =!= "")
 
   /** Gopher-style composite quality rule stack. Returns the input plus
     * per-rule boolean flags and the combined `passes` — per-rule flags
@@ -101,21 +103,38 @@ object Corpus {
     * connected components → canonical doc per cluster ("keep the richest
     * copy": max `qualityCol`, ties to the smallest id). Returns
     * (component, canonical_doc, cluster_size); singletons (docs in no
-    * pair) are not emitted — they survive dedup by definition. */
+    * pair) are not emitted — they survive dedup by definition.
+    *
+    * `idCol` must be an integral type: [[ConnectedComponents]] labels are
+    * long node ids (string ids would cast to null and silently collapse
+    * the graph), so the contract is checked up front. Map string doc ids
+    * to dense longs before calling (e.g. `xxhash64` + collision audit, or
+    * a dimension table) — that mapping is a one-time corpus decision the
+    * engine should not guess. */
   def dedupClusters(docs: DataFrame, textCol: String, idCol: String,
       qualityCol: String, n: Int = 2, threshold: Double = 0.5,
       maxDf: Int = 10000): DataFrame = {
     val spark = docs.sparkSession
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"dedupClusters needs an integral id column for connected components; " +
+        s"$idCol is ${idType.typeName} — map ids to dense longs first")
     val pairs = TextDedup.ngramJaccardPairs(docs, textCol, idCol,
       n, threshold, maxDf)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val comp = ConnectedComponents.labelPropagation(spark, edges)
+    // canonical pick via a per-component rank (quality desc, id asc):
+    // type-agnostic — no arithmetic negation of the id — and the same
+    // shuffle cost as the groupBy it replaces
+    val w = Window.partitionBy("component")
+      .orderBy(col("_q").desc, col("node"))
     comp.join(docs.select(col(idCol).as("_id"), col(qualityCol).as("_q")),
         comp("node") === col("_id"))
-      .groupBy("component")
-      .agg(count(lit(1)).as("cluster_size"),
-        max_by(col("node"), struct(col("_q"), -col("node")))
-          .as("canonical_doc"))
-      .select("component", "canonical_doc", "cluster_size")
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .filter(col("_rn") === 1)
+      .select(col("component"), col("node").as("canonical_doc"),
+        col("cluster_size"))
   }
 }

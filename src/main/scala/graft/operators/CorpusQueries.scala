@@ -22,12 +22,14 @@ object CorpusQueries extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
-  /** Shared tokenizer: whitespace split, empties dropped (matches the
-    * dedup family's shingle tokenizer). */
+  /** Shared tokenizer: any-whitespace (`\s+`) split, empties dropped —
+    * the same regex family [[Corpus.tokens]] and [[TextDedup.shingles]]
+    * use, so the oracle agrees on tabs/newlines too, not just the
+    * single-space text of the bench corpus. */
   private val toksSql =
     """SELECT doc_id, source, n_chars,
-      |       list_filter(string_split(trim(text), ' '), x -> x <> '')
-      |         AS toks
+      |       list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                   x -> x <> '') AS toks
       |FROM documents""".stripMargin
 
   /** 32-bit sign-LSH signature over integer-quantized embeddings, as
@@ -127,8 +129,8 @@ object CorpusQueries extends QueryModule {
     q("x_contamination",
       """WITH t AS (
         |  SELECT doc_id,
-        |         list_filter(string_split(trim(text), ' '), x -> x <> '')
-        |           AS toks
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> x <> '') AS toks
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id, unnest(list_distinct(
@@ -170,8 +172,8 @@ object CorpusQueries extends QueryModule {
         |           list_transform(range(1, len(toks)),
         |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
         |  FROM (SELECT doc_id,
-        |               list_filter(string_split(trim(text), ' '), x -> x <> '')
-        |                 AS toks
+        |               list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                           x -> x <> '') AS toks
         |        FROM documents) WHERE len(toks) >= 2),
         |keep AS (SELECT shingle FROM raw GROUP BY shingle
         |         HAVING count(*) <= 40),

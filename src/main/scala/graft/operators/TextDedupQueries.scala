@@ -220,13 +220,13 @@ object TextDedupQueries extends QueryModule {
     // verified with exact popcount ≤ 2. Pigeonhole: hamming ≤ 2 over 4
     // disjoint chunks forces agreement on ≥ 1 chunk, so the equi-join on
     // (band, chunk) loses nothing. Runs on a deterministic 10% doc subset
-    // so 4-bit banding stays selective at bench SFs. The library tokenizes
-    // on \s+, the oracle on single spaces — equivalent here because the
-    // corpus has no consecutive whitespace (asserted in TESTDATA.md terms).
+    // so 4-bit banding stays selective at bench SFs. Oracle tokenizes on
+    // \s+ exactly like the library.
     q("x_simhash_pairs",
       """WITH tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
-        |                        x -> x <> '')) AS tok
+        |  SELECT doc_id, unnest(list_filter(
+        |           regexp_split_to_array(trim(text), '\s+'),
+        |           x -> x <> '')) AS tok
         |  FROM documents WHERE doc_id % 10 = 0),
         |bits AS (
         |  SELECT doc_id, b.bit,
@@ -270,16 +270,15 @@ object TextDedupQueries extends QueryModule {
     // deterministic count filter, so the oracle replicates it exactly via
     // HAVING count(*) <= 40. This is the formulation the 100 TB path
     // runs: one stop-shingle shared by k docs would otherwise emit O(k²)
-    // candidate pairs. (Library tokenizes on \s+, oracle on single
-    // spaces — equivalent on this corpus, same note as x_simhash_pairs.)
+    // candidate pairs. Oracle tokenizes on \s+ exactly like the library.
     q("x_ngram_jaccard_capped",
       """WITH raw AS (
         |  SELECT doc_id, unnest(list_distinct(
         |           list_transform(range(1, len(toks)),
         |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
         |  FROM (SELECT doc_id,
-        |               list_filter(string_split(trim(text), ' '), x -> x <> '')
-        |                 AS toks
+        |               list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                           x -> x <> '') AS toks
         |        FROM documents) WHERE len(toks) >= 2),
         |keep AS (SELECT shingle FROM raw GROUP BY shingle
         |         HAVING count(*) <= 40),
@@ -316,8 +315,8 @@ object TextDedupQueries extends QueryModule {
          |           list_transform(range(1, len(toks)),
          |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
          |  FROM (SELECT doc_id,
-         |               list_filter(string_split(trim(text), ' '), x -> x <> '')
-         |                 AS toks
+         |               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                           x -> x <> '') AS toks
          |        FROM documents) WHERE len(toks) >= 2),
          |sig AS (
          |  SELECT doc_id,

@@ -373,9 +373,11 @@ object Serving {
     * request sides (package ids, advisory ids) are bounded page-sized
     * lists — broadcast semi-joins, so the corpus-scale patch-link table
     * is pruned before anything shuffles. Rows carrying neither a commit
-    * hash nor a VCS url are dropped, matching the reference's
-    * `if row["commit_hash"] or row["vcs_url"]` guard; duplicates
-    * collapse like its per-key `seen` set. */
+    * hash nor a VCS url are dropped — a NULL-based guard, where the
+    * reference's `if row["commit_hash"] or row["vcs_url"]` uses Python
+    * truthiness and so also drops empty strings; and the `distinct()` is
+    * an intentional normalization beyond the reference, which appends
+    * rows with no per-key seen set. */
   def patchesBulk(patchLinks: DataFrame, packages: DataFrame,
       advisories: DataFrame): DataFrame =
     patchLinks

@@ -84,6 +84,33 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq((10L, 12L, 3L)))
   }
 
+  test("tokenizer splits on any whitespace run, same as the dedup family") {
+    val sp = spark
+    import sp.implicits._
+    // tabs, newlines, and multi-space runs must all tokenize identically
+    // to TextDedup.shingles' \s+ tokenizer (and to the regexp-based
+    // oracles) — a single-space split would emit empty/glued tokens here
+    val df = Seq((1L, "alpha\tbeta\n\ngamma  delta epsilon")).toDF("id", "text")
+    val toks = df.select(Corpus.tokens(col("text")).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(toks == Seq("alpha", "beta", "gamma", "delta", "epsilon"))
+    val sh = TextDedup.shingles(df, "text", "id", 2)
+      .collect().map(_.getString(1)).toSet
+    assert(sh == Set("alpha beta", "beta gamma", "gamma delta",
+      "delta epsilon"))
+  }
+
+  test("dedupClusters rejects non-integral id columns up front") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", "some text here", 10L), ("b", "some text here", 12L))
+      .toDF("doc_id", "text", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.dedupClusters(df, "text", "doc_id", "n_chars")
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("hash and stratified samples are deterministic and bounded") {
     val rows = docsDF((1L to 200L).map(i =>
       doc(i, s"document number $i body", s"src${i % 3}")))
