@@ -73,13 +73,45 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: (id, h0..h{k-1}) via the md5('i|'||shingle) hash
-    * family (deterministic, engine-portable). */
+  /** 2^31−1: Mersenne prime modulus for the affine min-hash family. The
+    * field must be SMALL relative to the multipliers: an affine map only
+    * permutes (rather than order-preserves) when a·base wraps the modulus
+    * many times — a 61-bit field with ≤10-bit multipliers never wrapped,
+    * which silently made all k "permutations" pick the same argmin
+    * shingle (perfectly correlated signatures). 31-bit values with 31-bit
+    * multipliers wrap ~a times while the product stays ≤ 62 bits — exact
+    * in both engines' signed-64 arithmetic (DuckDB errors on bigint
+    * overflow, Spark wraps: neither may be hit). */
+  val MinHashP: Long = 2147483647L
+
+  /** Multiplier / offset of the i-th affine permutation (xxhash and
+    * Numerical-Recipes mixing constants reduced into the field; verified
+    * unbiased over random shingle-set pairs). */
+  def minHashA(i: Int): Long = ((2L * i + 1) * 668265263L) % MinHashP
+  def minHashB(i: Int): Long = ((i + 1L) * 1013904223L) % MinHashP
+
+  /** One portable hash per shingle: the top 13 hex chars of md5 as a
+    * bigint (Spark `conv(hex,16,10)` and DuckDB `CAST('0x…' AS BIGINT)`
+    * agree exactly), reduced into the 31-bit field. */
+  def shingleBase(sh: Column): Column =
+    conv(substring(md5(sh), 1, 13), 16, 10).cast("long") % lit(MinHashP)
+
+  /** The i-th affine permutation of a base hash:
+    * (A_i·base + B_i) mod (2^31−1). */
+  def minHashPerm(base: Column, i: Int): Column =
+    (lit(minHashA(i)) * base + lit(minHashB(i))) % lit(MinHashP)
+
+  /** MinHash signatures: (id, h0..h{k-1}) via ONE md5 per shingle plus k
+    * affine permutations — the classic "one hash, k permutations" family.
+    * The md5('i|'||shingle) formulation this replaces hashed every shingle
+    * k times, which made signature generation (the scan-side hot loop of
+    * dedup at 100 TB) k× more expensive for no extra independence. */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
       n: Int = 2, numHashes: Int = 16): DataFrame = {
     val sh = shingles(df, textCol, idCol, n)
+      .withColumn("_base", shingleBase(col("shingle")))
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+      min(minHashPerm(col("_base"), i)).as(s"h$i"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -101,7 +133,9 @@ object TextDedup {
       .localCheckpoint()
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bucket"))
+      // Bucket key = '|'-joined decimal hashes: long→string formatting is
+      // identical across engines and skips a per-band md5.
+      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bucket"))
     }
     val banded = sig.select(col("id"),
       struct((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
@@ -111,12 +145,14 @@ object TextDedup {
     // Degenerate-bucket guard: a band bucket holding k ids emits O(k²)
     // candidates. Buckets above the cap (boilerplate / empty docs hashing
     // identically) are dropped — their members still pair through their
-    // other, more selective bands. Window count over the bucket key: one
-    // shuffle, which the band self-join below then reuses.
-    val capped = banded
-      .withColumn("_n",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("_n") <= maxBucketSize).drop("_n")
+    // other, more selective bands. Count on the NARROW (band, bucket)
+    // projection then anti-join the tiny hot-bucket list back (AQE
+    // broadcasts it): the window-count formulation this replaces shuffled
+    // AND sorted the full banded rows — signature structs included — by
+    // bucket just to count them.
+    val hot = banded.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("band", "bucket")
+    val capped = banded.join(hot, Seq("band", "bucket"), "left_anti")
     val matches = (0 until numHashes)
       .map(i => when(col("sig_a").getField(s"h$i") ===
         col("sig_b").getField(s"h$i"), 1).otherwise(0))

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *    shingle, bounded per-bucket); MinHash candidates come from LSH band
   *    buckets. Both candidate joins are equi-joins Catalyst can shuffle
   *    on the bucket key, with AQE skew-split on hot shingles.
-  *  - Hash family is md5 over strings (same function exists in DuckDB, so
-  *    the oracle can re-derive signatures bit-for-bit).
+  *  - Hash family: one md5 per shingle truncated to a 52-bit bigint, then
+  *    k affine permutations mod 2^61−1 ([[TextDedup.minHashPerm]]) — both
+  *    engines compute it bit-for-bit, and the scan-side hot loop pays ONE
+  *    digest per shingle instead of k.
   */
 object TextDedupQueries extends QueryModule {
 
@@ -96,22 +98,30 @@ object TextDedupQueries extends QueryModule {
         .orderBy("doc_a", "doc_b")
     },
 
-    // MinHash + LSH: 8 md5-derived min-hashes, 4 bands × 2 rows; candidate
-    // pairs share a band bucket within (lang, source); emitted with the
-    // signature-estimated similarity (matching fraction of the 8 hashes)
+    // MinHash + LSH: 8 affine min-hashes off one 52-bit md5 base, 4 bands
+    // × 2 rows; candidate pairs share a band bucket within (lang, source);
+    // emitted with the signature-estimated similarity (matching fraction
+    // of the 8 hashes)
     q("x_minhash_lsh",
       s"""WITH sh AS ($shinglesSql),
          |sig AS (
          |  SELECT doc_id, lang, source,
          |         ${(0 until 8).map(i =>
-              s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")}
-         |  FROM sh GROUP BY doc_id, lang, source),
+              s"min((${TextDedup.minHashA(i)} * base + " +
+                s"${TextDedup.minHashB(i)}) % ${TextDedup.MinHashP}) AS h$i")
+              .mkString(", ")}
+         |  FROM (SELECT doc_id, lang, source,
+         |               CAST('0x' || substr(md5(shingle), 1, 13) AS BIGINT)
+         |                 % ${TextDedup.MinHashP} AS base
+         |        FROM sh)
+         |  GROUP BY doc_id, lang, source),
          |bands AS (
          |  SELECT doc_id, lang, source, band, bucket FROM (
          |    SELECT doc_id, lang, source,
          |           unnest([0, 1, 2, 3]) AS band,
-         |           unnest([md5(h0 || h1), md5(h2 || h3),
-         |                   md5(h4 || h5), md5(h6 || h7)]) AS bucket
+         |           unnest([${(0 until 4).map(b =>
+              s"CAST(h${2 * b} AS VARCHAR) || '|' || " +
+                s"CAST(h${2 * b + 1} AS VARCHAR)").mkString(", ")}]) AS bucket
          |    FROM sig)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -128,8 +138,9 @@ object TextDedupQueries extends QueryModule {
          |JOIN sig sb ON sb.doc_id = c.doc_b
          |ORDER BY doc_a, doc_b""") { (s, dir) =>
       val sh = shingles(docs(s, dir))
+        .withColumn("_base", TextDedup.shingleBase(col("shingle")))
       val hashCols: Seq[Column] = (0 until 8).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+        min(TextDedup.minHashPerm(col("_base"), i)).as(s"h$i"))
       val sig = sh.groupBy("doc_id", "lang", "source")
         .agg(hashCols.head, hashCols.tail: _*).localCheckpoint()
       // carry the signature THROUGH the band self-join: candidates and
@@ -138,12 +149,10 @@ object TextDedupQueries extends QueryModule {
       val bands = sig.select(
         (Seq(col("doc_id"), col("lang"), col("source")) ++
           (0 until 8).map(i => col(s"h$i")) :+
-          explode(array(
-            struct(lit(0).as("band"), md5(concat(col("h0"), col("h1"))).as("bucket")),
-            struct(lit(1).as("band"), md5(concat(col("h2"), col("h3"))).as("bucket")),
-            struct(lit(2).as("band"), md5(concat(col("h4"), col("h5"))).as("bucket")),
-            struct(lit(3).as("band"), md5(concat(col("h6"), col("h7"))).as("bucket"))
-          )).as("bb")): _*)
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              concat_ws("|", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
+                .as("bucket"))): _*)).as("bb")): _*)
         .select(col("doc_id"), col("lang"), col("source"),
           col("bb.band").as("band"), col("bb.bucket").as("bucket"),
           struct((0 until 8).map(i => col(s"h$i")): _*).as("sig"))
@@ -321,13 +330,19 @@ object TextDedupQueries extends QueryModule {
          |sig AS (
          |  SELECT doc_id,
          |         ${(0 until 16).map(i =>
-              s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")}
-         |  FROM raw GROUP BY doc_id),
+              s"min((${TextDedup.minHashA(i)} * base + " +
+                s"${TextDedup.minHashB(i)}) % ${TextDedup.MinHashP}) AS h$i")
+              .mkString(", ")}
+         |  FROM (SELECT doc_id,
+         |               CAST('0x' || substr(md5(shingle), 1, 13) AS BIGINT)
+         |                 % ${TextDedup.MinHashP} AS base
+         |        FROM raw)
+         |  GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
          |         unnest([${(0 until 4).map(b =>
-              s"md5(h${4 * b} || h${4 * b + 1} || h${4 * b + 2} || h${4 * b + 3})")
-              .mkString(", ")}]) AS bucket
+              (0 until 4).map(r => s"CAST(h${4 * b + r} AS VARCHAR)")
+                .mkString(" || '|' || ")).mkString(", ")}]) AS bucket
          |  FROM sig),
          |ok AS (SELECT band, bucket FROM bands GROUP BY 1, 2
          |       HAVING count(*) <= 2),
