@@ -99,6 +99,81 @@ object Corpus {
         (rate >= flagAt).as("contaminated"))
   }
 
+  /** Corpus-frequency top-k tokens (vocabulary heavy hitters). Spark
+    * plans the orderBy+limit as TakeOrderedAndProject — per-partition
+    * top-k then a k-sized merge on the driver — so no global sort ever
+    * materializes; the groupBy partial-aggregates map-side. Returns
+    * (token, cnt, rank) with a deterministic (cnt desc, token) order. */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+    // rank over ≤ k rows: the single-partition window is bounded by k
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Per-document mean TF-IDF over the corpus's own document frequencies —
+    * the lexical-quality score curation stacks rank docs by.
+    *
+    * Determinism across engines: idf is quantized to DECIMAL(18,6) BEFORE
+    * the per-doc sum, and the sum runs in DECIMAL (term counts are exact
+    * integers), so no float accumulation order can flip a rounded result;
+    * the single double division per doc at the end is IEEE-exact. The doc
+    * count N reaches the plan as a broadcast 1-row join, not a driver
+    * collect. Returns (idCol, n_toks, tfidf). */
+  def tfIdfScores(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val perDoc = toks.groupBy("id", "token").agg(count(lit(1)).as("tc"))
+    val docLen = perDoc.groupBy("id").agg(sum("tc").as("n_toks"))
+    val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docLen.agg(count(lit(1)).as("n_docs"))
+    val idf = docFreq.crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log(col("n_docs").cast("double") /
+        col("df")), 6).cast("decimal(18,6)"))
+      .select("token", "idf")
+    perDoc.join(idf, Seq("token"))
+      .groupBy("id")
+      .agg(sum(col("tc") * col("idf")).as("_s"))
+      .join(docLen, Seq("id"))
+      .select(col("id").as(idCol), col("n_toks"),
+        round(col("_s").cast("double") / col("n_toks"), 4).as("tfidf"))
+  }
+
+  /** Exact chunk-level duplication stats: split each doc into consecutive
+    * `chunkTokens`-token chunks and measure how much of it recurs
+    * verbatim elsewhere in the corpus — the substring-level complement of
+    * document-level dedup (boilerplate, repeated headers/footers).
+    * Returns (idCol, n_chunks, n_dup_chunks, dup_ratio, flagged) per doc
+    * with ≥ 1 full chunk; a chunk is "dup" when it appears in ≥ 2 docs.
+    *
+    * The distinct + df counting shuffles chunk STRINGS (exact, oracle-
+    * reproducible); a 100 TB run would pre-hash chunks to a wide digest
+    * ([[TextDedup.shingleBase]]-style) to narrow the shuffle at the cost
+    * of a quantified collision rate. */
+  def chunkDupStats(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 10, flagAt: Double = 0.5): DataFrame = {
+    val ct = chunkTokens
+    val ch = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= ct)
+      .select(col("id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(0, CAST(floor(size(toks) / $ct) AS INT) - 1),
+           |  i -> concat_ws(' ', slice(toks, i * $ct + 1, $ct))))"""
+          .stripMargin)).as("chunk"))
+    val dfreq = ch.groupBy("chunk")
+      .agg(countDistinct("id").as("_df"))
+    val rate = col("n_dup_chunks").cast("double") / col("n_chunks")
+    ch.join(dfreq, Seq("chunk"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("id").as(idCol), col("n_chunks"), col("n_dup_chunks"),
+        round(rate, 4).as("dup_ratio"), (rate >= flagAt).as("flagged"))
+  }
+
   /** End-to-end near-dup removal: capped n-gram Jaccard pairs →
     * connected components → canonical doc per cluster ("keep the richest
     * copy": max `qualityCol`, ties to the smallest id). Returns

@@ -214,6 +214,84 @@ object CorpusQueries extends QueryModule {
         .orderBy("component")
     },
 
+    // Vocabulary heavy hitters: corpus-frequency top-k tokens. Spark plans
+    // the orderBy+limit as TakeOrderedAndProject (per-partition top-k, then
+    // a k-sized driver merge — no global sort), and the token count
+    // partial-aggregates map-side; at 100 TB the full pass is one narrow
+    // shuffle of (token, partial count).
+    q("x_vocab_topk",
+      s"""WITH t AS ($toksSql),
+         |tok AS (SELECT unnest(toks) AS token FROM t),
+         |cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+         |SELECT token, cnt,
+         |       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+         |         AS rank
+         |FROM cnt ORDER BY cnt DESC, token LIMIT 50""") { (s, dir) =>
+      Corpus.vocabTopK(docs(s, dir), "text", 50)
+    },
+
+    // Per-document mean TF-IDF (lexical-quality ranking): idf quantized to
+    // DECIMAL(18,6) BEFORE the per-doc sum and the sum run in DECIMAL, so
+    // no float accumulation order can flip a rounded score across engines;
+    // the corpus doc count N enters as a broadcast 1-row join (no driver
+    // collect). Three narrow shuffles total: (id,token) counts, token df,
+    // per-doc sum.
+    q("x_tfidf_score",
+      s"""WITH t AS ($toksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |perdoc AS (SELECT doc_id, token, count(*) AS tc
+         |           FROM tok GROUP BY doc_id, token),
+         |doclen AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_toks
+         |           FROM perdoc GROUP BY doc_id),
+         |docfreq AS (SELECT token, count(*) AS df FROM perdoc GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM doclen),
+         |idf AS (SELECT token,
+         |               CAST(round(ln(CAST(n_docs AS DOUBLE) / df), 6)
+         |                    AS DECIMAL(18,6)) AS idf
+         |        FROM docfreq, n)
+         |SELECT p.doc_id, d.n_toks,
+         |       round(CAST(sum(p.tc * i.idf) AS DOUBLE) / d.n_toks, 4)
+         |         AS tfidf
+         |FROM perdoc p
+         |JOIN idf i USING (token)
+         |JOIN doclen d USING (doc_id)
+         |GROUP BY p.doc_id, d.n_toks
+         |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.tfIdfScores(docs(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Chunk-level exact duplication (substring-level dedup signal): docs
+    // split into consecutive 10-token chunks; a chunk recurring in ≥ 2
+    // docs marks verbatim boilerplate. Distinct + df counting are narrow
+    // equi-shuffles on the chunk key — never all-pairs.
+    q("x_chunk_dedup",
+      s"""WITH t AS ($toksSql),
+         |ch AS (SELECT DISTINCT doc_id, chunk FROM (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(0, CAST(len(toks) // 10 AS INT)),
+         |           i -> array_to_string(toks[i*10+1 : (i+1)*10], ' ')))
+         |           AS chunk
+         |  FROM t WHERE len(toks) >= 10)),
+         |dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS df
+         |          FROM ch GROUP BY chunk)
+         |SELECT c.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_chunks,
+         |       CAST(round(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+         |                       AS DOUBLE) / count(*), 4) AS DOUBLE)
+         |         AS dup_ratio,
+         |       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) >= 0.5 AS flagged
+         |FROM ch c JOIN dfreq f USING (chunk)
+         |GROUP BY c.doc_id
+         |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.chunkDupStats(docs(s, dir), "text", "doc_id",
+          chunkTokens = 10, flagAt = 0.5)
+        .orderBy("doc_id")
+    },
+
     // Random-hyperplane (sign) LSH near-neighbor pairs over embeddings —
     // the corpus×corpus candidate generator (Similarity.signLshPairs):
     // 32 sign bits over integer-quantized vectors, 4 bands of 8 bits

@@ -111,6 +111,49 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("integral id column"))
   }
 
+  test("vocabTopK ranks by count then token, bounded by k") {
+    val rows = docsDF(Seq(
+      doc(1, "alpha alpha alpha beta beta gamma"),
+      doc(2, "alpha beta delta")))
+    val got = Corpus.vocabTopK(rows, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("alpha", 4L, 1L), ("beta", 3L, 2L),
+      ("delta", 1L, 3L))) // delta < gamma breaks the tie at rank 3
+  }
+
+  test("tfidf: corpus-wide tokens score zero, rare tokens dominate") {
+    val rows = docsDF(Seq(
+      doc(1, "common common rare"),
+      doc(2, "common common common"),
+      doc(3, "common other other")))
+    val got = Corpus.tfIdfScores(rows, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 3 && got(2L)._1 == 3)
+    // doc 2 is all corpus-wide tokens: idf = ln(1) = 0 -> score 0
+    assert(got(2L)._2 == 0.0)
+    // docs 1 and 3 each carry one doc-unique token type; doc 3 has two
+    // occurrences of it, so it outranks doc 1, which outranks doc 2
+    assert(got(3L)._2 > got(1L)._2 && got(1L)._2 > 0.0)
+  }
+
+  test("chunkDupStats flags verbatim boilerplate chunks across docs") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val uniq = (id: Long) => (1 to 10).map(i => s"u${id}_$i").mkString(" ")
+    val rows = docsDF(Seq(
+      doc(1, s"$boiler ${uniq(1)}"),     // 2 chunks, 1 dup
+      doc(2, s"$boiler ${uniq(2)}"),     // 2 chunks, 1 dup
+      doc(3, uniq(3)),                   // 1 chunk, 0 dup
+      doc(4, "too short")))              // < 10 tokens: not emitted
+    val got = Corpus.chunkDupStats(rows, "text", "doc_id",
+        chunkTokens = 10, flagAt = 0.5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((2L, 1L, 0.5, true)))
+    assert(got(2L) == ((2L, 1L, 0.5, true)))
+    assert(got(3L) == ((1L, 0L, 0.0, false)))
+  }
+
   test("hash and stratified samples are deterministic and bounded") {
     val rows = docsDF((1L to 200L).map(i =>
       doc(i, s"document number $i body", s"src${i % 3}")))
