@@ -14,7 +14,8 @@ object ExplainAudit {
       else Seq("p2_filter_eq", "j2_threehop_guard", "j1_m2m_join",
         "a1_count_distinct", "w1_version_rank", "x_ngram_jaccard",
         "x_ngram_jaccard_capped", "x_minhash_lsh_capped", "x_ann_topk",
-        "x_ann_ivf", "v2_unfurl", "s10_mitigations", "d1_content_dedup")
+        "x_ann_ivf", "v2_unfurl", "s10_mitigations", "d1_content_dedup",
+        "x_vocab_topk", "x_tfidf_score", "x_chunk_dedup", "x_embed_lsh")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)

@@ -174,6 +174,45 @@ object Corpus {
         round(rate, 4).as("dup_ratio"), (rate >= flagAt).as("flagged"))
   }
 
+  /** Contiguous sequence packing: assign each doc to a fixed
+    * `tokenBudget` training sequence by its starting token offset within
+    * its `groupCol` stream (docs in id order, seq = floor(start/budget)) —
+    * the packing step that turns a curated corpus into fixed-length
+    * training rows. Integer arithmetic only, so the assignment is exact
+    * and engine-portable. One shuffle: the per-group running sum; groups
+    * (sources/shards) are numerous and bounded, so no single window
+    * serializes the corpus — for a monolithic corpus, shard first by
+    * hash-bucketing the id into groupCol. Returns
+    * (idCol, groupCol, n_toks, seq_id). */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, tokenBudget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(groupCol),
+        size(tokens(col(textCol))).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("_cum", sum("n_toks").over(w))
+      .withColumn("seq_id",
+        concat(col(groupCol), lit("#"),
+          floor((col("_cum") - col("n_toks")) / tokenBudget)))
+      .drop("_cum")
+  }
+
+  /** Deterministic train/val/test split: a 16-bit md5 prefix of the id
+    * buckets each row into `train` (< trainUpTo/65536), `val`
+    * (< valUpTo/65536), else `test`. Reproducible across engines, runs,
+    * and cluster sizes, stable under corpus growth (a doc's split never
+    * changes when other docs arrive), and map-only. */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainUpTo: Int = 52429 /* ≈ 0.8·65536 */,
+      valUpTo: Int = 58982 /* ≈ 0.9·65536 */): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.withColumn("split",
+      when(h < trainUpTo, "train").when(h < valUpTo, "val")
+        .otherwise("test"))
+  }
+
   /** End-to-end near-dup removal: capped n-gram Jaccard pairs →
     * connected components → canonical doc per cluster ("keep the richest
     * copy": max `qualityCol`, ties to the smallest id). Returns

@@ -292,6 +292,46 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Contiguous sequence packing: each doc lands in the fixed-budget
+    // training sequence its starting token offset falls into, per source
+    // stream. Pure integer arithmetic (exact cross-engine); the only
+    // shuffle is the per-source running sum, and sources are numerous and
+    // bounded so no window serializes the corpus.
+    q("x_pack_sequences",
+      s"""WITH t AS ($toksSql),
+         |n AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks
+         |      FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, source, n_toks,
+         |             sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |               ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM n)
+         |SELECT doc_id, source, n_toks,
+         |       source || '#' ||
+         |         CAST((cum - n_toks) // 256 AS VARCHAR) AS seq_id
+         |FROM c ORDER BY doc_id""") { (s, dir) =>
+      Corpus.packSequences(docs(s, dir), "text", "doc_id", "source",
+          tokenBudget = 256)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test split: 16-bit md5 prefix of the id
+    // buckets every row — reproducible across engines/runs/cluster sizes,
+    // stable under corpus growth, map-only (scan-bound at 100 TB).
+    q("x_split_assign",
+      """SELECT doc_id,
+        |       CASE WHEN h < 52429 THEN 'train'
+        |            WHEN h < 58982 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |                  AS BIGINT) AS h
+        |      FROM documents)
+        |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.splitAssign(docs(s, dir), "doc_id")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+
     // Random-hyperplane (sign) LSH near-neighbor pairs over embeddings —
     // the corpus×corpus candidate generator (Similarity.signLshPairs):
     // 32 sign bits over integer-quantized vectors, 4 bands of 8 bits

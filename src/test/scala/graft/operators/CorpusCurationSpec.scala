@@ -154,6 +154,38 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L) == ((1L, 0L, 0.0, false)))
   }
 
+  test("packSequences bins docs by starting token offset per group") {
+    val rows = docsDF(Seq(
+      doc(1, "a b c d e f", "s1"),      // toks 6, start 0  -> seq 0
+      doc(2, "g h i j", "s1"),          // toks 4, start 6  -> seq 0
+      doc(3, "k l m n o", "s1"),        // toks 5, start 10 -> seq 1
+      doc(4, "p q", "s2"),              // start 0          -> seq 0
+      doc(5, "   ", "s2")))             // empty: dropped
+    val got = Corpus.packSequences(rows, "text", "doc_id", "source",
+        tokenBudget = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got == Map(
+      1L -> ((6L, "s1#0")), 2L -> ((4L, "s1#0")), 3L -> ((5L, "s1#1")),
+      4L -> ((2L, "s2#0"))))
+  }
+
+  test("splitAssign is deterministic, total, and roughly 80/10/10") {
+    val rows = docsDF((1L to 1000L).map(i => doc(i, s"doc $i")))
+    val got = Corpus.splitAssign(rows, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 1000)
+    assert(got("train") > 700 && got("train") < 900)
+    assert(got("val") > 40 && got("test") > 40)
+    // stability: the same id gets the same split on a different corpus
+    val sub = Corpus.splitAssign(rows.filter(col("doc_id") <= 100), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    val full = Corpus.splitAssign(rows, "doc_id")
+      .filter(col("doc_id") <= 100)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(sub == full)
+  }
+
   test("hash and stratified samples are deterministic and bounded") {
     val rows = docsDF((1L to 200L).map(i =>
       doc(i, s"document number $i body", s"src${i % 3}")))
