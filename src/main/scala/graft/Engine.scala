@@ -119,6 +119,10 @@ object Engine {
       nearDupPairs: DataFrame,
       dedupClusters: DataFrame,
       sample: DataFrame,
+      tfidf: DataFrame,
+      chunkDup: DataFrame,
+      packed: DataFrame,
+      splits: DataFrame,
       contamination: Option[DataFrame],
       embedNearDupPairs: Option[DataFrame])
 
@@ -144,6 +148,10 @@ object Engine {
         Corpus.dedupClusters(documents, textCol, idCol, qualityCol),
       sample = Corpus.stratifiedSample(documents, strataCol, idCol,
         samplePerStratum),
+      tfidf = Corpus.tfIdfScores(documents, textCol, idCol),
+      chunkDup = Corpus.chunkDupStats(documents, textCol, idCol),
+      packed = Corpus.packSequences(documents, textCol, idCol, strataCol),
+      splits = Corpus.splitAssign(documents, idCol),
       contamination = benchmark.map(b =>
         Corpus.contamination(documents, b, textCol, idCol)),
       embedNearDupPairs = embeddings.map(e =>
@@ -152,7 +160,11 @@ object Engine {
       "corpus_quality" -> marts.quality,
       "corpus_neardup_pairs" -> marts.nearDupPairs,
       "corpus_dedup_clusters" -> marts.dedupClusters,
-      "corpus_sample" -> marts.sample) ++
+      "corpus_sample" -> marts.sample,
+      "corpus_tfidf" -> marts.tfidf,
+      "corpus_chunk_dup" -> marts.chunkDup,
+      "corpus_packed" -> marts.packed,
+      "corpus_splits" -> marts.splits) ++
       marts.contamination.map("corpus_contamination" -> _) ++
       marts.embedNearDupPairs.map("corpus_embed_neardups" -> _))
       .foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }

@@ -91,5 +91,12 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
       "SELECT id_a, id_b FROM graft_corpus_embed_neardups")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
+    // curation-stage marts: scoring, packing, and splits are registered
+    assert(sp.sql("SELECT * FROM graft_corpus_tfidf").count() == 4)
+    assert(sp.sql("SELECT * FROM graft_corpus_packed").count() == 4)
+    val splits = sp.sql("SELECT DISTINCT split FROM graft_corpus_splits")
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.nonEmpty)
+    assert(sp.sql("SELECT * FROM graft_corpus_chunk_dup").count() >= 0)
   }
 }
