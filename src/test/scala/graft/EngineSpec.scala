@@ -56,11 +56,12 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
   test("runCorpusPipeline registers queryable corpus marts") {
     val sp = spark
     import sp.implicits._
-    val base = "spark engine corpus pipeline mart registration test words"
+    // ≥ 10 tokens per doc so chunkDupStats (chunkTokens=10) emits a row each
+    val base = "spark engine corpus pipeline mart registration test words alpha beta"
     val docs = Seq(
       (1L, base, "src0"), (2L, base, "src0"),
       (3L, base + " richer", "src1"),
-      (4L, "totally different content here with the usual words", "src1"))
+      (4L, "totally different content here with the usual words plus unique ones", "src1"))
       .toDF("doc_id", "text", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
     val bench = Seq((100L, base)).toDF("doc_id", "text")
@@ -97,6 +98,13 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
     val splits = sp.sql("SELECT DISTINCT split FROM graft_corpus_splits")
       .collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.nonEmpty)
-    assert(sp.sql("SELECT * FROM graft_corpus_chunk_dup").count() >= 0)
+    // chunk-dup mart: the shared base chunk recurs across docs 1-3; doc 4
+    // is all-unique. Pin the flagged set and the clean doc's ratio.
+    val chunkDup = sp.sql(
+      "SELECT doc_id, dup_ratio, flagged FROM graft_corpus_chunk_dup")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(chunkDup.length == 4)
+    assert(chunkDup.filter(_._3).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(chunkDup.find(_._1 == 4L).exists(_._2 == 0.0))
   }
 }
