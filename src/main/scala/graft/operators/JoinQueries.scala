@@ -93,13 +93,17 @@ object JoinQueries extends QueryModule {
         .orderBy("c_custkey")
     },
 
-    // J4 — anti-join (only_non_vulnerable)
+    // J4 — anti-join (only_non_vulnerable). The exists side is scoped to
+    // high-value orders so the result is NON-empty at every SF (a 0-row
+    // anti-join matches any join type and proves nothing — r05 verdict #4).
     q("j4_anti",
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)
         |ORDER BY c_custkey""") { (s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"),
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")

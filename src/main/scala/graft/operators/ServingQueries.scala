@@ -126,13 +126,29 @@ object ServingQueries extends QueryModule {
 
     // Mitigation curation queue (views.py MitigationCuration / the
     // MISSING_FIXED_BY_PACKAGE todo): impacted purls with no fixed-by
-    // package, through the real derive function
+    // package, through the real derive function. Uses its own unfurled
+    // variant where purls p15-p19 never receive a fix, so the queue is
+    // NON-empty (the shared fixture fixes every purl → a structurally
+    // 0-row oracle that can't catch a wrong join — r05 verdict #4).
     q("s11_curation_queue",
-      s"""WITH u AS ($unfurledSql)
-         |SELECT avid, base_purl FROM u GROUP BY 1, 2
-         |HAVING bool_or(is_affected) AND NOT bool_or(is_fixed)
-         |ORDER BY avid, base_purl""") { (s, dir) =>
-      graft.derive.AdvisoryDerive.mitigationCurationItems(unfurled(s, dir))
+      """WITH u AS (
+        |  SELECT 'adv/' || CAST(l_orderkey % 50 AS VARCHAR) AS avid,
+        |         'pkg:npm/p' || CAST(l_partkey % 20 AS VARCHAR) AS base_purl,
+        |         l_quantity > 25 AS is_affected,
+        |         l_quantity <= 25 AND l_partkey % 20 < 15 AS is_fixed
+        |  FROM lineitem)
+        |SELECT avid, base_purl FROM u GROUP BY 1, 2
+        |HAVING bool_or(is_affected) AND NOT bool_or(is_fixed)
+        |ORDER BY avid, base_purl""".stripMargin) { (s, dir) =>
+      val u = Tables(s, dir, "lineitem").select(
+        concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
+        concat(lit("pkg:npm/p"), pmod(col("l_partkey"), lit(20)))
+          .as("base_purl"),
+        col("l_linenumber").cast("string").as("version"),
+        (col("l_quantity") > 25).as("is_affected"),
+        (col("l_quantity") <= 25 &&
+          pmod(col("l_partkey"), lit(20)) < 15).as("is_fixed"))
+      graft.derive.AdvisoryDerive.mitigationCurationItems(u)
         .orderBy("avid", "base_purl")
     },
 
@@ -246,5 +262,116 @@ object ServingQueries extends QueryModule {
       Serving.advisoryPurlPairs(unfurled(s, dir), request(s), "both")
         .orderBy("purl", "avid")
     },
+
+    // Advisory search cascade (models.py:150-178 VulnerabilityQuerySet
+    // .search): exact id → exact alias → id-or-alias icontains →
+    // summary-or-reference icontains; first non-empty tier wins. The
+    // oracle replays the full cascade with per-tier CTEs and count
+    // guards, so a wrong tier order or a broken short-circuit mismatches.
+    // Query 'cve-2020-11' skips tiers 1-2 (ids are 'ADV-n'; alias match
+    // is case-SENSITIVE in the reference) and wins at tier 3.
+    q("s17_search_advisories", searchAdvisoriesOracle("cve-2020-11")) {
+      (s, dir) =>
+        Serving.searchAdvisories(advisoriesFixture(s, dir), "cve-2020-11")
+          .select("advisory_id", "summary").orderBy("advisory_id")
+    },
+
+    // Same cascade, last-tier fallback: a word that appears only in the
+    // priority-derived summaries, never in ids/aliases/reference ids, so
+    // tiers 1-3 all come back empty and tier 4 must win.
+    q("s17b_search_advisories_summary", searchAdvisoriesOracle("urgent")) {
+      (s, dir) =>
+        Serving.searchAdvisories(advisoriesFixture(s, dir), "urgent")
+          .select("advisory_id", "summary").orderBy("advisory_id")
+    },
+
+    // Package search (models.py:746-764 PackageQuerySet.search), purl
+    // branch: the query parses as a purl, qualifiers are stripped but the
+    // VERSION kept (plain_purl), then case-insensitive prefix match.
+    q("s18_search_packages",
+      s"""WITH p AS ($packagesFixtureSql)
+         |SELECT package_url FROM p
+         |WHERE lower(package_url) LIKE 'pkg:npm/p7@3%'
+         |ORDER BY package_url""") { (s, dir) =>
+      Serving.searchPackages(packagesFixture(s, dir), "pkg:npm/p7@3?arch=x64")
+        .select("package_url").orderBy("package_url")
+    },
+
+    // Package search, non-purl branch: free text falls back to icontains.
+    q("s18b_search_packages_text",
+      s"""WITH p AS ($packagesFixtureSql)
+         |SELECT package_url FROM p
+         |WHERE lower(package_url) LIKE '%p13%'
+         |ORDER BY package_url""") { (s, dir) =>
+      Serving.searchPackages(packagesFixture(s, dir), "p13")
+        .select("package_url").orderBy("package_url")
+    },
   )
+
+  /** Synthetic advisories with ids, two aliases, references, and a
+    * summary, derived from `orders` — enough surface for every search
+    * tier. Mirrors [[advisoriesFixtureSql]] column for column. */
+  private def advisoriesFixture(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders").select(
+      concat(lit("ADV-"), col("o_orderkey")).as("advisory_id"),
+      array(concat(lit("CVE-2020-"), col("o_custkey")),
+        concat(lit("GHSA-"), pmod(col("o_orderkey"), lit(97))))
+        .as("aliases"),
+      array(struct(
+        concat(lit("REF-"), pmod(col("o_orderkey"), lit(31)))
+          .as("reference_id"))).as("references"),
+      concat(col("o_orderpriority"), lit(" order "), col("o_orderkey"))
+        .as("summary"),
+      lit(true).as("is_latest"))
+
+  private def advisoriesFixtureSql: String =
+    """SELECT 'ADV-' || CAST(o_orderkey AS VARCHAR) AS advisory_id,
+      |       'CVE-2020-' || CAST(o_custkey AS VARCHAR) AS a1,
+      |       'GHSA-' || CAST(o_orderkey % 97 AS VARCHAR) AS a2,
+      |       'REF-' || CAST(o_orderkey % 31 AS VARCHAR) AS ref1,
+      |       o_orderpriority || ' order ' || CAST(o_orderkey AS VARCHAR)
+      |         AS summary
+      |FROM orders""".stripMargin
+
+  /** The cascade as pure SQL: per-tier CTEs; tier N emits only when all
+    * earlier tiers are empty (the reference's exists() short-circuit). */
+  private def searchAdvisoriesOracle(query: String): String = {
+    val ql = query.toLowerCase
+    s"""WITH adv AS ($advisoriesFixtureSql),
+       |t1 AS (SELECT advisory_id, summary FROM adv
+       |       WHERE advisory_id = '$query'),
+       |t2 AS (SELECT advisory_id, summary FROM adv
+       |       WHERE a1 = '$query' OR a2 = '$query'),
+       |t3 AS (SELECT advisory_id, summary FROM adv
+       |       WHERE lower(advisory_id) LIKE '%$ql%'
+       |          OR lower(a1) LIKE '%$ql%' OR lower(a2) LIKE '%$ql%'),
+       |t4 AS (SELECT advisory_id, summary FROM adv
+       |       WHERE lower(summary) LIKE '%$ql%'
+       |          OR lower(ref1) LIKE '%$ql%')
+       |SELECT advisory_id, summary FROM (
+       |  SELECT * FROM t1
+       |  UNION ALL
+       |  SELECT * FROM t2 WHERE (SELECT count(*) FROM t1) = 0
+       |  UNION ALL
+       |  SELECT * FROM t3 WHERE (SELECT count(*) FROM t1) = 0
+       |                     AND (SELECT count(*) FROM t2) = 0
+       |  UNION ALL
+       |  SELECT * FROM t4 WHERE (SELECT count(*) FROM t1) = 0
+       |                     AND (SELECT count(*) FROM t2) = 0
+       |                     AND (SELECT count(*) FROM t3) = 0)
+       |ORDER BY advisory_id""".stripMargin
+  }
+
+  /** Synthetic packages table from `part`: 30 names × 7 versions. */
+  private def packagesFixture(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part").select(
+      concat(lit("pkg:npm/p"), pmod(col("p_partkey"), lit(30)),
+        lit("@"), pmod(col("p_partkey"), lit(7))).as("package_url"))
+
+  // NB: no line may START with '||' — q() re-applies stripMargin to the
+  // assembled oracle and would eat one pipe of a leading concat operator.
+  private def packagesFixtureSql: String =
+    """SELECT 'pkg:npm/p' || CAST(p_partkey % 30 AS VARCHAR) ||
+      |       '@' || CAST(p_partkey % 7 AS VARCHAR) AS package_url
+      |FROM part""".stripMargin
 }
