@@ -30,6 +30,7 @@ object SparkEntry {
     StreamingQueries,
     ServingQueries,
     ScaleQueries,
+    IngestQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,366 @@
+package graft.operators
+
+import graft.core.{QueryEntry, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{AdvisoryJsonIngest, EpssIngest, OsvIngest, VulnrichmentIngest}
+
+/** SURVEY §2 S1–S4 driver-oracle coverage: the ingest parse layer run
+  * through the REAL readTree/parse paths over checked-in fixture batches,
+  * with DuckDB re-deriving the same normalization from the same files via
+  * `read_json`/`read_csv`. This puts the byte-exact oracle bar on the
+  * parse layer that every downstream operator already meets (r05 verdict
+  * "What's missing" #1); the per-source golden specs stay as the broader
+  * format net.
+  *
+  * Reference: importer.py:789-920 (tree scan → AdvisoryData),
+  * importers/osv.py:51-331 (OSV mapping), v2_importers/
+  * vulnrichment_importer.py:30-210 (CVE 5.x + ADP), v2_importers/
+  * epss_importer_v2.py:26-96 (EPSS CSV).
+  *
+  * Output rows flatten nested arrays to joined strings and timestamps to
+  * epoch seconds so the driver's column-sorted hash compare is
+  * representation-independent. Fixture paths are absolute — the driver's
+  * DuckDB session need not share Verify's working directory.
+  */
+object IngestQueries extends QueryModule {
+
+  private val Fix = "/root/repo/src/test/resources/fixtures"
+
+  private def joined(arr: Column, f: Column => Column,
+      sep: String = ";"): Column =
+    array_join(transform(arr, f), sep)
+
+  // --- S1/format: AdvisoryDataV2 JSON trees (the reference's own dump
+  // format, importer.py:677-689), three datasources in one batch.
+
+  private def advisoryTreeSpark(s: SparkSession): DataFrame = {
+    val rows = Seq("pypa", "ghsa", "debian")
+      .map(src => AdvisoryJsonIngest
+        .readTree(s, s"$Fix/advisories/$src", src).toDF())
+      .reduce(_ unionByName _)
+    rows.select(
+      col("datasource_id"), col("advisory_id"), col("summary"),
+      array_join(col("aliases"), ",").as("aliases_csv"),
+      joined(col("affected"), a => a.getField("purl")).as("purls"),
+      joined(col("affected"), a => a.getField("affecting_vers"))
+        .as("affecting"),
+      joined(col("affected"), a => a.getField("fixed_vers")).as("fixed"),
+      joined(col("references"), r => r.getField("reference_type"))
+        .as("ref_types"),
+      joined(col("references"), r => r.getField("reference_id"))
+        .as("ref_ids"),
+      joined(col("severities"), v => concat(v.getField("scoring_system"),
+        lit("="), v.getField("value"))).as("sevs"),
+      joined(col("weaknesses"), w => w.cast("string"), ",").as("cwes"),
+      col("date_published").cast("long").as("published_ep"),
+      col("url"))
+      .orderBy("advisory_id")
+  }
+
+  private def advisoryTreeOracle: String = {
+    val cols =
+      """columns={'advisory_id':'VARCHAR','aliases':'VARCHAR[]',
+        |  'summary':'VARCHAR',
+        |  'affected_packages':'STRUCT(package STRUCT(type VARCHAR,
+        |     namespace VARCHAR, name VARCHAR, version VARCHAR,
+        |     qualifiers VARCHAR, subpath VARCHAR),
+        |     affected_version_range VARCHAR, fixed_version_range VARCHAR,
+        |     fixed_by_commit_patches STRUCT(vcs_url VARCHAR,
+        |     commit_hash VARCHAR)[])[]',
+        |  'references':'STRUCT(reference_id VARCHAR,
+        |     reference_type VARCHAR, url VARCHAR)[]',
+        |  'severities':'STRUCT(system VARCHAR, value VARCHAR,
+        |     scoring_elements VARCHAR, published_at VARCHAR)[]',
+        |  'date_published':'VARCHAR','weaknesses':'INTEGER[]',
+        |  'url':'VARCHAR'}""".stripMargin
+    val branches = Seq("pypa", "ghsa", "debian").map { src =>
+      s"""SELECT '$src' AS datasource_id, * FROM
+         |read_json('$Fix/advisories/$src/*.json', $cols)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH raw AS (
+       |  $branches)
+       |SELECT datasource_id, advisory_id, coalesce(summary, '') AS summary,
+       |  coalesce(array_to_string(coalesce(aliases, []), ','), '') AS aliases_csv,
+       |  coalesce(array_to_string(list_transform(coalesce(affected_packages, []),
+       |    a -> 'pkg:' || lower(a.package.type) ||
+       |         CASE WHEN length(coalesce(a.package.namespace, '')) > 0
+       |              THEN '/' || a.package.namespace ELSE '' END ||
+       |         '/' || a.package.name), ';'), '') AS purls,
+       |  coalesce(array_to_string(list_transform(coalesce(affected_packages, []),
+       |    a -> coalesce(a.affected_version_range, '')), ';'), '') AS affecting,
+       |  coalesce(array_to_string(list_transform(coalesce(affected_packages, []),
+       |    a -> coalesce(a.fixed_version_range, '')), ';'), '') AS fixed,
+       |  coalesce(array_to_string(list_transform(coalesce("references", []),
+       |    r -> coalesce(r.reference_type, 'other')), ';'), '') AS ref_types,
+       |  coalesce(array_to_string(list_transform(coalesce("references", []),
+       |    r -> coalesce(r.reference_id,
+       |         regexp_extract(r.url, '[^/]+$$', 0))), ';'), '') AS ref_ids,
+       |  coalesce(array_to_string(list_transform(coalesce(severities, []),
+       |    v -> v."system" || '=' || v.value), ';'), '') AS sevs,
+       |  coalesce(array_to_string(list_transform(coalesce(weaknesses, []),
+       |    w -> CAST(w AS VARCHAR)), ','), '') AS cwes,
+       |  CAST(epoch(TRY_CAST(date_published AS TIMESTAMPTZ)) AS BIGINT)
+       |    AS published_ep,
+       |  coalesce(url, '') AS url
+       |FROM raw ORDER BY advisory_id""".stripMargin
+  }
+
+  // --- S4: raw OSV format (importers/osv.py:51-331) — ecosystem→scheme
+  // mapping, range events → vers constraints, version pins.
+
+  private def osvTreeSpark(s: SparkSession): DataFrame =
+    OsvIngest.readTree(s, s"$Fix/osv", "osv").toDF().select(
+      col("advisory_id"), col("summary"),
+      array_join(col("aliases"), ",").as("aliases_csv"),
+      joined(col("affected"), a => a.getField("purl")).as("purls"),
+      joined(col("affected"), a => a.getField("affecting_vers"))
+        .as("affecting"),
+      joined(col("affected"), a => a.getField("fixed_vers")).as("fixed"),
+      joined(col("references"), r => r.getField("reference_type"))
+        .as("ref_types"),
+      joined(col("references"), r => r.getField("reference_id"))
+        .as("ref_ids"),
+      joined(col("severities"), v => concat(v.getField("scoring_system"),
+        lit("="), v.getField("value"))).as("sevs"),
+      col("date_collected").cast("long").as("collected_ep"),
+      col("date_published").cast("long").as("published_ep"),
+      col("url"))
+      .orderBy("advisory_id")
+
+  private def osvTreeOracle: String =
+    s"""WITH raw AS (
+       |  SELECT * FROM read_json('$Fix/osv/*.json',
+       |    columns={'id':'VARCHAR','summary':'VARCHAR','details':'VARCHAR',
+       |      'aliases':'VARCHAR[]','published':'VARCHAR',
+       |      'modified':'VARCHAR',
+       |      'affected':'STRUCT(package STRUCT(ecosystem VARCHAR,
+       |         name VARCHAR, purl VARCHAR),
+       |         ranges STRUCT(type VARCHAR, events STRUCT(
+       |           introduced VARCHAR, fixed VARCHAR,
+       |           last_affected VARCHAR)[])[],
+       |         versions VARCHAR[])[]',
+       |      'severity':'STRUCT(type VARCHAR, score VARCHAR)[]',
+       |      'references':'STRUCT(type VARCHAR, url VARCHAR)[]'})),
+       |n AS (
+       |  SELECT id, summary, details, aliases, published, modified,
+       |    severity, "references",
+       |    list_transform(coalesce(affected, []), a -> struct_pack(
+       |      purl := coalesce(a.package.purl,
+       |        'pkg:' || lower(coalesce(a.package.ecosystem, 'generic')) ||
+       |        '/' || a.package.name),
+       |      scheme := CASE lower(coalesce(a.package.ecosystem, 'generic'))
+       |        WHEN 'pypi' THEN 'pypi'
+       |        WHEN 'npm' THEN 'semver' WHEN 'crates.io' THEN 'semver'
+       |        WHEN 'go' THEN 'semver' WHEN 'rubygems' THEN 'semver'
+       |        WHEN 'packagist' THEN 'semver' WHEN 'hex' THEN 'semver'
+       |        WHEN 'debian' THEN 'deb' WHEN 'ubuntu' THEN 'deb'
+       |        WHEN 'maven' THEN 'maven'
+       |        WHEN 'alpine' THEN 'alpine' WHEN 'apk' THEN 'alpine'
+       |        ELSE 'generic' END,
+       |      aff := list_filter(list_concat(
+       |        flatten(list_transform(coalesce(a.ranges, []),
+       |          rg -> list_transform(rg.events, e ->
+       |            CASE WHEN e.introduced = '0' THEN '>=0'
+       |                 WHEN e.introduced IS NOT NULL
+       |                   THEN '>=' || e.introduced
+       |                 WHEN e.fixed IS NOT NULL THEN '<' || e.fixed
+       |                 WHEN e.last_affected IS NOT NULL
+       |                   THEN '<=' || e.last_affected
+       |                 ELSE NULL END))),
+       |        list_transform(coalesce(a.versions, []), v -> '=' || v)),
+       |        c -> c IS NOT NULL),
+       |      fix := list_filter(
+       |        flatten(list_transform(coalesce(a.ranges, []),
+       |          rg -> list_transform(rg.events, e ->
+       |            CASE WHEN e.fixed IS NOT NULL THEN '=' || e.fixed
+       |                 ELSE NULL END))), c -> c IS NOT NULL)))
+       |      AS affected
+       |  FROM raw)
+       |SELECT id AS advisory_id,
+       |  coalesce(summary, details, '') AS summary,
+       |  coalesce(array_to_string(coalesce(aliases, []), ','), '') AS aliases_csv,
+       |  coalesce(array_to_string(list_transform(affected, a -> a.purl), ';'), '')
+       |    AS purls,
+       |  coalesce(array_to_string(list_transform(affected, a ->
+       |    'vers:' || a.scheme || '/' ||
+       |    CASE WHEN len(a.aff) > 0 THEN array_to_string(a.aff, '|')
+       |         ELSE '*' END), ';'), '') AS affecting,
+       |  coalesce(array_to_string(list_transform(affected, a ->
+       |    'vers:' || a.scheme || '/' ||
+       |    coalesce(array_to_string(a.fix, '|'), '')), ';'), '')
+       |    AS fixed,
+       |  coalesce(array_to_string(list_transform(coalesce("references", []), r ->
+       |    CASE r.type WHEN 'ADVISORY' THEN 'advisory'
+       |                WHEN 'EXPLOIT' THEN 'exploit'
+       |                WHEN 'REPORT' THEN 'bug'
+       |                ELSE 'other' END), ';'), '') AS ref_types,
+       |  coalesce(array_to_string(list_transform(coalesce("references", []),
+       |    r -> regexp_extract(r.url, '[^/]+$$', 0)), ';'), '') AS ref_ids,
+       |  coalesce(array_to_string(list_transform(coalesce(severity, []), v ->
+       |    (CASE v.type WHEN 'CVSS_V3' THEN 'cvssv3.1'
+       |                 WHEN 'CVSS_V2' THEN 'cvssv2'
+       |                 ELSE lower(v.type) END) || '=' || v.score), ';'), '')
+       |    AS sevs,
+       |  coalesce(CAST(epoch(TRY_CAST(modified AS TIMESTAMPTZ)) AS BIGINT),
+       |    CAST(epoch(TRY_CAST(published AS TIMESTAMPTZ)) AS BIGINT), 0)
+       |    AS collected_ep,
+       |  CAST(epoch(TRY_CAST(published AS TIMESTAMPTZ)) AS BIGINT)
+       |    AS published_ep,
+       |  'https://osv.dev/vulnerability/' || id AS url
+       |FROM n ORDER BY advisory_id""".stripMargin
+
+  // --- S2: CISA vulnrichment CVE 5.x (+ADP). SSVC severities come from a
+  // decision-tree calculator the oracle can't replay in SQL, so the
+  // projection keeps every severity EXCEPT ssvc; refs (tag-fold types +
+  // sorted CPE refs) and both CWE derivations are compared in full.
+
+  private def vulnrichmentSpark(s: SparkSession): DataFrame = {
+    // Two dirs: the golden-pipeline fixture plus this query's richer CVE
+    // (multi-metric, tag-fold, dual CWE derivation) — kept out of
+    // fixtures/vulnrichment so GoldenPipelineSpec's inputs stay frozen.
+    val raw = s.read.option("wholetext", "true")
+      .text(s"$Fix/vulnrichment", s"$Fix/cve5")
+      .select(col("value").as("json"),
+        lit("vulnrichment").as("datasource_id"))
+    VulnrichmentIngest.parse(s, raw).toDF().select(
+      col("advisory_id"), col("summary"),
+      joined(col("references"), r => concat(r.getField("reference_type"),
+        lit("@"), r.getField("reference_id"))).as("refs"),
+      joined(filter(col("severities"),
+        v => v.getField("scoring_system") =!= "ssvc"),
+        v => concat(v.getField("scoring_system"), lit("="),
+          v.getField("value"), lit("|"),
+          v.getField("scoring_elements"))).as("sevs"),
+      joined(col("weaknesses"), w => w.cast("string"), ",").as("cwes"),
+      col("date_published").cast("long").as("published_ep"),
+      col("url"))
+      .orderBy("advisory_id")
+  }
+
+  private def vulnrichmentOracle: String =
+    s"""WITH raw AS (
+       |  SELECT * FROM read_json(
+       |    ['$Fix/vulnrichment/*.json', '$Fix/cve5/*.json'],
+       |    columns={'cveMetadata':'STRUCT(cveId VARCHAR, state VARCHAR,
+       |        datePublished VARCHAR)',
+       |      'containers':'STRUCT(cna STRUCT(
+       |        descriptions STRUCT(lang VARCHAR, "value" VARCHAR)[],
+       |        metrics STRUCT(
+       |          cvssV4_0 STRUCT(vectorString VARCHAR, baseScore DOUBLE),
+       |          cvssV3_1 STRUCT(vectorString VARCHAR, baseScore DOUBLE),
+       |          cvssV3_0 STRUCT(vectorString VARCHAR, baseScore DOUBLE),
+       |          cvssV2_0 STRUCT(vectorString VARCHAR, baseScore DOUBLE))[],
+       |        affected STRUCT(cpes VARCHAR[])[],
+       |        "references" STRUCT(url VARCHAR, tags VARCHAR[])[],
+       |        problemTypes STRUCT(descriptions STRUCT(cweId VARCHAR,
+       |          description VARCHAR)[])[]),
+       |        adp STRUCT(metrics STRUCT(
+       |          cvssV4_0 STRUCT(vectorString VARCHAR, baseScore DOUBLE),
+       |          cvssV3_1 STRUCT(vectorString VARCHAR, baseScore DOUBLE),
+       |          cvssV3_0 STRUCT(vectorString VARCHAR, baseScore DOUBLE),
+       |          cvssV2_0 STRUCT(vectorString VARCHAR, baseScore DOUBLE)
+       |        )[])[])'})),
+       |n AS (
+       |  SELECT cveMetadata.cveId AS advisory_id,
+       |    cveMetadata.datePublished AS pub,
+       |    list_concat(coalesce(containers.cna.metrics, []),
+       |      flatten(list_transform(coalesce(containers.adp, []),
+       |        a -> coalesce(a.metrics, [])))) AS all_metrics,
+       |    coalesce(containers.cna."references", []) AS refs,
+       |    coalesce(containers.cna.affected, []) AS aff,
+       |    coalesce(containers.cna.problemTypes, []) AS pts,
+       |    coalesce(containers.cna.descriptions, []) AS descs
+       |  FROM raw WHERE cveMetadata.cveId IS NOT NULL)
+       |SELECT advisory_id,
+       |  coalesce(list_filter(descs,
+       |    d -> d.lang IN ('en', 'en-US'))[-1]."value", '') AS summary,
+       |  coalesce(array_to_string(list_concat(
+       |    list_transform(refs, r ->
+       |      (coalesce(list_filter(list_transform(
+       |         coalesce(r.tags, []), t ->
+       |           CASE t WHEN 'exploit' THEN 'exploit'
+       |                  WHEN 'issue-tracking' THEN 'bug'
+       |                  WHEN 'mailing-list' THEN 'mailing_list'
+       |                  WHEN 'third-party-advisory' THEN 'advisory'
+       |                  WHEN 'vendor-advisory' THEN 'advisory'
+       |                  WHEN 'vdb-entry' THEN 'advisory'
+       |                  ELSE NULL END),
+       |         x -> x IS NOT NULL)[-1], 'other')) ||
+       |      '@' || regexp_extract(r.url, '[^/]+$$', 0)),
+       |    list_transform(list_sort(list_distinct(flatten(
+       |      list_transform(aff, a -> coalesce(a.cpes, []))))),
+       |      cpe -> 'other@' || cpe)), ';'), '') AS refs,
+       |  coalesce(array_to_string(flatten(list_transform(all_metrics, m ->
+       |    list_filter([
+       |      CASE WHEN m.cvssV4_0.vectorString IS NOT NULL
+       |        THEN 'cvssv4=' || CAST(m.cvssV4_0.baseScore AS VARCHAR) ||
+       |             '|' || m.cvssV4_0.vectorString END,
+       |      CASE WHEN m.cvssV3_1.vectorString IS NOT NULL
+       |        THEN 'cvssv3.1=' || CAST(m.cvssV3_1.baseScore AS VARCHAR) ||
+       |             '|' || m.cvssV3_1.vectorString END,
+       |      CASE WHEN m.cvssV3_0.vectorString IS NOT NULL
+       |        THEN 'cvssv3=' || CAST(m.cvssV3_0.baseScore AS VARCHAR) ||
+       |             '|' || m.cvssV3_0.vectorString END,
+       |      CASE WHEN m.cvssV2_0.vectorString IS NOT NULL
+       |        THEN 'cvssv2=' || CAST(m.cvssV2_0.baseScore AS VARCHAR) ||
+       |             '|' || m.cvssV2_0.vectorString END],
+       |      x -> x IS NOT NULL))), ';'), '') AS sevs,
+       |  coalesce(array_to_string(list_transform(list_sort(list_distinct(
+       |    list_filter(flatten(list_transform(pts, pt ->
+       |      flatten(list_transform(coalesce(pt.descriptions, []), d ->
+       |        [CASE WHEN regexp_extract(d.cweId, 'CWE-(\\d+)', 1) <> ''
+       |           THEN CAST(regexp_extract(d.cweId, 'CWE-(\\d+)', 1)
+       |                AS INTEGER) END,
+       |         CASE WHEN regexp_extract(d.description,
+       |                'CWE-(\\d+)', 1) <> ''
+       |           THEN CAST(regexp_extract(d.description, 'CWE-(\\d+)', 1)
+       |                AS INTEGER) END])))),
+       |      w -> w IS NOT NULL))),
+       |    w -> CAST(w AS VARCHAR)), ','), '') AS cwes,
+       |  CAST(epoch(TRY_CAST(pub AS TIMESTAMPTZ)) AS BIGINT)
+       |    AS published_ep,
+       |  'https://github.com/cisagov/vulnrichment/' || advisory_id AS url
+       |FROM n ORDER BY advisory_id""".stripMargin
+
+  // --- S2: EPSS daily CSV — preamble score_date + distributed CSV scan.
+
+  private def epssSpark(s: SparkSession): DataFrame =
+    EpssIngest.fromCsv(s, s"$Fix/epss/epss_scores_sample.csv")
+      .select(col("cve"), col("score"), col("percentile"),
+        col("published_at").cast("long").as("published_ep"))
+      .orderBy("cve")
+
+  private def epssOracle: String =
+    s"""WITH lines AS (
+       |  SELECT * FROM read_csv('$Fix/epss/epss_scores_sample.csv',
+       |    columns={'line':'VARCHAR'}, delim='\\t', header=false)),
+       |sd AS (
+       |  SELECT regexp_extract(line, 'score_date:([^,]*)', 1) AS score_date
+       |  FROM lines WHERE line LIKE '#%' LIMIT 1),
+       |r AS (
+       |  SELECT * FROM read_csv('$Fix/epss/epss_scores_sample.csv',
+       |    skip=1, header=true,
+       |    columns={'cve':'VARCHAR','epss':'VARCHAR',
+       |             'percentile':'VARCHAR'}))
+       |SELECT cve, CAST(epss AS DOUBLE) AS score,
+       |  CAST(percentile AS DOUBLE) AS percentile,
+       |  CAST(epoch(TRY_CAST((SELECT score_date FROM sd) AS TIMESTAMPTZ))
+       |    AS BIGINT) AS published_ep
+       |FROM r
+       |WHERE cve IS NOT NULL AND epss IS NOT NULL
+       |  AND percentile IS NOT NULL
+       |ORDER BY cve""".stripMargin
+
+  override val entries: Seq[QueryEntry] = Seq(
+    q("i1_advisory_tree", advisoryTreeOracle) { (s, _) =>
+      advisoryTreeSpark(s)
+    },
+    q("i2_osv_tree", osvTreeOracle) { (s, _) => osvTreeSpark(s) },
+    q("i3_vulnrichment", vulnrichmentOracle) { (s, _) =>
+      vulnrichmentSpark(s)
+    },
+    q("i4_epss_csv", epssOracle) { (s, _) => epssSpark(s) },
+  )
+}
