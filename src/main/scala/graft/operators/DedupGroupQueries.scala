@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.{QueryEntry, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -231,6 +231,114 @@ object DedupGroupQueries extends QueryModule {
           struct(col("p_retailprice"), (-col("p_partkey")).as("tb")))
           .as("primary_part"))
         .orderBy("p_type")
+    },
+
+    // D14 — CVE→CVSS3.1 mapping pipeline (add_cvss31_to_CVEs.py:25-102):
+    // cvssv3-carrying advisories whose severity URL names a CVE receive
+    // the NVD donor's cvssv3.1 value through an alias join. Synthetic
+    // advisories from `orders`: every 3rd is the NVD donor, every
+    // non-donor 4th carries a cvssv3 severity with an NVD detail URL.
+    // CVE numbers are lpad-4 so the reference's CVE-\d{4}-\d{4,7}
+    // extraction regex matches every row.
+    q("d14_cvss31_map",
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |         'CVE-2020-' || lpad(CAST(o_custkey AS VARCHAR), 4, '0')
+        |           AS cve
+        |  FROM orders),
+        |car AS (SELECT DISTINCT 'adv/' || CAST(k AS VARCHAR) AS avid,
+        |               cve AS cve_id
+        |        FROM o WHERE k % 3 <> 0 AND k % 4 = 0),
+        |don AS (SELECT cve AS alias,
+        |               CAST(k % 10 AS VARCHAR) AS value,
+        |               'CVSS:3.1/E' || CAST(k % 5 AS VARCHAR)
+        |                 AS scoring_elements
+        |        FROM o WHERE k % 3 = 0)
+        |SELECT DISTINCT car.avid, car.cve_id,
+        |       'cvssv3.1' AS scoring_system,
+        |       'https://nvd.nist.gov/vuln/detail/' || car.cve_id AS url,
+        |       don.value, don.scoring_elements
+        |FROM car JOIN don ON car.cve_id = don.alias
+        |ORDER BY avid, value, scoring_elements""") { (s, dir) =>
+      val cve = concat(lit("CVE-2020-"),
+        lpad(col("o_custkey").cast("string"), 4, "0"))
+      val donor = pmod(col("o_orderkey"), lit(3)) === 0
+      val carrier = !donor && pmod(col("o_orderkey"), lit(4)) === 0
+      val sev = (sys: String, value: Column, elems: Column, url: Column) =>
+        struct(lit(sys).as("scoring_system"), value.as("value"),
+          elems.as("scoring_elements"), url.as("url"))
+      val adv = t(s, dir, "orders").select(
+        concat(lit("adv/"), col("o_orderkey")).as("avid"),
+        when(donor, "nvd").otherwise("osv").as("datasource_id"),
+        lit(true).as("is_latest"),
+        array(cve).as("aliases"),
+        when(donor, array(sev("cvssv3.1",
+          pmod(col("o_orderkey"), lit(10)).cast("string"),
+          concat(lit("CVSS:3.1/E"), pmod(col("o_orderkey"), lit(5))),
+          lit(""))))
+          .when(carrier, array(sev("cvssv3", lit("5.0"), lit(""),
+            concat(lit("https://nvd.nist.gov/vuln/detail/"), cve))))
+          .otherwise(array().cast(
+            "array<struct<scoring_system:string,value:string," +
+              "scoring_elements:string,url:string>>")).as("severities"))
+      graft.derive.AdvisoryDerive.cveCvss31Severities(adv)
+        .orderBy("avid", "value", "scoring_elements")
+    },
+
+    // D15 — reference-archival state machine (archive_urls.py:28-60):
+    // fold one fetch round into the references table. Pending rows (null
+    // archive state, http url) that were attempted get the archive URL
+    // or the NO_ARCHIVE sentinel; non-http, already-archived, and
+    // already-sentineled rows keep their state.
+    q("d15_archive_fold",
+      """WITH refs AS (
+        |  SELECT p_partkey AS ref_id,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL
+        |         WHEN p_partkey % 5 = 1
+        |           THEN 'ftp://files.example/' || CAST(p_partkey AS VARCHAR)
+        |         ELSE 'https://ref.example/' ||
+        |              CAST(p_partkey % 200 AS VARCHAR) END AS url,
+        |    CASE WHEN p_partkey % 7 = 0 THEN 'NO_ARCHIVE'
+        |         WHEN p_partkey % 7 = 1 THEN 'https://web.archive.org/old/'
+        |              || CAST(p_partkey AS VARCHAR)
+        |         ELSE NULL END AS archive_url
+        |  FROM part),
+        |f AS (
+        |  SELECT DISTINCT
+        |    'https://ref.example/' || CAST(p_partkey % 200 AS VARCHAR)
+        |      AS url,
+        |    CASE WHEN (p_partkey % 200) % 3 = 0 THEN NULL
+        |         ELSE 'https://web.archive.org/web/' ||
+        |              CAST(p_partkey % 200 AS VARCHAR) END AS af
+        |  FROM part WHERE p_partkey % 200 < 120)
+        |SELECT r.ref_id, r.url,
+        |  CASE WHEN r.archive_url IS NULL AND r.url IS NOT NULL
+        |            AND r.url LIKE 'http%' AND f.url IS NOT NULL
+        |       THEN coalesce(f.af, 'NO_ARCHIVE')
+        |       ELSE r.archive_url END AS archive_url
+        |FROM refs r LEFT JOIN f ON r.url = f.url
+        |ORDER BY ref_id""") { (s, dir) =>
+      val refs = t(s, dir, "part").select(
+        col("p_partkey").as("ref_id"),
+        when(pmod(col("p_partkey"), lit(5)) === 0, lit(null))
+          .when(pmod(col("p_partkey"), lit(5)) === 1,
+            concat(lit("ftp://files.example/"), col("p_partkey")))
+          .otherwise(concat(lit("https://ref.example/"),
+            pmod(col("p_partkey"), lit(200)))).as("url"),
+        when(pmod(col("p_partkey"), lit(7)) === 0,
+          lit(graft.derive.ReferenceArchive.NoArchive))
+          .when(pmod(col("p_partkey"), lit(7)) === 1,
+            concat(lit("https://web.archive.org/old/"), col("p_partkey")))
+          .otherwise(lit(null)).as("archive_url"))
+      val fetched = t(s, dir, "part")
+        .select(pmod(col("p_partkey"), lit(200)).as("n")).distinct()
+        .filter(col("n") < 120)
+        .select(concat(lit("https://ref.example/"), col("n")).as("url"),
+          when(pmod(col("n"), lit(3)) === 0, lit(null))
+            .otherwise(concat(lit("https://web.archive.org/web/"),
+              col("n"))).as("archive_url"))
+      graft.derive.ReferenceArchive.applyArchiveResults(refs, fetched)
+        .orderBy("ref_id")
     },
   )
 }
