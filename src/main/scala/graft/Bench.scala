@@ -44,7 +44,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Cold per query: drop catalog-cached plans AND leftover persisted
+      // RDDs — localCheckpoint blocks (CC rounds, pair caches) are NOT in
+      // the catalog cache and otherwise sit in storage memory until a JVM
+      // GC lets ContextCleaner reclaim them, skewing later queries.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -16,7 +16,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      spark.catalog.clearCache() // bound memory across 131 sequential dumps
+      // Bound memory across the sequential dumps: catalog caches AND
+      // leftover localCheckpoint blocks (not covered by clearCache).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
