@@ -243,8 +243,9 @@ object DedupGroupQueries extends QueryModule {
     q("d14_cvss31_map",
       """WITH o AS (
         |  SELECT o_orderkey AS k,
-        |         'CVE-2020-' || lpad(CAST(o_custkey AS VARCHAR), 4, '0')
-        |           AS cve
+        |         'CVE-2020-' || lpad(CAST((CAST(o_custkey AS BIGINT)
+        |                                   * 1000003) % 9999991
+        |                                  AS VARCHAR), 4, '0') AS cve
         |  FROM orders),
         |car AS (SELECT DISTINCT 'adv/' || CAST(k AS VARCHAR) AS avid,
         |               cve AS cve_id
@@ -260,8 +261,16 @@ object DedupGroupQueries extends QueryModule {
         |       don.value, don.scoring_elements
         |FROM car JOIN don ON car.cve_id = don.alias
         |ORDER BY avid, value, scoring_elements""") { (s, dir) =>
+      // CVE number = a 7-digit-bounded residue of custkey: the reference
+      // extraction regex is CVE-\d{4}-\d{4,7}, and an 8+-digit number
+      // TRUNCATES to 7 digits — at the 10x scale rehearsal the strided
+      // custkeys overflowed that and the truncated collisions blew the
+      // alias join up quadratically. The prime-multiplicative residue
+      // keeps spread (collisions ~birthday at 1e7) and is computed
+      // identically by both engines.
       val cve = concat(lit("CVE-2020-"),
-        lpad(col("o_custkey").cast("string"), 4, "0"))
+        lpad(pmod(col("o_custkey") * lit(1000003L), lit(9999991L))
+          .cast("string"), 4, "0"))
       val donor = pmod(col("o_orderkey"), lit(3)) === 0
       val carrier = !donor && pmod(col("o_orderkey"), lit(4)) === 0
       val sev = (sys: String, value: Column, elems: Column, url: Column) =>
