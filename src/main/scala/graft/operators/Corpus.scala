@@ -251,4 +251,34 @@ object Corpus {
       .select(col("component"), col("node").as("canonical_doc"),
         col("cluster_size"))
   }
+
+  /** PII patterns for [[redactPii]]. Deliberately restricted to syntax
+    * that Java regex (Spark) and RE2 (DuckDB/Go scanners) interpret
+    * identically — character classes, bounded repetition, ASCII \b —
+    * so the scrub is engine-portable and oracle-checkable. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII redaction — the standard pre-training privacy scrub: replace
+    * email / IPv4 / phone-shaped spans with typed placeholder tags and
+    * report per-doc match counts (counted on the ORIGINAL text, so the
+    * counts survive even when spans overlap a later pattern). Map-only:
+    * one narrow projection per row, no shuffle, whole-stage codegen —
+    * at 100 TB this runs at scan speed alongside the other per-doc
+    * analyses. Emails are scrubbed first so an address can never leak a
+    * dotted-quad into the IP pass. Returns
+    * (idCol, n_emails, n_ips, n_phones, redacted). */
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+  }
 }

@@ -366,5 +366,57 @@ object CorpusQueries extends QueryModule {
           col("cos_sim"))
         .orderBy("vec_a", "vec_b")
     },
+
+    // PII redaction over a synthetic contact-text corpus from `customer`:
+    // email / IPv4 / phone spans → typed tags + per-doc counts, through
+    // the map-only library scrub (patterns restricted to Java-regex ∩ RE2
+    // so both engines agree byte for byte). Rows vary which PII kinds
+    // they carry (mod 3/4/5) so zero-count paths are exercised too.
+    q("x_redact_pii",
+      s"""WITH src AS (
+         |  SELECT c_custkey AS doc_id,
+         |    'reach ' ||
+         |    CASE WHEN c_custkey % 3 = 0 THEN 'the list'
+         |         ELSE regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g')
+         |              || '@corp.example' END ||
+         |    CASE WHEN c_custkey % 4 = 0 THEN ''
+         |         ELSE ' at 10.' || CAST(c_custkey % 200 AS VARCHAR) || '.'
+         |              || CAST(c_custkey % 250 AS VARCHAR) || '.'
+         |              || CAST(c_custkey % 240 AS VARCHAR) END ||
+         |    CASE WHEN c_custkey % 5 = 0 THEN ''
+         |         ELSE ' phone 555-' ||
+         |              lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') END
+         |    || ' segment ' || lower(c_mktsegment) AS text
+         |  FROM customer)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.EmailRe}'))
+         |       AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.Ipv4Re}'))
+         |       AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.PhoneRe}'))
+         |       AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Corpus.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Corpus.Ipv4Re}', '<IP>', 'g'),
+         |    '${Corpus.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM src ORDER BY doc_id""") { (s, dir) =>
+      val c = col("c_custkey")
+      val src = Tables(s, dir, "customer").select(
+        c.as("doc_id"),
+        concat(
+          lit("reach "),
+          when(pmod(c, lit(3)) === 0, lit("the list"))
+            .otherwise(concat(
+              regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "."),
+              lit("@corp.example"))),
+          when(pmod(c, lit(4)) === 0, lit(""))
+            .otherwise(concat(lit(" at 10."), pmod(c, lit(200)), lit("."),
+              pmod(c, lit(250)), lit("."), pmod(c, lit(240)))),
+          when(pmod(c, lit(5)) === 0, lit(""))
+            .otherwise(concat(lit(" phone 555-"),
+              lpad(pmod(c, lit(10000)).cast("string"), 4, "0"))),
+          lit(" segment "), lower(col("c_mktsegment"))).as("text"))
+      Corpus.redactPii(src, "text", "doc_id").orderBy("doc_id")
+    },
   )
 }

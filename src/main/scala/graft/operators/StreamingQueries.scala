@@ -129,5 +129,39 @@ object StreamingQueries extends QueryModule {
         .select("event_id", "event_type")
         .orderBy("event_id")
     },
+
+    // T6 — pipeline step DAG + run log (BasePipelineRun.execute,
+    // pipelines/__init__.py:91-131): ordered steps, stop at the first
+    // failure, every attempted step logged. The run log's deterministic
+    // columns (sequence, step, exitcode, error; timings excluded) are
+    // oracled golden-style: the VALUES literal IS the reference
+    // semantics for this fixed 4-step DAG — step 4 must never appear.
+    q("t6_pipeline_runlog",
+      """SELECT * FROM (VALUES
+        |  ('graft-demo', 'r1', 0, 'scan-advisories', 0, ''),
+        |  ('graft-demo', 'r1', 1, 'derive-marts', 0, ''),
+        |  ('graft-demo', 'r1', 2, 'export', 1, 'export sink unavailable'))
+        |  AS t(pipeline_id, run_id, seq, step, exitcode, error)
+        |ORDER BY seq""") { (s, dir) =>
+      import s.implicits._
+      import graft.derive.Pipeline
+      val steps = Seq(
+        Pipeline.Step("scan-advisories")(() => {
+          t(s, dir, "region").count(); ()
+        }),
+        Pipeline.Step("derive-marts")(() => {
+          t(s, dir, "nation").count(); ()
+        }),
+        Pipeline.Step("export")(() =>
+          throw new RuntimeException("export sink unavailable")),
+        Pipeline.Step("notify")(() => ()))
+      Pipeline.execute("graft-demo", steps, runId = "r1")
+        .zipWithIndex
+        .map { case (r, i) =>
+          (r.pipeline_id, r.run_id, i, r.step, r.exitcode, r.error)
+        }
+        .toDF("pipeline_id", "run_id", "seq", "step", "exitcode", "error")
+        .orderBy("seq")
+    },
   )
 }

@@ -198,4 +198,24 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(perStratum.keySet == Set("src0", "src1", "src2"))
     assert(perStratum.values.forall(_ == 20))
   }
+
+  test("redactPii scrubs emails, IPv4s and phones with counts intact") {
+    val rows = docsDF(Seq(
+      doc(1, "mail alice.smith@corp.example and bob_2@mail.example now"),
+      doc(2, "host 10.1.255.7 backup 192.168.0.1 phone 555-0099"),
+      doc(3, "nothing sensitive here at all"),
+      doc(4, "edge user@sub.domain.example near 1.2.3.4 call 555-1234")))
+    val got = Corpus.redactPii(rows, "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 0L, 0L,
+      "mail <EMAIL> and <EMAIL> now")))
+    assert(got(1) == ((2L, 0L, 2L, 1L,
+      "host <IP> backup <IP> phone <PHONE>")))
+    assert(got(2) == ((3L, 0L, 0L, 0L, "nothing sensitive here at all")))
+    assert(got(3) == ((4L, 1L, 1L, 1L,
+      "edge <EMAIL> near <IP> call <PHONE>")))
+  }
 }
