@@ -15,7 +15,10 @@ object ExplainAudit {
         "a1_count_distinct", "w1_version_rank", "x_ngram_jaccard",
         "x_ngram_jaccard_capped", "x_minhash_lsh_capped", "x_ann_topk",
         "x_ann_ivf", "v2_unfurl", "s10_mitigations", "d1_content_dedup",
-        "x_vocab_topk", "x_tfidf_score", "x_chunk_dedup", "x_embed_lsh")
+        "x_vocab_topk", "x_tfidf_score", "x_chunk_dedup", "x_embed_lsh",
+        "d14_cvss31_map", "d15_archive_fold", "s17_search_advisories",
+        "s18_search_packages", "i1_advisory_tree", "i2_osv_tree",
+        "x_redact_pii")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)
