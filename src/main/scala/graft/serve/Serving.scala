@@ -100,25 +100,37 @@ object Serving {
   /** Search cascade (models.py:150-178 VulnerabilityQuerySet.search),
     * tier for tier: exact id → exact alias → id-or-alias icontains →
     * reference-id-or-summary icontains; the first non-empty tier wins,
-    * ordered by id. The driver-side isEmpty probes mirror the
-    * reference's exists() short-circuits (SURVEY §4 row 1). */
+    * ordered by id.
+    *
+    * One-pass formulation instead of the reference's per-tier exists()
+    * short-circuits: each row is tagged with the BEST tier it matches
+    * (a single when-chain, all four predicates evaluated in one codegen
+    * stage), the winning tier is the global min of that tag, and the
+    * result is the tag-filtered rows. Always exactly two scans and one
+    * driver round-trip (the scalar min) — the probe-per-tier version
+    * costs up to four scans and three driver round-trips when the query
+    * only matches late tiers, which is the worst case that matters at
+    * scale. Semantics are identical; s17/s17b oracle the cascade
+    * including the tier-4 fallback. */
   def searchAdvisories(advisories: DataFrame, query: String): DataFrame = {
     val q = Option(query).map(_.trim).getOrElse("")
     val latest = advisories.filter(col("is_latest"))
     if (q.isEmpty) return latest.limit(0)
     val lowered = q.toLowerCase
-    val tiers = Seq[DataFrame](
-      latest.filter(col("advisory_id") === q),
-      latest.filter(array_contains(col("aliases"), q)),
-      latest.filter(lower(col("advisory_id")).contains(lowered) ||
-        exists(col("aliases"), a => lower(a).contains(lowered))),
-      latest.filter(lower(col("summary")).contains(lowered) ||
-        exists(col("references"),
-          r => lower(r.getField("reference_id")).contains(lowered))))
-    tiers.take(3).foreach { t =>
-      if (!t.isEmpty) return t.orderBy("advisory_id")
-    }
-    tiers.last.orderBy("advisory_id")
+    val tier =
+      when(col("advisory_id") === q, 1)
+        .when(array_contains(col("aliases"), q), 2)
+        .when(lower(col("advisory_id")).contains(lowered) ||
+          exists(col("aliases"), a => lower(a).contains(lowered)), 3)
+        .when(lower(col("summary")).contains(lowered) ||
+          exists(col("references"),
+            r => lower(r.getField("reference_id")).contains(lowered)), 4)
+    val tagged = latest.withColumn("_tier", tier)
+      .filter(col("_tier").isNotNull)
+    val best = tagged.agg(min("_tier")).collect().head
+    if (best.isNullAt(0)) latest.limit(0)
+    else tagged.filter(col("_tier") === best.getInt(0)).drop("_tier")
+      .orderBy("advisory_id")
   }
 
   /** with_package_counts (models.py:179-183): per advisory, the distinct
