@@ -121,6 +121,7 @@ object Engine {
       sample: DataFrame,
       tfidf: DataFrame,
       chunkDup: DataFrame,
+      redacted: DataFrame,
       packed: DataFrame,
       splits: DataFrame,
       contamination: Option[DataFrame],
@@ -150,6 +151,7 @@ object Engine {
         samplePerStratum),
       tfidf = Corpus.tfIdfScores(documents, textCol, idCol),
       chunkDup = Corpus.chunkDupStats(documents, textCol, idCol),
+      redacted = Corpus.redactPii(documents, textCol, idCol),
       packed = Corpus.packSequences(documents, textCol, idCol, strataCol),
       splits = Corpus.splitAssign(documents, idCol),
       contamination = benchmark.map(b =>
@@ -163,6 +165,7 @@ object Engine {
       "corpus_sample" -> marts.sample,
       "corpus_tfidf" -> marts.tfidf,
       "corpus_chunk_dup" -> marts.chunkDup,
+      "corpus_redacted" -> marts.redacted,
       "corpus_packed" -> marts.packed,
       "corpus_splits" -> marts.splits) ++
       marts.contamination.map("corpus_contamination" -> _) ++

@@ -106,5 +106,13 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
     assert(chunkDup.length == 4)
     assert(chunkDup.filter(_._3).map(_._1).toSet == Set(1L, 2L, 3L))
     assert(chunkDup.find(_._1 == 4L).exists(_._2 == 0.0))
+    // PII mart is registered; the clean fixture passes through unscathed
+    val redacted = sp.sql(
+      "SELECT doc_id, n_emails, redacted FROM graft_corpus_redacted")
+      .collect()
+    assert(redacted.length == 4)
+    assert(redacted.forall(_.getLong(1) == 0L))
+    assert(redacted.find(_.getLong(0) == 1L)
+      .exists(_.getString(2) == base))
   }
 }
