@@ -213,6 +213,51 @@ object Corpus {
         .otherwise("test"))
   }
 
+  /** Source-mixture sampling — the training-mixture weighting step:
+    * keep each row with its source's probability, decided by a
+    * deterministic 16-bit md5 bucket (digest chars 5–8, a DIFFERENT
+    * field than [[splitAssign]]'s chars 1–4, so mixture membership and
+    * split assignment stay independent). Reproducible across engines,
+    * runs and cluster sizes, unlike rand()-based sampling. The weight
+    * table is a bounded dimension folded into a literal when-chain —
+    * map-only, no join, no shuffle; at 100 TB this is a scan-speed
+    * filter that also prunes downstream work proportionally. */
+  def sourceMix(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 5, 4), 16, 10)
+      .cast("long")
+    val bound = weights.foldLeft(
+      lit(math.round(defaultWeight * 65536)): Column) {
+      case (acc, (s, w)) =>
+        when(col(sourceCol) === s, lit(math.round(w * 65536))).otherwise(acc)
+    }
+    df.filter(h < bound)
+  }
+
+  /** Token-budget selection per group — curation-to-budget: take each
+    * group's docs in quality-descending order until the group's token
+    * budget is exhausted; a doc is kept when its running sum STARTS
+    * inside the budget, so the first doc of a group always survives and
+    * the budget overshoots by at most one doc (the reference shape for
+    * "fill each source's quota with its best documents"). One window
+    * partitioned by the group key — groups (sources/shards) are numerous
+    * and bounded, so no single partition serializes the corpus; for a
+    * monolithic corpus, shard the group key first like
+    * [[packSequences]]. Returns (idCol, groupCol, n_toks, cum_toks). */
+  def selectToBudget(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, qualityCol: String,
+      tokenBudget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(groupCol), col(qualityCol),
+        size(tokens(col(textCol))).cast("long").as("n_toks"))
+      .withColumn("cum_toks", sum("n_toks").over(w))
+      .filter(col("cum_toks") - col("n_toks") < tokenBudget)
+      .select(col(idCol), col(groupCol), col("n_toks"), col("cum_toks"))
+  }
+
   /** End-to-end near-dup removal: capped n-gram Jaccard pairs →
     * connected components → canonical doc per cluster ("keep the richest
     * copy": max `qualityCol`, ties to the smallest id). Returns

@@ -418,5 +418,46 @@ object CorpusQueries extends QueryModule {
           lit(" segment "), lower(col("c_mktsegment"))).as("text"))
       Corpus.redactPii(src, "text", "doc_id").orderBy("doc_id")
     },
+
+    // Source-mixture sampling (training-mixture weights): src0 kept at
+    // 20%, src1 at 60%, everything else in full — decided by a
+    // deterministic md5 bucket (digest chars 5-8; chars 1-4 belong to
+    // x_split_assign so mixing and splitting stay independent).
+    q("x_source_mix",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)
+        |              AS BIGINT) AS h
+        |  FROM documents)
+        |WHERE h < CASE source WHEN 'src0' THEN 13107
+        |                      WHEN 'src1' THEN 39322
+        |                      ELSE 65536 END
+        |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.sourceMix(docs(s, dir), "source", "doc_id",
+          Seq("src0" -> 0.2, "src1" -> 0.6))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // Token-budget curation: fill each source's 600-token quota with
+    // its best (longest) documents; the running sum starts inside the
+    // budget so each group overshoots by at most one doc.
+    q("x_budget_select",
+      """SELECT doc_id, source, n_toks, cum_toks FROM (
+        |  SELECT doc_id, source, n_toks,
+        |         sum(n_toks) OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_toks
+        |  FROM (SELECT doc_id, source, n_chars,
+        |               CAST(len(list_filter(
+        |                 regexp_split_to_array(trim(text), '\s+'),
+        |                 x -> x <> '')) AS BIGINT) AS n_toks
+        |        FROM documents))
+        |WHERE cum_toks - n_toks < 600
+        |ORDER BY source, doc_id""") { (s, dir) =>
+      Corpus.selectToBudget(docs(s, dir), "text", "doc_id",
+          "source", "n_chars", 600L)
+        .orderBy("source", "doc_id")
+    },
   )
 }

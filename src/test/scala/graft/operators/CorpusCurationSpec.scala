@@ -199,6 +199,38 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(perStratum.values.forall(_ == 20))
   }
 
+  test("sourceMix keeps sources by weight, deterministically") {
+    val rows = docsDF((1L to 40L).map(i =>
+      doc(i, "some text", if (i <= 20) "srcA" else "srcB")))
+    val mixed = Corpus.sourceMix(rows, "source", "doc_id",
+        Seq("srcA" -> 0.0, "srcB" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    // weight 0 eliminates, weight 1 keeps everything (16-bit field < 65536)
+    assert(mixed.forall(_._2 == "srcB"))
+    assert(mixed.length == 20)
+    val again = Corpus.sourceMix(rows, "source", "doc_id",
+        Seq("srcA" -> 0.0, "srcB" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(mixed.toSeq == again.toSeq)
+  }
+
+  test("selectToBudget fills each group's quota with its best docs") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, words(10), "en", "g1", 50L), // best quality, starts at 0
+      (2L, words(8), "en", "g1", 40L),  // starts at 10 < 15 -> kept
+      (3L, words(2), "en", "g1", 30L),  // starts at 18 >= 15 -> dropped
+      (4L, words(30), "en", "g2", 99L)) // alone over budget: still kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Corpus.selectToBudget(rows, "text", "doc_id",
+        "source", "n_chars", 15L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10L, 10L), (2L, 8L, 18L), (4L, 30L, 30L)))
+  }
+
   test("redactPii scrubs emails, IPv4s and phones with counts intact") {
     val rows = docsDF(Seq(
       doc(1, "mail alice.smith@corp.example and bob_2@mail.example now"),
