@@ -125,7 +125,8 @@ object Engine {
       packed: DataFrame,
       splits: DataFrame,
       contamination: Option[DataFrame],
-      embedNearDupPairs: Option[DataFrame])
+      embedNearDupPairs: Option[DataFrame],
+      ledger: DataFrame)
 
   /** Full corpus curation: documents (+ optional benchmark suite and
     * embeddings) → quality flags, near-dup pairs and clusters, a
@@ -141,23 +142,62 @@ object Engine {
       textCol: String = "text", idCol: String = "doc_id",
       qualityCol: String = "n_chars", strataCol: String = "source",
       samplePerStratum: Int = 1000): CorpusMarts = {
+    import org.apache.spark.sql.functions._
     import graft.operators.{Corpus, Similarity, TextDedup}
+    val quality = Corpus.qualityFlags(documents, textCol)
+    val nearDupPairs = TextDedup.minHashLshPairs(documents, textCol, idCol)
+    val dedupClusters =
+      Corpus.dedupClusters(documents, textCol, idCol, qualityCol)
+    val redacted = Corpus.redactPii(documents, textCol, idCol)
+    val splits = Corpus.splitAssign(documents, idCol)
+    val contamination = benchmark.map(b =>
+      Corpus.contamination(documents, b, textCol, idCol))
+    // Per-doc curation ledger — the one-table artifact a practitioner
+    // exports after a run: every keep/drop signal joined per document.
+    // `near_dup_paired` marks docs appearing in any candidate pair
+    // (pairs and CC components cover the same node set, so paired ∧
+    // ¬canonical == dropped-by-dedup); all joins are on the doc id, and
+    // the pair/cluster/contamination sides are far smaller than the
+    // corpus, so at scale these are broadcast or bounded shuffles.
+    val paired = nearDupPairs.select(col("id_a").as(idCol))
+      .union(nearDupPairs.select(col("id_b").as(idCol)))
+      .distinct().withColumn("_paired", lit(true))
+    val canon = dedupClusters
+      .select(col("canonical_doc").as(idCol), col("cluster_size"))
+    val contamCols = contamination
+      .map(_.select(col(idCol), col("contaminated")))
+      .getOrElse(quality.select(col(idCol))
+        .withColumn("contaminated", lit(false)).limit(0))
+    val ledger = quality.select(col(idCol), col("passes"))
+      .join(splits.select(col(idCol), col("split")), Seq(idCol), "left")
+      .join(redacted.select(col(idCol),
+        (col("n_emails") + col("n_ips") + col("n_phones")).as("pii_spans")),
+        Seq(idCol), "left")
+      .join(paired, Seq(idCol), "left")
+      .join(canon, Seq(idCol), "left")
+      .join(contamCols, Seq(idCol), "left")
+      .select(col(idCol), col("passes"), col("split"), col("pii_spans"),
+        coalesce(col("_paired"), lit(false)).as("near_dup_paired"),
+        col("cluster_size").isNotNull.as("is_canonical"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .withColumn("keep",
+        col("passes") && !col("contaminated") &&
+          (!col("near_dup_paired") || col("is_canonical")))
     val marts = CorpusMarts(
-      quality = Corpus.qualityFlags(documents, textCol),
-      nearDupPairs = TextDedup.minHashLshPairs(documents, textCol, idCol),
-      dedupClusters =
-        Corpus.dedupClusters(documents, textCol, idCol, qualityCol),
+      quality = quality,
+      nearDupPairs = nearDupPairs,
+      dedupClusters = dedupClusters,
       sample = Corpus.stratifiedSample(documents, strataCol, idCol,
         samplePerStratum),
       tfidf = Corpus.tfIdfScores(documents, textCol, idCol),
       chunkDup = Corpus.chunkDupStats(documents, textCol, idCol),
-      redacted = Corpus.redactPii(documents, textCol, idCol),
+      redacted = redacted,
       packed = Corpus.packSequences(documents, textCol, idCol, strataCol),
-      splits = Corpus.splitAssign(documents, idCol),
-      contamination = benchmark.map(b =>
-        Corpus.contamination(documents, b, textCol, idCol)),
+      splits = splits,
+      contamination = contamination,
       embedNearDupPairs = embeddings.map(e =>
-        Similarity.signLshPairs(e, "vec_id", "embedding")))
+        Similarity.signLshPairs(e, "vec_id", "embedding")),
+      ledger = ledger)
     (Seq(
       "corpus_quality" -> marts.quality,
       "corpus_neardup_pairs" -> marts.nearDupPairs,
@@ -167,7 +207,8 @@ object Engine {
       "corpus_chunk_dup" -> marts.chunkDup,
       "corpus_redacted" -> marts.redacted,
       "corpus_packed" -> marts.packed,
-      "corpus_splits" -> marts.splits) ++
+      "corpus_splits" -> marts.splits,
+      "corpus_ledger" -> marts.ledger) ++
       marts.contamination.map("corpus_contamination" -> _) ++
       marts.embedNearDupPairs.map("corpus_embed_neardups" -> _))
       .foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }

@@ -114,5 +114,16 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
     assert(redacted.forall(_.getLong(1) == 0L))
     assert(redacted.find(_.getLong(0) == 1L)
       .exists(_.getString(2) == base))
+    // the per-doc ledger folds every signal: docs 1-3 are benchmark-
+    // contaminated near-dups (3 canonical), doc 4 is clean and kept
+    val ledger = sp.sql(
+      """SELECT doc_id, near_dup_paired, is_canonical, contaminated, keep
+        |FROM graft_corpus_ledger ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(ledger.length == 4)
+    assert(ledger.filter(_._2).map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(ledger.filter(_._3).map(_._1).toSet == Set(3L))
+    assert(ledger.filter(_._5).map(_._1).toSet == Set(4L))
   }
 }
