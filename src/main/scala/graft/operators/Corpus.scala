@@ -213,6 +213,41 @@ object Corpus {
         .otherwise("test"))
   }
 
+  /** In-document repeated-chunk removal — the C4-style boilerplate strip
+    * WITHIN a document (the cross-document complement is
+    * [[chunkDupStats]]): split into consecutive `chunkTokens`-token
+    * chunks, keep only each chunk's FIRST occurrence (order-stable), and
+    * rebuild the text with the un-chunked tail tokens appended. Map-only
+    * — pure array ops per row, no shuffle, scan-speed at 100 TB. The
+    * first-occurrence filter is an explicit position test
+    * (array_position(c) == i + 1) rather than array_distinct, whose
+    * ordering other engines don't guarantee — keeping the op
+    * oracle-checkable. Returns (idCol, n_chunks, n_kept, cleaned). */
+  def dedupChunksInDoc(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 5): DataFrame = {
+    val ct = chunkTokens
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_full",
+        floor(size(col("_toks")) / ct).cast("int"))
+      // slice(seq, 1, _full) instead of sequence(0, _full - 1): Spark's
+      // sequence(0, -1) is the DESCENDING [0, -1], so a short doc
+      // (_full = 0) needs the slice to produce the empty chunk list.
+      .withColumn("_chunks", expr(
+        s"""transform(slice(sequence(0, greatest(_full - 1, 0)), 1, _full),
+           |  i -> concat_ws(' ', slice(_toks, i * $ct + 1, $ct)))"""
+          .stripMargin))
+      .withColumn("_kept", expr(
+        "filter(_chunks, (c, i) -> array_position(_chunks, c) == i + 1)"))
+      .withColumn("_tail", expr(
+        s"concat_ws(' ', slice(_toks, _full * $ct + 1, " +
+          s"size(_toks) - _full * $ct))"))
+      .select(col(idCol),
+        size(col("_chunks")).cast("long").as("n_chunks"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        trim(concat(array_join(col("_kept"), " "), lit(" "), col("_tail")))
+          .as("cleaned"))
+  }
+
   /** Source-mixture sampling — the training-mixture weighting step:
     * keep each row with its source's probability, decided by a
     * deterministic 16-bit md5 bucket (digest chars 5–8, a DIFFERENT

@@ -459,5 +459,46 @@ object CorpusQueries extends QueryModule {
           "source", "n_chars", 600L)
         .orderBy("source", "doc_id")
     },
+
+    // In-document repeated-chunk removal (C4-style boilerplate strip,
+    // the within-doc complement of x_chunk_dedup). Every 4th doc gets
+    // its text doubled so the strip genuinely fires (the word-soup
+    // corpus has almost no natural in-doc repeats): a doubled doc's
+    // second half dedups away chunk for chunk.
+    q("x_dedup_in_doc",
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |             list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         x -> x <> '') AS toks
+        |      FROM src),
+        |c AS (SELECT doc_id, toks,
+        |             CAST(floor(len(toks) / 5) AS INT) AS n_full FROM t),
+        |ch AS (SELECT doc_id, toks, n_full,
+        |       list_transform(range(0, n_full),
+        |         i -> array_to_string(toks[i*5+1:i*5+5], ' ')) AS chunks
+        |       FROM c),
+        |k AS (SELECT doc_id, toks, n_full, chunks,
+        |      list_transform(list_filter(range(1, len(chunks) + 1),
+        |        i -> list_position(chunks, chunks[i]) = i),
+        |        i -> chunks[i]) AS kept
+        |      FROM ch)
+        |SELECT doc_id,
+        |  CAST(len(chunks) AS BIGINT) AS n_chunks,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  trim(coalesce(array_to_string(kept, ' '), '') || ' ' ||
+        |       coalesce(array_to_string(toks[n_full*5+1:len(toks)], ' '),
+        |                '')) AS cleaned
+        |FROM k ORDER BY doc_id""") { (s, dir) =>
+      val src = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Corpus.dedupChunksInDoc(src, "text", "doc_id", 5)
+        .orderBy("doc_id")
+    },
   )
 }

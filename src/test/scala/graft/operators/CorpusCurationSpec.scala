@@ -231,6 +231,24 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq((1L, 10L, 10L), (2L, 8L, 18L), (4L, 30L, 30L)))
   }
 
+  test("dedupChunksInDoc strips repeated chunks, keeps first occurrence") {
+    val sp = spark
+    import sp.implicits._
+    val a = "one two three four five six seven eight nine ten" // 10 toks
+    val rows = Seq(
+      (1L, s"$a $a x y"),      // doubled + tail: chunks c1 c2 c1 c2
+      (2L, a),                 // no repeats
+      (3L, "just four words"))  // under one chunk: all tail
+      .toDF("doc_id", "text")
+    val got = Corpus.dedupChunksInDoc(rows, "text", "doc_id", 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 4L, 2L, s"$a x y")))
+    assert(got(1) == ((2L, 2L, 2L, a)))
+    assert(got(2) == ((3L, 0L, 0L, "just four words")))
+  }
+
   test("redactPii scrubs emails, IPv4s and phones with counts intact") {
     val rows = docsDF(Seq(
       doc(1, "mail alice.smith@corp.example and bob_2@mail.example now"),
