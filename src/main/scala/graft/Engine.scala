@@ -146,21 +146,31 @@ object Engine {
     import graft.operators.{Corpus, Similarity, TextDedup}
     val quality = Corpus.qualityFlags(documents, textCol)
     val nearDupPairs = TextDedup.minHashLshPairs(documents, textCol, idCol)
-    val dedupClusters =
-      Corpus.dedupClusters(documents, textCol, idCol, qualityCol)
+    // The dedup graph is built ONCE and feeds both the cluster mart and
+    // the ledger's pair flag. Deriving the flag from the MinHash
+    // candidate pairs instead (as an earlier revision did) double-counts
+    // nothing but disagrees at the margins: a MinHash candidate whose
+    // exact Jaccard never reaches the threshold is in no cluster, so it
+    // would read paired ∧ ¬canonical — i.e. "dropped by dedup" — although
+    // dedup keeps it. One graph makes paired ∧ ¬canonical exactly equal
+    // to dropped-by-dedup. Cached: two consumers, and the pair set is
+    // orders of magnitude smaller than the corpus.
+    val dedupPairs = Corpus.confirmedNearDupPairs(
+      documents, textCol, idCol).cache()
+    val dedupClusters = Corpus.dedupClustersFromPairs(
+      documents, dedupPairs, idCol, qualityCol)
     val redacted = Corpus.redactPii(documents, textCol, idCol)
     val splits = Corpus.splitAssign(documents, idCol)
     val contamination = benchmark.map(b =>
       Corpus.contamination(documents, b, textCol, idCol))
     // Per-doc curation ledger — the one-table artifact a practitioner
     // exports after a run: every keep/drop signal joined per document.
-    // `near_dup_paired` marks docs appearing in any candidate pair
-    // (pairs and CC components cover the same node set, so paired ∧
-    // ¬canonical == dropped-by-dedup); all joins are on the doc id, and
-    // the pair/cluster/contamination sides are far smaller than the
+    // `near_dup_paired` marks docs in a CONFIRMED near-dup pair (the same
+    // edge set the clusters are built from); all joins are on the doc id,
+    // and the pair/cluster/contamination sides are far smaller than the
     // corpus, so at scale these are broadcast or bounded shuffles.
-    val paired = nearDupPairs.select(col("id_a").as(idCol))
-      .union(nearDupPairs.select(col("id_b").as(idCol)))
+    val paired = dedupPairs.select(col("id_a").as(idCol))
+      .union(dedupPairs.select(col("id_b").as(idCol)))
       .distinct().withColumn("_paired", lit(true))
     val canon = dedupClusters
       .select(col("canonical_doc").as(idCol), col("cluster_size"))

@@ -307,14 +307,32 @@ object Corpus {
     * engine should not guess. */
   def dedupClusters(docs: DataFrame, textCol: String, idCol: String,
       qualityCol: String, n: Int = 2, threshold: Double = 0.5,
-      maxDf: Int = 10000): DataFrame = {
+      maxDf: Int = 10000): DataFrame =
+    dedupClustersFromPairs(docs,
+      confirmedNearDupPairs(docs, textCol, idCol, n, threshold, maxDf),
+      idCol, qualityCol)
+
+  /** The confirmed (exact-Jaccard ≥ threshold, df-capped) near-dup pair
+    * set [[dedupClusters]] clusters over — exposed so callers can reuse
+    * the one edge set for both clustering and pair-membership flags. */
+  def confirmedNearDupPairs(docs: DataFrame, textCol: String,
+      idCol: String, n: Int = 2, threshold: Double = 0.5,
+      maxDf: Int = 10000): DataFrame =
+    TextDedup.ngramJaccardPairs(docs, textCol, idCol, n, threshold, maxDf)
+
+  /** [[dedupClusters]] over a precomputed (id_a, id_b) pair set. Callers
+    * that also need the pair list itself (e.g. a curation ledger's
+    * "appears in a near-dup pair" flag) compute pairs once and feed the
+    * SAME edge set here — deriving the pair flag and the cluster
+    * membership from different similarity graphs silently drops docs
+    * whose candidate pair never confirms (paired ∧ ¬clustered). */
+  def dedupClustersFromPairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String, qualityCol: String): DataFrame = {
     val spark = docs.sparkSession
     val idType = docs.schema(idCol).dataType
     require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
       s"dedupClusters needs an integral id column for connected components; " +
         s"$idCol is ${idType.typeName} — map ids to dense longs first")
-    val pairs = TextDedup.ngramJaccardPairs(docs, textCol, idCol,
-      n, threshold, maxDf)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val comp = ConnectedComponents.labelPropagation(spark, edges)
     // canonical pick via a per-component rank (quality desc, id asc):

@@ -445,9 +445,9 @@ object CorpusQueries extends QueryModule {
     q("x_budget_select",
       """SELECT doc_id, source, n_toks, cum_toks FROM (
         |  SELECT doc_id, source, n_toks,
-        |         sum(n_toks) OVER (PARTITION BY source
+        |         CAST(sum(n_toks) OVER (PARTITION BY source
         |           ORDER BY n_chars DESC, doc_id
-        |           ROWS UNBOUNDED PRECEDING) AS cum_toks
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
         |  FROM (SELECT doc_id, source, n_chars,
         |               CAST(len(list_filter(
         |                 regexp_split_to_array(trim(text), '\s+'),

@@ -238,14 +238,17 @@ object DedupGroupQueries extends QueryModule {
     // the NVD donor's cvssv3.1 value through an alias join. Synthetic
     // advisories from `orders`: every 3rd is the NVD donor, every
     // non-donor 4th carries a cvssv3 severity with an NVD detail URL.
-    // CVE numbers are lpad-4 so the reference's CVE-\d{4}-\d{4,7}
-    // extraction regex matches every row.
+    // CVE numbers are lpad-7 (the regex's MAX width — lpad at the
+    // minimum width 4 TRUNCATES 5-7 digit residues in both engines,
+    // collapsing ~1e7 distinct keys to ~1e4 and re-creating the
+    // quadratic alias-join fan-out the residue exists to avoid) so the
+    // reference's CVE-\d{4}-\d{4,7} extraction regex matches every row.
     q("d14_cvss31_map",
       """WITH o AS (
         |  SELECT o_orderkey AS k,
         |         'CVE-2020-' || lpad(CAST((CAST(o_custkey AS BIGINT)
         |                                   * 1000003) % 9999991
-        |                                  AS VARCHAR), 4, '0') AS cve
+        |                                  AS VARCHAR), 7, '0') AS cve
         |  FROM orders),
         |car AS (SELECT DISTINCT 'adv/' || CAST(k AS VARCHAR) AS avid,
         |               cve AS cve_id
@@ -267,10 +270,12 @@ object DedupGroupQueries extends QueryModule {
       // custkeys overflowed that and the truncated collisions blew the
       // alias join up quadratically. The prime-multiplicative residue
       // keeps spread (collisions ~birthday at 1e7) and is computed
-      // identically by both engines.
+      // identically by both engines. lpad width MUST be the 7-digit
+      // maximum: lpad truncates beyond its width in Spark and DuckDB
+      // alike, so lpad-4 would collapse the residue spread right back.
       val cve = concat(lit("CVE-2020-"),
         lpad(pmod(col("o_custkey") * lit(1000003L), lit(9999991L))
-          .cast("string"), 4, "0"))
+          .cast("string"), 7, "0"))
       val donor = pmod(col("o_orderkey"), lit(3)) === 0
       val carrier = !donor && pmod(col("o_orderkey"), lit(4)) === 0
       val sev = (sys: String, value: Column, elems: Column, url: Column) =>

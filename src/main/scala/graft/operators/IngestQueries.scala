@@ -26,7 +26,19 @@ import graft.ingest.{AdvisoryJsonIngest, EpssIngest, OsvIngest, VulnrichmentInge
   */
 object IngestQueries extends QueryModule {
 
-  private val Fix = "/root/repo/src/test/resources/fixtures"
+  // Fixture root resolution order: explicit env override → the checkout's
+  // working directory (Verify/Bench run from the repo root) → the
+  // canonical driver checkout path as a last resort. The resolved path is
+  // absolute because it is also spliced into the oracle SQL the driver's
+  // DuckDB session runs from an arbitrary cwd.
+  private val Fix: String = sys.env.get("SPARK_GRAFT_FIXTURES")
+    .orElse {
+      val rel = java.nio.file.Paths.get("src/test/resources/fixtures")
+      if (java.nio.file.Files.isDirectory(rel))
+        Some(rel.toAbsolutePath.normalize.toString)
+      else None
+    }
+    .getOrElse("/root/repo/src/test/resources/fixtures")
 
   private def joined(arr: Column, f: Column => Column,
       sep: String = ";"): Column =

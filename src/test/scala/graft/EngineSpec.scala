@@ -126,4 +126,49 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
     assert(ledger.filter(_._3).map(_._1).toSet == Set(3L))
     assert(ledger.filter(_._5).map(_._1).toSet == Set(4L))
   }
+
+  test("ledger keep flag derives from the confirmed-dedup graph, " +
+      "not the MinHash candidate graph") {
+    val sp = spark
+    import sp.implicits._
+    // Docs 1/2 are a MinHash FALSE POSITIVE: exact bigram Jaccard is
+    // 10/22 ≈ 0.45 (below the 0.5 dedup threshold) but their 16-hash
+    // MinHash signatures agree on 12/16 permutations including one full
+    // 4-row LSH band, so minHashLshPairs emits them at est 0.75 (pair
+    // found by exhaustive search over the engine's own hash family). A
+    // ledger keyed on the candidate graph reads them paired ∧ ¬canonical
+    // — "dropped by dedup" — although dedup keeps both; keyed on the
+    // confirmed graph they are unpaired and kept.
+    val docs = Seq(
+      (1L, "the w14 w40 w18 w31 w00 w47 w06 w33", "src0"),
+      (2L, "the w14 w40 w18 w31 w00 w49 w21 w30", "src0"),
+      (3L, "the q1 q2 q3 q4 q5 q1 q2 q3 q4 q5", "src1"),
+      (4L, "the q1 q2 q3 q4 q5 q1 q2 q3 q4 q5 richer", "src1"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // preflight: the fixture really is a candidate-vs-confirmed split
+    val cand = graft.operators.TextDedup
+      .minHashLshPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)),
+      "fixture must be a MinHash candidate pair")
+    val confirmed = graft.operators.Corpus
+      .confirmedNearDupPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!confirmed.contains((1L, 2L)),
+      "fixture must fail the exact-Jaccard confirm")
+    assert(confirmed.contains((3L, 4L)))
+    val marts = Engine.runCorpusPipeline(sp, docs, samplePerStratum = 1)
+    val ledger = marts.ledger
+      .select("doc_id", "near_dup_paired", "is_canonical", "keep")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3))).toMap
+    // the false-positive pair is NOT near_dup_paired and both survive
+    assert(ledger(1L) == ((false, false, true)))
+    assert(ledger(2L) == ((false, false, true)))
+    // the confirmed pair behaves as before: canonical 4 kept, 3 dropped
+    assert(ledger(4L) == ((true, true, true)))
+    assert(ledger(3L) == ((true, false, false)))
+  }
 }

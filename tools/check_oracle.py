@@ -75,6 +75,27 @@ def main(sfdir: str, outdir: str) -> int:
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             n_bad += 1
             continue
+        # Driver-parity dtype rule: the driver hashes *serialized* values, so
+        # an integer column on one side and a float column on the other hash
+        # differently even when every value compares equal in Python
+        # (153 == 153.0). The classic trigger is DuckDB's sum(BIGINT) ->
+        # HUGEINT, which pandas renders as float64 while Spark's BIGINT stays
+        # int64 — fix the oracle with CAST(sum(...) AS BIGINT), never by
+        # loosening this check (this exact drift was CORRECTNESS_r06's one
+        # red row, x_budget_select).
+        dtype_drift = None
+        for c in spark_df.columns:
+            sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+            if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
+                dtype_drift = (c, spark_df[c].dtype, duck_df[c].dtype)
+                break
+        if dtype_drift:
+            c, sd, dd = dtype_drift
+            print(f"FAIL {name}: dtype drift col {c}: spark={sd} duck={dd} "
+                  f"(int-vs-float serializes to different driver hashes; "
+                  f"likely an un-CAST DuckDB aggregate -> HUGEINT)")
+            n_bad += 1
+            continue
         mismatch = None
         for c in spark_df.columns:
             sv, dv = spark_df[c].tolist(), duck_df[c].tolist()
