@@ -36,7 +36,10 @@ object Engine {
       mitigations: DataFrame,
       mitigationCuration: DataFrame,
       cvss31Severities: DataFrame,
-      packageCounts: DataFrame)
+      packageCounts: DataFrame,
+      vulnerabilities: DataFrame,
+      vulnerabilityMembership: DataFrame,
+      v1PackageVulnCounts: DataFrame)
 
   /** Session with extensions + registered functions. */
   def newSession(appName: String = "graft", cpus: String = "32"): SparkSession = {
@@ -68,6 +71,10 @@ object Engine {
     val patches = AdvisoryDerive.commitPatches(advisories,
       patchTexts.getOrElse(Seq.empty[(String, String, String)]
         .toDF("vcs_url", "commit_hash", "patch_text")))
+    // V1 vulnerability-centric view (models.py:246-321): membership is
+    // shared by the vulnerability mart and the V1 package counts
+    val v1Member = graft.derive.VulnerabilityV1
+      .membership(spark, advisories)
     val marts = Marts(
       advisories = advisories,
       impacts = impacts,
@@ -88,7 +95,12 @@ object Engine {
       mitigationCuration =
         AdvisoryDerive.mitigationCurationItems(unfurled),
       cvss31Severities = AdvisoryDerive.cveCvss31Severities(advisories),
-      packageCounts = graft.serve.Serving.advisoryPackageCounts(unfurled))
+      packageCounts = graft.serve.Serving.advisoryPackageCounts(unfurled),
+      vulnerabilities = graft.derive.VulnerabilityV1
+        .vulnerabilities(spark, advisories, severityWeights),
+      vulnerabilityMembership = v1Member,
+      v1PackageVulnCounts = graft.derive.VulnerabilityV1
+        .packageVulnerabilityCounts(unfurled, v1Member))
     Seq(
       "advisories" -> marts.advisories,
       "impacts" -> marts.impacts,
@@ -109,6 +121,9 @@ object Engine {
       "mitigation_curation" -> marts.mitigationCuration,
       "cvss31_severities" -> marts.cvss31Severities,
       "package_counts" -> marts.packageCounts,
+      "vulnerabilities" -> marts.vulnerabilities,
+      "vulnerability_membership" -> marts.vulnerabilityMembership,
+      "v1_package_vuln_counts" -> marts.v1PackageVulnCounts,
     ).foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }
     marts
   }

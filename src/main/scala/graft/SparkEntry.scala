@@ -29,6 +29,7 @@ object SparkEntry {
     CorpusQueries,
     StreamingQueries,
     ServingQueries,
+    V1Queries,
     ScaleQueries,
     IngestQueries,
   )

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.core.{QueryEntry, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.derive.VulnerabilityV1
+
+/** SURVEY §2 V1-model coverage — the reference's vulnerability-centric
+  * surface (models.py:246-321 Vulnerability, models.py:697-733 V1
+  * package querysets, pipes/group_advisories.py:24-104 set
+  * materialization) exercised through the REAL derive paths over a
+  * synthetic advisory log, with DuckDB re-deriving the alias-connected
+  * components via a recursive CTE (the d2 label-propagation oracle
+  * pattern) and the VCID via the shared [[VulnerabilityV1.vcidSql]]
+  * formulation.
+  *
+  * Fixture shape: one advisory per distinct `o_orderkey % 500` (bounded
+  * at every SF so the oracle recursion depth stays trivial), two alias
+  * families (`AL-` mod-250 and `BL-` div-2) that tie each even k into a
+  * 4-advisory diamond {k, k+1, k+250, k+251} — components that need
+  * genuine multi-hop propagation, 125 of them, with per-advisory
+  * numeric severities, an EPSS donor every 11th and an exploit
+  * reference every 13th so the exploitability ladder's rungs all fire.
+  */
+object V1Queries extends QueryModule {
+
+  // --- shared synthetic advisory log ---------------------------------
+
+  private def advisories(s: SparkSession, dir: String): DataFrame = {
+    val refType = "array<struct<reference_id:string,reference_type:string," +
+      "url:string>>"
+    Tables(s, dir, "orders")
+      .select(pmod(col("o_orderkey"), lit(500)).as("k")).distinct()
+      .select(
+        concat(lit("adv/"), col("k")).as("avid"),
+        concat(lit("ADV-"), col("k")).as("advisory_id"),
+        lit(true).as("is_latest"),
+        pmod(col("k"), lit(7)).as("precedence"),
+        concat(lit("summary "), col("k")).as("summary"),
+        array(
+          concat(lit("AL-"), pmod(col("k"), lit(250))),
+          concat(lit("BL-"), expr("k div 2"))).as("aliases"),
+        when(pmod(col("k"), lit(11)) === 0, array(
+          struct(lit("generic").as("scoring_system"),
+            pmod(col("k"), lit(10)).cast("string").as("value"),
+            lit("").as("scoring_elements"),
+            lit("https://sev.example/s").as("url")),
+          struct(lit("epss").as("scoring_system"),
+            lit("0.88").as("value"), lit("").as("scoring_elements"),
+            lit("https://epss.example/e").as("url"))))
+          .otherwise(array(
+            struct(lit("generic").as("scoring_system"),
+              pmod(col("k"), lit(10)).cast("string").as("value"),
+              lit("").as("scoring_elements"),
+              lit("https://sev.example/s").as("url")))).as("severities"),
+        when(pmod(col("k"), lit(13)) === 0, array(
+          struct(lit("r1").as("reference_id"),
+            lit("exploit").as("reference_type"),
+            lit("https://exploit.example/x").as("url"))))
+          .otherwise(array().cast(refType)).as("references"))
+  }
+
+  /** Recursive-CTE prelude shared by the three oracles: advisories,
+    * their alias edges, min-label propagation to components, the
+    * per-component canonical key (min alias) and primary (precedence
+    * desc, avid-string asc — advisorySets' exact ordering). */
+  private val ccSql =
+    """o AS (SELECT DISTINCT o_orderkey % 500 AS k FROM orders),
+      |alias AS (
+      |  SELECT k, 'AL-' || CAST(k % 250 AS VARCHAR) AS a FROM o
+      |  UNION ALL
+      |  SELECT k, 'BL-' || CAST(k // 2 AS VARCHAR) AS a FROM o),
+      |amin AS (SELECT a, min(k) AS root FROM alias GROUP BY a),
+      |edges AS (
+      |  SELECT DISTINCT al.k AS src, am.root AS dst
+      |  FROM alias al JOIN amin am USING (a) WHERE al.k <> am.root),
+      |sym AS (SELECT src, dst FROM edges
+      |        UNION SELECT dst AS src, src AS dst FROM edges),
+      |lbl(node, comp, i) AS (
+      |  SELECT k AS node, k AS comp, 0 AS i FROM o
+      |  UNION ALL
+      |  SELECT s.src AS node, min(l.comp) AS comp, l.i + 1 AS i
+      |  FROM lbl l JOIN sym s ON l.node = s.dst
+      |  WHERE l.i < 100
+      |  GROUP BY s.src, l.i),
+      |comp AS (SELECT node AS k, min(comp) AS comp FROM lbl GROUP BY node),
+      |vkey AS (SELECT c.comp, min(a.a) AS vuln_key
+      |         FROM comp c JOIN alias a ON a.k = c.k GROUP BY c.comp),
+      |prim AS (SELECT comp, k AS pk FROM (
+      |  SELECT c.comp, c.k,
+      |         row_number() OVER (PARTITION BY c.comp
+      |           ORDER BY c.k % 7 DESC, 'adv/' || CAST(c.k AS VARCHAR)) AS rn
+      |  FROM comp c) WHERE rn = 1)""".stripMargin
+
+  /** Per-advisory risk factors in SQL, mirroring AdvisoryDerive
+    * .advisoryRisk over the fixture: numeric severity value × default
+    * weight 5 / 10, rounded per advisory; exploitability ladder
+    * high-EPSS → exploit reference → default. */
+  private val riskSql =
+    """sev AS (
+      |  SELECT k, CAST(k % 10 AS VARCHAR) AS value, 'generic' AS ss FROM o
+      |  UNION ALL
+      |  SELECT k, '0.88' AS value, 'epss' AS ss FROM o WHERE k % 11 = 0),
+      |advrisk AS (
+      |  SELECT k,
+      |         round(max(CAST(value AS DOUBLE) * 5 / 10), 1) AS ws,
+      |         CASE WHEN max(CASE WHEN ss = 'epss'
+      |                            AND CAST(value AS DOUBLE) > 0.8
+      |                       THEN 1 ELSE 0 END) = 1 THEN 2.0
+      |              WHEN k % 13 = 0 THEN 1.0
+      |              ELSE 0.5 END AS ex
+      |  FROM sev GROUP BY k)""".stripMargin
+
+  private def unfurled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").select(
+      concat(lit("adv/"), pmod(col("l_orderkey"), lit(500))).as("avid"),
+      concat(lit("pkg:npm/p"), pmod(col("l_partkey"), lit(20)))
+        .as("base_purl"),
+      col("l_linenumber").cast("string").as("version"),
+      (col("l_quantity") > 25).as("is_affected"),
+      (col("l_quantity") <= 25).as("is_fixed"))
+
+  private val unfurledSql =
+    """u AS (SELECT l_orderkey % 500 AS k,
+      |       'pkg:npm/p' || CAST(l_partkey % 20 AS VARCHAR) AS base_purl,
+      |       CAST(l_linenumber AS VARCHAR) AS version,
+      |       l_quantity > 25 AS is_affected,
+      |       l_quantity <= 25 AS is_fixed
+      |FROM lineitem)""".stripMargin
+
+  override val entries: Seq[QueryEntry] = Seq(
+
+    // V1 Vulnerability mart (models.py:246-321): alias-connected
+    // advisory components → deterministic VCID, union aliases, primary
+    // summary, PUBLISHED status, vulnerability-grain risk trio.
+    q("s19_v1_vulnerabilities",
+      s"""WITH RECURSIVE
+         |$ccSql,
+         |$riskSql,
+         |als AS (SELECT comp, string_agg(a, ',' ORDER BY a) AS aliases_csv
+         |        FROM (SELECT DISTINCT c.comp, a.a
+         |              FROM comp c JOIN alias a ON a.k = c.k)
+         |        GROUP BY comp),
+         |vf AS (SELECT c.comp,
+         |              max(r.ws) AS weighted_severity,
+         |              max(r.ex) AS exploitability
+         |       FROM comp c JOIN advrisk r USING (k) GROUP BY c.comp)
+         |SELECT ${VulnerabilityV1.vcidSql("v.vuln_key")} AS vulnerability_id,
+         |       als.aliases_csv,
+         |       'summary ' || CAST(p.pk AS VARCHAR) AS summary,
+         |       1 AS status,
+         |       vf.weighted_severity, vf.exploitability,
+         |       round(least(coalesce(vf.weighted_severity, 0)
+         |                   * vf.exploitability, 10), 1) AS risk_score
+         |FROM vkey v
+         |JOIN prim p USING (comp)
+         |JOIN als USING (comp)
+         |JOIN vf USING (comp)
+         |ORDER BY vulnerability_id""") { (s, dir) =>
+      VulnerabilityV1.vulnerabilities(s, advisories(s, dir))
+        .select(col("vulnerability_id"),
+          array_join(col("aliases"), ",").as("aliases_csv"),
+          col("summary"), col("status"),
+          col("weighted_severity"), col("exploitability"),
+          col("risk_score"))
+        .orderBy("vulnerability_id")
+    },
+
+    // V1 package querysets (models.py:697-733): per concrete package
+    // the distinct vulnerabilities affecting / fixed by it — the
+    // with_vulnerability_counts annotations; `vulnerable`/`fixing` are
+    // count>0 filters over this.
+    q("s20_v1_package_vulns",
+      s"""WITH RECURSIVE
+         |$ccSql,
+         |$unfurledSql
+         |SELECT u.base_purl, u.version,
+         |       count(DISTINCT CASE WHEN u.is_affected THEN c.comp END)
+         |         AS vulnerability_count,
+         |       count(DISTINCT CASE WHEN u.is_fixed THEN c.comp END)
+         |         AS patched_vulnerability_count
+         |FROM u JOIN comp c USING (k)
+         |GROUP BY u.base_purl, u.version
+         |ORDER BY u.base_purl, u.version""") { (s, dir) =>
+      val member = VulnerabilityV1.membership(s, advisories(s, dir))
+      VulnerabilityV1
+        .packageVulnerabilityCounts(unfurled(s, dir), member)
+        .orderBy("base_purl", "version")
+    },
+
+    // D4/D5 — AdvisorySet materialization (pipes/group_advisories.py:
+    // 24-104): per-advisory set membership with the set's canonical
+    // alias key and precedence primary, through the REAL advisorySets
+    // label propagation (hash component ids never surface — the stable
+    // key does).
+    q("d4_advisory_sets",
+      s"""WITH RECURSIVE
+         |$ccSql
+         |SELECT 'adv/' || CAST(c.k AS VARCHAR) AS avid,
+         |       v.vuln_key AS group_key,
+         |       'adv/' || CAST(p.pk AS VARCHAR) AS primary_avid
+         |FROM comp c
+         |JOIN vkey v USING (comp)
+         |JOIN prim p USING (comp)
+         |ORDER BY avid""") { (s, dir) =>
+      VulnerabilityV1.membership(s, advisories(s, dir))
+        .select(col("avid"), col("vuln_key").as("group_key"),
+          col("primary_avid"))
+        .orderBy("avid")
+    },
+  )
+}

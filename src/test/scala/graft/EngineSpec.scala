@@ -51,6 +51,18 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
       "graft_commit_patches").foreach { v =>
       assert(sp.sql(s"SELECT count(*) FROM $v").collect().nonEmpty, v)
     }
+    // V1 vulnerability-centric views: deterministic VCIDs, membership
+    // covering every advisory, and the package count annotations
+    val vulns = sp.sql(
+      """SELECT vulnerability_id, summary FROM graft_vulnerabilities
+        |ORDER BY vulnerability_id""".stripMargin).collect()
+    assert(vulns.nonEmpty)
+    assert(vulns.forall(_.getString(0).matches("VCID(-[a-hjkm-z1-9]{4}){3}")))
+    assert(sp.sql("SELECT count(DISTINCT avid) FROM graft_vulnerability_membership")
+      .collect().head.getLong(0) == 5)
+    assert(sp.sql(
+      "SELECT * FROM graft_v1_package_vuln_counts WHERE vulnerability_count > 0")
+      .collect().nonEmpty)
   }
 
   test("runCorpusPipeline registers queryable corpus marts") {
