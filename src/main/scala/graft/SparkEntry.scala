@@ -30,6 +30,7 @@ object SparkEntry {
     StreamingQueries,
     ServingQueries,
     V1Queries,
+    ExportQueries,
     ScaleQueries,
     IngestQueries,
   )

@@ -81,8 +81,8 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
         Serving.nonVulnerableVersions(unfurled, ranked),
       "advisory_set_summaries" -> Serving.advisorySetSummaries(
         AdvisoryDerive.advisorySets(sp, advisories), risk),
-      "export_yaml" -> FederatedExport.serialize(
-        advisories.withColumn("risk_score", lit(null).cast("double"))),
+      "export_yaml" -> FederatedExport.serialize(advisories),
+      "export_package_index" -> FederatedExport.packageIndex(unfurled),
       // round-2 marts: EPSS-donated risk, SSVC decisions + serving,
       // structured commit patches, queryset variants
       "risk_scores_epss" -> AdvisoryDerive.advisoryRiskWithDonors(

@@ -73,32 +73,136 @@ class TabularIngestSpec extends AnyFunSuite with SparkTestSession {
 }
 
 class FederatedExportSpec extends AnyFunSuite with SparkTestSession {
-  test("YAML serialization, sharding, watermark, filesystem write (S7/T2)") {
+
+  private def fullAdvisories(sp: org.apache.spark.sql.SparkSession) = {
+    import sp.implicits._
+    Seq(
+      ("pypa", "P-1", "pypa/P-1", "SQLi fix\nsecond line",
+        Seq("GHSA-1", "CVE-1"), "https://u/1", true,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        Seq(("cvssv3.1", "9.8", "CVSS:3.1/AV:N", "https://nvd.example/1")),
+        Seq(("https://x/poc", "exploit", "EDB-1")),
+        Seq(89, 79),
+        Seq(("pkg:pypi/foo", "vers:pypi/>=1.0|<2.0", "vers:pypi/2.0"),
+          ("pkg:pypi/bar", "vers:pypi/<0.5", ""))),
+      ("pypa", "P-2", "pypa/P-2", "XSS", Seq("CVE-2"), "https://u/2", true,
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+        Seq.empty, Seq.empty, Seq.empty, Seq.empty),
+      ("pypa", "P-2", "pypa/P-2", "old", Seq("CVE-2"), "https://u/2", false,
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        Seq.empty, Seq.empty, Seq.empty, Seq.empty))
+      .toDF("datasource_id", "advisory_id", "avid", "summary", "aliases",
+        "url", "is_latest", "date_collected", "sevs", "refs", "weaknesses",
+        "affs")
+      .withColumn("severities", expr(
+        "transform(sevs, x -> named_struct('scoring_system', x._1, " +
+          "'value', x._2, 'scoring_elements', x._3, 'url', x._4))"))
+      .withColumn("references", expr(
+        "transform(refs, x -> named_struct('url', x._1, " +
+          "'reference_type', x._2, 'reference_id', x._3))"))
+      .withColumn("affected", expr(
+        "transform(affs, x -> named_struct('purl', x._1, " +
+          "'affecting_vers', x._2, 'fixed_vers', x._3))"))
+      .drop("sevs", "refs", "affs")
+  }
+
+  test("full serialize_advisory schema: aliases, impacts with commits, " +
+      "severities, weaknesses, references (S7)") {
     val sp = spark
     import sp.implicits._
-    val advisories = Seq(
-      ("pypa/P-1", "SQLi", Seq("CVE-1", "GHSA-1"), "https://u/1", true,
-        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Some(4.9)),
-      ("pypa/P-2", "XSS", Seq("CVE-2"), "https://u/2", true,
-        java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), None),
-      ("pypa/P-2", "old", Seq("CVE-2"), "https://u/2", false,
-        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), None))
-      .toDF("avid", "summary", "aliases", "url", "is_latest",
-        "date_collected", "risk_score")
-    val serialized = FederatedExport.serialize(advisories)
+    val patches = Seq(
+      ("pypa/P-1", "pkg:pypi/foo", "https://g/r", "abc123", "fixed"),
+      ("pypa/P-1", "pkg:pypi/foo", "https://g/r", "def456", "introduced"))
+      .toDF("avid", "purl", "vcs_url", "commit_hash", "kind")
+    val serialized =
+      FederatedExport.serialize(fullAdvisories(sp), Some(patches))
     assert(serialized.count() == 2) // latest only
     val y = serialized.filter(col("path").contains("pypa_P-1"))
       .select("yaml").collect().head.getString(0)
-    assert(y.contains("advisory_id: \"pypa/P-1\""))
-    assert(y.contains("  - CVE-1\n  - GHSA-1"))
-    assert(y.contains("risk_score: 4.9"))
+    // reference-shaped document (export.py:137-170): every top-level key
+    assert(y ==
+      """advisory_id: "P-1"
+        |datasource_id: "pypa/P-1"
+        |datasource_url: "https://u/1"
+        |aliases:
+        |  - "CVE-1"
+        |  - "GHSA-1"
+        |summary: "SQLi fix\nsecond line"
+        |impacted_packages:
+        |  - purl: "pkg:pypi/bar"
+        |    affected_versions: "vers:pypi/<0.5"
+        |    fixed_versions: ""
+        |    fixed_in_commits: []
+        |    introduced_in_commits: []
+        |  - purl: "pkg:pypi/foo"
+        |    affected_versions: "vers:pypi/>=1.0|<2.0"
+        |    fixed_versions: "vers:pypi/2.0"
+        |    fixed_in_commits:
+        |      - vcs_url: "https://g/r"
+        |        commit: "abc123"
+        |    introduced_in_commits:
+        |      - vcs_url: "https://g/r"
+        |        commit: "def456"
+        |severities:
+        |  - score: "9.8"
+        |    scoring_system: "cvssv3.1"
+        |    scoring_elements: "CVSS:3.1/AV:N"
+        |    published_at: null
+        |    url: "https://nvd.example/1"
+        |weaknesses:
+        |  - 89
+        |  - 79
+        |references:
+        |  - url: "https://x/poc"
+        |    reference_type: "exploit"
+        |    reference_id: "EDB-1"
+        |""".stripMargin)
+    // empty-collection advisory renders inline empties
+    val y2 = serialized.filter(col("path").contains("pypa_P-2"))
+      .select("yaml").collect().head.getString(0)
+    assert(y2.contains("impacted_packages: []"))
+    assert(y2.contains("severities: []"))
+    assert(y2.contains("weaknesses: []"))
+    assert(y2.contains("references: []"))
+    // structural columns for the driver oracle
+    val s1 = serialized.filter(col("advisory_id") === "P-1").collect().head
+    assert(s1.getAs[Int]("n_impacts") == 2 &&
+      s1.getAs[Int]("n_severities") == 1 &&
+      s1.getAs[Int]("n_references") == 1 &&
+      s1.getAs[Int]("n_weaknesses") == 2)
+  }
+
+  test("package index, watermark, filesystem write (S7/T2)") {
+    val sp = spark
+    import sp.implicits._
+    val advisories = fullAdvisories(sp)
     // incremental: checkpoint after Jan → only P-2 exports
     val inc = FederatedExport.changedSince(advisories,
       java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
     assert(FederatedExport.serialize(inc).count() == 1)
+    // per-package index (export.py:79-96)
+    val unfurled = Seq(
+      ("pypa/P-1", "pkg:pypi/foo", "1.0.0", true, false),
+      ("pypa/P-2", "pkg:pypi/foo", "1.0.0", true, false),
+      ("pypa/P-1", "pkg:pypi/foo", "2.0", false, true))
+      .toDF("avid", "base_purl", "version", "is_affected", "is_fixed")
+    val idx = FederatedExport.packageIndex(unfurled)
+    val rows = idx.collect().map(r => r.getAs[String]("purl") ->
+      r.getAs[String]("yaml")).toMap
+    assert(rows.keySet ==
+      Set("pkg:pypi/foo@1.0.0", "pkg:pypi/foo@2.0"))
+    assert(rows("pkg:pypi/foo@1.0.0") ==
+      """- purl: "pkg:pypi/foo@1.0.0"
+        |  affected_by_advisories:
+        |    - "pypa/P-1"
+        |    - "pypa/P-2"
+        |  fixing_advisories: []
+        |""".stripMargin)
+    assert(rows("pkg:pypi/foo@2.0").contains(
+      "fixing_advisories:\n    - \"pypa/P-1\""))
     // filesystem shape: shard=XX directories
     val out = Files.createTempDirectory("fedexport").toString
-    FederatedExport.write(serialized, out)
+    FederatedExport.write(FederatedExport.serialize(advisories), out)
     val shardDirs = new java.io.File(out).listFiles()
       .filter(_.getName.startsWith("shard="))
     assert(shardDirs.nonEmpty)
