@@ -51,10 +51,17 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
   }
 
-  /** IVF assignment: nearest centroid per row → partition key. Centroids
-    * must be small (broadcast): (centroid_id, vec). */
+  /** IVF assignment: the `nprobe` nearest centroids per row → partition
+    * keys. Centroids must be small (broadcast): (centroid_id, vec).
+    * `nprobe` = 1 (the default) is the classic single-list assignment
+    * used to PARTITION a corpus; searches should probe several lists
+    * (see [[ivfTopK]]) because a probe near a centroid boundary has its
+    * true neighbors split across the adjacent lists — the recall cliff
+    * of nprobe=1. Emits one row per (row, probed centroid) with
+    * `probe_rank` (1 = nearest). */
   def assignToCentroids(df: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val c = centroids.select(col("centroid_id"), col("vec").as("_cent"))
       .withColumn("_centn", l2Norm(col("_cent")))
     val w = Window.partitionBy(idCol).orderBy(col("_ccos").desc,
@@ -64,7 +71,8 @@ object Similarity {
       .withColumn("_ccos", round(dot(col(vecCol), col("_cent")) /
         (col("_vn") * col("_centn")), 6))
       .withColumn("_crn", row_number().over(w))
-      .filter(col("_crn") === 1)
+      .filter(col("_crn") <= nprobe)
+      .withColumn("probe_rank", col("_crn"))
       .drop("_cent", "_centn", "_vn", "_ccos", "_crn")
   }
 
@@ -155,14 +163,25 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
   }
 
-  /** IVF top-k: probes search only their assigned centroid's partition —
-    * the similarity join becomes an equi-join on centroid_id. */
+  /** IVF top-k: probes search their `nprobe` nearest centroids' lists —
+    * the similarity join stays an equi-join on centroid_id, fanning each
+    * probe out `nprobe` ways instead of 1. The corpus assignment is
+    * always single-list (a vector lives in exactly one inverted list),
+    * so the per-centroid candidate sets are disjoint and the union needs
+    * no dedup before the global per-probe rank. nprobe trades compute
+    * (candidates × nprobe) for recall: at nprobe=1 a probe sitting near
+    * a Voronoi boundary misses every neighbor filed under the adjacent
+    * centroid; probing the k nearest lists is the standard IVF recall
+    * lever (FAISS-style), and the scan stays bounded at
+    * nprobe/n_centroids of the corpus. */
   def ivfTopK(probes: DataFrame, corpusAssigned: DataFrame,
-      centroids: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val assignedProbes = assignToCentroids(probes, centroids, idCol, vecCol)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
-        col("centroid_id"))
-      .withColumn("_pn", l2Norm(col("_pv")))
+      centroids: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val assignedProbes =
+      assignToCentroids(probes, centroids, idCol, vecCol, nprobe)
+        .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
+          col("centroid_id"))
+        .withColumn("_pn", l2Norm(col("_pv")))
     val c = corpusAssigned.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"), col("centroid_id"))
       .withColumn("_cn", l2Norm(col("_cv")))

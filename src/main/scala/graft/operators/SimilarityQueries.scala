@@ -188,5 +188,62 @@ object SimilarityQueries extends QueryModule {
         .select("probe_id", "neighbor_id", "cos_sim")
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     },
+
+    // IVF multi-probe (nprobe=2): probes search their TWO nearest
+    // centroids' lists — the recall lever over x_ann_ivf's nprobe=1
+    // (a probe near a Voronoi boundary has true neighbors filed under
+    // the adjacent centroid). Lists are disjoint (corpus assignment is
+    // single-list) so the union needs no dedup before the global top-5;
+    // candidate volume is bounded at 2/n_centroids of the corpus.
+    q("x_ann_ivf_nprobe",
+      s"""WITH cent AS (
+         |  SELECT e.label, e.embedding FROM embeddings e
+         |  JOIN (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label) m
+         |    ON e.label = m.label AND e.vec_id = m.mv),
+         |assign AS (
+         |  SELECT vec_id AS probe_id, label AS probed_label FROM (
+         |    SELECT a.vec_id, b.label,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.label) AS rn
+         |    FROM embeddings a, cent b
+         |    WHERE a.vec_id % 100 = 0)
+         |  WHERE rn <= 2),
+         |hits AS (
+         |  SELECT s.probe_id, b.vec_id AS neighbor_id,
+         |         round($dotSql /
+         |           (sqrt(list_sum(list_transform(a.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |            sqrt(list_sum(list_transform(b.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |           AS cos_sim
+         |  FROM assign s
+         |  JOIN embeddings a ON a.vec_id = s.probe_id
+         |  JOIN embeddings b ON b.label = s.probed_label
+         |                   AND b.vec_id <> s.probe_id)
+         |SELECT probe_id, neighbor_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM hits)
+         |WHERE rn <= 5 ORDER BY probe_id, rn""") { (s, dir) =>
+      val e = emb(s, dir).cache()
+      val seeds = e.groupBy(col("label").as("s_label"))
+        .agg(min("vec_id").as("mv"))
+      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
+          e("vec_id") === seeds("mv"))
+        .select(col("s_label").as("centroid_id"),
+          col("embedding").as("vec"))
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      val corpusAssigned = e.select(col("vec_id"), col("embedding"),
+        col("label").as("centroid_id"))
+      Similarity.ivfTopK(probes, corpusAssigned, cent,
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("probe_id"), col("neighbor_id"), col("cos_sim"))
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
   )
 }

@@ -45,6 +45,36 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
     assert(!hits.exists(Set(3L, 4L)))
   }
 
+  test("IVF multi-probe recovers the cross-boundary neighbor nprobe=1 misses") {
+    val sp = spark
+    import sp.implicits._
+    val centroids = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (20L, Array(0.0f, 1.0f, 0.0f))).toDF("centroid_id", "vec")
+    // vec 6 lives in list 20 but is the TRUE nearest neighbor of probe 7,
+    // which assigns to list 10 (the Voronoi-boundary case): nprobe=1
+    // cannot see it, nprobe=2 must rank it first.
+    val corpus = vecs.union(
+      Seq((6L, Array(0.7f, 0.9f, 0.0f))).toDF("id", "vec"))
+    val assigned = Similarity.assignToCentroids(corpus, centroids, "id", "vec")
+    assert(assigned.filter(col("id") === 6L)
+      .select("centroid_id").head().getLong(0) == 20L)
+    val probe = Seq((7L, Array(0.8f, 0.75f, 0.0f))).toDF("id", "vec")
+    assert(Similarity
+      .assignToCentroids(probe, centroids, "id", "vec")
+      .select("centroid_id").head().getLong(0) == 10L)
+    val one = Similarity.ivfTopK(probe, assigned, centroids, "id", "vec", 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!one.contains(6L)) // the recall cliff
+    val two = Similarity
+      .ivfTopK(probe, assigned, centroids, "id", "vec", 3, nprobe = 2)
+      .orderBy("rank").collect()
+    assert(two.head.getAs[Long]("neighbor_id") == 6L)
+    // multi-probe widens the pool: the recovered neighbor displaces the
+    // weakest nprobe=1 hit (vec 5, the zero-cosine tie) from the top-3
+    assert(two.map(_.getAs[Long]("neighbor_id")).toSet == Set(6L, 2L, 1L))
+  }
+
   private def lshVecs = {
     val sp = spark
     import sp.implicits._
