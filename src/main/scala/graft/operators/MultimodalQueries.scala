@@ -4,56 +4,21 @@ import graft.core.{QueryEntry, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.multimodal.{MediaRow, Multimodal, StubCodec}
+
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
   *
   * Images/audio/video are carried as `binary` columns with a metadata
   * struct; decode/feature-extraction runs as a batched partition-level
-  * transform (`mapPartitions` here — the Scala analog of `mapInPandas`
-  * batches). The decode itself is a STUB (no media libs in this
-  * container): a deterministic fake that derives "features" from the
-  * bytes; the Spark-side plumbing — schema, batching, partitioning — is
-  * real and oracle-checked.
+  * transform (`mapPartitions` — the Scala analog of `mapInPandas`
+  * batches) behind the [[graft.multimodal.MediaCodec]] seam. The codec
+  * used here is the deterministic [[StubCodec]] (no media libs in this
+  * container); the Spark-side plumbing — schema, batching,
+  * partitioning — is real and oracle-checked, and a real codec drops
+  * into the same seam (MediaCodecSpec proves a second implementation
+  * runs the identical plumbing).
   */
 object MultimodalQueries extends QueryModule {
-
-  /** Typed row for the partition-level "decoder". */
-  final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, first_byte: Int,
-      checksum: String, width: Int, height: Int)
-  final case class ResizedMeta(doc_id: Long, width: Int, height: Int,
-      out_w: Int, out_h: Int)
-
-  /** STUB resize: aspect-preserving fit into a `target`-pixel box, in
-    * pure integer math (floor division) so the oracle reproduces it
-    * bit-for-bit. A real implementation swaps the arithmetic for a codec
-    * call; the partition-batch shape is what the 100 TB path needs. */
-  def resizePartition(rows: Iterator[MediaMeta],
-      target: Int): Iterator[ResizedMeta] =
-    rows.map { m =>
-      val mx = math.max(m.width, m.height)
-      if (mx <= 0) ResizedMeta(m.doc_id, m.width, m.height, 0, 0)
-      else if (mx <= target)
-        ResizedMeta(m.doc_id, m.width, m.height, m.width, m.height)
-      else ResizedMeta(m.doc_id, m.width, m.height,
-        (m.width.toLong * target / mx).toInt,
-        (m.height.toLong * target / mx).toInt)
-    }
-
-  /** STUB decoder: deterministic fake media decode (real impl would call
-    * an image/audio codec here). Width/height derive from the byte length
-    * so the oracle can re-compute them. */
-  def decodePartition(rows: Iterator[MediaRow]): Iterator[MediaMeta] =
-    rows.map { r =>
-      val n = r.payload.length.toLong
-      MediaMeta(
-        doc_id = r.doc_id,
-        n_bytes = n,
-        first_byte = if (n > 0) r.payload(0) & 0xff else -1,
-        checksum = graft.functions.CanonicalJson.sha256Hex(
-          new String(r.payload, "UTF-8")),
-        width = (n % 640).toInt,
-        height = ((n / 640) % 480).toInt)
-    }
 
   override val entries: Seq[QueryEntry] = Seq(
     // binary payload + partition-batched stub decode → typed metadata
@@ -72,7 +37,7 @@ object MultimodalQueries extends QueryModule {
       val media: Dataset[MediaRow] = Tables(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[MediaRow]
-      media.mapPartitions(decodePartition)
+      Multimodal.decode(media, StubCodec)
         .toDF()
         .orderBy("doc_id")
     },
@@ -100,8 +65,7 @@ object MultimodalQueries extends QueryModule {
       val media: Dataset[MediaRow] = Tables(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[MediaRow]
-      media
-        .mapPartitions(rows => resizePartition(decodePartition(rows), 256))
+      Multimodal.decodeAndResize(media, 256, StubCodec)
         .toDF()
         .orderBy("doc_id")
     },
