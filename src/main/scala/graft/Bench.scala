@@ -43,23 +43,38 @@ object Bench {
       try graft.core.Tables(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Cold per query: drop catalog-cached plans AND leftover persisted
-      // RDDs — localCheckpoint blocks (CC rounds, pair caches) are NOT in
-      // the catalog cache and otherwise sit in storage memory until a JVM
-      // GC lets ContextCleaner reclaim them, skewing later queries.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_BENCH_REPS > 1 measures run-to-run variance: each query
+    // runs `reps` times (cache-cleared before every run, so every rep is
+    // the same cold measurement) and the recorded value is the MEDIAN —
+    // robust to a one-off GC pause — with all reps preserved in
+    // BENCH_FULL.json so a "regression" can be told from noise. Default 1
+    // keeps the driver's per-round cost unchanged.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        // Cold per query: drop catalog-cached plans AND leftover persisted
+        // RDDs — localCheckpoint blocks (CC rounds, pair caches) are NOT in
+        // the catalog cache and otherwise sit in storage memory until a JVM
+        // GC lets ContextCleaner reclaim them, skewing later queries.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, times.sorted.apply((reps - 1) / 2), times)
     }
+    val results = timed.map { case (name, med, _) => name -> med }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fullJson = results
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+    val fullJson = timed
+      .map { case (k, med, times) =>
+        if (reps == 1) s"\"" + k + "\":" + med
+        else s"\"" + k + "\":{\"median\":" + med +
+          ",\"reps\":[" + times.mkString(",") + "]}"
+      }
       .mkString(
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","queries":{""",
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"sf":"$sfDir","queries":{""",
         ",",
         "}}")
     java.nio.file.Files.write(

@@ -18,10 +18,11 @@ import graft.operators.ConnectedComponents
   */
 object AdvisoryDerive {
 
-  /** Content identity + latest flag (SURVEY A11 + W2 + D1).
-    * content id = sha256 over the canonical normalized content; is_latest
-    * via row_number per avid ordered by date_collected desc. */
-  def withContentIdAndLatest(advisories: DataFrame): DataFrame = {
+  /** The canonical content-identity column (sha256 over normalized
+    * content) -- ONE definition shared by the batch latest-flag window
+    * and the streaming latest-pointer state, so the two paths can never
+    * disagree on what "same content" means. */
+  def contentIdColumn: org.apache.spark.sql.Column = {
     val canonical = concat_ws("\u0000",
       lower(trim(col("summary"))),
       array_join(array_sort(col("aliases")), "|"),
@@ -32,9 +33,16 @@ object AdvisoryDerive {
         """transform(affected, a ->
           |  concat(a.purl, '#', a.affecting_vers, '#', a.fixed_vers))"""
           .stripMargin)), "|"))
+    sha2(canonical, 256)
+  }
+
+  /** Content identity + latest flag (SURVEY A11 + W2 + D1).
+    * content id = sha256 over the canonical normalized content; is_latest
+    * via row_number per avid ordered by date_collected desc. */
+  def withContentIdAndLatest(advisories: DataFrame): DataFrame = {
     val withId = advisories
       .withColumn("avid", concat_ws("/", col("datasource_id"), col("advisory_id")))
-      .withColumn("unique_content_id", sha2(canonical, 256))
+      .withColumn("unique_content_id", contentIdColumn)
     val w = Window.partitionBy("avid")
       .orderBy(col("date_collected").desc, col("unique_content_id"))
     withId.withColumn("is_latest", row_number().over(w) === 1)

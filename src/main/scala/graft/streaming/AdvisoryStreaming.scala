@@ -72,4 +72,68 @@ object AdvisoryStreaming {
           out.result().iterator
       }
   }
+
+  /** Streaming parse of a growing advisory-JSON directory: the same
+    * `AdvisoryJsonIngest.parse` path the batch tree scan uses, fed by
+    * the file stream source (one whole-text JSON document per file —
+    * the reference's per-advisory dump layout, importer.py:677-689). */
+  def ingestStream(spark: SparkSession, inputDir: String,
+      datasourceId: String): Dataset[graft.model.AdvisoryRow] = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.readStream
+      .option("wholetext", "true").text(inputDir)
+      .select(col("value").as("json"),
+        lit(datasourceId).as("datasource_id"))
+    graft.ingest.AdvisoryJsonIngest.parse(spark, raw)
+  }
+
+  /** One incremental pipeline pass under `Trigger.AvailableNow`: ingest
+    * every advisory file the checkpoint has not seen, append the parsed
+    * rows to the parquet advisory log at `logDir`, and run the
+    * latest-pointer state machine over the same batch, appending its
+    * import/update events to `changeDir`.
+    *
+    * Two sinks need two queries (a stateful operator cannot live inside
+    * the log query's foreachBatch), each with its own checkpoint under
+    * `checkpointRoot`; both see exactly the new files. The change
+    * query's flatMapGroupsWithState state store lives in the checkpoint
+    * too, so a SECOND invocation on a grown directory resumes the
+    * per-advisory pointers — an advisory updated between passes emits
+    * `update`, not a fresh `import`. Deriving marts from the log then
+    * equals the batch derivation over all files ever seen (spec-pinned);
+    * this is the T2/T4 incremental path end-to-end: each pass costs the
+    * NEW files, never a re-scan of the log.
+    *
+    * The content id is [[graft.derive.AdvisoryDerive.contentIdColumn]] —
+    * the batch definition — so stream and batch agree on identity. */
+  def runAvailableNow(spark: SparkSession, inputDir: String,
+      datasourceId: String, logDir: String, changeDir: String,
+      checkpointRoot: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val logQ = ingestStream(spark, inputDir, datasourceId).toDF()
+      .writeStream.format("parquet")
+      .option("path", logDir)
+      .option("checkpointLocation", s"$checkpointRoot/log")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val events = ingestStream(spark, inputDir, datasourceId).toDF()
+      .withColumn("avid", org.apache.spark.sql.functions.concat_ws("/",
+        col("datasource_id"), col("advisory_id")))
+      .withColumn("unique_content_id",
+        graft.derive.AdvisoryDerive.contentIdColumn)
+      .select(col("avid"), col("unique_content_id"), col("date_collected"))
+      .as[AdvisoryVersionEvent]
+    val changeQ = latestChanges(spark, events).toDF()
+      .writeStream.format("parquet")
+      .option("path", changeDir)
+      .option("checkpointLocation", s"$checkpointRoot/changes")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    logQ.awaitTermination()
+    changeQ.awaitTermination()
+  }
 }
