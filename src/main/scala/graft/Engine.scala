@@ -97,7 +97,8 @@ object Engine {
       cvss31Severities = AdvisoryDerive.cveCvss31Severities(advisories),
       packageCounts = graft.serve.Serving.advisoryPackageCounts(unfurled),
       vulnerabilities = graft.derive.VulnerabilityV1
-        .vulnerabilities(spark, advisories, severityWeights),
+        .vulnerabilities(spark, advisories, severityWeights,
+          precomputedMembership = Some(v1Member)),
       vulnerabilityMembership = v1Member,
       v1PackageVulnCounts = graft.derive.VulnerabilityV1
         .packageVulnerabilityCounts(unfurled, v1Member))

@@ -18,7 +18,9 @@ object ExplainAudit {
         "x_vocab_topk", "x_tfidf_score", "x_chunk_dedup", "x_embed_lsh",
         "d14_cvss31_map", "d15_archive_fold", "s17_search_advisories",
         "s18_search_packages", "i1_advisory_tree", "i2_osv_tree",
-        "x_redact_pii")
+        "x_redact_pii", "s19_v1_vulnerabilities", "s20_v1_package_vulns",
+        "d4_advisory_sets", "e1_export_rows", "e2_package_index",
+        "x_ann_ivf_nprobe")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)
