@@ -214,6 +214,79 @@ object CorpusQueries extends QueryModule {
         .orderBy("component")
     },
 
+    // Approximate end-to-end dedup — the 100 TB library path: MinHash+LSH
+    // candidate pairs (estimated similarity, never an exact-Jaccard pass
+    // over the inverted index) → the same distributed CC → canonical
+    // pick. At corpus scale the exact pipeline's inverted shingle index
+    // is the bottleneck; this one touches each doc once for its
+    // 16-hash signature and joins only narrow (band, bucket) rows. The
+    // estimate-vs-exact disagreement margin is precisely why the
+    // curation ledger keys off whichever pair set actually fed the
+    // clusters (EngineSpec pins that contract).
+    q("x_dedup_pipeline_minhash",
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |           list_transform(range(1, len(toks)),
+         |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+         |  FROM (SELECT doc_id,
+         |               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                           x -> x <> '') AS toks
+         |        FROM documents) WHERE len(toks) >= 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |         ${(0 until 16).map(i =>
+                s"min((${TextDedup.minHashA(i)} * base + " +
+                  s"${TextDedup.minHashB(i)}) % ${TextDedup.MinHashP}) AS h$i")
+                .mkString(", ")}
+         |  FROM (SELECT doc_id,
+         |               CAST('0x' || substr(md5(shingle), 1, 13) AS BIGINT)
+         |                 % ${TextDedup.MinHashP} AS base
+         |        FROM raw)
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, band, bucket FROM (
+         |    SELECT doc_id,
+         |           unnest([0, 1, 2, 3]) AS band,
+         |           unnest([${(0 until 4).map(b =>
+                (0 until 4).map(r => s"CAST(h${4 * b + r} AS VARCHAR)")
+                  .mkString(" || '|' || ")).mkString(", ")}]) AS bucket
+         |    FROM sig)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT c.id_a AS src, c.id_b AS dst
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b
+         |  WHERE CAST((${(0 until 16).map(i =>
+                s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+                .mkString(" + ")}) AS DOUBLE) / 16 >= 0.5),
+         |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |lbl(node, comp, i) AS (
+         |  SELECT src AS node, src AS comp, 0 AS i
+         |  FROM (SELECT DISTINCT src FROM sym)
+         |  UNION ALL
+         |  SELECT s.src AS node, min(l.comp) AS comp, l.i + 1 AS i
+         |  FROM lbl l JOIN sym s ON l.node = s.dst
+         |  WHERE l.i < 100
+         |  GROUP BY s.src, l.i),
+         |comp AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
+         |ranked AS (
+         |  SELECT component, node AS canonical_doc,
+         |         row_number() OVER (PARTITION BY component
+         |           ORDER BY d.n_chars DESC, node) AS rn,
+         |         count(*) OVER (PARTITION BY component) AS cluster_size
+         |  FROM comp JOIN documents d ON d.doc_id = comp.node)
+         |SELECT component, canonical_doc, cluster_size
+         |FROM ranked WHERE rn = 1 ORDER BY component""") { (s, dir) =>
+      val pairs = TextDedup.minHashLshPairs(docs(s, dir), "text", "doc_id")
+      Corpus.dedupClustersFromPairs(docs(s, dir), pairs, "doc_id", "n_chars")
+        .orderBy("component")
+    },
+
     // Vocabulary heavy hitters: corpus-frequency top-k tokens. Spark plans
     // the orderBy+limit as TakeOrderedAndProject (per-partition top-k, then
     // a k-sized driver merge — no global sort), and the token count

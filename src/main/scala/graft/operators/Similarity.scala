@@ -163,6 +163,46 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
   }
 
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    * init = the k lowest-id vectors (no RNG — reruns and engines agree),
+    * then `iters` assignment/update rounds. Returns (centroid_id, vec).
+    *
+    * Scale shape per round: one broadcast cross-join assignment (the
+    * same plan [[assignToCentroids]] serves) + one posexplode/groupBy
+    * mean — a (k × dim)-keyed shuffle of narrow rows, independent of
+    * corpus width. Means accumulate in DECIMAL: a double sum's value
+    * depends on partition merge order, so with float accumulation two
+    * runs could disagree in the last bit and flip a boundary
+    * assignment; exact decimal sums make training a pure function of
+    * the input. Centroids localCheckpoint per round (k rows) so the
+    * plan does not nest `iters` deep. Empty clusters keep their
+    * previous centroid (the standard Lloyd fallback). */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val init = df.orderBy(col(idCol)).limit(k)
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col(idCol))).cast("long"))
+      .select(col("centroid_id"),
+        transform(col(vecCol), v => v.cast("double")).as("vec"))
+      .localCheckpoint()
+    (1 to iters).foldLeft(init) { (cent, _) =>
+      val means = assignToCentroids(df, cent, idCol, vecCol)
+        .select(col("centroid_id"),
+          posexplode(transform(col(vecCol), v => v.cast("double"))))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("col").cast("decimal(28,12)")).cast("double").as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("new_vec"))
+      cent.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_vec"), col("vec")).as("vec"))
+        .localCheckpoint()
+    }
+  }
+
   /** IVF top-k: probes search their `nprobe` nearest centroids' lists —
     * the similarity join stays an equi-join on centroid_id, fanning each
     * probe out `nprobe` ways instead of 1. The corpus assignment is

@@ -189,6 +189,50 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     },
 
+    // One Lloyd round of the IVF coarse-quantizer training
+    // (Similarity.trainCentroids, iters=1): deterministic lowest-id
+    // init, cosine argmax assignment, per-dimension decimal-exact means
+    // — the assignment plan is the same broadcast cross-join the search
+    // path uses, and the mean is a (k × dim)-keyed narrow shuffle.
+    // Iterations beyond 1 are the same round folded (spec-pinned
+    // deterministic); one round is what SQL can express non-recursively.
+    q("x_ivf_train",
+      s"""WITH init AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id,
+         |         embedding
+         |  FROM embeddings ORDER BY vec_id LIMIT 4),
+         |ass AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT a.vec_id, b.centroid_id,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.centroid_id) AS rn
+         |    FROM embeddings a CROSS JOIN init b)
+         |  WHERE rn = 1),
+         |dims AS (SELECT unnest(range(0,
+         |           (SELECT len(embedding) FROM embeddings LIMIT 1)))
+         |           AS pos)
+         |SELECT s.centroid_id, p.pos,
+         |       round(avg(CAST(e.embedding[p.pos + 1]
+         |                      AS DECIMAL(28,12))), 6) AS m
+         |FROM ass s
+         |JOIN embeddings e USING (vec_id)
+         |CROSS JOIN dims p
+         |GROUP BY s.centroid_id, p.pos
+         |ORDER BY centroid_id, pos""") { (s, dir) =>
+      val cent = Similarity.trainCentroids(emb(s, dir),
+        "vec_id", "embedding", k = 4, iters = 1)
+      cent.select(col("centroid_id"),
+          posexplode(col("vec")).as(Seq("pos", "m")))
+        .select(col("centroid_id"), col("pos").cast("long").as("pos"),
+          round(col("m"), 6).as("m"))
+        .orderBy("centroid_id", "pos")
+    },
+
     // IVF multi-probe (nprobe=2): probes search their TWO nearest
     // centroids' lists — the recall lever over x_ann_ivf's nprobe=1
     // (a probe near a Voronoi boundary has true neighbors filed under

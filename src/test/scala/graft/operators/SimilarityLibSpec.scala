@@ -75,6 +75,43 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
     assert(two.map(_.getAs[Long]("neighbor_id")).toSet == Set(6L, 2L, 1L))
   }
 
+  test("trainCentroids converges to the planted clusters deterministically") {
+    val sp = spark
+    import sp.implicits._
+    // two planted directions; init takes ids 1-2 (both near (1,0)), so
+    // convergence REQUIRES the update step to pull centroid 2 across
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.05f, 0.95f)),
+      (6L, Array(0.1f, 0.9f)))
+      .toDF("id", "vec")
+    val cent = Similarity.trainCentroids(corpus, "id", "vec", k = 2,
+      iters = 4)
+    assert(cent.count() == 2)
+    val assigned = Similarity
+      .assignToCentroids(corpus, cent, "id", "vec")
+      .select("id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(1L) == assigned(2L) && assigned(2L) == assigned(3L))
+    assert(assigned(4L) == assigned(5L) && assigned(5L) == assigned(6L))
+    assert(assigned(1L) != assigned(4L))
+    // deterministic: a second training run produces identical vectors
+    val v1 = cent.orderBy("centroid_id").collect()
+      .map(_.getSeq[Double](1)).toSeq
+    val v2 = Similarity.trainCentroids(corpus, "id", "vec", 2, 4)
+      .orderBy("centroid_id").collect().map(_.getSeq[Double](1)).toSeq
+    assert(v1 == v2)
+    // the trained quantizer drives the IVF search end-to-end
+    val corpusAssigned = Similarity
+      .assignToCentroids(corpus, cent, "id", "vec")
+    val probe = Seq((7L, Array(0.92f, 0.08f))).toDF("id", "vec")
+    val top = Similarity
+      .ivfTopK(probe, corpusAssigned, cent, "id", "vec", k = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(top.toSet.subsetOf(Set(1L, 2L, 3L)))
+  }
+
   private def lshVecs = {
     val sp = spark
     import sp.implicits._
