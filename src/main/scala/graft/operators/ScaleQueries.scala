@@ -37,6 +37,56 @@ object ScaleQueries extends QueryModule {
         .orderBy("o_orderkey")
     },
 
+    // Salt-replicated skew join == plain join (aggregated to hold the
+    // row count at the group grain; the join itself is the thing under
+    // test — a hot l_orderkey spreads over 8 reducers instead of 1)
+    q("sc4_salted_join",
+      """SELECT o.o_orderpriority, l.l_returnflag,
+        |       count(*) AS li_cnt,
+        |       CAST(round(sum(CAST(l.l_quantity AS DECIMAL(12,2))), 2)
+        |            AS DOUBLE) AS qty
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderpriority, l.l_returnflag
+        |ORDER BY o.o_orderpriority, l.l_returnflag""") { (s, dir) =>
+      val dim = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(t(s, dir, "lineitem"), dim, "l_orderkey", salts = 8)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(count(lit(1)).as("li_cnt"),
+          round(sum(col("l_quantity").cast("decimal(12,2)")), 2)
+            .cast("double").as("qty"))
+        .orderBy("o_orderpriority", "l_returnflag")
+    },
+
+    // Bucketed co-located join == plain join: both sides pre-bucketed by
+    // the join key (the write pays the shuffle once), then a merge join
+    // with NO Exchange on either side (BucketedJoinSpec pins the plan).
+    // The oracle re-derives from the raw parquet — bucket files must be
+    // a pure re-layout, never a re-interpretation, of the data.
+    q("sc5_bucketed_join",
+      """SELECT c.c_mktsegment, count(*) AS order_cnt,
+        |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 2)
+        |            AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""") { (s, dir) =>
+      val base = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_bucketed").toString
+      graft.sources.Bucketed.write(
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "cust_id"),
+        "graft_buck_orders", s"$base/orders", "cust_id", buckets = 8)
+      graft.sources.Bucketed.write(
+        t(s, dir, "customer").withColumnRenamed("c_custkey", "cust_id"),
+        "graft_buck_customer", s"$base/customer", "cust_id", buckets = 8)
+      val o = graft.sources.Bucketed.table(s, "graft_buck_orders")
+      val c = graft.sources.Bucketed.table(s, "graft_buck_customer")
+      o.hint("merge").join(c, Seq("cust_id"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("order_cnt"),
+          round(sum(col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double").as("total"))
+        .orderBy("c_mktsegment")
+    },
+
     // Two-phase per-key top-k == windowed top-k
     q("sc3_topk_per_key",
       """SELECT l_partkey, l_orderkey, round(l_extendedprice, 2) AS price

@@ -53,6 +53,46 @@ object Skew {
       StructType(sorted.schema.fields :+ StructField(outCol, LongType)))
   }
 
+  /** Salt-replicated inner equi-join — the skew-join shape for a hot
+    * fact-side key when the dimension side is too large to broadcast
+    * but cheap to replicate a handful of times. A plain shuffle join
+    * funnels every fact row of a hot key through ONE reducer; here the
+    * fact side gets a per-row salt in [0, salts) and the dimension side
+    * is exploded once per salt value, so the join key becomes
+    * (key, salt) and a hot key's rows spread over `salts` reducers.
+    *
+    * Exact for any key multiplicity: a fact row carries exactly one
+    * salt, and the dimension row for its key exists at every salt, so
+    * each (fact row, dim row) pair joins exactly once. Cost model: the
+    * dim side shuffles `salts`× its size — pick salts ~ (hot-key rows /
+    * target partition rows), not hundreds. AQE's skew split covers sort
+    * -merge joins after the fact; this shape also pre-empts the straggler
+    * for first-pass shuffles and works under any join strategy.
+    *
+    * The salt derives from (partition id, row position) — deterministic
+    * for a given scan order and uniform regardless of key skew. Nothing
+    * about the RESULT depends on which salt a row lands on. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val saltCol = "_graft_salt"
+    require(!fact.columns.contains(saltCol) && !dim.columns.contains(saltCol),
+      s"inputs must not already carry $saltCol")
+    val replicated = dim.withColumn(saltCol,
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    withSalt(fact, saltCol, salts)
+      .join(replicated, Seq(key, saltCol)).drop(saltCol)
+  }
+
+  /** Uniform per-row salt in [0, salts) from (partition id, row
+    * position): deterministic for a given scan order, uniform regardless
+    * of how skewed any key column is (it never looks at the data). The
+    * building block under [[saltedJoin]] and [[saltedCount]]. */
+  def withSalt(df: DataFrame, saltCol: String, salts: Int): DataFrame =
+    df.withColumn(saltCol,
+      pmod(spark_partition_id().cast("long") +
+        monotonically_increasing_id(), lit(salts.toLong)))
+
   /** Skew-safe global top-k per key: per-partition top-k first (narrow),
     * then top-k of the union — the window never sees more than
     * partitions×k rows per key. */

@@ -30,6 +30,39 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
     assert(salted == plain)
   }
 
+  test("salted join matches plain join, including duplicate keys") {
+    val sp = spark
+    import sp.implicits._
+    // hot key 1 on the fact side; dim carries DUPLICATE key rows (2×"b")
+    // so the pair-multiplicity contract is exercised, not just 1:N
+    val fact = ((1 to 900).map(_ => (1L, "hot")) ++
+      (1 to 50).map(i => (i.toLong % 7 + 2, s"c$i"))).toDF("k", "f")
+      .repartition(8)
+    val dim = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"), (99L, "z"))
+      .toDF("k", "d")
+    val got = Skew.saltedJoin(fact, dim, "k", salts = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = fact.join(dim, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.count(_._1 == 1L) == 900)
+    assert(got.count(_._1 == 2L) > 0 && got.forall(_._1 != 99L))
+  }
+
+  test("salting spreads a single hot key's rows over all salt values") {
+    val sp = spark
+    import sp.implicits._
+    // every row shares ONE key — the worst-case skew; the salt must
+    // still cover [0, salts) so the (key, salt) shuffle uses 4 reducers
+    val fact = (1 to 4000).map(_ => (1L, "hot")).toDF("k", "f")
+      .repartition(8)
+    val salts = Skew.withSalt(fact, "_s", 4)
+      .groupBy("_s").count().collect()
+    assert(salts.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    // and no salt holds a grossly disproportionate share
+    assert(salts.map(_.getLong(1)).max <= 4000 * 2 / 4)
+  }
+
   test("two-phase top-k per key matches global window") {
     val sp = spark
     import sp.implicits._
