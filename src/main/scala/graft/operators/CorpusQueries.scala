@@ -32,6 +32,47 @@ object CorpusQueries extends QueryModule {
       |                   x -> x <> '') AS toks
       |FROM documents""".stripMargin
 
+  /** Shared DuckDB CTEs `raw`/`sig`/`bands`: 2-shingles → one md5 base
+    * hash → 16 affine-permutation MinHash signature → 4-band bucket rows
+    * over `documents` — must stay arithmetic-identical to
+    * [[TextDedup.minHashSignatures]] / [[TextDedup.bandRows]]. */
+  private val minhashCteSql: String =
+    s"""raw AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |           list_transform(range(1, len(toks)),
+       |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+       |  FROM (SELECT doc_id,
+       |               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                           x -> x <> '') AS toks
+       |        FROM documents) WHERE len(toks) >= 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |         ${(0 until 16).map(i =>
+      s"min((${TextDedup.minHashA(i)} * base + " +
+        s"${TextDedup.minHashB(i)}) % ${TextDedup.MinHashP}) AS h$i")
+      .mkString(", ")}
+       |  FROM (SELECT doc_id,
+       |               CAST('0x' || substr(md5(shingle), 1, 13) AS BIGINT)
+       |                 % ${TextDedup.MinHashP} AS base
+       |        FROM raw)
+       |  GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id,
+       |           unnest([0, 1, 2, 3]) AS band,
+       |           unnest([${(0 until 4).map(b =>
+      (0 until 4).map(r => s"CAST(h${4 * b + r} AS VARCHAR)")
+        .mkString(" || '|' || ")).mkString(", ")}]) AS bucket
+       |    FROM sig))""".stripMargin
+
+  /** Estimated-similarity predicate text over two `sig` aliases: the
+    * matching-hash fraction ≥ threshold, exactly as the Spark side
+    * scores candidates. */
+  private def minhashSimSql(a: String, b: String, th: Double): String =
+    s"""CAST((${(0 until 16).map(i =>
+      s"CASE WHEN $a.h$i = $b.h$i THEN 1 ELSE 0 END").mkString(" + ")})
+       | AS DOUBLE) / 16 >= $th""".stripMargin
+
   /** 32-bit sign-LSH signature over integer-quantized embeddings, as
     * DuckDB SQL — must stay bit-identical to
     * [[Similarity.signLshPairs]]'s plane/weight arithmetic. */
@@ -224,33 +265,7 @@ object CorpusQueries extends QueryModule {
     // curation ledger keys off whichever pair set actually fed the
     // clusters (EngineSpec pins that contract).
     q("x_dedup_pipeline_minhash",
-      s"""WITH RECURSIVE raw AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |           list_transform(range(1, len(toks)),
-         |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
-         |  FROM (SELECT doc_id,
-         |               list_filter(regexp_split_to_array(trim(text), '\\s+'),
-         |                           x -> x <> '') AS toks
-         |        FROM documents) WHERE len(toks) >= 2),
-         |sig AS (
-         |  SELECT doc_id,
-         |         ${(0 until 16).map(i =>
-                s"min((${TextDedup.minHashA(i)} * base + " +
-                  s"${TextDedup.minHashB(i)}) % ${TextDedup.MinHashP}) AS h$i")
-                .mkString(", ")}
-         |  FROM (SELECT doc_id,
-         |               CAST('0x' || substr(md5(shingle), 1, 13) AS BIGINT)
-         |                 % ${TextDedup.MinHashP} AS base
-         |        FROM raw)
-         |  GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, band, bucket FROM (
-         |    SELECT doc_id,
-         |           unnest([0, 1, 2, 3]) AS band,
-         |           unnest([${(0 until 4).map(b =>
-                (0 until 4).map(r => s"CAST(h${4 * b + r} AS VARCHAR)")
-                  .mkString(" || '|' || ")).mkString(", ")}]) AS bucket
-         |    FROM sig)),
+      s"""WITH RECURSIVE $minhashCteSql,
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b
@@ -261,9 +276,7 @@ object CorpusQueries extends QueryModule {
          |  FROM cand c
          |  JOIN sig sa ON sa.doc_id = c.id_a
          |  JOIN sig sb ON sb.doc_id = c.id_b
-         |  WHERE CAST((${(0 until 16).map(i =>
-                s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
-                .mkString(" + ")}) AS DOUBLE) / 16 >= 0.5),
+         |  WHERE ${minhashSimSql("sa", "sb", 0.5)}),
          |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
          |lbl(node, comp, i) AS (
          |  SELECT src AS node, src AS comp, 0 AS i
@@ -285,6 +298,53 @@ object CorpusQueries extends QueryModule {
       val pairs = TextDedup.minHashLshPairs(docs(s, dir), "text", "doc_id")
       Corpus.dedupClustersFromPairs(docs(s, dir), pairs, "doc_id", "n_chars")
         .orderBy("component")
+    },
+
+    // Incremental near-dup admission: docs with doc_id % 3 == 0 arrive
+    // as the delta; the rest are the already-admitted corpus, visible
+    // ONLY through its signature index (TextDedup.incrementalMinHashDedup
+    // never touches admitted text). The oracle recomputes both sides'
+    // signatures and restricts pairing to delta×index and
+    // delta×earlier-delta — the admission rule. The hot-bucket cap is
+    // not mirrored: no (band, bucket) at these SFs approaches 10k rows,
+    // and the cap's semantics are already oracle-checked by
+    // x_minhash_lsh_capped.
+    q("x_incremental_dedup",
+      s"""WITH $minhashCteSql,
+         |d AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+         |ix AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+         |dup_ix AS (
+         |  SELECT DISTINCT c.id_a AS doc_id FROM (
+         |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |    FROM d a JOIN ix b
+         |      ON a.band = b.band AND a.bucket = b.bucket) c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b
+         |  WHERE ${minhashSimSql("sa", "sb", 0.5)}),
+         |dup_dd AS (
+         |  SELECT DISTINCT c.id_a AS doc_id FROM (
+         |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |    FROM d a JOIN d b
+         |      ON a.band = b.band AND a.bucket = b.bucket
+         |     AND a.doc_id > b.doc_id) c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b
+         |  WHERE ${minhashSimSql("sa", "sb", 0.5)})
+         |SELECT dd.doc_id,
+         |       di.doc_id IS NOT NULL AS dup_of_index,
+         |       dl.doc_id IS NOT NULL AS dup_of_delta,
+         |       di.doc_id IS NULL AND dl.doc_id IS NULL AS keep
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) dd
+         |LEFT JOIN dup_ix di USING (doc_id)
+         |LEFT JOIN dup_dd dl USING (doc_id)
+         |ORDER BY dd.doc_id""") { (s, dir) =>
+      val all = docs(s, dir)
+      val delta = all.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val index = TextDedup.minHashSignatures(
+        all.filter(pmod(col("doc_id"), lit(3)) =!= 0), "text", "doc_id")
+      val (decisions, _) = TextDedup.incrementalMinHashDedup(
+        delta, index, "text", "doc_id")
+      decisions.withColumnRenamed("id", "doc_id").orderBy("doc_id")
     },
 
     // Vocabulary heavy hitters: corpus-frequency top-k tokens. Spark plans

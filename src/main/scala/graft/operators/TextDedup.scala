@@ -115,6 +115,23 @@ object TextDedup {
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Signature rows (id, h0..h{k-1}) → banded rows (id, sig struct,
+    * band, bucket). Bucket key = '|'-joined decimal hashes: long→string
+    * formatting is identical across engines and skips a per-band md5. */
+  def bandRows(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bucket"))
+    }
+    sig.select(col("id"),
+      struct((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** MinHash+LSH candidate pairs: signatures banded `bands` ways; pairs
     * sharing any band bucket are candidates, scored by matching-hash
     * fraction. Pairs with estimated similarity ≥ threshold survive. */
@@ -122,7 +139,6 @@ object TextDedup {
       n: Int = 2, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // Signatures are carried THROUGH the band self-join so candidates and
     // their match score come out of one join — the candidate-join +
     // two-signature-re-join shape costs two extra corpus-wide shuffles.
@@ -131,17 +147,7 @@ object TextDedup {
     // per side (numHashes × 32 B per doc — cheap at any scale).
     val sig = minHashSignatures(df, textCol, idCol, n, numHashes)
       .localCheckpoint()
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      // Bucket key = '|'-joined decimal hashes: long→string formatting is
-      // identical across engines and skips a per-band md5.
-      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bucket"))
-    }
-    val banded = sig.select(col("id"),
-      struct((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandRows(sig, numHashes, bands)
     // Degenerate-bucket guard: a band bucket holding k ids emits O(k²)
     // candidates. Buckets above the cap (boilerplate / empty docs hashing
     // identically) are dropped — their members still pair through their
@@ -167,6 +173,75 @@ object TextDedup {
       .withColumn("est_similarity", col("_m").cast("double") / numHashes)
       .filter(col("est_similarity") >= threshold)
       .select("id_a", "id_b", "est_similarity")
+  }
+
+  /** Incremental near-dup admission: dedup a DELTA of newly-arrived
+    * documents against the persisted signature index of everything
+    * already admitted — WITHOUT re-reading admitted text. This is the
+    * T-series incremental pattern applied to the dedup family: at 100 TB
+    * the corpus is append-only and re-running pair generation over the
+    * whole corpus per arrival batch is off the table; the index costs
+    * `numHashes` longs per admitted doc and is the only corpus-side
+    * state touched.
+    *
+    * Semantics (deterministic, order-free): a delta doc is rejected when
+    * its estimated similarity reaches `threshold` against ANY indexed
+    * doc, or against ANY delta doc with a smaller id (ids are the
+    * admission order). The second rule compares against earlier delta
+    * docs whether or not those are themselves admitted — monotone
+    * (growing the delta never un-rejects a doc) and computable without
+    * a sequential scan; the full-recompute pipeline (x_dedup_pipeline)
+    * remains the compaction path that re-picks canonicals globally.
+    *
+    * Returns (decisions, admittedSignatures): decisions =
+    * (id, dup_of_index, dup_of_delta, keep); admittedSignatures = the
+    * kept docs' signature rows — append them to the index and the next
+    * batch continues from there. All joins are band-bucket equi-joins
+    * with the batch path's hot-bucket cap, counted over BOTH sides so a
+    * bucket degenerate in the admitted corpus cannot explode the delta
+    * join either. */
+  def incrementalMinHashDedup(delta: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, n: Int = 2, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5,
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
+    val deltaSig = minHashSignatures(delta, textCol, idCol, n, numHashes)
+      .localCheckpoint()
+    val db = bandRows(deltaSig, numHashes, bands)
+    val ib = bandRows(index, numHashes, bands)
+    val hot = db.select("band", "bucket")
+      .unionAll(ib.select("band", "bucket"))
+      .groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("band", "bucket")
+    val dbC = db.join(hot, Seq("band", "bucket"), "left_anti")
+    val ibC = ib.join(hot, Seq("band", "bucket"), "left_anti")
+    val matches = (0 until numHashes)
+      .map(i => when(col("sig_a").getField(s"h$i") ===
+        col("sig_b").getField(s"h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    def dupsAgainst(b: DataFrame, pred: Column): DataFrame =
+      dbC.select(col("id").as("id_a"), col("sig").as("sig_a"),
+          col("band"), col("bucket"))
+        .join(b.select(col("id").as("id_b"), col("sig").as("sig_b"),
+          col("band"), col("bucket")), Seq("band", "bucket"))
+        .filter(pred)
+        .groupBy("id_a", "id_b")
+        .agg(first(matches).as("_m"))
+        .filter(col("_m").cast("double") / numHashes >= threshold)
+        .select(col("id_a").as("id")).distinct()
+    val dupIx = dupsAgainst(ibC, lit(true))
+      .withColumn("dup_of_index", lit(true))
+    val dupDelta = dupsAgainst(dbC, col("id_a") > col("id_b"))
+      .withColumn("dup_of_delta", lit(true))
+    val decisions = deltaSig.select("id")
+      .join(dupIx, Seq("id"), "left")
+      .join(dupDelta, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dup_of_index"), lit(false)).as("dup_of_index"),
+        coalesce(col("dup_of_delta"), lit(false)).as("dup_of_delta"))
+      .withColumn("keep", !col("dup_of_index") && !col("dup_of_delta"))
+    val admitted = deltaSig
+      .join(decisions.filter(col("keep")).select("id"), Seq("id"))
+    (decisions, admitted)
   }
 
   /** SimHash of configurable bit width (md5-hex bit sampling per token);

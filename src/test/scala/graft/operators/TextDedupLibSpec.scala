@@ -164,4 +164,39 @@ class TextDedupLibSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.contains((10L, 11L)))
     assert(!pairs.exists { case (a, b) => a <= 6L && b <= 6L })
   }
+
+  test("incremental dedup admits against the index across batches") {
+    val sp = spark
+    import sp.implicits._
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines"))
+      .toDF("id", "text")
+    val index1 = TextDedup.minHashSignatures(batch1, "text", "id")
+    // batch2: 10 dups batch1/#1, 11 fresh, 12 dups 11 (within-batch)
+    val batch2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "a corpus of training documents for language models"),
+      (12L, "a corpus of training documents for language models"))
+      .toDF("id", "text")
+    val (dec2, admit2) = TextDedup.incrementalMinHashDedup(
+      batch2, index1, "text", "id")
+    val d2 = dec2.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(d2(10L) == ((true, false, false)))  // dup of index → dropped
+    assert(d2(11L) == ((false, false, true)))  // fresh → kept
+    assert(d2(12L) == ((false, true, false)))  // dup of earlier delta doc
+    // only KEPT docs' signatures append to the index
+    assert(admit2.select("id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    // batch3 dups batch2's survivor — caught via the APPENDED index,
+    // proving admitted state carries forward without re-reading text
+    val index2 = index1.unionByName(admit2)
+    val batch3 = Seq(
+      (20L, "a corpus of training documents for language models"))
+      .toDF("id", "text")
+    val (dec3, _) = TextDedup.incrementalMinHashDedup(
+      batch3, index2, "text", "id")
+    val d3 = dec3.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(d3(20L) == false)
+  }
 }
