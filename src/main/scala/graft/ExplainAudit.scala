@@ -20,7 +20,8 @@ object ExplainAudit {
         "s18_search_packages", "i1_advisory_tree", "i2_osv_tree",
         "x_redact_pii", "s19_v1_vulnerabilities", "s20_v1_package_vulns",
         "d4_advisory_sets", "e1_export_rows", "e2_package_index",
-        "x_ann_ivf_nprobe")
+        "x_ann_ivf_nprobe", "x_ivf_train", "x_dedup_pipeline_minhash",
+        "x_incremental_dedup", "sc4_salted_join", "sc5_bucketed_join")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)

@@ -293,6 +293,33 @@ object Corpus {
       .select(col(idCol), col(groupCol), col("n_toks"), col("cum_toks"))
   }
 
+  /** Per-group quantile profile of a quality metric — the distribution
+    * mart a curation run watches (is src X's length profile drifting?).
+    *
+    * `exact = false` (the library default, the 100 TB path) uses Spark's
+    * `approx_percentile`: a Greenwald–Khanna sketch per group — bounded
+    * memory, mergeable map-side, one narrow shuffle of sketches. The
+    * exact form materializes every value per group inside the aggregate
+    * buffer, which is a per-group memory hazard at corpus scale — it
+    * exists as the oracle-able verification twin (both engines interpolate
+    * quantiles identically, R-7), and QualityQuantilesSpec bounds the
+    * sketch's drift against it. */
+  def qualityQuantiles(df: DataFrame, metricCol: String, groupCol: String,
+      ps: Seq[Double], exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val pArr = array(ps.map(lit): _*)
+    val qs =
+      if (exact) percentile(col(metricCol), pArr)
+      else percentile_approx(col(metricCol), pArr, lit(accuracy))
+    val agged = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), qs.as("_qs"))
+    ps.zipWithIndex.foldLeft(agged) { case (d, (p, i)) =>
+      d.withColumn(s"p${(p * 100).round}",
+        round(element_at(col("_qs"), i + 1).cast("double"), 4))
+    }.drop("_qs")
+  }
+
   /** End-to-end near-dup removal: capped n-gram Jaccard pairs →
     * connected components → canonical doc per cluster ("keep the richest
     * copy": max `qualityCol`, ties to the smallest id). Returns

@@ -25,6 +25,22 @@ object TextAnalysisQueries extends QueryModule {
     "fr" -> Seq("le", "les", "des"))
 
   override val entries: Seq[QueryEntry] = Seq(
+    // Per-source quantile profile of the length metric — the oracle runs
+    // the EXACT percentile twin (both engines interpolate R-7); the
+    // library default is the GK-sketch approx_percentile (bounded
+    // per-group state, mergeable map-side), drift-bounded against this
+    // exact form in QualityQuantilesSpec.
+    q("x_quality_quantiles",
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(round(quantile_cont(n_chars, 0.5), 4) AS DOUBLE) AS p50,
+        |       CAST(round(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
+        |       CAST(round(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
+        |FROM documents GROUP BY source ORDER BY source""") { (s, dir) =>
+      Corpus.qualityQuantiles(t(s, dir, "documents"), "n_chars", "source",
+          Seq(0.5, 0.9, 0.99), exact = true)
+        .orderBy("source")
+    },
+
     // Language ID: argmax of stopword hits per language profile, ties to
     // the first profile in fixed order (en, de, es, fr), 'und' when zero.
     q("x_langid",
