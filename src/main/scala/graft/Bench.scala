@@ -50,7 +50,14 @@ object Bench {
     // BENCH_FULL.json so a "regression" can be told from noise. Default 1
     // keeps the driver's per-round cost unchanged.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run — for isolating one
+    // query's cost from cross-query JVM interference when triaging a
+    // regression. The driver never sets it; full runs stay the contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // Cold per query: drop catalog-cached plans AND leftover persisted
         // RDDs — localCheckpoint blocks (CC rounds, pair caches) are NOT in
@@ -58,7 +65,13 @@ object Bench {
         // GC lets ContextCleaner reclaim them, skewing later queries.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
+        // localCheckpoint blocks whose DataFrames went out of scope are
+        // reclaimed by ContextCleaner only after their weak refs are
+        // GC'd; without this nudge they pile up across queries and the
+        // widest shuffles (tfidf/vocab token aggs) measured 4-6x slower
+        // in a full run than in isolation.
+        System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
