@@ -73,10 +73,23 @@ object Bench {
         // in a full run than in isolation.
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        // A crashed query must NOT masquerade as a fast one: an OOM'd
+        // 10x run once recorded 19.7s for a query that takes 73s when it
+        // actually completes. Failures time as the NEGATED elapsed time —
+        // visibly wrong in any artifact — and are listed in "failed".
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -dt
       }
       (name, times.sorted.apply((reps - 1) / 2), times)
+    }
+    val failed = timed.collect {
+      case (name, _, times) if times.exists(_ < 0) => name
     }
     val results = timed.map { case (name, med, _) => name -> med }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -87,7 +100,7 @@ object Bench {
           ",\"reps\":[" + times.mkString(",") + "]}"
       }
       .mkString(
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"sf":"$sfDir","queries":{""",
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{""",
         ",",
         "}}")
     java.nio.file.Files.write(
@@ -96,8 +109,11 @@ object Bench {
     // Compact stdout contract line: slowest 40 queries, 3-decimal seconds.
     val top = results.sortBy(-_._2).take(40).sortBy(_._1)
     val qs = top.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"detail":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"detail":"BENCH_FULL.json","queries":$qs$failedJson,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
     System.out.flush()
