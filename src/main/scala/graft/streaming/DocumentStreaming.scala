@@ -27,6 +27,46 @@ object DocumentStreaming {
       .withWatermark("arrived_at", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_id")
 
+  /** Streaming NEAR-dup admission: a `foreachBatch` sink in which each
+    * micro-batch is a delta run through
+    * [[graft.operators.TextDedup.incrementalMinHashDedup]] against the
+    * signature index accumulated from every earlier batch. Admitted
+    * docs append to `admittedPath`, their signatures to `indexPath` —
+    * the per-batch corpus-side cost is the narrow index scan
+    * (numHashes longs per admitted doc), never the admitted text,
+    * which is what keeps an unbounded intake viable: state grows with
+    * ADMITTED docs (post-dedup), and none of it lives in the state
+    * store.
+    *
+    * Delivery: the two plain-parquet appends are not atomic with the
+    * streaming checkpoint, so a crash between them replays the batch —
+    * at-least-once. On a platform with a transactional table format the
+    * same two writes in one transaction make it exactly-once; with
+    * plain parquet, downstream reads dedup idempotently on the id (the
+    * same D1 content-id contract the batch path uses).
+    *
+    * Usage: `docs.writeStream.foreachBatch(
+    *   DocumentStreaming.admissionSink(ix, out, "text", "doc_id"))`. */
+  def admissionSink(indexPath: String, admittedPath: String,
+      textCol: String, idCol: String, n: Int = 2, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    val emptyIndex = graft.operators.TextDedup
+      .minHashSignatures(batch.limit(0), textCol, idCol, n, numHashes)
+    val index =
+      try spark.read.schema(emptyIndex.schema).parquet(indexPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyIndex }
+    val (decisions, admittedSig) = graft.operators.TextDedup
+      .incrementalMinHashDedup(batch, index, textCol, idCol,
+        n, numHashes, bands, threshold)
+    val kept = decisions.filter(col("keep"))
+      .select(col("id").as(idCol))
+    batch.join(kept, Seq(idCol))
+      .write.mode("append").parquet(admittedPath)
+    admittedSig.write.mode("append").parquet(indexPath)
+  }
+
   /** Per-window language/quality profile of the arrival stream (the
     * monitoring mart a training-data intake runs): windowed counts and
     * mean document length per detected language bucket. */

@@ -67,4 +67,43 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(rows == Seq(("en", 2L, 6.0), ("fr", 1L, 6.0)))
     } finally query.stop()
   }
+
+  test("admissionSink dedups each batch against the accumulated index") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("admit").toString
+    val (ix, out) = (s"$root/index", s"$root/admitted")
+    val mem = MemoryStream[DocArrival]
+    val query = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(DocumentStreaming.admissionSink(ix, out,
+        "text", "doc_id"))
+      .start()
+    try {
+      mem.addData(
+        doc(1, "the quick brown fox jumps over the lazy dog",
+          "2024-01-01 00:00:00"),
+        doc(2, "completely different content about spark engines",
+          "2024-01-01 00:01:00"))
+      query.processAllAvailable()
+      // batch 2: 10 dups batch1/#1 (cross-batch, caught via the index),
+      // 11 fresh, 12 dups 11 (within-batch)
+      mem.addData(
+        doc(10, "the quick brown fox jumps over the lazy dog",
+          "2024-01-01 01:00:00"),
+        doc(11, "a corpus of training documents for language models",
+          "2024-01-01 01:01:00"),
+        doc(12, "a corpus of training documents for language models",
+          "2024-01-01 01:02:00"))
+      query.processAllAvailable()
+      val admitted = sp.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(admitted == Seq(1L, 2L, 11L))
+      // the index holds exactly the admitted docs' signatures
+      val indexed = sp.read.parquet(ix)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(indexed == Seq(1L, 2L, 11L))
+    } finally query.stop()
+  }
 }
