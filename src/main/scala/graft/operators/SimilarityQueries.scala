@@ -289,5 +289,102 @@ object SimilarityQueries extends QueryModule {
         .select(col("probe_id"), col("neighbor_id"), col("cos_sim"))
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     },
+
+    // End-to-end TRAINED IVF: one Lloyd round of the coarse quantizer
+    // (x_ivf_train's arithmetic), centroid components quantized to 6dp
+    // (the cross-engine-stable representation that oracle proved), then
+    // corpus assignment AND probe search against the trained centroids —
+    // the full train→assign→search path, not the label-seeded shortcut
+    // of x_ann_ivf. Still one broadcast cross-join per assignment and a
+    // centroid_id equi-join for the search.
+    q("x_ann_ivf_trained", {
+      val centDot =
+        """list_sum(list_transform(range(1, len(a.embedding) + 1),
+          |  i -> CAST(a.embedding[i] AS DOUBLE) * b.cvec[i]))""".stripMargin
+      val centCos =
+        s"""round($centDot /
+           |  (sqrt(list_sum(list_transform(a.embedding,
+           |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |   sqrt(list_sum(list_transform(b.cvec, x -> x * x)))), 6)"""
+          .stripMargin
+      s"""WITH init AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id,
+         |         embedding
+         |  FROM embeddings ORDER BY vec_id LIMIT 4),
+         |ass0 AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT a.vec_id, b.centroid_id,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.centroid_id) AS rn
+         |    FROM embeddings a CROSS JOIN init b)
+         |  WHERE rn = 1),
+         |dims AS (SELECT unnest(range(0,
+         |           (SELECT len(embedding) FROM embeddings LIMIT 1)))
+         |           AS pos),
+         |tm AS (
+         |  SELECT s.centroid_id, p.pos,
+         |         round(avg(CAST(e.embedding[p.pos + 1]
+         |                        AS DECIMAL(28,12))), 6) AS m
+         |  FROM ass0 s
+         |  JOIN embeddings e USING (vec_id)
+         |  CROSS JOIN dims p
+         |  GROUP BY s.centroid_id, p.pos),
+         |cent AS (SELECT centroid_id,
+         |                list(CAST(m AS DOUBLE) ORDER BY pos) AS cvec
+         |         FROM tm GROUP BY centroid_id),
+         |assign AS (
+         |  SELECT vec_id AS probe_id, centroid_id AS best_c FROM (
+         |    SELECT a.vec_id, b.centroid_id,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             $centCos DESC, b.centroid_id) AS rn
+         |    FROM embeddings a CROSS JOIN cent b
+         |    WHERE a.vec_id % 100 = 0)
+         |  WHERE rn = 1),
+         |corp AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT a.vec_id, b.centroid_id,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             $centCos DESC, b.centroid_id) AS rn
+         |    FROM embeddings a CROSS JOIN cent b)
+         |  WHERE rn = 1),
+         |hits AS (
+         |  SELECT s.probe_id, c.vec_id AS neighbor_id,
+         |         round($dotSql /
+         |           (sqrt(list_sum(list_transform(a.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |            sqrt(list_sum(list_transform(b.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |           AS cos_sim
+         |  FROM assign s
+         |  JOIN corp c ON c.centroid_id = s.best_c
+         |             AND c.vec_id <> s.probe_id
+         |  JOIN embeddings a ON a.vec_id = s.probe_id
+         |  JOIN embeddings b ON b.vec_id = c.vec_id)
+         |SELECT probe_id, neighbor_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM hits)
+         |WHERE rn <= 5 ORDER BY probe_id, rn"""
+    }) { (s, dir) =>
+      val e = emb(s, dir).cache()
+      val cent = Similarity
+        .trainCentroids(e, "vec_id", "embedding", k = 4, iters = 1)
+        .select(col("centroid_id"),
+          transform(col("vec"), v => round(v, 6)).as("vec"))
+        .localCheckpoint()
+      val corpusAssigned = Similarity
+        .assignToCentroids(e, cent, "vec_id", "embedding")
+        .select("vec_id", "embedding", "centroid_id")
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.ivfTopK(probes, corpusAssigned, cent,
+          "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("neighbor_id"), col("cos_sim"))
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
   )
 }
