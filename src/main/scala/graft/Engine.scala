@@ -140,6 +140,7 @@ object Engine {
       redacted: DataFrame,
       packed: DataFrame,
       splits: DataFrame,
+      profile: DataFrame,
       contamination: Option[DataFrame],
       embedNearDupPairs: Option[DataFrame],
       ledger: DataFrame)
@@ -220,6 +221,10 @@ object Engine {
       redacted = redacted,
       packed = Corpus.packSequences(documents, textCol, idCol, strataCol),
       splits = splits,
+      // per-source distribution profile (GK sketch — the monitoring mart
+      // a curation run watches for drift; exact twin is the oracle form)
+      profile = Corpus.qualityQuantiles(documents, qualityCol, strataCol,
+        Seq(0.5, 0.9, 0.99)),
       contamination = contamination,
       embedNearDupPairs = embeddings.map(e =>
         Similarity.signLshPairs(e, "vec_id", "embedding")),
@@ -234,6 +239,7 @@ object Engine {
       "corpus_redacted" -> marts.redacted,
       "corpus_packed" -> marts.packed,
       "corpus_splits" -> marts.splits,
+      "corpus_profile" -> marts.profile,
       "corpus_ledger" -> marts.ledger) ++
       marts.contamination.map("corpus_contamination" -> _) ++
       marts.embedNearDupPairs.map("corpus_embed_neardups" -> _))

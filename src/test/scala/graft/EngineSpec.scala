@@ -110,6 +110,11 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
     val splits = sp.sql("SELECT DISTINCT split FROM graft_corpus_splits")
       .collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "val", "test")) && splits.nonEmpty)
+    // distribution-profile mart: one row per source with the p50 tile
+    val profile = sp.sql(
+      "SELECT source, n_docs, p50 FROM graft_corpus_profile ORDER BY source")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(profile.toSeq == Seq(("src0", 2L), ("src1", 2L)))
     // chunk-dup mart: the shared base chunk recurs across docs 1-3; doc 4
     // is all-unique. Pin the flagged set and the clean doc's ratio.
     val chunkDup = sp.sql(
