@@ -83,6 +83,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("contamination broadcasts the benchmark vocabulary (semi join)") {
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val df = Corpus.contamination(corpus, bench, "text", "doc_id", n = 2)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val semi = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semi.nonEmpty,
+      "membership test must be a broadcast left-semi join — the corpus " +
+        "side must never shuffle for it")
+  }
+
+  test("quantile sketch partial-aggregates map-side (mergeable state)") {
+    val df = Corpus.qualityQuantiles(docs, "doc_id", "source", Seq(0.5, 0.9))
+    df.collect()
+    val aggs = allNodes(df.queryExecution.executedPlan).collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.size >= 2,
+      s"expected partial+final sketch aggregation, got ${aggs.size}")
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      "sketch must accumulate map-side before the shuffle")
+  }
+
   test("content-dedup survivor pick partial-aggregates, no window sort") {
     val df = docs
       .groupBy(sha2(lower(trim(col("text"))), 256).as("content_id"))
