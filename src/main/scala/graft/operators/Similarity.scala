@@ -51,6 +51,26 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** Recall of an ANN top-k result against the exact top-k: per probe,
+    * the fraction of true neighbors the ANN list captured. The quality
+    * gauge for tuning IVF's k/nprobe (the recall-vs-cost dial) — run it
+    * on a sampled probe set, not the corpus: both inputs are top-k
+    * frames, so the join is k-rows-per-probe tiny regardless of corpus
+    * size. Denominator is the probe's ACTUAL exact-result size (< k on
+    * small corpora), so recall is well-defined at every scale. */
+  def recallAtK(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select("probe_id", "neighbor_id")
+      .join(ann.select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("probe_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("n_true"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_true"), 4).as("recall"))
+  }
+
   /** IVF assignment: the `nprobe` nearest centroids per row → partition
     * keys. Centroids must be small (broadcast): (centroid_id, vec).
     * `nprobe` = 1 (the default) is the classic single-list assignment

@@ -386,5 +386,88 @@ object SimilarityQueries extends QueryModule {
         .select(col("probe_id"), col("neighbor_id"), col("cos_sim"))
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     },
+
+    // Measured ANN recall: per probe, the fraction of the exact top-5
+    // that the label-seeded nprobe=1 IVF list captured — the quality
+    // gauge for the recall-vs-cost dial, oracle-checked so the metric
+    // itself is trustworthy (both top-k sets re-derived in SQL). The
+    // join is top-k-frame sized, independent of corpus size. On this
+    // fixture the measured recall is ~0-0.2: the synthetic embeddings
+    // are near-orthogonal random vectors, so label partitions do not
+    // correlate with cosine proximity and single-list IVF misses almost
+    // everything — the honest number, and exactly the cliff nprobe>1 /
+    // trained centroids exist to climb (SimilarityLibSpec pins recall
+    // 1.0 for the trained quantizer on planted clusters).
+    q("x_ann_recall",
+      s"""WITH exact5 AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.vec_id) AS rn
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |    WHERE a.vec_id % 100 = 0)
+         |  WHERE rn <= 5),
+         |cent AS (
+         |  SELECT e.label, e.embedding FROM embeddings e
+         |  JOIN (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label) m
+         |    ON e.label = m.label AND e.vec_id = m.mv),
+         |assign AS (
+         |  SELECT vec_id AS probe_id, label AS best_label FROM (
+         |    SELECT a.vec_id, b.label,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.label) AS rn
+         |    FROM embeddings a, cent b
+         |    WHERE a.vec_id % 100 = 0)
+         |  WHERE rn = 1),
+         |ivf5 AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT s.probe_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY s.probe_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.vec_id) AS rn
+         |    FROM assign s
+         |    JOIN embeddings a ON a.vec_id = s.probe_id
+         |    JOIN embeddings b ON b.label = s.best_label
+         |                     AND b.vec_id <> s.probe_id)
+         |  WHERE rn <= 5)
+         |SELECT e.probe_id,
+         |       count(i.neighbor_id) AS hits,
+         |       count(*) AS n_true,
+         |       CAST(round(CAST(count(i.neighbor_id) AS DOUBLE)
+         |                  / count(*), 4) AS DOUBLE) AS recall
+         |FROM exact5 e
+         |LEFT JOIN ivf5 i ON i.probe_id = e.probe_id
+         |                AND i.neighbor_id = e.neighbor_id
+         |GROUP BY e.probe_id
+         |ORDER BY e.probe_id""") { (s, dir) =>
+      val e = emb(s, dir).cache()
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      val exact = Similarity.topK(probes, e, "vec_id", "embedding", k = 5)
+      val seeds = e.groupBy(col("label").as("s_label"))
+        .agg(min("vec_id").as("mv"))
+      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
+          e("vec_id") === seeds("mv"))
+        .select(col("s_label").as("centroid_id"), col("embedding").as("vec"))
+      val corpusAssigned = e.select(col("vec_id"), col("embedding"),
+        col("label").as("centroid_id"))
+      val ann = Similarity.ivfTopK(probes, corpusAssigned, cent,
+        "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(ann, exact).orderBy("probe_id")
+    },
   )
 }

@@ -75,6 +75,35 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
     assert(two.map(_.getAs[Long]("neighbor_id")).toSet == Set(6L, 2L, 1L))
   }
 
+  test("recallAtK: trained IVF scores 1.0 on planted clusters") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.05f, 0.95f)),
+      (6L, Array(0.1f, 0.9f)))
+      .toDF("id", "vec")
+    val probes = corpus.filter(col("id").isin(1L, 4L))
+    val exact = Similarity.topK(probes, corpus, "id", "vec", k = 2)
+    val cent = Similarity.trainCentroids(corpus, "id", "vec", k = 2,
+      iters = 4)
+    val assigned = Similarity.assignToCentroids(corpus, cent, "id", "vec")
+    val ann = Similarity.ivfTopK(probes, assigned, cent, "id", "vec", k = 2)
+    val recall = Similarity.recallAtK(ann, exact)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // within a planted cluster the trained single-list search is exact
+    assert(recall == Map(1L -> 1.0, 4L -> 1.0))
+    // sanity: a deliberately WRONG assignment (swap the two lists) makes
+    // the same gauge read 0 — the metric moves in the right direction
+    val swapped = assigned.withColumn("centroid_id",
+      when(col("centroid_id") === 1L, 2L).otherwise(1L))
+    val bad = Similarity.ivfTopK(probes, swapped, cent, "id", "vec", k = 2)
+    val badRecall = Similarity.recallAtK(bad, exact)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(badRecall.values.forall(_ == 0.0))
+  }
+
   test("trainCentroids converges to the planted clusters deterministically") {
     val sp = spark
     import sp.implicits._
