@@ -293,6 +293,29 @@ object Corpus {
       .select(col(idCol), col(groupCol), col("n_toks"), col("cum_toks"))
   }
 
+  /** Per-group vocabulary-cardinality profile: distinct tokens and docs
+    * per stratum — the "is source X suddenly low-diversity?" gauge next
+    * to [[qualityQuantiles]]'s length profile.
+    *
+    * `exact = false` (the library default) counts tokens with
+    * HyperLogLog++ (`approx_count_distinct`, rsd 1%): fixed ~KB sketch
+    * state per group, mergeable map-side — at corpus scale an exact
+    * distinct-count of tokens is a full (group, token) shuffle of the
+    * tokenized corpus, the single widest shuffle a text pipeline can
+    * emit. The exact form is the oracle-able verification twin. */
+  def cardinalityProfile(df: DataFrame, textCol: String, groupCol: String,
+      idCol: String, exact: Boolean = false): DataFrame = {
+    val tok = graft.core.FanOut(df).select(col(groupCol), col(idCol),
+      explode(tokens(col(textCol))).as("_tok"))
+    val distinctTok =
+      if (exact) countDistinct(col("_tok"))
+      else approx_count_distinct(col("_tok"), 0.01)
+    tok.groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        distinctTok.as("distinct_tokens"))
+  }
+
   /** Per-group quantile profile of a quality metric — the distribution
     * mart a curation run watches (is src X's length profile drifting?).
     *

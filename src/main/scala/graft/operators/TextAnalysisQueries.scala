@@ -41,6 +41,25 @@ object TextAnalysisQueries extends QueryModule {
         .orderBy("source")
     },
 
+    // Per-source vocabulary cardinality — the diversity gauge. The
+    // oracle runs the EXACT twin (count distinct tokens — a full
+    // (source, token) shuffle, the widest shape a text pipeline emits);
+    // the library default is the HLL++ sketch (fixed state, mergeable
+    // map-side), drift-bounded against exact in QualityQuantilesSpec.
+    q("x_cardinality_profile",
+      """WITH t AS (SELECT doc_id, source,
+        |            list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                        x -> x <> '') AS toks FROM documents),
+        |tok AS (SELECT source, doc_id, unnest(toks) AS tok FROM t)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_tokens,
+        |       count(DISTINCT tok) AS distinct_tokens
+        |FROM tok GROUP BY source ORDER BY source""") { (s, dir) =>
+      Corpus.cardinalityProfile(t(s, dir, "documents"), "text", "source",
+          "doc_id", exact = true)
+        .orderBy("source")
+    },
+
     // Language ID: argmax of stopword hits per language profile, ties to
     // the first profile in fixed order (en, de, es, fr), 'und' when zero.
     q("x_langid",

@@ -36,6 +36,31 @@ class QualityQuantilesSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("HLL cardinality profile stays within rsd of exact") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1 to 2000).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      // vocab: ~700 distinct tokens for a, ~150 for b
+      val toks = (0 until 6).map(j => s"w${(i * 7 + j) % (if (src == "a") 700 else 150)}")
+      (i.toLong, src, toks.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val exact = Corpus.cardinalityProfile(docs, "text", "source",
+        "doc_id", exact = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val approx = Corpus.cardinalityProfile(docs, "text", "source", "doc_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    exact.foreach { case (k, (nd, nt, dt)) =>
+      val (and_, ant, adt) = approx(k)
+      assert(and_ == nd && ant == nt, s"$k non-sketched counts must be exact")
+      // rsd 1% => generous 5% acceptance band
+      assert(math.abs(adt - dt).toDouble / dt <= 0.05,
+        s"$k distinct_tokens $adt vs exact $dt")
+    }
+  }
+
   test("approx sketch stays within tolerance of exact") {
     val exact = Corpus.qualityQuantiles(corpus, "n_chars", "source",
         Seq(0.5, 0.9, 0.99), exact = true)
