@@ -141,6 +141,7 @@ object Engine {
       packed: DataFrame,
       splits: DataFrame,
       profile: DataFrame,
+      vocabProfile: DataFrame,
       contamination: Option[DataFrame],
       embedNearDupPairs: Option[DataFrame],
       ledger: DataFrame)
@@ -225,6 +226,8 @@ object Engine {
       // a curation run watches for drift; exact twin is the oracle form)
       profile = Corpus.qualityQuantiles(documents, qualityCol, strataCol,
         Seq(0.5, 0.9, 0.99)),
+      vocabProfile = Corpus.cardinalityProfile(documents, textCol,
+        strataCol, idCol),
       contamination = contamination,
       embedNearDupPairs = embeddings.map(e =>
         Similarity.signLshPairs(e, "vec_id", "embedding")),
@@ -240,6 +243,7 @@ object Engine {
       "corpus_packed" -> marts.packed,
       "corpus_splits" -> marts.splits,
       "corpus_profile" -> marts.profile,
+      "corpus_vocab_profile" -> marts.vocabProfile,
       "corpus_ledger" -> marts.ledger) ++
       marts.contamination.map("corpus_contamination" -> _) ++
       marts.embedNearDupPairs.map("corpus_embed_neardups" -> _))

@@ -21,7 +21,9 @@ object ExplainAudit {
         "x_redact_pii", "s19_v1_vulnerabilities", "s20_v1_package_vulns",
         "d4_advisory_sets", "e1_export_rows", "e2_package_index",
         "x_ann_ivf_nprobe", "x_ivf_train", "x_dedup_pipeline_minhash",
-        "x_incremental_dedup", "sc4_salted_join", "sc5_bucketed_join")
+        "x_incremental_dedup", "sc4_salted_join", "sc5_bucketed_join",
+        "x_ann_ivf_trained", "x_ann_recall", "x_quality_quantiles",
+        "x_cardinality_profile")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)
