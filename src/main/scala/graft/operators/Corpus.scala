@@ -293,6 +293,31 @@ object Corpus {
       .select(col(idCol), col(groupCol), col("n_toks"), col("cum_toks"))
   }
 
+  /** Training-shard assignment — the last mile of curation: kept docs
+    * get a deterministic shard id such that consecutive docs (in id
+    * order) fill each shard to ~`tokensPerShard` before the next opens.
+    * shard = floor((running_sum − n_toks) / budget): a doc whose tokens
+    * straddle a boundary belongs to the shard it STARTED in, so every
+    * shard except the last holds ≥ budget − (doc's tokens) and the
+    * assignment is a pure function of (ids, texts, budget).
+    *
+    * Runs on [[Skew.globalRunningSum]] — range-partitioned prefix sums,
+    * NOT a global window (single-partition sort). Callers shard WITHIN a
+    * split (train/val/test) by filtering first; writing the result via
+    * `sources.Partitioned` with `cols = Seq("shard")` yields the
+    * size-bounded training files a data loader consumes. */
+  def assignShards(df: DataFrame, textCol: String, idCol: String,
+      tokensPerShard: Long, numPartitions: Int = 32): DataFrame = {
+    require(tokensPerShard >= 1, "tokensPerShard must be >= 1")
+    val withToks = df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_toks"))
+    Skew.globalRunningSum(withToks, col(idCol), col("n_toks"),
+        numPartitions, outCol = "cum_toks")
+      .withColumn("shard",
+        floor((col("cum_toks") - col("n_toks")) / tokensPerShard))
+      .select(col(idCol), col("n_toks"), col("cum_toks"), col("shard"))
+  }
+
   /** Per-group vocabulary-cardinality profile: distinct tokens and docs
     * per stratum — the "is source X suddenly low-diversity?" gauge next
     * to [[qualityQuantiles]]'s length profile.

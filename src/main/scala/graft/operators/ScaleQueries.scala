@@ -87,6 +87,22 @@ object ScaleQueries extends QueryModule {
         .orderBy("c_mktsegment")
     },
 
+    // Range-partitioned global running sum == global window prefix sum
+    // (the W7-style single-partition sort hazard, solved the same way
+    // as sc2 — per-partition prefix sums + broadcast offsets)
+    q("sc6_running_sum",
+      """SELECT o_orderkey,
+        |       CAST(sum(o_custkey % 1000) OVER (ORDER BY o_orderkey)
+        |            AS BIGINT) AS running_sum
+        |FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(1000)).as("v"))
+      Skew.globalRunningSum(o, col("o_orderkey"), col("v"),
+          numPartitions = 16)
+        .select("o_orderkey", "running_sum")
+        .orderBy("o_orderkey")
+    },
+
     // Two-phase per-key top-k == windowed top-k
     q("sc3_topk_per_key",
       """SELECT l_partkey, l_orderkey, round(l_extendedprice, 2) AS price

@@ -93,6 +93,45 @@ object Skew {
       pmod(spark_partition_id().cast("long") +
         monotonically_increasing_id(), lit(salts.toLong)))
 
+  /** Scale-safe global running sum (the prefix-sum sibling of
+    * [[globalRowNumber]]): a global `sum(...) over (order by ...)` is a
+    * single-partition sort, so instead range-partition by the order key,
+    * prefix-sum within partitions, and add per-partition offsets —
+    * identical output, no single-task bottleneck. The offsets pass
+    * collects one long per partition (bounded by the partition count,
+    * not the data). Ties in `order` must not exist (use a total order)
+    * or the within-tie accumulation order is partition-placement
+    * dependent. */
+  def globalRunningSum(df: DataFrame, order: Column, value: Column,
+      numPartitions: Int = 32, outCol: String = "running_sum"): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.withColumn("_rsv", value.cast("long"))
+      .repartitionByRange(numPartitions, order)
+      .sortWithinPartitions(order)
+    val valueIdx = sorted.schema.fieldIndex("_rsv")
+    val rdd = sorted.rdd
+    rdd.cache()
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator.single(i -> it.map(_.getLong(valueIdx)).sum)
+    }.collect().toMap
+    val nParts = rdd.getNumPartitions
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, i) => acc + perPart.getOrElse(i, 0L)).toArray
+    val summed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { row =>
+        acc += row.getLong(valueIdx)
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq.patch(valueIdx, Nil, 1) :+ acc)
+      }
+    }
+    val schema = StructType(
+      sorted.schema.fields.patch(valueIdx, Nil, 1) :+
+        StructField(outCol, LongType))
+    spark.createDataFrame(summed, schema)
+  }
+
   /** Skew-safe global top-k per key: per-partition top-k first (narrow),
     * then top-k of the union — the window never sees more than
     * partitions×k rows per key. */

@@ -63,6 +63,47 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
     assert(salts.map(_.getLong(1)).max <= 4000 * 2 / 4)
   }
 
+  test("global running sum matches the window prefix sum") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, (i * 7 % 13).toLong))
+      .toDF("id", "v").repartition(8)
+    val got = Skew.globalRunningSum(df, col("id"), col("v"),
+        numPartitions = 5)
+      .select("id", "running_sum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    (1 to 1000).foreach { i =>
+      acc += i * 7 % 13
+      assert(got(i.toLong) == acc, s"id $i")
+    }
+  }
+
+  test("shard assignment fills shards to the token budget in id order") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1 to 300)
+      .map(i => (i.toLong, Seq.fill(1 + i % 9)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(6)
+    val out = Corpus.assignShards(docs, "text", "doc_id",
+        tokensPerShard = 50, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    // deterministic, contiguous, budget-respecting: shard ids never
+    // decrease in id order, and each doc starts in the shard whose
+    // budget window contains its running-sum start
+    assert(out.sliding(2).forall { case Array(a, b) => a._3 <= b._3 })
+    var cum = 0L
+    out.foreach { case (id, n, shard) =>
+      assert(shard == cum / 50, s"doc $id")
+      cum += n
+    }
+    // rerun is identical
+    val again = Corpus.assignShards(docs, "text", "doc_id", 50, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(again.toSeq == out.map(t => (t._1, t._3)).toSeq)
+  }
+
   test("two-phase top-k per key matches global window") {
     val sp = spark
     import sp.implicits._
