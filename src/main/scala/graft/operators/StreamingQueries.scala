@@ -38,6 +38,31 @@ object StreamingQueries extends QueryModule {
     // (unfurl_version_range.py:201-212): synthetic impacts carry a
     // nullable unfurl watermark; never-attempted rows (null) first, then
     // those at/below the cutoff
+    // Gap-based sessionization (session_window): the oracle re-derives
+    // sessions with the lag/flag/cumulative-sum idiom — a new session
+    // when the gap REACHES 30 min (>=), matching Spark's exclusive
+    // session end. Timestamps cast ns→us on both sides (Tables already
+    // floors to micros; the oracle casts TIMESTAMP_NS to TIMESTAMP).
+    q("t8_sessionize",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |         AS value_sum
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""") { (s, dir) =>
+      EventsStreaming.sessionize(t(s, dir, "events"))
+        .orderBy("user_id", "session_start")
+    },
+
     q("t3_stale_impacts",
       """SELECT avid, base_purl, last_range_unfurl_at FROM (
         |  SELECT 'adv/' || CAST(o_orderkey % 40 AS VARCHAR) AS avid,

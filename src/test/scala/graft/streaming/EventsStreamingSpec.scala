@@ -69,6 +69,38 @@ class EventsStreamingSpec extends AnyFunSuite with SparkTestSession {
         == Seq((1L, 10.0)))
     } finally query.stop()
   }
+
+  test("sessionize merges within-gap events and closes via watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val mem = MemoryStream[Ev]
+    val query = EventsStreaming.sessionize(mem.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 40 min
+      // later (a new session); user 2: one event
+      mem.addData(
+        Ev(10, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "c", 1.0, "{}"),
+        Ev(11, Timestamp.valueOf("2024-01-01 00:10:00"), 1, "c", 2.0, "{}"),
+        Ev(12, Timestamp.valueOf("2024-01-01 00:50:00"), 1, "c", 4.0, "{}"),
+        Ev(13, Timestamp.valueOf("2024-01-01 00:05:00"), 2, "c", 8.0, "{}"))
+      query.processAllAvailable()
+      // advance the watermark far enough to close everything
+      mem.addData(
+        Ev(99, Timestamp.valueOf("2024-01-01 09:00:00"), 3, "c", 0.0, "{}"))
+      query.processAllAvailable()
+      val rows = sp.sql(
+        """SELECT user_id, session_start, n_events, value_sum
+          |FROM sessions ORDER BY user_id, session_start""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((1L, "2024-01-01 00:00:00.0", 2L, 3.0)))
+      assert(rows.contains((1L, "2024-01-01 00:50:00.0", 1L, 4.0)))
+      assert(rows.contains((2L, "2024-01-01 00:05:00.0", 1L, 8.0)))
+    } finally query.stop()
+  }
 }
 
 /** flatMapGroupsWithState maintenance of the latest pointer: import on
