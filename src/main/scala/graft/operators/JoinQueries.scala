@@ -282,5 +282,39 @@ object JoinQueries extends QueryModule {
           sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
         .orderBy("event_type")
     },
+
+    // J15 — interval (range) join via bucket decomposition: events
+    // counted into 1-3-hour attribution windows. The oracle runs the
+    // naive theta join; the Spark side runs IntervalJoin.pointInInterval
+    // (hour buckets → equi-join → exact containment filter), which is
+    // the shape that survives 100 TB where the theta join plans as a
+    // nested loop. LEFT-join semantics (zero-count windows kept) come
+    // from joining the counts back to the interval set.
+    q("j15_interval_count",
+      """WITH i AS (SELECT event_id AS interval_id,
+        |            CAST(ts AS TIMESTAMP) AS s,
+        |            CAST(ts AS TIMESTAMP)
+        |              + ((event_id % 3) + 1) * INTERVAL 1 HOUR AS e
+        |           FROM events WHERE event_id % 500 = 0),
+        |p AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT i.interval_id, count(p.event_id) AS cnt
+        |FROM i LEFT JOIN p ON p.ts >= i.s AND p.ts < i.e
+        |GROUP BY i.interval_id ORDER BY i.interval_id""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val intervals = ev.filter(pmod(col("event_id"), lit(500)) === 0)
+        .select(col("event_id").as("interval_id"), col("ts").as("s"),
+          expr("ts + (CAST(event_id % 3 AS INT) + 1) * INTERVAL '1' HOUR")
+            .as("e"))
+      val matched = IntervalJoin.pointInInterval(
+        ev.select(col("event_id"), col("ts")),
+        intervals, "ts", "s", "e", bucketSeconds = 3600L)
+      val counts = matched.groupBy("interval_id")
+        .agg(count(lit(1)).as("cnt"))
+      intervals.select("interval_id")
+        .join(counts, Seq("interval_id"), "left")
+        .select(col("interval_id"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("interval_id")
+    },
   )
 }
