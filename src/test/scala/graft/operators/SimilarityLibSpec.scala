@@ -75,6 +75,36 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
     assert(two.map(_.getAs[Long]("neighbor_id")).toSet == Set(6L, 2L, 1L))
   }
 
+  test("trained IVF recall on a 2000-vector planted-cluster corpus") {
+    val sp = spark
+    import sp.implicits._
+    // 8 planted unit directions in 16-dim; each vector = its cluster's
+    // direction plus small deterministic per-coordinate jitter (LCG —
+    // no RNG object, reruns identical). Within-cluster cosine >> cross.
+    val dim = 16
+    val corpus = (0 until 2000).map { i =>
+      val c = i % 8
+      val vec = Array.tabulate(dim) { j =>
+        val base = if (j == 2 * c || j == 2 * c + 1) 1.0f else 0.0f
+        val jitter = (((i * 1103515245L + j * 12345L) % 1000L) / 10000.0f)
+        base + jitter
+      }
+      (i.toLong, vec)
+    }.toDF("id", "vec")
+    val probes = corpus.filter(col("id") % 100 === 0) // 20 probes
+    val exact = Similarity.topK(probes, corpus, "id", "vec", k = 10)
+    val cent = Similarity.trainCentroids(corpus, "id", "vec", k = 8,
+      iters = 3)
+    val assigned = Similarity.assignToCentroids(corpus, cent, "id", "vec")
+    val ann = Similarity.ivfTopK(probes, assigned, cent, "id", "vec",
+      k = 10, nprobe = 2)
+    val recall = Similarity.recallAtK(ann, exact)
+      .agg(avg("recall")).collect().head.getDouble(0)
+    // searching 2 of 8 lists (≤ 1/4 of the corpus) must keep ≥ 90% of
+    // the true top-10 — the planted structure is what IVF exploits
+    assert(recall >= 0.9, s"mean recall@10 = $recall")
+  }
+
   test("recallAtK: trained IVF scores 1.0 on planted clusters") {
     val sp = spark
     import sp.implicits._
