@@ -293,6 +293,44 @@ object Corpus {
       .select(col(idCol), col(groupCol), col("n_toks"), col("cum_toks"))
   }
 
+  /** BM25 document scores (Okapi, k1/b defaults): the retrieval-grade
+    * sibling of [[tfIdfScores]] — saturating term frequency and length
+    * normalization make it the lexical ranking a curation pipeline
+    * actually uses for query-relevance scoring. Same plan shape as
+    * TF-IDF: (id, token) counts, token df, a broadcast 1-row stats join
+    * (N and avg doc length), one per-doc sum — three narrow shuffles.
+    *
+    * Determinism: each per-term score is a fixed-order double expression
+    * (identical in the oracle SQL), ROUNDED to 6dp and summed in
+    * DECIMAL, so partition order cannot flip the rounded per-doc score —
+    * the same discipline tfIdfScores applies to its idf. */
+  def bm25Scores(df: DataFrame, textCol: String, idCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val perDoc = toks.groupBy("id", "token").agg(count(lit(1)).as("tc"))
+    val docLen = perDoc.groupBy("id").agg(sum("tc").as("n_toks"))
+    val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      round(avg(col("n_toks").cast("decimal(18,6)")), 6).cast("double")
+        .as("avgdl"))
+    val idf = docFreq.crossJoin(broadcast(stats))
+      .withColumn("idf", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0),
+        6))
+      .select("token", "idf", "avgdl")
+    perDoc.join(docLen, Seq("id")).join(idf, Seq("token"))
+      .withColumn("_ts", round(
+        col("idf") * (col("tc") * (k1 + 1)) /
+          (col("tc") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("n_toks") / col("avgdl"))),
+        6).cast("decimal(18,6)"))
+      .groupBy("id")
+      .agg(first("n_toks").as("n_toks"), sum("_ts").as("_s"))
+      .select(col("id").as(idCol), col("n_toks"),
+        round(col("_s").cast("double"), 4).as("bm25"))
+  }
+
   /** Training-shard assignment — the last mile of curation: kept docs
     * get a deterministic shard id such that consecutive docs (in id
     * order) fill each shard to ~`tokensPerShard` before the next opens.

@@ -403,6 +403,42 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // BM25 per-doc scores: per-term doubles in a FIXED expression order
+    // on both engines, each term rounded to 6dp then summed in DECIMAL
+    // (the tfidf determinism discipline); N and avgdl enter via a
+    // broadcast 1-row stats join.
+    q("x_bm25_score",
+      s"""WITH t AS ($toksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |perdoc AS (SELECT doc_id, token, count(*) AS tc
+         |           FROM tok GROUP BY doc_id, token),
+         |doclen AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_toks
+         |           FROM perdoc GROUP BY doc_id),
+         |docfreq AS (SELECT token, count(*) AS df FROM perdoc GROUP BY token),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(round(avg(CAST(n_toks AS DECIMAL(18,6))), 6)
+         |                      AS DOUBLE) AS avgdl
+         |          FROM doclen),
+         |idf AS (SELECT token,
+         |               round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 6)
+         |                 AS idf,
+         |               avgdl
+         |        FROM docfreq, stats)
+         |SELECT p.doc_id, d.n_toks,
+         |       CAST(round(CAST(sum(CAST(round(
+         |              i.idf * (p.tc * 2.2) /
+         |              (p.tc + 1.2 * (0.25 + 0.75 * d.n_toks / i.avgdl)),
+         |              6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE)
+         |         AS bm25
+         |FROM perdoc p
+         |JOIN doclen d USING (doc_id)
+         |JOIN idf i USING (token)
+         |GROUP BY p.doc_id, d.n_toks
+         |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.bm25Scores(docs(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Chunk-level exact duplication (substring-level dedup signal): docs
     // split into consecutive 10-token chunks; a chunk recurring in ≥ 2
     // docs marks verbatim boilerplate. Distinct + df counting are narrow
