@@ -306,6 +306,42 @@ object Corpus {
     * the same discipline tfIdfScores applies to its idf. */
   def bm25Scores(df: DataFrame, textCol: String, idCol: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = bm25TermScores(df, textCol, idCol, k1, b)
+    terms
+      .groupBy("id")
+      .agg(first("n_toks").as("n_toks"), sum("_ts").as("_s"))
+      .select(col("id").as(idCol), col("n_toks"),
+        round(col("_s").cast("double"), 4).as("bm25"))
+  }
+
+  /** BM25 query search: top-k docs for a query string — the retrieval
+    * form. IDF/avgdl statistics come from the FULL corpus (a query must
+    * not change term weights); only the final per-doc sum is restricted
+    * to the query's distinct terms, so the scoring join touches
+    * |query terms| narrow posting lists, not the corpus. Top-k plans as
+    * TakeOrderedAndProject (per-partition top-k, k-sized driver merge);
+    * ties break on the doc id. */
+  def bm25Search(df: DataFrame, textCol: String, idCol: String,
+      query: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qTerms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "query must contain at least one token")
+    bm25TermScores(df, textCol, idCol, k1, b)
+      .filter(col("token").isin(qTerms: _*))
+      .groupBy("id")
+      .agg(sum("_ts").as("_s"))
+      .select(col("id").as(idCol),
+        round(col("_s").cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Shared BM25 core: one row per (doc, term) with the quantized
+    * per-term score `_ts` (DECIMAL(18,6) — see [[bm25Scores]]'s
+    * determinism note) and the doc length. */
+  private def bm25TermScores(df: DataFrame, textCol: String, idCol: String,
+      k1: Double, b: Double): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("token"))
     val perDoc = toks.groupBy("id", "token").agg(count(lit(1)).as("tc"))
@@ -325,10 +361,7 @@ object Corpus {
           (col("tc") +
             lit(k1) * (lit(1 - b) + lit(b) * col("n_toks") / col("avgdl"))),
         6).cast("decimal(18,6)"))
-      .groupBy("id")
-      .agg(first("n_toks").as("n_toks"), sum("_ts").as("_s"))
-      .select(col("id").as(idCol), col("n_toks"),
-        round(col("_s").cast("double"), 4).as("bm25"))
+      .select("id", "token", "n_toks", "_ts")
   }
 
   /** Training-shard assignment — the last mile of curation: kept docs

@@ -439,6 +439,43 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // BM25 retrieval: top-20 docs for a fixed query. IDF/avgdl come
+    // from the FULL corpus; only the final sum restricts to the query's
+    // terms, so the scoring join touches 4 posting lists. Top-k plans
+    // as TakeOrderedAndProject; ties break on doc_id.
+    q("x_bm25_search",
+      s"""WITH t AS ($toksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |perdoc AS (SELECT doc_id, token, count(*) AS tc
+         |           FROM tok GROUP BY doc_id, token),
+         |doclen AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_toks
+         |           FROM perdoc GROUP BY doc_id),
+         |docfreq AS (SELECT token, count(*) AS df FROM perdoc GROUP BY token),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(round(avg(CAST(n_toks AS DECIMAL(18,6))), 6)
+         |                      AS DOUBLE) AS avgdl
+         |          FROM doclen),
+         |idf AS (SELECT token,
+         |               round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 6)
+         |                 AS idf,
+         |               avgdl
+         |        FROM docfreq, stats)
+         |SELECT p.doc_id,
+         |       CAST(round(CAST(sum(CAST(round(
+         |              i.idf * (p.tc * 2.2) /
+         |              (p.tc + 1.2 * (0.25 + 0.75 * d.n_toks / i.avgdl)),
+         |              6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE)
+         |         AS score
+         |FROM perdoc p
+         |JOIN doclen d USING (doc_id)
+         |JOIN idf i USING (token)
+         |WHERE p.token IN ('spark', 'hash', 'merge', 'window')
+         |GROUP BY p.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""") { (s, dir) =>
+      Corpus.bm25Search(docs(s, dir), "text", "doc_id",
+        "spark hash merge window", k = 20)
+    },
+
     // Chunk-level exact duplication (substring-level dedup signal): docs
     // split into consecutive 10-token chunks; a chunk recurring in ≥ 2
     // docs marks verbatim boilerplate. Distinct + df counting are narrow
