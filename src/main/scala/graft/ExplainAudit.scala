@@ -23,7 +23,7 @@ object ExplainAudit {
         "x_ann_ivf_nprobe", "x_ivf_train", "x_dedup_pipeline_minhash",
         "x_incremental_dedup", "sc4_salted_join", "sc5_bucketed_join",
         "x_ann_ivf_trained", "x_ann_recall", "x_quality_quantiles",
-        "x_cardinality_profile", "t8_sessionize", "j15_interval_count")
+        "x_cardinality_profile", "t8_sessionize", "j15_interval_count", "x_bm25_search")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)

@@ -268,4 +268,23 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3) == ((4L, 1L, 1L, 1L,
       "edge <EMAIL> near <IP> call <PHONE>")))
   }
+
+  test("bm25Search ranks term-dense short docs first, ignores unknowns") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark"),            // dense in the query term
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "nothing relevant here at all"),
+      (4L, "spark engine"))
+      .toDF("doc_id", "text")
+    val top = Corpus.bm25Search(docs, "text", "doc_id",
+        "spark zzz-not-in-corpus spark", k = 3) // dup + unknown terms
+      .collect().map(r => r.getLong(0)).toSeq
+    // only docs containing a query term rank; repetition saturates (k1)
+    // but length normalization still puts the dense short docs first
+    assert(top.toSet.subsetOf(Set(1L, 2L, 4L)) && top.size == 3)
+    assert(top.head == 1L || top.head == 4L)
+    assert(top.indexOf(2L) == 2, s"long sparse doc must rank last: $top")
+  }
 }
