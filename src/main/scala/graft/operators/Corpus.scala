@@ -337,6 +337,36 @@ object Corpus {
       .limit(k)
   }
 
+  /** Per-doc mean unigram surprisal — the language-model quality filter
+    * (the corpus's own unigram LM standing in for the external LM of
+    * CCNet-style perplexity filtering): surprisal(tok) = ln(total /
+    * count(tok)) in nats, quantized to DECIMAL(18,6); a doc's score is
+    * the token-count-weighted mean. High = improbable token stream
+    * (gibberish, wrong language, encoding junk); unusually low = rote
+    * repetition of the corpus's most common tokens. Same three narrow
+    * shuffles and decimal-sum determinism as [[tfIdfScores]]. */
+  def unigramSurprisal(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val perDoc = toks.groupBy("id", "token").agg(count(lit(1)).as("tc"))
+    val docLen = perDoc.groupBy("id").agg(sum("tc").as("n_toks"))
+    val tokFreq = perDoc.groupBy("token").agg(sum("tc").as("cnt"))
+    val total = tokFreq.agg(sum("cnt").as("total"))
+    val surprisal = tokFreq.crossJoin(broadcast(total))
+      .withColumn("sp", round(
+        log(col("total").cast("double") / col("cnt")), 6)
+        .cast("decimal(18,6)"))
+      .select("token", "sp")
+    perDoc.join(surprisal, Seq("token"))
+      .groupBy("id")
+      .agg(sum(col("tc") * col("sp")).as("_s"))
+      .join(docLen, Seq("id"))
+      .select(col("id").as(idCol), col("n_toks"),
+        round(col("_s").cast("double") / col("n_toks"), 4)
+          .as("mean_surprisal"))
+  }
+
   /** Shared BM25 core: one row per (doc, term) with the quantized
     * per-term score `_ts` (DECIMAL(18,6) — see [[bm25Scores]]'s
     * determinism note) and the doc length. */

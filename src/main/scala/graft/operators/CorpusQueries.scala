@@ -439,6 +439,36 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Unigram-LM surprisal (the CCNet-style quality filter with the
+    // corpus's own unigram model): surprisal quantized to DECIMAL
+    // before the per-doc weighted mean — same determinism discipline
+    // and shuffle shape as x_tfidf_score.
+    q("x_unigram_surprisal",
+      s"""WITH t AS ($toksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |perdoc AS (SELECT doc_id, token, count(*) AS tc
+         |           FROM tok GROUP BY doc_id, token),
+         |doclen AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_toks
+         |           FROM perdoc GROUP BY doc_id),
+         |tokfreq AS (SELECT token, sum(tc) AS cnt
+         |            FROM perdoc GROUP BY token),
+         |tot AS (SELECT sum(cnt) AS total FROM tokfreq),
+         |sp AS (SELECT token,
+         |              CAST(round(ln(CAST(total AS DOUBLE) / cnt), 6)
+         |                   AS DECIMAL(18,6)) AS sp
+         |       FROM tokfreq, tot)
+         |SELECT p.doc_id, d.n_toks,
+         |       round(CAST(sum(p.tc * s.sp) AS DOUBLE) / d.n_toks, 4)
+         |         AS mean_surprisal
+         |FROM perdoc p
+         |JOIN sp s USING (token)
+         |JOIN doclen d USING (doc_id)
+         |GROUP BY p.doc_id, d.n_toks
+         |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.unigramSurprisal(docs(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // BM25 retrieval: top-20 docs for a fixed query. IDF/avgdl come
     // from the FULL corpus; only the final sum restricts to the query's
     // terms, so the scoring join touches 4 posting lists. Top-k plans
