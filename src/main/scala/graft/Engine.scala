@@ -58,7 +58,8 @@ object Engine {
     * mart, also registered as `graft_<name>` temp views. */
   def runAdvisoryPipeline(spark: SparkSession, rawAdvisories: DataFrame,
       versionsDim: DataFrame,
-      severityWeights: Map[String, Int] = Map.empty,
+      severityWeights: Map[String, Int] =
+        graft.functions.SeverityWeights.map,
       patchTexts: Option[DataFrame] = None): Marts = {
     import spark.implicits._
     val advisories =

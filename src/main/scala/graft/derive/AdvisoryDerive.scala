@@ -1,6 +1,6 @@
 package graft.derive
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -150,9 +150,7 @@ object AdvisoryDerive {
       .withColumn("exploitability",
         when(coalesce(col("has_exploit"), lit(false)), 2.0)
           .otherwise(col("exploitability")))
-      .withColumn("risk_score",
-        round(least(coalesce(col("weighted_severity"), lit(0.0)) *
-          col("exploitability"), lit(10.0)), 1))
+      .withColumn("risk_score", riskScoreCol)
     withExploit.select("avid", "weighted_severity", "exploitability",
       "risk_score")
   }
@@ -180,32 +178,44 @@ object AdvisoryDerive {
       .withColumn("exploitability",
         when(coalesce(col("donated_high_epss"), lit(false)), 2.0)
           .otherwise(col("exploitability")))
-      .withColumn("risk_score",
-        round(least(coalesce(col("weighted_severity"), lit(0.0)) *
-          col("exploitability"), lit(10.0)), 1))
+      .withColumn("risk_score", riskScoreCol)
       .select("avid", "weighted_severity", "exploitability", "risk_score")
   }
 
   /** Risk trio per advisory (A5–A7): weighted severity (severity value ×
-    * source-domain weight), exploitability cascade, capped risk. */
+    * source-domain weight), exploitability cascade, capped risk. Weights
+    * default to the bundled ~2,900-domain weight_config table
+    * ([[graft.functions.SeverityWeights]]) as the reference does
+    * (risk.py:16,46); pass an explicit map to override. */
   def advisoryRisk(advisories: DataFrame,
-      weights: Map[String, Int] = Map.empty): DataFrame = {
+      weights: Map[String, Int] = graft.functions.SeverityWeights.map)
+      : DataFrame = {
     val spark = advisories.sparkSession
     import spark.implicits._
     advisoryRiskInternal(advisories,
       weights.toSeq.toDF("domain", "weight"))
   }
 
+  /** risk = min(ws × e, 10) HALF_UP 1dp, unset unless BOTH factors are
+    * truthy (pipes/risk_score.py:114-116) — shared by every risk variant
+    * so the null gate can't drift. */
+  private def riskScoreCol: Column =
+    when(col("weighted_severity") > 0 && col("exploitability") > 0,
+      round(least(col("weighted_severity") * col("exploitability"),
+        lit(10.0)), 1))
+
   private def advisoryRiskInternal(advisories: DataFrame,
       weightsDim: DataFrame): DataFrame = {
     val sev = advisories.filter(col("is_latest"))
       .select(col("avid"), col("references"),
         explode_outer(col("severities")).as("s"))
-      // numeric/textual value first, else score the CVSS vector itself
-      // (OSV severities carry the vector, not a number — risk.py:21-61)
+      // float(value) first (risk.py:52), else score the CVSS vector
+      // itself (OSV severities carry the vector, not a number), else the
+      // textual map with unknown-textual→0 (risk.py:56)
       .withColumn("score",
-        coalesce(GraftFunctions.severityScoreUdf(col("s.value")),
-          GraftFunctions.cvssBaseScoreUdf(col("s.scoring_elements"))))
+        coalesce(GraftFunctions.numericScoreUdf(col("s.value")),
+          GraftFunctions.cvssBaseScoreUdf(col("s.scoring_elements")),
+          GraftFunctions.severityScoreUdf(col("s.value"))))
       .withColumn("domain", GraftFunctions.urlDomainUdf(col("s.url")))
     // weight_config as a broadcast dimension join (weight_config.py has
     // ~2,900 domains — a dimension table, not a literal)
@@ -214,9 +224,16 @@ object AdvisoryDerive {
         col("weight").cast("int").as("_w"))), Seq("domain"), "left")
       .withColumn("w",
         coalesce(col("_w"), lit(graft.functions.Risk.DefaultWeight)))
-      .withColumn("ws", col("score") * col("w") / 10.0)
+      // a severity with no URL is skipped by the weighted max entirely
+      // (risk.py:42-43) but still feeds the EPSS exploitability rung,
+      // which iterates severities without the URL guard (risk.py:79-83)
+      .withColumn("ws",
+        when(length(col("s.url")) > 0, col("score") * col("w") / 10.0))
       .groupBy("avid")
-      .agg(round(max("ws"), 1).as("weighted_severity"),
+      // 0.0 when nothing contributes — the reference's empty max is 0,
+      // not absent (risk.py:60), and quantize keeps it a stored value
+      .agg(coalesce(round(max("ws"), 1), lit(0.0))
+          .as("weighted_severity"),
         max(when(col("s.scoring_system") === "epss" &&
           col("score") > 0.8, true).otherwise(false)).as("high_epss"))
     val exploitRef = advisories.filter(col("is_latest"))
@@ -228,9 +245,7 @@ object AdvisoryDerive {
         when(col("high_epss"), 2.0)
           .when(col("has_exploit_ref"), 1.0)
           .otherwise(0.5))
-      .withColumn("risk_score",
-        round(least(coalesce(col("weighted_severity"), lit(0.0)) *
-          col("exploitability"), lit(10.0)), 1))
+      .withColumn("risk_score", riskScoreCol)
       .select("avid", "weighted_severity", "exploitability", "risk_score")
   }
 

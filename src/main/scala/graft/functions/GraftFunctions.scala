@@ -36,6 +36,11 @@ object GraftFunctions {
   val cvssRatingUdf = udf((score: Double) => Cvss.rating(score))
   val severityScoreUdf = udf((value: String) =>
     Risk.parseScore(value).map(Double.box).orNull)
+  // float(value) alone — the risk path's first rung (risk.py:52-53):
+  // lets the CVSS-vector fallback run BEFORE the textual-else-0 rung, so
+  // a vector-valued severity scores as its base score, not as unknown=0.
+  val numericScoreUdf = udf((value: String) =>
+    Option(value).getOrElse("").trim.toDoubleOption.map(Double.box).orNull)
   val urlDomainUdf = udf((url: String) => Risk.urlDomain(url))
 
   val cleanSummaryUdf = udf((s: String) => TextUtil.cleanSummary(s))

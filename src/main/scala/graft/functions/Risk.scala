@@ -3,14 +3,21 @@ package graft.functions
 /** Risk-score stack: weighted severity → exploitability → risk.
   *
   * Re-expresses vulnerabilities/risk.py:
-  *   - textual severity → numeric map (risk.py:30-38);
+  *   - textual severity → numeric map (risk.py:30-38), any OTHER
+  *     non-empty textual value scoring 0 (risk.py:56 `score_map.get(v, 0)`)
+  *     while an empty value is skipped outright (risk.py:49-50);
   *   - weighted severity = max(score × source-weight / 10) over severities
-  *     (risk.py:21-61), weight looked up by reference-URL domain
-  *     (weight_config.py, default 5 per risk.py:18);
+  *     that carry a URL — a severity with no URL is skipped entirely
+  *     (risk.py:42-43) — weight looked up by reference-URL domain in the
+  *     ~2,900-entry [[SeverityWeights]] table (weight_config.py, default 5
+  *     per risk.py:18); 0.0, not absent, when nothing contributes
+  *     (risk.py:60 `max_score = ... if score_list else 0`);
   *   - exploitability level: 2 if exploit known, 2 if any EPSS > 0.8,
   *     1 if any EXPLOIT-type reference, else 0.5 (risk.py:64-92);
   *   - risk = min(weighted_severity × exploitability, 10), 1 decimal,
-  *     HALF_UP (models.py:305-315, pipes/risk_score.py:19-26).
+  *     HALF_UP — but only when BOTH factors are truthy: a 0/None weighted
+  *     severity leaves risk unset (pipes/risk_score.py:114-116,
+  *     models.py:313-315).
   */
 object Risk {
 
@@ -18,15 +25,17 @@ object Risk {
 
   /** textual severity values → numeric score (risk.py:30-38). */
   val textualScores: Map[String, Double] = Map(
-    "critical" -> 10.0, "high" -> 8.0, "important" -> 8.0,
-    "moderate" -> 6.5, "medium" -> 6.5, "low" -> 3.0, "minor" -> 3.0,
-    "none" -> 0.0, "negligible" -> 0.0, "unimportant" -> 0.0)
+    "low" -> 3.0, "moderate" -> 6.9, "medium" -> 6.9,
+    "high" -> 8.9, "important" -> 8.9,
+    "critical" -> 10.0, "urgent" -> 10.0)
 
-  /** Parse a severity `value` column: float if parseable else textual map. */
+  /** Parse a severity `value` column: float if parseable else textual
+    * map, with unknown non-empty textuals scoring 0 (risk.py:56) and
+    * empty/null values skipped (risk.py:49-50 `if not vul_score`). */
   def parseScore(value: String): Option[Double] = {
     val v = Option(value).getOrElse("").trim.toLowerCase
     if (v.isEmpty) None
-    else v.toDoubleOption.orElse(textualScores.get(v))
+    else Some(v.toDoubleOption.getOrElse(textualScores.getOrElse(v, 0.0)))
   }
 
   /** Domain extraction for weight lookup (risk.py:42-46): netloc of the
@@ -41,18 +50,22 @@ object Risk {
       .stripPrefix("www.").toLowerCase
   }
 
-  /** Weighted severity over (value, url) severity rows: max(score × w/10),
-    * rounded HALF_UP to 1 decimal. */
+  /** Weighted severity over (value, url) severity rows: max(score × w/10)
+    * across URL-carrying severities, rounded HALF_UP to 1 decimal; 0.0
+    * when nothing contributes (risk.py:21-61 — no-URL rows are skipped,
+    * and the empty max is 0, not absent). Weights default to the bundled
+    * weight_config table ([[SeverityWeights]]). */
   def weightedSeverity(
       severities: Seq[(String, String)],
-      weights: Map[String, Int] = Map.empty): Option[Double] = {
+      weights: Map[String, Int] = SeverityWeights.map): Double = {
     val ws = severities.flatMap { case (value, url) =>
-      parseScore(value).map { score =>
+      if (Option(url).getOrElse("").isEmpty) None
+      else parseScore(value).map { score =>
         val w = weights.getOrElse(urlDomain(url), DefaultWeight)
         score * w / 10.0
       }
     }
-    if (ws.isEmpty) None else Some(round1(ws.max))
+    if (ws.isEmpty) 0.0 else round1(ws.max)
   }
 
   /** Exploitability level (risk.py:64-92). */
@@ -65,9 +78,14 @@ object Risk {
     else if (hasExploitReference) 1.0
     else 0.5
 
-  /** risk = min(ws × e, 10) rounded HALF_UP to 1 decimal. */
-  def riskScore(weightedSeverity: Double, exploitability: Double): Double =
-    round1(math.min(weightedSeverity * exploitability, 10.0))
+  /** risk = min(ws × e, 10) rounded HALF_UP to 1 decimal — None unless
+    * both factors are truthy (pipes/risk_score.py:114-116: a 0 weighted
+    * severity leaves the advisory's risk unset, not 0.0). */
+  def riskScore(weightedSeverity: Double,
+      exploitability: Double): Option[Double] =
+    if (weightedSeverity > 0 && exploitability > 0)
+      Some(round1(math.min(weightedSeverity * exploitability, 10.0)))
+    else None
 
   /** Decimal HALF_UP quantize to 1 decimal (pipes/risk_score.py:19-26). */
   def round1(x: Double): Double =

@@ -100,6 +100,67 @@ object AggregationQueries extends QueryModule {
         .orderBy("user_id")
     },
 
+    // A5b — weighted severity through the REAL ~2,900-domain weight table
+    // (weight_config.py via SeverityWeights) and the REAL advisoryRisk
+    // derive: severity URLs rotate over four non-default-weight domains
+    // (nvd.nist.gov 9, rustsec.org 8 — behind a www. prefix to exercise
+    // the strip, issues.apache.org 7, advisory.checkmarx.net 6) plus an
+    // unlisted domain (default 5); a second default-weight severity makes
+    // the max genuinely compare sources; a URL-less `urgent` severity is
+    // a canary for the risk.py:42-43 skip (wrongly included it would
+    // contribute 5.0 and shift every row whose true max is lower); an
+    // exploit reference on every advisory pins exploitability at 1.0 so
+    // risk_score exercises the both-factors-truthy null gate without
+    // introducing half-cent rounding midpoints.
+    q("a5b_weighted_severity_table",
+      """WITH o AS (SELECT DISTINCT o_orderkey % 500 AS k FROM orders),
+        |w AS (SELECT k, round(greatest(
+        |        CAST(k % 10 AS DOUBLE) *
+        |          (CASE k % 5 WHEN 0 THEN 9 WHEN 1 THEN 8 WHEN 2 THEN 7
+        |                      WHEN 3 THEN 6 ELSE 5 END) / 10.0,
+        |        CAST((k * 3) % 10 AS DOUBLE) * 5 / 10.0), 1)
+        |        AS weighted_severity
+        |      FROM o)
+        |SELECT 'adv/' || CAST(k AS VARCHAR) AS avid,
+        |       weighted_severity,
+        |       CAST(1.0 AS DOUBLE) AS exploitability,
+        |       CASE WHEN weighted_severity > 0
+        |            THEN round(least(weighted_severity
+        |                             * CAST(1.0 AS DOUBLE), 10), 1)
+        |       END AS risk_score
+        |FROM w ORDER BY avid""") { (s, dir) =>
+      val refType = "array<struct<reference_id:string," +
+        "reference_type:string,url:string>>"
+      val domains = array(
+        lit("https://nvd.nist.gov/vuln/detail/x"),
+        lit("https://www.rustsec.org/advisories/x"),
+        lit("https://issues.apache.org/jira/x"),
+        lit("https://advisory.checkmarx.net/x"),
+        lit("https://unlisted.example/adv/x"))
+      val sevStruct = (value: org.apache.spark.sql.Column,
+          url: org.apache.spark.sql.Column) =>
+        struct(lit("generic").as("scoring_system"),
+          value.as("value"), lit("").as("scoring_elements"),
+          url.as("url"))
+      val adv = t(s, dir, "orders")
+        .select(pmod(col("o_orderkey"), lit(500)).as("k")).distinct()
+        .select(
+          concat(lit("adv/"), col("k")).as("avid"),
+          lit(true).as("is_latest"),
+          array(
+            sevStruct(pmod(col("k"), lit(10)).cast("string"),
+              element_at(domains, (pmod(col("k"), lit(5)) + 1)
+                .cast("int"))),
+            sevStruct(pmod(col("k") * 3, lit(10)).cast("string"),
+              lit("https://other.example/x")),
+            sevStruct(lit("urgent"), lit(""))).as("severities"),
+          array(struct(lit("x").as("reference_id"),
+            lit("exploit").as("reference_type"),
+            lit("https://exploit.example/e").as("url")))
+            .cast(refType).as("references"))
+      graft.derive.AdvisoryDerive.advisoryRisk(adv).orderBy("avid")
+    },
+
     // A6 — exploitability cascade: max(when) priority ladder
     q("a6_exploitability",
       """SELECT user_id,

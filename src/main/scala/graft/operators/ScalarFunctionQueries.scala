@@ -186,12 +186,13 @@ object ScalarFunctionQueries extends QueryModule {
         .orderBy("event_id")
     },
 
-    // F14 — textual severity → numeric score map
+    // F14 — textual severity → numeric score map (risk.py:30-38; the
+    // unmapped "none" takes the unknown-textual score 0, risk.py:56)
     q("f14_severity_score",
       """SELECT event_id,
         |       CASE WHEN event_type = 'error' THEN 10.0
-        |            WHEN event_type = 'purchase' THEN 8.0
-        |            WHEN event_type = 'signup' THEN 6.5
+        |            WHEN event_type = 'purchase' THEN 8.9
+        |            WHEN event_type = 'signup' THEN 6.9
         |            WHEN event_type = 'click' THEN 3.0
         |            ELSE 0.0 END AS score
         |FROM events ORDER BY event_id""") { (s, dir) =>

@@ -151,8 +151,10 @@ object V1Queries extends QueryModule {
          |       'summary ' || CAST(p.pk AS VARCHAR) AS summary,
          |       1 AS status,
          |       vf.weighted_severity, vf.exploitability,
-         |       round(least(coalesce(vf.weighted_severity, 0)
-         |                   * vf.exploitability, 10), 1) AS risk_score
+         |       CASE WHEN vf.weighted_severity > 0
+         |            THEN round(least(vf.weighted_severity
+         |                             * vf.exploitability, 10), 1)
+         |       END AS risk_score
          |FROM vkey v
          |JOIN prim p USING (comp)
          |JOIN als USING (comp)

@@ -103,10 +103,13 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     val (advisories, _, _, _) = pipeline
     val risk = AdvisoryDerive.advisoryRisk(advisories)
       .filter(col("avid") === "pypa/PYSEC-1").collect().head
-    // cvss 9.8 * default weight 5 / 10 = 4.9; exploit ref → e = 1.0
-    assert(risk.getAs[Double]("weighted_severity") == 4.9)
+    // OSV severities carry no URL, and a URL-less severity is skipped by
+    // the weighted max (risk.py:42-43) → ws is the empty-max 0.0; the
+    // exploit reference still sets e = 1.0; risk stays UNSET because the
+    // ws factor is falsy (pipes/risk_score.py:114-116)
+    assert(risk.getAs[Double]("weighted_severity") == 0.0)
     assert(risk.getAs[Double]("exploitability") == 1.0)
-    assert(risk.getAs[Double]("risk_score") == 4.9)
+    assert(risk.isNullAt(risk.fieldIndex("risk_score")))
   }
 
   test("risk with weight dimension + exploit catalog (A5/A6 full form)") {
@@ -118,11 +121,12 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     val risk = AdvisoryDerive.advisoryRiskFull(advisories, weightsDim,
       exploitAvids)
       .filter(col("avid") === "pypa/PYSEC-1").collect().head
-    // severity url is empty in OSV fixtures → default weight 5 → ws 4.9;
-    // exploit catalog hit lifts exploitability to 2.0, risk = 9.8
-    assert(risk.getAs[Double]("weighted_severity") == 4.9)
+    // URL-less OSV severity → ws 0.0 (skipped, risk.py:42-43); exploit
+    // catalog hit lifts exploitability to 2.0; risk stays unset because
+    // weighted severity is falsy (pipes/risk_score.py:114-116)
+    assert(risk.getAs[Double]("weighted_severity") == 0.0)
     assert(risk.getAs[Double]("exploitability") == 2.0)
-    assert(risk.getAs[Double]("risk_score") == 9.8)
+    assert(risk.isNullAt(risk.fieldIndex("risk_score")))
   }
 
   test("advisory sets group by shared alias with precedence primary (D2-D4)") {
@@ -207,11 +211,13 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     val weights = Seq.empty[(String, Int)].toDF("domain", "weight")
     val risk = AdvisoryDerive.advisoryRiskWithDonors(advisories, donors, weights)
       .collect().map(r => r.getAs[String]("avid") ->
-        (r.getAs[Double]("exploitability"), r.getAs[Double]("risk_score")))
-      .toMap
+        (r.getAs[Double]("exploitability"),
+          Option(r.getAs[java.lang.Double]("risk_score")))).toMap
     // CVE-2024-100 has epss 0.94 > 0.8 → both advisories carrying that
-    // alias jump to the 2.0 tier; risk = min(4.9 * 2, 10) = 9.8
-    assert(risk("pypa/PYSEC-1") == (2.0, 9.8))
+    // alias jump to the 2.0 tier; risk stays unset because the URL-less
+    // OSV severities leave ws at 0 (risk.py:42-43,
+    // pipes/risk_score.py:114-116)
+    assert(risk("pypa/PYSEC-1") == (2.0, None))
     assert(risk("ghsa/GHSA-aaaa")._1 == 2.0)
     // CVE-2024-200 scores 0.005 → GHSA-bbbb stays on its exploit-ref tier
     assert(risk("ghsa/GHSA-bbbb")._1 == 1.0)

@@ -174,9 +174,12 @@ class RiskSpec extends AnyFunSuite {
   test("parse numeric and textual severities (risk.py:30-38)") {
     assert(Risk.parseScore("7.5").contains(7.5))
     assert(Risk.parseScore("CRITICAL").contains(10.0))
-    assert(Risk.parseScore("moderate").contains(6.5))
-    assert(Risk.parseScore("").isEmpty)
-    assert(Risk.parseScore("unknown-text").isEmpty)
+    assert(Risk.parseScore("urgent").contains(10.0))
+    assert(Risk.parseScore("moderate").contains(6.9))
+    assert(Risk.parseScore("HIGH").contains(8.9))
+    assert(Risk.parseScore("").isEmpty) // empty skipped (risk.py:49-50)
+    // unknown non-empty textual scores 0 (risk.py:56 score_map.get(v, 0))
+    assert(Risk.parseScore("unknown-text").contains(0.0))
   }
 
   test("url domain extraction (risk.py:42-46)") {
@@ -187,11 +190,27 @@ class RiskSpec extends AnyFunSuite {
 
   test("weighted severity max(score*w/10) round1 (risk.py:21-61)") {
     val sevs = Seq(("7.5", "https://nvd.example"), ("critical", "https://other.example"))
-    // default weight 5: max(7.5*0.5, 10*0.5) = 5.0
-    assert(Risk.weightedSeverity(sevs).contains(5.0))
+    // neither domain in weight_config → default weight 5:
+    // max(7.5*0.5, 10*0.5) = 5.0
+    assert(Risk.weightedSeverity(sevs) == 5.0)
     val weighted = Risk.weightedSeverity(sevs, Map("nvd.example" -> 10))
-    assert(weighted.contains(7.5)) // 7.5*1.0 beats 10*0.5
-    assert(Risk.weightedSeverity(Nil).isEmpty)
+    assert(weighted == 7.5) // 7.5*1.0 beats 10*0.5
+    // the empty max is 0, not absent (risk.py:60)
+    assert(Risk.weightedSeverity(Nil) == 0.0)
+    // a severity with no URL is skipped outright (risk.py:42-43)
+    assert(Risk.weightedSeverity(Seq(("9.8", ""))) == 0.0)
+    // the bundled weight_config drives the default lookup (risk.py:46)
+    assert(Risk.weightedSeverity(
+      Seq(("10", "https://nvd.nist.gov/vuln/x"))) == 9.0)
+  }
+
+  test("bundled weight_config table (weight_config.py:10-2912)") {
+    assert(SeverityWeights.map.size > 2800)
+    assert(SeverityWeights.map("nvd.nist.gov") == 9)
+    assert(SeverityWeights.map("rustsec.org") == 8)
+    assert(SeverityWeights.map("issues.apache.org") == 7)
+    assert(SeverityWeights.map("advisory.checkmarx.net") == 6)
+    assert(SeverityWeights.map.values.forall(w => w >= 0 && w <= 10))
   }
 
   test("exploitability cascade (risk.py:64-92)") {
@@ -202,9 +221,10 @@ class RiskSpec extends AnyFunSuite {
   }
 
   test("risk = min(ws*e, 10) HALF_UP 1 decimal (models.py:305-315)") {
-    assert(Risk.riskScore(7.5, 2.0) == 10.0) // capped
-    assert(Risk.riskScore(3.2, 2.0) == 6.4)
-    assert(Risk.riskScore(3.25, 1.0) == 3.3) // HALF_UP
-    assert(Risk.riskScore(0.0, 2.0) == 0.0)
+    assert(Risk.riskScore(7.5, 2.0).contains(10.0)) // capped
+    assert(Risk.riskScore(3.2, 2.0).contains(6.4))
+    assert(Risk.riskScore(3.25, 1.0).contains(3.3)) // HALF_UP
+    // unset unless both factors truthy (pipes/risk_score.py:114-116)
+    assert(Risk.riskScore(0.0, 2.0).isEmpty)
   }
 }
