@@ -4,7 +4,7 @@ import graft.core.{QueryEntry, QueryModule}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ingest.{AdvisoryJsonIngest, EpssIngest, OsvIngest, VulnrichmentIngest}
+import graft.ingest.{AdvisoryJsonIngest, EpssIngest, OsvIngest, OvalIngest, VulnrichmentIngest}
 
 /** SURVEY §2 S1–S4 driver-oracle coverage: the ingest parse layer run
   * through the REAL readTree/parse paths over checked-in fixture batches,
@@ -365,6 +365,49 @@ object IngestQueries extends QueryModule {
        |  AND percentile IS NOT NULL
        |ORDER BY cve""".stripMargin
 
+  // --- S3: OVAL XML (oval_parser.py:1-198, lib_oval.py) — distributed
+  // wholetext scan → namespace-aware DOM parse per document inside
+  // mapPartitions. The oracle re-derives the same flat definition rows
+  // from the same file with DuckDB regex extraction, which works because
+  // the fixture (like real SUSE/Debian OVAL) keeps one element per line
+  // and entity-free titles; the DOM parser is the general path.
+
+  private def ovalSpark(s: SparkSession): DataFrame = {
+    val raw = s.read.option("wholetext", "true")
+      .text(s"$Fix/oval/suse_oval_sample.xml")
+      .select(lit("suse_oval").as("datasource_id"),
+        col("value").as("xml"))
+    OvalIngest.parse(s, raw).toDF()
+      .select(col("datasource_id"), col("definition_id"), col("title"),
+        col("severity"),
+        array_join(col("cves"), ",").as("cves_csv"),
+        array_join(col("fixed_versions"), ",").as("fixed_csv"))
+      .orderBy("definition_id")
+  }
+
+  private def ovalOracle: String =
+    s"""WITH doc AS (
+       |  SELECT content FROM read_text('$Fix/oval/suse_oval_sample.xml')),
+       |defs AS (
+       |  SELECT unnest(regexp_extract_all(content,
+       |    '(?s)<definition .*?</definition>')) AS d
+       |  FROM doc)
+       |SELECT 'suse_oval' AS datasource_id,
+       |       regexp_extract(d, '<definition[^>]* id="([^"]*)"', 1)
+       |         AS definition_id,
+       |       coalesce(regexp_extract(d, '<title>([^<]*)</title>', 1), '')
+       |         AS title,
+       |       coalesce(regexp_extract(d, '<severity>([^<]*)</severity>', 1),
+       |         '') AS severity,
+       |       coalesce(list_aggr(list_concat(
+       |         regexp_extract_all(d, 'ref_id="(CVE-[^"]*)"', 1),
+       |         regexp_extract_all(d, '<cve[^>]*>(CVE-[^<]*)</cve>', 1)),
+       |         'string_agg', ','), '') AS cves_csv,
+       |       coalesce(list_aggr(
+       |         regexp_extract_all(d, 'earlier than ([0-9][^ "]*)', 1),
+       |         'string_agg', ','), '') AS fixed_csv
+       |FROM defs ORDER BY definition_id""".stripMargin
+
   override val entries: Seq[QueryEntry] = Seq(
     q("i1_advisory_tree", advisoryTreeOracle) { (s, _) =>
       advisoryTreeSpark(s)
@@ -374,5 +417,6 @@ object IngestQueries extends QueryModule {
       vulnrichmentSpark(s)
     },
     q("i4_epss_csv", epssOracle) { (s, _) => epssSpark(s) },
+    q("i5_oval", ovalOracle) { (s, _) => ovalSpark(s) },
   )
 }

@@ -40,6 +40,28 @@ class OvalIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(d.fixed_versions == Seq("7.88.1-1"))
   }
 
+  test("a CVE that is both a reference and a <cve> element dedups") {
+    val sp = spark
+    import sp.implicits._
+    val xml =
+      """<?xml version="1.0"?>
+        |<oval_definitions xmlns="http://oval.mitre.org/XMLSchema/oval-definitions-5">
+        |<definitions>
+        |  <definition id="oval:x:def:2" class="vulnerability">
+        |    <metadata>
+        |      <title>dup cve</title>
+        |      <reference source="CVE" ref_id="CVE-2024-7"/>
+        |      <advisory><severity>low</severity>
+        |        <cve impact="low">CVE-2024-7</cve></advisory>
+        |    </metadata>
+        |  </definition>
+        |</definitions>
+        |</oval_definitions>""".stripMargin
+    val raw = Seq(("suse_oval", xml)).toDF("datasource_id", "xml")
+    val d = OvalIngest.parse(sp, raw).collect().head
+    assert(d.cves == Seq("CVE-2024-7"))
+  }
+
   test("DTDs are rejected (no XXE)") {
     val sp = spark
     import sp.implicits._
