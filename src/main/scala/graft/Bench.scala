@@ -86,7 +86,15 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else -dt
       }
-      (name, times.sorted.apply((reps - 1) / 2), times)
+      // Median over SUCCESSFUL reps when any exist: a failed rep's
+      // negated time must not participate in the median pick (times
+      // [-80, -79, 10] would record -79); the negations stay visible in
+      // the reps array and the failed list.
+      val succ = times.filter(_ > 0).sorted
+      val med =
+        if (succ.nonEmpty) succ((succ.size - 1) / 2)
+        else times.sorted.apply((reps - 1) / 2)
+      (name, med, times)
     }
     val failed = timed.collect {
       case (name, _, times) if times.exists(_ < 0) => name

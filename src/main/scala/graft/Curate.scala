@@ -35,20 +35,28 @@ object Curate {
       ledger.filter(col("keep")).select("doc_id", "split"), Seq("doc_id"))
     val splits = kept.select("split").distinct()
       .collect().map(_.getString(0)).sorted
-    val sharded = splits.map { sp =>
-      val part = kept.filter(col("split") === sp)
-      part.join(
-        graft.operators.Corpus
-          .assignShards(part, "text", "doc_id", budget)
-          .select("doc_id", "shard"),
-        Seq("doc_id"))
-    }.reduce(_ unionByName _)
-    graft.sources.Partitioned.write(sharded, s"$outDir/corpus",
-      Seq("split", "shard"))
-    val nKept = spark.read.parquet(s"$outDir/corpus").count()
     val nAll = ledger.count()
-    println(s"[curate] $nAll docs -> $nKept kept, " +
-      s"splits=${splits.mkString(",")}, out=$outDir")
+    if (splits.isEmpty) {
+      // every doc dropped by quality/dedup/contamination: reduce() on
+      // zero splits would throw and the corpus read would fail — report
+      // and skip the corpus write instead
+      println(s"[curate] $nAll docs -> 0 kept (all dropped), " +
+        s"no corpus written, out=$outDir")
+    } else {
+      val sharded = splits.map { sp =>
+        val part = kept.filter(col("split") === sp)
+        part.join(
+          graft.operators.Corpus
+            .assignShards(part, "text", "doc_id", budget)
+            .select("doc_id", "shard"),
+          Seq("doc_id"))
+      }.reduce(_ unionByName _)
+      graft.sources.Partitioned.write(sharded, s"$outDir/corpus",
+        Seq("split", "shard"))
+      val nKept = spark.read.parquet(s"$outDir/corpus").count()
+      println(s"[curate] $nAll docs -> $nKept kept, " +
+        s"splits=${splits.mkString(",")}, out=$outDir")
+    }
     spark.stop()
   }
 }

@@ -28,14 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object FederatedExport {
 
-  /** YAML scalar: double-quoted with backslash/quote/newline escapes
-    * (JSON-style escapes are valid YAML double-quoted flow scalars, so
-    * multi-line summaries survive one-line rendering). */
+  /** YAML scalar: double-quoted with backslash/quote/newline/CR/tab
+    * escapes (JSON-style escapes are valid YAML double-quoted flow
+    * scalars, so multi-line summaries survive one-line rendering).
+    * \r matters in practice: CRLF-sourced advisory text would otherwise
+    * emit a literal carriage return inside the scalar and break the
+    * one-scalar-per-line document layout the serializer assumes. */
   private def yamlQuote(c: Column): Column =
     concat(lit("\""),
-      regexp_replace(regexp_replace(regexp_replace(
-        coalesce(c, lit("")),
-        "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(
+          coalesce(c, lit("")),
+          "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"),
+        "\r", "\\\\r"), "\t", "\\\\t"),
       lit("\""))
 
   /** List body: inline ` []` when empty, else newline + joined items.

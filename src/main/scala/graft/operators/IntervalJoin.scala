@@ -26,7 +26,16 @@ object IntervalJoin {
   /** Inner join of `points` (event rows with `tsCol`) to `intervals`
     * (rows with `[startCol, endCol)` — end exclusive) on containment.
     * Empty/negative intervals are dropped (they contain nothing, and
-    * `sequence()` would otherwise walk backwards). */
+    * `sequence()` would otherwise walk backwards).
+    *
+    * The interval's bucket range upper bound is floor(end/bucket)
+    * UNCONDITIONALLY — not floor((end-1)/bucket). unix_timestamp
+    * truncates sub-second precision, so with a fractional end (e.g.
+    * 12:00:00.5, hourly buckets) the minus-one form skips the bucket
+    * holding points in [trunc(end), end), silently dropping matches;
+    * it also let a sub-second interval walk sequence(x, x-1) backwards.
+    * The cost is at most one extra candidate bucket per interval, which
+    * the exact containment filter removes. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       tsCol: String, startCol: String, endCol: String,
       bucketSeconds: Long = 3600L): DataFrame = {
@@ -37,7 +46,7 @@ object IntervalJoin {
       .filter(col(endCol) > col(startCol))
       .withColumn("_ib", explode(sequence(
         floor(unix_timestamp(col(startCol)) / bucketSeconds),
-        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds))))
+        floor(unix_timestamp(col(endCol)) / bucketSeconds))))
     pB.join(iB, Seq("_ib"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_ib")

@@ -293,18 +293,23 @@ object JoinQueries extends QueryModule {
     q("j15_interval_count",
       """WITH i AS (SELECT event_id AS interval_id,
         |            CAST(ts AS TIMESTAMP) AS s,
-        |            CAST(ts AS TIMESTAMP)
-        |              + ((event_id % 3) + 1) * INTERVAL 1 HOUR AS e
+        |            date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |              + ((event_id % 3) + 1) * INTERVAL 1 HOUR
+        |              + INTERVAL 500 MILLISECOND AS e
         |           FROM events WHERE event_id % 500 = 0),
         |p AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT i.interval_id, count(p.event_id) AS cnt
         |FROM i LEFT JOIN p ON p.ts >= i.s AND p.ts < i.e
         |GROUP BY i.interval_id ORDER BY i.interval_id""") { (s, dir) =>
       val ev = t(s, dir, "events")
+      // ends at hour-boundary + 0.5s: the truncated end second IS a
+      // bucket boundary, so the fixture exercises the sub-second bucket
+      // upper-bound edge (points in [trunc(e), e) must still match)
       val intervals = ev.filter(pmod(col("event_id"), lit(500)) === 0)
         .select(col("event_id").as("interval_id"), col("ts").as("s"),
-          expr("ts + (CAST(event_id % 3 AS INT) + 1) * INTERVAL '1' HOUR")
-            .as("e"))
+          expr("date_trunc('hour', ts)" +
+            " + (CAST(event_id % 3 AS INT) + 1) * INTERVAL '1' HOUR" +
+            " + INTERVAL '0.5' SECOND").as("e"))
       val matched = IntervalJoin.pointInInterval(
         ev.select(col("event_id"), col("ts")),
         intervals, "ts", "s", "e", bucketSeconds = 3600L)

@@ -106,12 +106,18 @@ object Skew {
       numPartitions: Int = 32, outCol: String = "running_sum"): DataFrame = {
     val spark = df.sparkSession
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // localCheckpoint (eager), not cache(): the two passes (offsets,
+    // output) must see identical partition contents, and a cache()d RDD
+    // held here would sit in getPersistentRDDs for the session's
+    // lifetime — library callers accumulated blocks call after call.
+    // Checkpoint blocks are lineage-free (no eviction/recompute window)
+    // and are reclaimed as soon as this frame is unreachable.
     val sorted = df.withColumn("_rsv", value.cast("long"))
       .repartitionByRange(numPartitions, order)
       .sortWithinPartitions(order)
+      .localCheckpoint()
     val valueIdx = sorted.schema.fieldIndex("_rsv")
     val rdd = sorted.rdd
-    rdd.cache()
     val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
       Iterator.single(i -> it.map(_.getLong(valueIdx)).sum)
     }.collect().toMap

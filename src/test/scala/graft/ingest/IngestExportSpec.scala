@@ -99,7 +99,7 @@ class FederatedExportSpec extends AnyFunSuite with SparkTestSession {
   private def fullAdvisories(sp: org.apache.spark.sql.SparkSession) = {
     import sp.implicits._
     Seq(
-      ("pypa", "P-1", "pypa/P-1", "SQLi fix\nsecond line",
+      ("pypa", "P-1", "pypa/P-1", "SQLi fix\r\nsecond\tline",
         Seq("GHSA-1", "CVE-1"), "https://u/1", true,
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
         Seq(("cvssv3.1", "9.8", "CVSS:3.1/AV:N", "https://nvd.example/1")),
@@ -149,7 +149,7 @@ class FederatedExportSpec extends AnyFunSuite with SparkTestSession {
         |aliases:
         |  - "CVE-1"
         |  - "GHSA-1"
-        |summary: "SQLi fix\nsecond line"
+        |summary: "SQLi fix\r\nsecond\tline"
         |impacted_packages:
         |  - purl: "pkg:pypi/bar"
         |    affected_versions: "vers:pypi/<0.5"
