@@ -43,13 +43,16 @@ object Bench {
       try graft.core.Tables(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
-    // SPARK_GRAFT_BENCH_REPS > 1 measures run-to-run variance: each query
-    // runs `reps` times (cache-cleared before every run, so every rep is
-    // the same cold measurement) and the recorded value is the MEDIAN —
-    // robust to a one-off GC pause — with all reps preserved in
-    // BENCH_FULL.json so a "regression" can be told from noise. Default 1
-    // keeps the driver's per-round cost unchanged.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // SPARK_GRAFT_BENCH_REPS controls run-to-run variance handling: each
+    // query runs `reps` times (cache-cleared before every run, so every
+    // rep is the same cold measurement) and the recorded value is the
+    // MEDIAN of the successful reps — robust to a one-off GC pause —
+    // with all reps preserved in BENCH_FULL.json so a "regression" can
+    // be told from noise. Default 2: the round-7 driver artifact (1 rep,
+    // cold JIT, host contention) read 1.4x the committed 2-rep clean run
+    // for identical code; defaulting the driver's invocation to the same
+    // methodology keeps the two artifacts comparable.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run — for isolating one
     // query's cost from cross-query JVM interference when triaging a
     // regression. The driver never sets it; full runs stay the contract.

@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object ScalarFunctionQueries extends QueryModule {
 
+  // Absolute path of the bundled CWE catalog for the DuckDB oracle (the
+  // Spark side loads the same file from the classpath); resolved like
+  // IngestQueries.Fix because the driver's DuckDB runs from any cwd.
+  private val CwePath: String = {
+    val rel = java.nio.file.Paths
+      .get("src/main/resources/graft/cwe_catalog.tsv")
+    if (java.nio.file.Files.exists(rel))
+      rel.toAbsolutePath.normalize.toString
+    else "/root/repo/src/main/resources/graft/cwe_catalog.tsv"
+  }
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
@@ -276,23 +287,26 @@ object ScalarFunctionQueries extends QueryModule {
         .orderBy("o_orderkey")
     },
 
-    // F24 — CWE-style dimension lookup: format + broadcast dim join
+    // F24 — CWE dimension lookup (models.py:552-582): the bundled
+    // catalog resource (CweCatalog) as a broadcast dim join; ids spread
+    // over 0..1399 so hits resolve canonical names and misses fall back
+    // to 'unknown'. The oracle reads the SAME TSV the loader bundles.
     q("f24_cwe_lookup",
-      """SELECT p.p_partkey, 'CWE-' || p.p_size AS cwe_id,
-        |       coalesce(d.name, 'unknown') AS cwe_name
-        |FROM part p
-        |LEFT JOIN (VALUES (10, 'buffer-overflow'), (20, 'input-validation'),
-        |                  (30, 'injection'), (40, 'xss')) AS d(sz, name)
-        |  ON p.p_size = d.sz
-        |ORDER BY p.p_partkey""") { (s, dir) =>
-      val spark = s
-      import spark.implicits._
-      val dim = Seq((10, "buffer-overflow"), (20, "input-validation"),
-        (30, "injection"), (40, "xss")).toDF("sz", "name")
+      s"""WITH d AS (SELECT * FROM read_csv('$CwePath', delim='\\t',
+         |  header=false, quote='',
+         |  columns={'cwe_id_num':'INTEGER','name':'VARCHAR'}))
+         |SELECT p.p_partkey,
+         |       'CWE-' || CAST(p.p_partkey % 1400 AS VARCHAR) AS cwe_id,
+         |       coalesce(d.name, 'unknown') AS cwe_name
+         |FROM part p LEFT JOIN d ON p.p_partkey % 1400 = d.cwe_id_num
+         |ORDER BY p.p_partkey""") { (s, dir) =>
+      val dim = graft.functions.CweCatalog.dim(s)
       t(s, dir, "part")
-        .join(broadcast(dim), col("p_size") === col("sz"), "left")
         .select(col("p_partkey"),
-          concat(lit("CWE-"), col("p_size")).as("cwe_id"),
+          pmod(col("p_partkey"), lit(1400)).cast("int").as("cwe_id_num"))
+        .join(broadcast(dim), Seq("cwe_id_num"), "left")
+        .select(col("p_partkey"),
+          concat(lit("CWE-"), col("cwe_id_num")).as("cwe_id"),
           coalesce(col("name"), lit("unknown")).as("cwe_name"))
         .orderBy("p_partkey")
     },
