@@ -111,6 +111,24 @@ object WindowSetQueries extends QueryModule {
         .offset(200).limit(100)
     },
 
+    // W6b — keyset (seek) pagination: the 100 TB serving path. OFFSET n
+    // must order-and-discard n rows every page (w6 above — fine for one
+    // API page, quadratic across a deep scan); the keyset form carries
+    // the last key of the previous page as a cursor, so the predicate is
+    // pushed into the parquet scan (row-group pruning on the sort key)
+    // and ORDER BY + LIMIT collapses to TakeOrderedAndProject —
+    // per-partition top-k then a k-row merge, never a global sort.
+    q("w6b_keyset_page",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderkey > 800
+        |ORDER BY o_orderkey LIMIT 100""") { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") > 800)
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+        .limit(100)
+    },
+
     // W7 — global re-rank (dense). NOTE: single-partition sort — the 100 TB
     // path is W1's partitioned form; kept to mirror the reference's full
     // re-rank (models.py:968-972).

@@ -111,6 +111,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "sketch must accumulate map-side before the shuffle")
   }
 
+  test("keyset pagination pushes the cursor and top-ks, no global sort") {
+    // the w6b serving shape: cursor predicate reaches the parquet scan,
+    // ORDER BY + LIMIT collapses to TakeOrderedAndProject (per-partition
+    // top-k + k-row merge) — never a full SortExec of the table.
+    val df = docs
+      .filter(col("doc_id") > 50L)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+      .limit(10)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "keyset page must use TakeOrderedAndProject")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "keyset page must not global-sort")
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a parquet scan")
+    assert(scans.head.metadata("PushedFilters").contains("GreaterThan(doc_id,50)"),
+      s"cursor not pushed: ${scans.head.metadata("PushedFilters")}")
+  }
+
   test("content-dedup survivor pick partial-aggregates, no window sort") {
     val df = docs
       .groupBy(sha2(lower(trim(col("text"))), 256).as("content_id"))
