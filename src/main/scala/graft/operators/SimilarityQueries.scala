@@ -469,5 +469,116 @@ object SimilarityQueries extends QueryModule {
         "vec_id", "embedding", k = 5)
       Similarity.recallAtK(ann, exact).orderBy("probe_id")
     },
+
+    // The same recall gauge over a PLANTED-cluster corpus: x_ann_recall
+    // above is the honest near-zero on random vectors; this row is the
+    // structured-data counterpart (SimilarityLibSpec's planted fixture,
+    // promoted to the oracled/benched path) proving the gauge itself
+    // climbs to ~1.0 when cosine structure exists for IVF to exploit.
+    // The corpus is derived from vec_id alone — cluster c = vec_id % 8
+    // owns dims [8c, 8c+8) at weight 8, plus an integer-lattice jitter
+    // ((vec_id*31 + d*7) % 200 - 100)/500 — so both engines rebuild
+    // byte-identical doubles (integer ops + one correctly-rounded
+    // division; no RNG, no float-sum ambiguity).
+    q("x_ann_recall_planted", {
+      val planted =
+        """planted AS (
+          |  SELECT vec_id,
+          |         list_transform(range(0, 64), d ->
+          |           CAST(CASE WHEN d >= (vec_id % 8) * 8
+          |                      AND d <  ((vec_id % 8) + 1) * 8
+          |                     THEN 8 ELSE 0 END AS DOUBLE)
+          |           + CAST((vec_id * 31 + d * 7) % 200 - 100 AS DOUBLE)
+          |             / CAST(500 AS DOUBLE)) AS embedding,
+          |         vec_id % 8 AS label
+          |  FROM embeddings)""".stripMargin
+      s"""WITH $planted,
+         |exact5 AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.vec_id) AS rn
+         |    FROM planted a JOIN planted b ON a.vec_id <> b.vec_id
+         |    WHERE a.vec_id % 100 = 0)
+         |  WHERE rn <= 5),
+         |cent AS (
+         |  SELECT e.label, e.embedding FROM planted e
+         |  JOIN (SELECT label, min(vec_id) AS mv FROM planted GROUP BY label) m
+         |    ON e.label = m.label AND e.vec_id = m.mv),
+         |assign AS (
+         |  SELECT vec_id AS probe_id, label AS best_label FROM (
+         |    SELECT a.vec_id, b.label,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.label) AS rn
+         |    FROM planted a, cent b
+         |    WHERE a.vec_id % 100 = 0)
+         |  WHERE rn = 1),
+         |ivf5 AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT s.probe_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY s.probe_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.vec_id) AS rn
+         |    FROM assign s
+         |    JOIN planted a ON a.vec_id = s.probe_id
+         |    JOIN planted b ON b.label = s.best_label
+         |                  AND b.vec_id <> s.probe_id)
+         |  WHERE rn <= 5)
+         |SELECT e.probe_id,
+         |       count(i.neighbor_id) AS hits,
+         |       count(*) AS n_true,
+         |       CAST(round(CAST(count(i.neighbor_id) AS DOUBLE)
+         |                  / count(*), 4) AS DOUBLE) AS recall
+         |FROM exact5 e
+         |LEFT JOIN ivf5 i ON i.probe_id = e.probe_id
+         |                AND i.neighbor_id = e.neighbor_id
+         |GROUP BY e.probe_id
+         |ORDER BY e.probe_id"""
+    }) { (s, dir) =>
+      val e = SimilarityQueries.plantedCorpus(emb(s, dir)).cache()
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      val exact = Similarity.topK(probes, e, "vec_id", "embedding", k = 5)
+      val seeds = e.groupBy(col("label").as("s_label"))
+        .agg(min("vec_id").as("mv"))
+      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
+          e("vec_id") === seeds("mv"))
+        .select(col("s_label").as("centroid_id"), col("embedding").as("vec"))
+      val corpusAssigned = e.select(col("vec_id"), col("embedding"),
+        col("label").as("centroid_id"))
+      val ann = Similarity.ivfTopK(probes, corpusAssigned, cent,
+        "vec_id", "embedding", k = 5)
+      Similarity.recallAtK(ann, exact).orderBy("probe_id")
+    },
   )
+
+  /** Deterministic planted-cluster corpus, derived from `vec_id` alone
+    * so Spark and the oracle rebuild identical doubles: cluster
+    * c = vec_id % 8 owns dims [8c, 8c+8) at center weight 8.0; every
+    * dim carries jitter ((vec_id*31 + d*7) % 200 - 100)/500.0 in
+    * [-0.2, 0.198]. Integer lattice + one IEEE division — no RNG.
+    * Columns: (vec_id, embedding: array<double>, label: long). */
+  def plantedCorpus(ids: DataFrame): DataFrame = {
+    val c = pmod(col("vec_id"), lit(8L))
+    ids.select(col("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        when(d >= c * 8 && d < (c + lit(1)) * 8, lit(8.0)).otherwise(lit(0.0))
+          + (pmod(col("vec_id") * 31 + d * 7, lit(200L)) - lit(100L))
+            / lit(500.0)).as("embedding"),
+      c.as("label"))
+  }
 }

@@ -105,6 +105,33 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.9, s"mean recall@10 = $recall")
   }
 
+  test("x_ann_recall_planted path: seeded IVF recall 1.0 on planted corpus") {
+    val sp = spark
+    import sp.implicits._
+    // the benched/oracled x_ann_recall_planted shape, end to end: the
+    // deterministic planted corpus (derived from vec_id alone), label
+    // seeds as centroids, single-list IVF — structure must carry the
+    // gauge to >= 0.9 (here exactly 1.0: candidate lists contain every
+    // cluster mate, and exact top-5 is all mates).
+    val ids = (0L until 400L).toDF("vec_id")
+    val e = SimilarityQueries.plantedCorpus(ids)
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val exact = Similarity.topK(probes, e, "vec_id", "embedding", k = 5)
+    val seeds = e.groupBy(col("label").as("s_label"))
+      .agg(min("vec_id").as("mv"))
+    val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
+        e("vec_id") === seeds("mv"))
+      .select(col("s_label").as("centroid_id"), col("embedding").as("vec"))
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      col("label").as("centroid_id"))
+    val ann = Similarity.ivfTopK(probes, assigned, cent,
+      "vec_id", "embedding", k = 5)
+    val recall = Similarity.recallAtK(ann, exact)
+      .agg(avg("recall")).collect().head.getDouble(0)
+    assert(recall >= 0.9, s"mean planted recall@5 = $recall")
+  }
+
   test("recallAtK: trained IVF scores 1.0 on planted clusters") {
     val sp = spark
     import sp.implicits._
