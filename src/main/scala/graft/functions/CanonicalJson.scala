@@ -49,8 +49,13 @@ object CanonicalJson {
   }
 
   def sha256Hex(text: String): String =
+    sha256HexBytes(text.getBytes("UTF-8"))
+
+  /** sha-256 over raw bytes — for binary payloads a UTF-8 round-trip
+    * would corrupt (invalid sequences collapse to U+FFFD). */
+  def sha256HexBytes(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256")
-      .digest(text.getBytes("UTF-8"))
+      .digest(bytes)
       .map(b => f"$b%02x").mkString
 
   /** Content id of a canonical tree (advisory identity). */

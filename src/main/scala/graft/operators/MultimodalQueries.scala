@@ -4,19 +4,20 @@ import graft.core.{QueryEntry, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{MediaRow, Multimodal, StubCodec}
+import graft.multimodal.{ImageIoCodec, MediaRow, Multimodal, StubCodec}
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
   *
   * Images/audio/video are carried as `binary` columns with a metadata
   * struct; decode/feature-extraction runs as a batched partition-level
   * transform (`mapPartitions` — the Scala analog of `mapInPandas`
-  * batches) behind the [[graft.multimodal.MediaCodec]] seam. The codec
-  * used here is the deterministic [[StubCodec]] (no media libs in this
-  * container); the Spark-side plumbing — schema, batching,
-  * partitioning — is real and oracle-checked, and a real codec drops
-  * into the same seam (MediaCodecSpec proves a second implementation
-  * runs the identical plumbing).
+  * batches) behind the [[graft.multimodal.MediaCodec]] seam. Two codecs
+  * ride it: the deterministic [[StubCodec]] for rows whose every field
+  * the DuckDB oracle must rebuild bit-for-bit, and [[ImageIoCodec]] —
+  * REAL pixel decode via the JDK's javax.imageio, no external library —
+  * exercised end-to-end by x_multimodal_decode_real, whose oracle
+  * predicts the encode→decode round-tripped dimensions. Audio/video
+  * decode remains stub-only (no such libs ship with the JDK).
   */
 object MultimodalQueries extends QueryModule {
 
@@ -39,6 +40,36 @@ object MultimodalQueries extends QueryModule {
         .as[MediaRow]
       Multimodal.decode(media, StubCodec)
         .toDF()
+        .orderBy("doc_id")
+    },
+
+    // REAL image decode end-to-end (no stub): each doc gets a genuine
+    // PNG synthesized at doc_id-derived dimensions, and ImageIoCodec —
+    // the JDK javax.imageio path — decodes actual pixels through the
+    // same partition-batched seam. The oracle predicts the dimensions
+    // arithmetically: they only match if the decoder really parsed the
+    // image (PNG magic 0x89 = 137 likewise comes off the wire bytes).
+    q("x_multimodal_decode_real",
+      """SELECT doc_id,
+        |       CAST(16 + doc_id % 32 AS INT) AS width,
+        |       CAST(8 + doc_id % 16 AS INT) AS height,
+        |       CAST(137 AS INT) AS first_byte,
+        |       TRUE AS decoded
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val dims = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          (lit(16) + pmod(col("doc_id"), lit(32))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+      val media: Dataset[MediaRow] = dims.mapPartitions(_.map {
+        case (id, w, h) => MediaRow(id, ImageIoCodec.synthesizePng(w, h))
+      })
+      Multimodal.decode(media, ImageIoCodec)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("first_byte"), (col("n_bytes") > 0).as("decoded"))
         .orderBy("doc_id")
     },
 

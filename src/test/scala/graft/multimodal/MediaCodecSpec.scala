@@ -56,6 +56,51 @@ class MediaCodecSpec extends AnyFunSuite with SparkTestSession {
     assert(resized(1L).out_w == 48 && resized(1L).out_h == 32)
   }
 
+  private def png(w: Int, h: Int): Array[Byte] =
+    ImageIoCodec.synthesizePng(w, h)
+
+  test("ImageIoCodec really decodes PNG dimensions through the seam") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, png(320, 200)),
+      (2L, png(5, 400)),
+      (3L, Array[Byte](1, 2, 3)), // not an image
+      (4L, Array.empty[Byte]))
+      .toDF("doc_id", "payload").as[MediaRow]
+    val out = Multimodal.decode(rows, ImageIoCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).width == 320 && out(1L).height == 200)
+    assert(out(2L).width == 5 && out(2L).height == 400)
+    // PNG magic byte really came from the encoder, not a fake
+    assert(out(1L).first_byte == 0x89)
+    // corrupt/empty payloads cost one row, not a task failure
+    assert(out(3L).width == -1 && out(3L).height == -1)
+    assert(out(4L).width == -1 && out(4L).first_byte == -1)
+    // raw-byte checksum (NOT the stub's UTF-8 reinterpretation)
+    assert(out(3L).checksum ==
+      graft.functions.CanonicalJson.sha256HexBytes(Array[Byte](1, 2, 3)))
+
+    val resized = Multimodal.decodeAndResize(rows, 100, ImageIoCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(resized(1L).out_w == 100 && resized(1L).out_h == 62)
+    assert(resized(2L).out_w == 1 && resized(2L).out_h == 100)
+  }
+
+  test("ImageIoCodec pixel resample emits a real PNG at fit geometry") {
+    val thumb = ImageIoCodec.resampleToPng(png(320, 200), 100)
+    assert(thumb.isDefined)
+    val re = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumb.get))
+    assert(re.getWidth == 100 && re.getHeight == 62)
+    // small-enough images pass through at original geometry
+    val same = ImageIoCodec.resampleToPng(png(40, 30), 100)
+    val reSame = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(same.get))
+    assert(reSame.getWidth == 40 && reSame.getHeight == 30)
+    assert(ImageIoCodec.resampleToPng(Array[Byte](9, 9), 100).isEmpty)
+  }
+
   test("fused decode+resize matches staged decode then resize") {
     val fused = Multimodal.decodeAndResize(media, 256, StubCodec)
       .collect().sortBy(_.doc_id).toSeq
