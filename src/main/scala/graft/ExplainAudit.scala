@@ -23,7 +23,9 @@ object ExplainAudit {
         "x_ann_ivf_nprobe", "x_ivf_train", "x_dedup_pipeline_minhash",
         "x_incremental_dedup", "sc4_salted_join", "sc5_bucketed_join",
         "x_ann_ivf_trained", "x_ann_recall", "x_quality_quantiles",
-        "x_cardinality_profile", "t8_sessionize", "j15_interval_count", "x_bm25_search")
+        "x_cardinality_profile", "t8_sessionize", "j15_interval_count",
+        "x_bm25_search", "x_ann_recall_planted", "w6b_keyset_page",
+        "f24_cwe_lookup", "x_multimodal_decode_real", "i5_oval")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)
