@@ -114,6 +114,43 @@ object Corpus {
     counts.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Gopher-style repetition signal: the character fraction claimed by
+    * each document's most frequent word n-gram (boilerplate/loop
+    * detector — distinct from unigram diversity, which misses repeated
+    * PHRASES built from common words). Character mass is `occurrences ×
+    * token chars of the n-gram` over the doc's total token chars,
+    * matching qualityFlags' char accounting. Ties break on the
+    * lexicographically smallest n-gram so results are engine-stable.
+    *
+    * Scale shape: explode n-grams → count groupBy (doc, gram) with
+    * map-side combine → per-doc top-1 window — every stage partitioned
+    * by doc, linear in corpus size, no global ordering anywhere.
+    * Returns (idCol, top_gram, top_cnt, top_char_frac); docs with
+    * fewer than n tokens drop (no n-gram exists). */
+  def topNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 2, "n-gram repetition needs n >= 2 (use distinct_ratio for unigrams)")
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol),
+        aggregate(transform(col("_toks"), t => length(t).cast("long")),
+          lit(0L), _ + _).as("total_chars"),
+        explode(expr(
+          s"transform(sequence(0, size(_toks) - $n), i -> concat_ws(' ', slice(_toks, i + 1, $n)))"))
+          .as("gram"))
+    val counts = grams
+      .groupBy(col(idCol), col("total_chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(idCol).orderBy(col("cnt").desc, col("gram"))
+    counts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("gram").as("top_gram"),
+        col("cnt").as("top_cnt"),
+        round((col("cnt") * (length(col("gram")) - lit(n - 1)))
+          .cast("double") / col("total_chars"), 4).as("top_char_frac"))
+  }
+
   /** Per-document mean TF-IDF over the corpus's own document frequencies —
     * the lexical-quality score curation stacks rank docs by.
     *

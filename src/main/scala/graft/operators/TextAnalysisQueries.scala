@@ -220,5 +220,35 @@ object TextAnalysisQueries extends QueryModule {
             size(col("toks")), 4).cast("double").as("distinct_ratio"))
         .orderBy("doc_id")
     },
+
+    // Gopher-style top-2-gram character fraction: the repetition signal
+    // unigram diversity misses — a doc looping one PHRASE of common
+    // words keeps distinct_ratio healthy while top_char_frac spikes.
+    // Every stage is partitioned by doc (gram count with map-side
+    // combine, per-doc top-1 window): linear, no global order.
+    q("x_top_ngram",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_sum(list_transform(toks, x -> len(x))) AS total_chars,
+        |         unnest(list_transform(range(0, len(toks) - 1),
+        |                i -> toks[i + 1] || ' ' || toks[i + 2])) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (
+        |  SELECT doc_id, total_chars, gram, count(*) AS cnt
+        |  FROM g GROUP BY doc_id, total_chars, gram)
+        |SELECT doc_id, gram AS top_gram, cnt AS top_cnt,
+        |       CAST(round(CAST(cnt * (len(gram) - 1) AS DOUBLE)
+        |                  / total_chars, 4) AS DOUBLE) AS top_char_frac
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY cnt DESC, gram) AS rn FROM c)
+        |WHERE rn = 1 ORDER BY doc_id""") { (s, dir) =>
+      Corpus.topNgramCharFrac(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
   )
 }

@@ -111,6 +111,27 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("integral id column"))
   }
 
+  test("topNgramCharFrac spikes on phrase loops that unigram diversity misses") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),     // "a b" ×3 of 5 grams; 6 chars total
+      (2L, "x y z"),           // all grams unique → tie → smallest gram
+      (3L, "solo"),            // < 2 tokens → no n-gram, row drops
+      (4L, "spark is neat and spark is fast")) // "spark is" ×2
+      .toDF("doc_id", "text")
+    val out = Corpus.topNgramCharFrac(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (("a b", 3L, 1.0)))          // 3 × 2 chars / 6
+    assert(out(2L) == (("x y", 1L, 0.6667)))       // tie → lexicographic
+    assert(!out.contains(3L))
+    assert(out(4L)._1 == "spark is" && out(4L)._2 == 2L)
+    // phrase loop: doc 1's unigram diversity is a healthy-looking 2/6
+    // but its top 2-gram owns ALL characters — the signal is disjoint
+    assert(out(1L)._3 == 1.0)
+  }
+
   test("vocabTopK ranks by count then token, bounded by k") {
     val rows = docsDF(Seq(
       doc(1, "alpha alpha alpha beta beta gamma"),
