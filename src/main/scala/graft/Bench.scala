@@ -89,10 +89,16 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else -dt
       }
-      // Median over SUCCESSFUL reps when any exist: a failed rep's
-      // negated time must not participate in the median pick (times
-      // [-80, -79, 10] would record -79); the negations stay visible in
-      // the reps array and the failed list.
+      // LOWER median over SUCCESSFUL reps when any exist: a failed rep's
+      // negated time must not participate in the pick (times [-80, -79,
+      // 10] would record -79); the negations stay visible in the reps
+      // array and the failed list. At even rep counts the lower middle
+      // is the pick — for the default reps=2 that is the warm rep, the
+      // steady-state number (cold JIT lives in rep 1). Every committed
+      // artifact and the driver's run use this same statistic, so
+      // cross-artifact comparisons are like-for-like; just don't read
+      // an even-reps "median" as a central estimate — it is the better
+      // half.
       val succ = times.filter(_ > 0).sorted
       val med =
         if (succ.nonEmpty) succ((succ.size - 1) / 2)

@@ -23,20 +23,8 @@ object CweCatalog {
   private val ResourcePath = "/graft/cwe_catalog.tsv"
 
   /** cwe id → name, loaded once per JVM from the bundled resource. */
-  lazy val map: Map[Int, String] = {
-    val in = getClass.getResourceAsStream(ResourcePath)
-    require(in != null, s"missing resource $ResourcePath")
-    try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty)
-        .map { line =>
-          val i = line.indexOf('\t')
-          require(i > 0, s"malformed cwe row: $line")
-          line.substring(0, i).toInt -> line.substring(i + 1)
-        }
-        .toMap
-    } finally in.close()
-  }
+  lazy val map: Map[Int, String] =
+    TsvResource.load(ResourcePath)((k, v) => k.toInt -> v)
 
   /** The catalog as a (cwe_id, cwe_name) DataFrame for broadcast joins. */
   def dim(spark: SparkSession): DataFrame = {

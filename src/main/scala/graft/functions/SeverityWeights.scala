@@ -23,20 +23,8 @@ object SeverityWeights {
   private val ResourcePath = "/graft/severity_weights.tsv"
 
   /** domain → weight, loaded once per JVM from the bundled resource. */
-  lazy val map: Map[String, Int] = {
-    val in = getClass.getResourceAsStream(ResourcePath)
-    require(in != null, s"missing resource $ResourcePath")
-    try {
-      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty)
-        .map { line =>
-          val i = line.indexOf('\t')
-          require(i > 0, s"malformed weight row: $line")
-          line.substring(0, i) -> line.substring(i + 1).trim.toInt
-        }
-        .toMap
-    } finally in.close()
-  }
+  lazy val map: Map[String, Int] =
+    TsvResource.load(ResourcePath)((k, v) => k -> v.trim.toInt)
 
   /** The table as a (domain, weight) DataFrame for broadcast joins. */
   def dim(spark: SparkSession): DataFrame = {

@@ -38,7 +38,8 @@ object AdvisoryJsonIngest {
       StructField("system", StringType),
       StructField("value", StringType),
       StructField("scoring_elements", StringType),
-      StructField("published_at", StringType))))),
+      StructField("published_at", StringType),
+      StructField("url", StringType))))),
     StructField("date_published", StringType),
     StructField("weaknesses", ArrayType(IntegerType)),
     StructField("url", StringType)))
@@ -67,14 +68,17 @@ object AdvisoryJsonIngest {
           coalesce(r.getField("reference_id"),
             regexp_extract(r.getField("url"), "[^/]+$", 0))
             .as("reference_id"))).as("references"),
+      // severity url (VulnerabilitySeverity.url, importer.py:50-56) is
+      // what the risk stack's domain-weight lookup keys on — a severity
+      // without one is skipped by the weighted max (risk.py:42-43)
       transform(coalesce(col("a.severities"),
-        array().cast("array<struct<system:string,value:string,scoring_elements:string,published_at:string>>")),
+        array().cast("array<struct<system:string,value:string,scoring_elements:string,published_at:string,url:string>>")),
         sv => struct(
           sv.getField("system").as("scoring_system"),
           sv.getField("value").as("value"),
           coalesce(sv.getField("scoring_elements"), lit(""))
             .as("scoring_elements"),
-          lit("").as("url"))).as("severities"),
+          coalesce(sv.getField("url"), lit("")).as("url"))).as("severities"),
       coalesce(col("a.weaknesses"), array().cast("array<int>"))
         .as("weaknesses"),
       transform(coalesce(col("a.affected_packages"), array().cast(

@@ -31,9 +31,28 @@ trait MediaCodec extends Serializable {
   /** Decode one partition batch of payloads into typed metadata. */
   def decode(rows: Iterator[MediaRow]): Iterator[MediaMeta]
 
-  /** Resize one partition batch (aspect-preserving fit into a
-    * `target`-pixel box). */
-  def resize(rows: Iterator[MediaMeta], target: Int): Iterator[ResizedMeta]
+  /** Resize one partition batch. The default is the shared
+    * aspect-preserving fit ([[MediaCodec.aspectFit]]) so decode-only
+    * codecs can't drift from each other's geometry policy; override
+    * only for genuinely different resize semantics. */
+  def resize(rows: Iterator[MediaMeta], target: Int): Iterator[ResizedMeta] =
+    rows.map(MediaCodec.aspectFit(_, target))
+}
+
+object MediaCodec {
+
+  /** Aspect-preserving fit of (width, height) into a `target`-pixel
+    * box: the ONE geometry policy every codec shares (floor division;
+    * degenerate dims pass through as 0×0). */
+  def aspectFit(m: MediaMeta, target: Int): ResizedMeta = {
+    val mx = math.max(m.width, m.height)
+    if (mx <= 0) ResizedMeta(m.doc_id, m.width, m.height, 0, 0)
+    else if (mx <= target)
+      ResizedMeta(m.doc_id, m.width, m.height, m.width, m.height)
+    else ResizedMeta(m.doc_id, m.width, m.height,
+      (m.width.toLong * target / mx).toInt,
+      (m.height.toLong * target / mx).toInt)
+  }
 }
 
 /** Deterministic fake codec: "decodes" width/height from the byte
@@ -52,18 +71,6 @@ object StubCodec extends MediaCodec {
           new String(r.payload, "UTF-8")),
         width = (n % 640).toInt,
         height = ((n / 640) % 480).toInt)
-    }
-
-  override def resize(rows: Iterator[MediaMeta],
-      target: Int): Iterator[ResizedMeta] =
-    rows.map { m =>
-      val mx = math.max(m.width, m.height)
-      if (mx <= 0) ResizedMeta(m.doc_id, m.width, m.height, 0, 0)
-      else if (mx <= target)
-        ResizedMeta(m.doc_id, m.width, m.height, m.width, m.height)
-      else ResizedMeta(m.doc_id, m.width, m.height,
-        (m.width.toLong * target / mx).toInt,
-        (m.height.toLong * target / mx).toInt)
     }
 }
 
@@ -89,12 +96,16 @@ object ImageIoCodec extends MediaCodec {
     javax.imageio.ImageIO.setUseCache(false)
     rows.map { r =>
       val n = r.payload.length.toLong
+      // NonFatal, not just IOException: JDK plugins throw unchecked
+      // exceptions (IndexOutOfBounds, IllegalArgument, NegativeArraySize)
+      // on payloads whose magic passes but whose body is malformed — any
+      // of those escaping here would fail the task, not the row
       val img =
         if (n == 0) null
         else
           try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
       MediaMeta(
         doc_id = r.doc_id,
         n_bytes = n,
@@ -104,20 +115,6 @@ object ImageIoCodec extends MediaCodec {
         height = if (img == null) -1 else img.getHeight)
     }
   }
-
-  // aspect-preserving fit is metadata math — identical policy to the
-  // stub so the two codecs differ only in where dims come from
-  override def resize(rows: Iterator[MediaMeta],
-      target: Int): Iterator[ResizedMeta] =
-    rows.map { m =>
-      val mx = math.max(m.width, m.height)
-      if (mx <= 0) ResizedMeta(m.doc_id, m.width, m.height, 0, 0)
-      else if (mx <= target)
-        ResizedMeta(m.doc_id, m.width, m.height, m.width, m.height)
-      else ResizedMeta(m.doc_id, m.width, m.height,
-        (m.width.toLong * target / mx).toInt,
-        (m.height.toLong * target / mx).toInt)
-    }
 
   /** A deterministic w×h gradient PNG (no RNG): the synthetic payload
     * generator for decode round-trip checks — dimensions survive the
@@ -148,7 +145,7 @@ object ImageIoCodec extends MediaCodec {
     javax.imageio.ImageIO.setUseCache(false)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth <= 0) None
     else {
       val mx = math.max(img.getWidth, img.getHeight)

@@ -391,7 +391,20 @@ object IngestQueries extends QueryModule {
        |defs AS (
        |  SELECT unnest(regexp_extract_all(content,
        |    '(?s)<definition .*?</definition>')) AS d
-       |  FROM doc)
+       |  FROM doc),
+       |-- first-occurrence dedup mirrors OvalIngest.parse's .distinct
+       |-- (a CVE commonly appears BOTH as <reference ref_id> and as an
+       |-- advisory <cve> element in real SUSE OVAL): keep x only where
+       |-- its first position in the list is its own index.
+       |lists AS (
+       |  SELECT d,
+       |         list_concat(
+       |           regexp_extract_all(d, 'ref_id="(CVE-[^"]*)"', 1),
+       |           regexp_extract_all(d, '<cve[^>]*>(CVE-[^<]*)</cve>', 1))
+       |           AS cves0,
+       |         regexp_extract_all(d, 'earlier than ([0-9][^ "]*)', 1)
+       |           AS fixed0
+       |  FROM defs)
        |SELECT 'suse_oval' AS datasource_id,
        |       regexp_extract(d, '<definition[^>]* id="([^"]*)"', 1)
        |         AS definition_id,
@@ -399,14 +412,13 @@ object IngestQueries extends QueryModule {
        |         AS title,
        |       coalesce(regexp_extract(d, '<severity>([^<]*)</severity>', 1),
        |         '') AS severity,
-       |       coalesce(list_aggr(list_concat(
-       |         regexp_extract_all(d, 'ref_id="(CVE-[^"]*)"', 1),
-       |         regexp_extract_all(d, '<cve[^>]*>(CVE-[^<]*)</cve>', 1)),
+       |       coalesce(list_aggr(list_filter(cves0,
+       |         (x, i) -> list_position(cves0, x) = i),
        |         'string_agg', ','), '') AS cves_csv,
-       |       coalesce(list_aggr(
-       |         regexp_extract_all(d, 'earlier than ([0-9][^ "]*)', 1),
+       |       coalesce(list_aggr(list_filter(fixed0,
+       |         (x, i) -> list_position(fixed0, x) = i),
        |         'string_agg', ','), '') AS fixed_csv
-       |FROM defs ORDER BY definition_id""".stripMargin
+       |FROM lists ORDER BY definition_id""".stripMargin
 
   override val entries: Seq[QueryEntry] = Seq(
     q("i1_advisory_tree", advisoryTreeOracle) { (s, _) =>

@@ -75,8 +75,22 @@ object V1Queries extends QueryModule {
     String,
     (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
 
+  /** Memo key = dir + the orders table's file names/sizes/mtimes, so a
+    * dataset REWRITTEN at the same path (regenerated scale dir, reused
+    * temp fixture) recomputes instead of serving stale membership. */
+  private def memoKey(dir: String): String = {
+    val src = new java.io.File(dir, "orders.parquet")
+    val files =
+      if (src.isDirectory)
+        Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+      else Array(src)
+    files.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(s"$dir|", ",", "")
+  }
+
   private def member(s: SparkSession, dir: String): DataFrame = {
-    val (schema, rows) = memberMemo.computeIfAbsent(dir, _ => {
+    val (schema, rows) = memberMemo.computeIfAbsent(memoKey(dir), _ => {
       val m = VulnerabilityV1.membership(s, advisories(s, dir))
       val collected = m.collect()
       require(collected.length <= 10000,
