@@ -142,12 +142,16 @@ object Corpus {
     val counts = grams
       .groupBy(col(idCol), col("total_chars"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(idCol).orderBy(col("cnt").desc, col("gram"))
-    counts.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("gram").as("top_gram"),
-        col("cnt").as("top_cnt"),
-        round((col("cnt") * (length(col("gram")) - lit(n - 1)))
+    // top-1 via min_by over (-cnt, gram): max count, ties to the
+    // lexicographically smallest gram — a second hash aggregation
+    // instead of a per-doc window, so no sort ever materializes
+    counts
+      .groupBy(col(idCol), col("total_chars"))
+      .agg(min_by(struct(col("gram"), col("cnt")),
+        struct((-col("cnt")).as("nc"), col("gram"))).as("_top"))
+      .select(col(idCol), col("_top.gram").as("top_gram"),
+        col("_top.cnt").as("top_cnt"),
+        round((col("_top.cnt") * (length(col("_top.gram")) - lit(n - 1)))
           .cast("double") / col("total_chars"), 4).as("top_char_frac"))
   }
 
