@@ -123,7 +123,7 @@ object Corpus {
     * lexicographically smallest n-gram so results are engine-stable.
     *
     * Scale shape: explode n-grams → count groupBy (doc, gram) with
-    * map-side combine → per-doc top-1 window — every stage partitioned
+    * map-side combine → per-doc top-1 min_by agg — every stage partitioned
     * by doc, linear in corpus size, no global ordering anywhere.
     * Returns (idCol, top_gram, top_cnt, top_char_frac); docs with
     * fewer than n tokens drop (no n-gram exists). */

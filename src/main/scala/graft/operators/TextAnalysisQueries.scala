@@ -225,7 +225,7 @@ object TextAnalysisQueries extends QueryModule {
     // unigram diversity misses — a doc looping one PHRASE of common
     // words keeps distinct_ratio healthy while top_char_frac spikes.
     // Every stage is partitioned by doc (gram count with map-side
-    // combine, per-doc top-1 window): linear, no global order.
+    // combine, per-doc top-1 min_by agg): linear, no sort, no global order.
     q("x_top_ngram",
       """WITH t AS (
         |  SELECT doc_id,

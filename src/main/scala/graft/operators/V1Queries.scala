@@ -73,29 +73,42 @@ object V1Queries extends QueryModule {
     * (Engine.scala `v1Member`) without any driver materialization. */
   private val memberMemo = new java.util.concurrent.ConcurrentHashMap[
     String,
-    (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+    (String, org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.Row])]()
 
-  /** Memo key = dir + the orders table's file names/sizes/mtimes, so a
+  /** Fingerprint of the orders table's file names/sizes/mtimes, so a
     * dataset REWRITTEN at the same path (regenerated scale dir, reused
-    * temp fixture) recomputes instead of serving stale membership. */
-  private def memoKey(dir: String): String = {
-    val src = new java.io.File(dir, "orders.parquet")
+    * temp fixture) recomputes instead of serving stale membership.
+    * `file:`-prefixed dirs stat the same local path; a path we cannot
+    * stat at all fingerprints empty (no rewrite detection there —
+    * matching the pre-fingerprint behavior). */
+  private def ordersStamp(dir: String): String = {
+    val local = dir.stripPrefix("file://").stripPrefix("file:")
+    val src = new java.io.File(local, "orders.parquet")
     val files =
       if (src.isDirectory)
         Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
-      else Array(src)
+      else if (src.isFile) Array(src)
+      else Array.empty[java.io.File]
     files.sortBy(_.getName)
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(s"$dir|", ",", "")
+      .mkString(",")
   }
 
   private def member(s: SparkSession, dir: String): DataFrame = {
-    val (schema, rows) = memberMemo.computeIfAbsent(memoKey(dir), _ => {
-      val m = VulnerabilityV1.membership(s, advisories(s, dir))
-      val collected = m.collect()
-      require(collected.length <= 10000,
-        s"fixture membership unexpectedly large: ${collected.length}")
-      (m.schema, collected)
+    // keyed by dir with the fingerprint in the VALUE: a rewrite replaces
+    // the entry in place instead of accumulating one ≤10k-row array per
+    // rewrite for the JVM's lifetime
+    val stamp = ordersStamp(dir)
+    val (_, schema, rows) = memberMemo.compute(dir, (_, cached) => {
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val m = VulnerabilityV1.membership(s, advisories(s, dir))
+        val collected = m.collect()
+        require(collected.length <= 10000,
+          s"fixture membership unexpectedly large: ${collected.length}")
+        (stamp, m.schema, collected)
+      }
     })
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
