@@ -169,6 +169,142 @@ object ImageIoCodec extends MediaCodec {
   }
 }
 
+/** Typed rows for the AUDIO half of the seam: frame/channel/rate stats
+  * instead of pixel geometry. */
+final case class AudioMeta(doc_id: Long, n_bytes: Long, frames: Long,
+    channels: Int, sample_rate: Int, duration_ms: Long, peak_abs: Int)
+final case class ResampledAudio(doc_id: Long, frames: Long,
+    sample_rate: Int, out_frames: Long, out_rate: Int, out_peak: Int)
+
+/** Audio decode seam — same contract as [[MediaCodec]] (Serializable,
+  * Iterator→Iterator partition batches, corrupt payload costs one row)
+  * but with audio-shaped metadata. Kept as a sibling trait rather than
+  * overloading MediaMeta's width/height: the schema crossing the seam
+  * IS the contract, and pretending frames are pixels would leak the
+  * stub era into the real one. */
+trait AudioCodec extends Serializable {
+  def decode(rows: Iterator[MediaRow]): Iterator[AudioMeta]
+  def resample(rows: Iterator[MediaRow], targetRate: Int): Iterator[ResampledAudio]
+}
+
+/** REAL audio codec over the JDK's built-in `javax.sound.sampled` — no
+  * external library needed (WAV/AU/AIFF PCM parsers ship with every
+  * Java 17 runtime), so audio joins images as genuinely decoded and
+  * only VIDEO remains stub-with-seam (the JDK has no video codec).
+  *
+  * `frames` is counted from the PCM bytes actually drained through
+  * `readAllBytes` (not the header's declared length), `peak_abs` is the
+  * max |sample| over every decoded 16-bit frame honoring the format's
+  * endianness — both only match an arithmetic oracle if the decoder
+  * really parsed the sample data. Undecodable payloads degrade to -1s
+  * instead of failing the partition (one bad row, not a retry storm).
+  */
+object AudioSystemCodec extends AudioCodec {
+
+  /** Parse + drain one payload: (format, interleaved PCM bytes). */
+  private def readPcm(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try Some((ais.getFormat, ais.readAllBytes()))
+      finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Signed 16-bit sample at byte offset `off`, either endianness. */
+  private def sample16(bytes: Array[Byte], off: Int, bigEndian: Boolean): Int =
+    if (bigEndian) ((bytes(off) << 8) | (bytes(off + 1) & 0xff)).toShort.toInt
+    else ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toInt
+
+  override def decode(rows: Iterator[MediaRow]): Iterator[AudioMeta] =
+    rows.map { r =>
+      val n = r.payload.length.toLong
+      readPcm(r.payload) match {
+        case Some((fmt, bytes)) if fmt.getFrameSize > 0 =>
+          val frames = bytes.length.toLong / fmt.getFrameSize
+          var peak = 0
+          if (fmt.getSampleSizeInBits == 16) {
+            var off = 0
+            while (off + 1 < bytes.length) {
+              val a = math.abs(sample16(bytes, off, fmt.isBigEndian))
+              if (a > peak) peak = a
+              off += 2
+            }
+          }
+          val rate = math.round(fmt.getSampleRate)
+          AudioMeta(r.doc_id, n, frames, fmt.getChannels, rate,
+            if (rate > 0) frames * 1000L / rate else -1L, peak)
+        case _ => AudioMeta(r.doc_id, n, -1L, -1, -1, -1L, -1)
+      }
+    }
+
+  /** Nearest-neighbor resample to `targetRate`: output frame j reads
+    * source frame floor(j·srcRate/targetRate). The arithmetic output
+    * length (frames·target/src, floor) is what an oracle predicts; the
+    * peak over the RESAMPLED frames proves samples were really picked
+    * from decoded data, not recomputed from the header. */
+  override def resample(rows: Iterator[MediaRow],
+      targetRate: Int): Iterator[ResampledAudio] =
+    rows.map { r =>
+      readPcm(r.payload) match {
+        case Some((fmt, bytes))
+            if fmt.getFrameSize > 0 && fmt.getSampleSizeInBits == 16 &&
+              math.round(fmt.getSampleRate) > 0 =>
+          val frameSize = fmt.getFrameSize
+          val srcRate = math.round(fmt.getSampleRate)
+          val frames = bytes.length.toLong / frameSize
+          val outFrames = frames * targetRate / srcRate
+          var peak = 0
+          var j = 0L
+          while (j < outFrames) {
+            val src = (j * srcRate / targetRate).toInt
+            var off = src * frameSize
+            val end = math.min(off + frameSize, bytes.length - 1)
+            while (off + 1 <= end) {
+              val a = math.abs(sample16(bytes, off, fmt.isBigEndian))
+              if (a > peak) peak = a
+              off += 2
+            }
+            j += 1
+          }
+          ResampledAudio(r.doc_id, frames, srcRate, outFrames, targetRate, peak)
+        case _ =>
+          ResampledAudio(r.doc_id, -1L, -1, -1L, targetRate, -1)
+      }
+    }
+
+  /** A deterministic PCM-16 WAV (no RNG): `frames` frames of the
+    * sawtooth s(i) = ((i mod 200) − 100)·10 on every channel, written
+    * through `AudioSystem.write` so the payload is a REAL RIFF/WAVE
+    * file. Peak |s| = 1000 whenever frames ≥ 200, and the frame count
+    * survives the encode→decode cycle — so an oracle predicting
+    * (frames, channels, rate, peak) from the row key verifies the
+    * decoder really parsed both header and samples. */
+  def synthesizeWav(frames: Int, channels: Int, rateHz: Int): Array[Byte] = {
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames) {
+      val s = (((i % 200) - 100) * 10).toShort
+      var c = 0
+      while (c < channels) {
+        val off = (i * channels + c) * 2
+        data(off) = (s & 0xff).toByte
+        data(off + 1) = ((s.toInt >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rateHz.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+}
+
 /** The codec-independent pipeline stages: any [[MediaCodec]] drops into
   * the same partition-batched plumbing. */
 object Multimodal {
