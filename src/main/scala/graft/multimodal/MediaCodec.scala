@@ -222,7 +222,11 @@ object AudioSystemCodec extends AudioCodec {
       readPcm(r.payload) match {
         case Some((fmt, bytes)) if fmt.getFrameSize > 0 =>
           val frames = bytes.length.toLong / fmt.getFrameSize
-          var peak = 0
+          // peak is only computed for 16-bit PCM; other decodable widths
+          // (8-bit WAV, mu-law AU) report the -1 "not computed" sentinel —
+          // the degraded-row convention everywhere else — so genuinely
+          // silent 16-bit audio (peak 0) stays distinguishable
+          var peak = if (fmt.getSampleSizeInBits == 16) 0 else -1
           if (fmt.getSampleSizeInBits == 16) {
             var off = 0
             while (off + 1 < bytes.length) {
@@ -248,7 +252,8 @@ object AudioSystemCodec extends AudioCodec {
     rows.map { r =>
       readPcm(r.payload) match {
         case Some((fmt, bytes))
-            if fmt.getFrameSize > 0 && fmt.getSampleSizeInBits == 16 &&
+            if targetRate > 0 && fmt.getFrameSize > 0 &&
+              fmt.getSampleSizeInBits == 16 &&
               math.round(fmt.getSampleRate) > 0 =>
           val frameSize = fmt.getFrameSize
           val srcRate = math.round(fmt.getSampleRate)
@@ -276,7 +281,9 @@ object AudioSystemCodec extends AudioCodec {
   /** A deterministic PCM-16 WAV (no RNG): `frames` frames of the
     * sawtooth s(i) = ((i mod 200) − 100)·10 on every channel, written
     * through `AudioSystem.write` so the payload is a REAL RIFF/WAVE
-    * file. Peak |s| = 1000 whenever frames ≥ 200, and the frame count
+    * file. Peak |s| = 1000 whenever frames ≥ 1 (the −1000 sample is
+    * s(0), at i = 0; the positive extreme s(199) = 990 never beats it),
+    * and the frame count
     * survives the encode→decode cycle — so an oracle predicting
     * (frames, channels, rate, peak) from the row key verifies the
     * decoder really parsed both header and samples. */
@@ -321,5 +328,19 @@ object Multimodal {
       codec: MediaCodec = StubCodec): Dataset[ResizedMeta] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[ResizedMeta]
     media.mapPartitions(rows => codec.resize(codec.decode(rows), target))
+  }
+
+  /** Audio half of the seam: same partition-batched plumbing, audio-shaped
+    * metadata. Any [[AudioCodec]] drops in. */
+  def decodeAudio(media: Dataset[MediaRow],
+      codec: AudioCodec = AudioSystemCodec): Dataset[AudioMeta] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[AudioMeta]
+    media.mapPartitions(codec.decode)
+  }
+
+  def resampleAudio(media: Dataset[MediaRow], targetRate: Int,
+      codec: AudioCodec = AudioSystemCodec): Dataset[ResampledAudio] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ResampledAudio]
+    media.mapPartitions(rows => codec.resample(rows, targetRate))
   }
 }

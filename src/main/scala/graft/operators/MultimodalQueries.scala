@@ -4,7 +4,7 @@ import graft.core.{QueryEntry, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{ImageIoCodec, MediaRow, Multimodal, StubCodec}
+import graft.multimodal.{AudioSystemCodec, ImageIoCodec, MediaRow, Multimodal, StubCodec}
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
   *
@@ -16,8 +16,12 @@ import graft.multimodal.{ImageIoCodec, MediaRow, Multimodal, StubCodec}
   * the DuckDB oracle must rebuild bit-for-bit, and [[ImageIoCodec]] —
   * REAL pixel decode via the JDK's javax.imageio, no external library —
   * exercised end-to-end by x_multimodal_decode_real, whose oracle
-  * predicts the encode→decode round-tripped dimensions. Audio/video
-  * decode remains stub-only (no such libs ship with the JDK).
+  * predicts the encode→decode round-tripped dimensions. Audio rides the
+  * sibling [[graft.multimodal.AudioCodec]] seam with
+  * [[AudioSystemCodec]] — REAL WAV/PCM decode via the JDK's
+  * javax.sound.sampled, exercised by x_multimodal_audio_real /
+  * x_multimodal_audio_resample. Only VIDEO decode remains stub-only
+  * (no video codec ships with the JDK).
   */
 object MultimodalQueries extends QueryModule {
 
@@ -70,6 +74,89 @@ object MultimodalQueries extends QueryModule {
         .toDF()
         .select(col("doc_id"), col("width"), col("height"),
           col("first_byte"), (col("n_bytes") > 0).as("decoded"))
+        .orderBy("doc_id")
+    },
+
+    // REAL audio decode end-to-end: each doc (except every 7th, which
+    // carries its raw text bytes as a deliberately-corrupt payload) gets
+    // a genuine RIFF/WAVE PCM-16 file synthesized at doc_id-derived
+    // (frames, channels, rate), and AudioSystemCodec — the JDK
+    // javax.sound.sampled path — decodes actual samples through the
+    // partition-batched seam. Every output field is arithmetic in the
+    // row key: n_bytes = 44-byte canonical header + frames·channels·2
+    // PCM bytes (verified against AudioSystem.write), frames/channels/
+    // rate survive the encode→decode cycle, peak_abs = 1000 because the
+    // sawtooth's s(0) = −1000 (samples really parsed, not header math),
+    // and corrupt payloads degrade to the −1 sentinel row.
+    q("x_multimodal_audio_real",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(length(text) AS BIGINT)
+        |            ELSE CAST(44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2 AS BIGINT)
+        |       END AS n_bytes,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(100 + doc_id % 400 AS BIGINT) END AS frames,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS INT)
+        |            ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS INT)
+        |            ELSE CAST(8000 + (doc_id % 3) * 4000 AS INT) END AS sample_rate,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST((100 + doc_id % 400) * 1000
+        |                      // (8000 + (doc_id % 3) * 4000) AS BIGINT)
+        |       END AS duration_ms,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS INT)
+        |            ELSE CAST(1000 AS INT) END AS peak_abs
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt"))
+        .as[(Long, Array[Byte])]
+      val media: Dataset[MediaRow] = keyed.mapPartitions(_.map {
+        case (id, txt) =>
+          if (id % 7 == 0) MediaRow(id, txt) // not a WAV → degraded row
+          else MediaRow(id, AudioSystemCodec.synthesizeWav(
+            (100 + id % 400).toInt, (1 + id % 2).toInt,
+            (8000 + (id % 3) * 4000).toInt))
+      })
+      Multimodal.decodeAudio(media, AudioSystemCodec)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // audio resample through the same seam: nearest-neighbor to a fixed
+    // 12 kHz. out_frames = floor(frames·target/src) is pure arithmetic;
+    // out_peak = 1000 because output frame 0 always reads source frame
+    // 0 (the −1000 sample) — only true if resampling really indexed the
+    // decoded PCM. Corrupt payloads keep the −1 sentinel shape with the
+    // requested out_rate echoed.
+    q("x_multimodal_audio_resample",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(100 + doc_id % 400 AS BIGINT) END AS frames,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS INT)
+        |            ELSE CAST(8000 + (doc_id % 3) * 4000 AS INT) END AS sample_rate,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST((100 + doc_id % 400) * 12000
+        |                      // (8000 + (doc_id % 3) * 4000) AS BIGINT)
+        |       END AS out_frames,
+        |       CAST(12000 AS INT) AS out_rate,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS INT)
+        |            ELSE CAST(1000 AS INT) END AS out_peak
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt"))
+        .as[(Long, Array[Byte])]
+      val media: Dataset[MediaRow] = keyed.mapPartitions(_.map {
+        case (id, txt) =>
+          if (id % 7 == 0) MediaRow(id, txt)
+          else MediaRow(id, AudioSystemCodec.synthesizeWav(
+            (100 + id % 400).toInt, (1 + id % 2).toInt,
+            (8000 + (id % 3) * 4000).toInt))
+      })
+      Multimodal.resampleAudio(media, 12000, AudioSystemCodec)
+        .toDF()
         .orderBy("doc_id")
     },
 

@@ -101,6 +101,86 @@ class MediaCodecSpec extends AnyFunSuite with SparkTestSession {
     assert(ImageIoCodec.resampleToPng(Array[Byte](9, 9), 100).isEmpty)
   }
 
+  test("AudioSystemCodec really decodes WAV frames/rate/peak through the seam") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, AudioSystemCodec.synthesizeWav(300, 1, 8000)),
+      (2L, AudioSystemCodec.synthesizeWav(250, 2, 16000)),
+      (3L, AudioSystemCodec.synthesizeWav(1, 1, 8000)), // shortest clip
+      (4L, Array[Byte](1, 2, 3)), // not audio
+      (5L, Array.empty[Byte]))
+      .toDF("doc_id", "payload").as[MediaRow]
+    val out = Multimodal.decodeAudio(rows, AudioSystemCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).frames == 300 && out(1L).channels == 1 &&
+      out(1L).sample_rate == 8000 && out(1L).duration_ms == 37)
+    // canonical RIFF/WAVE header is exactly 44 bytes before the PCM data
+    assert(out(1L).n_bytes == 44 + 300 * 1 * 2)
+    assert(out(2L).frames == 250 && out(2L).channels == 2 &&
+      out(2L).n_bytes == 44 + 250 * 2 * 2)
+    // sawtooth peak |s| = 1000 for ANY frames >= 1: s(0) = -1000
+    assert(out(1L).peak_abs == 1000 && out(2L).peak_abs == 1000 &&
+      out(3L).peak_abs == 1000)
+    // corrupt/empty payloads cost one degraded row, not a task failure
+    assert(out(4L).frames == -1 && out(4L).channels == -1 &&
+      out(4L).sample_rate == -1 && out(4L).peak_abs == -1)
+    assert(out(5L).frames == -1 && out(5L).n_bytes == 0)
+  }
+
+  test("decodable non-16-bit audio reports peak -1, not silent 0") {
+    // 8-bit unsigned PCM WAV: decodable (frames/rate real) but peak is
+    // "not computed" — the -1 sentinel, distinguishable from silence
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val data = Array.fill[Byte](100)(0x80.toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 100L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = AudioSystemCodec.decode(
+      Iterator(MediaRow(1L, bos.toByteArray))).toSeq.head
+    assert(out.frames == 100 && out.sample_rate == 8000)
+    assert(out.peak_abs == -1)
+    // a genuinely SILENT 16-bit clip stays 0 — the two are distinct
+    val silent16 = {
+      val f16 = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val a = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](200)), f16, 100L)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        a, javax.sound.sampled.AudioFileFormat.Type.WAVE, b)
+      b.toByteArray
+    }
+    assert(AudioSystemCodec.decode(
+      Iterator(MediaRow(2L, silent16))).toSeq.head.peak_abs == 0)
+  }
+
+  test("audio resample picks real decoded samples at floor arithmetic") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, AudioSystemCodec.synthesizeWav(400, 1, 16000)), // downsample
+      (2L, AudioSystemCodec.synthesizeWav(100, 2, 8000)),  // upsample
+      (3L, Array[Byte](7, 7, 7)))                          // corrupt
+      .toDF("doc_id", "payload").as[MediaRow]
+    val out = Multimodal.resampleAudio(rows, 12000, AudioSystemCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).out_frames == 400L * 12000 / 16000 && // 300
+      out(1L).out_rate == 12000 && out(1L).out_peak == 1000)
+    assert(out(2L).out_frames == 150 && out(2L).frames == 100 &&
+      out(2L).sample_rate == 8000 && out(2L).out_peak == 1000)
+    assert(out(3L).frames == -1 && out(3L).out_frames == -1 &&
+      out(3L).out_rate == 12000 && out(3L).out_peak == -1)
+    // non-positive target rate degrades instead of emitting garbage
+    val bad = AudioSystemCodec.resample(
+      Iterator(MediaRow(9L, AudioSystemCodec.synthesizeWav(50, 1, 8000))), 0)
+      .toSeq.head
+    assert(bad.out_frames == -1 && bad.out_peak == -1)
+  }
+
   test("fused decode+resize matches staged decode then resize") {
     val fused = Multimodal.decodeAndResize(media, 256, StubCodec)
       .collect().sortBy(_.doc_id).toSeq
