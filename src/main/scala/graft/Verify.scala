@@ -14,8 +14,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_VERIFY_ONLY=q1,q2 restricts the dump (local triage of a
+    // single query's hash without re-running all of them). The driver
+    // never sets it; the full dump stays the contract.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // Bound memory across the sequential dumps: catalog caches AND
       // leftover localCheckpoint blocks (not covered by clearCache).
       spark.catalog.clearCache()

@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"sign_lsh_sig_native bits must be a literal, got $other")
       })))
+    e.injectFunction((
+      new FunctionIdentifier("top_ngram_native"),
+      new ExpressionInfo(classOf[TopNgramExpr].getName, "top_ngram_native"),
+      (args: Seq[Expression]) => TopNgramExpr(args(0), args(1) match {
+        case l: Literal => l.value.asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"top_ngram_native n must be a literal, got $other")
+      })))
     e.injectOptimizerRule(_ => ConstantVersionRangeRewrite)
   }
 }

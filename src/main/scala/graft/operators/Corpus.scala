@@ -122,37 +122,28 @@ object Corpus {
     * matching qualityFlags' char accounting. Ties break on the
     * lexicographically smallest n-gram so results are engine-stable.
     *
-    * Scale shape: explode n-grams → count groupBy (doc, gram) with
-    * map-side combine → per-doc top-1 min_by agg — every stage partitioned
-    * by doc, linear in corpus size, no global ordering anywhere.
+    * Scale shape: MAP-ONLY. A document's top n-gram is a function of that
+    * document alone, so counting runs inside one compiled pass per row
+    * ([[graft.expr.TopNgramExpr]] — per-row hash map, winner out) and the
+    * query never shuffles. The previous explode → groupBy(doc, gram) →
+    * per-doc top-1 formulation serialized the corpus's entire n-gram
+    * volume through two hash-aggregate exchanges to compute a per-ROW
+    * statistic; at 100 TB that shuffle was the whole cost. Ties and
+    * char accounting are pinned byte-identical to that formulation
+    * (binary-smallest gram, character counts).
     * Returns (idCol, top_gram, top_cnt, top_char_frac); docs with
     * fewer than n tokens drop (no n-gram exists). */
   def topNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {
     require(n >= 2, "n-gram repetition needs n >= 2 (use distinct_ratio for unigrams)")
-    val grams = df
-      .select(col(idCol), tokens(col(textCol)).as("_toks"))
-      .filter(size(col("_toks")) >= n)
-      .select(col(idCol),
-        aggregate(transform(col("_toks"), t => length(t).cast("long")),
-          lit(0L), _ + _).as("total_chars"),
-        explode(expr(
-          s"transform(sequence(0, size(_toks) - $n), i -> concat_ws(' ', slice(_toks, i + 1, $n)))"))
-          .as("gram"))
-    val counts = grams
-      .groupBy(col(idCol), col("total_chars"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-    // top-1 via min_by over (-cnt, gram): max count, ties to the
-    // lexicographically smallest gram — a second hash aggregation
-    // instead of a per-doc window, so no sort ever materializes
-    counts
-      .groupBy(col(idCol), col("total_chars"))
-      .agg(min_by(struct(col("gram"), col("cnt")),
-        struct((-col("cnt")).as("nc"), col("gram"))).as("_top"))
+    df.select(col(idCol),
+        call_function("top_ngram_native", tokens(col(textCol)), lit(n))
+          .as("_top"))
+      .filter(col("_top").isNotNull)
       .select(col(idCol), col("_top.gram").as("top_gram"),
         col("_top.cnt").as("top_cnt"),
         round((col("_top.cnt") * (length(col("_top.gram")) - lit(n - 1)))
-          .cast("double") / col("total_chars"), 4).as("top_char_frac"))
+          .cast("double") / col("_top.total_chars"), 4).as("top_char_frac"))
   }
 
   /** Per-document mean TF-IDF over the corpus's own document frequencies —
