@@ -52,6 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"top_ngram_native n must be a literal, got $other")
       })))
     e.injectOptimizerRule(_ => ConstantVersionRangeRewrite)
+    e.injectOptimizerRule(_ => MaterializedVersionKeyRewrite)
   }
 }
 
@@ -99,4 +100,53 @@ object ConstantVersionRangeRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f: Filter => f.copy(condition = rewrite(f.condition))
   }
+}
+
+/** Substitute sort-key COMPUTATIONS with a materialized sort-key COLUMN,
+  * making constant version-range filters parquet-pushable.
+  *
+  * [[ConstantVersionRangeRewrite]] turns `version_in_range(v, <const>)`
+  * into `sort_key(s, v) >= 'lo' AND sort_key(s, v) < 'hi'` — cheap, but
+  * still a function of `v`, so the predicate cannot reach the scan: the
+  * data source sees an opaque expression and reads every row group. When
+  * the relation was written through [[graft.sources.VersionKeyed]], the
+  * key already EXISTS as a column whose metadata declares exactly what it
+  * is (`graft.vkey.of` = the version column it keys, `graft.vkey.scheme`
+  * = the scheme) — metadata that Spark round-trips through the parquet
+  * footer, so the layout is self-describing and the substitution is sound
+  * by the writer's contract, not by column-name guessing. After
+  * substitution the filter is a plain string-bound comparison on a scan
+  * column: it lands in `PushedFilters`, parquet row-group min/max stats
+  * skip non-matching groups, and (with the keyed write's sort) a narrow
+  * range reads a small fraction of the file.
+  *
+  * Both rules live in the same fixpoint batch, so the chain
+  * `version_in_range → sort-key bounds → stored-column bounds` completes
+  * within one optimizer pass. Rows-level semantics are unchanged: the
+  * stored column was computed by the same `version_sort_key_native`
+  * expression at write time.
+  */
+object MaterializedVersionKeyRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val newCond = cond.transformUp {
+        case vsk @ VersionSortKeyExpr(
+            Literal(scheme, StringType), a: AttributeReference)
+            if scheme != null =>
+          child.output.collectFirst {
+            case k: AttributeReference
+                if k.metadata.contains(VK_OF) &&
+                  k.metadata.getString(VK_OF) == a.name &&
+                  k.metadata.contains(VK_SCHEME) &&
+                  k.metadata.getString(VK_SCHEME) == scheme.toString =>
+              k
+          }.getOrElse(vsk)
+      }
+      if (newCond.fastEquals(cond)) f else f.copy(condition = newCond)
+  }
+
+  private val VK_OF = graft.sources.VersionKeyed.OF_KEY
+  private val VK_SCHEME = graft.sources.VersionKeyed.SCHEME_KEY
 }

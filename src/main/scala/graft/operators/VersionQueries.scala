@@ -167,5 +167,30 @@ object VersionQueries extends QueryModule {
         .select("p_partkey")
         .orderBy("p_partkey")
     },
+    // V8 — same membership as V7 but through the version-KEYED parquet
+    // layout: the sort key is materialized (+ metadata-tagged) at write
+    // time, so ConstantVersionRangeRewrite + MaterializedVersionKeyRewrite
+    // turn the range filter into plain string bounds on a stored column —
+    // the predicate lands in PushedFilters and parquet row-group min/max
+    // stats skip non-matching groups (VersionPushdownSpec pins the plan).
+    // The oracle re-derives membership arithmetically from the RAW part
+    // table: the keyed write must be a pure re-layout, never a
+    // re-interpretation, of the data.
+    q("v8_keyed_pushdown",
+      s"""SELECT p_partkey FROM part
+         |WHERE p_size >= 10
+         |  AND (p_size < 40 OR (p_size = 40 AND p_partkey % 10 < 5))
+         |ORDER BY p_partkey""") { (s, dir) =>
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_version_keyed").toString
+      graft.sources.VersionKeyed.write(
+        withVersion(s, dir).select("p_partkey", "version"),
+        "version", "semver", path)
+      graft.sources.VersionKeyed.read(s, path)
+        .filter(expr(
+          "version_in_range_native(version, 'vers:semver/>=10.0.0|<40.5.0')"))
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    },
   )
 }
