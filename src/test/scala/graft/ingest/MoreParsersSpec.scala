@@ -462,6 +462,22 @@ class ImporterRegistrySpec extends AnyFunSuite {
       assert(ImporterRegistry.implemented.contains(pid), pid)
     }
   }
+
+  test("golden: every ACTIVE reference pipeline_id resolves, verbatim") {
+    // the fixture is the reference's IMPORTERS_REGISTRY class list
+    // (importers/__init__.py:57-133) resolved to pipeline_id attributes —
+    // regenerating it requires re-reading the reference, so drift in
+    // either direction (a reference id we dropped, or an id we renamed)
+    // fails here with the exact offending id
+    val src = java.nio.file.Paths.get(
+      "src/test/resources/reference_importer_pipeline_ids.txt")
+    val ids = java.nio.file.Files.readString(src).split("\n").toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    assert(ids.size == 73, s"fixture should hold 73 active ids, got ${ids.size}")
+    val unresolved = ids.filterNot(ImporterRegistry.implemented.contains)
+    assert(unresolved.isEmpty,
+      s"reference pipelines with no engine mapping: ${unresolved.mkString(", ")}")
+  }
 }
 
 class SmallFeedsSpec extends AnyFunSuite with SparkTestSession {
