@@ -37,9 +37,14 @@ object Serving {
     // size. Step 2 then broadcasts only those bounded hits to flag the
     // original list. (An outer join preserving purls can't build the purls
     // side, so the one-join form would force a corpus broadcast.)
+    // Order matters: semi-join FIRST, then distinct — the dedup shuffle
+    // runs over the request-bounded hits, not the whole affected corpus.
+    // Per-request that is the difference between a map-only probe plus a
+    // tiny exchange and re-aggregating the corpus on every API call.
     val hits = unfurled.filter(col("is_affected"))
-      .select(col("base_purl"), col("version")).distinct()
+      .select(col("base_purl"), col("version"))
       .join(broadcast(purls), Seq("base_purl", "version"), "left_semi")
+      .distinct()
       .withColumn("_hit", lit(true))
     purls.join(broadcast(hits), Seq("base_purl", "version"), "left")
       .withColumn("is_vulnerable", coalesce(col("_hit"), lit(false)))
