@@ -201,15 +201,71 @@ trait AudioCodec extends Serializable {
   */
 object AudioSystemCodec extends AudioCodec {
 
+  /** The audio SPI providers, resolved ONCE per JVM.
+    *
+    * `AudioSystem.getAudioInputStream`/`write` re-run the provider
+    * lookup on EVERY call, and under Spark that lookup walks the
+    * executor classloader's full ServiceLoader scan — hundreds of jars —
+    * per ROW: a thread-dump of the 10× bench showed the hot path parked
+    * in `JDK13Services.getProviders`, costing ~10× the actual decode
+    * work. Resolving the `javax.sound.sampled.spi` readers/writers once
+    * (public SPI API, same classes AudioSystem itself dispatches to) and
+    * calling them directly turns the per-row cost back into pure parse
+    * arithmetic. Lazy + per-JVM: each executor pays one classpath scan.
+    */
+  /** (non-MIDI readers, MIDI readers). The JDK's SoftMidiAudioFileReader
+    * delegates to `MidiSystem.getSequence`, which runs its OWN provider
+    * scan per call — so probing it on non-MIDI bytes costs a classpath
+    * walk per ROW (the second thing the 10× thread-dump caught). It is
+    * only consulted when the payload actually carries the MIDI magic. */
+  @transient private lazy val fileReaders
+      : (List[javax.sound.sampled.spi.AudioFileReader],
+         List[javax.sound.sampled.spi.AudioFileReader]) = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result().partition(!_.getClass.getName.contains("Midi"))
+  }
+
+  private def isMidi(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && payload(0) == 'M' && payload(1) == 'T' &&
+      payload(2) == 'h' && payload(3) == 'd'
+  @transient private lazy val fileWriters
+      : List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
   /** Parse + drain one payload: (format, interleaved PCM bytes). */
   private def readPcm(payload: Array[Byte])
-      : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
-    try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      try Some((ais.getFormat, ais.readAllBytes()))
-      finally ais.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+      : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] = {
+    val (plain, midi) = fileReaders
+    val readers = if (isMidi(payload)) plain ++ midi else plain
+    var rs = readers
+    while (rs.nonEmpty) {
+      try {
+        val ais = rs.head.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try return Some((ais.getFormat, ais.readAllBytes()))
+        finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+      rs = rs.tail
+    }
+    // provider-less environment (exotic classloader): AudioSystem's own
+    // dispatch still works, just slower — correctness over speed
+    if (readers.isEmpty) {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try Some((ais.getFormat, ais.readAllBytes()))
+        finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    } else None
+  }
 
   /** Signed 16-bit sample at byte offset `off`, either endianness. */
   private def sample16(bytes: Array[Byte], off: Int, bigEndian: Boolean): Int =
@@ -306,8 +362,11 @@ object AudioSystemCodec extends AudioCodec {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    fileWriters.find(_.isFileTypeSupported(wave, ais)) match {
+      case Some(w) => w.write(ais, wave, bos) // no per-call provider scan
+      case None    => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+    }
     bos.toByteArray
   }
 }

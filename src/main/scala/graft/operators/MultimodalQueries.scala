@@ -108,8 +108,11 @@ object MultimodalQueries extends QueryModule {
         |FROM documents ORDER BY doc_id""") { (s, dir) =>
       val spark = s
       import spark.implicits._
-      val keyed = Tables(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt"))
+      // fan the small scan out BEFORE the compute-heavy codec pass: a
+      // few row groups would otherwise serialize synth+decode on 1-2
+      // cores (the 10x rehearsal showed ~21x wall at 10x data without it)
+      val keyed = graft.core.FanOut(Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt")))
         .as[(Long, Array[Byte])]
       val media: Dataset[MediaRow] = keyed.mapPartitions(_.map {
         case (id, txt) =>
@@ -145,8 +148,8 @@ object MultimodalQueries extends QueryModule {
         |FROM documents ORDER BY doc_id""") { (s, dir) =>
       val spark = s
       import spark.implicits._
-      val keyed = Tables(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt"))
+      val keyed = graft.core.FanOut(Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt")))
         .as[(Long, Array[Byte])]
       val media: Dataset[MediaRow] = keyed.mapPartitions(_.map {
         case (id, txt) =>
