@@ -371,6 +371,257 @@ object AudioSystemCodec extends AudioCodec {
   }
 }
 
+/** Typed rows for the VIDEO third of the seam: container-level frame
+  * accounting plus per-frame decode verification. `frames` is the
+  * container header's declared count; `decoded_frames` counts frames
+  * whose image payload ACTUALLY decoded (and matched the container's
+  * declared geometry) — the two only agree when the codec parsed every
+  * frame, which is what an arithmetic oracle checks. */
+final case class VideoMeta(doc_id: Long, frames: Long, decoded_frames: Long,
+    width: Int, height: Int, fps: Int, duration_ms: Long)
+
+/** Video decode seam — same contract as [[MediaCodec]]/[[AudioCodec]]
+  * (Serializable, Iterator→Iterator partition batches, corrupt payload
+  * costs one row, never the partition). `sampleFrames(every = k)` is the
+  * frame-sampling stage of a training-data pipeline: it decodes only
+  * every k-th frame, so the per-row cost is bounded by the sample rate,
+  * not the clip length. */
+trait VideoCodec extends Serializable {
+  def decode(rows: Iterator[MediaRow]): Iterator[VideoMeta]
+  def sampleFrames(rows: Iterator[MediaRow], every: Int): Iterator[VideoMeta]
+}
+
+/** REAL video codec for Motion-JPEG in an AVI/RIFF container — pure
+  * JDK, no external library: the container is plain RIFF chunk walking
+  * (fourcc + little-endian u32 size, even-byte padding — the public
+  * Microsoft "AVI RIFF File Reference" layout), and every frame chunk
+  * (`??dc`/`??db`) is a standalone JPEG that `javax.imageio` decodes.
+  * With this, all three media kinds on the seam are genuinely decoded
+  * end-to-end; nothing in the multimodal surface is stub-only anymore.
+  *
+  * What makes the decode REAL and oracle-checkable:
+  *   - `width`/`height`/`frames`/`fps` come from the parsed `avih`
+  *     header (fps = 1e6 / dwMicroSecPerFrame);
+  *   - `decoded_frames` increments only when a movi frame chunk's bytes
+  *     decode through ImageIO AND the decoded pixel geometry equals the
+  *     header geometry — header math alone cannot produce it;
+  *   - a payload that is not RIFF/AVI (or is truncated mid-chunk)
+  *     degrades to the −1 sentinel row, the convention shared with the
+  *     image and audio codecs.
+  */
+object MjpegAviCodec extends VideoCodec {
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 |
+      (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parsed container: avih fields + (offset, length) of each frame
+    * chunk's payload, in stream order. */
+  private final case class Avi(usPerFrame: Long, totalFrames: Long,
+      width: Int, height: Int, frameChunks: Vector[(Int, Int)])
+
+  private def parseAvi(b: Array[Byte]): Option[Avi] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return None
+    var usPerFrame = -1L
+    var total = -1L
+    var w = -1
+    var h = -1
+    val chunks = Vector.newBuilder[(Int, Int)]
+    var truncated = false
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end && !truncated) {
+        val id = fourcc(b, o)
+        val sz = u32(b, o + 4).toInt
+        val body = o + 8
+        if (sz < 0 || body + sz > b.length) { truncated = true; return }
+        id match {
+          case "LIST" if sz >= 4 => walk(body + 4, body + sz)
+          case "avih" if sz >= 40 =>
+            usPerFrame = u32(b, body)
+            total = u32(b, body + 16)
+            w = u32(b, body + 32).toInt
+            h = u32(b, body + 36).toInt
+          case s if s.endsWith("dc") || s.endsWith("db") =>
+            chunks += ((body, sz))
+          case _ => ()
+        }
+        o = body + sz + (sz & 1) // RIFF chunks pad to even offsets
+      }
+    }
+    walk(12, b.length)
+    if (truncated || usPerFrame <= 0 || w <= 0 || h <= 0) None
+    else Some(Avi(usPerFrame, total, w, h, chunks.result()))
+  }
+
+  /** Decode one frame chunk; true iff it is a parseable image of the
+    * container's declared geometry. */
+  private def frameDecodes(b: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Boolean = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b, off, len))
+      catch { case scala.util.control.NonFatal(_) => null }
+    img != null && img.getWidth == w && img.getHeight == h
+  }
+
+  private def meta(docId: Long, avi: Avi, decoded: Long): VideoMeta = {
+    val fps = math.round(1e6 / avi.usPerFrame).toInt
+    VideoMeta(docId, avi.totalFrames, decoded, avi.width, avi.height, fps,
+      if (fps > 0) avi.totalFrames * 1000L / fps else -1L)
+  }
+
+  private val Degraded = (id: Long) => VideoMeta(id, -1L, -1L, -1, -1, -1, -1L)
+
+  override def decode(rows: Iterator[MediaRow]): Iterator[VideoMeta] = {
+    javax.imageio.ImageIO.setUseCache(false) // once per partition
+    rows.map { r =>
+      parseAvi(r.payload) match {
+        case Some(avi) =>
+          var ok = 0L
+          avi.frameChunks.foreach { case (off, len) =>
+            if (frameDecodes(r.payload, off, len, avi.width, avi.height))
+              ok += 1
+          }
+          meta(r.doc_id, avi, ok)
+        case None => Degraded(r.doc_id)
+      }
+    }
+  }
+
+  override def sampleFrames(rows: Iterator[MediaRow],
+      every: Int): Iterator[VideoMeta] = {
+    require(every >= 1, "frame sample stride must be >= 1")
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { r =>
+      parseAvi(r.payload) match {
+        case Some(avi) =>
+          var ok = 0L
+          var i = 0
+          while (i < avi.frameChunks.size) {
+            val (off, len) = avi.frameChunks(i)
+            if (frameDecodes(r.payload, off, len, avi.width, avi.height))
+              ok += 1
+            i += every
+          }
+          meta(r.doc_id, avi, ok)
+        case None => Degraded(r.doc_id)
+      }
+    }
+  }
+
+  // --- synthesis (the deterministic fixture generator) ---
+
+  private def putU32(bos: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+    bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+  }
+  private def putFourcc(bos: java.io.ByteArrayOutputStream, s: String): Unit =
+    bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(body.length + 12)
+    putFourcc(bos, id); putU32(bos, body.length.toLong); bos.write(body)
+    if ((body.length & 1) == 1) bos.write(0) // pad to even
+    bos.toByteArray
+  }
+  private def list(tpe: String, bodies: Array[Byte]*): Array[Byte] = {
+    val sz = 4 + bodies.map(_.length).sum
+    val bos = new java.io.ByteArrayOutputStream(sz + 8)
+    putFourcc(bos, "LIST"); putU32(bos, sz.toLong); putFourcc(bos, tpe)
+    bodies.foreach(bos.write)
+    bos.toByteArray
+  }
+
+  /** The deterministic per-frame fill: frame i is the solid color
+    * (20 + 37·i mod 200, 20 + 59·i mod 200, 20 + 83·i mod 200) — flat
+    * JPEG blocks survive lossy encode within a small tolerance, which
+    * the spec asserts to prove pixel data (not just headers) decodes. */
+  def frameColor(i: Int): (Int, Int, Int) =
+    (20 + (37 * i) % 200, 20 + (59 * i) % 200, 20 + (83 * i) % 200)
+
+  private def jpegFrame(w: Int, h: Int, i: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val (cr, cg, cb) = frameColor(i)
+    val rgb = (cr << 16) | (cg << 8) | cb
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** A deterministic MJPEG AVI (no RNG): `frames` solid-color JPEG
+    * frames at w×h, `fps` from {10, 20, 25, 50}-style divisors of 1e6
+    * so dwMicroSecPerFrame round-trips exactly. The header fields and
+    * frame count survive the encode→decode cycle, so an oracle
+    * predicting (frames, decoded_frames, w, h, fps, duration) from the
+    * row key verifies the decoder parsed both container and frames. */
+  def synthesizeAvi(frames: Int, w: Int, h: Int, fps: Int): Array[Byte] = {
+    require(frames >= 0 && w > 0 && h > 0 && fps > 0 && 1000000 % fps == 0,
+      "fps must divide 1e6 for an exact usPerFrame round-trip")
+    val avih = {
+      val bos = new java.io.ByteArrayOutputStream(56)
+      putU32(bos, (1000000 / fps).toLong) // dwMicroSecPerFrame
+      putU32(bos, 0L); putU32(bos, 0L); putU32(bos, 0L)
+      putU32(bos, frames.toLong) // dwTotalFrames
+      putU32(bos, 0L); putU32(bos, 1L); putU32(bos, 0L) // 1 stream
+      putU32(bos, w.toLong); putU32(bos, h.toLong)
+      (0 until 4).foreach(_ => putU32(bos, 0L)) // dwReserved
+      bos.toByteArray
+    }
+    val strh = {
+      val bos = new java.io.ByteArrayOutputStream(56)
+      putFourcc(bos, "vids"); putFourcc(bos, "MJPG")
+      putU32(bos, 0L); putU32(bos, 0L); putU32(bos, 0L) // flags, prio/lang, init
+      putU32(bos, 1L); putU32(bos, fps.toLong) // dwScale, dwRate
+      putU32(bos, 0L); putU32(bos, frames.toLong) // start, dwLength
+      putU32(bos, 0L); putU32(bos, 0L); putU32(bos, 0L) // buf, quality, sampleSize
+      putU32(bos, (w.toLong << 16)); putU32(bos, (h.toLong << 16)) // rcFrame
+      bos.toByteArray
+    }
+    val strf = {
+      val bos = new java.io.ByteArrayOutputStream(40)
+      putU32(bos, 40L); putU32(bos, w.toLong); putU32(bos, h.toLong)
+      putU32(bos, (24L << 16) | 1L) // planes = 1, bitCount = 24
+      putFourcc(bos, "MJPG"); putU32(bos, (w.toLong * h * 3))
+      putU32(bos, 0L); putU32(bos, 0L); putU32(bos, 0L); putU32(bos, 0L)
+      bos.toByteArray
+    }
+    val hdrl = list("hdrl", chunk("avih", avih),
+      list("strl", chunk("strh", strh), chunk("strf", strf)))
+    val movi = list("movi",
+      (0 until frames).map(i => chunk("00dc", jpegFrame(w, h, i))): _*)
+    val riffBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      putFourcc(bos, "AVI "); bos.write(hdrl); bos.write(movi)
+      bos.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream(riffBody.length + 8)
+    putFourcc(out, "RIFF"); putU32(out, riffBody.length.toLong)
+    out.write(riffBody)
+    out.toByteArray
+  }
+
+  /** Decode the i-th frame's pixels (spec hook: proves pixel data, not
+    * just headers, survives the cycle). */
+  def decodeFrame(payload: Array[Byte], i: Int)
+      : Option[java.awt.image.BufferedImage] =
+    parseAvi(payload).flatMap { avi =>
+      avi.frameChunks.lift(i).flatMap { case (off, len) =>
+        Option(
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off, len))
+          catch { case scala.util.control.NonFatal(_) => null })
+      }
+    }
+}
+
 /** The codec-independent pipeline stages: any [[MediaCodec]] drops into
   * the same partition-batched plumbing. */
 object Multimodal {
@@ -401,5 +652,19 @@ object Multimodal {
       codec: AudioCodec = AudioSystemCodec): Dataset[ResampledAudio] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[ResampledAudio]
     media.mapPartitions(rows => codec.resample(rows, targetRate))
+  }
+
+  /** Video third of the seam: same partition-batched plumbing,
+    * container-shaped metadata. Any [[VideoCodec]] drops in. */
+  def decodeVideo(media: Dataset[MediaRow],
+      codec: VideoCodec = MjpegAviCodec): Dataset[VideoMeta] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[VideoMeta]
+    media.mapPartitions(codec.decode)
+  }
+
+  def sampleVideoFrames(media: Dataset[MediaRow], every: Int,
+      codec: VideoCodec = MjpegAviCodec): Dataset[VideoMeta] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[VideoMeta]
+    media.mapPartitions(rows => codec.sampleFrames(rows, every))
   }
 }

@@ -4,7 +4,7 @@ import graft.core.{QueryEntry, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{AudioSystemCodec, ImageIoCodec, MediaRow, Multimodal, StubCodec}
+import graft.multimodal.{AudioSystemCodec, ImageIoCodec, MediaRow, MjpegAviCodec, Multimodal, StubCodec}
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
   *
@@ -163,6 +163,72 @@ object MultimodalQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // REAL video decode end-to-end: each doc (except every 7th,
+    // deliberately corrupt) gets a genuine MJPEG AVI — RIFF container +
+    // per-frame JPEGs — synthesized at doc_id-derived (frames, w, h,
+    // fps), and MjpegAviCodec parses the container and decodes EVERY
+    // frame through javax.imageio. decoded_frames == frames only if
+    // each JPEG actually parsed at the header geometry; fps round-trips
+    // through dwMicroSecPerFrame (all four fps choices divide 1e6);
+    // duration_ms = frames*1000/fps in integer math. With this, image,
+    // audio AND video are all genuinely decoded — no stub-only media
+    // kind remains.
+    q("x_multimodal_video_real",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(2 + doc_id % 6 AS BIGINT) END AS frames,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(2 + doc_id % 6 AS BIGINT) END AS decoded_frames,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS INT)
+        |            ELSE CAST(16 + doc_id % 16 AS INT) END AS width,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS INT)
+        |            ELSE CAST(12 + doc_id % 12 AS INT) END AS height,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS INT)
+        |            WHEN doc_id % 4 = 0 THEN 10 WHEN doc_id % 4 = 1 THEN 20
+        |            WHEN doc_id % 4 = 2 THEN 25 ELSE 50 END AS fps,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST((2 + doc_id % 6) * 1000
+        |                      // (CASE WHEN doc_id % 4 = 0 THEN 10
+        |                              WHEN doc_id % 4 = 1 THEN 20
+        |                              WHEN doc_id % 4 = 2 THEN 25
+        |                              ELSE 50 END) AS BIGINT)
+        |       END AS duration_ms
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val media: Dataset[MediaRow] = videoMedia(s, dir)
+      Multimodal.decodeVideo(media, MjpegAviCodec)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // frame SAMPLING through the same container: decode only every 2nd
+    // frame (indices 0, 2, 4, …), so decoded_frames = ceil(frames/2) —
+    // the bounded-cost shape a clip-level feature extractor runs at
+    // 100 TB, where decoding every frame of every video is the budget
+    // killer. Header fields still come from the full container parse.
+    q("x_multimodal_video_sample",
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(2 + doc_id % 6 AS BIGINT) END AS frames,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST((2 + doc_id % 6 + 1) // 2 AS BIGINT)
+        |       END AS decoded_frames,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS INT)
+        |            ELSE CAST(16 + doc_id % 16 AS INT) END AS width,
+        |       CASE WHEN doc_id % 7 = 0 THEN CAST(-1 AS INT)
+        |            ELSE CAST(12 + doc_id % 12 AS INT) END AS height
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val media: Dataset[MediaRow] = videoMedia(s, dir)
+      Multimodal.sampleVideoFrames(media, 2, MjpegAviCodec)
+        .toDF()
+        .select(col("doc_id"), col("frames"), col("decoded_frames"),
+          col("width"), col("height"))
+        .orderBy("doc_id")
+    },
+
     // stub resize chained onto the stub decode in ONE partition pass
     // (decode → feature transform without re-batching — the shape a
     // mapInPandas pipeline composes)
@@ -232,4 +298,28 @@ object MultimodalQueries extends QueryModule {
         .orderBy("source")
     },
   )
+
+  /** Shared fixture stage for the video queries: fan the small doc scan
+    * out (synth+decode would otherwise serialize on the few parquet row
+    * groups), then synthesize a doc_id-keyed MJPEG AVI per row — every
+    * 7th doc carries its raw text bytes as a deliberately-corrupt
+    * payload, mirroring the audio fixture convention. */
+  private def videoMedia(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    val spark = s
+    import spark.implicits._
+    val keyed = graft.core.FanOut(Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt")))
+      .as[(Long, Array[Byte])]
+    keyed.mapPartitions(_.map { case (id, txt) =>
+      if (id % 7 == 0) MediaRow(id, txt) // not RIFF/AVI → degraded row
+      else {
+        val fps = (id % 4) match {
+          case 0 => 10; case 1 => 20; case 2 => 25; case _ => 50
+        }
+        MediaRow(id, MjpegAviCodec.synthesizeAvi(
+          (2 + id % 6).toInt, (16 + id % 16).toInt, (12 + id % 12).toInt,
+          fps))
+      }
+    })
+  }
 }

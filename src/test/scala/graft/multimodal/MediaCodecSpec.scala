@@ -181,6 +181,66 @@ class MediaCodecSpec extends AnyFunSuite with SparkTestSession {
     assert(bad.out_frames == -1 && bad.out_peak == -1)
   }
 
+  test("MjpegAviCodec really parses the AVI container and decodes frames") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, MjpegAviCodec.synthesizeAvi(5, 32, 24, 25)),
+      (2L, MjpegAviCodec.synthesizeAvi(2, 16, 12, 10)),
+      (3L, MjpegAviCodec.synthesizeAvi(0, 20, 20, 50)), // header-only clip
+      (4L, Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0)), // truncated RIFF
+      (5L, Array[Byte](1, 2, 3)))                        // not a video
+      .toDF("doc_id", "payload").as[MediaRow]
+    val out = Multimodal.decodeVideo(rows, MjpegAviCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).frames == 5 && out(1L).decoded_frames == 5 &&
+      out(1L).width == 32 && out(1L).height == 24 &&
+      out(1L).fps == 25 && out(1L).duration_ms == 200)
+    assert(out(2L).frames == 2 && out(2L).decoded_frames == 2 &&
+      out(2L).fps == 10 && out(2L).duration_ms == 200)
+    assert(out(3L).frames == 0 && out(3L).decoded_frames == 0 &&
+      out(3L).width == 20 && out(3L).duration_ms == 0)
+    // corrupt/truncated payloads cost one degraded row each
+    assert(out(4L).frames == -1 && out(4L).width == -1 && out(4L).fps == -1)
+    assert(out(5L).frames == -1 && out(5L).decoded_frames == -1)
+  }
+
+  test("MJPEG frames carry real pixel data through the lossy cycle") {
+    val avi = MjpegAviCodec.synthesizeAvi(3, 48, 32, 20)
+    (0 until 3).foreach { i =>
+      val img = MjpegAviCodec.decodeFrame(avi, i)
+      assert(img.isDefined && img.get.getWidth == 48 && img.get.getHeight == 32)
+      // solid-color frames survive JPEG quantization within a small
+      // tolerance; matching the per-frame fill proves pixels decoded
+      val rgb = img.get.getRGB(24, 16)
+      val (er, eg, eb) = MjpegAviCodec.frameColor(i)
+      assert(math.abs(((rgb >> 16) & 0xff) - er) <= 8, s"frame $i red")
+      assert(math.abs(((rgb >> 8) & 0xff) - eg) <= 8, s"frame $i green")
+      assert(math.abs((rgb & 0xff) - eb) <= 8, s"frame $i blue")
+    }
+    assert(MjpegAviCodec.decodeFrame(avi, 3).isEmpty) // out of range
+  }
+
+  test("frame sampling decodes every k-th frame at bounded cost") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, MjpegAviCodec.synthesizeAvi(7, 24, 16, 25)), // ceil(7/2) = 4
+      (2L, MjpegAviCodec.synthesizeAvi(4, 24, 16, 25)), // ceil(4/2) = 2
+      (3L, Array[Byte](0, 1)))
+      .toDF("doc_id", "payload").as[MediaRow]
+    val out = Multimodal.sampleVideoFrames(rows, 2, MjpegAviCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).frames == 7 && out(1L).decoded_frames == 4)
+    assert(out(2L).frames == 4 && out(2L).decoded_frames == 2)
+    assert(out(3L).frames == -1 && out(3L).decoded_frames == -1)
+    // stride 1 degenerates to full decode
+    val full = MjpegAviCodec.sampleFrames(
+      Iterator(MediaRow(9L, MjpegAviCodec.synthesizeAvi(3, 16, 12, 10))), 1)
+      .toSeq.head
+    assert(full.decoded_frames == 3)
+  }
+
   test("fused decode+resize matches staged decode then resize") {
     val fused = Multimodal.decodeAndResize(media, 256, StubCodec)
       .collect().sortBy(_.doc_id).toSeq
