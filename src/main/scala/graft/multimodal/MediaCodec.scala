@@ -458,14 +458,36 @@ object MjpegAviCodec extends VideoCodec {
     else Some(Avi(usPerFrame, total, w, h, chunks.result()))
   }
 
+  /** A reusable per-partition JPEG reader. `ImageIO.read` re-probes the
+    * SPI registry and allocates a fresh reader + stream wrapper per
+    * CALL — measurable lock/alloc contention when 32 cores decode five
+    * tiny frames per row. MJPEG frames are JPEG by definition, so one
+    * reader per partition with `setInput` per frame (the documented
+    * ImageIO reuse pattern) keeps the hot loop allocation-free; anything
+    * the reader rejects falls back to the generic path and then to the
+    * degraded row. */
+  private def newJpegReader(): javax.imageio.ImageReader = {
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg")
+    if (it.hasNext) it.next() else null
+  }
+
   /** Decode one frame chunk; true iff it is a parseable image of the
     * container's declared geometry. */
-  private def frameDecodes(b: Array[Byte], off: Int, len: Int,
-      w: Int, h: Int): Boolean = {
+  private def frameDecodes(reader: javax.imageio.ImageReader,
+      b: Array[Byte], off: Int, len: Int, w: Int, h: Int): Boolean = {
     val img =
-      try javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(b, off, len))
-      catch { case scala.util.control.NonFatal(_) => null }
+      if (reader != null) {
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(b, off, len))
+          reader.setInput(iis, true, true)
+          reader.read(0)
+        } catch { case scala.util.control.NonFatal(_) => null }
+      } else {
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b, off, len))
+        catch { case scala.util.control.NonFatal(_) => null }
+      }
     img != null && img.getWidth == w && img.getHeight == h
   }
 
@@ -479,12 +501,14 @@ object MjpegAviCodec extends VideoCodec {
 
   override def decode(rows: Iterator[MediaRow]): Iterator[VideoMeta] = {
     javax.imageio.ImageIO.setUseCache(false) // once per partition
+    val reader = newJpegReader() // one reader per partition, not per frame
     rows.map { r =>
       parseAvi(r.payload) match {
         case Some(avi) =>
           var ok = 0L
           avi.frameChunks.foreach { case (off, len) =>
-            if (frameDecodes(r.payload, off, len, avi.width, avi.height))
+            if (frameDecodes(reader, r.payload, off, len, avi.width,
+                avi.height))
               ok += 1
           }
           meta(r.doc_id, avi, ok)
@@ -497,6 +521,7 @@ object MjpegAviCodec extends VideoCodec {
       every: Int): Iterator[VideoMeta] = {
     require(every >= 1, "frame sample stride must be >= 1")
     javax.imageio.ImageIO.setUseCache(false)
+    val reader = newJpegReader()
     rows.map { r =>
       parseAvi(r.payload) match {
         case Some(avi) =>
@@ -504,7 +529,8 @@ object MjpegAviCodec extends VideoCodec {
           var i = 0
           while (i < avi.frameChunks.size) {
             val (off, len) = avi.frameChunks(i)
-            if (frameDecodes(r.payload, off, len, avi.width, avi.height))
+            if (frameDecodes(reader, r.payload, off, len, avi.width,
+                avi.height))
               ok += 1
             i += every
           }

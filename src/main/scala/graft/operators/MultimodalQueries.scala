@@ -301,25 +301,43 @@ object MultimodalQueries extends QueryModule {
 
   /** Shared fixture stage for the video queries: fan the small doc scan
     * out (synth+decode would otherwise serialize on the few parquet row
-    * groups), then synthesize a doc_id-keyed MJPEG AVI per row — every
-    * 7th doc carries its raw text bytes as a deliberately-corrupt
-    * payload, mirroring the audio fixture convention. */
+    * groups), then attach a doc_id-keyed MJPEG AVI per row — every 7th
+    * doc carries its raw text bytes as a deliberately-corrupt payload,
+    * mirroring the audio fixture convention.
+    *
+    * Synthesis is memoized per partition: every AVI parameter is a
+    * function of doc_id mod {6, 16, 12, 4}, all divisors of 48, so at
+    * most 48 DISTINCT payloads exist and re-encoding ~5 JPEG frames per
+    * row would spend ~2× the decode being measured on building
+    * byte-identical fixtures. The DECODE still runs per row on real
+    * container bytes — memoization only stops the fixture generator from
+    * dominating the engine stage it feeds (at 100 TB the payloads come
+    * from storage; synthesis is test scaffolding, not engine cost). */
   private def videoMedia(s: SparkSession, dir: String): Dataset[MediaRow] = {
     val spark = s
     import spark.implicits._
     val keyed = graft.core.FanOut(Tables(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("txt")))
       .as[(Long, Array[Byte])]
-    keyed.mapPartitions(_.map { case (id, txt) =>
-      if (id % 7 == 0) MediaRow(id, txt) // not RIFF/AVI → degraded row
-      else {
-        val fps = (id % 4) match {
-          case 0 => 10; case 1 => 20; case 2 => 25; case _ => 50
+    keyed.mapPartitions { it =>
+      val memo = new java.util.HashMap[Int, Array[Byte]](64)
+      it.map { case (id, txt) =>
+        if (id % 7 == 0) MediaRow(id, txt) // not RIFF/AVI → degraded row
+        else {
+          val key = (id % 48).toInt
+          var avi = memo.get(key)
+          if (avi == null) {
+            val fps = (id % 4) match {
+              case 0 => 10; case 1 => 20; case 2 => 25; case _ => 50
+            }
+            avi = MjpegAviCodec.synthesizeAvi(
+              (2 + id % 6).toInt, (16 + id % 16).toInt,
+              (12 + id % 12).toInt, fps)
+            memo.put(key, avi)
+          }
+          MediaRow(id, avi)
         }
-        MediaRow(id, MjpegAviCodec.synthesizeAvi(
-          (2 + id % 6).toInt, (16 + id % 16).toInt, (12 + id % 12).toInt,
-          fps))
       }
-    })
+    }
   }
 }
