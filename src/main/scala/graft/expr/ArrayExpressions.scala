@@ -147,3 +147,83 @@ object SignLshSigExpr {
     sig
   }
 }
+
+/** Int8 scalar quantization of an embedding in one compiled pass:
+  * q_i = floor(v_i · 127 / max_j |v_j|) as a 32-bit int (values in
+  * [−127, 127]; an all-zero vector quantizes to all zeros).
+  *
+  * Why it exists: at 100 TB the ANN candidate-verify join is MEMORY-
+  * bound — a 64-dim float corpus is 256 B/vector of shuffle + cache,
+  * the int8 form is 64 B (4× more corpus per executor-GB; int8 is the
+  * standard serving compression for embedding search). Quantization
+  * runs once per corpus ROW, the same cost class as the sign-LSH
+  * signature above, so it gets the same treatment: a compiled loop
+  * instead of two chained interpreted HOFs (array_max(transform(abs))
+  * + transform(floor)). The quantized dot then rides [[ArrayDotExpr]]'s
+  * existing int path — integer-exact cross-engine, which is what lets a
+  * DuckDB oracle reproduce quantized cosines bit-for-bit (the ranking
+  * is integer arithmetic; only the final normalize is floating).
+  *
+  * Null semantics mirror the HOF form: a null ELEMENT nulls the max and
+  * therefore the whole quantized array. floor + IEEE double division
+  * are deterministic and identical in Spark and DuckDB, so q is
+  * cross-engine exact even though it passes through doubles.
+  */
+case class Int8QuantizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quantize_native"
+
+  private def tag: Int = child.dataType match {
+    case ArrayType(FloatType, _)  => 0
+    case ArrayType(DoubleType, _) => 1
+    case t => throw new IllegalArgumentException(
+      s"int8_quantize_native needs array<float|double>, got $t")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    Int8QuantizeExpr.quantize(v.asInstanceOf[ArrayData], tag)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  graft.expr.Int8QuantizeExpr.quantize($v, $tag);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Int8QuantizeExpr = copy(child = newChild)
+}
+
+object Int8QuantizeExpr {
+  /** Codegen helper. Type tags: 0=float, 1=double. Null on null element. */
+  def quantize(v: ArrayData, tag: Int): ArrayData = {
+    val n = v.numElements()
+    val d = new Array[Double](n)
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = if (tag == 0) v.getFloat(i).toDouble else v.getDouble(i)
+      d(i) = x
+      val a = math.abs(x)
+      if (a > mx) mx = a
+      i += 1
+    }
+    val q = new Array[Int](n)
+    if (mx > 0) {
+      i = 0
+      while (i < n) {
+        q(i) = math.floor(d(i) * 127.0 / mx).toInt
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q)
+  }
+}

@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot_native"),
       (args: Seq[Expression]) => ArrayDotExpr(args(0), args(1))))
     e.injectFunction((
+      new FunctionIdentifier("int8_quantize_native"),
+      new ExpressionInfo(classOf[Int8QuantizeExpr].getName,
+        "int8_quantize_native"),
+      (args: Seq[Expression]) => Int8QuantizeExpr(args(0))))
+    e.injectFunction((
       new FunctionIdentifier("sign_lsh_sig_native"),
       new ExpressionInfo(classOf[SignLshSigExpr].getName,
         "sign_lsh_sig_native"),

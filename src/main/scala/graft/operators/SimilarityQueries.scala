@@ -116,6 +116,63 @@ object SimilarityQueries extends QueryModule {
         .orderBy("vec_a", "vec_b")
     },
 
+    // Int8-QUANTIZED cosine top-k — the memory-bound scale lever for
+    // ANN: a 64-dim float corpus is 256 B/vector of shuffle + executor
+    // cache, the int8 form is 64 B (4× more corpus per executor-GB;
+    // the standard serving compression for embedding search).
+    // Quantization (q_i = floor(v_i·127/max|v|), one compiled pass via
+    // int8_quantize_native) runs once per row; the scoring join then
+    // rides array_dot_native's int path, so the per-pair arithmetic is
+    // INTEGER-exact cross-engine — the oracle reproduces quantized
+    // cosines to the rounded digit, which float dots can't promise.
+    // Probe/top-k shape mirrors x_ann_topk (the labeled brute
+    // baseline); at scale the same quantized verify composes with the
+    // IVF/LSH candidate generation below instead of a cross join.
+    q("x_ann_int8",
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |         CASE WHEN mx > 0
+        |           THEN list_transform(emb, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+        |           ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id,
+        |               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |               list_max(list_transform(embedding,
+        |                  x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |        FROM embeddings)),
+        |pairs AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+        |         round(
+        |           CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+        |              i -> a.q[i] * b.q[i])) AS DOUBLE) /
+        |           (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE)) *
+        |            sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE))),
+        |           6) AS cos_sim
+        |  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 100 = 0)
+        |SELECT probe_id, neighbor_id, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM pairs)
+        |WHERE rn <= 10 ORDER BY probe_id, rn""") { (s, dir) =>
+      val e = emb(s, dir)
+      val base = e.select(col("vec_id"),
+        call_function("int8_quantize_native", col("embedding")).as("q"))
+      val probes = base.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+        .withColumn("pn", sqrt(dot(col("pq"), col("pq"))))
+      val corpus = base.select(col("vec_id").as("neighbor_id"),
+        col("q").as("cq"))
+        .withColumn("cn", sqrt(dot(col("cq"), col("cq"))))
+      val cos = round(dot(col("pq"), col("cq")) / (col("pn") * col("cn")), 6)
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      broadcast(probes).join(corpus, col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("probe_id", "neighbor_id", "cos_sim")
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
+
     // IVF-style ANN: coarse centroids = the min-vec_id vector per label
     // (deterministic seeds); probes search ONLY their nearest centroid's
     // partition → similarity join becomes an equi-join on label

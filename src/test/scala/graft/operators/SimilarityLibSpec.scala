@@ -17,6 +17,34 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
       .toDF("id", "vec")
   }
 
+  test("int8_quantize_native: floor(v*127/max|v|), zeros, null element") {
+    val sp = spark
+    import sp.implicits._
+    val out = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)),   // zero vector → all-zero q
+      (3L, Array(-2.0f, 2.0f, 1.0f)))
+      .toDF("id", "vec")
+      .select(col("id"), call_function("int8_quantize_native", col("vec")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(1L) == Seq(127, math.floor(-0.5 * 127).toInt, // -64
+      math.floor(0.25 * 127).toInt)) // 31
+    assert(out(2L) == Seq(0, 0, 0))
+    assert(out(3L) == Seq(-127, 127, math.floor(1.0 * 127 / 2.0).toInt)) // 63
+    // quantized dot rides array_dot_native's int path, integer-exact
+    val d = Seq((Array(127, -64, 31), Array(-127, 127, 63)))
+      .toDF("a", "b")
+      .select(call_function("array_dot_native", col("a"), col("b")))
+      .head().getDouble(0)
+    assert(d == (127.0 * -127 + -64.0 * 127 + 31.0 * 63))
+    // null element nulls the whole quantized array (HOF mirror)
+    val n = Seq((9L, Array[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("id", "vec")
+      .select(call_function("int8_quantize_native", col("vec")))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("brute-force topK ranks by cosine") {
     val probes = vecs.filter(col("id") === 1L)
     val top = Similarity.topK(probes, vecs, "id", "vec", 2)
