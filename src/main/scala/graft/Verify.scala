@@ -19,6 +19,9 @@ object Verify {
     // never sets it; the full dump stays the contract.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty/blank value = no restriction, not "verify
+    // nothing and report success" (a leftover `export SPARK_GRAFT_VERIFY_
+    // ONLY=` must not produce a false green)
     var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

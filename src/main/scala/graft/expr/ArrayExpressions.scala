@@ -181,6 +181,16 @@ case class Int8QuantizeExpr(child: Expression) extends UnaryExpression {
       s"int8_quantize_native needs array<float|double>, got $t")
   }
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_quantize_native needs array<float|double>, got $t")
+    }
+
   override protected def nullSafeEval(v: Any): Any =
     Int8QuantizeExpr.quantize(v.asInstanceOf[ArrayData], tag)
 

@@ -134,6 +134,22 @@ object ConstantVersionRangeRewrite extends Rule[LogicalPlan] {
 object MaterializedVersionKeyRewrite extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
 
+  /** The metadata names a COLUMN ("graft.vkey.of = version"), which is
+    * only unambiguous within the relation that wrote it: across a join
+    * (self-join, or any second table that also has a `version` column)
+    * a name-only match could substitute the OTHER side's sort-key for
+    * this side's version — silently wrong rows. So the substitution
+    * additionally requires that the version attribute and the key
+    * column trace to the SAME leaf relation by exprId. Aliased/derived
+    * attributes get fresh exprIds, fail the leaf check, and fall back
+    * to computing the key — conservative, never wrong. */
+  private def sameRelation(child: LogicalPlan,
+      a: AttributeReference, k: AttributeReference): Boolean =
+    child.collectLeaves().exists { leaf =>
+      val ids = leaf.output.map(_.exprId).toSet
+      ids.contains(a.exprId) && ids.contains(k.exprId)
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val newCond = cond.transformUp {
@@ -145,7 +161,8 @@ object MaterializedVersionKeyRewrite extends Rule[LogicalPlan] {
                 if k.metadata.contains(VK_OF) &&
                   k.metadata.getString(VK_OF) == a.name &&
                   k.metadata.contains(VK_SCHEME) &&
-                  k.metadata.getString(VK_SCHEME) == scheme.toString =>
+                  k.metadata.getString(VK_SCHEME) == scheme.toString &&
+                  sameRelation(child, a, k) =>
               k
           }.getOrElse(vsk)
       }

@@ -432,22 +432,29 @@ object MjpegAviCodec extends VideoCodec {
     var h = -1
     val chunks = Vector.newBuilder[(Int, Int)]
     var truncated = false
+    // chunk sizes are UNSIGNED u32 off the wire: all offset arithmetic in
+    // Long, or a crafted size near 2^31 wraps Int-negative, slips past the
+    // bounds check, and a corrupt payload kills the TASK instead of
+    // degrading to its one sentinel row
     def walk(start: Int, end: Int): Unit = {
-      var o = start
+      var o = start.toLong
       while (o + 8 <= end && !truncated) {
-        val id = fourcc(b, o)
-        val sz = u32(b, o + 4).toInt
+        val oi = o.toInt
+        val id = fourcc(b, oi)
+        val sz = u32(b, oi + 4)
         val body = o + 8
-        if (sz < 0 || body + sz > b.length) { truncated = true; return }
+        if (body + sz > b.length) { truncated = true; return }
+        val bodyI = body.toInt
+        val szI = sz.toInt
         id match {
-          case "LIST" if sz >= 4 => walk(body + 4, body + sz)
+          case "LIST" if sz >= 4 => walk(bodyI + 4, bodyI + szI)
           case "avih" if sz >= 40 =>
-            usPerFrame = u32(b, body)
-            total = u32(b, body + 16)
-            w = u32(b, body + 32).toInt
-            h = u32(b, body + 36).toInt
+            usPerFrame = u32(b, bodyI)
+            total = u32(b, bodyI + 16)
+            w = u32(b, bodyI + 32).toInt
+            h = u32(b, bodyI + 36).toInt
           case s if s.endsWith("dc") || s.endsWith("db") =>
-            chunks += ((body, sz))
+            chunks += ((bodyI, szI))
           case _ => ()
         }
         o = body + sz + (sz & 1) // RIFF chunks pad to even offsets
@@ -472,23 +479,49 @@ object MjpegAviCodec extends VideoCodec {
   }
 
   /** Decode one frame chunk; true iff it is a parseable image of the
-    * container's declared geometry. */
+    * container's declared geometry. The stream wrapper is closed per
+    * frame (it buffers the bytes it reads; leaving it to GC retains one
+    * buffer per frame across the partition). */
   private def frameDecodes(reader: javax.imageio.ImageReader,
       b: Array[Byte], off: Int, len: Int, w: Int, h: Int): Boolean = {
     val img =
       if (reader != null) {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b, off, len))
         try {
-          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-            new java.io.ByteArrayInputStream(b, off, len))
           reader.setInput(iis, true, true)
           reader.read(0)
         } catch { case scala.util.control.NonFatal(_) => null }
+        finally {
+          try iis.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
       } else {
         try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(b, off, len))
         catch { case scala.util.control.NonFatal(_) => null }
       }
     img != null && img.getWidth == w && img.getHeight == h
+  }
+
+  /** Run `f` over the partition with a per-partition reusable reader,
+    * disposing it (native JPEG decoder state) when the rows run dry. */
+  private def withReader[T](rows: Iterator[MediaRow])(
+      f: (javax.imageio.ImageReader, MediaRow) => T): Iterator[T] = {
+    val reader = newJpegReader()
+    new Iterator[T] {
+      private var disposed = false
+      override def hasNext: Boolean = {
+        val h = rows.hasNext
+        if (!h && reader != null && !disposed) {
+          disposed = true
+          try reader.dispose()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        h
+      }
+      override def next(): T = f(reader, rows.next())
+    }
   }
 
   private def meta(docId: Long, avi: Avi, decoded: Long): VideoMeta = {
@@ -501,8 +534,7 @@ object MjpegAviCodec extends VideoCodec {
 
   override def decode(rows: Iterator[MediaRow]): Iterator[VideoMeta] = {
     javax.imageio.ImageIO.setUseCache(false) // once per partition
-    val reader = newJpegReader() // one reader per partition, not per frame
-    rows.map { r =>
+    withReader(rows) { (reader, r) => // one reader per partition, not per frame
       parseAvi(r.payload) match {
         case Some(avi) =>
           var ok = 0L
@@ -521,8 +553,7 @@ object MjpegAviCodec extends VideoCodec {
       every: Int): Iterator[VideoMeta] = {
     require(every >= 1, "frame sample stride must be >= 1")
     javax.imageio.ImageIO.setUseCache(false)
-    val reader = newJpegReader()
-    rows.map { r =>
+    withReader(rows) { (reader, r) =>
       parseAvi(r.payload) match {
         case Some(avi) =>
           var ok = 0L

@@ -20,8 +20,11 @@ import graft.multimodal.{AudioSystemCodec, ImageIoCodec, MediaRow, MjpegAviCodec
   * sibling [[graft.multimodal.AudioCodec]] seam with
   * [[AudioSystemCodec]] — REAL WAV/PCM decode via the JDK's
   * javax.sound.sampled, exercised by x_multimodal_audio_real /
-  * x_multimodal_audio_resample. Only VIDEO decode remains stub-only
-  * (no video codec ships with the JDK).
+  * x_multimodal_audio_resample. Video rides the [[graft.multimodal
+  * .VideoCodec]] seam with [[MjpegAviCodec]] — REAL Motion-JPEG/AVI
+  * decode (RIFF container parse + per-frame javax.imageio), exercised
+  * by x_multimodal_video_real / x_multimodal_video_sample. No media
+  * kind is stub-only anymore.
   */
 object MultimodalQueries extends QueryModule {
 

@@ -181,8 +181,11 @@ object VersionQueries extends QueryModule {
          |WHERE p_size >= 10
          |  AND (p_size < 40 OR (p_size = 40 AND p_partkey % 10 < 5))
          |ORDER BY p_partkey""") { (s, dir) =>
+      // per-JVM path: a fixed shared name lets two concurrent driver JVMs
+      // (Bench + Verify in parallel) clobber each other's layout mid-scan
       val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_version_keyed").toString
+        sys.props("java.io.tmpdir"),
+        s"graft_version_keyed_${ProcessHandle.current().pid()}").toString
       graft.sources.VersionKeyed.write(
         withVersion(s, dir).select("p_partkey", "version"),
         "version", "semver", path)

@@ -24,8 +24,12 @@ import graft.serve.Serving
   */
 object ServeProfile {
 
+  /** Nearest-rank percentile: ceil(p·n)-th smallest. The previous
+    * `(p·n).toInt` indexing was one rank high (p50 of 40 reps read the
+    * 21st sample — the 52.5th percentile), i.e. pessimistic. */
   private def pct(sorted: Array[Double], p: Double): Double =
-    sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    sorted(math.max(0,
+      math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

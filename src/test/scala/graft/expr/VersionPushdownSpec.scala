@@ -96,6 +96,39 @@ class VersionPushdownSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.length < full)
   }
 
+  test("cross-relation guard: another table's same-named version column " +
+      "is NOT substituted with this relation's vkey") {
+    val sp = spark
+    import sp.implicits._
+    // unkeyed relation that ALSO has a `version` column, joined with the
+    // keyed layout: a filter on the UNKEYED side's version must not be
+    // rewritten to the keyed side's sort-key (silently wrong rows) —
+    // the rule requires version + vkey to trace to the same leaf
+    val other = (0 until 300)
+      .map(i => (i.toLong, s"${(i * 7) % 30}.0.0")) // different versions!
+      .toDF("id", "version")
+    val keyed = VersionKeyed.read(spark, keyedDir)
+      .select(col("id").as("kid"), col("version").as("kversion"),
+        col("version_vkey"))
+    // a Window pins the Filter node ABOVE a plan whose output carries
+    // BOTH the unkeyed `version` and the keyed `version_vkey` (a plain
+    // join condition absorbs filters, so Filter+Join alone can't reach
+    // the rule) — here a name-only match would substitute the keyed
+    // side's vkey for the OTHER side's version and change the rows
+    import org.apache.spark.sql.expressions.Window
+    val joined = other.join(keyed, col("id") === col("kid"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("id"))))
+      .filter(expr(
+        "version_in_range_native(version, 'vers:semver/>=10.0.0|<20.0.0')"))
+      .select("id")
+    val got = joined.collect().map(_.getLong(0)).toSet
+    val expected = (0 until 300)
+      .filter(i => ((i * 7) % 30) >= 10 && ((i * 7) % 30) < 20)
+      .map(_.toLong).toSet
+    assert(got == expected) // wrong-column substitution would break this
+  }
+
   test("unsupported specs fall back: no vkey pushdown, same rows") {
     // an exact-pin spec is not a pure interval → ConstantVersionRangeRewrite
     // leaves it alone → nothing for the materialized rule to substitute

@@ -205,6 +205,28 @@ class MediaCodecSpec extends AnyFunSuite with SparkTestSession {
     assert(out(5L).frames == -1 && out(5L).decoded_frames == -1)
   }
 
+  test("a crafted near-2^31 chunk size degrades the row, not the task") {
+    // RIFF/'AVI ' magic + one chunk claiming 0x7FFFFFE0 bytes: signed-Int
+    // offset arithmetic would wrap negative, slip the bounds check, and
+    // throw out of fourcc — killing the partition instead of the row
+    val evil = new java.io.ByteArrayOutputStream()
+    evil.write("RIFF".getBytes("US-ASCII"))
+    evil.write(Array[Byte](0x20, 0, 0, 0))
+    evil.write("AVI ".getBytes("US-ASCII"))
+    evil.write("LIST".getBytes("US-ASCII"))
+    evil.write(Array[Byte](0xE0.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F)) // 2^31-32
+    evil.write(new Array[Byte](32))
+    val out = MjpegAviCodec.decode(
+      Iterator(MediaRow(1L, evil.toByteArray))).toSeq.head
+    assert(out.frames == -1 && out.decoded_frames == -1 && out.width == -1)
+    // and an unsigned size past 2^31 (reads negative as Int) likewise
+    val evil2 = evil.toByteArray.clone()
+    evil2(15) = 0xFF.toByte // size fourcc -> 0xFFFFFFE0 = u32 4294967264
+    val out2 = MjpegAviCodec.decode(
+      Iterator(MediaRow(2L, evil2))).toSeq.head
+    assert(out2.frames == -1)
+  }
+
   test("MJPEG frames carry real pixel data through the lossy cycle") {
     val avi = MjpegAviCodec.synthesizeAvi(3, 48, 32, 20)
     (0 until 3).foreach { i =>
