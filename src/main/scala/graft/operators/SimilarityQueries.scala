@@ -246,6 +246,98 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     },
 
+    // IVF over a PARTITION-PRUNED layout — the storage-level version of
+    // x_ann_ivf's centroid equi-join, and the shape a 100 TB vector
+    // store actually takes: the corpus is WRITTEN partitioned by its
+    // assigned list (partitionBy(label) — one directory per inverted
+    // list), and the probe-side assignment arrives as a broadcast, so
+    // Spark's dynamic partition pruning turns the search into a scan of
+    // ONLY the probed lists' directories. Nothing outside the probed
+    // lists is even read — candidate generation costs I/O proportional
+    // to nprobe/nlist of the corpus, not a full scan + filter. Results
+    // are byte-identical to x_ann_ivf (same assignment, same scoring);
+    // the spec pins the plan: the scan's PartitionFilters carries the
+    // dynamicpruning subquery.
+    q("x_ann_ivf_pruned",
+      s"""WITH cent AS (
+         |  SELECT e.label, e.embedding FROM embeddings e
+         |  JOIN (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label) m
+         |    ON e.label = m.label AND e.vec_id = m.mv),
+         |assign AS (
+         |  SELECT vec_id AS probe_id, label AS best_label FROM (
+         |    SELECT a.vec_id, b.label,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.label) AS rn
+         |    FROM embeddings a, cent b
+         |    WHERE a.vec_id % 100 = 0)
+         |  WHERE rn = 1),
+         |hits AS (
+         |  SELECT s.probe_id, b.vec_id AS neighbor_id,
+         |         round($dotSql /
+         |           (sqrt(list_sum(list_transform(a.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |            sqrt(list_sum(list_transform(b.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |           AS cos_sim
+         |  FROM assign s
+         |  JOIN embeddings a ON a.vec_id = s.probe_id
+         |  JOIN embeddings b ON b.label = s.best_label
+         |                   AND b.vec_id <> s.probe_id)
+         |SELECT probe_id, neighbor_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM hits)
+         |WHERE rn <= 5 ORDER BY probe_id, rn""") { (s, dir) =>
+      val e = emb(s, dir).cache()
+      // the inverted-list layout: corpus partitioned by assigned list
+      // (per-JVM path — see v8's concurrent-driver note)
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_ivf_lists_${ProcessHandle.current().pid()}").toString
+      e.write.mode("overwrite").partitionBy("label").parquet(path)
+      val seeds = e.groupBy(col("label").as("s_label"))
+        .agg(min("vec_id").as("mv"))
+      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
+          e("vec_id") === seeds("mv"))
+        .select(col("s_label").as("c_label"), col("embedding").as("cemb"))
+        .withColumn("centn", norm(col("cemb")))
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        .withColumn("pn", norm(col("pe")))
+      val centCos = round(dot(col("pe"), col("cemb")) /
+        (col("pn") * col("centn")), 6)
+      val wAssign = Window.partitionBy("probe_id")
+        .orderBy(col("c_cos").desc, col("c_label"))
+      val assign = broadcast(probes).crossJoin(broadcast(cent))
+        .withColumn("c_cos", centCos)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("pe"), col("pn"),
+          col("c_label").as("best_label"))
+      // the search side reads the PARTITIONED layout — label is now a
+      // partition column, so the broadcast join on it triggers dynamic
+      // partition pruning: only probed list directories are scanned
+      val lists = s.read.parquet(path)
+        .select(col("vec_id").as("neighbor_id"),
+          col("label").cast("int").as("n_label"), col("embedding").as("ce"))
+        .withColumn("cn", norm(col("ce")))
+      val cos = round(dot(col("pe"), col("ce")) / (col("pn") * col("cn")), 6)
+      val wTop = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      broadcast(assign).join(lists,
+        col("best_label") === col("n_label") &&
+          col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "cos_sim")
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
+
     // One Lloyd round of the IVF coarse-quantizer training
     // (Similarity.trainCentroids, iters=1): deterministic lowest-id
     // init, cosine argmax assignment, per-dimension decimal-exact means

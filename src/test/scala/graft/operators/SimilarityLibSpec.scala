@@ -45,6 +45,41 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
     assert(n.isNullAt(0))
   }
 
+  test("x_ann_ivf_pruned: the list scan is partition-pruned, results match x_ann_ivf") {
+    val sp = spark
+    val dir = "/root/testdata/sf0.001"
+    val pruned = graft.SparkEntry.queries("x_ann_ivf_pruned")(sp, dir)
+    val prunedRows = pruned.collect().toSeq
+    // byte-identical to the shuffle-free equi-join formulation
+    val base = graft.SparkEntry.queries("x_ann_ivf")(sp, dir).collect().toSeq
+    assert(prunedRows == base)
+    // plan pin: the inverted-list scan must carry a dynamic partition
+    // pruning subquery (only probed list directories are read) — without
+    // it the layout is just a slower full scan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case o => o.children
+      }
+      p +: inner.flatMap(nodes)
+    }
+    val scans = nodes(pruned.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("graft_ivf_lists")) =>
+        f
+    }
+    assert(scans.nonEmpty, "expected a scan of the partitioned list layout")
+    assert(scans.exists(_.partitionFilters.exists(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruning]))),
+      s"expected dynamic partition pruning on the list scan; filters were " +
+        scans.map(_.partitionFilters).mkString("; "))
+  }
+
   test("brute-force topK ranks by cosine") {
     val probes = vecs.filter(col("id") === 1L)
     val top = Similarity.topK(probes, vecs, "id", "vec", 2)
