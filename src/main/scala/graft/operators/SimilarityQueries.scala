@@ -338,6 +338,100 @@ object SimilarityQueries extends QueryModule {
         .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
     },
 
+    // The production configuration: IVF candidate pruning AND int8
+    // scoring together. Candidate generation is the same centroid
+    // equi-join as x_ann_ivf (at scale: the partition-pruned layout
+    // above); the in-list verify runs on int8-quantized vectors — the
+    // corpus the executors hold/shuffle for scoring is 1/4 the bytes.
+    // Assignment stays full-precision (centroid count is tiny; the
+    // memory lever matters on the CORPUS side), which also keeps the
+    // assignment identical to x_ann_ivf's, so the two queries search
+    // identical lists and differ only in the verify arithmetic —
+    // integer-exact cross-engine, like x_ann_int8.
+    q("x_ann_ivf_int8",
+      s"""WITH cent AS (
+         |  SELECT e.label, e.embedding FROM embeddings e
+         |  JOIN (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label) m
+         |    ON e.label = m.label AND e.vec_id = m.mv),
+         |assign AS (
+         |  SELECT vec_id AS probe_id, label AS best_label FROM (
+         |    SELECT a.vec_id, b.label,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.label) AS rn
+         |    FROM embeddings a, cent b
+         |    WHERE a.vec_id % 100 = 0)
+         |  WHERE rn = 1),
+         |qv AS (
+         |  SELECT vec_id, label,
+         |         CASE WHEN mx > 0
+         |           THEN list_transform(emb, x -> CAST(floor(x * 127 / mx) AS BIGINT))
+         |           ELSE list_transform(emb, x -> CAST(0 AS BIGINT)) END AS q
+         |  FROM (SELECT vec_id, label,
+         |               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |               list_max(list_transform(embedding,
+         |                  x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |        FROM embeddings)),
+         |hits AS (
+         |  SELECT s.probe_id, b.vec_id AS neighbor_id,
+         |         round(
+         |           CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+         |              i -> a.q[i] * b.q[i])) AS DOUBLE) /
+         |           (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE)) *
+         |            sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE))),
+         |           6) AS cos_sim
+         |  FROM assign s
+         |  JOIN qv a ON a.vec_id = s.probe_id
+         |  JOIN qv b ON b.label = s.best_label
+         |           AND b.vec_id <> s.probe_id)
+         |SELECT probe_id, neighbor_id, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM hits)
+         |WHERE rn <= 5 ORDER BY probe_id, rn""") { (s, dir) =>
+      val e = emb(s, dir).cache()
+      val seeds = e.groupBy(col("label").as("s_label"))
+        .agg(min("vec_id").as("mv"))
+      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
+          e("vec_id") === seeds("mv"))
+        .select(col("s_label").as("c_label"), col("embedding").as("cemb"))
+        .withColumn("centn", norm(col("cemb")))
+      val quant = call_function("int8_quantize_native", col("embedding"))
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          quant.as("pq"))
+        .withColumn("pn", norm(col("pe")))
+        .withColumn("pqn", sqrt(dot(col("pq"), col("pq"))))
+      val centCos = round(dot(col("pe"), col("cemb")) /
+        (col("pn") * col("centn")), 6)
+      val wAssign = Window.partitionBy("probe_id")
+        .orderBy(col("c_cos").desc, col("c_label"))
+      val assign = broadcast(probes).crossJoin(broadcast(cent))
+        .withColumn("c_cos", centCos)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"), col("pq"), col("pqn"),
+          col("c_label").as("best_label"))
+      // corpus side carries ONLY the quantized form into the verify join
+      val lists = e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"), quant.as("cq"))
+        .withColumn("cqn", sqrt(dot(col("cq"), col("cq"))))
+      val cos = round(dot(col("pq"), col("cq")) / (col("pqn") * col("cqn")), 6)
+      val wTop = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      broadcast(assign).join(lists,
+        col("best_label") === col("n_label") &&
+          col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), cos.as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "cos_sim")
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
+
     // One Lloyd round of the IVF coarse-quantizer training
     // (Similarity.trainCentroids, iters=1): deterministic lowest-id
     // init, cosine argmax assignment, per-dimension decimal-exact means
