@@ -23,16 +23,24 @@ object AdvisoryDerive {
     * and the streaming latest-pointer state, so the two paths can never
     * disagree on what "same content" means. */
   def contentIdColumn: org.apache.spark.sql.Column = {
+    // every field coalesced to "": concat_ws SKIPS null arguments
+    // entirely (the slot vanishes rather than staying empty), so
+    // without the coalesce two rows whose nulls differ could shift
+    // into the same canonical string and collide content ids -- the
+    // canonical ingest path happens to pre-coalesce today, but this
+    // column is the ONE shared definition and must not depend on that
     val canonical = concat_ws("\u0000",
-      lower(trim(col("summary"))),
-      array_join(array_sort(col("aliases")), "|"),
-      array_join(array_sort(expr("transform(references, r -> r.url)")), "|"),
-      array_join(array_sort(expr(
-        "transform(severities, s -> concat(s.scoring_system, ':', s.value))")), "|"),
-      array_join(array_sort(expr(
+      coalesce(lower(trim(col("summary"))), lit("")),
+      coalesce(array_join(array_sort(col("aliases")), "|"), lit("")),
+      coalesce(array_join(array_sort(
+        expr("transform(references, r -> r.url)")), "|"), lit("")),
+      coalesce(array_join(array_sort(expr(
+        "transform(severities, s -> concat(s.scoring_system, ':', s.value))")),
+        "|"), lit("")),
+      coalesce(array_join(array_sort(expr(
         """transform(affected, a ->
           |  concat(a.purl, '#', a.affecting_vers, '#', a.fixed_vers))"""
-          .stripMargin)), "|"))
+          .stripMargin)), "|"), lit("")))
     sha2(canonical, 256)
   }
 
@@ -235,7 +243,8 @@ object AdvisoryDerive {
       .agg(coalesce(round(max("ws"), 1), lit(0.0))
           .as("weighted_severity"),
         max(when(col("s.scoring_system") === "epss" &&
-          col("score") > 0.8, true).otherwise(false)).as("high_epss"))
+          col("score") > graft.ingest.EpssIngest.HighEpssThreshold,
+          true).otherwise(false)).as("high_epss"))
     val exploitRef = advisories.filter(col("is_latest"))
       .select(col("avid"),
         exists(col("references"), r =>
@@ -543,13 +552,20 @@ object AdvisoryDerive {
     val w = Window.partitionBy("alias")
       .orderBy(col("date_collected").desc, col("donor_summary"))
     val best = donors.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).select("alias", "donor_summary")
+      .filter(col("_rn") === 1)
+      .select("alias", "donor_summary", "date_collected")
     val blank = latest.filter(length(col("summary")) === 0)
       .select(col("avid"), explode(col("aliases")).as("alias"))
       .filter(col("alias").startsWith("CVE-"))
+    // multi-alias advisories: the LATEST-collected donor wins across
+    // aliases too (a bare min(summary) picked the alphabetically-first
+    // text, which could be the stalest donor), ties to the smaller text
+    val wAvid = Window.partitionBy("avid")
+      .orderBy(col("date_collected").desc, col("donor_summary"))
     blank.join(best, Seq("alias"))
-      .groupBy("avid")
-      .agg(min("donor_summary").as("summary"))
+      .withColumn("_rn", row_number().over(wAvid))
+      .filter(col("_rn") === 1)
+      .select(col("avid"), col("donor_summary").as("summary"))
   }
 
   /** D8 — ghost-package flagging (flag_ghost_packages.py:35-90): exact

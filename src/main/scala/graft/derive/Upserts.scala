@@ -27,18 +27,39 @@ object Upserts {
       .drop("_rn", "_src")
   }
 
+  /** One row per natural key WITHIN a batch: the reference's writers
+    * process rows sequentially under a unique constraint, so an incoming
+    * batch that carries the same key twice (the same (vcs_url, commit)
+    * harvested twice in one run) still yields ONE stored row. Set-level
+    * merges must enforce that explicitly or the one-row-per-key
+    * invariant every downstream join/window assumes silently breaks.
+    * Deterministic pick: the row whose full non-key tuple sorts first
+    * (there is no arrival order in a batch to replay). */
+  private def onePerKey(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val rest = df.columns.filterNot(keys.contains).map(col).toSeq
+    if (rest.isEmpty) df.dropDuplicates(keys)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(struct(rest: _*).asc)
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+  }
+
   /** bulk_create(ignore_conflicts=True): keep existing rows, add only
-    * new-keyed incoming rows. */
+    * new-keyed incoming rows (one per key — see [[onePerKey]]). */
   def insertIgnoreConflicts(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String]): DataFrame =
     existing.unionByName(
-      incoming.join(existing.select(keys.map(col): _*).distinct(),
-        keys, "left_anti"))
+      onePerKey(incoming, keys)
+        .join(existing.select(keys.map(col): _*).distinct(),
+          keys, "left_anti"))
 
-  /** update_or_create: incoming replaces same-keyed existing rows. */
+  /** update_or_create: incoming replaces same-keyed existing rows (one
+    * per key — see [[onePerKey]]). */
   def updateOrCreate(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String]): DataFrame =
-    incoming.unionByName(
+    onePerKey(incoming, keys).unionByName(
       existing.join(incoming.select(keys.map(col): _*).distinct(),
         keys, "left_anti"))
 }

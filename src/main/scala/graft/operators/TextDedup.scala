@@ -54,10 +54,15 @@ object TextDedup {
     val raw = shingles(df, textCol, idCol, n)
     // df-cap via a window count over the shingle partition: one shuffle,
     // against the two a groupBy + equi-join re-derivation would cost
+    // localCheckpoint, not cache(): the sibling functions' convention —
+    // a cache() here pinned the corpus-scale shingle rows in storage
+    // memory with no unpersist (the frame escapes lazily, so there is
+    // no safe place to release it); checkpoint blocks are reclaimed by
+    // the ContextCleaner once the result goes out of scope
     val sh = raw
       .withColumn("_df",
         count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("_df") <= maxDf).drop("_df").cache()
+      .filter(col("_df") <= maxDf).drop("_df").localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val shared = sh.select(col("id").as("id_a"), col("shingle"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
@@ -232,7 +237,14 @@ object TextDedup {
       .withColumn("dup_of_index", lit(true))
     val dupDelta = dupsAgainst(dbC, col("id_a") > col("id_b"))
       .withColumn("dup_of_delta", lit(true))
-    val decisions = deltaSig.select("id")
+    // decisions cover EVERY delta doc, not just the signable ones: a doc
+    // with fewer than n tokens has no shingles, hence no signature and no
+    // duplication evidence at this grain — it is decided keep=true (and
+    // is naturally absent from the admitted signature index, which only
+    // ever holds signature rows). Without this, short docs vanished from
+    // the decision set entirely: never admitted, never flagged, invisible
+    // to a caller reconciling decisions against its input batch.
+    val decisions = delta.select(col(idCol).as("id"))
       .join(dupIx, Seq("id"), "left")
       .join(dupDelta, Seq("id"), "left")
       .select(col("id"),
@@ -290,9 +302,13 @@ object TextDedup {
       "need bands > maxHamming for the pigeonhole guarantee")
     val width = bits / bands
     val sig = simHash(df, textCol, idCol, bits).localCheckpoint()
+    // width = 64 (bands = 1): (1L << 64) wraps to 1L under Scala's mod-64
+    // shift, masking every chunk to 0 and collapsing the corpus into one
+    // bucket — full-width chunks take the all-ones mask explicitly
+    val chunkMask = if (width == 64) -1L else (1L << width) - 1
     val chunkCols = (0 until bands).map { b =>
       val chunk = expr(
-        s"shiftrightunsigned(simhash, ${b * width}) & ${(1L << width) - 1}")
+        s"shiftrightunsigned(simhash, ${b * width}) & $chunkMask")
       struct(lit(b).as("band"), chunk.as("chunk"))
     }
     val banded = sig.select(col("id"), col("simhash"),

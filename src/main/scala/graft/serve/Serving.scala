@@ -1,6 +1,6 @@
 package graft.serve
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Serving-layer queries: the reference's API querysets as parameterized
@@ -63,13 +63,20 @@ object Serving {
     * Scale shape: corpus streams against the broadcast request, the
     * matched avid set (request-bounded) semi-joins advisories.
     */
+  /** The ONE mode→edge mapping both purl-lookup entry points share; an
+    * unknown mode is a caller error and must fail as one (a bare
+    * MatchError from an API parameter names nothing). */
+  private def unfurlEdge(mode: String): Column = mode match {
+    case "affecting" => col("is_affected")
+    case "fixed"     => col("is_fixed")
+    case "both"      => col("is_affected") || col("is_fixed")
+    case other => throw new IllegalArgumentException(
+      s"unknown mode '$other' (expected: affecting, fixed, both)")
+  }
+
   def advisoriesForPurls(advisories: DataFrame, unfurled: DataFrame,
       purls: DataFrame, mode: String = "affecting"): DataFrame = {
-    val edge = mode match {
-      case "affecting" => col("is_affected")
-      case "fixed"     => col("is_fixed")
-      case "both"      => col("is_affected") || col("is_fixed")
-    }
+    val edge = unfurlEdge(mode)
     val avids = unfurled.filter(edge)
       .join(broadcast(purls), Seq("base_purl", "version"), "left_semi")
       .select("avid").distinct()
@@ -81,11 +88,7 @@ object Serving {
     * distinct (versioned purl, avid) pairs for a request list. */
   def advisoryPurlPairs(unfurled: DataFrame, purls: DataFrame,
       mode: String = "affecting"): DataFrame = {
-    val edge = mode match {
-      case "affecting" => col("is_affected")
-      case "fixed"     => col("is_fixed")
-      case "both"      => col("is_affected") || col("is_fixed")
-    }
+    val edge = unfurlEdge(mode)
     unfurled.filter(edge)
       .join(broadcast(purls), Seq("base_purl", "version"), "left_semi")
       .select(concat(col("base_purl"), lit("@"), col("version")).as("purl"),
@@ -163,20 +166,12 @@ object Serving {
       .groupBy("base_purl", "version")
       .agg(collect_list(struct(col("avid"),
         col("nearest_fixed_version"))).as("affecting"))
-    // next non-vulnerable: min rank among versions of the group with rank >
-    // current that are never affected (W3 semantics)
-    val vulnerableVersions = unfurled.filter(col("is_affected"))
-      .select(col("base_purl"), col("version")).distinct()
-    val safe = ranked.join(vulnerableVersions, Seq("base_purl", "version"),
-      "left_anti")
-      .select(col("base_purl").as("s_purl"), col("version").as("safe_version"),
-        col("version_rank").as("safe_rank"))
-    val withNext = ranked.join(safe,
-      col("base_purl") === col("s_purl") &&
-        col("safe_rank") > col("version_rank"), "left")
-      .groupBy(col("base_purl"), col("version"))
-      .agg(min_by(col("safe_version"), col("safe_rank"))
-        .as("next_non_vulnerable"))
+    // next non-vulnerable: the ONE W3 implementation — re-deriving the
+    // safe-version join here had already drifted once (it lacked
+    // latest_non_vulnerable); any fix to the semantics must land in
+    // nonVulnerableVersions alone
+    val withNext = nonVulnerableVersions(unfurled, ranked)
+      .select("base_purl", "version", "next_non_vulnerable")
     affected.join(withNext, Seq("base_purl", "version"), "left")
   }
 

@@ -43,6 +43,25 @@ class DerivePipelinesSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map("gitlab/GLSA-1" -> "newer text"))
   }
 
+  test("backfill picks the LATEST-collected donor across multiple aliases") {
+    val sp = spark
+    import sp.implicits._
+    // the blank advisory carries two CVE aliases; CVE-B's donor is newer
+    // but its text sorts LAST alphabetically — a lexicographic min would
+    // wrongly return CVE-A's stale text
+    val rows = Seq(
+      adv("gitlab", "GLSA-9", "", Seq("CVE-2024-A", "CVE-2024-B"),
+        "2024-01-01 00:00:00"),
+      adv("nvd", "CVE-2024-A", "apple parsing bug", Seq("CVE-2024-A"),
+        "2020-01-01 00:00:00"),
+      adv("nvd", "CVE-2024-B", "zebra overflow", Seq("CVE-2024-B"),
+        "2024-06-01 00:00:00"))
+    val advisories = AdvisoryDerive.withContentIdAndLatest(rows.toDF())
+    val got = AdvisoryDerive.backfillSummaries(advisories)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("gitlab/GLSA-9" -> "zebra overflow"))
+  }
+
   test("ghost packages: pinned versions missing upstream (D8)") {
     val sp = spark
     import sp.implicits._

@@ -172,4 +172,21 @@ class UpsertsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(updated == Map("a" -> 1, "b" -> 99, "c" -> 3))
   }
+
+  test("upserts keep ONE row per key even for intra-batch duplicates") {
+    val sp = spark
+    import sp.implicits._
+    val existing = Seq(("a", 1)).toDF("k", "v")
+    // the same key arrives twice in one batch (e.g. one commit harvested
+    // from two references in the same run)
+    val incoming = Seq(("c", 7), ("c", 3), ("a", 9)).toDF("k", "v")
+    val ignored = Upserts.insertIgnoreConflicts(existing, incoming, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(ignored.length == 2) // one a, ONE c — not two c rows
+    assert(ignored.toMap == Map("a" -> 1, "c" -> 3)) // deterministic pick
+    val updated = Upserts.updateOrCreate(existing, incoming, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(updated.length == 2)
+    assert(updated.toMap == Map("a" -> 9, "c" -> 3))
+  }
 }

@@ -17,6 +17,45 @@ class TextDedupLibSpec extends AnyFunSuite with SparkTestSession {
       .toDF("id", "text")
   }
 
+  test("incremental dedup decides short (unsignable) docs keep=true") {
+    val sp = spark
+    import sp.implicits._
+    val index = TextDedup.minHashSignatures(
+      Seq((1L, "some existing corpus document text")).toDF("id", "text"),
+      "text", "id")
+    // 'hello' has ONE token < n=2 shingle width: no signature possible —
+    // the doc must still appear in decisions (keep) rather than vanish
+    val delta = Seq((7L, "hello"), (8L, "two token doc here"))
+      .toDF("id", "text")
+    val (dec, admit) = TextDedup.incrementalMinHashDedup(
+      delta, index, "text", "id")
+    val d = dec.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(d.keySet == Set(7L, 8L)) // nothing dropped from the decision set
+    assert(d(7L) && d(8L))
+    // but only signable docs enter the admitted index
+    assert(admit.select("id").collect().map(_.getLong(0)).toSeq == Seq(8L))
+  }
+
+  test("simhash pairs bands=1 (full-width chunk) still buckets correctly") {
+    val sp = spark
+    import sp.implicits._
+    // bands=1, maxHamming=0: candidates are EXACT 64-bit signature
+    // matches; the (1L << 64) mask wrap used to zero every chunk and
+    // collapse the corpus into one bucket
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines"))
+      .toDF("id", "text")
+    val pairs = TextDedup.simHashPairs(df, "text", "id",
+      bands = 1, maxHamming = 0, maxBucketSize = 2)
+    // with the mask bug all three ids landed in bucket 0 (> cap 2) and
+    // the exact duplicate pair silently vanished
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("exact dedup flags later duplicates") {
     val out = TextDedup.exact(docs, "text", "id")
       .select("id", "is_duplicate").collect()
