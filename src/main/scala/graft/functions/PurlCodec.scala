@@ -107,22 +107,33 @@ object PurlCodec {
     }
 
   private def decode(s: String): String = {
-    // minimal percent-decoding (purl spec allows %XX escapes)
+    // percent-decoding (purl spec allows %XX escapes). The escapes are
+    // UTF-8 BYTES: consecutive %XX runs must be collected and decoded
+    // as one UTF-8 sequence — mapping each byte to a char directly
+    // turns "caf%C3%A9" into "cafÃ©" (mojibake) and splits the purl's
+    // identity between its encoded and raw spellings.
     if (!s.contains('%')) s
     else {
       val sb = new StringBuilder
+      val bytes = new java.io.ByteArrayOutputStream(8)
+      def flushBytes(): Unit = if (bytes.size() > 0) {
+        sb.append(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+        bytes.reset()
+      }
       var i = 0
       while (i < s.length) {
-        if (s.charAt(i) == '%' && i + 2 < s.length + 1 && i + 2 < s.length + 1
-          && i + 2 <= s.length - 1) {
+        if (s.charAt(i) == '%' && i + 2 <= s.length - 1) {
           try {
-            sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+            bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
             i += 3
           } catch {
-            case _: NumberFormatException => sb.append(s.charAt(i)); i += 1
+            case _: NumberFormatException =>
+              flushBytes(); sb.append(s.charAt(i)); i += 1
           }
-        } else { sb.append(s.charAt(i)); i += 1 }
+        } else { flushBytes(); sb.append(s.charAt(i)); i += 1 }
       }
+      flushBytes()
       sb.toString
     }
   }

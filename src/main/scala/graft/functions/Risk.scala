@@ -46,8 +46,11 @@ object Risk {
       case -1 => u
       case i  => u.substring(i + 3)
     }
+    // lowercase BEFORE stripping: "WWW.Example.com" must reach the
+    // weight table as "example.com", not keep its prefix because the
+    // case-sensitive strip missed it
     noScheme.takeWhile(c => c != '/' && c != '?' && c != '#')
-      .stripPrefix("www.").toLowerCase
+      .toLowerCase.stripPrefix("www.")
   }
 
   /** Weighted severity over (value, url) severity rows: max(score × w/10)

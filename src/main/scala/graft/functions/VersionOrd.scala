@@ -97,7 +97,13 @@ object VersionOrd {
     val r = rest.replace('-', '.').replace('_', '.')
       .replace("alpha", "a").replace("beta", "b")
       .replace("preview", "rc").replace("pre", "rc").replace(".c", ".rc")
-    val rx = raw"^([0-9.]+?)(?:\.?(a|b|rc)\.?([0-9]*))?(?:\.(post|r|rev)\.?([0-9]*))?(?:\.(dev)\.?([0-9]*))?$$".r
+    // 'c' in the pre-release alternation: PEP 440 allows the bare
+    // spelling "1.0c1" (== 1.0rc1) with NO separator, which the
+    // ".c" -> ".rc" rewrite above cannot reach — without it the regex
+    // failed, the fallback stripped "0c1" to "0", and 1.0c1 silently
+    // keyed EQUAL to the final release 1.0 (so a fixed-at-1.0 advisory
+    // marked the rc as already patched)
+    val rx = raw"^([0-9.]+?)(?:\.?(a|b|c|rc)\.?([0-9]*))?(?:\.(post|r|rev)\.?([0-9]*))?(?:\.(dev)\.?([0-9]*))?$$".r
     val (release, preP, preN, postP, postN, devP, devN) = r match {
       case rx(rel, p1, n1, p2, n2, p3, n3) =>
         (rel, Option(p1), Option(n1).getOrElse(""), Option(p2),
@@ -111,9 +117,9 @@ object VersionOrd {
     val num = (s: String) => encNum(if (s.isEmpty) "0" else s)
     // phase marker: dev-only '1' < a '2' < b '3' < rc '4' < final '5'
     val phase = preP match {
-      case Some("a")  => "2" + num(preN)
-      case Some("b")  => "3" + num(preN)
-      case Some("rc") => "4" + num(preN)
+      case Some("a")         => "2" + num(preN)
+      case Some("b")         => "3" + num(preN)
+      case Some("c" | "rc")  => "4" + num(preN) // c is an rc spelling
       case None if devP.isDefined && postP.isEmpty => "1" + num(devN)
       case _          => "5"
     }

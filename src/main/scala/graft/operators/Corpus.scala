@@ -36,17 +36,22 @@ object Corpus {
         Seq("the", "a", "of", "el", "le", "der")): DataFrame = {
     val toks = tokens(col(textCol))
     val nWords = size(toks).cast("long")
-    val meanLen = aggregate(toks, lit(0L),
-      (acc, t) => acc + length(t)).cast("double") / nWords
-    val distinctRatio = size(array_distinct(toks)).cast("double") / nWords
+    // zero-token docs stay IN the ledger (null stats, every flag false,
+    // passes=false): the contract is "input plus attributable flags",
+    // and silently dropping the empty/whitespace junk class made the
+    // per-rule rejection counts stop reconciling with the input
+    val meanLen = when(nWords > 0, aggregate(toks, lit(0L),
+      (acc, t) => acc + length(t)).cast("double") / nWords)
+    val distinctRatio = when(nWords > 0,
+      size(array_distinct(toks)).cast("double") / nWords)
     val stopHits = size(filter(toks,
       x => stopwords.map(w => x === w).reduce(_ || _)))
     val wordCountOk = nWords.between(minWords, maxWords)
-    val wordLenOk = meanLen.between(minMeanWordLen, maxMeanWordLen)
-    val diversityOk = distinctRatio >= minDistinctRatio
+    val wordLenOk =
+      coalesce(meanLen.between(minMeanWordLen, maxMeanWordLen), lit(false))
+    val diversityOk = coalesce(distinctRatio >= minDistinctRatio, lit(false))
     val stopwordOk = stopHits > 0
-    df.filter(size(toks) > 0)
-      .withColumn("n_words", nWords)
+    df.withColumn("n_words", nWords)
       .withColumn("mean_word_len", round(meanLen, 4).cast("double"))
       .withColumn("distinct_ratio", round(distinctRatio, 4).cast("double"))
       .withColumn("word_count_ok", wordCountOk)
@@ -562,7 +567,11 @@ object Corpus {
     * that Java regex (Spark) and RE2 (DuckDB/Go scanners) interpret
     * identically — character classes, bounded repetition, ASCII \b —
     * so the scrub is engine-portable and oracle-checkable. */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // explicit A-Z ranges, not an (?i) flag: the pattern is interpolated
+  // into both Java regex and RE2 call sites, and uppercase emails are
+  // PII exactly like lowercase ones — a lowercase-only class silently
+  // let "John.Doe@Example.COM" through the scrub
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
 

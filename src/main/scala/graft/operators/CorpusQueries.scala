@@ -99,27 +99,32 @@ object CorpusQueries extends QueryModule {
       s"""WITH t AS ($toksSql)
          |SELECT doc_id,
          |  len(toks) AS n_words,
-         |  CAST(round(CAST(list_sum(list_transform(toks, x -> len(x)))
-         |         AS DOUBLE) / len(toks), 4) AS DOUBLE) AS mean_word_len,
-         |  CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks),
-         |         4) AS DOUBLE) AS distinct_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(round(CAST(list_sum(list_transform(toks, x -> len(x)))
+         |           AS DOUBLE) / len(toks), 4) AS DOUBLE) END AS mean_word_len,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks),
+         |           4) AS DOUBLE) END AS distinct_ratio,
          |  len(toks) BETWEEN 5 AND 10000 AS word_count_ok,
-         |  CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-         |    / len(toks) BETWEEN 2 AND 12 AS word_len_ok,
-         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+         |  len(toks) > 0 AND
+         |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+         |      / len(toks) BETWEEN 2 AND 12 AS word_len_ok,
+         |  len(toks) > 0 AND
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
          |    AS diversity_ok,
          |  len(list_filter(toks,
          |      x -> x IN ('the','a','of','el','le','der'))) > 0
          |    AS stopword_ok,
          |  (len(toks) BETWEEN 5 AND 10000)
-         |    AND (CAST(list_sum(list_transform(toks, x -> len(x)))
+         |    AND (len(toks) > 0 AND
+         |      CAST(list_sum(list_transform(toks, x -> len(x)))
          |           AS DOUBLE) / len(toks) BETWEEN 2 AND 12)
-         |    AND (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-         |           >= 0.3)
+         |    AND (len(toks) > 0 AND
+         |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3)
          |    AND (len(list_filter(toks,
          |           x -> x IN ('the','a','of','el','le','der'))) > 0)
          |    AS passes
-         |FROM t WHERE len(toks) > 0 ORDER BY doc_id""") {
+         |FROM t ORDER BY doc_id""") {
       (s, dir) =>
       Corpus.qualityFlags(docs(s, dir), "text")
         .select("doc_id", "n_words", "mean_word_len", "distinct_ratio",

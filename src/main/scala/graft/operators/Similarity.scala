@@ -37,10 +37,16 @@ object Similarity {
     * (probe_id, neighbor_id, cos_sim, rank). */
   def topK(probes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // zero-norm guard: a zero vector's cosine is 0/0 = NaN, and Spark
+    // orders NaN ABOVE every real value — one zero embedding would rank
+    // as every probe's #1 neighbor. A direction-less vector has no
+    // cosine neighbors; both sides drop them.
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
       .withColumn("_pn", l2Norm(col("_pv")))
+      .filter(col("_pn") > 0)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("_cn", l2Norm(col("_cv")))
+      .filter(col("_cn") > 0)
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     broadcast(p).join(c, col("probe_id") =!= col("neighbor_id"))
@@ -179,7 +185,11 @@ object Similarity {
         col("_n").as("_nb")), Seq("id_b"))
       .withColumn("_cos", dot(col("_va"), col("_vb")) /
         (col("_na") * col("_nb")))
-      .filter(col("_cos") >= threshold)
+      // NaN guard: Spark evaluates NaN >= t as TRUE (NaN sorts above
+      // all reals), so a zero-norm vector's 0/0 pair would pass the
+      // threshold — require positive norms on both sides
+      .filter(col("_na") > 0 && col("_nb") > 0 &&
+        col("_cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
   }
 
@@ -237,14 +247,17 @@ object Similarity {
   def ivfTopK(probes: DataFrame, corpusAssigned: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 1): DataFrame = {
+    // zero-norm guard: see topK — NaN cosines sort above every real
     val assignedProbes =
       assignToCentroids(probes, centroids, idCol, vecCol, nprobe)
         .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
           col("centroid_id"))
         .withColumn("_pn", l2Norm(col("_pv")))
+        .filter(col("_pn") > 0)
     val c = corpusAssigned.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"), col("centroid_id"))
       .withColumn("_cn", l2Norm(col("_cv")))
+      .filter(col("_cn") > 0)
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     broadcast(assignedProbes)

@@ -17,8 +17,7 @@ object Skew {
     * `salts` reducers — phase 2 merges the partials per key. Exact for
     * decomposable aggregates. */
   def saltedCount(df: DataFrame, key: Column, salts: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id() +
-        monotonically_increasing_id(), lit(salts)))
+    withSalt(df, "_salt", salts) // the ONE salting formula (see withSalt)
       .groupBy(key.as("key"), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy("key")
@@ -44,8 +43,15 @@ object Skew {
       outCol: String = "row_number"): DataFrame = {
     val spark = df.sparkSession
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // localCheckpoint for the same reason globalRunningSum documents:
+    // zipWithIndex runs a partition-size count job and then the data
+    // job, and BOTH must see identical partition contents — a lineage
+    // replay (shuffle-block loss, executor decommission) between the
+    // two passes could shift range boundaries and duplicate or skip
+    // row numbers. Also keeps downstream actions from re-sorting.
     val sorted = df.repartitionByRange(numPartitions, order)
       .sortWithinPartitions(order)
+      .localCheckpoint()
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
     }
@@ -138,9 +144,15 @@ object Skew {
     spark.createDataFrame(summed, schema)
   }
 
-  /** Skew-safe global top-k per key: per-partition top-k first (narrow),
-    * then top-k of the union — the window never sees more than
-    * partitions×k rows per key. */
+  /** Skew-safe global top-k per key, two stages: stage 1 windows over
+    * (key, input partition id) — a full exchange, but one where a hot
+    * key stays SPREAD over its input partitions instead of funneling
+    * into a single reducer (the salting pattern, with the physical
+    * partition id as the salt) — and prunes to ≤ k rows per (key, pid);
+    * stage 2's per-key window then never sees more than partitions×k
+    * rows for any key. The win over a naive single window is not fewer
+    * shuffles, it is that no single task ever receives a hot key's full
+    * row set. */
   def topKPerKey(df: DataFrame, key: Column, order: Column, k: Int): DataFrame = {
     val byKey = Window.partitionBy(key, spark_partition_id())
       .orderBy(order.desc)

@@ -57,9 +57,15 @@ object DocumentStreaming {
     val index =
       try spark.read.schema(emptyIndex.schema).parquet(indexPath)
       catch { case _: org.apache.spark.sql.AnalysisException => emptyIndex }
-    val (decisions, admittedSig) = graft.operators.TextDedup
+    val (decisionsRaw, admittedSigRaw) = graft.operators.TextDedup
       .incrementalMinHashDedup(batch, index, textCol, idCol,
         n, numHashes, bands, threshold)
+    // two write actions consume the dedup below; without a checkpoint
+    // each re-runs the candidate-generation join against the full
+    // accumulated index — the per-batch cost doubled (and the two
+    // writes could diverge on a lineage replay)
+    val decisions = decisionsRaw.localCheckpoint()
+    val admittedSig = admittedSigRaw.localCheckpoint()
     val kept = decisions.filter(col("keep"))
       .select(col("id").as(idCol))
     batch.join(kept, Seq(idCol))

@@ -227,4 +227,18 @@ class RiskSpec extends AnyFunSuite {
     // unset unless both factors truthy (pipes/risk_score.py:114-116)
     assert(Risk.riskScore(0.0, 2.0).isEmpty)
   }
+
+  test("urlDomain lowercases before stripping www. (weight-table hit)") {
+    assert(Risk.urlDomain("https://WWW.Example.com/advisory") == "example.com")
+    assert(Risk.urlDomain("https://www.example.com/x") == "example.com")
+    assert(Risk.urlDomain("http://Example.COM/a?b#c") == "example.com")
+  }
+
+  test("purl percent-escapes decode as UTF-8 bytes, not per-byte chars") {
+    // %C3%A9 is one two-byte UTF-8 character
+    val p = PurlCodec.parse("pkg:pypi/caf%C3%A9@1.0")
+    assert(p.name == "caf\u00e9")
+    // ASCII escapes unchanged; bad escapes pass through literally
+    assert(PurlCodec.parse("pkg:generic/a%2Fb@1").name == "a/b")
+  }
 }

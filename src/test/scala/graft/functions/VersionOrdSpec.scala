@@ -48,6 +48,11 @@ class VersionOrdSpec extends AnyFunSuite {
     lt("pypi", "1.0a1.dev1", "1.0a1")
     lt("pypi", "0.9", "1!0.1")       // epoch dominates
     eqv("pypi", "1.0RC1", "1.0rc1")  // case-insensitive
+    // PEP 440 alternate spelling: bare 'c' (no separator) == rc — this
+    // used to fall through the parse and key EQUAL to the final 1.0
+    eqv("pypi", "1.0c1", "1.0rc1")
+    lt("pypi", "1.0c1", "1.0")
+    lt("pypi", "1.0b1", "1.0c1")
   }
 
   test("debian ordering") {

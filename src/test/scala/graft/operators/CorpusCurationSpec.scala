@@ -49,6 +49,32 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(!got(5).getAs[Boolean]("word_len_ok"))
   }
 
+  test("empty/whitespace docs stay in the quality ledger with passes=false") {
+    val rows = docsDF(Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog"),
+      doc(2, ""),      // zero tokens — used to vanish from the output
+      doc(3, "   ")))  // whitespace-only likewise
+    val got = Corpus.qualityFlags(rows, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // nothing dropped
+    assert(got(1).getAs[Boolean]("passes"))
+    Seq(2L, 3L).foreach { id =>
+      assert(got(id).getAs[Long]("n_words") == 0L)
+      assert(got(id).isNullAt(got(id).fieldIndex("mean_word_len")))
+      assert(!got(id).getAs[Boolean]("word_len_ok"))
+      assert(!got(id).getAs[Boolean]("diversity_ok"))
+      assert(!got(id).getAs[Boolean]("passes"))
+    }
+  }
+
+  test("redaction catches uppercase emails (case was a PII leak)") {
+    val out = Corpus.redactPii(
+      docsDF(Seq(doc(1, "Contact John.Doe@Example.COM today"))),
+      "text", "doc_id").collect().head
+    assert(out.getAs[Long]("n_emails") == 1L)
+    assert(!out.getAs[String]("redacted").contains("Example.COM"))
+  }
+
   test("contamination measures benchmark shingle overlap") {
     // doc 0 (0 % 97 == 0) IS the benchmark; doc 1 copies it verbatim
     // (contamination 1.0), doc 2 shares nothing, doc 3 shares a prefix

@@ -89,6 +89,23 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
       top.head == ((2L, 1))) // neighbor 2 must rank first
   }
 
+  test("zero-norm vectors never rank: NaN cosine is guarded out") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = vecs.union(
+      Seq((99L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "vec"))
+    val probes = corpus.filter(col("id") === 1L)
+    // without the guard the zero vector's 0/0 = NaN sorts ABOVE every
+    // real cosine and becomes the probe's #1 neighbor
+    val top = Similarity.topK(probes, corpus, "id", "vec", 2)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(!top.contains(99L) && top.head == 2L)
+    // and a zero-norm PROBE emits no rows rather than NaN garbage
+    val zp = Similarity.topK(corpus.filter(col("id") === 99L),
+      corpus, "id", "vec", 2)
+    assert(zp.count() == 0)
+  }
+
   test("IVF: assignment routes to nearest centroid; search stays in partition") {
     val sp = spark
     import sp.implicits._
