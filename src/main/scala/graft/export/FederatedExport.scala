@@ -137,9 +137,11 @@ object FederatedExport {
           lit("\n")).as("yaml"),
         col("advisory_id"),
         coalesce(col("n_impacts"), lit(0)).as("n_impacts"),
-        size(col("severities")).as("n_severities"),
-        size(col("references")).as("n_references"),
-        size(col("weaknesses")).as("n_weaknesses"))
+        // size() returns -1 on a null array; the rendered YAML shows
+        // '[]' for those rows, so the counts must say 0 like n_impacts
+        greatest(size(col("severities")), lit(0)).as("n_severities"),
+        greatest(size(col("references")), lit(0)).as("n_references"),
+        greatest(size(col("weaknesses")), lit(0)).as("n_weaknesses"))
   }
 
   /** Per-package advisory index (export.py:79-96): one document per

@@ -111,6 +111,19 @@ case class SignLshSigExpr(child: Expression, bits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_lsh_sig_native"
 
+  // analysis-time validation: the helper reads with getLong, so an
+  // array<int> input would read 8 bytes across 4-byte slots (garbage
+  // signatures) instead of failing cleanly like the sibling expressions
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_sig_native needs array<bigint>, got $t")
+    }
+
   override protected def nullSafeEval(qv: Any): Any =
     SignLshSigExpr.signature(qv.asInstanceOf[ArrayData], bits)
 

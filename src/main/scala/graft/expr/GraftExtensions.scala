@@ -83,7 +83,20 @@ object ConstantVersionRangeRewrite extends Rule[LogicalPlan] {
           val ops = r.constraints.map(_.op)
           val pure = ops.nonEmpty && ops.forall(o => o == ">=" || o == "<") &&
             ops.count(_ == ">=") <= 1 && ops.count(_ == "<") <= 1
-          if (!pure) vir
+          // both-bounds specs are a single interval ONLY when the >=
+          // bound sorts BELOW the < bound; in the inverted spelling
+          // (">=2.0|<1.0") the vers interval walk over SORTED
+          // constraints means v<1.0 OR v>=2.0 — a disjunction the AND
+          // rewrite would turn into an always-false predicate. Skip
+          // the rewrite there; the interval walk stays correct.
+          val loV = r.constraints.find(_.op == ">=").map(_.version)
+          val hiV = r.constraints.find(_.op == "<").map(_.version)
+          val ordered = (loV, hiV) match {
+            case (Some(lo), Some(hi)) =>
+              VersionOrd.sortKey(r.scheme, lo) < VersionOrd.sortKey(r.scheme, hi)
+            case _ => true
+          }
+          if (!pure || !ordered) vir
           else {
             val schemeLit = Literal(UTF8String.fromString(r.scheme), StringType)
             val key = VersionSortKeyExpr(schemeLit, version)

@@ -42,7 +42,18 @@ object DebianTrackerIngest {
              |    e.value.urgency AS value, '' AS scoring_elements,
              |    '' AS url))""".stripMargin).as("severities"),
       array().cast("array<int>").as("weaknesses"),
-      expr("""transform(map_entries(coalesce(d.releases, map())), e ->
+      // fixed_version "0" + status "resolved" is the tracker's "never
+      // affected in this release" marker (the package entered the
+      // archive already fixed) — it must yield NO impact row, not the
+      // all-versions range: mapping it to 'vers:deb/*' inverted the
+      // feed's meaning and reported every version of an unaffected
+      // package as vulnerable. An OPEN entry (whatever its
+      // fixed_version) is genuinely unfixed → all versions affected.
+      expr("""transform(
+             |  filter(map_entries(coalesce(d.releases, map())),
+             |    e -> NOT (e.value.status = 'resolved'
+             |              AND e.value.fixed_version = '0')),
+             |  e ->
              |  struct(concat('pkg:deb/debian/', pkg) AS purl,
              |    CASE WHEN e.value.fixed_version IS NOT NULL
              |           AND e.value.fixed_version != '0'

@@ -90,8 +90,13 @@ object FixCommitsIngest {
         array_distinct(concat(
           transform(regexp_extract_all(col("message"),
             lit(Patterns.head), lit(0)), upper _),
+          // GHSA ids are canonically "GHSA-" + lowercase groups —
+          // uppercasing them (as CVEs are) produced ids that never
+          // matched the GithubIngest ghsaId for the same advisory
           transform(regexp_extract_all(col("message"),
-            lit(Patterns(1)), lit(0)), upper _))).as("vuln_ids"))
+            lit(Patterns(1)), lit(0)),
+            m => concat(lit("GHSA-"),
+              lower(substring(m, 6, 1000)))))).as("vuln_ids"))
       .filter(size(col("vuln_ids")) > 0)
       .select(explode(col("vuln_ids")).as("vuln_id"),
         col("commit_hash"), col("message"))

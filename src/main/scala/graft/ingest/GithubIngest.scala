@@ -66,10 +66,23 @@ object GithubIngest {
               "semver")
             .when(eco === "maven", "maven")
             .otherwise("generic")
+          // the reference's package_type_by_github_ecosystem
+          // (github_importer.py:52-60): RUBYGEMS->gem, RUST->cargo,
+          // PIP->pypi, GO->golang; raw lowercase ecosystems would
+          // emit pkg:rubygems/... that never joins the pkg:gem/...
+          // the gitlab/ruby sources produce for the same package
+          val ptype = when(eco === "pip", "pypi")
+            .when(eco === "rubygems", "gem")
+            .when(eco === "rust", "cargo")
+            .when(eco === "go", "golang")
+            .otherwise(eco)
+          val rawName = v.getField("package").getField("name")
+          // maven names arrive as group:artifact; the purl form is
+          // namespace/name (github_importer.py get_purl:153-159)
+          val pname = when(eco === "maven",
+            regexp_replace(rawName, lit(":"), lit("/"))).otherwise(rawName)
           struct(
-            concat(lit("pkg:"),
-              when(eco === "pip", "pypi").otherwise(eco), lit("/"),
-              v.getField("package").getField("name")).as("purl"),
+            concat(lit("pkg:"), ptype, lit("/"), pname).as("purl"),
             concat(lit("vers:"), scheme, lit("/"),
               ghRangeToVers(v.getField("vulnerableVersionRange")))
               .as("affecting_vers"),

@@ -137,7 +137,11 @@ object GitlabIngest {
     if (identifier == null) return None
     val slug = Option(str(doc, "package_slug")).getOrElse("")
     val advisoryId = if (slug.nonEmpty) s"$slug/$identifier" else identifier
-    val aliases = strList(doc, "identifiers").filter(_ != advisoryId)
+    // the reference keeps the identifiers list verbatim as aliases
+    // (gitlab_importer.py:223 — no self-filter); the previous
+    // `filter(_ != advisoryId)` compared against the slug-prefixed id
+    // and so removed nothing anyway
+    val aliases = strList(doc, "identifiers")
     val summary = buildDescription(str(doc, "title"), str(doc, "description"))
     val references = strList(doc, "urls").map { u =>
       ReferenceRow(u,

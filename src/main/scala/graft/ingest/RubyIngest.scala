@@ -54,6 +54,9 @@ object RubyIngest {
     val advisoryId = relPath.stripSuffix(".yml")
     val aliases =
       Option(str(doc, "cve")).map("CVE-" + _).toSeq ++
+      // "OSV-" (not "OSVDB-") is the REFERENCE's own alias spelling
+      // for the osvdb field (ruby.py:149) — kept verbatim so aliases
+      // join across the two engines
       Option(str(doc, "osvdb")).map("OSV-" + _).toSeq ++
       Option(str(doc, "ghsa")).map("GHSA-" + _).toSeq
     val title = Option(str(doc, "title")).getOrElse("").trim

@@ -31,12 +31,20 @@ object TomcatIngest {
       .replace("&#39;", "'").replace("&amp;", "&")
       .replaceAll("\\s+", " ").trim
 
-  /** Affects grammar (to_version_ranges_apache): "a to b" / "a-b" →
-    * interval, "<x" → upper bound, else a pin on the first token. */
+  /** Affects grammar (to_version_ranges_apache): the line is a
+    * COMMA-separATED list of ranges — the reference splits on ", "
+    * first (apache_tomcat.py:280) and parses each piece: "a to b" /
+    * "a-b" → interval, "<x" → upper bound, else a pin on the first
+    * token. Without the comma split, "9.0.0.M1 to 9.0.17, 8.5.0 to
+    * 8.5.39" collapsed into the inverted interval
+    * [>=9.0.0.M1, <=8.5.39] that marks nearly everything affected. */
   def affectsConstraints(raw0: String): Seq[String] = {
-    val raw = Option(raw0).getOrElse("").trim
-    if (raw.isEmpty) Seq.empty
-    else if (raw.contains("to")) {
+    Option(raw0).getOrElse("").split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty).flatMap(affectsOne)
+  }
+
+  private def affectsOne(raw: String): Seq[String] =
+    if (raw.contains("to")) {
       val parts = raw.split(' ')
       Seq(">=" + parts.head, "<=" + parts.last)
     } else if (raw.contains("-")) {
@@ -44,7 +52,6 @@ object TomcatIngest {
       Seq(">=" + parts.head.trim, "<=" + parts.last.trim)
     } else if (raw.startsWith("<")) Seq("<" + raw.split('<').last.trim)
     else Seq("=" + raw.split(' ').head)
-  }
 
   final private case class Item(cve: String, summary: String,
       affects: String, fixedIn: String)

@@ -129,6 +129,18 @@ class VersionPushdownSpec extends AnyFunSuite with SparkTestSession {
     assert(got == expected) // wrong-column substitution would break this
   }
 
+  test("inverted-bound spec (a disjunction) is NOT rewritten to an AND") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 30).map(i => (i.toLong, s"$i.0.0")).toDF("id", "version")
+    // vers:semver/>=20.0.0|<10.0.0 sorts to [<10, >=20]: the interval
+    // walk means v<10 OR v>=20 — an AND rewrite would return ZERO rows
+    val got = df.filter(expr(
+      "version_in_range_native(version, 'vers:semver/>=20.0.0|<10.0.0')"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == ((0L until 10L) ++ (20L until 30L)).toSet)
+  }
+
   test("unsupported specs fall back: no vkey pushdown, same rows") {
     // an exact-pin spec is not a pure interval → ConstantVersionRangeRewrite
     // leaves it alone → nothing for the materialized rule to substitute

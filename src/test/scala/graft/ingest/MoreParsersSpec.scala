@@ -410,9 +410,11 @@ class FixCommitsIngestSpec extends AnyFunSuite with SparkTestSession {
     val rows = FixCommitsIngest.fromCommits(sp, commits,
       "https://github.com/torvalds/linux", "linux_fix_commits")
       .collect().map(a => a.advisory_id -> a).toMap
-    // case-insensitive match, uppercased ids, one advisory per vuln
+    // case-insensitive match; CVEs canonicalize UPPER, GHSA ids keep
+    // their canonical lowercase groups (so they join GithubIngest's
+    // ghsaId for the same advisory); one advisory per vuln
     assert(rows.keySet ==
-      Set("CVE-2030-1111", "CVE-2030-2222", "GHSA-QQQQ-WWWW-RRRR"))
+      Set("CVE-2030-1111", "CVE-2030-2222", "GHSA-qqqq-wwww-rrrr"))
     val a = rows("CVE-2030-1111")
     assert(a.references.map(_.reference_id).sorted == Seq("aaa111", "bbb222"))
     assert(a.references.head.url.startsWith(

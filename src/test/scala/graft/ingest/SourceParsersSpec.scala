@@ -47,7 +47,9 @@ class DebianTrackerIngestSpec extends AnyFunSuite with SparkTestSession {
       |                              "fixed_version": "7.88.1-1",
       |                              "urgency": "medium"},
       |                 "sid": {"status": "open", "fixed_version": "0",
-      |                         "urgency": "low"}}}}}"""
+      |                         "urgency": "low"},
+      |                 "trixie": {"status": "resolved", "fixed_version": "0",
+      |                            "urgency": "unimportant"}}}}}"""
       .stripMargin.replaceAll("\n", "")
 
   test("tracker map explodes to per-(package, CVE) rows (S2)") {
@@ -60,11 +62,15 @@ class DebianTrackerIngestSpec extends AnyFunSuite with SparkTestSession {
     val a = rows.head
     assert(a.advisory_id == "CVE-2024-1111/curl")
     assert(a.aliases == Seq("CVE-2024-1111"))
-    assert(a.severities.map(_.value).sorted.toSeq == Seq("low", "medium"))
+    assert(a.severities.map(_.value).sorted.toSeq ==
+      Seq("low", "medium", "unimportant"))
     val fixed = a.affected.find(_.fixed_vers == "vers:deb/=7.88.1-1")
     assert(fixed.isDefined)
     assert(fixed.get.affecting_vers == "vers:deb/<7.88.1-1")
     assert(a.affected.exists(_.affecting_vers == "vers:deb/*")) // sid open
+    // resolved + fixed_version "0" = never affected -> NO impact row
+    // (mapping it to vers:deb/* would invert the tracker's semantics)
+    assert(a.affected.length == 2)
   }
 }
 
