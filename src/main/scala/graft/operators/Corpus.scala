@@ -87,21 +87,29 @@ object Corpus {
   /** Benchmark contamination: per corpus doc, the count and fraction of
     * its distinct word n-gram shingles appearing anywhere in the
     * benchmark docs' vocabulary. Docs with zero overlap are not emitted.
-    * Returns (idCol, n_hit, contamination, contaminated). */
+    *
+    * Scale shape: the corpus is shingled ONCE; the bounded benchmark
+    * vocabulary broadcasts and tags each corpus shingle in a map-side
+    * left-outer join (vocab is distinct, so no row fan-out), and a single
+    * per-doc aggregation counts totals and hits together. The corpus
+    * never shuffles for the membership test, and — unlike a
+    * semi-join-then-rejoin formulation — is never tokenized or
+    * aggregated twice. Returns (idCol, n_hit, contamination,
+    * contaminated). */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
       flagAt: Double = 0.8): DataFrame = {
     val sh = TextDedup.shingles(corpus, textCol, idCol, n)
     val vocab = TextDedup.shingles(benchmark, textCol, idCol, n)
-      .select("shingle").distinct()
-    val tot = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val hit = sh.join(broadcast(vocab), Seq("shingle"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+      .select("shingle").distinct().withColumn("_hit", lit(1))
+    val agg = sh.join(broadcast(vocab), Seq("shingle"), "left_outer")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sh"), count(col("_hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
     val rate = col("n_hit").cast("double") / col("n_sh")
-    hit.join(tot, "id")
-      .select(col("id").as(idCol), col("n_hit"),
-        round(rate, 4).cast("double").as("contamination"),
-        (rate >= flagAt).as("contaminated"))
+    agg.select(col("id").as(idCol), col("n_hit"),
+      round(rate, 4).cast("double").as("contamination"),
+      (rate >= flagAt).as("contaminated"))
   }
 
   /** Corpus-frequency top-k tokens (vocabulary heavy hitters). Spark

@@ -175,7 +175,8 @@ object CorpusQueries extends QueryModule {
     // The benchmark VOCABULARY is the broadcast side — eval suites are
     // bounded (millions of shingles, not corpus-scale) — so the corpus
     // side streams map-side with no shuffle for the membership test;
-    // only the per-doc count aggregation shuffles.
+    // the corpus is shingled ONCE and a single per-doc aggregation
+    // counts totals and hits together (no semi-then-rejoin double pass).
     q("x_contamination",
       """WITH t AS (
         |  SELECT doc_id,

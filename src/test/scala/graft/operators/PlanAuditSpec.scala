@@ -83,19 +83,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("contamination broadcasts the benchmark vocabulary (semi join)") {
+  test("contamination broadcasts the benchmark vocabulary (one pass)") {
     val bench = docs.filter(col("doc_id") % 10 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val df = Corpus.contamination(corpus, bench, "text", "doc_id", n = 2)
     df.collect()
     val nodes = allNodes(df.queryExecution.executedPlan)
-    val semi = nodes.collect {
+    val bcast = nodes.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => j
     }
-    assert(semi.nonEmpty,
-      "membership test must be a broadcast left-semi join — the corpus " +
-        "side must never shuffle for it")
+    assert(bcast.nonEmpty,
+      "membership test must be a broadcast left-outer tag join — the " +
+        "corpus side must never shuffle for it")
+    // single-pass: one aggregation pair (partial+final) over the corpus
+    // shingles plus one pair for the bounded vocab distinct = 4 nodes;
+    // the semi-then-rejoin shape carried 6 (two corpus-side pairs)
+    val aggs = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])
+    assert(aggs <= 4, s"expected at most two aggregate pairs, saw $aggs")
   }
 
   test("quantile sketch partial-aggregates map-side (mergeable state)") {
