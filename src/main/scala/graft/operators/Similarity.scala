@@ -94,8 +94,12 @@ object Similarity {
       col("centroid_id"))
     df.withColumn("_vn", l2Norm(col(vecCol)))
       .crossJoin(broadcast(c))
-      .withColumn("_ccos", round(dot(col(vecCol), col("_cent")) /
-        (col("_vn") * col("_centn")), 6))
+      // zero-norm guard: a 0/0 cosine is an ANSI divide-by-zero; null
+      // cosine instead → the row still assigns (lowest centroid_id via
+      // the tie-break) rather than killing the job
+      .withColumn("_ccos", when(col("_vn") > 0 && col("_centn") > 0,
+        round(dot(col(vecCol), col("_cent")) /
+          (col("_vn") * col("_centn")), 6)))
       .withColumn("_crn", row_number().over(w))
       .filter(col("_crn") <= nprobe)
       .withColumn("probe_rank", col("_crn"))
@@ -268,5 +272,46 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the coarse quantizer,
+    * then inside each cluster remove every member whose cosine
+    * similarity to some LOWER-id member reaches `threshold` — the
+    * public reference implementation's triangular-matrix rule (max over
+    * j < i of sim(i, j) decides i's fate), which keeps exactly the
+    * first arrival of each semantic near-dup group and never compares
+    * across clusters.
+    *
+    * Scale shape: assignment is [[assignToCentroids]]'s broadcast
+    * cross-join; the pairwise check is an equi-join on centroid_id, so
+    * candidate volume is Σ|cluster|² — bounded by the quantizer's k,
+    * which SemDeDup sizes so clusters stay small (the paper runs
+    * k = 50k on LAION) — never corpus × corpus. Cosines round to 6dp
+    * before the max so the keep decision is engine-stable. Zero-norm
+    * vectors have no cosine: they are kept and are never a prior.
+    * Returns one row per input: (idCol, centroid_id, max_prior_cos —
+    * null when the row has no lower-id cluster-mate, kept). */
+  def semanticDedup(df: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(df, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .withColumn("_n", l2Norm(col(vecCol)))
+    val x = assigned.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      col("_n").as("_vn"), col("centroid_id"))
+    val prior = assigned.filter(col("_n") > 0)
+      .select(col(idCol).as("_pid"), col(vecCol).as("_pv"),
+        col("_n").as("_pn"), col("centroid_id"))
+    val maxPrior = x.filter(col("_vn") > 0)
+      .join(prior, Seq("centroid_id"))
+      .filter(col("_pid") < col("_id"))
+      .groupBy(col("_id"))
+      .agg(max(round(dot(col("_v"), col("_pv")) /
+        (col("_vn") * col("_pn")), 6)).as("max_prior_cos"))
+    x.join(maxPrior, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("centroid_id"),
+        col("max_prior_cos"),
+        (col("max_prior_cos").isNull ||
+          col("max_prior_cos") < threshold).as("kept"))
   }
 }

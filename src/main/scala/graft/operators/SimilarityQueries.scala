@@ -807,6 +807,60 @@ object SimilarityQueries extends QueryModule {
         "vec_id", "embedding", k = 5)
       Similarity.recallAtK(ann, exact).orderBy("probe_id")
     },
+
+    // SemDeDup semantic dedup (Abbas et al. 2023): cluster-then-local
+    // pairwise — a row is removed when some LOWER-id member of its
+    // cluster is cosine-similar above the threshold (the triangular
+    // max-over-priors rule of the public reference implementation).
+    // Clusters here are the label-seeded coarse quantizer (the
+    // x_ann_ivf shortcut; x_ann_ivf_trained oracles the trained path),
+    // so the pairwise stage is an equi-join on centroid_id — Σ|c|²
+    // candidate pairs, never corpus × corpus. Threshold 0.35 sits
+    // between the synthetic corpus's p99 (~0.29) and max (~0.51)
+    // within-cluster cosine, so both verdicts appear in the output.
+    q("x_semantic_dedup",
+      s"""WITH cent AS (
+         |  SELECT e.label, e.embedding FROM embeddings e
+         |  JOIN (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label) m
+         |    ON e.label = m.label AND e.vec_id = m.mv),
+         |corp AS (
+         |  SELECT vec_id, centroid_id, embedding FROM (
+         |    SELECT a.vec_id, b.label AS centroid_id, a.embedding,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.label) AS rn
+         |    FROM embeddings a CROSS JOIN cent b)
+         |  WHERE rn = 1),
+         |mp AS (
+         |  SELECT a.vec_id,
+         |         max(round($dotSql /
+         |           (sqrt(list_sum(list_transform(a.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |            sqrt(list_sum(list_transform(b.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6))
+         |           AS max_prior_cos
+         |  FROM corp a JOIN corp b ON a.centroid_id = b.centroid_id
+         |                         AND b.vec_id < a.vec_id
+         |  GROUP BY a.vec_id)
+         |SELECT c.vec_id, c.centroid_id, m.max_prior_cos,
+         |       (m.max_prior_cos IS NULL OR m.max_prior_cos < 0.35) AS kept
+         |FROM corp c LEFT JOIN mp m USING (vec_id)
+         |ORDER BY vec_id""") { (s, dir) =>
+      val e = emb(s, dir)
+      val seeds = e.groupBy(col("label").as("s_label"))
+        .agg(min("vec_id").as("mv"))
+      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
+          e("vec_id") === seeds("mv"))
+        .select(col("s_label").as("centroid_id"),
+          col("embedding").as("vec"))
+      Similarity.semanticDedup(e, cent, "vec_id", "embedding",
+          threshold = 0.35)
+        .orderBy("vec_id")
+    },
   )
 
   /** Deterministic planted-cluster corpus, derived from `vec_id` alone

@@ -106,6 +106,32 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
     assert(zp.count() == 0)
   }
 
+  test("semanticDedup keeps the first arrival of each near-dup group") {
+    val sp = spark
+    import sp.implicits._
+    // clusters: {1,2} near x-axis (cos ≈ .9939 > .95 → 2 is 1's dup),
+    // {3,4} near y-axis (4 is 3's dup); 5 assigns to centroid 1 on a
+    // 0-cosine tie but is nobody's dup; 6 is zero-norm (no cosine)
+    val corpus = vecs.union(
+      Seq((6L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "vec"))
+    val cent = Seq((1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0)))
+      .toDF("centroid_id", "vec")
+    val out = Similarity.semanticDedup(corpus, cent, "id", "vec", 0.95)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2))),
+          r.getBoolean(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out(1L) == ((None, true)))            // first in its cluster
+    assert(out(2L)._2 == false                   // removed: dup of 1
+      && out(2L)._1.exists(c => c > 0.99 && c < 1.0))
+    assert(out(3L) == ((None, true)))
+    assert(out(4L)._2 == false && out(4L)._1.exists(_ > 0.99))
+    assert(out(5L) == ((Some(0.0), true)))       // orthogonal cluster-mate
+    assert(out(6L)._1.isEmpty && out(6L)._2)     // zero-norm: kept, no prior
+  }
+
   test("IVF: assignment routes to nearest centroid; search stays in partition") {
     val sp = spark
     import sp.implicits._
