@@ -24,6 +24,7 @@ object SparkEntry {
     DedupGroupQueries,
     TextAnalysisQueries,
     TextDedupQueries,
+    BpeQueries,
     SimilarityQueries,
     MultimodalQueries,
     CorpusQueries,

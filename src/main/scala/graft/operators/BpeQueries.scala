@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.core.{QueryEntry, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** BPE merge-learning queries over `documents` (see [[Bpe]]).
+  *
+  * Oracle strategy mirrors x_ivf_train: one training round is what SQL
+  * expresses non-recursively, so x_bpe_train oracles round 1's pair
+  * statistics and x_bpe_train2 oracles round 2 END-TO-END (learn the
+  * argmax merge, fold it through every vocabulary word, recount) — the
+  * fold is a DuckDB list_reduce with the same accumulator discipline as
+  * the Spark `aggregate`. Deeper rounds are the same fold iterated;
+  * BpeSpec pins them on fixtures with hand-computed merge tables.
+  */
+object BpeQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Shared SQL prefix: word frequencies (the corpus-scale pass). */
+  private val wcSql =
+    """w AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                x -> x <> '')) AS word
+      |  FROM documents),
+      |wc AS (SELECT word, count(*) AS wc FROM w GROUP BY word)""".stripMargin
+
+  /** DuckDB twin of [[Bpe.applyMerge]]: left-fold over the word's chars
+    * with a tab-joined accumulator; trailing-symbol-== a test via
+    * ends_with on the separator. `a`/`b` are the merge-rule columns. */
+  private def foldSql(chars: String, a: String, b: String): String =
+    s"""list_reduce($chars,
+       |  (acc, x) -> CASE WHEN (acc = $a OR ends_with(acc, chr(9) || $a))
+       |                    AND x = $b
+       |              THEN acc || x ELSE acc || chr(9) || x END)""".stripMargin
+
+  private def sparkVocab(s: SparkSession, dir: String): DataFrame =
+    Bpe.wordCounts(docs(s, dir), "text")
+      .select(col("wc"), Bpe.charSymbols(col("word")).as("syms"))
+
+  private def topPairs(pc: DataFrame, k: Int): DataFrame = {
+    val ranked = pc
+      .select(concat_ws(" ", col("pair_a"), col("pair_b")).as("pair"),
+        col("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+    // rank over ≤ k rows: bounded single-partition window (vocabTopK's
+    // TakeOrderedAndProject-then-small-window shape)
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  override val entries: Seq[QueryEntry] = Seq(
+
+    // Round-1 BPE pair statistics: frequency-weighted adjacent character
+    // pair counts over the DISTINCT-WORD table — the argmax row is the
+    // first merge BPE learns. The corpus-scale pass is the word count
+    // (map-side combine); pair explode + count run on the bounded vocab.
+    q("x_bpe_train",
+      s"""WITH $wcSql,
+         |pr AS (SELECT word, wc, unnest(range(1, len(word))) AS i
+         |       FROM wc WHERE len(word) >= 2),
+         |pc AS (SELECT word[i] || ' ' || word[i+1] AS pair,
+         |              CAST(sum(wc) AS BIGINT) AS cnt
+         |       FROM pr GROUP BY 1)
+         |SELECT pair, cnt,
+         |       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+         |         AS rank
+         |FROM pc ORDER BY cnt DESC, pair LIMIT 20""") { (s, dir) =>
+      topPairs(Bpe.pairCounts(sparkVocab(s, dir)), 20)
+    },
+
+    // Round-2 end-to-end: learn round 1's argmax merge (cnt desc, then
+    // pair bytes — engine-stable), apply it to every vocabulary word
+    // with the left-to-right non-overlapping fold, recount pairs over
+    // the merged symbols. The merge rule reaches the fold as a broadcast
+    // 1-row cross join, not a driver collect, so the whole round is one
+    // declarative plan; merged symbols are multi-char, proving the fold
+    // round-trips through the segmentation representation.
+    q("x_bpe_train2",
+      s"""WITH $wcSql,
+         |pr0 AS (SELECT word, wc, unnest(range(1, len(word))) AS i
+         |        FROM wc WHERE len(word) >= 2),
+         |pc0 AS (SELECT word[i] AS a, word[i+1] AS b, sum(wc) AS cnt
+         |        FROM pr0 GROUP BY 1, 2),
+         |m1 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+         |seg AS (SELECT wc.wc,
+         |          string_split(${foldSql(
+               "list_transform(range(1, len(wc.word) + 1), i -> wc.word[i])",
+               "m.a", "m.b")}, chr(9)) AS ss
+         |        FROM wc, m1 m),
+         |pr AS (SELECT wc, ss, unnest(range(1, len(ss))) AS i
+         |       FROM seg WHERE len(ss) >= 2),
+         |pc AS (SELECT ss[i] || ' ' || ss[i+1] AS pair,
+         |              CAST(sum(wc) AS BIGINT) AS cnt
+         |       FROM pr GROUP BY 1)
+         |SELECT pair, cnt,
+         |       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+         |         AS rank
+         |FROM pc ORDER BY cnt DESC, pair LIMIT 20""") { (s, dir) =>
+      val vocab = sparkVocab(s, dir)
+      val m1 = Bpe.pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("pair_a"), col("pair_b"))
+        .limit(1)
+        .select(col("pair_a").as("_ma"), col("pair_b").as("_mb"))
+      val merged = vocab.crossJoin(broadcast(m1))
+        .select(col("wc"),
+          Bpe.applyMerge(col("syms"), col("_ma"), col("_mb")).as("syms"))
+      topPairs(Bpe.pairCounts(merged), 20)
+    },
+  )
+}
