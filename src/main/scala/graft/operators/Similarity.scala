@@ -287,21 +287,35 @@ object Similarity {
     * cross-join; the pairwise check is an equi-join on centroid_id, so
     * candidate volume is Σ|cluster|² — bounded by the quantizer's k,
     * which SemDeDup sizes so clusters stay small (the paper runs
-    * k = 50k on LAION) — never corpus × corpus. Cosines round to 6dp
-    * before the max so the keep decision is engine-stable. Zero-norm
-    * vectors have no cosine: they are kept and are never a prior.
-    * Returns one row per input: (idCol, centroid_id, max_prior_cos —
-    * null when the row has no lower-id cluster-mate, kept). */
+    * k = 50k on LAION; k must grow with N or clusters — and the
+    * quadratic pair stage — grow linearly). `maxPriors` is the cap for
+    * corpora where that sizing can't hold (duplication floods): each
+    * member compares only against its cluster's `maxPriors` LOWEST-id
+    * members, making pair volume |c|·M (linear) at the cost of missing
+    * dup pairs wholly inside the cluster's tail — the same
+    * documented-approximation contract as the LSH hot-bucket cap.
+    * Cosines round to 6dp before the max so the keep decision is
+    * engine-stable. Zero-norm vectors have no cosine: they are kept and
+    * are never a prior. Returns one row per input: (idCol, centroid_id,
+    * max_prior_cos — null when the row has no lower-id cluster-mate
+    * among the compared priors, kept). */
   def semanticDedup(df: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
+      vecCol: String, threshold: Double,
+      maxPriors: Option[Int] = None): DataFrame = {
+    maxPriors.foreach(m => require(m >= 1, "maxPriors must be >= 1"))
     val assigned = assignToCentroids(df, centroids, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("centroid_id"))
       .withColumn("_n", l2Norm(col(vecCol)))
     val x = assigned.select(col(idCol).as("_id"), col(vecCol).as("_v"),
       col("_n").as("_vn"), col("centroid_id"))
-    val prior = assigned.filter(col("_n") > 0)
+    val priorAll = assigned.filter(col("_n") > 0)
       .select(col(idCol).as("_pid"), col(vecCol).as("_pv"),
         col("_n").as("_pn"), col("centroid_id"))
+    val prior = maxPriors.fold(priorAll) { m =>
+      val w = Window.partitionBy("centroid_id").orderBy(col("_pid"))
+      priorAll.withColumn("_prn", row_number().over(w))
+        .filter(col("_prn") <= m).drop("_prn")
+    }
     val maxPrior = x.filter(col("_vn") > 0)
       .join(prior, Seq("centroid_id"))
       .filter(col("_pid") < col("_id"))

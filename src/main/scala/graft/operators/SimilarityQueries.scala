@@ -818,6 +818,13 @@ object SimilarityQueries extends QueryModule {
     // candidate pairs, never corpus × corpus. Threshold 0.35 sits
     // between the synthetic corpus's p99 (~0.29) and max (~0.51)
     // within-cluster cosine, so both verdicts appear in the output.
+    //
+    // LABELED EXACT FORM: faithful SemDeDup assumes the quantizer's k
+    // grows with N so clusters stay bounded; under a fixed k (as in the
+    // stride-cloned scale rehearsal, where every clone of a vector
+    // lands in one cluster) the pair stage is quadratic by
+    // construction. The _capped twin below is the flood-safe library
+    // path — the x_ngram_jaccard / _capped demonstration pair, again.
     q("x_semantic_dedup",
       s"""WITH cent AS (
          |  SELECT e.label, e.embedding FROM embeddings e
@@ -859,6 +866,63 @@ object SimilarityQueries extends QueryModule {
           col("embedding").as("vec"))
       Similarity.semanticDedup(e, cent, "vec_id", "embedding",
           threshold = 0.35)
+        .orderBy("vec_id")
+    },
+
+    // The flood-safe SemDeDup form: each member compares only against
+    // its cluster's 20 LOWEST-id members (prefix anchors), so pair
+    // volume is |c|·20 — linear in cluster size — instead of |c|².
+    // What the cap can miss is a dup pair wholly inside a cluster's
+    // tail; on duplication-flooded corpora (where fixed-k clusters
+    // balloon) the flood members all match the earliest arrivals, which
+    // the prefix always covers. Same output contract as the exact twin.
+    q("x_semantic_dedup_capped",
+      s"""WITH cent AS (
+         |  SELECT e.label, e.embedding FROM embeddings e
+         |  JOIN (SELECT label, min(vec_id) AS mv FROM embeddings GROUP BY label) m
+         |    ON e.label = m.label AND e.vec_id = m.mv),
+         |corp AS (
+         |  SELECT vec_id, centroid_id, embedding FROM (
+         |    SELECT a.vec_id, b.label AS centroid_id, a.embedding,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.label) AS rn
+         |    FROM embeddings a CROSS JOIN cent b)
+         |  WHERE rn = 1),
+         |pri AS (
+         |  SELECT vec_id, centroid_id, embedding FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY centroid_id
+         |              ORDER BY vec_id) AS prn
+         |    FROM corp)
+         |  WHERE prn <= 20),
+         |mp AS (
+         |  SELECT a.vec_id,
+         |         max(round($dotSql /
+         |           (sqrt(list_sum(list_transform(a.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |            sqrt(list_sum(list_transform(b.embedding,
+         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6))
+         |           AS max_prior_cos
+         |  FROM corp a JOIN pri b ON a.centroid_id = b.centroid_id
+         |                        AND b.vec_id < a.vec_id
+         |  GROUP BY a.vec_id)
+         |SELECT c.vec_id, c.centroid_id, m.max_prior_cos,
+         |       (m.max_prior_cos IS NULL OR m.max_prior_cos < 0.35) AS kept
+         |FROM corp c LEFT JOIN mp m USING (vec_id)
+         |ORDER BY vec_id""") { (s, dir) =>
+      val e = emb(s, dir)
+      val seeds = e.groupBy(col("label").as("s_label"))
+        .agg(min("vec_id").as("mv"))
+      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
+          e("vec_id") === seeds("mv"))
+        .select(col("s_label").as("centroid_id"),
+          col("embedding").as("vec"))
+      Similarity.semanticDedup(e, cent, "vec_id", "embedding",
+          threshold = 0.35, maxPriors = Some(20))
         .orderBy("vec_id")
     },
   )

@@ -132,6 +132,27 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
     assert(out(6L)._1.isEmpty && out(6L)._2)     // zero-norm: kept, no prior
   }
 
+  test("semanticDedup maxPriors compares only against the cluster prefix") {
+    val sp = spark
+    import sp.implicits._
+    // one cluster; the dup pair (2, 3) lives wholly in the tail
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f)))  // dup of 2 (cos ≈ .9939)
+      .toDF("id", "vec")
+    val cent = Seq((1L, Array(1.0, 0.0, 0.0))).toDF("centroid_id", "vec")
+    def kept(maxPriors: Option[Int]) =
+      Similarity.semanticDedup(corpus, cent, "id", "vec", 0.95, maxPriors)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // exact: 3 is removed as 2's dup
+    assert(kept(None) == Map(1L -> true, 2L -> true, 3L -> false))
+    // cap 1: only id 1 is a prior — the tail pair is the documented miss
+    assert(kept(Some(1)) == Map(1L -> true, 2L -> true, 3L -> true))
+    // cap 2: priors {1, 2} cover the pair again
+    assert(kept(Some(2)) == Map(1L -> true, 2L -> true, 3L -> false))
+  }
+
   test("IVF: assignment routes to nearest centroid; search stays in partition") {
     val sp = spark
     import sp.implicits._
