@@ -25,7 +25,8 @@ object ExplainAudit {
         "x_ann_ivf_trained", "x_ann_recall", "x_quality_quantiles",
         "x_cardinality_profile", "t8_sessionize", "j15_interval_count",
         "x_bm25_search", "x_ann_recall_planted", "w6b_keyset_page",
-        "f24_cwe_lookup", "x_multimodal_decode_real", "i5_oval")
+        "f24_cwe_lookup", "x_multimodal_decode_real", "i5_oval",
+        "x_contamination", "x_semantic_dedup_capped", "x_bpe_train2")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)
