@@ -328,4 +328,71 @@ object Similarity {
         (col("max_prior_cos").isNull ||
           col("max_prior_cos") < threshold).as("kept"))
   }
+
+  /** Incremental SemDeDup admission — the embedding twin of
+    * [[TextDedup.incrementalMinHashDedup]]: decide an arrival batch
+    * against the persisted cluster-prefix INDEX (the maxPriors anchors
+    * [[semanticDedup]] compares against) plus lower-id batch-mates in
+    * the same cluster. Corpus-side cost is one narrow scan of the
+    * bounded index (≤ k·maxPriors anchor rows); the admitted corpus's
+    * embeddings are never re-read. Within-batch comparison is the
+    * triangular rule over the micro-batch, which is bounded by
+    * definition. Zero-norm arrivals have no cosine: kept, never a dup,
+    * and never admitted as anchors.
+    *
+    * `index` rows are (idCol, vecCol, centroid_id) — exactly what this
+    * function's second return value produces. Returns (decisions,
+    * admittedAnchors): decisions = one row per arrival (idCol,
+    * centroid_id, dup_of_index, dup_of_delta, keep); admittedAnchors =
+    * kept arrivals that still fit their cluster's maxPriors anchor
+    * budget — append them to the index and the next batch continues
+    * from there. */
+  def incrementalSemanticDedup(delta: DataFrame, index: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxPriors: Int = 20): (DataFrame, DataFrame) = {
+    require(maxPriors >= 1, "maxPriors must be >= 1")
+    val d = assignToCentroids(delta, centroids, idCol, vecCol)
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        col("centroid_id"))
+      .withColumn("_vn", l2Norm(col("_v")))
+      .localCheckpoint()
+    val live = d.filter(col("_vn") > 0)
+    val ix = index.select(col(idCol).as("_aid"), col(vecCol).as("_av"),
+        col("centroid_id"))
+      .withColumn("_an", l2Norm(col("_av")))
+      .filter(col("_an") > 0)
+    def isDup(prior: DataFrame, pv: String, pn: String, pid: Column) =
+      live.join(prior, Seq("centroid_id"))
+        .filter(pid && round(dot(col("_v"), col(pv)) /
+          (col("_vn") * col(pn)), 6) >= threshold)
+        .select(col("_id")).distinct()
+    val dupIx = isDup(ix, "_av", "_an", lit(true))
+      .withColumn("dup_of_index", lit(true))
+    val dupDelta = isDup(
+      live.select(col("_id").as("_pid"), col("_v").as("_pv"),
+        col("_vn").as("_pn"), col("centroid_id")),
+      "_pv", "_pn", col("_pid") < col("_id"))
+      .withColumn("dup_of_delta", lit(true))
+    val decisions = d.select(col("_id"), col("centroid_id"))
+      .join(dupIx, Seq("_id"), "left")
+      .join(dupDelta, Seq("_id"), "left")
+      .select(col("_id"), col("centroid_id"),
+        coalesce(col("dup_of_index"), lit(false)).as("dup_of_index"),
+        coalesce(col("dup_of_delta"), lit(false)).as("dup_of_delta"))
+      .withColumn("keep", !col("dup_of_index") && !col("dup_of_delta"))
+    // anchor budget: existing index occupancy per cluster (≤ k rows,
+    // broadcast) + kept arrivals in id order fill the remaining slots
+    val occupancy = ix.groupBy("centroid_id").count()
+      .select(col("centroid_id"), col("count").as("_occ"))
+    val wA = Window.partitionBy("centroid_id").orderBy(col("_id"))
+    val admitted = live
+      .join(decisions.filter(col("keep")).select("_id"), Seq("_id"))
+      .withColumn("_arn", row_number().over(wA))
+      .join(broadcast(occupancy), Seq("centroid_id"), "left")
+      .filter(col("_arn") + coalesce(col("_occ"), lit(0L)) <= maxPriors)
+      .select(col("_id").as(idCol), col("_v").as(vecCol),
+        col("centroid_id"))
+    (decisions.select(col("_id").as(idCol), col("centroid_id"),
+      col("dup_of_index"), col("dup_of_delta"), col("keep")), admitted)
+  }
 }

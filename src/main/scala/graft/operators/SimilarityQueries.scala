@@ -925,6 +925,86 @@ object SimilarityQueries extends QueryModule {
           threshold = 0.35, maxPriors = Some(20))
         .orderBy("vec_id")
     },
+
+    // Incremental SemDeDup admission (the embedding twin of
+    // x_incremental_dedup): arrivals (vec_id % 10 = 7) are decided
+    // against the persisted cluster-prefix anchor index of the already
+    // admitted corpus (first 20 per cluster) plus lower-id batch-mates
+    // in the same cluster. The admitted corpus's embeddings are never
+    // re-read — index cost is ≤ k·20 anchor rows — and the batch side
+    // is bounded by the micro-batch contract.
+    q("x_incremental_semdedup",
+      s"""WITH cent AS (
+         |  SELECT e.label, e.embedding FROM embeddings e
+         |  JOIN (SELECT label, min(vec_id) AS mv FROM embeddings
+         |        WHERE vec_id % 10 <> 7 GROUP BY label) m
+         |    ON e.label = m.label AND e.vec_id = m.mv),
+         |corp AS (
+         |  SELECT vec_id, centroid_id, embedding FROM (
+         |    SELECT a.vec_id, b.label AS centroid_id, a.embedding,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             round($dotSql /
+         |               (sqrt(list_sum(list_transform(a.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |                sqrt(list_sum(list_transform(b.embedding,
+         |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |             DESC, b.label) AS rn
+         |    FROM embeddings a CROSS JOIN cent b)
+         |  WHERE rn = 1),
+         |ix AS (
+         |  SELECT vec_id, centroid_id, embedding FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY centroid_id
+         |              ORDER BY vec_id) AS prn
+         |    FROM corp WHERE vec_id % 10 <> 7)
+         |  WHERE prn <= 20),
+         |del AS (SELECT * FROM corp WHERE vec_id % 10 = 7),
+         |di AS (
+         |  SELECT DISTINCT a.vec_id FROM del a
+         |  JOIN ix b ON a.centroid_id = b.centroid_id
+         |  WHERE round($dotSql /
+         |          (sqrt(list_sum(list_transform(a.embedding,
+         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |           sqrt(list_sum(list_transform(b.embedding,
+         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |        >= 0.35),
+         |dd AS (
+         |  SELECT DISTINCT a.vec_id FROM del a
+         |  JOIN del b ON a.centroid_id = b.centroid_id
+         |            AND b.vec_id < a.vec_id
+         |  WHERE round($dotSql /
+         |          (sqrt(list_sum(list_transform(a.embedding,
+         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |           sqrt(list_sum(list_transform(b.embedding,
+         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+         |        >= 0.35)
+         |SELECT d.vec_id, d.centroid_id,
+         |       (di.vec_id IS NOT NULL) AS dup_of_index,
+         |       (dd.vec_id IS NOT NULL) AS dup_of_delta,
+         |       (di.vec_id IS NULL AND dd.vec_id IS NULL) AS keep
+         |FROM del d
+         |LEFT JOIN di ON d.vec_id = di.vec_id
+         |LEFT JOIN dd ON d.vec_id = dd.vec_id
+         |ORDER BY d.vec_id""") { (s, dir) =>
+      val e = emb(s, dir)
+      val ixsrc = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      val delta = e.filter(pmod(col("vec_id"), lit(10)) === 7)
+      val seeds = ixsrc.groupBy(col("label").as("s_label"))
+        .agg(min("vec_id").as("mv"))
+      val cent = e.join(broadcast(seeds),
+          e("label") === seeds("s_label") && e("vec_id") === seeds("mv"))
+        .select(col("s_label").as("centroid_id"),
+          col("embedding").as("vec"))
+      val w = Window.partitionBy("centroid_id").orderBy(col("vec_id"))
+      val index = Similarity
+        .assignToCentroids(ixsrc, cent, "vec_id", "embedding")
+        .withColumn("_prn", row_number().over(w))
+        .filter(col("_prn") <= 20)
+        .select("vec_id", "embedding", "centroid_id")
+      val (decisions, _) = Similarity.incrementalSemanticDedup(
+        delta, index, cent, "vec_id", "embedding",
+        threshold = 0.35, maxPriors = 20)
+      decisions.orderBy("vec_id")
+    },
   )
 
   /** Deterministic planted-cluster corpus, derived from `vec_id` alone

@@ -153,6 +153,36 @@ class SimilarityLibSpec extends AnyFunSuite with SparkTestSession {
     assert(kept(Some(2)) == Map(1L -> true, 2L -> true, 3L -> false))
   }
 
+  test("incrementalSemanticDedup: index dup, batch dup, anchor budget") {
+    val sp = spark
+    import sp.implicits._
+    val index = Seq((1L, Array(1.0f, 0.0f, 0.0f), 1L))
+      .toDF("id", "vec", "centroid_id")
+    val cent = Seq((1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0)))
+      .toDF("centroid_id", "vec")
+    val delta = Seq(
+      (10L, Array(0.95f, 0.05f, 0.0f)), // c1, cos to anchor ≈ .9986
+      (11L, Array(0.0f, 1.0f, 0.0f)),   // c2, first arrival
+      (12L, Array(0.0f, 0.9f, 0.1f)),   // c2, dup of batch-mate 11
+      (13L, Array(0.0f, 0.0f, 1.0f)))   // 0-cos tie → c1, kept
+      .toDF("id", "vec")
+    val (dec, adm) = Similarity.incrementalSemanticDedup(
+      delta, index, cent, "id", "vec", 0.95, maxPriors = 2)
+    val d = dec.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(d(10L) == ((true, false, false)))
+    assert(d(11L) == ((false, false, true)))
+    assert(d(12L) == ((false, true, false)))
+    assert(d(13L) == ((false, false, true)))
+    // anchor budget: c1 holds 1 of 2 slots → 13 fits; c2 empty → 11 fits
+    assert(adm.collect().map(_.getLong(0)).toSet == Set(11L, 13L))
+    // tighter budget: c1 is full, 13 is kept but NOT admitted as anchor
+    val (_, adm1) = Similarity.incrementalSemanticDedup(
+      delta, index, cent, "id", "vec", 0.95, maxPriors = 1)
+    assert(adm1.collect().map(_.getLong(0)).toSet == Set(11L))
+  }
+
   test("IVF: assignment routes to nearest centroid; search stays in partition") {
     val sp = spark
     import sp.implicits._
