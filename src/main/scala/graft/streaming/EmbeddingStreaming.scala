@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Streaming admission for embedding arrivals — the semantic twin of
+  * [[DocumentStreaming.admissionSink]]: each micro-batch is decided by
+  * [[Similarity.incrementalSemanticDedup]] against the persisted
+  * cluster-prefix anchor index (≤ k·maxPriors rows — the admitted
+  * corpus's embeddings are never re-read), kept rows append to the
+  * corpus store and budget-fitting anchors append to the index.
+  *
+  * Delivery matches the minhash sink: the two plain-parquet appends are
+  * not atomic with the streaming checkpoint, so a crash between them
+  * replays the batch — at-least-once; downstream reads dedup
+  * idempotently on the id.
+  */
+object EmbeddingStreaming {
+
+  /** Usage: `vecs.writeStream.foreachBatch(
+    *   EmbeddingStreaming.admissionSink(ix, out, cents, "vec_id",
+    *     "embedding", 0.95))`. `centroids` is the (bounded, broadcast)
+    * coarse quantizer — (centroid_id, vec). */
+  def admissionSink(indexPath: String, admittedPath: String,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxPriors: Int = 20)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    val emptyIndex = batch.limit(0)
+      .select(col(idCol), col(vecCol), lit(0L).as("centroid_id"))
+    val index =
+      try spark.read.schema(emptyIndex.schema).parquet(indexPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyIndex }
+    val (decisionsRaw, anchorsRaw) = Similarity.incrementalSemanticDedup(
+      batch, index, centroids, idCol, vecCol, threshold, maxPriors)
+    // two write actions consume the admission below; checkpoint so the
+    // decision join doesn't re-run per write (and can't diverge on a
+    // lineage replay)
+    val decisions = decisionsRaw.localCheckpoint()
+    val anchors = anchorsRaw.localCheckpoint()
+    val kept = decisions.filter(col("keep")).select(col(idCol))
+    batch.join(kept, Seq(idCol))
+      .write.mode("append").parquet(admittedPath)
+    anchors.write.mode("append").parquet(indexPath)
+  }
+}

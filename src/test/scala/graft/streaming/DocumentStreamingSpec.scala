@@ -106,4 +106,40 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(indexed == Seq(1L, 2L, 11L))
     } finally query.stop()
   }
+
+  test("EmbeddingStreaming.admissionSink dedups semantically across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("semadmit").toString
+    val (ix, out) = (s"$root/index", s"$root/admitted")
+    val cent = Seq((1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0)))
+      .toDF("centroid_id", "vec")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val query = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(EmbeddingStreaming.admissionSink(ix, out, cent,
+        "vec_id", "embedding", threshold = 0.95))
+      .start()
+    try {
+      mem.addData(
+        1L -> Array(1.0f, 0.0f, 0.0f),
+        2L -> Array(0.0f, 1.0f, 0.0f))
+      query.processAllAvailable()
+      // batch 2: 10 is a semantic dup of batch-1/#1 (via the anchor
+      // index), 11 is fresh, 12 dups 11 within the batch
+      mem.addData(
+        10L -> Array(0.95f, 0.05f, 0.0f),
+        11L -> Array(0.5f, 0.5f, 0.70710678f),
+        12L -> Array(0.5f, 0.5f, 0.70710678f))
+      query.processAllAvailable()
+      val admitted = sp.read.parquet(out)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(admitted == Seq(1L, 2L, 11L))
+      // the index holds the admitted vectors as cluster anchors
+      val anchors = sp.read.parquet(ix)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(anchors == Seq(1L, 2L, 11L))
+    } finally query.stop()
+  }
 }
