@@ -59,7 +59,9 @@ object Bpe {
         when((acc === a || acc.endsWith(concat(lit(Sep), a))) && x === b,
           concat(acc, x))
           .otherwise(concat(acc, lit(Sep), x)))
-    split(folded, Sep)
+    // ≤1 symbol: nothing to merge — and the empty case must not reach
+    // element_at(…, 1), which is an ANSI out-of-bounds error
+    when(size(syms) <= 1, syms).otherwise(split(folded, Sep))
   }
 
   /** Learn `merges` rules from the corpus. Each round's argmax collects

@@ -311,10 +311,12 @@ object Similarity {
     val priorAll = assigned.filter(col("_n") > 0)
       .select(col(idCol).as("_pid"), col(vecCol).as("_pv"),
         col("_n").as("_pn"), col("centroid_id"))
+    // prefix anchors via the two-phase per-key top-k (sc3's shape): a
+    // single-window rank would stream a flooded cluster's entire row
+    // set through one task — the exact hazard the cap guards against
     val prior = maxPriors.fold(priorAll) { m =>
-      val w = Window.partitionBy("centroid_id").orderBy(col("_pid"))
-      priorAll.withColumn("_prn", row_number().over(w))
-        .filter(col("_prn") <= m).drop("_prn")
+      Skew.topKPerKey(priorAll, col("centroid_id"), -col("_pid"), m)
+        .drop("rank")
     }
     val maxPrior = x.filter(col("_vn") > 0)
       .join(prior, Seq("centroid_id"))

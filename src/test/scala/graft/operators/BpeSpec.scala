@@ -38,6 +38,11 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(out(0) == List("aa", "a"))       // greedy: first pair consumed
     assert(out(1) == List("a"))             // single symbol untouched
     assert(out(2) == List("b", "aa", "a", "b"))
+    // empty symbol array passes through (no ANSI out-of-bounds)
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("syms")
+      .select(Bpe.applyMerge(col("syms"), lit("a"), lit("a")).as("m"))
+      .head().getSeq[String](0)
+    assert(empty.isEmpty)
   }
 
   test("segment applies merges in order to completion (lowest)") {
