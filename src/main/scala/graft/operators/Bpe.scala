@@ -96,9 +96,19 @@ object Bpe {
 
   /** Segment a vocab of (syms, ...) with an ordered merge list: rule i
     * is applied to completion before rule i+1 (reference BPE encode
-    * order). Map-only — one chained fold per word. */
-  def segment(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(vocab) { case (v, (a, b)) =>
-      v.withColumn("syms", applyMerge(col("syms"), lit(a), lit(b)))
+    * order). Map-only — one chained fold per word; the plan
+    * localCheckpoints every `checkpointEvery` rules because a real
+    * merge table is 10k+ rules and an unbroken 10k-deep expression
+    * tree dies in the analyzer/codegen long before execution (the same
+    * reason [[train]] checkpoints per round). */
+  def segment(vocab: DataFrame, merges: Seq[(String, String)],
+      checkpointEvery: Int = 32): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    merges.zipWithIndex.foldLeft(vocab) { case (v, ((a, b), i)) =>
+      val next = v.withColumn("syms", applyMerge(col("syms"), lit(a), lit(b)))
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < merges.size)
+        next.localCheckpoint()
+      else next
     }
+  }
 }

@@ -94,9 +94,12 @@ object Similarity {
       col("centroid_id"))
     df.withColumn("_vn", l2Norm(col(vecCol)))
       .crossJoin(broadcast(c))
-      // zero-norm guard: a 0/0 cosine is an ANSI divide-by-zero; null
-      // cosine instead → the row still assigns (lowest centroid_id via
-      // the tie-break) rather than killing the job
+      // zero-norm guard: a 0/0 double division yields NaN (not an ANSI
+      // error — that applies to integral/decimal division only), and
+      // NaN sorts ABOVE every real double in Spark's ordering, so an
+      // unguarded zero-norm CENTROID would rank first for every row and
+      // swallow the whole corpus. Null cosine instead: the null sorts
+      // last and the row assigns by the centroid_id tie-break.
       .withColumn("_ccos", when(col("_vn") > 0 && col("_centn") > 0,
         round(dot(col(vecCol), col("_cent")) /
           (col("_vn") * col("_centn")), 6)))
@@ -315,8 +318,8 @@ object Similarity {
     // single-window rank would stream a flooded cluster's entire row
     // set through one task — the exact hazard the cap guards against
     val prior = maxPriors.fold(priorAll) { m =>
-      Skew.topKPerKey(priorAll, col("centroid_id"), -col("_pid"), m)
-        .drop("rank")
+      Skew.topKPerKey(priorAll, col("centroid_id"), col("_pid"), m,
+        asc = true).drop("rank")
     }
     val maxPrior = x.filter(col("_vn") > 0)
       .join(prior, Seq("centroid_id"))

@@ -29,6 +29,22 @@ object SimilarityQueries extends QueryModule {
   private def dot(a: Column, b: Column): Column =
     call_function("array_dot_native", a, b)
 
+  /** The label-seeded coarse quantizer every IVF/SemDeDup query here
+    * shares: one deterministic seed per label — the label's lowest-
+    * vec_id embedding — joined back broadcast. `seedSrc` lets the
+    * incremental query derive seeds from the admitted corpus only while
+    * still selecting the seed rows from `from`. Returns (idOut, vecOut). */
+  private def labelSeededCentroids(from: DataFrame,
+      idOut: String = "centroid_id", vecOut: String = "vec",
+      seedSrc: Option[DataFrame] = None): DataFrame = {
+    val seeds = seedSrc.getOrElse(from)
+      .groupBy(col("label").as("s_label"))
+      .agg(min("vec_id").as("mv"))
+    from.join(broadcast(seeds), from("label") === seeds("s_label") &&
+        from("vec_id") === seeds("mv"))
+      .select(col("s_label").as(idOut), col("embedding").as(vecOut))
+  }
+
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Oracle-side dot product over unnested (idx, val) pairs — DuckDB list
@@ -211,11 +227,7 @@ object SimilarityQueries extends QueryModule {
          |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM hits)
          |WHERE rn <= 5 ORDER BY probe_id, rn""") { (s, dir) =>
       val e = emb(s, dir).cache()
-      val seeds = e.groupBy(col("label").as("s_label"))
-        .agg(min("vec_id").as("mv"))
-      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
-          e("vec_id") === seeds("mv"))
-        .select(col("s_label").as("c_label"), col("embedding").as("cemb"))
+      val cent = labelSeededCentroids(e, "c_label", "cemb")
         .withColumn("centn", norm(col("cemb")))
       val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
@@ -299,11 +311,7 @@ object SimilarityQueries extends QueryModule {
         sys.props("java.io.tmpdir"),
         s"graft_ivf_lists_${ProcessHandle.current().pid()}").toString
       e.write.mode("overwrite").partitionBy("label").parquet(path)
-      val seeds = e.groupBy(col("label").as("s_label"))
-        .agg(min("vec_id").as("mv"))
-      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
-          e("vec_id") === seeds("mv"))
-        .select(col("s_label").as("c_label"), col("embedding").as("cemb"))
+      val cent = labelSeededCentroids(e, "c_label", "cemb")
         .withColumn("centn", norm(col("cemb")))
       val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
@@ -393,11 +401,7 @@ object SimilarityQueries extends QueryModule {
          |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM hits)
          |WHERE rn <= 5 ORDER BY probe_id, rn""") { (s, dir) =>
       val e = emb(s, dir).cache()
-      val seeds = e.groupBy(col("label").as("s_label"))
-        .agg(min("vec_id").as("mv"))
-      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
-          e("vec_id") === seeds("mv"))
-        .select(col("s_label").as("c_label"), col("embedding").as("cemb"))
+      val cent = labelSeededCentroids(e, "c_label", "cemb")
         .withColumn("centn", norm(col("cemb")))
       val quant = call_function("int8_quantize_native", col("embedding"))
       val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
@@ -517,12 +521,7 @@ object SimilarityQueries extends QueryModule {
          |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM hits)
          |WHERE rn <= 5 ORDER BY probe_id, rn""") { (s, dir) =>
       val e = emb(s, dir).cache()
-      val seeds = e.groupBy(col("label").as("s_label"))
-        .agg(min("vec_id").as("mv"))
-      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
-          e("vec_id") === seeds("mv"))
-        .select(col("s_label").as("centroid_id"),
-          col("embedding").as("vec"))
+      val cent = labelSeededCentroids(e)
       val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id"), col("embedding"))
       val corpusAssigned = e.select(col("vec_id"), col("embedding"),
@@ -701,11 +700,7 @@ object SimilarityQueries extends QueryModule {
       val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id"), col("embedding"))
       val exact = Similarity.topK(probes, e, "vec_id", "embedding", k = 5)
-      val seeds = e.groupBy(col("label").as("s_label"))
-        .agg(min("vec_id").as("mv"))
-      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
-          e("vec_id") === seeds("mv"))
-        .select(col("s_label").as("centroid_id"), col("embedding").as("vec"))
+      val cent = labelSeededCentroids(e)
       val corpusAssigned = e.select(col("vec_id"), col("embedding"),
         col("label").as("centroid_id"))
       val ann = Similarity.ivfTopK(probes, corpusAssigned, cent,
@@ -796,11 +791,7 @@ object SimilarityQueries extends QueryModule {
       val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
         .select(col("vec_id"), col("embedding"))
       val exact = Similarity.topK(probes, e, "vec_id", "embedding", k = 5)
-      val seeds = e.groupBy(col("label").as("s_label"))
-        .agg(min("vec_id").as("mv"))
-      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
-          e("vec_id") === seeds("mv"))
-        .select(col("s_label").as("centroid_id"), col("embedding").as("vec"))
+      val cent = labelSeededCentroids(e)
       val corpusAssigned = e.select(col("vec_id"), col("embedding"),
         col("label").as("centroid_id"))
       val ann = Similarity.ivfTopK(probes, corpusAssigned, cent,
@@ -858,12 +849,7 @@ object SimilarityQueries extends QueryModule {
          |FROM corp c LEFT JOIN mp m USING (vec_id)
          |ORDER BY vec_id""") { (s, dir) =>
       val e = emb(s, dir)
-      val seeds = e.groupBy(col("label").as("s_label"))
-        .agg(min("vec_id").as("mv"))
-      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
-          e("vec_id") === seeds("mv"))
-        .select(col("s_label").as("centroid_id"),
-          col("embedding").as("vec"))
+      val cent = labelSeededCentroids(e)
       Similarity.semanticDedup(e, cent, "vec_id", "embedding",
           threshold = 0.35)
         .orderBy("vec_id")
@@ -894,10 +880,14 @@ object SimilarityQueries extends QueryModule {
          |    FROM embeddings a CROSS JOIN cent b)
          |  WHERE rn = 1),
          |pri AS (
+         |  -- zero-norm vectors are never priors (library contract), so
+         |  -- they must not occupy prefix slots either
          |  SELECT vec_id, centroid_id, embedding FROM (
          |    SELECT *, row_number() OVER (PARTITION BY centroid_id
          |              ORDER BY vec_id) AS prn
-         |    FROM corp)
+         |    FROM corp
+         |    WHERE list_sum(list_transform(embedding,
+         |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0)
          |  WHERE prn <= 20),
          |mp AS (
          |  SELECT a.vec_id,
@@ -915,12 +905,7 @@ object SimilarityQueries extends QueryModule {
          |FROM corp c LEFT JOIN mp m USING (vec_id)
          |ORDER BY vec_id""") { (s, dir) =>
       val e = emb(s, dir)
-      val seeds = e.groupBy(col("label").as("s_label"))
-        .agg(min("vec_id").as("mv"))
-      val cent = e.join(broadcast(seeds), e("label") === seeds("s_label") &&
-          e("vec_id") === seeds("mv"))
-        .select(col("s_label").as("centroid_id"),
-          col("embedding").as("vec"))
+      val cent = labelSeededCentroids(e)
       Similarity.semanticDedup(e, cent, "vec_id", "embedding",
           threshold = 0.35, maxPriors = Some(20))
         .orderBy("vec_id")
@@ -988,12 +973,7 @@ object SimilarityQueries extends QueryModule {
       val e = emb(s, dir)
       val ixsrc = e.filter(pmod(col("vec_id"), lit(10)) =!= 7)
       val delta = e.filter(pmod(col("vec_id"), lit(10)) === 7)
-      val seeds = ixsrc.groupBy(col("label").as("s_label"))
-        .agg(min("vec_id").as("mv"))
-      val cent = e.join(broadcast(seeds),
-          e("label") === seeds("s_label") && e("vec_id") === seeds("mv"))
-        .select(col("s_label").as("centroid_id"),
-          col("embedding").as("vec"))
+      val cent = labelSeededCentroids(e, seedSrc = Some(ixsrc))
       val w = Window.partitionBy("centroid_id").orderBy(col("vec_id"))
       val index = Similarity
         .assignToCentroids(ixsrc, cent, "vec_id", "embedding")

@@ -153,12 +153,16 @@ object Skew {
     * rows for any key. The win over a naive single window is not fewer
     * shuffles, it is that no single task ever receives a hot key's full
     * row set. */
-  def topKPerKey(df: DataFrame, key: Column, order: Column, k: Int): DataFrame = {
+  def topKPerKey(df: DataFrame, key: Column, order: Column, k: Int,
+      asc: Boolean = false): DataFrame = {
+    // `asc` takes the k SMALLEST per key — usable with any orderable
+    // column type (negating the order column would pin this to numerics)
+    val ord = if (asc) order.asc else order.desc
     val byKey = Window.partitionBy(key, spark_partition_id())
-      .orderBy(order.desc)
+      .orderBy(ord)
     val local = df.withColumn("_lrn", row_number().over(byKey))
       .filter(col("_lrn") <= k).drop("_lrn")
-    val global = Window.partitionBy(key).orderBy(order.desc)
+    val global = Window.partitionBy(key).orderBy(ord)
     local.withColumn("_grn", row_number().over(global))
       .filter(col("_grn") <= k)
       .withColumnRenamed("_grn", "rank")

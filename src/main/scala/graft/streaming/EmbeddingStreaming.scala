@@ -28,8 +28,13 @@ object EmbeddingStreaming {
       threshold: Double, maxPriors: Int = 20)
       : (DataFrame, Long) => Unit = { (batch, _) =>
     val spark = batch.sparkSession
+    // centroid_id's type follows the caller's centroids frame — a
+    // hardcoded LongType would wedge the stream on the second batch if
+    // the quantizer used int ids (parquet written int32, read BIGINT)
+    val cidType = centroids.schema("centroid_id").dataType
     val emptyIndex = batch.limit(0)
-      .select(col(idCol), col(vecCol), lit(0L).as("centroid_id"))
+      .select(col(idCol), col(vecCol),
+        lit(null).cast(cidType).as("centroid_id"))
     val index =
       try spark.read.schema(emptyIndex.schema).parquet(indexPath)
       catch { case _: org.apache.spark.sql.AnalysisException => emptyIndex }
