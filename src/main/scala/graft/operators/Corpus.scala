@@ -315,6 +315,33 @@ object Corpus {
     df.filter(h < bound)
   }
 
+  /** Temperature-flattened group mixture (the multilingual-rebalancing
+    * step: upweight tail languages/sources by downsampling the head):
+    * with α = 0.5, group g keeps rate sqrt(n_min/n_g) — the smallest
+    * group survives whole and a group 4× its size is halved, flattening
+    * the distribution toward uniform without a normalizing sum (whose
+    * float accumulation order would be engine-unstable; n_min/n_g is
+    * one exact IEEE division + sqrt, identical everywhere). α is pinned
+    * to 0.5 because sqrt is the one power the IEEE spec makes exact —
+    * a general pow() answer differs by ulps across libms and could
+    * flip a rounded bucket bound. Decision buckets reuse
+    * [[sourceMix]]'s md5 chars 5–8, independent of split assignment.
+    * Scale shape: one bounded groupBy for counts, a broadcast rate
+    * join, then a map-only filter. Returns the kept rows + the group's
+    * 16-bit `bound` (65536 = kept whole). */
+  def temperatureMix(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_ng"))
+    val minN = counts.agg(min("_ng").as("_nmin"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(groupCol),
+        round(sqrt(col("_nmin").cast("double") / col("_ng")) * 65536)
+          .cast("long").as("bound"))
+    val h = conv(substring(md5(col(idCol).cast("string")), 5, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), Seq(groupCol)).filter(h < col("bound"))
+  }
+
   /** Token-budget selection per group — curation-to-budget: take each
     * group's docs in quality-descending order until the group's token
     * budget is exhausted; a doc is kept when its running sum STARTS

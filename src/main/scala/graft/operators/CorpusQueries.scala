@@ -690,6 +690,30 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Temperature-flattened language mixture (α = 0.5): the corpus's
+    // language distribution is head-heavy (en ≈ 3× fr at every SF), so
+    // each language keeps rate sqrt(n_min/n_lang) — the smallest
+    // language survives whole, the head is downsampled toward uniform.
+    // No normalizing sum (engine-unstable float accumulation); the rate
+    // is one exact division + sqrt per bounded group, broadcast back,
+    // then a map-only md5-bucket filter.
+    q("x_temperature_mix",
+      """WITH c AS (SELECT lang, count(*) AS ng FROM documents GROUP BY lang),
+        |m AS (SELECT min(ng) AS nmin FROM c),
+        |r AS (SELECT lang,
+        |             CAST(round(sqrt(CAST(nmin AS DOUBLE) / ng) * 65536)
+        |                  AS BIGINT) AS bound
+        |      FROM c, m)
+        |SELECT d.doc_id, d.lang, r.bound FROM documents d
+        |JOIN r USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)
+        |           AS BIGINT) < r.bound
+        |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.temperatureMix(docs(s, dir), "lang", "doc_id")
+        .select("doc_id", "lang", "bound")
+        .orderBy("doc_id")
+    },
+
     // Token-budget curation: fill each source's 600-token quota with
     // its best (longest) documents; the running sum starts inside the
     // budget so each group overshoots by at most one doc.

@@ -95,6 +95,24 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(!got.contains(0)) // benchmark docs are excluded from the check
   }
 
+  test("temperatureMix keeps the smallest group whole, halves a 4x group") {
+    val sp = spark
+    import sp.implicits._
+    // 4 'big' rows vs 1 'small' row: bounds are 65536·sqrt(1/4)=32768
+    // and 65536 — the tail group always survives whole
+    val rows = (1L to 4L).map(i => (i, s"doc $i", "big", "s", 5L)) :+
+      ((9L, "doc 9", "small", "s", 5L))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.temperatureMix(df, "lang", "doc_id")
+      .select("doc_id", "lang", "bound").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bounds = out.map(t => t._2 -> t._3).toMap
+    assert(bounds.get("small").contains(65536L))
+    assert(bounds.get("big").forall(_ == 32768L))
+    // the small group's row is present regardless of its hash bucket
+    assert(out.exists(_._1 == 9L))
+  }
+
   test("dedup pipeline keeps the richest copy per near-dup cluster") {
     val base = "spark engine dedup pipeline canonical selection test words"
     val rows = docsDF(Seq(
