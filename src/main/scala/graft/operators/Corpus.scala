@@ -315,6 +315,54 @@ object Corpus {
     df.filter(h < bound)
   }
 
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw doc by
+    * how much its hashed-token distribution looks like the TARGET
+    * corpus — logw(d) = Σ_tokens ln(p_target(bucket)/p_raw(bucket)),
+    * with Laplace-smoothed bucket probabilities over `buckets` md5
+    * buckets. Selection = take the top logw docs (the deterministic
+    * analog of the paper's importance resampling).
+    *
+    * Determinism discipline (the tfidf/bm25 pattern): each bucket's
+    * log-ratio rounds to 6dp and per-doc summation runs in DECIMAL, so
+    * no float accumulation order can flip a rounded score. Scale shape:
+    * the bucket-weight table is `buckets` rows — broadcast — and both
+    * count passes are map-side-combined groupBys; per-doc scoring is a
+    * broadcast join + one aggregation. The target corpus is bounded
+    * (an eval suite / quality exemplar set), the raw corpus streams.
+    * Returns (idCol, n_toks, dsir_logw). */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    def tok(df: DataFrame) =
+      df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("w"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"),
+            lit(buckets.toLong)))
+    val rawTok = tok(raw)
+    val ct = tok(target).groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val cr = rawTok.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    // outer-join the two bounded count tables: a bucket seen on only
+    // one side still gets its smoothed probability on the other
+    val cb = ct.join(cr, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tot = cb.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val wt = cb.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(
+          ((col("ct") + lit(1.0)) / (col("nt") + lit(buckets.toDouble))) /
+          ((col("cr") + lit(1.0)) / (col("nr") + lit(buckets.toDouble)))),
+          6).cast("decimal(18,6)").as("lw"))
+    rawTok.join(broadcast(wt), Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("lw")).cast("double"), 4).as("dsir_logw"))
+      .select(col("id").as(idCol), col("n_toks"), col("dsir_logw"))
+  }
+
   /** Temperature-flattened group mixture (the multilingual-rebalancing
     * step: upweight tail languages/sources by downsampling the head):
     * with α = 0.5, group g keeps rate sqrt(n_min/n_g) — the smallest

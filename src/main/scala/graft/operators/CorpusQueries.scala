@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.{QueryEntry, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Training-corpus curation operators — the composition layer over the
   * dedup/similarity/text-analysis families: composite quality filtering
@@ -688,6 +689,56 @@ object CorpusQueries extends QueryModule {
           Seq("src0" -> 0.2, "src1" -> 0.6))
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // DSIR data selection (Xie et al. 2023): rank raw docs by hashed-
+    // token importance toward the TARGET distribution (the benchmark
+    // subset doubles as the quality-exemplar target, reusing
+    // x_contamination's constant-size bench definition). Bucket
+    // log-ratios round to 6dp and per-doc sums run in DECIMAL (the
+    // tfidf discipline); the 256-row weight table broadcasts, the raw
+    // corpus streams through one count + one scoring aggregation, and
+    // the final top-100 is TakeOrderedAndProject.
+    q("x_dsir_select",
+      s"""WITH t AS ($toksSql),
+         |tb AS (SELECT doc_id,
+         |              (doc_id % 97 = 0 AND doc_id < 5000) AS bench,
+         |              (CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) % 256)
+         |                AS bucket
+         |       FROM (SELECT doc_id, unnest(toks) AS w FROM t)),
+         |ctb AS (SELECT bucket, count(*) AS ct FROM tb WHERE bench
+         |        GROUP BY bucket),
+         |crb AS (SELECT bucket, count(*) AS cr FROM tb WHERE NOT bench
+         |        GROUP BY bucket),
+         |cb AS (SELECT COALESCE(ctb.bucket, crb.bucket) AS bucket,
+         |              COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+         |       FROM ctb FULL JOIN crb ON ctb.bucket = crb.bucket),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cb),
+         |wt AS (SELECT bucket,
+         |              CAST(round(ln(((ct + 1.0) / (nt + 256.0)) /
+         |                            ((cr + 1.0) / (nr + 256.0))), 6)
+         |                   AS DECIMAL(18,6)) AS lw
+         |       FROM cb, tot),
+         |sc AS (SELECT tb.doc_id, count(*) AS n_toks,
+         |              CAST(round(CAST(sum(w.lw) AS DOUBLE), 4) AS DOUBLE)
+         |                AS dsir_logw
+         |       FROM tb JOIN wt w USING (bucket)
+         |       WHERE NOT tb.bench GROUP BY tb.doc_id)
+         |SELECT doc_id, n_toks, dsir_logw,
+         |       CAST(row_number() OVER (ORDER BY dsir_logw DESC, doc_id)
+         |            AS BIGINT) AS rank
+         |FROM sc ORDER BY dsir_logw DESC, doc_id LIMIT 100""") { (s, dir) =>
+      val d = docs(s, dir)
+      val isBench =
+        pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 5000
+      val scored = Corpus.dsirLogWeights(
+        raw = d.filter(!isBench), target = d.filter(isBench),
+        "text", "doc_id", buckets = 256)
+      val top = scored
+        .orderBy(col("dsir_logw").desc, col("doc_id")).limit(100)
+      // rank over ≤ 100 rows: bounded single-partition window
+      val w = Window.orderBy(col("dsir_logw").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
     },
 
     // Temperature-flattened language mixture (α = 0.5): the corpus's

@@ -95,6 +95,24 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(!got.contains(0)) // benchmark docs are excluded from the check
   }
 
+  test("dsirLogWeights ranks target-like docs above divergent ones") {
+    val sp = spark
+    import sp.implicits._
+    val target = Seq((100L, "alpha alpha alpha gamma"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha alpha gamma"),   // target-like
+      (2L, "beta beta delta"))     // disjoint vocabulary
+      .toDF("doc_id", "text")
+    val got = Corpus.dsirLogWeights(raw, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) > got(2L),
+      s"target-like doc must outrank the divergent one: $got")
+    // every target token is unseen in raw's buckets → positive ratio
+    assert(got(1L) > 0 && got(2L) < 0)
+  }
+
   test("temperatureMix keeps the smallest group whole, halves a 4x group") {
     val sp = spark
     import sp.implicits._
