@@ -646,6 +646,36 @@ object Corpus {
         col("cluster_size"))
   }
 
+  /** Soft dedup — the down-weighting alternative to removal
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": repeated data keeps most of its value for a few epochs,
+    * so a curator may prefer reweighting near-dup groups over deleting
+    * them): every member of a near-dup cluster gets training weight
+    * 1/cluster_size, preserving each group's total mass at exactly one
+    * document-equivalent. Docs in no cluster are absent (weight 1
+    * implicitly — emitting the whole corpus for the common case of few
+    * dups would be the expensive path at 100 TB).
+    *
+    * Same candidate/cluster machinery as [[dedupClusters]] (df-capped
+    * confirmed pairs → distributed CC); the size join is one bounded
+    * aggregation over cluster members. Returns (idCol, component,
+    * cluster_size, weight). */
+  def softDedupWeights(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 2, threshold: Double = 0.5,
+      maxDf: Int = 10000): DataFrame = {
+    val spark = docs.sparkSession
+    val pairs = confirmedNearDupPairs(docs, textCol, idCol, n, threshold,
+      maxDf)
+    val comp = ConnectedComponents.labelPropagation(spark,
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("component"))
+      .select(col("node").as(idCol), col("component"),
+        col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 4).as("weight"))
+  }
+
   /** PII patterns for [[redactPii]]. Deliberately restricted to syntax
     * that Java regex (Spark) and RE2 (DuckDB/Go scanners) interpret
     * identically — character classes, bounded repetition, ASCII \b —

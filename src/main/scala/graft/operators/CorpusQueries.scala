@@ -271,6 +271,56 @@ object CorpusQueries extends QueryModule {
         .orderBy("component")
     },
 
+    // Soft dedup (Muennighoff et al. 2023): reweight near-dup clusters
+    // instead of deleting them — each member gets 1/cluster_size, so a
+    // group's total training mass stays one document-equivalent. Same
+    // pair/CC machinery as x_dedup_pipeline; docs in no cluster are
+    // implicitly weight-1 and not emitted.
+    q("x_soft_dedup",
+      """WITH RECURSIVE raw AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(toks)),
+        |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                           x -> x <> '') AS toks
+        |        FROM documents) WHERE len(toks) >= 2),
+        |keep AS (SELECT shingle FROM raw GROUP BY shingle
+        |         HAVING count(*) <= 40),
+        |sh AS (SELECT raw.doc_id, raw.shingle
+        |       FROM raw JOIN keep USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT p.id_a AS src, p.id_b AS dst
+        |  FROM cand p
+        |  JOIN sizes sa ON sa.doc_id = p.id_a
+        |  JOIN sizes sb ON sb.doc_id = p.id_b
+        |  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |lbl(node, comp, i) AS (
+        |  SELECT src AS node, src AS comp, 0 AS i
+        |  FROM (SELECT DISTINCT src FROM sym)
+        |  UNION ALL
+        |  SELECT s.src AS node, min(l.comp) AS comp, l.i + 1 AS i
+        |  FROM lbl l JOIN sym s ON l.node = s.dst
+        |  WHERE l.i < 100
+        |  GROUP BY s.src, l.i),
+        |comp AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
+        |cs AS (SELECT component, count(*) AS cluster_size
+        |       FROM comp GROUP BY component)
+        |SELECT c.node AS doc_id, c.component, s.cluster_size,
+        |       CAST(round(1.0 / s.cluster_size, 4) AS DOUBLE) AS weight
+        |FROM comp c JOIN cs s USING (component)
+        |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.softDedupWeights(docs(s, dir), "text", "doc_id",
+          n = 2, threshold = 0.5, maxDf = 40)
+        .orderBy("doc_id")
+    },
+
     // Approximate end-to-end dedup — the 100 TB library path: MinHash+LSH
     // candidate pairs (estimated similarity, never an exact-Jaccard pass
     // over the inverted index) → the same distributed CC → canonical

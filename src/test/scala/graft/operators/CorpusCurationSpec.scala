@@ -95,6 +95,18 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(!got.contains(0)) // benchmark docs are excluded from the check
   }
 
+  test("softDedupWeights preserves one document-equivalent per cluster") {
+    val rows = docsDF(Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog"),
+      doc(2, "the quick brown fox jumps over the lazy dog"),  // dup of 1
+      doc(3, "a completely different document about engines")))
+    val got = Corpus.softDedupWeights(rows, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // the pair shares mass 0.5 + 0.5; the singleton is implicit weight 1
+    assert(got == Map(1L -> ((2L, 0.5)), 2L -> ((2L, 0.5))))
+  }
+
   test("dsirLogWeights ranks target-like docs above divergent ones") {
     val sp = spark
     import sp.implicits._
