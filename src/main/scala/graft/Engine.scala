@@ -197,6 +197,13 @@ object Engine {
       .map(_.select(col(idCol), col("contaminated")))
       .getOrElse(quality.select(col(idCol))
         .withColumn("contaminated", lit(false)).limit(0))
+    // soft-dedup weights from the SAME confirmed edge set: the ledger
+    // carries both policies — `keep` (hard dedup: canonical survives)
+    // and `soft_weight` (every cluster member at 1/cluster_size, group
+    // mass one document-equivalent) — so a data-constrained run can
+    // reweight instead of dropping without recomputing the graph
+    val soft = Corpus.softDedupWeightsFromPairs(spark, dedupPairs, idCol)
+      .select(col(idCol), col("weight"))
     val ledger = quality.select(col(idCol), col("passes"))
       .join(splits.select(col(idCol), col("split")), Seq(idCol), "left")
       .join(redacted.select(col(idCol),
@@ -204,10 +211,12 @@ object Engine {
         Seq(idCol), "left")
       .join(paired, Seq(idCol), "left")
       .join(canon, Seq(idCol), "left")
+      .join(soft, Seq(idCol), "left")
       .join(contamCols, Seq(idCol), "left")
       .select(col(idCol), col("passes"), col("split"), col("pii_spans"),
         coalesce(col("_paired"), lit(false)).as("near_dup_paired"),
         col("cluster_size").isNotNull.as("is_canonical"),
+        coalesce(col("weight"), lit(1.0)).as("soft_weight"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
       .withColumn("keep",
         col("passes") && !col("contaminated") &&

@@ -662,10 +662,17 @@ object Corpus {
     * cluster_size, weight). */
   def softDedupWeights(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2, threshold: Double = 0.5,
-      maxDf: Int = 10000): DataFrame = {
-    val spark = docs.sparkSession
-    val pairs = confirmedNearDupPairs(docs, textCol, idCol, n, threshold,
-      maxDf)
+      maxDf: Int = 10000): DataFrame =
+    softDedupWeightsFromPairs(docs.sparkSession,
+      confirmedNearDupPairs(docs, textCol, idCol, n, threshold, maxDf),
+      idCol)
+
+  /** [[softDedupWeights]] over a precomputed (id_a, id_b) pair set —
+    * the Engine reuses the one confirmed edge set for clusters, ledger
+    * flags, AND soft weights (see [[dedupClustersFromPairs]] for why
+    * mixing similarity graphs is wrong). */
+  def softDedupWeightsFromPairs(spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame, idCol: String): DataFrame = {
     val comp = ConnectedComponents.labelPropagation(spark,
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     val sizes = comp.groupBy("component")

@@ -187,5 +187,10 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
     // the confirmed pair behaves as before: canonical 4 kept, 3 dropped
     assert(ledger(4L) == ((true, true, true)))
     assert(ledger(3L) == ((true, false, false)))
+    // soft-dedup policy rides the same graph: the confirmed pair shares
+    // mass 0.5 + 0.5, everyone else is weight 1
+    val soft = marts.ledger.select("doc_id", "soft_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(soft == Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.5, 4L -> 0.5))
   }
 }
