@@ -111,5 +111,52 @@ object BpeQueries extends QueryModule {
           Bpe.applyMerge(col("syms"), col("_ma"), col("_mb")).as("syms"))
       topPairs(Bpe.pairCounts(merged), 20)
     },
+
+    // Corpus-side BPE encoding — the apply half of the train/apply
+    // split: the segmented DICTIONARY (bounded, one fold per distinct
+    // word under the learned round-1 merge) broadcasts, and the corpus
+    // streams through one dictionary join + per-doc aggregation. Piece
+    // counts are what a token-budget planner consumes; at 100 TB the
+    // corpus is never character-exploded — only the vocab is.
+    q("x_bpe_encode",
+      s"""WITH $wcSql,
+         |pr0 AS (SELECT word, wc, unnest(range(1, len(word))) AS i
+         |        FROM wc WHERE len(word) >= 2),
+         |pc0 AS (SELECT word[i] AS a, word[i+1] AS b, sum(wc) AS cnt
+         |        FROM pr0 GROUP BY 1, 2),
+         |m1 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+         |seg AS (SELECT wc.word,
+         |          len(string_split(${foldSql(
+               "list_transform(range(1, len(wc.word) + 1), i -> wc.word[i])",
+               "m.a", "m.b")}, chr(9))) AS n_pieces
+         |        FROM wc, m1 m),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |           regexp_split_to_array(trim(text), '\\s+'),
+         |           x -> x <> '')) AS word
+         |  FROM documents)
+         |SELECT t.doc_id, count(*) AS ws_tokens,
+         |       CAST(sum(s.n_pieces) AS BIGINT) AS bpe_tokens
+         |FROM tok t JOIN seg s USING (word)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""") { (s, dir) =>
+      val words = Bpe.wordCounts(docs(s, dir), "text")
+      val vocab = words
+        .select(col("word"), col("wc"), Bpe.charSymbols(col("word")).as("syms"))
+      val m1 = Bpe.pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("pair_a"), col("pair_b"))
+        .limit(1)
+        .select(col("pair_a").as("_ma"), col("pair_b").as("_mb"))
+      val seg = vocab.crossJoin(broadcast(m1))
+        .select(col("word"),
+          size(Bpe.applyMerge(col("syms"), col("_ma"), col("_mb")))
+            .cast("long").as("n_pieces"))
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(Corpus.tokens(col("text"))).as("word"))
+      tok.join(broadcast(seg), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ws_tokens"),
+          sum("n_pieces").as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
   )
 }
