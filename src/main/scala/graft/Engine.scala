@@ -160,7 +160,8 @@ object Engine {
       embeddings: Option[DataFrame] = None,
       textCol: String = "text", idCol: String = "doc_id",
       qualityCol: String = "n_chars", strataCol: String = "source",
-      samplePerStratum: Int = 1000): CorpusMarts = {
+      samplePerStratum: Int = 1000,
+      dedupMaxDf: Int = 10000): CorpusMarts = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Corpus, Similarity, TextDedup}
     val quality = Corpus.qualityFlags(documents, textCol)
@@ -174,8 +175,13 @@ object Engine {
     // dedup keeps it. One graph makes paired ∧ ¬canonical exactly equal
     // to dropped-by-dedup. Cached: two consumers, and the pair set is
     // orders of magnitude smaller than the corpus.
+    // dedupMaxDf is the stop-shingle cap (TextDedup.ngramJaccardPairs):
+    // the default suits real corpora (huge vocab, low df); a
+    // small-vocabulary corpus where every bigram is corpus-wide needs a
+    // tight cap or the candidate join is quadratic (the x_curation_ledger
+    // oracle runs at 40 for exactly that reason)
     val dedupPairs = Corpus.confirmedNearDupPairs(
-      documents, textCol, idCol).cache()
+      documents, textCol, idCol, maxDf = dedupMaxDf).cache()
     val dedupClusters = Corpus.dedupClustersFromPairs(
       documents, dedupPairs, idCol, qualityCol)
     val redacted = Corpus.redactPii(documents, textCol, idCol)

@@ -321,6 +321,137 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // THE END-TO-END ARTIFACT under the hash gate: the per-doc curation
+    // ledger Engine.runCorpusPipeline exports (quality verdict, split,
+    // PII spans, confirmed-pair flag, canonical flag, soft-dedup
+    // weight, contamination, and the composed keep decision) — every
+    // component has its own oracled query above/below; this row proves
+    // the COMPOSITION byte-for-byte. Engine defaults: bigram pairs at
+    // Jaccard ≥ 0.5 with maxDf 10000, 3-gram contamination flagged at
+    // 0.8, md5 splits at 80/10/10 — except the stop-shingle cap, which
+    // runs at 40 (the pipeline query's setting): this corpus's 31-word
+    // vocabulary makes every bigram corpus-wide, so the default 10000
+    // cap would hand both engines a quadratic candidate join.
+    q("x_curation_ledger",
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT * FROM documents
+         |  WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000)),
+         |t AS (SELECT doc_id,
+         |             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                         x -> x <> '') AS toks
+         |      FROM corpus),
+         |qual AS (SELECT doc_id,
+         |  (len(toks) BETWEEN 5 AND 10000)
+         |    AND (len(toks) > 0 AND
+         |      CAST(list_sum(list_transform(toks, x -> len(x)))
+         |           AS DOUBLE) / len(toks) BETWEEN 2 AND 12)
+         |    AND (len(toks) > 0 AND
+         |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3)
+         |    AND (len(list_filter(toks,
+         |           x -> x IN ('the','a','of','el','le','der'))) > 0)
+         |    AS passes
+         |  FROM t),
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN h < 52429 THEN 'train'
+         |       WHEN h < 58982 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |               AS BIGINT) AS h FROM corpus)),
+         |pii AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.EmailRe}')) +
+         |       len(regexp_extract_all(text, '${Corpus.Ipv4Re}')) +
+         |       len(regexp_extract_all(text, '${Corpus.PhoneRe}'))
+         |       AS BIGINT) AS pii_spans
+         |  FROM corpus),
+         |raw AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |           list_transform(range(1, len(toks)),
+         |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+         |  FROM t WHERE len(toks) >= 2),
+         |keep2 AS (SELECT shingle FROM raw GROUP BY shingle
+         |          HAVING count(*) <= 40),
+         |sh AS (SELECT raw.doc_id, raw.shingle
+         |       FROM raw JOIN keep2 USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT p.id_a AS src, p.id_b AS dst
+         |  FROM cand p
+         |  JOIN sizes sa ON sa.doc_id = p.id_a
+         |  JOIN sizes sb ON sb.doc_id = p.id_b
+         |  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5),
+         |paired AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT src AS doc_id FROM edges
+         |   UNION ALL SELECT dst FROM edges)),
+         |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |lbl(node, comp, i) AS (
+         |  SELECT src AS node, src AS comp, 0 AS i
+         |  FROM (SELECT DISTINCT src FROM sym)
+         |  UNION ALL
+         |  SELECT s.src AS node, min(l.comp) AS comp, l.i + 1 AS i
+         |  FROM lbl l JOIN sym s ON l.node = s.dst
+         |  WHERE l.i < 100
+         |  GROUP BY s.src, l.i),
+         |comp AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
+         |cs AS (SELECT component, count(*) AS cluster_size
+         |       FROM comp GROUP BY component),
+         |canon AS (SELECT node FROM (
+         |  SELECT comp.node, row_number() OVER (PARTITION BY component
+         |           ORDER BY d.n_chars DESC, comp.node) AS rn
+         |  FROM comp JOIN corpus d ON d.doc_id = comp.node) WHERE rn = 1),
+         |soft AS (SELECT c.node AS doc_id,
+         |                CAST(round(1.0 / s.cluster_size, 4) AS DOUBLE)
+         |                  AS weight
+         |         FROM comp c JOIN cs s USING (component)),
+         |sh3 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |           list_transform(range(1, len(toks) - 1),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+         |           AS shingle
+         |  FROM (SELECT doc_id,
+         |          list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                      x -> x <> '') AS toks
+         |        FROM documents) WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT shingle FROM sh3
+         |          WHERE doc_id % 97 = 0 AND doc_id < 5000),
+         |ctot AS (SELECT doc_id, count(*) AS n_sh FROM sh3
+         |         WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000)
+         |         GROUP BY doc_id),
+         |chit AS (SELECT s.doc_id, count(*) AS n_hit
+         |         FROM sh3 s JOIN bench b USING (shingle)
+         |         WHERE NOT (s.doc_id % 97 = 0 AND s.doc_id < 5000)
+         |         GROUP BY s.doc_id),
+         |contam AS (SELECT h.doc_id,
+         |                  CAST(h.n_hit AS DOUBLE) / t2.n_sh >= 0.8
+         |                    AS contaminated
+         |           FROM chit h JOIN ctot t2 USING (doc_id))
+         |SELECT q.doc_id, q.passes, s.split, p.pii_spans,
+         |       (pd.doc_id IS NOT NULL) AS near_dup_paired,
+         |       (cn.node IS NOT NULL) AS is_canonical,
+         |       COALESCE(sw.weight, 1.0) AS soft_weight,
+         |       COALESCE(cm.contaminated, FALSE) AS contaminated,
+         |       q.passes AND NOT COALESCE(cm.contaminated, FALSE)
+         |         AND (pd.doc_id IS NULL OR cn.node IS NOT NULL) AS keep
+         |FROM qual q
+         |JOIN spl s USING (doc_id)
+         |JOIN pii p USING (doc_id)
+         |LEFT JOIN paired pd USING (doc_id)
+         |LEFT JOIN canon cn ON cn.node = q.doc_id
+         |LEFT JOIN soft sw USING (doc_id)
+         |LEFT JOIN contam cm USING (doc_id)
+         |ORDER BY q.doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val isBench =
+        pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 5000
+      graft.Engine.runCorpusPipeline(s, d.filter(!isBench),
+          benchmark = Some(d.filter(isBench)), dedupMaxDf = 40)
+        .ledger.orderBy("doc_id")
+    },
+
     // Approximate end-to-end dedup — the 100 TB library path: MinHash+LSH
     // candidate pairs (estimated similarity, never an exact-Jaccard pass
     // over the inverted index) → the same distributed CC → canonical
