@@ -182,8 +182,11 @@ object Engine {
     // oracle runs at 40 for exactly that reason)
     val dedupPairs = Corpus.confirmedNearDupPairs(
       documents, textCol, idCol, maxDf = dedupMaxDf).cache()
-    val dedupClusters = Corpus.dedupClustersFromPairs(
-      documents, dedupPairs, idCol, qualityCol)
+    // label propagation runs ONCE; the canonical pick and the soft
+    // weights both derive from the same component labels
+    val dedupComp = Corpus.dedupComponents(dedupPairs)
+    val dedupClusters = Corpus.dedupClustersFromComponents(
+      documents, dedupComp, idCol, qualityCol)
     val redacted = Corpus.redactPii(documents, textCol, idCol)
     val splits = Corpus.splitAssign(documents, idCol)
     val contamination = benchmark.map(b =>
@@ -203,12 +206,12 @@ object Engine {
       .map(_.select(col(idCol), col("contaminated")))
       .getOrElse(quality.select(col(idCol))
         .withColumn("contaminated", lit(false)).limit(0))
-    // soft-dedup weights from the SAME confirmed edge set: the ledger
+    // soft-dedup weights from the SAME component labels: the ledger
     // carries both policies — `keep` (hard dedup: canonical survives)
     // and `soft_weight` (every cluster member at 1/cluster_size, group
     // mass one document-equivalent) — so a data-constrained run can
     // reweight instead of dropping without recomputing the graph
-    val soft = Corpus.softDedupWeightsFromPairs(spark, dedupPairs, idCol)
+    val soft = Corpus.softDedupWeightsFromComponents(dedupComp, idCol)
       .select(col(idCol), col("weight"))
     val ledger = quality.select(col(idCol), col("passes"))
       .join(splits.select(col(idCol), col("split")), Seq(idCol), "left")

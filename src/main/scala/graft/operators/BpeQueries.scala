@@ -125,11 +125,15 @@ object BpeQueries extends QueryModule {
          |pc0 AS (SELECT word[i] AS a, word[i+1] AS b, sum(wc) AS cnt
          |        FROM pr0 GROUP BY 1, 2),
          |m1 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+         |-- LEFT join on TRUE, not a cross join: a corpus with no
+         |-- learnable pair (every word 1 char) must still encode every
+         |-- word as its characters, not annihilate the dictionary (the
+         |-- fold's CASE is null-safe: null merge rule never matches)
          |seg AS (SELECT wc.word,
          |          len(string_split(${foldSql(
                "list_transform(range(1, len(wc.word) + 1), i -> wc.word[i])",
                "m.a", "m.b")}, chr(9))) AS n_pieces
-         |        FROM wc, m1 m),
+         |        FROM wc LEFT JOIN m1 m ON TRUE),
          |tok AS (
          |  SELECT doc_id, unnest(list_filter(
          |           regexp_split_to_array(trim(text), '\\s+'),
@@ -146,7 +150,10 @@ object BpeQueries extends QueryModule {
         .orderBy(col("cnt").desc, col("pair_a"), col("pair_b"))
         .limit(1)
         .select(col("pair_a").as("_ma"), col("pair_b").as("_mb"))
-      val seg = vocab.crossJoin(broadcast(m1))
+      // left join on TRUE (not crossJoin): an empty m1 must leave every
+      // word segmented to its characters — the fold's `when` is
+      // null-safe, a null merge rule never matches
+      val seg = vocab.join(broadcast(m1), lit(true), "left")
         .select(col("word"),
           size(Bpe.applyMerge(col("syms"), col("_ma"), col("_mb")))
             .cast("long").as("n_pieces"))

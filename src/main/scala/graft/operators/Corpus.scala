@@ -372,8 +372,11 @@ object Corpus {
     * one exact IEEE division + sqrt, identical everywhere). α is pinned
     * to 0.5 because sqrt is the one power the IEEE spec makes exact —
     * a general pow() answer differs by ulps across libms and could
-    * flip a rounded bucket bound. Decision buckets reuse
-    * [[sourceMix]]'s md5 chars 5–8, independent of split assignment.
+    * flip a rounded bucket bound. Decision buckets use md5 chars 9–12
+    * — a THIRD digest field, independent of both [[splitAssign]]
+    * (chars 1–4) and [[sourceMix]] (chars 5–8), so composing source
+    * mixing with temperature flattening multiplies the rates instead
+    * of the smaller bound silently swallowing the larger.
     * Scale shape: one bounded groupBy for counts, a broadcast rate
     * join, then a map-only filter. Returns the kept rows + the group's
     * 16-bit `bound` (65536 = kept whole). */
@@ -385,7 +388,7 @@ object Corpus {
       .select(col(groupCol),
         round(sqrt(col("_nmin").cast("double") / col("_ng")) * 65536)
           .cast("long").as("bound"))
-    val h = conv(substring(md5(col(idCol).cast("string")), 5, 4), 16, 10)
+    val h = conv(substring(md5(col(idCol).cast("string")), 9, 4), 16, 10)
       .cast("long")
     df.join(broadcast(rates), Seq(groupCol)).filter(h < col("bound"))
   }
@@ -623,14 +626,15 @@ object Corpus {
     * membership from different similarity graphs silently drops docs
     * whose candidate pair never confirms (paired ∧ ¬clustered). */
   def dedupClustersFromPairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String, qualityCol: String): DataFrame =
+    dedupClustersFromComponents(docs, dedupComponents(pairs), idCol,
+      qualityCol)
+
+  /** [[dedupClustersFromPairs]] over precomputed component labels
+    * ([[dedupComponents]]'s output) — the Engine shares one label
+    * propagation between this canonical pick and the soft weights. */
+  def dedupClustersFromComponents(docs: DataFrame, comp: DataFrame,
       idCol: String, qualityCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    val idType = docs.schema(idCol).dataType
-    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
-      s"dedupClusters needs an integral id column for connected components; " +
-        s"$idCol is ${idType.typeName} — map ids to dense longs first")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val comp = ConnectedComponents.labelPropagation(spark, edges)
     // canonical pick via a per-component rank (quality desc, id asc):
     // type-agnostic — no arithmetic negation of the id — and the same
     // shuffle cost as the groupBy it replaces
@@ -663,18 +667,29 @@ object Corpus {
   def softDedupWeights(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2, threshold: Double = 0.5,
       maxDf: Int = 10000): DataFrame =
-    softDedupWeightsFromPairs(docs.sparkSession,
-      confirmedNearDupPairs(docs, textCol, idCol, n, threshold, maxDf),
+    softDedupWeightsFromComponents(dedupComponents(
+      confirmedNearDupPairs(docs, textCol, idCol, n, threshold, maxDf)),
       idCol)
 
-  /** [[softDedupWeights]] over a precomputed (id_a, id_b) pair set —
-    * the Engine reuses the one confirmed edge set for clusters, ledger
-    * flags, AND soft weights (see [[dedupClustersFromPairs]] for why
-    * mixing similarity graphs is wrong). */
-  def softDedupWeightsFromPairs(spark: org.apache.spark.sql.SparkSession,
-      pairs: DataFrame, idCol: String): DataFrame = {
-    val comp = ConnectedComponents.labelPropagation(spark,
+  /** Connected components of a confirmed (id_a, id_b) pair set —
+    * (node, component). Factored out so the Engine runs label
+    * propagation ONCE and derives both the canonical pick and the soft
+    * weights from the same labels. Integral-id guard as in
+    * [[dedupClustersFromPairs]]: a non-ANSI long cast would silently
+    * null string ids into one garbage component. */
+  def dedupComponents(pairs: DataFrame): DataFrame = {
+    val idType = pairs.schema("id_a").dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"connected components need integral pair ids; id_a is " +
+        s"${idType.typeName} — map ids to dense longs first")
+    ConnectedComponents.labelPropagation(pairs.sparkSession,
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+  }
+
+  /** [[softDedupWeights]] over precomputed component labels
+    * ([[dedupComponents]]'s output). */
+  def softDedupWeightsFromComponents(comp: DataFrame,
+      idCol: String): DataFrame = {
     val sizes = comp.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, Seq("component"))

@@ -66,6 +66,54 @@ object CorpusQueries extends QueryModule {
         .mkString(" || '|' || ")).mkString(", ")}]) AS bucket
        |    FROM sig))""".stripMargin
 
+  /** Inline (doc_id, toks) subquery over `documents` for [[ccCteSql]]
+    * callers that cluster the whole table. */
+  private val docToksSub =
+    """(SELECT doc_id,
+      |               list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                           x -> x <> '') AS toks
+      |        FROM documents)""".stripMargin
+
+  /** Shared DuckDB CTE chain `raw`→`keepsh`→`sh`→`sizes`→`cand`→`edges`
+    * →`sym`→`lbl`→`comp`: bigram shingles from `tokSrc` (any relation or
+    * subquery yielding (doc_id, toks)), df-capped inverted index,
+    * exact-Jaccard ≥ 0.5 edges, recursive min-label connected
+    * components — must stay arithmetic-identical to
+    * [[Corpus.confirmedNearDupPairs]] + ConnectedComponents. Used by
+    * x_dedup_pipeline, x_soft_dedup, and x_curation_ledger; the caller's
+    * WITH must be RECURSIVE. */
+  private def ccCteSql(tokSrc: String, maxDf: Int): String =
+    s"""raw AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |           list_transform(range(1, len(toks)),
+       |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+       |  FROM $tokSrc WHERE len(toks) >= 2),
+       |keepsh AS (SELECT shingle FROM raw GROUP BY shingle
+       |           HAVING count(*) <= $maxDf),
+       |sh AS (SELECT raw.doc_id, raw.shingle
+       |       FROM raw JOIN keepsh USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT p.id_a AS src, p.id_b AS dst
+       |  FROM cand p
+       |  JOIN sizes sa ON sa.doc_id = p.id_a
+       |  JOIN sizes sb ON sb.doc_id = p.id_b
+       |  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5),
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |lbl(node, comp, i) AS (
+       |  SELECT src AS node, src AS comp, 0 AS i
+       |  FROM (SELECT DISTINCT src FROM sym)
+       |  UNION ALL
+       |  SELECT s.src AS node, min(l.comp) AS comp, l.i + 1 AS i
+       |  FROM lbl l JOIN sym s ON l.node = s.dst
+       |  WHERE l.i < 100
+       |  GROUP BY s.src, l.i),
+       |comp AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node)""".stripMargin
+
   /** Estimated-similarity predicate text over two `sig` aliases: the
     * matching-hash fraction ≥ threshold, exactly as the Spark side
     * scores candidates. */
@@ -224,39 +272,7 @@ object CorpusQueries extends QueryModule {
     // survivor selection compose. Oracle: same pairs in SQL + the d2
     // bounded min-label recursive CTE + a window for the survivor.
     q("x_dedup_pipeline",
-      """WITH RECURSIVE raw AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |           list_transform(range(1, len(toks)),
-        |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
-        |  FROM (SELECT doc_id,
-        |               list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                           x -> x <> '') AS toks
-        |        FROM documents) WHERE len(toks) >= 2),
-        |keep AS (SELECT shingle FROM raw GROUP BY shingle
-        |         HAVING count(*) <= 40),
-        |sh AS (SELECT raw.doc_id, raw.shingle
-        |       FROM raw JOIN keep USING (shingle)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |cand AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT p.id_a AS src, p.id_b AS dst
-        |  FROM cand p
-        |  JOIN sizes sa ON sa.doc_id = p.id_a
-        |  JOIN sizes sb ON sb.doc_id = p.id_b
-        |  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5),
-        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-        |lbl(node, comp, i) AS (
-        |  SELECT src AS node, src AS comp, 0 AS i
-        |  FROM (SELECT DISTINCT src FROM sym)
-        |  UNION ALL
-        |  SELECT s.src AS node, min(l.comp) AS comp, l.i + 1 AS i
-        |  FROM lbl l JOIN sym s ON l.node = s.dst
-        |  WHERE l.i < 100
-        |  GROUP BY s.src, l.i),
-        |comp AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
+      s"""WITH RECURSIVE ${ccCteSql(docToksSub, 40)},
         |ranked AS (
         |  SELECT component, node AS canonical_doc,
         |         row_number() OVER (PARTITION BY component
@@ -277,39 +293,7 @@ object CorpusQueries extends QueryModule {
     // pair/CC machinery as x_dedup_pipeline; docs in no cluster are
     // implicitly weight-1 and not emitted.
     q("x_soft_dedup",
-      """WITH RECURSIVE raw AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |           list_transform(range(1, len(toks)),
-        |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
-        |  FROM (SELECT doc_id,
-        |               list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |                           x -> x <> '') AS toks
-        |        FROM documents) WHERE len(toks) >= 2),
-        |keep AS (SELECT shingle FROM raw GROUP BY shingle
-        |         HAVING count(*) <= 40),
-        |sh AS (SELECT raw.doc_id, raw.shingle
-        |       FROM raw JOIN keep USING (shingle)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |cand AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT p.id_a AS src, p.id_b AS dst
-        |  FROM cand p
-        |  JOIN sizes sa ON sa.doc_id = p.id_a
-        |  JOIN sizes sb ON sb.doc_id = p.id_b
-        |  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5),
-        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-        |lbl(node, comp, i) AS (
-        |  SELECT src AS node, src AS comp, 0 AS i
-        |  FROM (SELECT DISTINCT src FROM sym)
-        |  UNION ALL
-        |  SELECT s.src AS node, min(l.comp) AS comp, l.i + 1 AS i
-        |  FROM lbl l JOIN sym s ON l.node = s.dst
-        |  WHERE l.i < 100
-        |  GROUP BY s.src, l.i),
-        |comp AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
+      s"""WITH RECURSIVE ${ccCteSql(docToksSub, 40)},
         |cs AS (SELECT component, count(*) AS cluster_size
         |       FROM comp GROUP BY component)
         |SELECT c.node AS doc_id, c.component, s.cluster_size,
@@ -364,39 +348,10 @@ object CorpusQueries extends QueryModule {
          |       len(regexp_extract_all(text, '${Corpus.PhoneRe}'))
          |       AS BIGINT) AS pii_spans
          |  FROM corpus),
-         |raw AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |           list_transform(range(1, len(toks)),
-         |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
-         |  FROM t WHERE len(toks) >= 2),
-         |keep2 AS (SELECT shingle FROM raw GROUP BY shingle
-         |          HAVING count(*) <= 40),
-         |sh AS (SELECT raw.doc_id, raw.shingle
-         |       FROM raw JOIN keep2 USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |cand AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |edges AS (
-         |  SELECT p.id_a AS src, p.id_b AS dst
-         |  FROM cand p
-         |  JOIN sizes sa ON sa.doc_id = p.id_a
-         |  JOIN sizes sb ON sb.doc_id = p.id_b
-         |  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5),
+         |${ccCteSql("t", 40)},
          |paired AS (SELECT DISTINCT doc_id FROM
          |  (SELECT src AS doc_id FROM edges
          |   UNION ALL SELECT dst FROM edges)),
-         |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-         |lbl(node, comp, i) AS (
-         |  SELECT src AS node, src AS comp, 0 AS i
-         |  FROM (SELECT DISTINCT src FROM sym)
-         |  UNION ALL
-         |  SELECT s.src AS node, min(l.comp) AS comp, l.i + 1 AS i
-         |  FROM lbl l JOIN sym s ON l.node = s.dst
-         |  WHERE l.i < 100
-         |  GROUP BY s.src, l.i),
-         |comp AS (SELECT node, min(comp) AS component FROM lbl GROUP BY node),
          |cs AS (SELECT component, count(*) AS cluster_size
          |       FROM comp GROUP BY component),
          |canon AS (SELECT node FROM (
@@ -928,7 +883,7 @@ object CorpusQueries extends QueryModule {
     // language survives whole, the head is downsampled toward uniform.
     // No normalizing sum (engine-unstable float accumulation); the rate
     // is one exact division + sqrt per bounded group, broadcast back,
-    // then a map-only md5-bucket filter.
+    // then a map-only md5-bucket filter on digest chars 9-12 (independent of both split assignment and source mixing).
     q("x_temperature_mix",
       """WITH c AS (SELECT lang, count(*) AS ng FROM documents GROUP BY lang),
         |m AS (SELECT min(ng) AS nmin FROM c),
@@ -938,7 +893,7 @@ object CorpusQueries extends QueryModule {
         |      FROM c, m)
         |SELECT d.doc_id, d.lang, r.bound FROM documents d
         |JOIN r USING (lang)
-        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4)
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4)
         |           AS BIGINT) < r.bound
         |ORDER BY doc_id""") { (s, dir) =>
       Corpus.temperatureMix(docs(s, dir), "lang", "doc_id")

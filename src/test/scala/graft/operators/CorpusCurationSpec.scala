@@ -182,7 +182,7 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     val e = intercept[IllegalArgumentException] {
       Corpus.dedupClusters(df, "text", "doc_id", "n_chars")
     }
-    assert(e.getMessage.contains("integral id column"))
+    assert(e.getMessage.contains("integral pair ids"))
   }
 
   test("topNgramCharFrac spikes on phrase loops that unigram diversity misses") {
