@@ -33,20 +33,11 @@ object CorpusQueries extends QueryModule {
       |                   x -> x <> '') AS toks
       |FROM documents""".stripMargin
 
-  /** Shared DuckDB CTEs `raw`/`sig`/`bands`: 2-shingles → one md5 base
-    * hash → 16 affine-permutation MinHash signature → 4-band bucket rows
-    * over `documents` — must stay arithmetic-identical to
-    * [[TextDedup.minHashSignatures]] / [[TextDedup.bandRows]]. */
-  private val minhashCteSql: String =
-    s"""raw AS (
-       |  SELECT doc_id, unnest(list_distinct(
-       |           list_transform(range(1, len(toks)),
-       |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
-       |  FROM (SELECT doc_id,
-       |               list_filter(regexp_split_to_array(trim(text), '\\s+'),
-       |                           x -> x <> '') AS toks
-       |        FROM documents) WHERE len(toks) >= 2),
-       |sig AS (
+  /** The `sig`/`bands` half of [[minhashCteSql]] — callers that already
+    * carry a `raw` shingle CTE (e.g. x_lsh_recall sharing one `raw`
+    * between the exact-pair and signature chains) splice this alone. */
+  private val minhashSigBandsSql: String =
+    s"""sig AS (
        |  SELECT doc_id,
        |         ${(0 until 16).map(i =>
       s"min((${TextDedup.minHashA(i)} * base + " +
@@ -66,6 +57,21 @@ object CorpusQueries extends QueryModule {
         .mkString(" || '|' || ")).mkString(", ")}]) AS bucket
        |    FROM sig))""".stripMargin
 
+  /** Shared DuckDB CTEs `raw`/`sig`/`bands`: 2-shingles → one md5 base
+    * hash → 16 affine-permutation MinHash signature → 4-band bucket rows
+    * over `documents` — must stay arithmetic-identical to
+    * [[TextDedup.minHashSignatures]] / [[TextDedup.bandRows]]. */
+  private val minhashCteSql: String =
+    s"""raw AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |           list_transform(range(1, len(toks)),
+       |                          i -> toks[i] || ' ' || toks[i+1]))) AS shingle
+       |  FROM (SELECT doc_id,
+       |               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                           x -> x <> '') AS toks
+       |        FROM documents) WHERE len(toks) >= 2),
+       |$minhashSigBandsSql""".stripMargin
+
   /** Inline (doc_id, toks) subquery over `documents` for [[ccCteSql]]
     * callers that cluster the whole table. */
   private val docToksSub =
@@ -74,15 +80,12 @@ object CorpusQueries extends QueryModule {
       |                           x -> x <> '') AS toks
       |        FROM documents)""".stripMargin
 
-  /** Shared DuckDB CTE chain `raw`→`keepsh`→`sh`→`sizes`→`cand`→`edges`
-    * →`sym`→`lbl`→`comp`: bigram shingles from `tokSrc` (any relation or
-    * subquery yielding (doc_id, toks)), df-capped inverted index,
-    * exact-Jaccard ≥ 0.5 edges, recursive min-label connected
-    * components — must stay arithmetic-identical to
-    * [[Corpus.confirmedNearDupPairs]] + ConnectedComponents. Used by
-    * x_dedup_pipeline, x_soft_dedup, and x_curation_ledger; the caller's
-    * WITH must be RECURSIVE. */
-  private def ccCteSql(tokSrc: String, maxDf: Int): String =
+  /** Shared DuckDB CTE chain `raw`→`keepsh`→`sh`→`sizes`→`cand`→`edges`:
+    * bigram shingles from `tokSrc` (any relation or subquery yielding
+    * (doc_id, toks)), df-capped inverted index, exact-Jaccard ≥ 0.5
+    * pair edges (src &lt; dst) — arithmetic-identical to
+    * [[Corpus.confirmedNearDupPairs]]. */
+  private def exactPairsCteSql(tokSrc: String, maxDf: Int): String =
     s"""raw AS (
        |  SELECT doc_id, unnest(list_distinct(
        |           list_transform(range(1, len(toks)),
@@ -102,7 +105,15 @@ object CorpusQueries extends QueryModule {
        |  FROM cand p
        |  JOIN sizes sa ON sa.doc_id = p.id_a
        |  JOIN sizes sb ON sb.doc_id = p.id_b
-       |  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5),
+       |  WHERE CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) >= 0.5)"""
+      .stripMargin
+
+  /** [[exactPairsCteSql]] + `sym`→`lbl`→`comp` recursive min-label
+    * connected components (ConnectedComponents' twin). Used by
+    * x_dedup_pipeline, x_soft_dedup, and x_curation_ledger; the caller's
+    * WITH must be RECURSIVE. */
+  private def ccCteSql(tokSrc: String, maxDf: Int): String =
+    s"""${exactPairsCteSql(tokSrc, maxDf)},
        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
        |lbl(node, comp, i) AS (
        |  SELECT src AS node, src AS comp, 0 AS i
@@ -285,6 +296,53 @@ object CorpusQueries extends QueryModule {
       Corpus.dedupClusters(docs(s, dir), "text", "doc_id", "n_chars",
           n = 2, threshold = 0.5, maxDf = 40)
         .orderBy("component")
+    },
+
+    // LSH candidate-recall gauge — the text twin of x_ann_recall: per
+    // anchor doc, what fraction of its TRUE near-dup pairs the
+    // MinHash+LSH path (16 hashes, 4 bands, est ≥ 0.5) also surfaces.
+    // Ground truth is the UNCAPPED exact-Jaccard ≥ 0.5 pass (the
+    // labeled-naive x_ngram_jaccard shape, affordable on a gauge): a
+    // df-capped truth would measure Jaccard over a DIFFERENT (rarer)
+    // shingle vocabulary than the one MinHash estimates, and the gauge
+    // would report the cap's similarity drift as LSH misses — exactly
+    // what an early draft of this query did at sf0.1, where the cap
+    // bites. One shared shingle pass feeds both chains; the recall mart
+    // is what sizes the band/hash tradeoff before a 100 TB run commits
+    // to the approximate pipeline.
+    q("x_lsh_recall",
+      s"""WITH ${exactPairsCteSql(docToksSub, 1000000000)},
+         |$minhashSigBandsSql,
+         |mcand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.id_a, c.id_b FROM mcand c
+         |  JOIN sig sa ON sa.doc_id = c.id_a
+         |  JOIN sig sb ON sb.doc_id = c.id_b
+         |  WHERE ${minhashSimSql("sa", "sb", 0.5)})
+         |SELECT e.src AS doc_a, count(*) AS n_true,
+         |       count(s.id_a) AS hits,
+         |       CAST(round(CAST(count(s.id_a) AS DOUBLE) / count(*), 4)
+         |            AS DOUBLE) AS recall
+         |FROM edges e
+         |LEFT JOIN est s ON s.id_a = e.src AND s.id_b = e.dst
+         |GROUP BY e.src ORDER BY e.src""") { (s, dir) =>
+      val d = docs(s, dir)
+      val exact = Corpus.confirmedNearDupPairs(d, "text", "doc_id",
+          n = 2, threshold = 0.5, maxDf = 1000000000)
+        .select(col("id_a"), col("id_b"))
+      val est = TextDedup.minHashLshPairs(d, "text", "doc_id")
+        .select(col("id_a"), col("id_b")).withColumn("_hit", lit(1))
+      exact.join(est, Seq("id_a", "id_b"), "left")
+        .groupBy("id_a")
+        .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("hits"))
+        .select(col("id_a").as("doc_a"), col("n_true"), col("hits"),
+          round(col("hits").cast("double") / col("n_true"), 4)
+            .cast("double").as("recall"))
+        .orderBy("doc_a")
     },
 
     // Soft dedup (Muennighoff et al. 2023): reweight near-dup clusters
