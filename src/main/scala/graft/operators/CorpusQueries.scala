@@ -299,20 +299,35 @@ object CorpusQueries extends QueryModule {
     },
 
     // LSH candidate-recall gauge — the text twin of x_ann_recall: per
-    // anchor doc, what fraction of its TRUE near-dup pairs the
-    // MinHash+LSH path (16 hashes, 4 bands, est ≥ 0.5) also surfaces.
-    // Ground truth is the UNCAPPED exact-Jaccard ≥ 0.5 pass (the
-    // labeled-naive x_ngram_jaccard shape, affordable on a gauge): a
-    // df-capped truth would measure Jaccard over a DIFFERENT (rarer)
-    // shingle vocabulary than the one MinHash estimates, and the gauge
-    // would report the cap's similarity drift as LSH misses — exactly
-    // what an early draft of this query did at sf0.1, where the cap
-    // bites. One shared shingle pass feeds both chains; the recall mart
-    // is what sizes the band/hash tradeoff before a 100 TB run commits
-    // to the approximate pipeline.
+    // SAMPLED anchor doc (doc_id % 10 = 0, the probe-subset discipline
+    // of the ANN recall gauges), what fraction of its TRUE near-dup
+    // neighbors the MinHash+LSH path (16 hashes, 4 bands, est ≥ 0.5)
+    // also surfaces. Ground truth is the UNCAPPED exact-Jaccard ≥ 0.5
+    // pass with the anchor filter PUSHED INTO the inverted-index join's
+    // probe side: a df-capped truth would measure Jaccard over a
+    // DIFFERENT (rarer) shingle vocabulary than the one MinHash
+    // estimates and report the cap's similarity drift as LSH misses
+    // (an early draft did exactly that: recall 0.01 at sf0.1), while an
+    // UNSAMPLED uncapped truth is the full naive quadratic pass (a
+    // second draft spent 11 minutes there at 10×). Sampled-anchor ×
+    // full-corpus keeps the truth affordable and still LABELED-naive —
+    // its cost is quadratic in duplication like x_ngram_jaccard. The
+    // recall mart is what sizes the band/hash tradeoff before a 100 TB
+    // run commits to the approximate pipeline.
     q("x_lsh_recall",
-      s"""WITH ${exactPairsCteSql(docToksSub, 1000000000)},
-         |$minhashSigBandsSql,
+      s"""WITH $minhashCteSql,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM raw GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+         |  FROM raw a JOIN raw b
+         |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % 10 = 0
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT s.a_id, s.b_id FROM shared s
+         |  JOIN sizes sa ON sa.doc_id = s.a_id
+         |  JOIN sizes sb ON sb.doc_id = s.b_id
+         |  WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5),
          |mcand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b
@@ -323,23 +338,39 @@ object CorpusQueries extends QueryModule {
          |  JOIN sig sa ON sa.doc_id = c.id_a
          |  JOIN sig sb ON sb.doc_id = c.id_b
          |  WHERE ${minhashSimSql("sa", "sb", 0.5)})
-         |SELECT e.src AS doc_a, count(*) AS n_true,
-         |       count(s.id_a) AS hits,
-         |       CAST(round(CAST(count(s.id_a) AS DOUBLE) / count(*), 4)
+         |SELECT t.a_id AS doc_a, count(*) AS n_true,
+         |       count(e.id_a) AS hits,
+         |       CAST(round(CAST(count(e.id_a) AS DOUBLE) / count(*), 4)
          |            AS DOUBLE) AS recall
-         |FROM edges e
-         |LEFT JOIN est s ON s.id_a = e.src AND s.id_b = e.dst
-         |GROUP BY e.src ORDER BY e.src""") { (s, dir) =>
+         |FROM truth t
+         |LEFT JOIN est e ON e.id_a = least(t.a_id, t.b_id)
+         |               AND e.id_b = greatest(t.a_id, t.b_id)
+         |GROUP BY t.a_id ORDER BY t.a_id""") { (s, dir) =>
       val d = docs(s, dir)
-      val exact = Corpus.confirmedNearDupPairs(d, "text", "doc_id",
-          n = 2, threshold = 0.5, maxDf = 1000000000)
-        .select(col("id_a"), col("id_b"))
+      val sh = TextDedup.shingles(d, "text", "doc_id", 2).localCheckpoint()
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      val shared = sh.filter(pmod(col("id"), lit(10)) === 0)
+        .select(col("id").as("a_id"), col("shingle"))
+        .join(sh.select(col("id").as("b_id"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      val truth = shared
+        .join(sizes.select(col("id").as("a_id"), col("n").as("na")),
+          Seq("a_id"))
+        .join(sizes.select(col("id").as("b_id"), col("n").as("nb")),
+          Seq("b_id"))
+        .filter(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")) >= 0.5)
+        .select(col("a_id"), col("b_id"))
       val est = TextDedup.minHashLshPairs(d, "text", "doc_id")
         .select(col("id_a"), col("id_b")).withColumn("_hit", lit(1))
-      exact.join(est, Seq("id_a", "id_b"), "left")
-        .groupBy("id_a")
+      truth
+        .join(est, least(col("a_id"), col("b_id")) === col("id_a") &&
+          greatest(col("a_id"), col("b_id")) === col("id_b"), "left")
+        .groupBy("a_id")
         .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("hits"))
-        .select(col("id_a").as("doc_a"), col("n_true"), col("hits"),
+        .select(col("a_id").as("doc_a"), col("n_true"), col("hits"),
           round(col("hits").cast("double") / col("n_true"), 4)
             .cast("double").as("recall"))
         .orderBy("doc_a")
