@@ -23,8 +23,17 @@ object GentooIngest {
 
   def parseOne(datasourceId: String, xml: String): Option[AdvisoryRow] = {
     val f = DocumentBuilderFactory.newInstance()
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    // real GLSA files all carry `<!DOCTYPE glsa SYSTEM …>` (captured
+    // gentoo_v2/glsa-*.xml), so the DOCTYPE itself must be allowed;
+    // XXE stays closed by refusing to LOAD the external DTD or expand
+    // external entities
+    f.setFeature(
+      "http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
     f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities",
+      false)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
     val doc =
       try f.newDocumentBuilder()
         .parse(new ByteArrayInputStream(xml.getBytes("UTF-8")))

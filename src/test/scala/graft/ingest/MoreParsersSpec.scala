@@ -117,7 +117,10 @@ class NginxIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(ap.purl == "pkg:nginx/nginx")
     assert(ap.affecting_vers ==
       "vers:nginx/>=1.25.0|<=1.25.5|=1.26.0")
-    assert(ap.fixed_vers == "vers:nginx/>=1.27.0|>=1.26.1")
+    // branch-aware `+`: 1.26 is a stable branch so 1.26.1+ stops at the
+    // next branch; 1.27 is mainline, open-ended (matches the captured
+    // nginx_v2 expected output for the same token pattern)
+    assert(ap.fixed_vers == "vers:nginx/>=1.26.1|<1.27.0|>=1.27.0")
     assert(h3.references.exists(r =>
       r.url == "https://nvd.nist.gov/vuln/detail/CVE-2030-32760"))
     assert(h3.references.exists(_.url.contains("mailman")))
