@@ -29,6 +29,12 @@ object AlpineIngest {
 
   /** alias validity (alpine_linux_importer.py:271-308): proper CVE ids or
     * one of the known tracker prefixes. */
+  /** apk version grammar (digits[.digits]* [letter] [_suffix[num]]*
+    * [-r num]) — e.g. `2.7.2-r0` valid, `4.10-1-r1` not. */
+  private val ApkVersionRe =
+    "^[0-9]+(\\.[0-9]+)*[a-zA-Z]?" +
+      "((_alpha|_beta|_pre|_rc|_cvs|_svn|_git|_hg|_p)[0-9]*)*(-r[0-9]+)?$"
+
   private val ValidAlias =
     "^(CVE-\\d{4}-\\d{4,19}$|XSA-|GHSL-|TALOS-|RUSTSEC-|GHSA-|GNUTLS-|VSV|" +
       "ZDI-CAN-|DW|YSA-|ZBX-|ALPINE-|TS-|OSEC-|wnpa-sec-)"
@@ -63,8 +69,11 @@ object AlpineIngest {
         col("distroversion").isNotNull && col("reponame").isNotNull &&
         col("archs").isNotNull)
 
+    // the reference records the distro DIRECTORY page as the advisory
+    // url (captured expected: `https://secdb.alpinelinux.org/v3.11/`),
+    // not the repo json file inside it
     val url = concat(lit("https://secdb.alpinelinux.org/"),
-      regexp_extract(col("path"), "([^/]+/[^/]+)$", 0))
+      regexp_extract(col("path"), "([^/]+)/[^/]+$", 1), lit("/"))
 
     val exploded = o
       .select(col("datasource_id"), col("distroversion"), col("reponame"),
@@ -104,10 +113,20 @@ object AlpineIngest {
         "array<struct<scoring_system:string,value:string," +
           "scoring_elements:string,url:string>>").as("severities"),
       array().cast("array<int>").as("weaknesses"),
-      transform(purls, p => struct(
-        p.as("purl"),
-        lit("vers:alpine/").as("affecting_vers"),
-        concat(lit("vers:alpine/="), col("version")).as("fixed_vers")))
+      // a secfix version that is not a valid apk version yields NO
+      // affected packages — the advisory row still carries its aliases
+      // (alpine_linux_importer.py:202-219 InvalidVersion skip; captured
+      // XSA-252 entry `4.10-1-r1` has affected_packages: [])
+      when(col("version").rlike(ApkVersionRe),
+        transform(purls, p => struct(
+          p.as("purl"),
+          // secdb fixes carry the apk scheme (captured `vers:apk/…`);
+          // VersionOrd orders apk and alpine identically
+          lit("vers:apk/").as("affecting_vers"),
+          concat(lit("vers:apk/="), col("version")).as("fixed_vers"))))
+        .otherwise(array().cast(
+          "array<struct<purl:string,affecting_vers:string," +
+            "fixed_vers:string>>"))
         .as("affected"),
       to_timestamp(lit("1970-01-01")).as("date_collected"),
       lit(null).cast("timestamp").as("date_published"),

@@ -59,10 +59,17 @@ object FireeyeIngest {
     val references = section("## References")
       .map(_.replaceAll("^[-* ]+", ""))
       .flatMap(UrlRe.findFirstIn(_))
-      .map(u => ReferenceRow(u, "other",
-        u.split('/').lastOption.getOrElse("")))
-    val severities = section("## Impact").headOption.toSeq.map { impact =>
-      SeverityRow("generic_textual", impact.split(" - ").head.trim, "", "")
+      .map(u => ReferenceRow(u, "other", ""))
+    // `High - reason`, `Medium: reason`, or a bare leading word; anything
+    // not High/Medium/Low is no severity (fireeye_importer_v2.py:218-230)
+    val severities = section("## Impact").headOption.toSeq.flatMap { impact =>
+      val value =
+        if (impact.contains(" - ")) impact.split(" - ").head
+        else if (impact.contains(": ")) impact.split(": ").head
+        else impact.split(' ').headOption.getOrElse("")
+      if (Set("high", "medium", "low")(value.toLowerCase))
+        Seq(SeverityRow("generic_textual", value, "", ""))
+      else Seq.empty
     }
     val weaknesses = section("## Common Weakness Enumeration")
       .flatMap("CWE-(\\d+)".r.findAllMatchIn(_).map(_.group(1).toInt))

@@ -15,6 +15,19 @@ object GlibcIngest {
   private val GlibcPurl = "pkg:sid/gnu.org/glibc"
   private val VcsUrl = "https://sourceware.org/git/glibc.git"
 
+  /** Generic-scheme version normalization (univers GenericVersion, as
+    * captured in the glibc advisories expected JSON): the numeric dotted
+    * base pads to three segments, any `-suffix` is preserved —
+    * `2.37` → `2.37.0`, `2.37-4` → `2.37.0-4`. */
+  def genericVersion(v: String): String = {
+    val dash = v.indexOf('-')
+    val (base, suffix) = if (dash < 0) (v, "") else v.splitAt(dash)
+    val segs = base.split('.')
+    if (segs.nonEmpty && segs.forall(s => s.nonEmpty && s.forall(_.isDigit)))
+      (segs ++ Seq.fill(3 - segs.length)("0")).take(3).mkString(".") + suffix
+    else v
+  }
+
   def parseOne(datasourceId: String, fileName: String,
       text: String): Option[AdvisoryRow] = {
     if (!fileName.startsWith("GLIBC-SA")) return None
@@ -54,23 +67,30 @@ object GlibcIngest {
         }
       }
     }
-    val affVersions = affectedCommits.map(_._2).filter(_.nonEmpty).distinct
-    val fixVersions = fixedCommits.map(_._2).filter(_.nonEmpty).distinct
+    val affVersions = affectedCommits.map(_._2).filter(_.nonEmpty)
+      .map(genericVersion).distinct
+    val fixVersions = fixedCommits.map(_._2).filter(_.nonEmpty)
+      .map(genericVersion).distinct
     val affected =
       if (affVersions.isEmpty && fixVersions.isEmpty) Seq.empty
       else Seq(AffectedRow(GlibcPurl,
         "vers:generic/" + affVersions.sorted.map("=" + _).mkString("|"),
         "vers:generic/" + fixVersions.sorted.map("=" + _).mkString("|")))
-    val commitRefs = (fixedCommits.map(_._1) ++ affectedCommits.map(_._1))
-      .filter(_.nonEmpty).distinct.map(h =>
-        ReferenceRow(s"$VcsUrl;a=commit;h=$h", "commit", h))
+    // directed commit references — our flat analog of the reference's
+    // introduced_by/fixed_by_commit_patches on AffectedPackageV2
+    // (glibc_importer.py:119-130); the url is the bare VCS url like the
+    // reference's PackageCommitPatchData.vcs_url
+    val commitRefs =
+      affectedCommits.map(_._1).filter(_.nonEmpty).distinct.map(h =>
+        ReferenceRow(VcsUrl, "vulnerable_commit", h)) ++
+      fixedCommits.map(_._1).filter(_.nonEmpty).distinct.map(h =>
+        ReferenceRow(VcsUrl, "fix_commit", h))
 
     Some(AdvisoryRow(datasourceId, fileName,
       (summary + "\n" + description).trim, cve.toSeq, commitRefs,
       Seq.empty, Seq.empty, affected,
       published.getOrElse(new Timestamp(0L)), published,
-      "https://sourceware.org/git/?p=glibc.git;a=blob;f=advisories/" +
-        fileName, 200))
+      VcsUrl, 200))
   }
 
   def parse(spark: SparkSession, raw: DataFrame): Dataset[AdvisoryRow] = {

@@ -60,7 +60,7 @@ object RetireDotnetIngest {
       filter(array(when(col("d.link").isNotNull, struct(
         col("d.link").as("url"),
         lit("advisory").as("reference_type"),
-        regexp_extract(col("d.link"), "[^/]+$", 0).as("reference_id")))),
+        lit("").as("reference_id")))),
         r => r.isNotNull).as("references"),
       array().cast(
         "array<struct<scoring_system:string,value:string," +
@@ -69,7 +69,9 @@ object RetireDotnetIngest {
       affected.as("affected"),
       to_timestamp(lit("1970-01-01")).as("date_collected"),
       lit(null).cast("timestamp").as("date_published"),
-      concat(lit("https://github.com/RetireNet/Packages/blob/master/Content/"),
+      // the reference builds the advisory url from the bare file name
+      // (retiredotnet_importer.py advisory_url, captured expected_file)
+      concat(lit("https://github.com/RetireNet/Packages/blob/master/"),
         col("stem"), lit(".json")).as("url"),
       lit(precedence).as("precedence"))
       .as[AdvisoryRow]

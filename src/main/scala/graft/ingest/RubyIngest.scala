@@ -66,7 +66,7 @@ object RubyIngest {
       else if (title.nonEmpty && !desc.contains(title)) title + "\n" + desc
       else desc
     val refs = Option(str(doc, "url")).toSeq.map(u =>
-      ReferenceRow(u, "advisory", u.split('/').lastOption.getOrElse("")))
+      ReferenceRow(u, "advisory", ""))
     val sevs =
       Option(str(doc, "cvss_v4")).map(v =>
         SeverityRow("cvssv4", v, "", "")).toSeq ++

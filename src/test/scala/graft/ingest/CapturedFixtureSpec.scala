@@ -40,6 +40,113 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.count(_.severities.nonEmpty) > 20) // we really keep them
   }
 
+  // ---------------------------------------------------------------- glibc
+  withRef("glibc: captured GLIBC-SA advisories match v2 expected") {
+    for (sa <- Seq("GLIBC-SA-2023-0001", "GLIBC-SA-2025-0004",
+        "GLIBC-SA-2026-0002")) {
+      val rows = GlibcIngest.parseOne("glibc", sa,
+        RefCapture.text(s"glibc/advisories/$sa")).toSeq
+      val want = RefCapture.loadExpected(s"glibc/advisories/$sa-expected.json")
+      RefCapture.assertMatch(s"glibc/$sa", rows.map(RefCapture.canonRow), want)
+    }
+  }
+
+  // -------------------------------------------------------------- fireeye
+  withRef("fireeye: captured Mandiant disclosures match v2 expected") {
+    for (id <- Seq("FEYE-2019-0002", "FEYE-2020-0020", "MNDT-2025-0009")) {
+      val rows = FireeyeIngest.parseOne("fireeye", s"$id.md",
+        RefCapture.text(s"fireeye_v2/$id.md")).toSeq
+      val want = RefCapture.loadExpected(s"fireeye_v2/$id-expected.json")
+      RefCapture.assertMatch(s"fireeye/$id",
+        rows.map(RefCapture.canonRow), want)
+    }
+  }
+
+  // ----------------------------------------------------------------- ruby
+  withRef("ruby: captured rubysec advisories match v2 expected") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    for (rel <- Seq("gems/CVE-2020-5257", "gems/CVE-2024-6531",
+        "rubies/CVE-2011-2686", "rubies/CVE-2022-25857")) {
+      val rows = RubyIngest.parseOne(yaml, "ruby", s"$rel.yml",
+        RefCapture.text(s"ruby-v2/$rel.yml")).toSeq
+      val want = RefCapture.loadExpected(s"ruby-v2/$rel-expected.json")
+      RefCapture.assertMatch(s"ruby/$rel", rows.map(RefCapture.canonRow), want)
+    }
+  }
+
+  // ----------------------------------------------------------- suse score
+  withRef("suse scores: captured cvss yaml matches v2 expected") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val rows = SuseScoreIngest.parseOne(yaml, "suse_scores",
+      RefCapture.text("suse_scores_v2/suse-cvss-scores.yaml"))
+    val want = RefCapture.loadExpected(
+      "suse_scores_v2/suse-cvss-scores-expected.json")
+    RefCapture.assertMatch("suse_scores", rows.map(RefCapture.canonRow), want)
+  }
+
+  // ---------------------------------------------------------- retiredotnet
+  withRef("retiredotnet: captured advisory matches v2 expected") {
+    val sp = spark
+    import sp.implicits._
+    val rows = RetireDotnetIngest.parse(sp,
+      Seq(("retiredotnet", "Content/12.json",
+        RefCapture.text("retiredotnet_v2/12.json")))
+        .toDF("datasource_id", "path", "json")).collect().toSeq
+    val want = RefCapture.loadExpected("retiredotnet_v2/expected_file.json")
+    RefCapture.assertMatch("retiredotnet",
+      rows.map(RefCapture.canonRow), want)
+  }
+
+  // ----------------------------------------------------------------- epss
+  withRef("epss: captured scores csv matches v2 expected") {
+    val sp = spark
+    val csv = RefCapture.root.resolve("epss/epss_scores-2025-x-x.csv")
+    val donors = EpssIngest.donors(
+      EpssIngest.fromCsv(sp, csv.toString)).collect()
+    val want = RefCapture.loadExpected("epss/epss-expected.json")
+    // donors is the engine's severity-feed shape, not AdvisoryRow —
+    // project both sides to (cve, score, percentile, reference url);
+    // scores compare numerically (the feed's "7e-05" is a double here
+    // by design: donors feed the numeric risk model)
+    val got = donors.map(r => (r.getAs[String]("match_key"),
+      r.getAs[Double]("score"),
+      r.getAs[String]("scoring_elements").toDouble,
+      s"https://api.first.org/data/v1/epss?cve=${r.getAs[String]("match_key")}"
+    )).toSet
+    val wantSet = want.map { c =>
+      val (_, value, elements) = c.severities.head
+      (c.id, value.toDouble, elements.toDouble, c.references.head._2)
+    }.toSet
+    assert(got == wantSet,
+      s"epss differs: missing=${(wantSet -- got).take(3)}" +
+        s" extra=${(got -- wantSet).take(3)}")
+    assert(got.size == 27)
+  }
+
+  // ------------------------------------------------------------ archlinux
+  withRef("archlinux: captured AVG advisories match v2 expected") {
+    val sp = spark
+    import sp.implicits._
+    val rows = ArchIngest.parse(sp,
+      Seq(("archlinux", RefCapture.text("archlinux/archlinux-multi.json")))
+        .toDF("datasource_id", "json")).collect().toSeq
+    val want = RefCapture.loadExpected(
+      "archlinux/archlinux_advisoryv2-expected.json")
+    RefCapture.assertMatch("archlinux", rows.map(RefCapture.canonRow), want)
+  }
+
+  // --------------------------------------------------------------- alpine
+  withRef("alpine: captured secdb matches v2 expected") {
+    val sp = spark
+    import sp.implicits._
+    val rows = AlpineIngest.parse(sp,
+      Seq(("alpine_linux", "v3.11/main.json",
+        RefCapture.text("alpine/v3.11/main.json")))
+        .toDF("datasource_id", "path", "json")).collect().toSeq
+    val want = RefCapture.loadExpected("alpine/expected-advisories-v3.3.json")
+    RefCapture.assertMatch("alpine", rows.map(RefCapture.canonRow), want)
+  }
+
   // --------------------------------------------------------------- gentoo
   withRef("gentoo: captured GLSA XMLs match v2 expected") {
     for (glsa <- Seq("glsa-201709-09", "glsa-202511-02", "glsa-202512-01")) {

@@ -79,7 +79,7 @@ class AlpineIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(cveRow.affected.map(_.purl).sorted == Seq(
       "pkg:apk/alpine/xen?arch=aarch64&distroversion=v3.19&reponame=main",
       "pkg:apk/alpine/xen?arch=x86_64&distroversion=v3.19&reponame=main"))
-    assert(cveRow.affected.head.fixed_vers == "vers:alpine/=4.10.0-r2")
+    assert(cveRow.affected.head.fixed_vers == "vers:apk/=4.10.0-r2")
     val xsaRow = rows("xen/v3.19/4.10.0-r1/XSA-248-someting")
     assert(xsaRow.references.head.url ==
       "https://xenbits.xen.org/xsa/advisory-someting.html")

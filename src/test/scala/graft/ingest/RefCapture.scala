@@ -52,6 +52,9 @@ object RefCapture {
       packages: Map[String, (Set[String], Set[String])],
       references: Set[(String, String)], // (reference_id, url)
       patches: Set[String], // patch urls (V2 PatchData; our type=patch refs)
+      // ("introduced"|"fixed", commit hash) — V2 per-package commit
+      // patches; our directed vulnerable_commit/fix_commit references
+      commits: Set[(String, String)],
       severities: Set[(String, String, String)], // (system, value, elements)
       weaknesses: Set[Int],
       datePublished: Option[String], // ISO instant
@@ -127,6 +130,12 @@ object RefCapture {
           r.get("url").asText)).toSet,
       patches = arr(n, "patches")
         .flatMap(p => optText(p, "patch_url")).toSet,
+      commits = arr(n, "affected_packages").flatMap { ap =>
+        arr(ap, "introduced_by_commit_patches")
+          .flatMap(optText(_, "commit_hash")).map(("introduced", _)) ++
+          arr(ap, "fixed_by_commit_patches")
+            .flatMap(optText(_, "commit_hash")).map(("fixed", _))
+      }.toSet,
       severities = (refSevs ++ topSevs).toSet,
       weaknesses = arr(n, "weaknesses").map(_.asInt).toSet,
       datePublished = optText(n, "date_published").map(canonInstant),
@@ -154,10 +163,17 @@ object RefCapture {
       aliases = row.aliases.toSet,
       summary = row.summary,
       packages = packages,
-      references = row.references.filterNot(_.reference_type == "patch")
+      references = row.references.filterNot(r =>
+        Set("patch", "vulnerable_commit", "fix_commit")(r.reference_type))
         .map(r => (Option(r.reference_id).getOrElse(""), r.url)).toSet,
       patches = row.references.filter(_.reference_type == "patch")
         .map(_.url).toSet,
+      commits = row.references.collect {
+        case r if r.reference_type == "vulnerable_commit" =>
+          ("introduced", r.reference_id)
+        case r if r.reference_type == "fix_commit" =>
+          ("fixed", r.reference_id)
+      }.toSet,
       severities = row.severities.map(s =>
         (s.scoring_system, Option(s.value).getOrElse(""),
           Option(s.scoring_elements).getOrElse(""))).toSet,
@@ -197,6 +213,7 @@ object RefCapture {
       facet("packages", g.packages, w.packages)
       facet("references", g.references, w.references)
       facet("patches", g.patches, w.patches)
+      facet("commits", g.commits, w.commits)
       facet("severities", g.severities, w.severities)
       facet("weaknesses", g.weaknesses, w.weaknesses)
       facet("datePublished", g.datePublished, w.datePublished)
