@@ -35,8 +35,8 @@ object GitlabIngest {
   private val RepoBlobBase =
     "https://gitlab.com/gitlab-org/advisories-community/-/blob/main/"
 
-  /** build_description (utils.py:326-339). */
-  private def buildDescription(summary: String, description: String): String = {
+  /** build_description (utils.py:326-339) — shared with OsvIngest. */
+  def buildDescription(summary: String, description: String): String = {
     val s = Option(summary).getOrElse("").trim
     val d = Option(description).getOrElse("").trim
     if (d.isEmpty) s

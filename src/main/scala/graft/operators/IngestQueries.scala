@@ -122,6 +122,10 @@ object IngestQueries extends QueryModule {
   // --- S4: raw OSV format (importers/osv.py:51-331) — ecosystem→scheme
   // mapping, range events → vers constraints, version pins.
 
+  // sevs projects scoring_system=scoring_elements (the vector): the
+  // COMPUTED cvss value is covered by CapturedFixtureSpec against the
+  // reference's captured expected files — DuckDB cannot replay the CVSS
+  // formula in SQL.
   private def osvTreeSpark(s: SparkSession): DataFrame =
     OsvIngest.readTree(s, s"$Fix/osv", "osv").toDF().select(
       col("advisory_id"), col("summary"),
@@ -132,10 +136,9 @@ object IngestQueries extends QueryModule {
       joined(col("affected"), a => a.getField("fixed_vers")).as("fixed"),
       joined(col("references"), r => r.getField("reference_type"))
         .as("ref_types"),
-      joined(col("references"), r => r.getField("reference_id"))
-        .as("ref_ids"),
+      joined(col("references"), r => r.getField("url")).as("ref_urls"),
       joined(col("severities"), v => concat(v.getField("scoring_system"),
-        lit("="), v.getField("value"))).as("sevs"),
+        lit("="), v.getField("scoring_elements"))).as("sevs"),
       col("date_collected").cast("long").as("collected_ep"),
       col("date_published").cast("long").as("published_ep"),
       col("url"))
@@ -158,47 +161,76 @@ object IngestQueries extends QueryModule {
        |n AS (
        |  SELECT id, summary, details, aliases, published, modified,
        |    severity, "references",
-       |    list_transform(coalesce(affected, []), a -> struct_pack(
-       |      purl := coalesce(a.package.purl,
-       |        'pkg:' || lower(coalesce(a.package.ecosystem, 'generic')) ||
-       |        '/' || a.package.name),
-       |      scheme := CASE lower(coalesce(a.package.ecosystem, 'generic'))
-       |        WHEN 'pypi' THEN 'pypi'
-       |        WHEN 'npm' THEN 'semver' WHEN 'crates.io' THEN 'semver'
-       |        WHEN 'go' THEN 'semver' WHEN 'rubygems' THEN 'semver'
-       |        WHEN 'packagist' THEN 'semver' WHEN 'hex' THEN 'semver'
-       |        WHEN 'debian' THEN 'deb' WHEN 'ubuntu' THEN 'deb'
-       |        WHEN 'maven' THEN 'maven'
-       |        WHEN 'alpine' THEN 'alpine' WHEN 'apk' THEN 'alpine'
-       |        ELSE 'generic' END,
-       |      aff := list_filter(list_concat(
-       |        flatten(list_transform(coalesce(a.ranges, []),
-       |          rg -> list_transform(rg.events, e ->
-       |            CASE WHEN e.introduced = '0' THEN '>=0'
-       |                 WHEN e.introduced IS NOT NULL
-       |                   THEN '>=' || e.introduced
-       |                 WHEN e.fixed IS NOT NULL THEN '<' || e.fixed
-       |                 WHEN e.last_affected IS NOT NULL
-       |                   THEN '<=' || e.last_affected
-       |                 ELSE NULL END))),
-       |        list_transform(coalesce(a.versions, []), v -> '=' || v)),
-       |        c -> c IS NOT NULL),
+       |    list_filter(list_transform(coalesce(affected, []),
+       |      a -> struct_pack(
+       |      purl := CASE
+       |        WHEN a.package.purl IS NOT NULL THEN a.package.purl
+       |        WHEN lower(a.package.ecosystem) = 'debian'
+       |          THEN 'pkg:deb/debian/' || a.package.name
+       |        WHEN lower(a.package.ecosystem) LIKE 'ubuntu%'
+       |          THEN 'pkg:deb/ubuntu/' || a.package.name
+       |        ELSE 'pkg:' || (CASE lower(a.package.ecosystem)
+       |          WHEN 'pypi' THEN 'pypi' WHEN 'npm' THEN 'npm'
+       |          WHEN 'maven' THEN 'maven' WHEN 'nuget' THEN 'nuget'
+       |          WHEN 'packagist' THEN 'composer'
+       |          WHEN 'rubygems' THEN 'gem' WHEN 'go' THEN 'golang'
+       |          WHEN 'hex' THEN 'hex' WHEN 'cargo' THEN 'cargo'
+       |          ELSE NULL END) || '/' || a.package.name END,
+       |      -- vers scheme = purl type (reference RANGE_CLASS_BY_SCHEMES)
+       |      scheme := CASE
+       |        WHEN a.package.purl IS NOT NULL THEN
+       |          regexp_extract(a.package.purl, '^pkg:([^/]+)/', 1)
+       |        WHEN lower(a.package.ecosystem) = 'debian'
+       |          OR lower(a.package.ecosystem) LIKE 'ubuntu%' THEN 'deb'
+       |        ELSE CASE lower(a.package.ecosystem)
+       |          WHEN 'pypi' THEN 'pypi' WHEN 'npm' THEN 'npm'
+       |          WHEN 'maven' THEN 'maven' WHEN 'nuget' THEN 'nuget'
+       |          WHEN 'packagist' THEN 'composer'
+       |          WHEN 'rubygems' THEN 'gem' WHEN 'go' THEN 'golang'
+       |          WHEN 'hex' THEN 'hex' WHEN 'cargo' THEN 'cargo'
+       |          ELSE NULL END END,
+       |      -- explicit version pins WIN over event-derived constraints
+       |      -- (osv_v2.py:175-177); introduced '0' contributes nothing;
+       |      -- GIT ranges never yield version constraints
+       |      aff := CASE WHEN len(coalesce(a.versions, [])) > 0
+       |        THEN list_transform(a.versions, v -> '=' || v)
+       |        ELSE list_filter(
+       |          flatten(list_transform(
+       |            list_filter(coalesce(a.ranges, []),
+       |              rg -> rg.type IN ('ECOSYSTEM', 'SEMVER')),
+       |            rg -> list_transform(rg.events, e ->
+       |              CASE WHEN e.introduced = '0' THEN NULL
+       |                   WHEN e.introduced IS NOT NULL
+       |                     THEN '>=' || e.introduced
+       |                   WHEN e.fixed IS NOT NULL THEN '<' || e.fixed
+       |                   WHEN e.last_affected IS NOT NULL
+       |                     THEN '<=' || e.last_affected
+       |                   ELSE NULL END))),
+       |          c -> c IS NOT NULL) END,
        |      fix := list_filter(
-       |        flatten(list_transform(coalesce(a.ranges, []),
+       |        flatten(list_transform(
+       |          list_filter(coalesce(a.ranges, []),
+       |            rg -> rg.type IN ('ECOSYSTEM', 'SEMVER')),
        |          rg -> list_transform(rg.events, e ->
        |            CASE WHEN e.fixed IS NOT NULL THEN '=' || e.fixed
-       |                 ELSE NULL END))), c -> c IS NOT NULL)))
+       |                 ELSE NULL END))), c -> c IS NOT NULL))),
+       |      a -> a.purl IS NOT NULL AND
+       |        (len(a.aff) > 0 OR len(a.fix) > 0))
        |      AS affected
        |  FROM raw)
        |SELECT id AS advisory_id,
-       |  coalesce(summary, details, '') AS summary,
-       |  coalesce(array_to_string(coalesce(aliases, []), ','), '') AS aliases_csv,
+       |  CASE WHEN coalesce(details, '') = '' THEN coalesce(summary, '')
+       |       WHEN coalesce(summary, '') <> ''
+       |            AND strpos(details, summary) = 0
+       |         THEN summary || chr(10) || details
+       |       ELSE details END AS summary,
+       |  coalesce(array_to_string(list_filter(coalesce(aliases, []),
+       |    x -> x <> id), ','), '') AS aliases_csv,
        |  coalesce(array_to_string(list_transform(affected, a -> a.purl), ';'), '')
        |    AS purls,
        |  coalesce(array_to_string(list_transform(affected, a ->
-       |    'vers:' || a.scheme || '/' ||
-       |    CASE WHEN len(a.aff) > 0 THEN array_to_string(a.aff, '|')
-       |         ELSE '*' END), ';'), '') AS affecting,
+       |    'vers:' || a.scheme || '/' || array_to_string(a.aff, '|')), ';'), '')
+       |    AS affecting,
        |  coalesce(array_to_string(list_transform(affected, a ->
        |    'vers:' || a.scheme || '/' ||
        |    coalesce(array_to_string(a.fix, '|'), '')), ';'), '')
@@ -209,10 +241,13 @@ object IngestQueries extends QueryModule {
        |                WHEN 'REPORT' THEN 'bug'
        |                ELSE 'other' END), ';'), '') AS ref_types,
        |  coalesce(array_to_string(list_transform(coalesce("references", []),
-       |    r -> regexp_extract(r.url, '[^/]+$$', 0)), ';'), '') AS ref_ids,
-       |  coalesce(array_to_string(list_transform(coalesce(severity, []), v ->
-       |    (CASE v.type WHEN 'CVSS_V3' THEN 'cvssv3.1'
-       |                 WHEN 'CVSS_V2' THEN 'cvssv2'
+       |    r -> r.url), ';'), '') AS ref_urls,
+       |  -- CVSS_V2 is unmapped in the reference's severity map -> dropped;
+       |  -- system=vector pairs (computed values are fixture-tested)
+       |  coalesce(array_to_string(list_transform(
+       |    list_filter(coalesce(severity, []), v -> v.type <> 'CVSS_V2'),
+       |    v -> (CASE v.type WHEN 'CVSS_V3' THEN 'cvssv3.1'
+       |                 WHEN 'CVSS_V4' THEN 'cvssv4'
        |                 ELSE lower(v.type) END) || '=' || v.score), ';'), '')
        |    AS sevs,
        |  coalesce(CAST(epoch(TRY_CAST(modified AS TIMESTAMPTZ)) AS BIGINT),

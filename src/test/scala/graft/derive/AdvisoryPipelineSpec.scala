@@ -103,13 +103,13 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     val (advisories, _, _, _) = pipeline
     val risk = AdvisoryDerive.advisoryRisk(advisories)
       .filter(col("avid") === "pypa/PYSEC-1").collect().head
-    // OSV severities carry no URL, and a URL-less severity is skipped by
-    // the weighted max (risk.py:42-43) → ws is the empty-max 0.0; the
-    // exploit reference still sets e = 1.0; risk stays UNSET because the
-    // ws factor is falsy (pipes/risk_score.py:114-116)
-    assert(risk.getAs[Double]("weighted_severity") == 0.0)
+    // v2 OSV severities carry the advisory url (osv_v2.py get_severities
+    // is passed the advisory_url): osv.dev is not in the weight table →
+    // default weight 0.5 × computed cvss 9.8 → ws 4.9; the exploit
+    // reference sets e = 1.0; risk = ws·e = 4.9
+    assert(risk.getAs[Double]("weighted_severity") == 4.9)
     assert(risk.getAs[Double]("exploitability") == 1.0)
-    assert(risk.isNullAt(risk.fieldIndex("risk_score")))
+    assert(risk.getAs[Double]("risk_score") == 4.9)
   }
 
   test("risk with weight dimension + exploit catalog (A5/A6 full form)") {
@@ -121,12 +121,12 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     val risk = AdvisoryDerive.advisoryRiskFull(advisories, weightsDim,
       exploitAvids)
       .filter(col("avid") === "pypa/PYSEC-1").collect().head
-    // URL-less OSV severity → ws 0.0 (skipped, risk.py:42-43); exploit
-    // catalog hit lifts exploitability to 2.0; risk stays unset because
-    // weighted severity is falsy (pipes/risk_score.py:114-116)
-    assert(risk.getAs[Double]("weighted_severity") == 0.0)
+    // severity url is the osv.dev advisory page (v2 semantics), not in
+    // the weight dimension → default 0.5 × 9.8 → ws 4.9; exploit
+    // catalog hit lifts exploitability to 2.0; risk = 4.9 × 2.0 = 9.8
+    assert(risk.getAs[Double]("weighted_severity") == 4.9)
     assert(risk.getAs[Double]("exploitability") == 2.0)
-    assert(risk.isNullAt(risk.fieldIndex("risk_score")))
+    assert(risk.getAs[Double]("risk_score") == 9.8)
   }
 
   test("advisory sets group by shared alias with precedence primary (D2-D4)") {
@@ -214,10 +214,9 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
         (r.getAs[Double]("exploitability"),
           Option(r.getAs[java.lang.Double]("risk_score")))).toMap
     // CVE-2024-100 has epss 0.94 > 0.8 → both advisories carrying that
-    // alias jump to the 2.0 tier; risk stays unset because the URL-less
-    // OSV severities leave ws at 0 (risk.py:42-43,
-    // pipes/risk_score.py:114-116)
-    assert(risk("pypa/PYSEC-1") == (2.0, None))
+    // alias jump to the 2.0 tier; ws is 4.9 (default 0.5 weight for the
+    // osv.dev severity url × computed cvss 9.8) → risk 4.9 × 2.0 = 9.8
+    assert(risk("pypa/PYSEC-1") == (2.0, Some(9.8)))
     assert(risk("ghsa/GHSA-aaaa")._1 == 2.0)
     // CVE-2024-200 scores 0.005 → GHSA-bbbb stays on its exploit-ref tier
     assert(risk("ghsa/GHSA-bbbb")._1 == 1.0)

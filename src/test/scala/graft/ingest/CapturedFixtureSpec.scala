@@ -147,6 +147,54 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
     RefCapture.assertMatch("alpine", rows.map(RefCapture.canonRow), want)
   }
 
+  // ------------------------------------------------------------------ nvd
+  withRef("nvd: captured API items (incl. rejected) match v2 expected") {
+    val sp = spark
+    import sp.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def items(rel: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(RefCapture.text(rel)).get("vulnerabilities")
+        .elements().asScala.map(_.toString).toSeq
+    }
+    for ((payload, expected) <- Seq(
+        ("nvd_v2/nvd_test.json", "nvd_v2/nvd-expected.json"),
+        ("nvd_v2/rejected_nvd.json", "nvd_v2/nvd-rejected-expected.json"))) {
+      val rows = NvdIngest.parse(sp,
+        items(payload).map(("nvd", _)).toDF("datasource_id", "json"))
+        .collect().toSeq
+      val want = RefCapture.loadExpected(expected)
+      RefCapture.assertMatch(s"nvd/$payload",
+        rows.map(RefCapture.canonRow), want)
+    }
+  }
+
+  // ------------------------------------------------------------------ osv
+  // pypa/github/oss-fuzz OSV payloads through the shared OSV parser, with
+  // each importer's supported-ecosystem set (pypa_importer.py:67,
+  // github_osv_importer.py:54-63, oss_fuzz.py:63). url facet skipped:
+  // the reference test injects a dummy advisory_url ("https://test.com").
+  withRef("osv: captured pypa/github/oss-fuzz files match v2 expected") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val cases = Seq(
+      ("pypa", (1 to 8).map(i => s"pypa/pypa-$i.yaml" ->
+        s"pypa/pypa-expected-$i.json"), Set("pypi")),
+      ("github", (1 to 4).map(i => s"github/github-$i.json" ->
+        s"github/github-expected-$i.json"),
+        Set("pypi", "npm", "maven", "composer", "hex", "gem", "nuget",
+          "cargo")),
+      ("oss-fuzz", (1 to 3).map(i => s"oss-fuzz/oss-fuzz-$i.yaml" ->
+        s"oss-fuzz/oss-fuzz-expected-$i.json"), Set("generic")))
+    for ((src, files, ecosystems) <- cases; (payload, expected) <- files) {
+      val rows = OsvIngest.parseOne(yaml, src,
+        RefCapture.text(s"osv_test/$payload"),
+        supported = Some(ecosystems)).toSeq
+      val want = RefCapture.loadExpected(s"osv_test/$expected")
+      RefCapture.assertMatch(s"osv/$payload",
+        rows.map(RefCapture.canonRow), want, skip = Set("url"))
+    }
+  }
+
   // --------------------------------------------------------------- gentoo
   withRef("gentoo: captured GLSA XMLs match v2 expected") {
     for (glsa <- Seq("glsa-201709-09", "glsa-202511-02", "glsa-202512-01")) {

@@ -920,9 +920,11 @@ class GentooGlibcSpec extends AnyFunSuite with SparkTestSession {
     assert(a.aliases == Seq("CVE-2030-0003"))
     assert(a.summary.startsWith("printf: incorrect output"))
     assert(a.affected.head.purl == "pkg:sid/gnu.org/glibc")
-    assert(a.affected.head.affecting_vers == "vers:generic/=2.37")
-    assert(a.affected.head.fixed_vers == "vers:generic/=2.38-27|=2.39")
-    assert(a.references.count(_.reference_type == "commit") == 3)
+    // generic-version padding: 2.37 → 2.37.0 (captured glibc expected)
+    assert(a.affected.head.affecting_vers == "vers:generic/=2.37.0")
+    assert(a.affected.head.fixed_vers == "vers:generic/=2.38.0-27|=2.39.0")
+    assert(a.references.count(r => r.reference_type == "vulnerable_commit" ||
+      r.reference_type == "fix_commit") == 3)
     assert(a.date_published.get.toString.startsWith("2030-01-31"))
   }
 }

@@ -11,6 +11,7 @@ class NvdIngestSpec extends AnyFunSuite with SparkTestSession {
       |"descriptions": [{"lang": "es", "value": "malo"},
       |                 {"lang": "en", "value": "A bad bug in widget"}],
       |"metrics": {"cvssMetricV31": [{"cvssData": {"baseScore": 9.8,
+      |  "version": "3.1",
       |  "vectorString": "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H"}}]},
       |"references": [{"url": "https://vendor.example/advisory",
       |                "tags": ["Vendor Advisory"]},
@@ -29,13 +30,21 @@ class NvdIngestSpec extends AnyFunSuite with SparkTestSession {
     val a = rows.head
     assert(a.advisory_id == "CVE-2024-12345")
     assert(a.summary == "A bad bug in widget")   // english description
-    assert(a.aliases == Seq("CVE-2024-12345"))
+    // the CVE id is the advisory id, never a self-alias
+    // (nvd_importer.py:313)
+    assert(a.aliases.isEmpty)
     assert(a.severities.head.scoring_system == "cvssv3.1")
     assert(a.severities.head.value == "9.8")
     assert(a.references.map(_.reference_type).toSet ==
       Set("advisory", "exploit", "other"))
-    // vulnerable CPE carried as reference id; non-vulnerable dropped
-    assert(a.references.count(_.reference_id.startsWith("cpe:")) == 1)
+    // EVERY CPE criteria is tracked (vulnerable or not,
+    // nvd_importer.py:195-202), each with its NVD-search url
+    assert(a.references.count(_.reference_id.startsWith("cpe:")) == 2)
+    assert(a.references.filter(_.reference_id.startsWith("cpe:"))
+      .forall(_.url.contains("isCpeNameSearch=true")))
+    // the CVE proper is a reference (nvd_importer.py:265-271)
+    assert(a.references.exists(r => r.reference_id == "CVE-2024-12345" &&
+      r.url == "https://nvd.nist.gov/vuln/detail/CVE-2024-12345"))
     assert(a.precedence == 10)
   }
 }

@@ -23,7 +23,8 @@ class OsvTreeSpec extends AnyFunSuite with SparkTestSession {
     val rows = OsvIngest.readTree(spark, dir.toString, "pypa").collect()
     assert(rows.map(_.advisory_id).sorted.toSeq == Seq("PYSEC-1", "PYSEC-2"))
     val a = rows.find(_.advisory_id == "PYSEC-1").get
-    assert(a.affected.head.affecting_vers == "vers:pypi/>=0|<1.2")
+    // `introduced: "0"` contributes nothing (osv_v2.py:491-493)
+    assert(a.affected.head.affecting_vers == "vers:pypi/<1.2")
     assert(a.aliases == Seq("CVE-1"))
     assert(a.avid == "pypa/PYSEC-1")
   }
