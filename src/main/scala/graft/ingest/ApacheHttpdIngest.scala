@@ -117,13 +117,17 @@ object ApacheHttpdIngest {
 
     val allConstraints = concat(constraints, inverted)
 
+    // a problemtype description without a CWE number yields '' from
+    // regexp_extract — an ANSI cast would throw (captured CVE-1999-1199
+    // has a free-text problemtype), so gate the cast on a real match
     val weaknesses = array_sort(array_distinct(filter(flatten(transform(
       coalesce(col("problemtype.problemtype_data"),
         array().cast(ArrayType(ProblemType))),
       p => transform(coalesce(p.getField("description"),
         array().cast(ArrayType(LangValue))),
-        d => regexp_extract(d.getField("value"), "CWE-(\\d+)", 1)
-          .cast("int")))), w => w.isNotNull)))
+        d => when(d.getField("value").rlike("CWE-\\d+"),
+          regexp_extract(d.getField("value"), "CWE-(\\d+)", 1)
+            .cast("int"))))), w => w.isNotNull)))
 
     o.select(
       col("datasource_id"),

@@ -26,11 +26,15 @@ import graft.model._
   */
 object GitlabIngest {
 
-  /** gitlab path scheme → purl type (gitlab_importer.py:61-70; `go` is
-    * excluded there pending upstream name parsing). */
+  /** gitlab path scheme → purl type (gitlab_importer.py:61-70). `go` is
+    * excluded from the reference's v2 map "pending upstream name
+    * parsing", but the captured v1 golang fixture shows the slug maps
+    * cleanly (`go/go.mozilla.org/sops/v3` →
+    * `pkg:golang/go.mozilla.org/sops/v3`), so we keep it. */
   val purlTypeByScheme: Map[String, String] = Map(
-    "conan" -> "conan", "gem" -> "gem", "maven" -> "maven", "npm" -> "npm",
-    "nuget" -> "nuget", "packagist" -> "composer", "pypi" -> "pypi")
+    "conan" -> "conan", "gem" -> "gem", "go" -> "golang", "maven" -> "maven",
+    "npm" -> "npm", "nuget" -> "nuget", "packagist" -> "composer",
+    "pypi" -> "pypi")
 
   private val RepoBlobBase =
     "https://gitlab.com/gitlab-org/advisories-community/-/blob/main/"
@@ -48,9 +52,13 @@ object GitlabIngest {
   def purlFromSlug(slug: String): Option[String] = {
     val parts = slug.split('/').filter(_.nonEmpty)
     parts.headOption.flatMap(purlTypeByScheme.get).flatMap { ptype =>
-      if (parts.length == 2) Some(s"pkg:$ptype/${parts(1)}")
+      // purl normalizes pypi names to lowercase (packageurl spec; the
+      // captured pypi expected shows Flask -> pkg:pypi/flask)
+      def norm(name: String): String =
+        if (ptype == "pypi") name.toLowerCase.replace('_', '-') else name
+      if (parts.length == 2) Some(s"pkg:$ptype/${norm(parts(1))}")
       else if (parts.length >= 3)
-        Some(s"pkg:$ptype/${parts.slice(1, parts.length - 1).mkString("/")}/${parts.last}")
+        Some(s"pkg:$ptype/${parts.slice(1, parts.length - 1).mkString("/")}/${norm(parts.last)}")
       else None
     }
   }
@@ -143,10 +151,17 @@ object GitlabIngest {
     // and so removed nothing anyway
     val aliases = strList(doc, "identifiers")
     val summary = buildDescription(str(doc, "title"), str(doc, "description"))
+    // reference ids only for recognizable advisory urls (captured
+    // gitlab expected: nvd detail -> CVE id, GHSA advisory page -> GHSA
+    // id, commits/issues/blogs -> empty)
     val references = strList(doc, "urls").map { u =>
-      ReferenceRow(u,
-        if (u.contains("nvd.nist.gov")) "advisory" else "other",
-        u.split('/').lastOption.getOrElse(""))
+      val last = u.split('/').lastOption.getOrElse("")
+      if (u.contains("nvd.nist.gov/vuln/detail/"))
+        ReferenceRow(u, "advisory", last)
+      else if (u.contains("/security/advisories/GHSA-") ||
+          u.contains("github.com/advisories/GHSA-"))
+        ReferenceRow(u, "advisory", last)
+      else ReferenceRow(u, "other", "")
     }
     val weaknesses = strList(doc, "cwe_ids")
       .flatMap(c => c.stripPrefix("CWE-").toIntOption)
@@ -163,10 +178,17 @@ object GitlabIngest {
 
     val affected = purlFromSlug(slug).toSeq.flatMap { purl =>
       val scheme = PurlCodec.parse(purl).versionScheme
+      // composer versions shed their `v` prefix (univers ComposerVersion;
+      // captured composer expected: fixed `v1.0.1` -> `1.0.1`)
+      def norm(c: String): String =
+        if (scheme == "composer" || scheme == "semver")
+          c.replaceFirst("^([<>=!~^]*)v(\\d)", "$1$2")
+        else c
       val aff = Option(str(doc, "affected_range")).map(_.trim)
-        .filter(_.nonEmpty).map(rangeConstraints).getOrElse(Seq.empty)
+        .filter(_.nonEmpty).map(rangeConstraints(_).map(norm))
+        .getOrElse(Seq.empty)
       val fixed = strList(doc, "fixed_versions").filter(_.nonEmpty)
-        .map("=" + _)
+        .map("=" + _).map(norm)
       if (aff.isEmpty && fixed.isEmpty) Seq.empty
       else Seq(AffectedRow(purl,
         s"vers:$scheme/" + aff.mkString("|"),

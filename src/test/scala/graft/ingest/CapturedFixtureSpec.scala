@@ -195,6 +195,70 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  // --------------------------------------------------------------- gitlab
+  // The captured gitlab expected files are v1-format: no advisory_id
+  // (the identifier lives in aliases) and severities dropped — our v2
+  // parser keeps the cvss vectors, so that facet is asserted separately.
+  withRef("gitlab: captured advisories match expected") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    for (t <- Seq("composer", "gem", "golang", "maven", "npm", "nuget",
+        "pypi")) {
+      val rows = GitlabIngest.parseOne(yaml, "gitlab", s"$t.yaml",
+        RefCapture.text(s"gitlab/$t.yaml")).toSeq
+      val want = RefCapture.loadExpected(s"gitlab/$t-expected.json")
+      val got = rows.map(RefCapture.canonRow)
+        .map(c => c.copy(id = ""))
+      // golang-expected joins title+description with ". " where every
+      // other capture (and utils.build_description) uses "\n" — a stale
+      // v1 artifact; the content is asserted below instead
+      // golang-expected is also missing its url (every sibling capture
+      // carries the blob url we emit)
+      val skip = Set("severities") ++
+        (if (t == "golang") Set("summary", "url") else Set.empty[String])
+      RefCapture.assertMatch(s"gitlab/$t", got, want, skip = skip,
+        key = _ => "one")
+      if (t == "golang") {
+        assert(rows.head.summary.startsWith(
+          "Local directory executable lookup in sops (Windows-only)\n"))
+        assert(rows.head.summary.contains("### Impact"))
+      }
+      assert(rows.forall(_.severities.forall(s =>
+        s.scoring_system.startsWith("cvss"))))
+    }
+  }
+
+  // --------------------------------------------------------- apache httpd
+  withRef("apache_httpd: captured CVE json matches expected") {
+    val sp = spark
+    import sp.implicits._
+    for (cve <- Seq("CVE-1999-1199", "CVE-2017-9798", "CVE-2021-44224",
+        "CVE-2022-28614")) {
+      val rows = ApacheHttpdIngest.parse(sp,
+        Seq(("apache_httpd", RefCapture.text(s"apache_httpd/$cve.json")))
+          .toDF("datasource_id", "json")).collect().toSeq
+      val want = RefCapture.loadExpected(
+        s"apache_httpd/$cve-apache-httpd-expected.json")
+      // v1 format: the CVE id lives in aliases, not advisory_id. Our
+      // fixed_vers pins (timeline releases) are richer than the
+      // reference, which encodes fixes ONLY as inverted != constraints
+      // inside the affected range (apache_httpd_importer.py:339-346) —
+      // assert the pins equal the != versions, then blank them for the
+      // facet compare.
+      val got = rows.map(RefCapture.canonRow).map(c => c.copy(
+        id = "", aliases = c.aliases + rows.head.advisory_id,
+        packages = c.packages.map { case (p, (aff, fix)) =>
+          assert(fix == aff.filter(_.startsWith("!=")).map(_.drop(2)),
+            s"fixed pins should mirror the != releases: $fix vs $aff")
+          p -> (aff, Set.empty[String])
+        }))
+      // datePublished skipped: the v2 pipeline sets it from the
+      // timeline "public" entry (apache_httpd_importer.py:279-282,
+      // matching us); the v1 expected predates that and has null
+      RefCapture.assertMatch(s"apache_httpd/$cve", got, want,
+        skip = Set("datePublished"), key = _ => "one")
+    }
+  }
+
   // --------------------------------------------------------------- gentoo
   withRef("gentoo: captured GLSA XMLs match v2 expected") {
     for (glsa <- Seq("glsa-201709-09", "glsa-202511-02", "glsa-202512-01")) {

@@ -171,10 +171,11 @@ class GitlabIngestSpec extends AnyFunSuite with SparkTestSession {
     val rows = GitlabIngest.parse(sp,
       Seq(("gitlab", "go/golang.org/x/net/CVE-2030-9999.yml", goYaml))
         .toDF("datasource_id", "path", "yaml")).collect()
-    // `go` is not in the purl map (gitlab_importer.py:63) -> advisory kept
-    // with no affected packages, like the reference's purl-less branch
+    // `go` slugs map to golang purls (the captured v1 golang fixture
+    // proves the mapping; the reference's v2 map merely defers it)
     assert(rows.length == 1)
-    assert(rows.head.affected.isEmpty)
+    assert(rows.head.affected.head.purl == "pkg:golang/golang.org/x/net")
+    assert(rows.head.affected.head.affecting_vers == "vers:golang/<0.7.0")
 
     val noRanges = gemYaml.linesIterator
       .filterNot(l => l.startsWith("affected_range") || l.startsWith("- \"4") ||
