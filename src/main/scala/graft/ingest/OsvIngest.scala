@@ -151,7 +151,10 @@ object OsvIngest {
     opt(pkg, "purl") match {
       case Some(p) =>
         val ptype = p.stripPrefix("pkg:").takeWhile(_ != '/')
-        Some((p.takeWhile(c => c != '@' && c != '?'), ptype))
+        // only the version is stripped — qualifiers survive (the
+        // reference deletes just the version key from the purl dict;
+        // captured ubuntu expected keeps `?arch=source&distro=trusty`)
+        Some((p.replaceFirst("@[^?#]*", ""), ptype))
       case None =>
         val eco = Option(str(pkg, "ecosystem")).getOrElse("").toLowerCase
         val name = Option(str(pkg, "name")).getOrElse("")
@@ -263,8 +266,11 @@ object OsvIngest {
 
     val summary = GitlabIngest.buildDescription(
       str(doc, "summary"), str(doc, "details"))
-    val aliases = listOf(doc, "aliases").map(String.valueOf)
-      .filter(a => a.nonEmpty && a != id)
+    // `upstream` ids extend aliases (osv_v2.py:84 — Ubuntu's OSV files
+    // carry the upstream CVE there); the advisory id is never a
+    // self-alias
+    val aliases = (listOf(doc, "aliases") ++ listOf(doc, "upstream"))
+      .map(String.valueOf).filter(a => a.nonEmpty && a != id).distinct
     val refs = listOf(doc, "references").flatMap(mapOf).flatMap { r =>
       opt(r, "url").map { u =>
         val t = Option(str(r, "type")).getOrElse("") match {

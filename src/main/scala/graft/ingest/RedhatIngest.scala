@@ -85,11 +85,17 @@ object RedhatIngest {
         when(r.getField("url").startsWith("https://bugzilla.redhat.com/"),
           "bug")
           .when(r.getField("url").contains("/errata/"), "advisory")
+          .when(r.getField("url").contains("/security/cve/"), "advisory")
           .otherwise("other").as("reference_type"),
+        // ids only where the url tail IS an id: errata (RHSA-…) and
+        // CVE pages; everything else stays empty (captured expected)
         when(r.getField("url").startsWith("https://bugzilla.redhat.com/"),
           r.getField("summary"))
-          .otherwise(regexp_extract(r.getField("url"), "[^/]+$", 0))
-          .as("reference_id")))
+          .when(r.getField("url").contains("/errata/"),
+            regexp_extract(r.getField("url"), "[^/]+$", 0))
+          .when(r.getField("url").contains("/security/cve/"),
+            regexp_extract(r.getField("url"), "[^/]+$", 0))
+          .otherwise(lit("")).as("reference_id")))
 
     val sevs = when(col("document.aggregate_severity.text").isNotNull,
       array(struct(
@@ -116,7 +122,9 @@ object RedhatIngest {
         p.rlike("@[^?#]+")))
 
     val affected = transform(leafPurls, p => {
-      val version = regexp_extract(p, "@([^?#]+)", 1)
+      // purl versions are percent-encoded in CSAF (`%2B` for the rpm
+      // module `+`); the reference compares decoded versions
+      val version = url_decode(regexp_extract(p, "@([^?#]+)", 1))
       struct(
         regexp_replace(p, "@[^?#]+", "").as("purl"),
         concat(lit("vers:rpm/<"), version).as("affecting_vers"),

@@ -259,6 +259,51 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  // -------------------------------------------------------------- openssl
+  withRef("openssl: captured secjson records match v2 expected") {
+    val sp = spark
+    import sp.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = RefCapture.root.resolve("openssl/release_metadata/secjson")
+    val files = java.nio.file.Files.list(dir).iterator().asScala.toSeq
+    val rows = OpensslIngest.parse(sp,
+      files.map(f => ("openssl", java.nio.file.Files.readString(f)))
+        .toDF("datasource_id", "json")).collect().toSeq
+    val want = RefCapture.loadExpected(
+      "openssl/release_metadata/openssl_advisoryv2-expected.json")
+    RefCapture.assertMatch("openssl", rows.map(RefCapture.canonRow), want)
+  }
+
+  // --------------------------------------------------------------- redhat
+  withRef("redhat: captured CSAF advisories match v2 expected") {
+    val sp = spark
+    import sp.implicits._
+    val files = Seq("2025/rhba-2024_11505.json", "2025/rhba-2025_0409.json",
+      "2025/rhba-2025_1079.json", "2025/rhea-2025_2418.json",
+      "2010/rhsa-2010_0002.json", "2025/rhsa-2025_0002.json")
+    val rows = RedhatIngest.parse(sp,
+      files.map(f => ("redhat", f,
+        RefCapture.text(s"redhat/csaf_2_0/$f")))
+        .toDF("datasource_id", "path", "json")).collect().toSeq
+    val want = RefCapture.loadExpected("redhat/redhat_advisoryv2-expected.json")
+    RefCapture.assertMatch("redhat", rows.map(RefCapture.canonRow), want)
+  }
+
+  // --------------------------------------------------------- ubuntu (OSV)
+  withRef("ubuntu: captured security-notice OSV files match v2 expected") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val files = Seq("2001/UBUNTU-CVE-2001-1593", "2005/UBUNTU-CVE-2005-1515",
+      "2010/UBUNTU-CVE-2010-0751", "2015/UBUNTU-CVE-2015-0209",
+      "2020/UBUNTU-CVE-2020-1944", "2025/UBUNTU-CVE-2025-14345")
+    val rows = files.flatMap(f => OsvIngest.parseOne(yaml, "ubuntu",
+      RefCapture.text(s"ubuntu/ubuntu_security_notices/osv/cve/$f.json"),
+      supported = Some(Set("deb"))))
+    val want = RefCapture.loadExpected(
+      "ubuntu/ubuntu_osv_advisoryv2-expected.json")
+    RefCapture.assertMatch("ubuntu", rows.map(RefCapture.canonRow), want,
+      skip = Set("url"))
+  }
+
   // --------------------------------------------------------------- gentoo
   withRef("gentoo: captured GLSA XMLs match v2 expected") {
     for (glsa <- Seq("glsa-201709-09", "glsa-202511-02", "glsa-202512-01")) {
