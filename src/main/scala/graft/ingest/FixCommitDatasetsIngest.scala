@@ -33,6 +33,45 @@ object FixCommitDatasetsIngest {
         regexp_replace(vcsUrl, "^https?://", "")))
   }
 
+  private val VcsBaseRe =
+    "^(https?://(?:github\\.com|gitlab\\.com|bitbucket\\.org)/[^/]+/[^/]+)"
+
+  private def vcsBase(u: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_extract(u, VcsBaseRe, 1), "\\.git$", "")
+
+  private def fixSha(f: org.apache.spark.sql.Column) = {
+    val cid = coalesce(f.getField("commitId"), lit(""))
+    when(cid =!= "", cid).otherwise(regexp_extract(
+      coalesce(f.getField("patchUrl"), lit("")),
+      "/commit/([0-9a-f]{7,40})", 1))
+  }
+
+  /** One reference per aosp fix (see call-site comment). */
+  private def aospRefs(fixes: org.apache.spark.sql.Column) =
+    filter(transform(fixes, f => {
+      val url = coalesce(f.getField("patchUrl"), lit(""))
+      val base = vcsBase(url)
+      val sha = fixSha(f)
+      val cid = coalesce(f.getField("commitId"), lit(""))
+      when(base =!= "" && sha =!= "", struct(
+        base.as("url"), lit("fix_commit").as("reference_type"),
+        sha.as("reference_id")))
+        .when(cid =!= "" && url =!= "", struct(
+          url.as("url"), lit("commit").as("reference_type"),
+          cid.as("reference_id")))
+        .when(url =!= "", struct(url.as("url"),
+          lit("patch").as("reference_type"), lit("").as("reference_id")))
+    }), x => x.isNotNull)
+
+  /** Packages derived from supported-VCS fix urls. */
+  private def aospPackages(fixes: org.apache.spark.sql.Column) =
+    transform(array_distinct(filter(transform(fixes, f =>
+      when(fixSha(f) =!= "", vcsBase(coalesce(f.getField("patchUrl"),
+        lit("")))).otherwise(lit(""))), b => b =!= "")),
+      base => struct(
+        purlFor(base).as("purl"),
+        lit("").as("affecting_vers"), lit("").as("fixed_vers")))
+
   /** project-kb MSR2019 release CSV: (vuln_id, vcs_url, commit_hash, poc)
     * rows → one advisory per vulnerability with its commit references. */
   def projectKbMsr2019(spark: SparkSession, path: String,
@@ -55,10 +94,12 @@ object FixCommitDatasetsIngest {
         col("vuln_id").as("advisory_id"),
         lit("").as("summary"),
         array().cast("array<string>").as("aliases"),
+        // directed fix-commit references — the flat analog of the
+        // reference's fixed_by_commit_patches (vcs_url + hash, captured
+        // kbmsr2019-expected)
         transform(col("commits"), c => struct(
-          concat(c.getField("vcs_url"), lit("/commit/"),
-            c.getField("commit_hash")).as("url"),
-          lit("commit").as("reference_type"),
+          c.getField("vcs_url").as("url"),
+          lit("fix_commit").as("reference_type"),
           c.getField("commit_hash").as("reference_id"))).as("references"),
         array().cast(emptySevs).as("severities"),
         array().cast("array<int>").as("weaknesses"),
@@ -98,20 +139,22 @@ object FixCommitDatasetsIngest {
         trim(col("vuln_id")).as("advisory_id"),
         coalesce(col("vulnerabilityType"), lit("")).as("summary"),
         array().cast("array<string>").as("aliases"),
-        transform(filter(coalesce(col("fixes"), array().cast(
-          "array<struct<patchUrl:string,commitId:string>>")),
-          f => f.getField("commitId").isNotNull), f => struct(
-          coalesce(f.getField("patchUrl"), lit("")).as("url"),
-          lit("commit").as("reference_type"),
-          f.getField("commitId").as("reference_id"))).as("references"),
+        // classify_patch_source semantics (advisory.py:206-250, captured
+        // aosp expected): supported-VCS url → directed fix_commit (base
+        // repo url + sha from commitId or the /commit/ path) plus a
+        // repo-derived package; other url with a commit id → plain
+        // commit reference; other url without one → patch data
+        aospRefs(coalesce(col("fixes"), array().cast(
+          "array<struct<patchUrl:string,commitId:string>>")))
+          .as("references"),
         when(col("severity").isNotNull, array(struct(
           lit("generic_textual").as("scoring_system"),
           col("severity").as("value"),
           lit("").as("scoring_elements"), lit("").as("url"))))
           .otherwise(array().cast(emptySevs)).as("severities"),
         array().cast("array<int>").as("weaknesses"),
-        array().cast(
-          "array<struct<purl:string,affecting_vers:string,fixed_vers:string>>")
+        aospPackages(coalesce(col("fixes"), array().cast(
+          "array<struct<patchUrl:string,commitId:string>>")))
           .as("affected"),
         coalesce(to_timestamp(col("dateReported")),
           to_timestamp(lit("1970-01-01"))).as("date_collected"),
@@ -146,7 +189,11 @@ object FixCommitDatasetsIngest {
           else for {
             cve <- cveRe.findFirstIn(parts(0))
             sha <- shaRe.findFirstIn(parts(1))
-          } yield (cve, Option(fixedVersion).getOrElse(""), sha)
+          } yield (cve,
+            // generic-version padding: 3.12 → 3.12.0 (captured
+            // linux_kernel expected)
+            GlibcIngest.genericVersion(Option(fixedVersion).getOrElse("")),
+            sha)
         }
       }
     }.toDF("vuln_id", "fixed_version", "commit_hash")
@@ -159,9 +206,8 @@ object FixCommitDatasetsIngest {
         lit("").as("summary"),
         array().cast("array<string>").as("aliases"),
         transform(col("fixes"), f => struct(
-          concat(lit("https://github.com/torvalds/linux/commit/"),
-            f.getField("commit_hash")).as("url"),
-          lit("commit").as("reference_type"),
+          lit("https://github.com/torvalds/linux").as("url"),
+          lit("fix_commit").as("reference_type"),
           f.getField("commit_hash").as("reference_id"))).as("references"),
         array().cast(emptySevs).as("severities"),
         array().cast("array<int>").as("weaknesses"),

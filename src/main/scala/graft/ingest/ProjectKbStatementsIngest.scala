@@ -45,19 +45,33 @@ object ProjectKbStatementsIngest {
         case l: java.util.List[_] => l.asScala.toSeq.map(String.valueOf)
         case _ => Seq.empty
       }
-    }.map(u => ReferenceRow(u, "other",
-      u.split('/').lastOption.getOrElse("")))
+    }.map(u => ReferenceRow(u, "other", ""))
 
-    val commitRefs = list(doc, "fixes").flatMap(f => list(f, "commits"))
+    // fixing commits become directed fix_commit references against the
+    // repo base url, plus a repo-derived package (the reference's
+    // classify_patch_source base_purl + fixed_by_commit_patches shape,
+    // captured kb-statements-expected)
+    val fixCommits = list(doc, "fixes").flatMap(f => list(f, "commits"))
       .flatMap { c =>
-        val repo = Option(str(c, "repository"))
+        val repo = Option(str(c, "repository")).map(_.stripSuffix(".git"))
         val hash = Option(str(c, "id")).filter(TextUtil.isCommit)
         (repo, hash) match {
-          case (Some(r), Some(h)) =>
-            Some(ReferenceRow(s"$r/commit/$h", "commit", h))
+          case (Some(r), Some(h)) => Some((r, h))
           case _ => None
         }
       }
+    val commitRefs = fixCommits.map { case (r, h) =>
+      ReferenceRow(r, "fix_commit", h)
+    }
+    val commitPackages = fixCommits.map(_._1).distinct.flatMap { r =>
+      "^https?://(github\\.com|gitlab\\.com|bitbucket\\.org)/([^/]+)/([^/]+)"
+        .r.findFirstMatchIn(r).map { m =>
+          val t = m.group(1).takeWhile(_ != '.')
+          AffectedRow(
+            s"pkg:$t/${m.group(2).toLowerCase}/${m.group(3).toLowerCase}",
+            "", "")
+        }
+    }
 
     // artifacts: versioned purls flagged affected -> pins per base purl
     val byBase = list(doc, "artifacts").flatMap { a =>
@@ -78,7 +92,9 @@ object ProjectKbStatementsIngest {
     }
 
     Some(AdvisoryRow(datasourceId, vulnId, summary, Seq.empty,
-      noteLinks ++ commitRefs, Seq.empty, Seq.empty, affected,
+      noteLinks ++ commitRefs, Seq.empty, Seq.empty,
+      affected ++ commitPackages.filterNot(p =>
+        affected.exists(_.purl == p.purl)),
       new Timestamp(0L), None,
       "https://github.com/SAP/project-kb/blob/main/" + relPath, 200))
   }

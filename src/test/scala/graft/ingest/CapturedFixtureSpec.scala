@@ -304,6 +304,57 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
       skip = Set("url"))
   }
 
+  // ----------------------------------------------------------- project-kb
+  withRef("project-kb: captured statements + MSR2019 csv match expected") {
+    val sp = spark
+    import sp.implicits._
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val ids = Seq("CVE-2018-16406", "CVE-2019-1020012", "CVE-2019-16942",
+      "CVE-2019-17531")
+    val rows = ids.flatMap(id => ProjectKbStatementsIngest.parseOne(yaml,
+      "project_kb_statements", s"statements/$id/statement.yaml",
+      RefCapture.text(s"project-kb/statements/$id/statement.yaml")))
+    val want = RefCapture.loadExpected("project-kb/kb-statements-expected.json")
+    // url skipped: the reference test injects a mocked advisory url
+    RefCapture.assertMatch("project-kb/statements",
+      rows.map(RefCapture.canonRow), want, skip = Set("url"))
+
+    val msr = FixCommitDatasetsIngest.projectKbMsr2019(sp,
+      RefCapture.root.resolve(
+        "project-kb/MSR2019/dataset/vulas_db_msr2019_release.csv").toString)
+      .collect().toSeq
+    val wantMsr = RefCapture.loadExpected("project-kb/kbmsr2019-expected.json")
+    RefCapture.assertMatch("project-kb/msr2019",
+      msr.map(RefCapture.canonRow), wantMsr)
+  }
+
+  // ----------------------------------------------------------------- aosp
+  withRef("aosp: captured quarkslab dataset files match v2 expected") {
+    val sp = spark
+    import sp.implicits._
+    for (i <- 1 to 5) {
+      val rows = FixCommitDatasetsIngest.aosp(sp,
+        Seq(("aosp", s"cves/CVE-aosp_test$i.json",
+          RefCapture.text(s"aosp/CVE-aosp_test$i.json")))
+          .toDF("datasource_id", "path", "json")).collect().toSeq
+      val want = RefCapture.loadExpected(s"aosp/CVE-aosp_test$i-expected.json")
+      RefCapture.assertMatch(s"aosp/$i", rows.map(RefCapture.canonRow), want)
+    }
+  }
+
+  // ----------------------------------------------------------- linux kernel
+  withRef("linux_kernel: captured security.txt matches v2 expected") {
+    val sp = spark
+    import sp.implicits._
+    val rows = FixCommitDatasetsIngest.linuxKernelCves(sp,
+      Seq(("3.12_security.txt",
+        RefCapture.text("linux_kernel/data/3.12/3.12_security.txt")))
+        .toDF("path", "text")).collect().toSeq
+    val want = RefCapture.loadExpected(
+      "linux_kernel/expected-linux-kernel-advisory.json")
+    RefCapture.assertMatch("linux_kernel", rows.map(RefCapture.canonRow), want)
+  }
+
   // --------------------------------------------------------------- gentoo
   withRef("gentoo: captured GLSA XMLs match v2 expected") {
     for (glsa <- Seq("glsa-201709-09", "glsa-202511-02", "glsa-202512-01")) {

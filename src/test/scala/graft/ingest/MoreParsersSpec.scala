@@ -841,10 +841,10 @@ class IstioKbSpec extends AnyFunSuite with SparkTestSession {
     val a = rows.head
     assert(a.advisory_id == "CVE-2030-3333")
     assert(a.summary == "Fixed via upstream patch.")
-    assert(a.references.exists(r => r.reference_type == "commit" &&
+    assert(a.references.exists(r => r.reference_type == "fix_commit" &&
       r.reference_id == "aabbccddee112233aabb"))
     assert(a.references.exists(_.url == "https://issues.example/BUG-1"))
-    assert(a.references.count(_.reference_type == "commit") == 1)
+    assert(a.references.count(_.reference_type == "fix_commit") == 1)
     val ap = a.affected.head
     assert(ap.purl == "pkg:maven/org.apache.struts/struts2-core")
     assert(ap.affecting_vers == "vers:maven/=2.5.20")
