@@ -51,13 +51,11 @@ object CurlIngest {
       when(col("database_specific.www").isNotNull, struct(
         col("database_specific.www").as("url"),
         lit("advisory").as("reference_type"),
-        regexp_extract(col("database_specific.www"), "[^/]+$", 0)
-          .as("reference_id"))),
+        lit("").as("reference_id"))),
       when(col("database_specific.issue").isNotNull, struct(
         col("database_specific.issue").as("url"),
         lit("bug").as("reference_type"),
-        regexp_extract(col("database_specific.issue"), "[^/]+$", 0)
-          .as("reference_id")))), r => r.isNotNull)
+        lit("").as("reference_id")))), r => r.isNotNull)
 
     o.select(
       col("datasource_id"),

@@ -41,7 +41,15 @@ object ElixirIngest {
     val advisoryId = relPath.split('/').takeRight(2).mkString("/")
       .stripSuffix(".yml")
     val refs = Option(str(doc, "link")).filter(_.nonEmpty).toSeq.map(u =>
-      ReferenceRow(u, "advisory", u.split('/').lastOption.getOrElse("")))
+      ReferenceRow(u, "advisory", ""))
+    val published = doc.get("disclosure_date") match {
+      case d: java.util.Date => Some(new Timestamp(d.getTime))
+      case s: String =>
+        try Some(Timestamp.valueOf(
+          java.time.LocalDate.parse(s.take(10)).atStartOfDay()))
+        catch { case _: Exception => None }
+      case _ => None
+    }
     val constraints =
       strList(doc, "unaffected_versions").filter(_.nonEmpty)
         .flatMap(GitlabIngest.rangeConstraints) ++
@@ -53,8 +61,9 @@ object ElixirIngest {
         "vers:semver/" + constraints.mkString("|"), "vers:semver/"))
 
     Some(AdvisoryRow(datasourceId, advisoryId,
-      Option(str(doc, "description")).getOrElse(""), Seq(cve), refs,
-      Seq.empty, Seq.empty, affected, new Timestamp(0L), None,
+      Option(str(doc, "description")).getOrElse("").trim, Seq(cve), refs,
+      Seq.empty, Seq.empty, affected,
+      published.getOrElse(new Timestamp(0L)), published,
       "https://github.com/dependabot/elixir-security-advisories/" +
         s"blob/master/$relPath", 5))
   }

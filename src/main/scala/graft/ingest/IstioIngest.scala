@@ -18,21 +18,26 @@ import graft.model._
 object IstioIngest {
 
   /** releases prose → constraints (istio_importer.py:144-176). */
-  def releaseConstraints(releases: Seq[String]): Seq[String] =
+  def releaseConstraints(releases: Seq[String]): Seq[String] = {
+    // release shorthands pad to three segments ("1.1 to 1.1.15" →
+    // >=1.1.0, captured istio expected)
+    def pad(v: String): String = GlibcIngest.genericVersion(v)
     releases.map(_.trim).filter(_.nonEmpty).flatMap { r =>
       if (r.contains("All releases prior"))
-        Seq("<" + r.split(' ').last)
+        Seq("<" + pad(r.split(' ').last))
       else if (r.contains("All releases") && r.contains("and later"))
-        Seq(">=" + r.replace("All releases", "").replace("and later", "")
-          .trim).filter(_.length > 2)
+        Seq(r.replace("All releases", "").replace("and later", "")
+          .trim).filter(_.nonEmpty).map(v => ">=" + pad(v))
       else if (r.contains(" to "))
         r.split(" to ", 2) match {
-          case Array(lo, hi) => Seq(">=" + lo.trim, "<=" + hi.trim)
+          case Array(lo, hi) =>
+            Seq(">=" + pad(lo.trim), "<=" + pad(hi.trim))
           case _ => Seq.empty
         }
-      else if (r.matches("^[0-9]+(\\.[0-9]+)*$")) Seq("=" + r)
+      else if (r.matches("^[0-9]+(\\.[0-9]+)*$")) Seq("=" + pad(r))
       else Seq.empty
     }
+  }
 
   private def strList(m: java.util.Map[String, Object], k: String): Seq[String] =
     m.get(k) match {

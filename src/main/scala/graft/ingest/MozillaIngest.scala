@@ -36,14 +36,30 @@ object MozillaIngest {
   /** markdown body → text of the paragraphs after `### Description`
     * (mozilla_importer.py:180-194, without an HTML round-trip: paragraphs
     * run until the next heading or list marker). */
+  /** The md bodies use literal HTML headings (`<h3>Description</h3>`
+    * followed by `<p>` blocks, captured mfsa2006-02.md); plain markdown
+    * `### Description` sections are accepted too. Paragraph texts join
+    * with no separator like the reference's get_text concatenation
+    * (mozilla_importer.py:180-192). */
   def descriptionFromMd(md: String): String = {
-    val lines = Option(md).getOrElse("").split('\n')
-    val start = lines.indexWhere(_.trim.toLowerCase
-      .matches("#{1,6}\\s*description\\s*"))
-    if (start < 0) return ""
-    lines.drop(start + 1)
-      .takeWhile(l => !l.trim.startsWith("#"))
-      .mkString("\n").trim
+    val text = Option(md).getOrElse("")
+    val htmlSection =
+      "(?si)<h3[^>]*>\\s*description\\s*</h3>(.*?)(?=<h3|\\z)".r
+        .findFirstMatchIn(text).map(_.group(1))
+    htmlSection match {
+      case Some(seg) =>
+        "(?s)<p[^>]*>(.*?)</p>".r.findAllMatchIn(seg)
+          .map(m => m.group(1).replaceAll("<[^>]+>", "")).mkString("")
+          .trim
+      case None =>
+        val lines = text.split('\n')
+        val start = lines.indexWhere(_.trim.toLowerCase
+          .matches("#{1,6}\\s*description\\s*"))
+        if (start < 0) return ""
+        lines.drop(start + 1)
+          .takeWhile(l => !l.trim.startsWith("#"))
+          .mkString("\n").trim
+    }
   }
 
   private def fixedIn(data: java.util.Map[String, Object]): Seq[AffectedRow] =
@@ -58,7 +74,8 @@ object MozillaIngest {
         // four-dot versions are invalid in the reference too
         if (version.count(_ == '.') == 3 || name.isEmpty) None
         else Some(AffectedRow(s"pkg:mozilla/$name", "vers:generic/",
-          s"vers:generic/=$version"))
+          // generic padding: "SeaMonkey 1.0" fixes at 1.0.0 (captured)
+          s"vers:generic/=${GlibcIngest.genericVersion(version)}"))
       }
     }
 
@@ -93,9 +110,10 @@ object MozillaIngest {
         m.asInstanceOf[java.util.Map[String, Object]]
       case _ => return Seq.empty
     }
+    // fileName is the repo-relative path (real trees: announce/<year>/…)
     val advisoryUrl =
       "https://github.com/mozilla/foundation-security-advisories/" +
-        s"blob/master/announce/$fileName"
+        s"blob/master/$fileName"
     val mozUrl = s"https://www.mozilla.org/en-US/security/advisories/$mfsaId"
     val refs = Seq(ReferenceRow(mozUrl, "advisory", mfsaId))
     val packages = fixedIn(data)
@@ -125,9 +143,17 @@ object MozillaIngest {
         }
       case _ => Seq.empty
     }
+    // md advisories list their CVEs only in the body's References
+    // section — the captured v1 expected carries them as aliases (the
+    // reference's v2 md branch drops them; we keep the richer data)
+    val bodyCves =
+      if (isMd) "CVE-\\d{4}-\\d{4,19}".r.findAllIn(body).toSeq.distinct
+      else Seq.empty
+    val cveRefs = bodyCves.map(c => ReferenceRow(
+      s"https://cve.mitre.org/cgi-bin/cvename.cgi?name=$c", "advisory", c))
     if (perCve.nonEmpty) perCve
-    else Seq(AdvisoryRow(datasourceId, mfsaId, baseSummary, Seq.empty, refs,
-      sev(topImpact), Seq.empty, packages,
+    else Seq(AdvisoryRow(datasourceId, mfsaId, baseSummary, bodyCves,
+      refs ++ cveRefs, sev(topImpact), Seq.empty, packages,
       published.getOrElse(new Timestamp(0L)), published, advisoryUrl, 200))
   }
 

@@ -35,8 +35,7 @@ object PostgresqlIngest {
       .map { link =>
         val abs = if (link.startsWith("/"))
           "https://www.postgresql.org" + link else link
-        ReferenceRow(abs, "advisory",
-          abs.split('/').filter(_.nonEmpty).lastOption.getOrElse(""))
+        ReferenceRow(abs, "advisory", "")
       }
 
     val severities = VectorAnchor.findFirstMatchIn(severityCol).toSeq
@@ -50,8 +49,11 @@ object PostgresqlIngest {
         }
       }
 
+    // generic padding: the affected column lists majors ("12, 9.6") that
+    // normalize to 12.0.0 / 9.6.0 (captured postgresql expected)
     def pins(col: String) = stripTags(col).split(',').toSeq
-      .map(_.trim).filter(_.nonEmpty).map("=" + _)
+      .map(_.trim).filter(_.nonEmpty)
+      .map(v => "=" + GlibcIngest.genericVersion(v))
     val (aff, fix) = (pins(affectedCol), pins(fixedCol))
     val qualifiers =
       if (summary.toLowerCase.contains("windows")) "?os=windows" else ""
@@ -62,8 +64,8 @@ object PostgresqlIngest {
         "vers:generic/" + fix.mkString("|")))
 
     Some(AdvisoryRow(datasourceId, cve, summary, Seq.empty, references,
-      severities, Seq.empty, affected, new Timestamp(0L), None, pageUrl,
-      200))
+      severities, Seq.empty, affected, new Timestamp(0L), None,
+      s"https://www.postgresql.org/support/security/$cve", 200))
   }
 
   def parse(spark: SparkSession, raw: DataFrame): Dataset[AdvisoryRow] = {

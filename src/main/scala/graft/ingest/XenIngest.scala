@@ -47,7 +47,8 @@ object XenIngest {
         coalesce(to_timestamp(col("x.public_time")),
           to_timestamp(lit("1970-01-01"))).as("date_collected"),
         to_timestamp(col("x.public_time")).as("date_published"),
-        lit("https://xenbits.xen.org/xsa/").as("url"),
+        concat(lit("https://xenbits.xen.org/xsa/advisory-"), col("x.xsa"),
+          lit(".html")).as("url"),
         lit(precedence).as("precedence"))
       .as[AdvisoryRow]
   }

@@ -355,6 +355,149 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
     RefCapture.assertMatch("linux_kernel", rows.map(RefCapture.canonRow), want)
   }
 
+  // --------------------------------------------------------------- kafka
+  withRef("apache_kafka: captured cve-list page matches v2 expected") {
+    val sp = spark
+    import sp.implicits._
+    val rows = ApacheKafkaIngest.parse(sp,
+      Seq(("apache_kafka",
+        RefCapture.text("apache_kafka/cve-list-2026_01_23.html")))
+        .toDF("datasource_id", "html")).collect().toSeq
+    val want = RefCapture.loadExpected(
+      "apache_kafka/cve-list-2026_01_23-expected.json")
+    RefCapture.assertMatch("apache_kafka",
+      rows.map(RefCapture.canonRow), want)
+  }
+
+  // ----------------------------------------------------------------- curl
+  withRef("curl: captured advisory JSON matches expected") {
+    val sp = spark
+    import sp.implicits._
+    for (i <- 1 to 3) {
+      val rows = CurlIngest.parse(sp,
+        Seq(("curl", RefCapture.text(s"curl/curl_advisory_mock$i.json")))
+          .toDF("datasource_id", "json")).collect().toSeq
+      val want = RefCapture.loadExpected(
+        s"curl/expected_curl_advisory_output$i.json")
+      val got = rows.map(RefCapture.canonRow).map(_.copy(id = ""))
+      RefCapture.assertMatch(s"curl/$i", got, want, key = _ => "one")
+    }
+  }
+
+  // ----------------------------------------------------------- postgresql
+  withRef("postgresql: captured security page matches expected") {
+    val sp = spark
+    import sp.implicits._
+    val rows = PostgresqlIngest.parse(sp,
+      Seq(("postgresql", RefCapture.text("postgresql/advisories.html")))
+        .toDF("datasource_id", "html")).collect().toSeq
+    // v1 format: the CVE lives in aliases; the capture's fixed_version
+    // is the page's raw string while our fixed pins carry generic
+    // padding (12.3 → 12.3.0, consistent with the affected side) — pad
+    // the expected side the same way before comparing
+    val want = RefCapture.loadExpected(
+      "postgresql/parse-advisory-postgresql-expected.json")
+      .map(c => c.copy(packages = c.packages.map { case (p, (a, f)) =>
+        p -> (a, f.map(GlibcIngest.genericVersion)) }))
+    // our severities keep the calculator VECTOR as scoring_elements
+    // (the page links it; the v1 capture dropped it) — blank it for the
+    // compare and assert it separately
+    assert(rows.forall(_.severities.forall(
+      _.scoring_elements.startsWith("CVSS:3.0/"))))
+    val got = rows.map(c =>
+      RefCapture.canonRow(c).copy(id = "", aliases = Set(c.advisory_id)))
+      .map(c => c.copy(severities = c.severities.map(s =>
+        (s._1, s._2, ""))))
+    RefCapture.assertMatch("postgresql", got, want,
+      key = c => c.aliases.toSeq.sorted.mkString(","))
+  }
+
+  // ------------------------------------------------------------------ xen
+  withRef("xen: captured xsa feed matches expected") {
+    val sp = spark
+    import sp.implicits._
+    // the capture is ONE xsa record; the live feed wraps them as
+    // [{"xsas": [...]}] (xen_importer.py:82)
+    val feed = s"""[{"xsas":[${RefCapture.text("xen_data.json")}]}]"""
+    val rows = XenIngest.parse(sp,
+      Seq(("xen", feed)).toDF("datasource_id", "json")).collect().toSeq
+    val want = RefCapture.loadExpected("parse-advisory-xen-expected.json")
+    val got = rows.map(RefCapture.canonRow).map(_.copy(id = ""))
+    // datePublished skipped: the v2 importer parses public_time
+    // (xen_importer.py:94-103, matching us); the v1 capture has null
+    RefCapture.assertMatch("xen", got, want, key = _ => "one",
+      skip = Set("datePublished"))
+  }
+
+  // ---------------------------------------------------------------- istio
+  withRef("istio: captured markdown advisory matches expected") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val rows = IstioIngest.parseOne(yaml, "istio", "test_file.md",
+      RefCapture.text("istio/test_file.md")).toSeq
+    val want = RefCapture.loadExpected("istio/istio-expected.json")
+    val got = rows.map(RefCapture.canonRow).map(_.copy(id = ""))
+    RefCapture.assertMatch("istio", got, want, key = _ => "one")
+  }
+
+  // -------------------------------------------------------------- mozilla
+  withRef("mozilla: captured mfsa md + yml match expected") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    for ((f, exp) <- Seq(("mfsa2006-02.md", "expected-md.json"),
+        ("mfsa2022-01.yml", "expected-yml.json"))) {
+      val rows = MozillaIngest.parseOne(yaml, "mozilla", f,
+        RefCapture.text(s"mozilla/$f")).toSeq
+      val want = RefCapture.loadExpected(s"mozilla/$exp")
+      val got = rows.map(RefCapture.canonRow).map(_.copy(id = ""))
+      // md severity skipped: impact "Moderate" maps to medium in the v2
+      // pipeline (mozilla_importer.py:231-233, matching us); the v1
+      // capture recorded "none". Likewise v2 parses `announced` into
+      // date_published (mozilla_importer.py:173) where the v1 md capture
+      // has null.
+      // severities skipped both ways with explicit checks below: the v1
+      // captures recorded "none" for md (v2 maps Moderate->medium like
+      // us) and the TOP-LEVEL impact for every yml CVE (v2 uses the
+      // per-CVE impact, mozilla_importer.py:139, like us)
+      val skip = Set("severities", "datePublished")
+      if (f.endsWith(".md"))
+        assert(rows.head.severities.map(_.value) == Seq("medium"))
+      else {
+        val byCve = rows.map(r => r.aliases.headOption.getOrElse("") ->
+          r.severities.map(_.value)).toMap
+        assert(byCve("CVE-2022-22736") == Seq("low")) // per-CVE impact
+        assert(byCve("CVE-2022-22746") == Seq("high"))
+      }
+      // the yml capture shows fixed_in packages only on the FIRST
+      // per-CVE advisory (the v1 generator was consumed once); the v2
+      // pipeline materializes the list for every CVE
+      // (mozilla_importer.py:109 list(...)) like we do — blank ours
+      // where the capture recorded the artifact, after checking they
+      // all carry the same packages
+      val wantByKey = want
+        .groupBy(c => c.aliases.toSeq.sorted.mkString(",")).view
+        .mapValues(_.head).toMap
+      val gotAdj = got.map { c =>
+        val k = c.aliases.toSeq.sorted.mkString(",")
+        if (wantByKey.get(k).exists(_.packages.isEmpty) &&
+            c.packages.nonEmpty) {
+          assert(c.packages == got.head.packages)
+          c.copy(packages = Map.empty)
+        } else c
+      }
+      RefCapture.assertMatch(s"mozilla/$f", gotAdj, want, skip = skip,
+        key = c => c.aliases.toSeq.sorted.mkString(","))
+    }
+  }
+
+  // --------------------------------------------------------------- elixir
+  withRef("elixir: captured advisory yml matches expected") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val rows = ElixirIngest.parseOne(yaml, "elixir_security", "test_file.yml",
+      RefCapture.text("elixir_security/test_file.yml")).toSeq
+    val want = RefCapture.loadExpected("elixir_security/elixir-expected.json")
+    val got = rows.map(RefCapture.canonRow).map(_.copy(id = ""))
+    RefCapture.assertMatch("elixir", got, want, key = _ => "one")
+  }
+
   // --------------------------------------------------------------- gentoo
   withRef("gentoo: captured GLSA XMLs match v2 expected") {
     for (glsa <- Seq("glsa-201709-09", "glsa-202511-02", "glsa-202512-01")) {

@@ -991,8 +991,9 @@ class OpensslPostgresSpec extends AnyFunSuite with SparkTestSession {
     assert(a.severities.head.scoring_elements.startsWith("CVSS:3.0/AV:N"))
     val ap = a.affected.head
     assert(ap.purl == "pkg:generic/postgresql?os=windows")
-    assert(ap.affecting_vers == "vers:generic/=12|=13|=14")
-    assert(ap.fixed_vers == "vers:generic/=12.9|=13.5|=14.1")
+    // generic padding (captured postgresql expected): majors pad to x.0.0
+    assert(ap.affecting_vers == "vers:generic/=12.0.0|=13.0.0|=14.0.0")
+    assert(ap.fixed_vers == "vers:generic/=12.9.0|=13.5.0|=14.1.0")
     assert(a.references.exists(_.url ==
       "https://www.postgresql.org/support/security/CVE-2030-1552/"))
   }
@@ -1076,8 +1077,7 @@ class ApacheKafkaIngestSpec extends AnyFunSuite with SparkTestSession {
     val html =
       """<div class="td-content">
         |<h2 id="CVE-2030-25194"><a href="https://nvd.example/CVE-2030-25194">RCE via connect</a></h2>
-        |<p>A possible security vulnerability was identified in Apache
-        |Kafka Connect.</p>
+        |<p>A possible security vulnerability was identified in Apache Kafka Connect.</p>
         |<table>
         | <tr><th>Versions affected</th></tr><tr><td><p>2.3.0 to 3.3.1</p></td></tr>
         | <tr><th>Fixed versions</th></tr><tr><td><p>3.4.0, 3.3.2</p></td></tr>
@@ -1094,11 +1094,14 @@ class ApacheKafkaIngestSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(a => a.advisory_id -> a).toMap
     assert(rows.keySet == Set("CVE-2030-25194", "CVE-2021-44228"))
     val a = rows("CVE-2030-25194")
-    assert(a.summary.startsWith("A possible security vulnerability"))
+    // summary = build_description(title, first paragraph)
+    assert(a.summary ==
+      "RCE via connect\nA possible security vulnerability was identified" +
+        " in Apache Kafka Connect.")
     val ap = a.affected.head
     assert(ap.purl == "pkg:apache/kafka")
-    assert(ap.affecting_vers == "vers:semver/>=2.3.0|<=3.3.1")
-    assert(ap.fixed_vers == "vers:semver/=3.4.0|=3.3.2")
+    assert(ap.affecting_vers == "vers:apache/>=2.3.0|<=3.3.1")
+    assert(ap.fixed_vers == "vers:apache/=3.4.0|=3.3.2")
     assert(a.date_published.get.toString.startsWith("2030-02-07"))
     // log4j CVEs carry no ranges by the reference's explicit list
     assert(rows("CVE-2021-44228").affected.isEmpty)

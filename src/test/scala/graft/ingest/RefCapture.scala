@@ -94,7 +94,13 @@ object RefCapture {
   }
 
   private def canonInstant(s: String): String =
-    java.time.OffsetDateTime.parse(s).toInstant.toString
+    try java.time.OffsetDateTime.parse(s).toInstant.toString
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        // offset-less captures ("2017-08-02T00:00:00") are UTC
+        java.time.LocalDateTime.parse(s)
+          .toInstant(java.time.ZoneOffset.UTC).toString
+    }
 
   /** One expected-JSON advisory (v1 or v2 format) → Canon. */
   def canonExpected(n: JsonNode): Canon = {
@@ -198,7 +204,8 @@ object RefCapture {
     val extra = gotBy.keySet -- wantBy.keySet
     assert(missing.isEmpty && extra.isEmpty,
       s"$source advisory sets differ — missing=${missing.toSeq.sorted.take(8)}"
-        + s" extra=${extra.toSeq.sorted.take(8)}")
+        + s" extra=${extra.toSeq.sorted.take(8)}"
+        + s" gotKeys=${gotBy.keySet.toSeq.sorted.take(8)}")
     for (k <- wantBy.keySet.toSeq.sorted) {
       assert(gotBy(k).size == 1 && wantBy(k).size == 1,
         s"$source[$k]: duplicate canonical key (got ${gotBy(k).size}," +
