@@ -11,6 +11,19 @@ import graft.operators.SparkTestSession
   * and canonical-compares (RefCapture.Canon) against the captured
   * `*-expected.json`. Skipped wholesale when the reference checkout is
   * not present (GRAFT_REF_TESTDATA overrides the default path).
+  *
+  * 28 fixture sets are cross-validated here. Deliberately NOT covered:
+  * v1-only captures whose parser family already validates against a
+  * newer v2 capture (github_osv/pysec/pypa/oss_fuzz v1 — the shared OSV
+  * parser is covered by the 15 osv_test v2 files; fireeye/gentoo/ruby/
+  * nvd/suse v1 — superseded by their _v2 sets), captures of
+  * reference-abandoned v1 importers (gsd, ubuntu_usn_db, debian/
+  * debian-oval/ubuntu-oval/suse_oval v1 importer dumps — see
+  * ImporterRegistry exclusions), github_api GraphQL captures (the live
+  * API shape is covered by GithubIngestSpec), improver fixtures (the
+  * improver derivations are covered by the d/j-query oracles), and the
+  * apache_tomcat v1 capture whose milestone-version grammar belongs to
+  * the retired v1 importer.
   */
 class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
 
@@ -496,6 +509,25 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
     val want = RefCapture.loadExpected("elixir_security/elixir-expected.json")
     val got = rows.map(RefCapture.canonRow).map(_.copy(id = ""))
     RefCapture.assertMatch("elixir", got, want, key = _ => "one")
+  }
+
+  // --------------------------------------------------------- vulnrichment
+  withRef("vulnrichment: captured CVE 5.x records match expected") {
+    val sp = spark
+    import sp.implicits._
+    for (i <- 1 to 3) {
+      val rows = VulnrichmentIngest.parse(sp,
+        Seq(("vulnrichment",
+          RefCapture.text(s"vulnrichment/vulnrichment-data$i.json")))
+          .toDF("datasource_id", "json")).collect().toSeq
+      val want = RefCapture.loadExpected(
+        s"vulnrichment/vulnrichment-data$i-expected.json")
+      val got = rows.map(c =>
+        RefCapture.canonRow(c).copy(id = "", aliases = Set(c.advisory_id)))
+      // url skipped: the reference test injects a dummy advisory url
+      RefCapture.assertMatch(s"vulnrichment/$i", got, want,
+        key = _ => "one", skip = Set("url"))
+    }
   }
 
   // --------------------------------------------------------------- gentoo
