@@ -309,28 +309,41 @@ object CorpusQueries extends QueryModule {
     // estimates and report the cap's similarity drift as LSH misses
     // (an early draft did exactly that: recall 0.01 at sf0.1), while an
     // UNSAMPLED uncapped truth is the full naive quadratic pass (a
-    // second draft spent 11 minutes there at 10×). Sampled-anchor ×
-    // full-corpus keeps the truth affordable and still LABELED-naive —
-    // its cost is quadratic in duplication like x_ngram_jaccard. The
-    // recall mart is what sizes the band/hash tradeoff before a 100 TB
-    // run commits to the approximate pipeline.
+    // second draft spent 11 minutes there at 10×). The truth is a
+    // BROADCAST CROSS of the sampled anchors against per-doc shingle
+    // SETS with a codegen'd array_intersect: the inverted pair join —
+    // whose emission is Σ_shingle df_anchor·df, quadratic in
+    // duplication (302 s at 10× measured) — disappears entirely; the
+    // cross is |anchors|·n cheap in-memory popcount-style rows with no
+    // exchange, and the broadcast side is bounded by the sampling rate.
+    // A SIZE-RATIO prune (Jaccard ≥ J implies 2·min(n_a,n_b) ≥
+    // max(n_a,n_b) at J = 0.5 — shared ≤ min and union ≥ max) skips the
+    // intersection where it cannot reach the threshold; both are exact
+    // implications that change no output row. The est side is the REAL
+    // library path — hot-bucket cap included — and the oracle mirrors
+    // the cap in its mcand CTE (an uncapped oracle would silently
+    // diverge the moment a (band,bucket) tops 10000 docs, and an
+    // uncapped Spark est is itself quadratic at 10×: 324 s measured).
+    // The recall mart is what sizes the band/hash tradeoff before a
+    // 100 TB run commits to the approximate pipeline.
     q("x_lsh_recall",
       s"""WITH $minhashCteSql,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM raw GROUP BY doc_id),
-         |shared AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-         |  FROM raw a JOIN raw b
-         |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-         |  WHERE a.doc_id % 10 = 0
-         |  GROUP BY 1, 2),
+         |dsets AS (SELECT doc_id, list(shingle) AS sset, count(*) AS n
+         |          FROM raw GROUP BY doc_id),
          |truth AS (
-         |  SELECT s.a_id, s.b_id FROM shared s
-         |  JOIN sizes sa ON sa.doc_id = s.a_id
-         |  JOIN sizes sb ON sb.doc_id = s.b_id
-         |  WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5),
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM dsets a JOIN dsets b
+         |    ON a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+         |   AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)
+         |   AND CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         |       / (a.n + b.n - len(list_intersect(a.sset, b.sset))) >= 0.5),
+         |okbkt AS (SELECT band, bucket FROM bands GROUP BY 1, 2
+         |          HAVING count(*) <= 10000),
+         |cbands AS (SELECT bands.* FROM bands JOIN okbkt
+         |           USING (band, bucket)),
          |mcand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
+         |  FROM cbands a JOIN cbands b
          |    ON a.band = b.band AND a.bucket = b.bucket
          |   AND a.doc_id < b.doc_id),
          |est AS (
@@ -348,21 +361,70 @@ object CorpusQueries extends QueryModule {
          |GROUP BY t.a_id ORDER BY t.a_id""") { (s, dir) =>
       val d = docs(s, dir)
       val sh = TextDedup.shingles(d, "text", "doc_id", 2).localCheckpoint()
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-      val shared = sh.filter(pmod(col("id"), lit(10)) === 0)
-        .select(col("id").as("a_id"), col("shingle"))
-        .join(sh.select(col("id").as("b_id"), col("shingle")),
-          Seq("shingle"))
-        .filter(col("a_id") =!= col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-      val truth = shared
-        .join(sizes.select(col("id").as("a_id"), col("n").as("na")),
-          Seq("a_id"))
-        .join(sizes.select(col("id").as("b_id"), col("n").as("nb")),
-          Seq("b_id"))
-        .filter(col("shared").cast("double") /
-          (col("na") + col("nb") - col("shared")) >= 0.5)
-        .select(col("a_id"), col("b_id"))
+      // the truth rides vocab-indexed BITMAPS: shingles get dense ids
+      // (the bigram vocab is tiny next to the corpus — ~1k here; the
+      // broadcast dimension is vocab-sized, not corpus-sized), each doc
+      // folds to ceil(|vocab|/64) longs, and shared counts are
+      // zip_with + bit_count over primitive arrays — the whole anchor ×
+      // corpus cross stays inside whole-stage codegen with no exchange
+      // (a string-array array_intersect variant of the same cross spent
+      // 681 s at 10× on row materialization alone)
+      val vocab = sh.select("shingle").distinct()
+        .withColumn("idx",
+          row_number().over(Window.orderBy("shingle")) - 1)
+      val nWords = (vocab.count() + 63) / 64
+      val wordRows = sh.join(broadcast(vocab), "shingle")
+        .withColumn("w", (col("idx") / 64).cast("int"))
+        .withColumn("bit", pmod(col("idx"), lit(64)).cast("int"))
+        .groupBy(col("id"), col("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("word"))
+      val bm = wordRows.groupBy("id")
+        .agg(map_from_entries(collect_list(struct(col("w"), col("word"))))
+          .as("wm"))
+        .withColumn("bm", expr(
+          s"transform(sequence(0, ${nWords - 1}), " +
+            "i -> coalesce(try_element_at(wm, CAST(i AS INT)), " +
+            "CAST(0 AS BIGINT)))"))
+        .withColumn("n", expr(
+          "aggregate(bm, 0, (acc, x) -> acc + bit_count(x))"))
+        .select("id", "bm", "n")
+        .localCheckpoint()
+      // the anchor set collects into one broadcast of PRIMITIVE arrays
+      // and each partition runs a tight JIT'd popcount loop over it —
+      // the anchor × corpus cross never exists as rows, and the inner
+      // 16-word AND/bit_count costs nanoseconds (the same cross through
+      // interpreted higher-order-function lambdas spent 92 s at 10×,
+      // through materialized join rows 100+ s). The broadcast is
+      // bounded by the gauge's anchor sampling rate — the knob a
+      // production run turns down first.
+      import s.implicits._
+      val bmT = bm.select(col("id").cast("long"), col("bm"),
+        col("n").cast("int")).as[(Long, Array[Long], Int)]
+      val anchorRows = bmT.filter(_._1 % 10 == 0).collect().sortBy(_._1)
+      val bcAnchors = s.sparkContext.broadcast(anchorRows)
+      val truth = bmT.mapPartitions { it =>
+        val anchors = bcAnchors.value
+        it.flatMap { case (bId, bbm, nb) =>
+          val out = Vector.newBuilder[(Long, Long)]
+          var i = 0
+          while (i < anchors.length) {
+            val (aId, abm, na) = anchors(i)
+            if (aId != bId &&
+                2 * math.min(na, nb) >= math.max(na, nb)) {
+              var shared = 0
+              var w = 0
+              while (w < abm.length) {
+                shared += java.lang.Long.bitCount(abm(w) & bbm(w))
+                w += 1
+              }
+              if (shared.toDouble / (na + nb - shared) >= 0.5)
+                out += ((aId, bId))
+            }
+            i += 1
+          }
+          out.result()
+        }
+      }.toDF("a_id", "b_id")
       val est = TextDedup.minHashLshPairs(d, "text", "doc_id")
         .select(col("id_a"), col("id_b")).withColumn("_hit", lit(1))
       truth
