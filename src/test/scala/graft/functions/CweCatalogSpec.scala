@@ -8,8 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CweCatalogSpec extends AnyFunSuite {
 
-  test("catalog loads and is usefully sized") {
-    assert(CweCatalog.map.size >= 150)
+  test("catalog loads and covers the public CWE list broadly") {
+    // widened toward the full public catalog (the reference resolves
+    // ~1,000 ids through the cwe2 DB); real lookups above id 200 must
+    // resolve, not fall back to 'unknown'
+    assert(CweCatalog.map.size >= 700)
+  }
+
+  test("ids above 200 resolve (models.py:552-582 parity)") {
+    assert(CweCatalog.map(918) == "Server-Side Request Forgery (SSRF)")
+    assert(CweCatalog.map(306)
+      == "Missing Authentication for Critical Function")
+    assert(CweCatalog.map(601)
+      == "URL Redirection to Untrusted Site ('Open Redirect')")
+    assert(CweCatalog.map(1336)
+      == "Improper Neutralization of Special Elements Used in a Template Engine")
   }
 
   test("well-known ids resolve to canonical MITRE names") {
