@@ -306,6 +306,97 @@ object ServingQueries extends QueryModule {
       Serving.searchPackages(packagesFixture(s, dir), "p13")
         .select("package_url").orderBy("package_url")
     },
+
+    // The composed v3 bulk-packages endpoint (api_v3.py:253-339 +
+    // :566-700 + :891-959) as ONE oracled mart: filter_purls →
+    // is_vulnerable Exists → per-advisory fixed-by ArrayAgg →
+    // AdvisorySet max-severity primary → a canonical nested-JSON
+    // response row per requested purl. The component queries
+    // (s9/s14/s15/j3/a3/a4/j12) stay green on their own; this row gates
+    // the COMPOSITION, byte-for-byte.
+    q("s21_v3_bulk",
+      s"""WITH u AS ($unfurledSql),
+         |req AS (SELECT base_purl, version,
+         |               base_purl || '@' || version AS purl
+         |        FROM $requestSql),
+         |sev AS (SELECT 'adv/' || CAST(l_orderkey % 50 AS VARCHAR) AS avid,
+         |               CAST(max(l_suppkey % 10) AS INT) AS severity
+         |        FROM lineitem GROUP BY 1),
+         |aff AS (SELECT DISTINCT r.purl, u.avid
+         |        FROM u JOIN req r ON u.base_purl = r.base_purl
+         |                        AND u.version = r.version
+         |        WHERE u.is_affected),
+         |fixedby AS (
+         |  SELECT u.avid,
+         |         list_sort(list_distinct(
+         |           list(u.base_purl || '@' || u.version))) AS fixed_by
+         |  FROM u
+         |  WHERE u.is_fixed AND u.version IS NOT NULL
+         |    AND u.avid IN (SELECT avid FROM aff)
+         |  GROUP BY u.avid),
+         |affent AS (
+         |  SELECT a.purl,
+         |         string_agg(
+         |           '{"advisory_id":"' || a.avid ||
+         |           '","fixed_by_packages":[' ||
+         |           coalesce(array_to_string(list_transform(f.fixed_by,
+         |             x -> '"' || x || '"'), ','), '') || ']}',
+         |           ',' ORDER BY
+         |           '{"advisory_id":"' || a.avid ||
+         |           '","fixed_by_packages":[' ||
+         |           coalesce(array_to_string(list_transform(f.fixed_by,
+         |             x -> '"' || x || '"'), ','), '') || ']}')
+         |           AS affected_entries
+         |  FROM aff a LEFT JOIN fixedby f ON f.avid = a.avid
+         |  GROUP BY a.purl),
+         |fix AS (SELECT DISTINCT r.purl, u.avid
+         |        FROM u JOIN req r ON u.base_purl = r.base_purl
+         |                        AND u.version = r.version
+         |        WHERE u.is_fixed),
+         |fixing AS (
+         |  SELECT f.purl,
+         |         arg_max(f.avid, coalesce(s.severity, 0) * 1000 +
+         |           CAST(regexp_extract(f.avid, '(\\d+)$$', 1) AS INT))
+         |           AS primary_avid,
+         |         max(coalesce(s.severity, 0)) AS max_severity,
+         |         count(DISTINCT f.avid) AS set_size
+         |  FROM fix f LEFT JOIN sev s ON s.avid = f.avid
+         |  GROUP BY f.purl),
+         |nonvuln AS (
+         |  SELECT base_purl, max(version) AS latest_nonvuln
+         |  FROM (SELECT base_purl, version,
+         |               max(CASE WHEN is_affected THEN 1 ELSE 0 END) AS ea
+         |        FROM u GROUP BY base_purl, version)
+         |  WHERE ea = 0 GROUP BY base_purl)
+         |SELECT r.purl,
+         |       (ae.affected_entries IS NOT NULL) AS is_vulnerable,
+         |       '{"purl":"' || r.purl || '","is_vulnerable":' ||
+         |       CASE WHEN ae.affected_entries IS NOT NULL THEN 'true'
+         |            ELSE 'false' END ||
+         |       ',"affected_by_vulnerabilities":[' ||
+         |       coalesce(ae.affected_entries, '') ||
+         |       '],"fixing_vulnerabilities":' ||
+         |       CASE WHEN fx.primary_avid IS NOT NULL THEN
+         |         '{"primary":"' || fx.primary_avid || '","severity":' ||
+         |         CAST(fx.max_severity AS VARCHAR) || ',"size":' ||
+         |         CAST(fx.set_size AS VARCHAR) || '}'
+         |       ELSE 'null' END ||
+         |       ',"latest_non_vulnerable_version":' ||
+         |       CASE WHEN nv.latest_nonvuln IS NOT NULL
+         |            THEN '"' || nv.latest_nonvuln || '"'
+         |            ELSE 'null' END || '}' AS response
+         |FROM req r
+         |LEFT JOIN affent ae ON ae.purl = r.purl
+         |LEFT JOIN fixing fx ON fx.purl = r.purl
+         |LEFT JOIN nonvuln nv ON nv.base_purl = r.base_purl
+         |ORDER BY r.purl""") { (s, dir) =>
+      val sev = Tables(s, dir, "lineitem")
+        .groupBy(concat(lit("adv/"), pmod(col("l_orderkey"), lit(50)))
+          .as("avid"))
+        .agg(max(pmod(col("l_suppkey"), lit(10))).cast("int").as("severity"))
+      Serving.v3BulkPackages(unfurled(s, dir), sev, request(s))
+        .orderBy("purl")
+    },
   )
 
   /** Synthetic advisories with ids, two aliases, references, and a

@@ -399,4 +399,105 @@ object Serving {
       .filter(col("commit_hash").isNotNull || col("vcs_url").isNotNull)
       .select("base_purl", "avid", "patch_kind", "commit_hash", "vcs_url")
       .distinct()
+
+  /** The v3 bulk-packages endpoint composed END-TO-END as one mart
+    * (api_v3.py:253-339 create + :566-700 get_affected_advisories_bulk +
+    * :891-959 get_fixing_advisories_bulk): filter_purls →
+    * is_vulnerable Exists → per-advisory fixed-by ArrayAgg →
+    * AdvisorySet max-severity primary → one canonical nested-JSON
+    * response row per requested purl.
+    *
+    * Scale contract: the REQUEST list is the broadcast side everywhere
+    * (an API page — thousands at most); the unfurled link corpus streams
+    * through semi/equi joins keyed on it, and the only full-corpus
+    * aggregations (fixed-by per advisory, never-affected versions per
+    * package) are map-side-combining groupBys that existed as their own
+    * marts (s14/s15) before composition.
+    *
+    * The JSON is assembled with deterministic string building (sorted
+    * arrays, explicit null spelling) so the DuckDB oracle reproduces it
+    * byte-for-byte — the canonical-JSON discipline of the export sinks.
+    *
+    * @param severities (avid, severity INT) — the advisory severity dim
+    */
+  def v3BulkPackages(unfurled: DataFrame, severities: DataFrame,
+      request: DataFrame): DataFrame = {
+    val req = request.select(col("base_purl"), col("version"),
+      concat(col("base_purl"), lit("@"), col("version")).as("purl"))
+
+    // affecting edges for the requested purls (request broadcast)
+    val aff = unfurled.filter(col("is_affected"))
+      .join(broadcast(req), Seq("base_purl", "version"))
+      .select(col("purl"), col("avid")).distinct()
+
+    // per-advisory fixed-by purls (ArrayAgg, api_v3.py:592-597) — only
+    // for advisories that affect a requested purl (semi-join prune)
+    val fixedBy = unfurled.filter(col("is_fixed") && col("version").isNotNull)
+      .join(broadcast(aff.select("avid").distinct()), Seq("avid"),
+        "left_semi")
+      .select(col("avid"),
+        concat(col("base_purl"), lit("@"), col("version")).as("fp"))
+      .distinct()
+      .groupBy("avid")
+      .agg(array_sort(collect_set(col("fp"))).as("fixed_by"))
+
+    val affEntries = aff.join(fixedBy, Seq("avid"), "left")
+      .select(col("purl"), concat(
+        lit("{\"advisory_id\":\""), col("avid"),
+        lit("\",\"fixed_by_packages\":["),
+        concat_ws(",", transform(coalesce(col("fixed_by"),
+          array().cast("array<string>")),
+          x => concat(lit("\""), x, lit("\"")))),
+        lit("]}")).as("entry"))
+      .groupBy("purl")
+      .agg(concat_ws(",", array_sort(collect_list(col("entry"))))
+        .as("affected_entries"))
+
+    // fixing advisories per purl with the AdvisorySet max-severity
+    // primary (api_v3.py:891-959): primary = max_by severity with the
+    // avid ordinal as an exact integer tiebreak
+    val fix = unfurled.filter(col("is_fixed"))
+      .join(broadcast(req), Seq("base_purl", "version"))
+      .select(col("purl"), col("avid")).distinct()
+      .join(broadcast(severities), Seq("avid"), "left")
+      .withColumn("sev", coalesce(col("severity"), lit(0)))
+      .withColumn("ord", col("sev") * 1000 +
+        regexp_extract(col("avid"), "(\\d+)$", 1).cast("int"))
+    val fixing = fix.groupBy("purl")
+      .agg(expr("max_by(avid, ord)").as("primary_avid"),
+        max(col("sev")).as("max_severity"),
+        countDistinct(col("avid")).as("set_size"))
+
+    // latest_non_vulnerable_version per base purl: the max version
+    // that is never flagged affected anywhere in the corpus
+    val nonVuln = unfurled
+      .groupBy("base_purl", "version")
+      .agg(max(when(col("is_affected"), 1).otherwise(0)).as("everAff"))
+      .filter(col("everAff") === 0)
+      .groupBy("base_purl").agg(max(col("version")).as("latest_nonvuln"))
+
+    req
+      .join(affEntries, Seq("purl"), "left")
+      .join(fixing, Seq("purl"), "left")
+      .join(nonVuln, Seq("base_purl"), "left")
+      .select(col("purl"),
+        col("affected_entries").isNotNull.as("is_vulnerable"),
+        concat(
+          lit("{\"purl\":\""), col("purl"),
+          lit("\",\"is_vulnerable\":"),
+          when(col("affected_entries").isNotNull, "true").otherwise("false"),
+          lit(",\"affected_by_vulnerabilities\":["),
+          coalesce(col("affected_entries"), lit("")),
+          lit("],\"fixing_vulnerabilities\":"),
+          when(col("primary_avid").isNotNull, concat(
+            lit("{\"primary\":\""), col("primary_avid"),
+            lit("\",\"severity\":"), col("max_severity").cast("string"),
+            lit(",\"size\":"), col("set_size").cast("string"), lit("}")))
+            .otherwise(lit("null")),
+          lit(",\"latest_non_vulnerable_version\":"),
+          when(col("latest_nonvuln").isNotNull,
+            concat(lit("\""), col("latest_nonvuln"), lit("\"")))
+            .otherwise(lit("null")),
+          lit("}")).as("response"))
+  }
 }
