@@ -188,5 +188,54 @@ object StreamingQueries extends QueryModule {
         .toDF("pipeline_id", "run_id", "seq", "step", "exitcode", "error")
         .orderBy("seq")
     },
+
+    // T9 — incremental MERGE-shaped upsert over TWO SUCCESSIVE batches
+    // (models.py:1217-1249 confidence-max update): the oracle replays
+    // the same two-step upsert in SQL, so incremental ingest
+    // correctness no longer rides on full recompute alone. Payloads are
+    // a function of the confidence so equal-confidence ties (kept
+    // toward the existing row) stay value-identical in both engines.
+    q("t9_incremental_upsert",
+      """WITH r AS (
+        |  SELECT o_custkey % 300 AS key,
+        |         CAST(o_orderkey % 97 AS INT) AS confidence,
+        |         'p' || CAST(o_orderkey % 97 AS VARCHAR) AS payload,
+        |         o_orderkey % 3 AS b
+        |  FROM orders),
+        |s1 AS (
+        |  SELECT key, confidence, payload FROM r WHERE b = 0
+        |  QUALIFY row_number() OVER (PARTITION BY key
+        |    ORDER BY confidence DESC) = 1),
+        |u2 AS (
+        |  SELECT key, confidence, payload, 0 AS src FROM s1
+        |  UNION ALL
+        |  SELECT key, confidence, payload, 1 FROM r WHERE b = 1),
+        |s2 AS (
+        |  SELECT key, confidence, payload FROM u2
+        |  QUALIFY row_number() OVER (PARTITION BY key
+        |    ORDER BY confidence DESC, src) = 1),
+        |u3 AS (
+        |  SELECT key, confidence, payload, 0 AS src FROM s2
+        |  UNION ALL
+        |  SELECT key, confidence, payload, 1 FROM r WHERE b = 2),
+        |s3 AS (
+        |  SELECT key, confidence, payload FROM u3
+        |  QUALIFY row_number() OVER (PARTITION BY key
+        |    ORDER BY confidence DESC, src) = 1)
+        |SELECT key, confidence, payload FROM s3 ORDER BY key""") {
+      (s, dir) =>
+      val rows = t(s, dir, "orders").select(
+        pmod(col("o_custkey"), lit(300)).as("key"),
+        pmod(col("o_orderkey"), lit(97)).cast("int").as("confidence"),
+        concat(lit("p"), pmod(col("o_orderkey"), lit(97)).cast("int"))
+          .as("payload"),
+        pmod(col("o_orderkey"), lit(3)).as("b"))
+      def batch(i: Int) = rows.filter(col("b") === i).drop("b")
+      val s1 = graft.derive.Upserts.confidenceMax(
+        batch(0).limit(0), batch(0), Seq("key"))
+      val s2 = graft.derive.Upserts.confidenceMax(s1, batch(1), Seq("key"))
+      val s3 = graft.derive.Upserts.confidenceMax(s2, batch(2), Seq("key"))
+      s3.orderBy("key")
+    },
   )
 }
