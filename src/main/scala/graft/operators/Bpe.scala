@@ -78,6 +78,14 @@ object Bpe {
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     var done = false
     for (r <- 1 to merges if !done) {
+      // count ties break by pair strings. CAVEAT: Spark compares
+      // strings by UTF-16 code unit, DuckDB by UTF-8 byte — the two
+      // orders agree for ASCII and the Basic Multilingual Plane below
+      // the surrogate range, but DIVERGE when a supplementary-plane
+      // symbol (U+10000+) ties against U+E000..U+FFFF. The bundled
+      // corpora are ASCII; training on text where such ties are
+      // plausible needs an engine-stable key (e.g. hex(encode(pair,
+      // 'UTF-8'))) on both sides instead.
       val top = pairCounts(vocab)
         .orderBy(col("cnt").desc, col("pair_a"), col("pair_b"))
         .limit(1).collect()

@@ -655,8 +655,12 @@ object Corpus {
     * Models": repeated data keeps most of its value for a few epochs,
     * so a curator may prefer reweighting near-dup groups over deleting
     * them): every member of a near-dup cluster gets training weight
-    * 1/cluster_size, preserving each group's total mass at exactly one
-    * document-equivalent. Docs in no cluster are absent (weight 1
+    * 1/cluster_size, preserving each group's total mass at
+    * approximately one document-equivalent (the stored weight rounds to
+    * 4 dp for cross-engine hash stability, so a size-3 cluster sums to
+    * 0.9999 and a size-7 one to 1.0003 — consumers needing the exact
+    * invariant should recompute 1/cluster_size from the carried
+    * cluster_size column). Docs in no cluster are absent (weight 1
     * implicitly — emitting the whole corpus for the common case of few
     * dups would be the expensive path at 100 TB).
     *

@@ -35,9 +35,17 @@ object EmbeddingStreaming {
     val emptyIndex = batch.limit(0)
       .select(col(idCol), col(vecCol),
         lit(null).cast(cidType).as("centroid_id"))
+    // only a genuinely ABSENT index means "first batch": an existence
+    // check decides, so a transient read failure (permissions, corrupt
+    // footer) on an existing index FAILS the micro-batch instead of
+    // silently resetting the anchor set and re-admitting semantic
+    // duplicates
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val index =
-      try spark.read.schema(emptyIndex.schema).parquet(indexPath)
-      catch { case _: org.apache.spark.sql.AnalysisException => emptyIndex }
+      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+        spark.read.schema(emptyIndex.schema).parquet(indexPath)
+      else emptyIndex
     val (decisionsRaw, anchorsRaw) = Similarity.incrementalSemanticDedup(
       batch, index, centroids, idCol, vecCol, threshold, maxPriors)
     // two write actions consume the admission below; checkpoint so the
