@@ -14,10 +14,29 @@ object ImporterRegistry {
   final case class Dedicated(entryPoint: String) extends Support
   /** Served by a shared operator parameterized per source. */
   final case class Shared(entryPoint: String) extends Support
-  /** Not implemented yet; the note says what the format needs. */
+  /** Not implemented; the note says why (deliberate exclusions carry
+    * their rationale so the registry self-documents the delta vs the
+    * reference tree). */
   final case class Missing(note: String) extends Support {
     val entryPoint = ""
   }
+
+  /** Legacy v1-only importers whose FILES still sit under the
+    * reference's `importers/` but which its own active registry no
+    * longer loads (`importers/__init__.py:57-…` lists neither) — the
+    * reference has abandoned them, so porting would add dead surface.
+    * Kept as explicit exclusions rather than silence. */
+  val excludedLegacy: Map[String, (String, Support)] = Map(
+    "gsd" -> ("gsd", Missing(
+      "v1-only; absent from the reference's active importer registry")),
+    "kaybee" -> ("kaybee", Missing(
+      "v1-only; absent from the reference's active importer registry")),
+    "rust" -> ("rust", Missing(
+      "v1-only; RustSec flows arrive via the OSV/github_osv family now")),
+    "suse_backports" -> ("suse_backports", Missing(
+      "v1-only; absent from the reference's active importer registry")),
+    "ubuntu_usn" -> ("ubuntu_usn", Missing(
+      "v1-only; superseded by ubuntu_osv_importer_v2 (OSV feed)")))
 
   /** pipeline_id → (datasource_id, support). */
   val registry: Map[String, (String, Support)] = Map(

@@ -454,6 +454,15 @@ class ImporterRegistrySpec extends AnyFunSuite {
     }
     // every pipeline in the registry now has a working reader
     assert(missing == 0, s"unexpected Missing rows: $missing")
+    // the reference-abandoned v1 importers are DELIBERATE exclusions,
+    // each carrying its rationale (the registry self-documents the
+    // delta instead of silently omitting them)
+    assert(ImporterRegistry.excludedLegacy.keySet ==
+      Set("gsd", "kaybee", "rust", "suse_backports", "ubuntu_usn"))
+    assert(ImporterRegistry.excludedLegacy.values.forall {
+      case (_, ImporterRegistry.Missing(note)) => note.nonEmpty
+      case _ => false
+    })
     // the derive-side pipelines resolve too (the recompute model): every
     // reference pipeline_id that is not an importer maps to a derivation
     Seq("remove_duplicate_advisories", "compute_advisory_todo_v2",
