@@ -880,6 +880,13 @@ object CorpusQueries extends QueryModule {
     // bucket cap (10000) cannot bind at bench SFs (a bucket is at most
     // the corpus, 2000 rows) so the oracle omits that no-op filter; the
     // cap semantics are spec-pinned in SimilarityLibSpec.
+    //
+    // SCALE LABEL: at a FIXED band width the candidate count grows as
+    // N²/2^width — the 10× rehearsal shows ~16× for exactly that
+    // reason. This bench form pins the fixed-width arithmetic against
+    // the oracle; the production path widens chunks with log2(N) (the
+    // signature has 32 bits to draw on) and keeps the hot-bucket cap,
+    // which bounds any bucket's pair contribution regardless of N.
     q("x_embed_lsh",
       s"""WITH s AS (
          |  SELECT vec_id, embedding, $sigSql AS sig FROM embeddings),
