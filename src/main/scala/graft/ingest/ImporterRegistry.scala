@@ -48,7 +48,8 @@ object ImporterRegistry {
     "oss_fuzz_importer_v2" -> ("oss_fuzz", Shared("OsvIngest.readTree")),
     // dedicated format parsers
     "nvd_importer_v2" -> ("nvd", Dedicated("NvdIngest.parse")),
-    "github_importer_v2" -> ("github", Dedicated("GithubIngest.parse")),
+    "github_importer_v2" ->
+      ("github", Dedicated("GithubIngest.parseVulnerabilities")),
     "debian_importer_v2" -> ("debian", Dedicated("DebianTrackerIngest.parse")),
     "gitlab_importer_v2" -> ("gitlab", Dedicated("GitlabIngest.parse")),
     "redhat_importer_v2" -> ("redhat", Dedicated("RedhatIngest.parse")),

@@ -530,6 +530,30 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  // ----------------------------------------------------------- github api
+  // 100 REAL GraphQL edges per ecosystem through the
+  // securityVulnerabilities shape the live pipeline pages. Per-edge
+  // rows may repeat an advisory (one edge per package), so the compare
+  // is a sorted multiset of canon strings instead of keyed alignment.
+  withRef("github_api: captured GraphQL pages match expected") {
+    val sp = spark
+    import sp.implicits._
+    for (eco <- Seq("cargo", "composer", "gem", "golang", "maven", "npm",
+        "nuget", "pypi")) {
+      val rows = GithubIngest.parseVulnerabilities(sp,
+        Seq(("github", eco, RefCapture.text(s"github_api/$eco.json")))
+          .toDF("datasource_id", "package_type", "json")).collect().toSeq
+      val want = RefCapture.loadExpected(s"github_api/$eco-expected.json")
+      val got = rows.map(RefCapture.canonRow).map(_.copy(id = ""))
+      assert(got.size == want.size,
+        s"github/$eco row count: ${got.size} vs ${want.size}")
+      val (gs, ws) = (got.map(_.toString).sorted, want.map(_.toString).sorted)
+      gs.zip(ws).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g == w, s"github/$eco[$i]:\n  ours=$g\n  ref =$w")
+      }
+    }
+  }
+
   // --------------------------------------------------------------- gentoo
   withRef("gentoo: captured GLSA XMLs match v2 expected") {
     for (glsa <- Seq("glsa-201709-09", "glsa-202511-02", "glsa-202512-01")) {
