@@ -54,10 +54,12 @@ object NodeSecurityIngest {
         col("cvss_score").as("value"),
         col("cvss_vector").as("scoring_elements"), advUrl.as("url")))),
       s => s.isNotNull)
+    // plain references carry no id (npm_importer.py:114-119); only the
+    // advisory self-reference does
     val refs = concat(
       transform(coalesce(col("references"), array().cast("array<string>")),
         r => struct(r.as("url"), lit("other").as("reference_type"),
-          regexp_extract(r, "[^/]+$", 0).as("reference_id"))),
+          lit("").as("reference_id"))),
       array(struct(advUrl.as("url"), lit("advisory").as("reference_type"),
         col("id").as("reference_id"))))
 
@@ -77,8 +79,17 @@ object NodeSecurityIngest {
 
     o.select(
       col("datasource_id"),
-      col("id").as("advisory_id"),
-      coalesce(col("title"), col("overview"), lit("")).as("summary"),
+      concat(lit("npm-"), col("id")).as("advisory_id"),
+      // build_description(title, overview) (npm_importer.py:133)
+      when(trim(coalesce(col("overview"), lit(""))) === "",
+        trim(coalesce(col("title"), lit(""))))
+        .when(trim(coalesce(col("title"), lit(""))) =!= "" &&
+          !trim(coalesce(col("overview"), lit("")))
+            .contains(trim(coalesce(col("title"), lit("")))),
+          concat(trim(col("title")), lit("\n"),
+            trim(coalesce(col("overview"), lit("")))))
+        .otherwise(trim(coalesce(col("overview"), lit(""))))
+        .as("summary"),
       coalesce(col("cves"), array().cast("array<string>")).as("aliases"),
       refs.as("references"),
       sevs.as("severities"),

@@ -554,6 +554,32 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  // ------------------------------------------------------------------ npm
+  withRef("npm: captured security-wg advisory matches expected") {
+    val sp = spark
+    import sp.implicits._
+    val rows = NodeSecurityIngest.parse(sp,
+      Seq(("npm", RefCapture.text("npm/npm_sample.json")))
+        .toDF("datasource_id", "json")).collect().toSeq
+    val want = RefCapture.loadExpected("npm/parse-advisory-npm-expected.json")
+    // v1 capture: no advisory_id and vectorless severities — the v2
+    // pipeline (and we) keep the vector, so blank it after asserting
+    // ours carries the richer value
+    assert(rows.head.severities.head.scoring_elements
+      .startsWith("CVSS:3.0/"))
+    assert(rows.head.url.endsWith("/vuln/npm/152.json"))
+    // ...and the v1 capture records the first patched VERSION where the
+    // v2 pipeline (and we) keep the patched RANGE — compare its floor
+    val got = rows.map(RefCapture.canonRow).map(c => c.copy(id = "",
+      severities = c.severities.map(s => (s._1, s._2, "")),
+      packages = c.packages.map { case (p, (a, f)) =>
+        p -> (a, f.map(_.stripPrefix(">="))) }))
+    RefCapture.assertMatch("npm", got, want, key = _ => "one",
+      skip = Set("datePublished"))
+    // created_at parses as the v2 date_published
+    assert(rows.head.date_published.get.toString.startsWith("2016-10-27"))
+  }
+
   // --------------------------------------------------------------- gentoo
   withRef("gentoo: captured GLSA XMLs match v2 expected") {
     for (glsa <- Seq("glsa-201709-09", "glsa-202511-02", "glsa-202512-01")) {

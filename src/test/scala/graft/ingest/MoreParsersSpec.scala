@@ -559,7 +559,9 @@ class SmallFeedsSpec extends AnyFunSuite with SparkTestSession {
     val rows = NodeSecurityIngest.parse(sp,
       Seq(("npm", doc)).toDF("datasource_id", "json")).collect()
     val a = rows.head
-    assert(a.advisory_id == "213")
+    // npm-<id> per the v2 pipeline's AdvisoryDataV2
+    // (npm_importer.py:131)
+    assert(a.advisory_id == "npm-213")
     assert(a.aliases == Seq("CVE-2030-4444"))
     assert(a.severities.map(_.scoring_system) == Seq("cvssv3"))
     val ap = a.affected.head
