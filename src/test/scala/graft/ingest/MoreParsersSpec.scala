@@ -1147,9 +1147,9 @@ class TomcatIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(a.affected.map(_.purl).toSet ==
       Set("pkg:apache/tomcat", "pkg:maven/org.apache.tomcat/tomcat"))
     assert(a.affected.head.affecting_vers ==
-      "vers:semver/>=10.1.0-M1|<=10.1.34")
-    assert(a.affected.head.fixed_vers == "vers:semver/=10.1.35")
+      "vers:apache/>=10.1.0-M1|<=10.1.34")
+    assert(a.affected.head.fixed_vers == "vers:apache/=10.1.35")
     val b = rows("security-10/CVE-2030-99999")
-    assert(b.affected.head.affecting_vers == "vers:semver/<10.1.20")
+    assert(b.affected.head.affecting_vers == "vers:apache/<10.1.20")
   }
 }
