@@ -44,6 +44,44 @@ object ServingQueries extends QueryModule {
     Request.toDF("base_purl", "version")
   }
 
+  /** Order-sensitive variant for s21: versions are `1.<2×linenumber>`
+    * (1.2 … 1.14) and linenumbers 3/5/6 (versions 1.6, 1.10, 1.12) are
+    * never affected, so latest_non_vulnerable under lexicographic order
+    * ("1.6") and ecosystem version order ("1.12") DISAGREE — the
+    * fixture that would have caught the round-11 lexicographic-max
+    * bug. */
+  private def unfurledV(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").select(
+      concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
+      concat(lit("pkg:npm/p"), pmod(col("l_partkey"), lit(20)))
+        .as("base_purl"),
+      concat(lit("1."), (col("l_linenumber") * 2).cast("string"))
+        .as("version"),
+      (col("l_quantity") > 25 && !col("l_linenumber").isin(3, 5, 6))
+        .as("is_affected"),
+      (col("l_quantity") <= 25).as("is_fixed"))
+
+  private val unfurledVSql =
+    """SELECT 'adv/' || CAST(l_orderkey % 50 AS VARCHAR) AS avid,
+      |       'pkg:npm/p' || CAST(l_partkey % 20 AS VARCHAR) AS base_purl,
+      |       '1.' || CAST(l_linenumber * 2 AS VARCHAR) AS version,
+      |       l_quantity > 25 AND l_linenumber NOT IN (3, 5, 6)
+      |         AS is_affected,
+      |       l_quantity <= 25 AS is_fixed
+      |FROM lineitem""".stripMargin
+
+  private val RequestV = Seq(
+    ("pkg:npm/p1", "1.2"), ("pkg:npm/p2", "1.6"), ("pkg:npm/p5", "1.4"))
+
+  private val requestVSql =
+    "(VALUES ('pkg:npm/p1','1.2'),('pkg:npm/p2','1.6')," +
+      "('pkg:npm/p5','1.4')) AS req(base_purl, version)"
+
+  private def requestV(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RequestV.toDF("base_purl", "version")
+  }
+
   override val entries: Seq[QueryEntry] = Seq(
     // latest_affecting_advisories_for_purls (models.py:2955-2964)
     q("s9_affecting_bulk",
@@ -315,10 +353,10 @@ object ServingQueries extends QueryModule {
     // (s9/s14/s15/j3/a3/a4/j12) stay green on their own; this row gates
     // the COMPOSITION, byte-for-byte.
     q("s21_v3_bulk",
-      s"""WITH u AS ($unfurledSql),
+      s"""WITH u AS ($unfurledVSql),
          |req AS (SELECT base_purl, version,
          |               base_purl || '@' || version AS purl
-         |        FROM $requestSql),
+         |        FROM $requestVSql),
          |sev AS (SELECT 'adv/' || CAST(l_orderkey % 50 AS VARCHAR) AS avid,
          |               CAST(max(l_suppkey % 10) AS INT) AS severity
          |        FROM lineitem GROUP BY 1),
@@ -355,15 +393,19 @@ object ServingQueries extends QueryModule {
          |        WHERE u.is_fixed),
          |fixing AS (
          |  SELECT f.purl,
-         |         arg_max(f.avid, coalesce(s.severity, 0) * 1000 +
-         |           CAST(regexp_extract(f.avid, '(\\d+)$$', 1) AS INT))
-         |           AS primary_avid,
+         |         arg_max(f.avid,
+         |           lpad(CAST(coalesce(s.severity, 0) AS VARCHAR), 4, '0')
+         |             || f.avid) AS primary_avid,
          |         max(coalesce(s.severity, 0)) AS max_severity,
          |         count(DISTINCT f.avid) AS set_size
          |  FROM fix f LEFT JOIN sev s ON s.avid = f.avid
          |  GROUP BY f.purl),
          |nonvuln AS (
-         |  SELECT base_purl, max(version) AS latest_nonvuln
+         |  SELECT base_purl,
+         |         arg_max(version,
+         |           CAST(split_part(version, '.', 1) AS INT) * 1000000 +
+         |           CAST(split_part(version, '.', 2) AS INT))
+         |           AS latest_nonvuln
          |  FROM (SELECT base_purl, version,
          |               max(CASE WHEN is_affected THEN 1 ELSE 0 END) AS ea
          |        FROM u GROUP BY base_purl, version)
@@ -394,7 +436,7 @@ object ServingQueries extends QueryModule {
         .groupBy(concat(lit("adv/"), pmod(col("l_orderkey"), lit(50)))
           .as("avid"))
         .agg(max(pmod(col("l_suppkey"), lit(10))).cast("int").as("severity"))
-      Serving.v3BulkPackages(unfurled(s, dir), sev, request(s))
+      Serving.v3BulkPackages(unfurledV(s, dir), sev, requestV(s))
         .orderBy("purl")
     },
   )

@@ -233,6 +233,34 @@ object Serving {
           .as("latest_non_vulnerable"))
   }
 
+  /** version_rank per package version (models.py:953-973
+    * calculate_version_rank): row_number within the base-purl group
+    * ordered by the ecosystem sort key (scheme = purl type). Ghost
+    * packages rank 0 — they are skipped by every rank-gt comparison,
+    * which reproduces the reference's API-visible behavior: ghosts are
+    * excluded from non-vulnerable candidates (models.py:818
+    * only_non_vulnerable is_ghost=False), and a ghost package's own
+    * rank reads as 0 (captured in test_api.py:900-1007 — a ghosted
+    * version treats every non-ghost safe version as "later").
+    *
+    * Scale shape: one window per base_purl partition — the same shuffle
+    * the w1 rank mart already pays; the sort key is the codegen'd
+    * native expression, no UDF in the window order. */
+  def versionRanks(packages: DataFrame): DataFrame = {
+    val ghost = if (packages.columns.contains("is_ghost"))
+      col("is_ghost") else lit(false)
+    val keyed = packages.withColumn("_ghost", coalesce(ghost, lit(false)))
+      .withColumn("_vkey", call_function("version_sort_key_native",
+        regexp_extract(col("base_purl"), "^pkg:([^/]+)/", 1),
+        col("version")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("base_purl"), col("_ghost")).orderBy(col("_vkey"))
+    keyed
+      .withColumn("version_rank",
+        when(col("_ghost"), lit(0)).otherwise(row_number().over(w)))
+      .drop("_ghost", "_vkey")
+  }
+
   /** CPE-style reference lookup (J14, api.py:693-731): advisories whose
     * references carry the given reference_id (exact or bulk). */
   def byReferenceId(advisories: DataFrame, referenceIds: Seq[String]): DataFrame =
@@ -454,27 +482,38 @@ object Serving {
         .as("affected_entries"))
 
     // fixing advisories per purl with the AdvisorySet max-severity
-    // primary (api_v3.py:891-959): primary = max_by severity with the
-    // avid ordinal as an exact integer tiebreak
+    // primary (api_v3.py:891-959): primary = max_by severity, tiebroken
+    // on the FULL avid string (fixed-width severity prefix). A
+    // numeric-suffix ordinal would NULL out ids with no trailing digits
+    // (e.g. ghsa/GHSA-xxxx-yyyy) and max_by silently drops NULL-keyed
+    // rows.
     val fix = unfurled.filter(col("is_fixed"))
       .join(broadcast(req), Seq("base_purl", "version"))
       .select(col("purl"), col("avid")).distinct()
       .join(broadcast(severities), Seq("avid"), "left")
       .withColumn("sev", coalesce(col("severity"), lit(0)))
-      .withColumn("ord", col("sev") * 1000 +
-        regexp_extract(col("avid"), "(\\d+)$", 1).cast("int"))
+      .withColumn("ord", concat(lpad(col("sev").cast("string"), 4, "0"),
+        col("avid")))
     val fixing = fix.groupBy("purl")
       .agg(expr("max_by(avid, ord)").as("primary_avid"),
         max(col("sev")).as("max_severity"),
         countDistinct(col("avid")).as("set_size"))
 
-    // latest_non_vulnerable_version per base purl: the max version
-    // that is never flagged affected anywhere in the corpus
+    // latest_non_vulnerable_version per base purl: the highest version
+    // in ECOSYSTEM version order (models.py:1039-1067
+    // get_non_vulnerable_versions → sorted_versions[-1]) never flagged
+    // affected anywhere in the corpus. Lexicographic max(version) is
+    // wrong ("1.9" > "1.10"); rank with the same codegen'd sort key the
+    // w1/w3 rank marts use, scheme taken from the purl type.
     val nonVuln = unfurled
       .groupBy("base_purl", "version")
       .agg(max(when(col("is_affected"), 1).otherwise(0)).as("everAff"))
       .filter(col("everAff") === 0)
-      .groupBy("base_purl").agg(max(col("version")).as("latest_nonvuln"))
+      .withColumn("vkey", call_function("version_sort_key_native",
+        regexp_extract(col("base_purl"), "^pkg:([^/]+)/", 1),
+        col("version")))
+      .groupBy("base_purl")
+      .agg(expr("max_by(version, vkey)").as("latest_nonvuln"))
 
     req
       .join(affEntries, Seq("purl"), "left")

@@ -1,0 +1,309 @@
+package graft.serve
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.RefCapture
+import graft.operators.SparkTestSession
+
+/** Serving-layer golden compare against the reference's CAPTURED API
+  * expectations — the response-side sibling of CapturedFixtureSpec.
+  *
+  * Two golden sources:
+  *
+  *  1. The package-details API responses asserted verbatim in
+  *     tests/test_api.py (APITestCasePackage, lines 602-1007): the
+  *     jackson-databind 5-version scenario with its three captured
+  *     expected responses (base, ghost-on-self, ghost-on-latest). The
+  *     engine-visible facets (is_vulnerable, next/latest
+  *     non-vulnerable, affected_by / fixing advisory sets, per-advisory
+  *     fixed_packages with nested vulnerability flags, sorted aliases)
+  *     are rebuilt from Serving primitives and compared field by field.
+  *     Request-scoped HTTP chrome (url/resource_url hosts, DB pks) has
+  *     no engine analog and is skipped.
+  *
+  *  2. The Django data dumps under test_data/api_fixtures/
+  *     ({debian,github,openssl}.json): real captured DB state — 178
+  *     OpenSSL CVEs over 153 `pkg:generic/openssl` versions with
+  *     letter-suffix versions (1.0.1g …) and 4040 links. The dumps load
+  *     through a model-dump reader and the bulk serving marts run over
+  *     them; expected values are recomputed independently with plain
+  *     Scala collections over the parsed JSON (no Spark), so the two
+  *     paths share no code below the fixture parse.
+  */
+class CapturedApiSpec extends AnyFunSuite with SparkTestSession {
+
+  private val mapper = new ObjectMapper()
+
+  // ---------------------------------------------------------------
+  // Part 1 — the jackson-databind captured responses
+  // (test_api.py:602-672 setUp; :668-772, :835-898, :900-1007 goldens)
+  // ---------------------------------------------------------------
+
+  private val JacksonBase = "pkg:maven/com.fasterxml.jackson.core/jackson-databind"
+
+  /** setUp state (test_api.py:607-668): affected/fixing links. */
+  private def jacksonUnfurled: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      // set_as_fixing(2.12.6, vul3)
+      ("VCID-vul3-vul3-vul3", "2.12.6", false, true),
+      // 2.12.6.1: affected by vul2, fixing vul1
+      ("VCID-vul2-vul2-vul2", "2.12.6.1", true, false),
+      ("VCID-vul1-vul1-vul1", "2.12.6.1", false, true),
+      // 2.13.1: affected by vul1, fixing vul3
+      ("VCID-vul1-vul1-vul1", "2.13.1", true, false),
+      ("VCID-vul3-vul3-vul3", "2.13.1", false, true),
+      // 2.13.2: affected by vul2, fixing vul1
+      ("VCID-vul2-vul2-vul2", "2.13.2", true, false),
+      ("VCID-vul1-vul1-vul1", "2.13.2", false, true))
+      .toDF("avid", "version", "is_affected", "is_fixed")
+      .withColumn("base_purl", lit(JacksonBase))
+  }
+
+  private def jacksonPackages(ghosts: Set[String]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    Seq("2.12.6", "2.12.6.1", "2.13.1", "2.13.2", "2.14.0-rc1")
+      .map(v => (JacksonBase, v, ghosts.contains(v)))
+      .toDF("base_purl", "version", "is_ghost")
+  }
+
+  /** (next, latest) non-vulnerable for 2.13.1 under a ghost set. */
+  private def nextLatest(ghosts: Set[String]): (Option[String], Option[String]) = {
+    val ranked = Serving.versionRanks(jacksonPackages(ghosts))
+    val row = Serving.nonVulnerableVersions(jacksonUnfurled, ranked)
+      .filter(col("version") === "2.13.1").collect().head
+    (Option(row.getAs[String]("next_non_vulnerable")),
+      Option(row.getAs[String]("latest_non_vulnerable")))
+  }
+
+  test("captured maven rank order: 2.12.6 < 2.12.6.1 < 2.13.1 < 2.13.2 < 2.14.0-rc1") {
+    val got = Serving.versionRanks(jacksonPackages(Set.empty))
+      .orderBy("version_rank").select("version")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("2.12.6", "2.12.6.1", "2.13.1", "2.13.2", "2.14.0-rc1"))
+  }
+
+  test("golden base response facets (test_api.py:668-772)") {
+    val sp = spark
+    import sp.implicits._
+    // is_vulnerable: True
+    val req = Seq((JacksonBase, "2.13.1")).toDF("base_purl", "version")
+    val vuln = Serving.bulkLookup(jacksonUnfurled, req).collect().head
+    assert(vuln.getAs[Boolean]("is_vulnerable"))
+
+    // next/latest non-vulnerable: both 2.14.0-rc1 (2.12.6 is safe but
+    // LESSER — the captured response proves candidates are later-only)
+    assert(nextLatest(Set.empty) == (Some("2.14.0-rc1"), Some("2.14.0-rc1")))
+
+    // affected_by = [vul1], fixing = [vul3]
+    val ghosts = jacksonPackages(Set.empty).filter(col("is_ghost"))
+      .select("base_purl", "version")
+    val fixedDetails = Serving.fixedPackageDetails(jacksonUnfurled, ghosts)
+    val affecting = jacksonUnfurled
+      .filter(col("is_affected") && col("version") === "2.13.1")
+      .select("avid").collect().map(_.getString(0)).toSeq
+    assert(affecting == Seq("VCID-vul1-vul1-vul1"))
+    val fixing = fixedDetails.filter(col("version") === "2.13.1")
+      .select("avid").collect().map(_.getString(0)).toSeq
+    assert(fixing == Seq("VCID-vul3-vul3-vul3"))
+
+    // vul1.fixed_packages = [2.13.2, vulnerable, affected by vul2];
+    // vul3.fixed_packages = [2.12.6 safe, 2.13.1 vulnerable by vul1] —
+    // the captured nesting, including per-fix is_vulnerable flags
+    val affectedOf = jacksonUnfurled.filter(col("is_affected"))
+      .groupBy("base_purl", "version")
+      .agg(array_sort(collect_set(col("avid"))).as("affected_by"))
+    val nested = fixedDetails
+      .join(affectedOf, Seq("base_purl", "version"), "left")
+      .withColumn("affected_by",
+        coalesce(col("affected_by"), array().cast("array<string>")))
+    def fixedOf(avid: String): Seq[(String, Boolean, Seq[String])] =
+      nested.filter(col("avid") === avid)
+        .orderBy("version")
+        .collect().map(r => (r.getAs[String]("version"),
+          r.getAs[Boolean]("is_vulnerable"),
+          r.getAs[Seq[String]]("affected_by"))).toSeq
+    assert(fixedOf("VCID-vul1-vul1-vul1") ==
+      Seq(("2.12.6.1", true, Seq("VCID-vul2-vul2-vul2")),
+        ("2.13.2", true, Seq("VCID-vul2-vul2-vul2"))))
+    assert(fixedOf("VCID-vul3-vul3-vul3") ==
+      Seq(("2.12.6", false, Seq.empty),
+        ("2.13.1", true, Seq("VCID-vul1-vul1-vul1"))))
+  }
+
+  test("golden ghost-on-self response (test_api.py:835-898)") {
+    // ghosted 2.13.1: fixing_vulnerabilities = [] and its rank reads 0,
+    // so next=2.12.6 (the LOWEST safe version), latest=2.14.0-rc1
+    val ghosts = Set("2.13.1")
+    assert(nextLatest(ghosts) == (Some("2.12.6"), Some("2.14.0-rc1")))
+    val ghostDim = jacksonPackages(ghosts).filter(col("is_ghost"))
+      .select("base_purl", "version")
+    val fixing = Serving.fixedPackageDetails(jacksonUnfurled, ghostDim)
+      .filter(col("version") === "2.13.1")
+      .select("avid").collect()
+    assert(fixing.isEmpty, "a ghost package must not fix anything")
+  }
+
+  test("golden ghost-on-latest response (test_api.py:900-1007)") {
+    // ghosted 2.14.0-rc1: no safe version later than 2.13.1 remains
+    assert(nextLatest(Set("2.14.0-rc1")) == (None, None))
+  }
+
+  // ---------------------------------------------------------------
+  // Part 2 — the api_fixtures Django dumps
+  // ---------------------------------------------------------------
+
+  /** One parsed model dump: model name → rows of (pk, fields). */
+  private def loadDump(name: String): Map[String, Seq[(Long, Map[String, Any])]] = {
+    val node = mapper.readTree(RefCapture.text(s"api_fixtures/$name.json"))
+    node.elements().asScala.toSeq.map { e =>
+      val fields = e.get("fields")
+      val kv = fields.fieldNames().asScala.map { f =>
+        val v = fields.get(f)
+        val any: Any =
+          if (v.isNull) null
+          else if (v.isNumber) v.asLong()
+          else if (v.isBoolean) v.asBoolean()
+          else v.asText()
+        f -> any
+      }.toMap
+      (e.get("model").asText(), e.get("pk").asLong(), kv)
+    }.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+  }
+
+  /** v1 dump state → the serving model: purl per package pk, and the
+    * unfurled link table ((avid, base_purl, version) with
+    * is_affected/is_fixed edges; a packagerelatedvulnerability row
+    * affects `package` and is fixed by `patched_package`). */
+  private def dumpState(name: String): (
+      Map[Long, (String, String)], // pk -> (base_purl, version)
+      Map[Long, String],           // vuln pk -> vulnerability_id
+      Seq[(Long, Long, Option[Long])]) = { // (package, vulnerability, patched)
+    val dump = loadDump(name)
+    val pkgs = dump.getOrElse("vulnerabilities.package", Seq.empty).map {
+      case (pk, f) =>
+        val ns = Option(f("namespace")).map(_.toString).getOrElse("")
+        val base = if (ns.isEmpty) s"pkg:${f("type")}/${f("name")}"
+        else s"pkg:${f("type")}/$ns/${f("name")}"
+        pk -> (base, f("version").toString)
+    }.toMap
+    val vulns = dump.getOrElse("vulnerabilities.vulnerability", Seq.empty)
+      .map { case (pk, f) => pk -> f("vulnerability_id").toString }.toMap
+    val links = dump.getOrElse("vulnerabilities.packagerelatedvulnerability",
+      Seq.empty).map { case (_, f) =>
+      (f("package").asInstanceOf[Long], f("vulnerability").asInstanceOf[Long],
+        Option(f("patched_package")).map(_.asInstanceOf[Long]))
+    }
+    (pkgs, vulns, links)
+  }
+
+  private def unfurledOf(pkgs: Map[Long, (String, String)],
+      vulns: Map[Long, String],
+      links: Seq[(Long, Long, Option[Long])]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val rows = links.flatMap { case (p, v, patched) =>
+      val avid = vulns(v)
+      val aff = pkgs.get(p).map { case (b, ver) => (avid, b, ver, true, false) }
+      val fix = patched.flatMap(pkgs.get).map {
+        case (b, ver) => (avid, b, ver, false, true)
+      }
+      aff.toSeq ++ fix.toSeq
+    }
+    rows.toDF("avid", "base_purl", "version", "is_affected", "is_fixed")
+  }
+
+  test("openssl dump: bulk is_vulnerable matches an independent recompute") {
+    val sp = spark
+    import sp.implicits._
+    val (pkgs, vulns, links) = dumpState("openssl")
+    assert(vulns.size == 178 && pkgs.size == 153)
+    val unfurled = unfurledOf(pkgs, vulns, links)
+
+    // independent truth: plain-Scala set of affected (purl, version)
+    val affectedSet = links.flatMap(l => pkgs.get(l._1)).toSet
+    val req = pkgs.values.toSeq.distinct.toDF("base_purl", "version")
+    val got = Serving.bulkLookup(unfurled, req)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Boolean]("is_vulnerable")).toMap
+    assert(got.size == pkgs.values.toSet.size)
+    got.foreach { case (key, flag) =>
+      assert(flag == affectedSet.contains(key), s"is_vulnerable($key)")
+    }
+    assert(got.values.count(identity) > 0 && got.values.exists(!_))
+  }
+
+  test("openssl dump: per-vulnerability package counts match recompute") {
+    val (pkgs, vulns, links) = dumpState("openssl")
+    val unfurled = unfurledOf(pkgs, vulns, links)
+    // independent truth via plain collections
+    val want = links.groupBy(l => vulns(l._2)).view.mapValues { ls =>
+      (ls.flatMap(l => pkgs.get(l._1)).distinct.size,
+        ls.flatMap(_._3.flatMap(pkgs.get)).distinct.size)
+    }.toMap
+    val got = Serving.advisoryPackageCounts(unfurled)
+      .collect().map(r => r.getAs[String]("avid") ->
+        (r.getAs[Long]("vulnerable_package_count").toInt,
+          r.getAs[Long]("patched_package_count").toInt)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (avid, counts) =>
+      assert(counts == want(avid), s"counts($avid)")
+    }
+  }
+
+  test("openssl dump: next/latest non-vulnerable honor letter-suffix order") {
+    val sp = spark
+    import sp.implicits._
+    val (pkgs, vulns, links) = dumpState("openssl")
+    val unfurled = unfurledOf(pkgs, vulns, links)
+    val packages = pkgs.values.toSeq.distinct
+      .toDF("base_purl", "version")
+    val ranked = Serving.versionRanks(packages)
+    val nv = Serving.nonVulnerableVersions(unfurled, ranked)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (Option(r.getAs[String]("next_non_vulnerable")),
+          Option(r.getAs[String]("latest_non_vulnerable")))).toMap
+
+    // independent truth: plain-Scala sort by VersionOrd over the parsed
+    // dump (same comparator the native expression wraps, driven through
+    // a separate code path: no window, no join)
+    val affectedSet = links.flatMap(l => pkgs.get(l._1)).toSet
+    val byBase = pkgs.values.toSeq.distinct.groupBy(_._1)
+    byBase.foreach { case (base, vers) =>
+      val scheme = base.stripPrefix("pkg:").takeWhile(_ != '/')
+      val sorted = vers.map(_._2).distinct
+        .sortBy(v => graft.functions.VersionOrd.sortKey(scheme, v))
+      sorted.zipWithIndex.foreach { case (v, i) =>
+        val safeLater = sorted.drop(i + 1)
+          .filter(s => !affectedSet.contains((base, s)))
+        val want = (safeLater.headOption, safeLater.lastOption)
+        assert(nv((base, v)) == want, s"non-vuln($base@$v)")
+      }
+    }
+  }
+
+  test("debian + github dumps load and flag through the same path") {
+    val sp = spark
+    import sp.implicits._
+    for (name <- Seq("debian", "github")) {
+      val (pkgs, vulns, links) = dumpState(name)
+      assert(pkgs.nonEmpty && vulns.nonEmpty && links.nonEmpty, name)
+      val unfurled = unfurledOf(pkgs, vulns, links)
+      val affectedSet = links.flatMap(l => pkgs.get(l._1)).toSet
+      val req = pkgs.values.toSeq.distinct.toDF("base_purl", "version")
+      val got = Serving.bulkLookup(unfurled, req)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getAs[Boolean]("is_vulnerable")).toMap
+      got.foreach { case (key, flag) =>
+        assert(flag == affectedSet.contains(key), s"$name is_vulnerable($key)")
+      }
+    }
+  }
+}
