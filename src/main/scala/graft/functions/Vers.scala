@@ -116,4 +116,17 @@ object Vers {
     (r.constraints.filter(_.op == "=").map(_.version),
       r.constraints.filter(_.op == "!=").map(_.version))
   }
+
+  /** Constraint versions that themselves satisfy the range — the
+    * "resolved versions" of the reference's get_exact_purls
+    * (improvers/default.py:112-128): every constraint endpoint (any
+    * comparator, not just pins) is a candidate, kept iff it is inside
+    * the range. E.g. `vers:npm/<1.0.0|>=2.0.0|<3.0.0` resolves to
+    * [2.0.0] — 1.0.0 and 3.0.0 are excluded endpoints. */
+  def resolvedConstraintVersions(spec: String): Seq[String] = {
+    val r = parse(spec)
+    r.constraints.filter(c => c.op != "*" && c.version.nonEmpty)
+      .map(_.version)
+      .filter(v => contains(r, v))
+  }
 }

@@ -136,12 +136,14 @@ object CorpusQueries extends QueryModule {
   /** 32-bit sign-LSH signature over integer-quantized embeddings, as
     * DuckDB SQL — must stay bit-identical to
     * [[Similarity.signLshPairs]]'s plane/weight arithmetic. */
-  private val sigSql: String = (0 until 32).map { j =>
+  private def sigSqlBits(bits: Int): String = (0 until bits).map { j =>
     s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
        |  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
        |       * ((((i - 1) * 31 + ${j * 17}) % 7) - 3))) > 0
        | THEN ${1L << j} ELSE 0 END)""".stripMargin.replace("\n", " ")
   }.mkString("(", " + ", ")")
+
+  private val sigSql: String = sigSqlBits(32)
 
   private val dotSql =
     "list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
@@ -598,7 +600,13 @@ object CorpusQueries extends QueryModule {
          |  FROM comp JOIN documents d ON d.doc_id = comp.node)
          |SELECT component, canonical_doc, cluster_size
          |FROM ranked WHERE rn = 1 ORDER BY component""") { (s, dir) =>
-      val pairs = TextDedup.minHashLshPairs(docs(s, dir), "text", "doc_id")
+      // Exact-collapse composition (minHashLshPairsCollapsed): verbatim
+      // copies reattach as star edges instead of O(copies²) LSH pairs —
+      // connectivity-identical clusters (the oracle's uncollapsed CTE
+      // proves it), near-linear on replication-heavy corpora where the
+      // plain pair join went quadratic (121.7× at the 100× rehearsal).
+      val pairs = TextDedup.minHashLshPairsCollapsed(docs(s, dir), "text",
+        "doc_id")
       Corpus.dedupClustersFromPairs(docs(s, dir), pairs, "doc_id", "n_chars")
         .orderBy("component")
     },
@@ -908,6 +916,55 @@ object CorpusQueries extends QueryModule {
          |ORDER BY vec_a, vec_b""") { (s, dir) =>
       Similarity.signLshPairs(Tables(s, dir, "embeddings"),
           "vec_id", "embedding")
+        .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+          col("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // The PRODUCTION sign-LSH form — log2(N)-widened chunks
+    // (Similarity.signLshWidthFor: width ≈ log2(N/8), clamped [8, 12])
+    // plus a hot-bucket cap that the oracle mirrors: candidate volume is
+    // O(N · targetBucket) by construction instead of the fixed-width
+    // N²/2^width the x_embed_lsh bench form pins. The corpus count is a
+    // plan-time statistic (one cheap count, AQE-style); the oracle
+    // derives the SAME width from count(*) so both engines agree at
+    // every SF — 8-bit chunks at sf0.01 (N=500), 8 at sf0.1 (N=2000),
+    // 12 at the 10× rehearsal (N=20000).
+    q("x_embed_lsh_wide",
+      s"""WITH w AS (
+         |  SELECT GREATEST(8, LEAST(12,
+         |           CAST(ceil(log2(count(*) / 8.0)) AS INT))) AS wd
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, embedding, ${sigSqlBits(48)} AS sig
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, band,
+         |         (sig >> (band * wd)) & ((CAST(1 AS BIGINT) << wd) - 1)
+         |           AS chunk
+         |  FROM s CROSS JOIN w
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+         |capped AS (
+         |  SELECT vec_id, band, chunk FROM (
+         |    SELECT b.*, count(*) OVER (PARTITION BY band, chunk) AS bn
+         |    FROM b) WHERE bn <= 32),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM capped x JOIN capped y
+         |    ON x.band = y.band AND x.chunk = y.chunk
+         |   AND x.vec_id < y.vec_id)
+         |SELECT c.vec_a, c.vec_b,
+         |       round($dotSql / (${normSql("a")} * ${normSql("b")}), 6)
+         |         AS cos_sim
+         |FROM cand c
+         |JOIN embeddings a ON a.vec_id = c.vec_a
+         |JOIN embeddings b ON b.vec_id = c.vec_b
+         |WHERE $dotSql / (${normSql("a")} * ${normSql("b")}) >= 0.3
+         |ORDER BY vec_a, vec_b""") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val width = Similarity.signLshWidthFor(emb.count())
+      Similarity.signLshPairs(emb, "vec_id", "embedding",
+          bits = 4 * width, bands = 4, maxBucketSize = 32)
         .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"),
           col("cos_sim"))
         .orderBy("vec_a", "vec_b")

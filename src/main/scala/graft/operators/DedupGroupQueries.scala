@@ -354,5 +354,146 @@ object DedupGroupQueries extends QueryModule {
       graft.derive.ReferenceArchive.applyArchiveResults(refs, fetched)
         .orderBy("ref_id")
     },
+
+    // D16 — DefaultImprover inference expansion (improvers/default.py:
+    // 52-141 get_inferences + get_exact_purls): per impact, affected =
+    // in-range constraint endpoints, one inference per fixed pin
+    // (`!=` exclusions + the explicit fixed_version), package-less
+    // advisories emit one empty inference. The oracle re-derives the
+    // endpoint algebra from the same arithmetic columns.
+    q("d16_default_inferences",
+      """WITH adv AS (SELECT DISTINCT
+        |         'adv/' || CAST(o_orderkey % 50 AS VARCHAR) AS avid
+        |       FROM orders),
+        |imp AS (SELECT
+        |         'adv/' || CAST(o_orderkey % 40 AS VARCHAR) AS avid,
+        |         'p' || CAST(o_custkey % 20 AS VARCHAR) AS name,
+        |         o_orderkey % 4 + 1 AS lo, o_orderkey % 4 + 3 AS hi,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |              THEN CAST(o_orderkey % 4 + 4 AS VARCHAR) END AS fixv
+        |       FROM orders),
+        |expl AS (
+        |  SELECT avid, name,
+        |         CAST(lo AS VARCHAR) || ',' || CAST(hi AS VARCHAR)
+        |           AS affected, '9' AS fixed
+        |  FROM imp
+        |  UNION ALL
+        |  SELECT avid, name,
+        |         CAST(lo AS VARCHAR) || ',' || CAST(hi AS VARCHAR),
+        |         fixv
+        |  FROM imp WHERE fixv IS NOT NULL
+        |  UNION ALL
+        |  SELECT a.avid, NULL, '', NULL
+        |  FROM adv a WHERE a.avid NOT IN (SELECT avid FROM imp))
+        |SELECT avid, name, affected, fixed, 100 AS confidence
+        |FROM expl
+        |ORDER BY avid, name, affected, fixed""") { (s, dir) =>
+      val advisories = t(s, dir, "orders")
+        .select(concat(lit("adv/"), pmod(col("o_orderkey"), lit(50)))
+          .as("avid")).distinct()
+      val lo = pmod(col("o_orderkey"), lit(4)) + 1
+      val impacts = t(s, dir, "orders").select(
+        concat(lit("adv/"), pmod(col("o_orderkey"), lit(40))).as("avid"),
+        lit("npm").as("ptype"), lit("").as("namespace"),
+        concat(lit("p"), pmod(col("o_custkey"), lit(20))).as("name"),
+        lit("").as("qualifiers"),
+        concat(lit("vers:generic/>="), lo, lit("|<="), lo + 2,
+          lit("|!=9")).as("affecting_vers"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0,
+          (lo + 3).cast("string")).as("fixed_version"))
+      graft.derive.Improvers.defaultInferences(advisories, impacts)
+        .select(col("avid"), col("name"),
+          concat_ws(",", col("affected_versions")).as("affected"),
+          col("fixed_version").as("fixed"), col("confidence"))
+        .orderBy("avid", "name", "affected", "fixed")
+    },
+
+    // D17 — ValidVersionImprover expansion (improvers/valid_versions.py:
+    // 85-214 + utils.resolve_version_range/nearest_patched_package):
+    // ranges expand against the known-versions dimension, every affected
+    // version takes its nearest strictly-greater unaffected version as
+    // the fix, groups collect per fix; range-less pins keep qualifiers
+    // only on the merged (single-purl) branch, and pins are suppressed
+    // when a merged advisory also carries ranges. The oracle re-derives
+    // the merge decision from the data and the nearest fix with a
+    // correlated min — the window-free formulation.
+    q("d17_valid_version_inferences",
+      """WITH imp AS (SELECT o_orderkey AS iid,
+        |         'adv/' || CAST(o_orderkey % 30 AS VARCHAR) AS avid,
+        |         'q' || CAST(CASE WHEN (o_orderkey % 30) % 2 = 0
+        |                          THEN (o_orderkey % 30) % 10
+        |                          ELSE o_custkey % 10 END AS VARCHAR)
+        |           AS name,
+        |         CASE WHEN (o_orderkey % 30) % 2 = 0 THEN 'distro=a'
+        |              ELSE 'distro=d' || CAST(o_custkey % 2 AS VARCHAR)
+        |              END AS quals,
+        |         CASE WHEN o_orderkey % 4 = 0 THEN NULL
+        |              ELSE 'r' END AS hasrange,
+        |         o_orderkey % 3 + 1 AS lo, o_orderkey % 3 + 4 AS hi,
+        |         CASE WHEN o_orderkey % 4 IN (0, 1)
+        |              THEN CAST(o_orderkey % 3 + 5 AS VARCHAR) END AS fixv
+        |       FROM orders),
+        |adv AS (SELECT avid,
+        |               count(DISTINCT name || '|' || quals) = 1 AS merged,
+        |               max(CASE WHEN hasrange IS NOT NULL
+        |                        THEN 1 ELSE 0 END) AS has_range
+        |        FROM imp GROUP BY avid),
+        |vv AS (SELECT DISTINCT
+        |         'q' || CAST(p_partkey % 10 AS VARCHAR) AS name,
+        |         CAST(p_partkey % 8 + 1 AS VARCHAR) AS v
+        |       FROM part),
+        |rangeless AS (
+        |  SELECT i.avid, i.name,
+        |         CASE WHEN a.merged THEN i.quals END AS quals,
+        |         '' AS affected, i.fixv AS fixed
+        |  FROM imp i JOIN adv a USING (avid)
+        |  WHERE i.hasrange IS NULL AND i.fixv IS NOT NULL
+        |    AND (NOT a.merged OR a.has_range = 0)),
+        |joined AS (
+        |  SELECT i.iid, i.avid, i.name, vv.v,
+        |         CAST(vv.v AS INT) BETWEEN i.lo AND i.hi AS in_range
+        |  FROM imp i JOIN vv ON vv.name = i.name
+        |  WHERE i.hasrange IS NOT NULL),
+        |assigned AS (
+        |  SELECT iid, avid, name, v,
+        |         (SELECT min(CAST(j2.v AS INT)) FROM joined j2
+        |          WHERE j2.iid = j.iid AND NOT j2.in_range
+        |            AND CAST(j2.v AS INT) > CAST(j.v AS INT)) AS fx
+        |  FROM joined j WHERE j.in_range),
+        |expanded AS (
+        |  SELECT avid, name, CAST(NULL AS VARCHAR) AS quals,
+        |         string_agg(v, ',' ORDER BY v) AS affected,
+        |         CAST(fx AS VARCHAR) AS fixed
+        |  FROM assigned GROUP BY iid, avid, name, fx)
+        |SELECT avid, name, quals, affected, fixed, 100 AS confidence
+        |FROM (SELECT * FROM rangeless
+        |      UNION ALL SELECT * FROM expanded)
+        |ORDER BY avid, name, quals, affected, fixed""") { (s, dir) =>
+      val akey = pmod(col("o_orderkey"), lit(30))
+      val lo = pmod(col("o_orderkey"), lit(3)) + 1
+      val impacts = t(s, dir, "orders").select(
+        concat(lit("adv/"), akey).as("avid"),
+        lit("npm").as("ptype"), lit("").as("namespace"),
+        concat(lit("q"), when(pmod(akey, lit(2)) === 0, pmod(akey, lit(10)))
+          .otherwise(pmod(col("o_custkey"), lit(10)))).as("name"),
+        when(pmod(akey, lit(2)) === 0, lit("distro=a"))
+          .otherwise(concat(lit("distro=d"),
+            pmod(col("o_custkey"), lit(2)))).as("qualifiers"),
+        when(pmod(col("o_orderkey"), lit(4)) === 0, lit(null))
+          .otherwise(concat(lit("vers:generic/>="), lo, lit("|<="),
+            lo + 3)).as("affecting_vers"),
+        when(pmod(col("o_orderkey"), lit(4)).isin(0, 1),
+          (lo + 4).cast("string")).as("fixed_version"))
+      val versions = t(s, dir, "part").select(
+        lit("npm").as("ptype"), lit("").as("namespace"),
+        concat(lit("q"), pmod(col("p_partkey"), lit(10))).as("name"),
+        (pmod(col("p_partkey"), lit(8)) + 1).cast("string").as("version"))
+        .distinct()
+      graft.derive.Improvers.validVersionInferences(impacts, versions)
+        .select(col("avid"), col("name"), col("qualifiers").as("quals"),
+          concat_ws(",", col("affected_versions")).as("affected"),
+          col("fixed_version").as("fixed"), col("confidence"))
+        .orderBy("avid", "name", "quals", "affected", "fixed")
+    },
   )
 }

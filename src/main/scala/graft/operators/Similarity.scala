@@ -139,7 +139,10 @@ object Similarity {
     * 4-bit chunks every bucket holds 1/16th of the corpus and the band
     * join degenerates toward all-pairs. Size width ≈ log2(N) − log2(target
     * bucket size); the default (32 bits, 4 bands → 8-bit chunks) suits
-    * ~10^5-row partitions, larger corpora should raise `bits` (≤ 60). */
+    * ~10^5-row partitions, larger corpora should raise `bits` (≤ 60).
+    * [[signLshWidthFor]] is that sizing rule as code — the production
+    * path counts the corpus once (a plan-time decision, like AQE's
+    * runtime statistics) and passes `bits = bands × width`. */
   def signLshPairs(df: DataFrame, idCol: String, vecCol: String,
       bits: Int = 32, bands: Int = 4, threshold: Double = 0.3,
       maxBucketSize: Int = 10000): DataFrame = {
@@ -198,6 +201,20 @@ object Similarity {
       .filter(col("_na") > 0 && col("_nb") > 0 &&
         col("_cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("_cos"), 6).as("cos_sim"))
+  }
+
+  /** Chunk width for [[signLshPairs]] sized to the corpus: width ≈
+    * log2(N / targetBucket) keeps the EXPECTED bucket at `targetBucket`
+    * rows, so per-bucket pair emission stays O(targetBucket²) and total
+    * candidate volume O(N·targetBucket) — linear in N — instead of the
+    * fixed-width N²/2^width. Clamped to [minWidth, maxWidth]: below the
+    * floor buckets are selective enough already, above the ceiling the
+    * signature runs out of bits (bands × width ≤ 60). */
+  def signLshWidthFor(n: Long, targetBucket: Int = 8,
+      minWidth: Int = 8, maxWidth: Int = 12): Int = {
+    val raw = math.ceil(math.log(n.toDouble / targetBucket) /
+      math.log(2.0)).toInt
+    math.max(minWidth, math.min(maxWidth, raw))
   }
 
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer:

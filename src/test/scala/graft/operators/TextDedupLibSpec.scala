@@ -17,6 +17,35 @@ class TextDedupLibSpec extends AnyFunSuite with SparkTestSession {
       .toDF("id", "text")
   }
 
+  test("collapsed LSH pairs cluster identically to the plain pair join") {
+    val sp = spark
+    import sp.implicits._
+    // heavy verbatim replication: each base text appears 6×, the shape
+    // where the plain pair join goes O(copies²) and the collapse must
+    // stay connectivity-equivalent
+    val replicated = (0 until 6).flatMap(i =>
+      Seq(
+        (i * 10L + 1, "the quick brown fox jumps over the lazy dog"),
+        (i * 10L + 2, "the quick brown fox jumps over the sleepy dog"),
+        (i * 10L + 3, s"unique filler document number $i with own words")))
+      .toDF("id", "text").withColumn("q", length(col("text")))
+    def clusters(pairs: org.apache.spark.sql.DataFrame) =
+      Corpus.dedupClustersFromPairs(replicated, pairs, "id", "q")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val plain = clusters(TextDedup.minHashLshPairs(replicated, "text", "id"))
+    val collapsed = clusters(
+      TextDedup.minHashLshPairsCollapsed(replicated, "text", "id"))
+    assert(plain == collapsed)
+    assert(plain.nonEmpty)
+    // and the star edges really are fewer: 6 copies pair 15 ways plain,
+    // 5 ways collapsed
+    val nPlain = TextDedup.minHashLshPairs(replicated, "text", "id").count()
+    val nCollapsed = TextDedup
+      .minHashLshPairsCollapsed(replicated, "text", "id").count()
+    assert(nCollapsed < nPlain)
+  }
+
   test("incremental dedup decides short (unsignable) docs keep=true") {
     val sp = spark
     import sp.implicits._
