@@ -45,6 +45,17 @@ object Improvers {
     catch { case _: Exception => Seq.empty[String] }
   }
 
+  // get_exact_purls emits `str(version)` on univers objects — the
+  // scheme-aware canonical rendering (VersionOrd.render; apache
+  // four-segment → +build is the one non-identity family)
+  private val renderSeqUdf = udf { (scheme: String, vs: Seq[String]) =>
+    Option(vs).getOrElse(Seq.empty)
+      .map(v => graft.functions.VersionOrd.render(scheme, v))
+  }
+  private val renderUdf = udf { (scheme: String, v: String) =>
+    if (v == null) null else graft.functions.VersionOrd.render(scheme, v)
+  }
+
   /** DefaultImprover.get_inferences (improvers/default.py:52-85) +
     * get_exact_purls (:88-141): disregard ranges except for their exact
     * endpoints.
@@ -63,14 +74,18 @@ object Improvers {
     *                affecting_vers, fixed_version)
     */
   def defaultInferences(advisories: DataFrame, impacts: DataFrame): DataFrame = {
+    val scheme = coalesce(
+      nullif(regexp_extract(col("affecting_vers"), "^vers:([^/]+)/", 1),
+        lit("")),
+      col("ptype"))
     val perImpact = impacts
       .withColumn("affected_versions",
-        resolvedEndpointsUdf(col("affecting_vers")))
-      .withColumn("fixed_versions", concat(
+        renderSeqUdf(scheme, resolvedEndpointsUdf(col("affecting_vers"))))
+      .withColumn("fixed_versions", renderSeqUdf(scheme, concat(
         excludedEndpointsUdf(col("affecting_vers")),
         when(col("fixed_version").isNotNull &&
           length(col("fixed_version")) > 0, array(col("fixed_version")))
-          .otherwise(array().cast("array<string>"))))
+          .otherwise(array().cast("array<string>")))))
     val exploded = perImpact.select(col("avid"), col("ptype"),
       col("namespace"), col("name"), col("qualifiers"),
       col("affected_versions"),
@@ -151,7 +166,7 @@ object Improvers {
       .select(col("avid"), col("ptype"), col("namespace"), col("name"),
         when(col("_merged"), col("qualifiers")).as("qualifiers"),
         array().cast("array<string>").as("affected_versions"),
-        col("fixed_version"))
+        renderUdf(col("ptype"), col("fixed_version")).as("fixed_version"))
 
     // Branch B: range expansion against the known versions.
     val ranged = marked

@@ -451,4 +451,29 @@ object VersionOrd {
     * can never disagree. */
   def compare(scheme: String, a: String, b: String): Int =
     sortKey(scheme, a).compareTo(sortKey(scheme, b))
+
+  /** Canonical scheme-aware RENDERING of a version string — the analog
+    * of the reference's `str(version_class(v))` round-trip, which every
+    * improver output passes through (improvers/default.py:126
+    * `str(version)` on univers objects). The only family whose univers
+    * rendering differs from its raw string in the captured corpus is
+    * apache: four dotted numerics render the last segment as build
+    * metadata (`0.10.2.2` → `0.10.2+2`, univers ApacheVersion —
+    * proven by the apache-kafka improver capture). Every other scheme
+    * is identity here, as evidenced by the 17 other captured improver
+    * sets matching without rendering. */
+  def render(scheme: String, v: String): String =
+    Option(scheme).map(_.toLowerCase) match {
+      case Some("apache") =>
+        // trailing empty segments drop first ("2.8.0." → "2.8.0" — the
+        // kafka capture's upstream typo, normalized away by univers)
+        val trimmed = Option(v).getOrElse("").reverse
+          .dropWhile(_ == '.').reverse
+        val parts = trimmed.split('.')
+        if (parts.length == 4 &&
+            parts.forall(p => p.nonEmpty && p.forall(_.isDigit)))
+          parts.take(3).mkString(".") + "+" + parts(3)
+        else trimmed
+      case _ => v
+    }
 }

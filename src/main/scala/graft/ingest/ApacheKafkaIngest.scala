@@ -60,13 +60,8 @@ object ApacheKafkaIngest {
   /** Four-component Kafka versions render the last segment as build
     * metadata in the apache scheme: `0.10.2.2` → `0.10.2+2` (univers
     * ApacheVersionRange, captured cve-list expected). */
-  def apacheVersion(v: String): String = {
-    val parts = v.split('.')
-    if (parts.length == 4 &&
-        parts.forall(p => p.nonEmpty && p.forall(_.isDigit)))
-      parts.take(3).mkString(".") + "+" + parts(3)
-    else v
-  }
+  def apacheVersion(v: String): String =
+    graft.functions.VersionOrd.render("apache", v)
 
   /** parse_range (pipes/apache_kafka.py:38-79): strip a leading label,
     * "to" becomes a dash interval, commas separate, bare versions pin. */

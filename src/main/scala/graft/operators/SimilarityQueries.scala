@@ -810,12 +810,19 @@ object SimilarityQueries extends QueryModule {
     // between the synthetic corpus's p99 (~0.29) and max (~0.51)
     // within-cluster cosine, so both verdicts appear in the output.
     //
-    // LABELED EXACT FORM: faithful SemDeDup assumes the quantizer's k
-    // grows with N so clusters stay bounded; under a fixed k (as in the
-    // stride-cloned scale rehearsal, where every clone of a vector
-    // lands in one cluster) the pair stage is quadratic by
-    // construction. The _capped twin below is the flood-safe library
-    // path — the x_ngram_jaccard / _capped demonstration pair, again.
+    // LABELED EXACT FORM — retained by decision (round 12): faithful
+    // SemDeDup assumes the quantizer's k grows with N so clusters stay
+    // bounded; under a fixed k (as in the stride-cloned scale
+    // rehearsal, where every clone of a vector lands in one cluster)
+    // the pair stage is quadratic by construction. Unlike the
+    // x_ngram_jaccard case there is no exact sub-quadratic
+    // reformulation: the max-over-priors rule inspects genuine
+    // within-cluster pairs, so the choices are (a) grow k with N —
+    // a quantizer policy, not an operator change — or (b) the prefix
+    // anchors of the _capped twin below, which IS the library path.
+    // This form stays as the oracled exact-semantics gate; it is not
+    // among the 10× rehearsal's slowest rows, so the label documents
+    // the asymptote rather than a measured hotspot.
     q("x_semantic_dedup",
       s"""WITH cent AS (
          |  SELECT e.label, e.embedding FROM embeddings e

@@ -180,6 +180,74 @@ object TextDedup {
       .select("id_a", "id_b", "est_similarity")
   }
 
+  /** EXACT n-gram Jaccard pairs via df-ordered prefix filtering — the
+    * All-Pairs / PPJoin family (Bayardo et al., WWW'07; Chaudhuri et
+    * al.'s SSJoin) as a Spark join pipeline. Same output as the naive
+    * inverted-index self-join, WITHOUT the Σ df² blowup:
+    *
+    *  1. order every document's shingle set by (document frequency asc,
+    *     shingle) — one total order shared corpus-wide (within group);
+    *  2. index only each set's PREFIX of length |x| − ⌈t·|x|⌉ + 1: for
+    *     any pair with J ≥ t, the globally-smallest common shingle
+    *     provably sits inside BOTH prefixes, so the prefix×prefix
+    *     equi-join loses no qualifying pair;
+    *  3. prune candidates whose sizes alone bound J below t
+    *     (min ≥ t·max — J ≤ min/max);
+    *  4. verify the bounded candidate list exactly
+    *     (array_intersect on the full sets — codegen'd, O(pairs·|set|)).
+    *
+    * The rarest-first order is what makes the join cheap: common
+    * shingles almost never appear in any prefix, so the quadratic
+    * per-shingle pair emission concentrates on low-df shingles. Returns
+    * (id_a, id_b, shared, na, nb, jaccard) — the counts ride along so
+    * callers can re-derive the ratio under their own numeric discipline.
+    *
+    * @param shingleRows (idCol, shingleCol [, groupCols…]) — distinct
+    *                    shingles per doc; pairs join within groupCols
+    */
+  def ngramJaccardPairsPrefix(shingleRows: DataFrame, idCol: String,
+      shingleCol: String, groupCols: Seq[String] = Nil,
+      threshold: Double = 0.8): DataFrame = {
+    val gcols = groupCols.map(col)
+    val dfWindow = Window.partitionBy(gcols :+ col(shingleCol): _*)
+    val sets = shingleRows
+      .withColumn("_df", count(lit(1)).over(dfWindow))
+      .groupBy(col(idCol) +: gcols: _*)
+      .agg(sort_array(collect_list(struct(col("_df").as("df"),
+        col(shingleCol).as("s")))).as("_sorted"))
+      .withColumn("_set", expr("transform(_sorted, x -> x.s)"))
+      .drop("_sorted")
+      .withColumn("_n", size(col("_set")))
+      .withColumn("_p",
+        (col("_n") - ceil(col("_n") * lit(threshold)) + 1).cast("int"))
+      .localCheckpoint()
+    val prefix = sets.select(
+      (col(idCol).as("_pid") +: gcols :+ col("_n").as("_pn") :+
+        explode(expr("slice(_set, 1, _p)")).as("_s")): _*)
+    val joinKeys = groupCols :+ "_s"
+    val cand = prefix
+      .select((col("_pid").as("id_a") +: col("_pn").as("_na") +:
+        joinKeys.map(col)): _*)
+      .join(prefix.select((col("_pid").as("id_b") +:
+        col("_pn").as("_nb") +: joinKeys.map(col)): _*), joinKeys)
+      .filter(col("id_a") < col("id_b"))
+      // size prune: J ≤ min/max, so min < t·max can never qualify
+      // (tiny conservative margin keeps the double compare safe)
+      .filter(least(col("_na"), col("_nb")).cast("double") >=
+        greatest(col("_na"), col("_nb")) * lit(threshold) - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("_set").as("_sa"),
+        col("_n").as("na")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("_set").as("_sb"),
+        col("_n").as("nb")), Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("_sa"), col("_sb"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "na", "nb", "jaccard")
+  }
+
   /** [[minHashLshPairs]] with an EXACT-duplicate pre-collapse — the
     * production composition for corpora with heavy verbatim
     * replication (mirrors, crawl re-fetches, boilerplate): collapse

@@ -57,9 +57,13 @@ object TextDedupQueries extends QueryModule {
         .orderBy("content_id")
     },
 
-    // n-gram Jaccard near-dup: inverted shingle index within (lang, source)
-    // buckets; candidates = docs sharing ≥1 shingle; exact Jaccard =
-    // |∩| / (|A|+|B|-|∩|) ≥ 0.5
+    // n-gram Jaccard near-dup, EXACT (uncapped), within (lang, source)
+    // buckets: jaccard = |∩| / (|A|+|B|-|∩|) ≥ 0.5. Since round 12 the
+    // engine side runs the prefix-filtered set-similarity join — the
+    // de-naived exact path (10× rehearsal 14.1× → 6.5×; the synthetic
+    // 31-word vocabulary is prefix filtering's worst case, real Zipfian
+    // corpora prune far harder). The capped twin remains the
+    // bounded-cost screening path for corpora with stop-shingles.
     q("x_ngram_jaccard",
       s"""WITH sh AS ($shinglesSql),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -77,24 +81,19 @@ object TextDedupQueries extends QueryModule {
          |JOIN sizes sb ON sb.doc_id = p.doc_b
          |WHERE CAST(p.shared AS DECIMAL(18,6)) / (sa.n + sb.n - p.shared) >= 0.5
          |ORDER BY doc_a, doc_b""") { (s, dir) =>
-      val sh = shingles(docs(s, dir)).cache()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("lang"),
-        col("source"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-        col("source").as("source_b"), col("shingle").as("shingle_b"))
-      val pairs = a.join(b,
-        col("shingle") === col("shingle_b") && col("lang") === col("lang_b")
-          && col("source") === col("source_b") && col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("shared"))
+      // Exact result through the prefix-filtered set-similarity join
+      // (TextDedup.ngramJaccardPairsPrefix — All-Pairs/PPJoin): the
+      // oracle keeps the naive Σ df² formulation, the engine runs the
+      // rarest-first prefix index + size prune + array-intersect verify
+      // and must produce the identical pair list.
+      val sh = shingles(docs(s, dir))
+      val pairs = TextDedup.ngramJaccardPairsPrefix(sh, "doc_id",
+        "shingle", Seq("lang", "source"), threshold = 0.5)
       val jac = col("shared").cast("decimal(18,6)") /
         (col("na") + col("nb") - col("shared"))
       pairs
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .filter(jac >= 0.5)
-        .select(col("doc_a"), col("doc_b"),
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           round(jac, 4).cast("double").as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },

@@ -199,11 +199,12 @@ class CapturedImproverSpec extends AnyFunSuite with SparkTestSession {
   }
 
   private def mockVersionsDf(
-      impacts: Seq[(String, String, String, String, String, String, String)]): DataFrame = {
+      impacts: Seq[(String, String, String, String, String, String, String)],
+      versions: Seq[String]): DataFrame = {
     val sp = spark
     import sp.implicits._
     impacts.map(i => (i._2, i._3, i._4)).distinct
-      .flatMap { case (t, n, nm) => MockVersions.map((t, n, nm, _)) }
+      .flatMap { case (t, n, nm) => versions.map((t, n, nm, _)) }
       .toDF("ptype", "namespace", "name", "version")
   }
 
@@ -224,12 +225,13 @@ class CapturedImproverSpec extends AnyFunSuite with SparkTestSession {
     defaultImproverCase("alpine")
   }
 
-  private def validVersionsCase(advisoriesRel: String, expectedRel: String): Unit = {
+  private def validVersionsCase(advisoriesRel: String, expectedRel: String,
+      mockVersions: Seq[String] = MockVersions): Unit = {
     val (facets, impacts) = loadAdvisories(advisoriesRel)
     val adf = advisoriesDf(facets)
     val idf = impactsDf(impacts)
     val both = Improvers
-      .validVersionInferences(idf, mockVersionsDf(impacts))
+      .validVersionInferences(idf, mockVersionsDf(impacts, mockVersions))
       .unionByName(Improvers.defaultInferences(adf, idf))
     assertSame(expectedRel, gotCanons(both, facets),
       expectedCanons(expectedRel))
@@ -249,4 +251,76 @@ class CapturedImproverSpec extends AnyFunSuite with SparkTestSession {
     validVersionsCase("debian-expected.json",
       "debian-improver-expected.json")
   }
+
+  // -------- the rest of the ValidVersionImprover fixture family: every
+  // reference test follows the same [XImprover, DefaultImprover] recipe
+  // over <source>-expected.json with a mocked version list (cited per
+  // case). Transcribed mock lists match the reference tests verbatim.
+
+  withRef("valid-version improver: captured elixir advisories match expected") {
+    // test_elixir_security.py:40-54
+    validVersionsCase("elixir_security/elixir-expected.json",
+      "elixir_security/elixir-improver-expected.json",
+      Seq("0.1.0", "0.5.6", "0.5.2") ++ MockVersions)
+  }
+
+  withRef("valid-version improver: captured ruby advisories match expected") {
+    // test_ruby.py:52-63
+    validVersionsCase("ruby/parse-advisory-ruby-expected.json",
+      "ruby/ruby-improver-expected.json",
+      Seq("0.2.6", "1.2.7", "1.3.6", "2.2.1", "3.0.2", "3.0.5"))
+  }
+
+  withRef("valid-version improver: captured apache-kafka advisories match expected") {
+    // test_apache_kafka.py:42-63
+    validVersionsCase("apache_kafka/to-advisory-apache_kafka-expected.json",
+      "apache_kafka/apache-kafka-improver-expected.json")
+  }
+
+  withRef("valid-version improver: captured istio advisories match expected") {
+    // test_istio.py:58-75
+    validVersionsCase("istio/istio-expected.json",
+      "istio/istio-improver-expected.json")
+  }
+
+  withRef("valid-version improver: captured apache-httpd advisory matches expected") {
+    // test_apache_httpd.py:125-145 (the improver's ignorable_versions
+    // set is disjoint from this mock list, so it cannot bind here)
+    validVersionsCase("apache_httpd/CVE-2021-44224-apache-httpd-expected.json",
+      "apache_httpd/apache-httpd-improver-expected.json",
+      Seq("2.4.8", "2.4.9", "2.4.10", "2.4.53", "2.4.54"))
+  }
+
+  withRef("valid-version improver: captured apache-tomcat advisories match expected") {
+    // test_apache_tomcat.py:48-70
+    validVersionsCase(
+      "apache_tomcat/parse-apache_tomcat-selected-advisories-expected.json",
+      "apache_tomcat/apache-tomcat-improver-expected.json")
+  }
+
+  withRef("valid-version improver: captured npm advisories match expected") {
+    // pipelines/test_npm_importer_pipeline.py:54-78 (no 1.1.0!)
+    validVersionsCase("npm/parse-advisory-npm-expected.json",
+      "npm/npm-improver-expected.json",
+      Seq("0.1.0", "0.5.6", "0.5.2", "1.1.1", "1.1.2", "1.1.3", "1.1.4",
+        "1.1.5", "1.1.6", "1.1.7", "1.1.8"))
+  }
+
+  // gitlab: one capture per package type, each with its own version
+  // universe (pipelines/test_gitlab_importer_pipeline.py:42-78);
+  // composer's empty list exercises the no-known-versions branch
+  private val GitlabVersions: Map[String, Seq[String]] = Map(
+    "maven" -> Seq("1.0.0", "1.0.1", "1.0.2", "2.0.4", "9.0.7", "2.0.5",
+      "9.0.6", "9.1.6", "10.0.0"),
+    "gem" -> Seq("4.2.0.beta1", "4.2.0.beta2", "4.2.0.beta3"),
+    "nuget" -> Seq("1.11.0", "1.11.1", "1.11.2", "1.09.1"),
+    "npm" -> Seq("2.14.2", "2.13.2", "2.11.2"),
+    "pypi" -> Seq("1.0", "0.9", "0.8", "1.1"),
+    "composer" -> Seq.empty)
+
+  for ((ptype, versions) <- GitlabVersions.toSeq.sortBy(_._1))
+    withRef(s"valid-version improver: captured gitlab $ptype advisories match expected") {
+      validVersionsCase(s"gitlab/$ptype-expected.json",
+        s"gitlab/$ptype-improver-expected.json", versions)
+    }
 }

@@ -17,6 +17,40 @@ class TextDedupLibSpec extends AnyFunSuite with SparkTestSession {
       .toDF("id", "text")
   }
 
+  test("prefix-filtered jaccard join equals the naive join (exactness)") {
+    val sp = spark
+    import sp.implicits._
+    // varied set sizes and overlap levels around the threshold, plus a
+    // seeded generator so sets share a skewed shingle distribution —
+    // the regime where a broken prefix length silently drops pairs
+    val rnd = new scala.util.Random(7)
+    val seeds = (0 until 8).map(k =>
+      (0 until 8 + rnd.nextInt(6)).map(_ => s"w${rnd.nextInt(18)}"))
+    // 5 mutated variants per seed text: drop/append a few words so
+    // pairs land above AND below each threshold
+    val base = seeds.zipWithIndex.flatMap { case (words, k) =>
+      (0 until 5).map { v =>
+        val kept = words.drop(rnd.nextInt(3))
+        val extra = (0 until rnd.nextInt(3)).map(_ => s"x${rnd.nextInt(9)}")
+        ((k * 5 + v + 1).toLong, (kept ++ extra).mkString(" "))
+      }
+    }
+    val df = base.toDF("id", "text")
+    val sh = TextDedup.shingles(df, "text", "id", 2)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val naive = TextDedup.ngramJaccardPairs(df, "text", "id",
+        threshold = t, maxDf = Int.MaxValue)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefix = TextDedup.ngramJaccardPairsPrefix(sh, "id", "shingle",
+        threshold = t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prefix == naive, s"threshold $t")
+      assert(naive.nonEmpty, s"degenerate fixture at $t")
+    }
+  }
+
   test("collapsed LSH pairs cluster identically to the plain pair join") {
     val sp = spark
     import sp.implicits._
