@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, Vers}
 
-/** The improver family — advisory data → full-confidence inferences
-  * (improvers/default.py DefaultImprover + improvers/valid_versions.py
-  * ValidVersionImprover), re-expressed as set-at-a-time derivations.
+/** The improver family — advisory data → inferences
+  * (improvers/default.py DefaultImprover, improvers/valid_versions.py
+  * ValidVersionImprover + NginxBasicImprover,
+  * improvers/vulnerability_status.py), re-expressed as set-at-a-time
+  * derivations, each cross-validated against the reference's captured
+  * improver fixtures (CapturedImproverSpec, 20 sets).
   *
   * The reference improves one advisory at a time in Python; here one
   * DataFrame pass derives every advisory's inferences at once:
@@ -101,6 +104,114 @@ object Improvers {
         lit(null).cast("string").as("fixed_version"))
     exploded.unionByName(packageless)
       .withColumn("confidence", lit(MaxConfidence))
+  }
+
+  /** NginxBasicImprover (improvers/valid_versions.py:216-283 +
+    * utils.py:482-509 is_vulnerable_nginx_version): the nginx
+    * branch-aware expansion. Per mergeable advisory (several distinct
+    * purls → nothing, the reference's UnMergeablePackageError path):
+    *
+    *  - a known version is AFFECTED when it is inside some advisory
+    *    range AND no fixed version shares its MINOR number while being
+    *    ≤ it (the reference compares minor only — not (major, minor) —
+    *    and that literal quirk is mirrored);
+    *  - one inference per fixed version (nginx-order sorted, deduped),
+    *    each carrying the same affected list, confidence 90 — including
+    *    fixes BELOW the affected versions (the reference's documented
+    *    TODO behavior);
+    *  - a version inside TWO ranges appears twice in the affected list
+    *    (the reference appends per range).
+    *
+    * Scale shape: ranges × known-versions is the only join that touches
+    * the corpus-scale versions table; containment and the sort key are
+    * codegen'd; the fixed-version check is an exists() over a per-
+    * advisory array (advisory-bounded).
+    *
+    * @param impacts (avid, ptype, namespace, name, qualifiers,
+    *                affecting_vers, fixed_version)
+    * @param validVersions (ptype, namespace, name, version)
+    */
+  def nginxInferences(impacts: DataFrame,
+      validVersions: DataFrame): DataFrame = {
+    val purlKey = concat_ws("\u0001",
+      coalesce(col("ptype"), lit("")), coalesce(col("namespace"), lit("")),
+      coalesce(col("name"), lit("")), coalesce(col("qualifiers"), lit("")))
+    val mergeableAvids = impacts.groupBy("avid")
+      .agg(countDistinct(purlKey).as("_np"))
+      .filter(col("_np") === 1).select("avid")
+    val imp = impacts.join(mergeableAvids, Seq("avid"), "left_semi")
+
+    val minorOf = (v: org.apache.spark.sql.Column) =>
+      split(v, "\\.").getItem(1).cast("int")
+    val fixed = imp
+      .filter(col("fixed_version").isNotNull &&
+        length(col("fixed_version")) > 0)
+      .select(col("avid"), col("ptype"), col("namespace"), col("name"),
+        col("qualifiers"), col("fixed_version")).distinct()
+      .withColumn("_fkey", GraftFunctions.versionSortKey(lit("nginx"),
+        col("fixed_version")))
+      .withColumn("_fminor", minorOf(col("fixed_version")))
+    val fixedArr = fixed.groupBy("avid")
+      .agg(collect_list(struct(col("_fminor").as("minor"),
+        col("_fkey").as("fkey"))).as("_fixes"))
+
+    val ranges = imp
+      .filter(col("affecting_vers").isNotNull &&
+        length(col("affecting_vers")) > 0)
+      .select("avid", "ptype", "namespace", "name", "affecting_vers")
+      .distinct()
+    val hits = ranges
+      .join(validVersions.select("ptype", "namespace", "name", "version")
+        .distinct(), Seq("ptype", "namespace", "name"))
+      .filter(GraftFunctions.versionInRange(col("version"),
+        col("affecting_vers")))
+      .withColumn("_vkey", GraftFunctions.versionSortKey(lit("nginx"),
+        col("version")))
+      .withColumn("_vminor", minorOf(col("version")))
+      .join(fixedArr, Seq("avid"), "left")
+      .filter(!exists(coalesce(col("_fixes"), array()
+          .cast("array<struct<minor:int,fkey:string>>")),
+        f => f.getField("minor") === col("_vminor") &&
+          col("_vkey") >= f.getField("fkey")))
+      .groupBy("avid")
+      .agg(sort_array(collect_list(struct(col("_vkey"), col("version"))))
+        .as("_av"))
+      .withColumn("affected_versions",
+        expr("transform(_av, x -> x.version)"))
+      .select("avid", "affected_versions")
+
+    fixed.join(hits, Seq("avid"), "left")
+      .select(col("avid"), col("ptype"), col("namespace"), col("name"),
+        col("qualifiers"),
+        coalesce(col("affected_versions"),
+          array().cast("array<string>")).as("affected_versions"),
+        col("fixed_version"))
+      .withColumn("confidence", lit(90))
+  }
+
+  /** VulnerabilityStatusImprover (improvers/vulnerability_status.py:
+    * 44-103): one MITRE CVE API record per CVE id → the vulnerability
+    * status enum (models.py:229-234): DISPUTED (2) when the CNA tags
+    * contain "disputed", INVALID (3) when cveMetadata.state is
+    * REJECTED, PUBLISHED (1) otherwise — including when the record is
+    * missing/unfetchable (the reference's None → PUBLISHED fallback).
+    * The update side is the alias equi-join the serving layer already
+    * has (j9); this derives the per-CVE status column from the raw
+    * captured JSON with codegen'd json-path extraction, map-only.
+    *
+    * @param cveRecords (cve_id, body) — body is the raw MITRE CVE
+    *                   record JSON (null/unparseable → PUBLISHED)
+    */
+  def vulnerabilityStatuses(cveRecords: DataFrame): DataFrame = {
+    val tags = from_json(
+      get_json_object(col("body"), "$.containers.cna.tags"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val state = get_json_object(col("body"), "$.cveMetadata.state")
+    cveRecords.select(col("cve_id"),
+      when(coalesce(array_contains(tags, "disputed"), lit(false)), 2)
+        .when(state === "REJECTED", 3)
+        .otherwise(1).as("status"))
   }
 
   /** ValidVersionImprover.get_inferences + generate_inferences

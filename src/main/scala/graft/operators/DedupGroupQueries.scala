@@ -495,5 +495,107 @@ object DedupGroupQueries extends QueryModule {
           col("fixed_version").as("fixed"), col("confidence"))
         .orderBy("avid", "name", "quals", "affected", "fixed")
     },
+
+    // D18 — NVD status improver (improvers/vulnerability_status.py:
+    // 78-103): MITRE CVE records → status enum; disputed-tag beats
+    // REJECTED state beats PUBLISHED default, missing record →
+    // PUBLISHED. Fixture tags arrays are ≤2 entries so the oracle's
+    // per-position contains matches the engine's array_contains.
+    q("d18_vuln_status",
+      """WITH rec AS (SELECT
+        |    'CVE-2020-' || CAST(o_orderkey AS VARCHAR) AS cve_id,
+        |    CASE o_orderkey % 4
+        |      WHEN 0 THEN '{"cveMetadata":{"state":"REJECTED"},' ||
+        |        '"containers":{"cna":{"tags":["x","disputed"]}}}'
+        |      WHEN 1 THEN '{"cveMetadata":{"state":"REJECTED"},' ||
+        |        '"containers":{"cna":{"tags":["x"]}}}'
+        |      WHEN 2 THEN '{"cveMetadata":{"state":"PUBLISHED"},' ||
+        |        '"containers":{"cna":{"tags":["x"]}}}'
+        |    END AS body
+        |  FROM orders)
+        |SELECT cve_id,
+        |  CASE WHEN json_extract_string(body,
+        |              '$.containers.cna.tags[0]') = 'disputed'
+        |         OR json_extract_string(body,
+        |              '$.containers.cna.tags[1]') = 'disputed' THEN 2
+        |       WHEN json_extract_string(body,
+        |              '$.cveMetadata.state') = 'REJECTED' THEN 3
+        |       ELSE 1 END AS status
+        |FROM rec ORDER BY cve_id""") { (s, dir) =>
+      val records = t(s, dir, "orders").select(
+        concat(lit("CVE-2020-"), col("o_orderkey")).as("cve_id"),
+        when(pmod(col("o_orderkey"), lit(4)) === 0,
+          lit("""{"cveMetadata":{"state":"REJECTED"},""" +
+            """"containers":{"cna":{"tags":["x","disputed"]}}}"""))
+          .when(pmod(col("o_orderkey"), lit(4)) === 1,
+            lit("""{"cveMetadata":{"state":"REJECTED"},""" +
+              """"containers":{"cna":{"tags":["x"]}}}"""))
+          .when(pmod(col("o_orderkey"), lit(4)) === 2,
+            lit("""{"cveMetadata":{"state":"PUBLISHED"},""" +
+              """"containers":{"cna":{"tags":["x"]}}}"""))
+          .as("body"))
+      graft.derive.Improvers.vulnerabilityStatuses(records)
+        .orderBy("cve_id")
+    },
+
+    // D19 — nginx branch-aware improver (valid_versions.py:216-283 +
+    // utils.py:482-509): affected = known versions in range with no
+    // same-minor fix at-or-below them; one confidence-90 inference per
+    // fixed version. Versions are `1.<minor>.<patch>` single-digits so
+    // the oracle's numeric (minor, patch) compare equals the engine's
+    // nginx sort key.
+    q("d19_nginx_inferences",
+      """WITH imp AS (SELECT
+        |    'adv/' || CAST(o_orderkey % 20 AS VARCHAR) AS avid,
+        |    o_orderkey % 3 AS lo, o_orderkey % 3 + 2 AS hi,
+        |    CASE WHEN o_orderkey % 2 = 0
+        |         THEN '1.' || CAST(o_orderkey % 6 AS VARCHAR) || '.' ||
+        |              CAST(o_orderkey % 4 + 1 AS VARCHAR) END AS fixv
+        |  FROM orders),
+        |rng AS (SELECT DISTINCT avid, lo, hi FROM imp),
+        |fx AS (SELECT DISTINCT avid, fixv,
+        |         CAST(split_part(fixv, '.', 2) AS INT) AS fminor,
+        |         CAST(split_part(fixv, '.', 3) AS INT) AS fpatch
+        |       FROM imp WHERE fixv IS NOT NULL),
+        |vv AS (SELECT DISTINCT CAST(p_partkey % 6 AS INT) AS vminor,
+        |         CAST(p_partkey % 3 AS INT) AS vpatch FROM part),
+        |aff AS (
+        |  SELECT r.avid,
+        |         '1.' || CAST(v.vminor AS VARCHAR) || '.' ||
+        |           CAST(v.vpatch AS VARCHAR) AS ver
+        |  FROM rng r JOIN vv v
+        |    ON v.vminor >= r.lo AND v.vminor <= r.hi
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM fx f
+        |    WHERE f.avid = r.avid AND f.fminor = v.vminor
+        |      AND (v.vminor, v.vpatch) >= (f.fminor, f.fpatch))),
+        |agg AS (SELECT avid, string_agg(ver, ',' ORDER BY ver)
+        |          AS affected
+        |        FROM aff GROUP BY avid)
+        |SELECT f.avid, 'ng' AS name, coalesce(a.affected, '') AS affected,
+        |       f.fixv AS fixed, 90 AS confidence
+        |FROM fx f LEFT JOIN agg a USING (avid)
+        |ORDER BY avid, fixed""") { (s, dir) =>
+      val lo = pmod(col("o_orderkey"), lit(3))
+      val impacts = t(s, dir, "orders").select(
+        concat(lit("adv/"), pmod(col("o_orderkey"), lit(20))).as("avid"),
+        lit("nginx").as("ptype"), lit("").as("namespace"),
+        lit("ng").as("name"), lit("").as("qualifiers"),
+        concat(lit("vers:nginx/>=1."), lo, lit(".0|<=1."), lo + 2,
+          lit(".9")).as("affecting_vers"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0,
+          concat(lit("1."), pmod(col("o_orderkey"), lit(6)), lit("."),
+            pmod(col("o_orderkey"), lit(4)) + 1)).as("fixed_version"))
+      val versions = t(s, dir, "part").select(
+        lit("nginx").as("ptype"), lit("").as("namespace"),
+        lit("ng").as("name"),
+        concat(lit("1."), pmod(col("p_partkey"), lit(6)), lit("."),
+          pmod(col("p_partkey"), lit(3))).as("version")).distinct()
+      graft.derive.Improvers.nginxInferences(impacts, versions)
+        .select(col("avid"), col("name"),
+          concat_ws(",", col("affected_versions")).as("affected"),
+          col("fixed_version").as("fixed"), col("confidence"))
+        .orderBy("avid", "fixed")
+    },
   )
 }

@@ -306,6 +306,39 @@ class CapturedImproverSpec extends AnyFunSuite with SparkTestSession {
         "1.1.5", "1.1.6", "1.1.7", "1.1.8"))
   }
 
+  withRef("nginx improver: captured advisories × git-tag versions match expected") {
+    // test_nginx_importer_pipeline.py:219-241: get_inferences_from_versions
+    // over improver-advisories.json with the 184 captured git-tag
+    // versions; the branch-aware is_vulnerable_nginx_version rule.
+    val (facets, impacts) = loadAdvisories("nginx/improver/improver-advisories.json")
+    val versions = mapper
+      .readTree(RefCapture.text("nginx/improver/improver-versions.json"))
+      .elements().asScala.map(_.get("value").asText()).toSeq
+    val got = gotCanons(Improvers.nginxInferences(
+      impactsDf(impacts), mockVersionsDf(impacts, versions)), facets)
+    assertSame("nginx-improver", got,
+      expectedCanons("nginx/improver/improver-inferences-expected.json"))
+  }
+
+  withRef("status improver: captured MITRE record yields DISPUTED") {
+    // test_vulnerability_status_improver.py:56-75: the captured
+    // CVE-2023-35866 MITRE record carries tags=["disputed"] → status 2
+    val sp = spark
+    import sp.implicits._
+    val body = RefCapture.text(
+      "vulnerability_status_improver/CVE-2023-35866.json")
+    val records = Seq(
+      ("CVE-2023-35866", body),
+      ("CVE-0000-0000", """{"cveMetadata":{"state":"REJECTED"}}"""),
+      ("CVE-1111-1111", null.asInstanceOf[String]))
+      .toDF("cve_id", "body")
+    val got = Improvers.vulnerabilityStatuses(records)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("CVE-2023-35866" -> 2, // DISPUTED
+      "CVE-0000-0000" -> 3,                  // INVALID (REJECTED state)
+      "CVE-1111-1111" -> 1))                 // unfetchable → PUBLISHED
+  }
+
   // gitlab: one capture per package type, each with its own version
   // universe (pipelines/test_gitlab_importer_pipeline.py:42-78);
   // composer's empty list exercises the no-known-versions branch
