@@ -54,6 +54,26 @@ object Vers {
       else C("=", c) // bare version ⇒ pin
     }
 
+  /** Bounded spec-parse memo for the data-column range path: when the
+    * spec is NOT a constant (so VersionInRangeExpr's fold-time parse
+    * can't fire), the same range string still recurs massively — every
+    * known version of a package probes the same impact row's spec in
+    * the unfurl/improver joins. Distinct specs are advisory-bounded,
+    * but cap the map anyway (64k entries ≈ a few MB per executor);
+    * past the cap, later-arriving specs just parse per call. */
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Range]()
+
+  def parseCached(spec: String): Range = {
+    val hit = parseCache.get(spec)
+    if (hit != null) hit
+    else {
+      val r = parse(spec)
+      if (parseCache.size < 65536) parseCache.putIfAbsent(spec, r)
+      r
+    }
+  }
+
   /** Is `version` within the range? */
   def contains(range: Range, version: String): Boolean = {
     val key = VersionOrd.sortKey(range.scheme, version)
@@ -105,7 +125,7 @@ object Vers {
 
   /** Convenience: membership from raw strings. */
   def versionInRange(version: String, spec: String): Boolean =
-    contains(parse(spec), version)
+    contains(parseCached(spec), version)
 
   /** V3 — exact-pin extraction: versions stated with `=` (and `!=`, which
     * the reference treats as known-fixed versions). Returns (pinned,
