@@ -66,7 +66,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
           numHashes = 16, bands = 4, threshold = 0.1, maxBucketSize = 50),
       "simHashPairs" ->
         TextDedup.simHashPairs(docs, "text", "doc_id",
-          bits = 16, bands = 4, maxHamming = 2, maxBucketSize = 50))
+          bits = 16, bands = 4, maxHamming = 2, maxBucketSize = 50),
+      "ngramJaccardPairsPrefix" ->
+        TextDedup.ngramJaccardPairsPrefix(
+          TextDedup.shingles(docs, "text", "doc_id", 2), "id", "shingle",
+          threshold = 0.5),
+      "minHashLshPairsCollapsed" ->
+        TextDedup.minHashLshPairsCollapsed(docs, "text", "doc_id",
+          numHashes = 16, bands = 4, threshold = 0.1, maxBucketSize = 50))
     cases.foreach { case (name, df) =>
       df.collect()
       val nodes = allNodes(df.queryExecution.executedPlan)
