@@ -419,8 +419,27 @@ object VersionOrd {
     }.mkString + Term
   }
 
+  /** Bounded (scheme, version) → key memo. Version-keyed joins repeat
+    * the same handful of version strings massively (every impact row
+    * probes the same package's known versions), and a key derivation is
+    * ~µs of parsing; a hit is ~30 ns. Capped like Vers.parseCached —
+    * past 64k entries later arrivals just compute per call, so a
+    * 100 TB scan of mostly-distinct versions degrades to the old cost
+    * plus one map probe. */
+  private val keyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Sortable key string: lexicographic order == scheme version order. */
   def sortKey(scheme: String, version: String): String = {
+    val ck = String.valueOf(scheme) + "\u0000" + String.valueOf(version)
+    val hit = keyCache.get(ck)
+    if (hit != null) return hit
+    val r = sortKeyUncached(scheme, version)
+    if (keyCache.size < 65536) keyCache.putIfAbsent(ck, r)
+    r
+  }
+
+  private def sortKeyUncached(scheme: String, version: String): String = {
     val s = Option(scheme).getOrElse("generic").toLowerCase
     val v = Option(version).getOrElse("")
     s match {
