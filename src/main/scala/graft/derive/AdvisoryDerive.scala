@@ -270,8 +270,80 @@ object AdvisoryDerive {
     * lowest avid. Implemented as connected components over the
     * advisory–alias bipartite graph (hub-shaped → few label-prop rounds).
     */
-  def advisorySets(spark: SparkSession, advisories: DataFrame): DataFrame = {
+  /** Advisory-count bound for the driver fast path: below it the whole
+    * set materialization (ids, key edges, union-find, primary pick)
+    * runs on one bounded collect instead of ~10 tiny-data Spark jobs —
+    * the ConnectedComponents local-finish pattern one level up. Rows
+    * are (avid, hash, aliases, precedence): well under 16 MB at the
+    * bound. The 100 TB path never takes this branch. */
+  private val SetsLocalThreshold = 100000
+
+  def advisorySets(spark: SparkSession, advisories: DataFrame): DataFrame =
+    advisorySetsKeyed(spark, advisories)
+      .select("group_id", "avid", "primary_avid")
+
+  /** [[advisorySets]] plus the per-group canonical `min_alias` (the
+    * V1 vuln_key seed), computed inside the same pass so membership
+    * (VulnerabilityV1.membership) does not re-explode the alias table.
+    */
+  def advisorySetsKeyed(spark: SparkSession,
+      advisories: DataFrame): DataFrame = {
     val latest = advisories.filter(col("is_latest"))
+    // Bounded-input fast path: ONE limit-guarded collect decides and,
+    // when the input is small, also supplies the data. Node ids come
+    // from the same xxhash64 Spark expression as the distributed path
+    // (never re-implemented driver-side), so outputs are identical.
+    val probe = latest
+      .select(col("avid"), xxhash64(col("avid")).as("node_id"),
+        coalesce(col("aliases"), array()).as("aliases"),
+        col("advisory_id"),
+        col("precedence").cast("long").as("precedence"))
+      .limit(SetsLocalThreshold + 1).collect()
+    if (probe.length <= SetsLocalThreshold) {
+      val rows = probe.map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](2), r.getString(3), r.getLong(4))).toSeq
+      require(rows.map(_._1).distinct.size ==
+        rows.map(_._2).distinct.size,
+        "xxhash64 node-id collision in advisory set ids")
+      // union-find over shared keys (star to min node per key)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val byKey = scala.collection.mutable.Map[String, Long]()
+      rows.foreach { case (_, node, aliases, advisoryId, _) =>
+        (aliases :+ advisoryId).foreach { k =>
+          byKey.get(k) match {
+            case Some(root) => union(node, root)
+            case None       => byKey(k) = node
+          }
+        }
+      }
+      // group id = min node id per component (the distributed contract)
+      val groupOf = scala.collection.mutable.Map[Long, Long]()
+      rows.foreach { case (_, node, _, _, _) =>
+        val r = find(node)
+        groupOf(r) = math.min(groupOf.getOrElse(r, node), node)
+      }
+      val grouped = rows.groupBy(r => groupOf(find(r._2)))
+      val primary = grouped.map { case (gid, members) =>
+        gid -> members.minBy(m => (-m._5, m._1))._1
+      }
+      val minAlias = grouped.map { case (gid, members) =>
+        gid -> members.flatMap(_._3).sorted.headOption.orNull
+      }
+      import spark.implicits._
+      return rows.map { case (avid, node, _, _, _) =>
+        val gid = groupOf(find(node))
+        (gid, avid, primary(gid), minAlias(gid))
+      }.toDF("group_id", "avid", "primary_avid", "min_alias")
+    }
     // Node ids need uniqueness, not density or order: xxhash64(avid) is
     // embarrassingly parallel, where a row_number over a global Window
     // would funnel every advisory through one partition — the single
@@ -306,9 +378,14 @@ object AdvisoryDerive {
       latest.select(col("avid"), col("precedence")), Seq("avid"))
     val w = Window.partitionBy("group_id")
       .orderBy(col("precedence").desc, col("avid"))
-    withPrec
+    val sets = withPrec
       .withColumn("primary_avid", first("avid").over(w))
       .select("group_id", "avid", "primary_avid")
+    val minAlias = latest
+      .select(col("avid"), explode_outer(col("aliases")).as("alias"))
+      .join(sets.select("avid", "group_id"), Seq("avid"))
+      .groupBy("group_id").agg(min("alias").as("min_alias"))
+    sets.join(minAlias, Seq("group_id"), "left")
   }
 
   /** ToDo detection (D6/D7): data-quality classification + cross-source
