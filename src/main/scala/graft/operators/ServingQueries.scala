@@ -439,6 +439,48 @@ object ServingQueries extends QueryModule {
       Serving.v3BulkPackages(unfurledV(s, dir), sev, requestV(s))
         .orderBy("purl")
     },
+
+    // build_patch_set_map (api_v3.py:528-560): patches per ADVISORY SET
+    // = deduped union over member advisories, per kind. Hashes are md5
+    // strings (fixed width) so the oracle's string sort equals the
+    // engine's struct sort.
+    q("s22_patch_set_map",
+      """WITH links AS (SELECT
+        |    'adv/' || CAST(l_orderkey % 50 AS VARCHAR) AS avid,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 'introduced'
+        |         ELSE 'fixed' END AS patch_kind,
+        |    md5(CAST(l_partkey % 97 AS VARCHAR)) AS commit_hash,
+        |    'https://git.example/r' || CAST(l_suppkey % 7 AS VARCHAR)
+        |      AS vcs_url
+        |  FROM lineitem),
+        |members AS (SELECT DISTINCT
+        |    o_orderkey % 30 AS set_id,
+        |    'adv/' || CAST(o_custkey % 50 AS VARCHAR) AS avid
+        |  FROM orders)
+        |SELECT m.set_id, l.patch_kind,
+        |       array_to_string(list_sort(list_distinct(
+        |         list(l.commit_hash || '|' || l.vcs_url))), ',')
+        |         AS patches
+        |FROM members m JOIN links l USING (avid)
+        |GROUP BY m.set_id, l.patch_kind
+        |ORDER BY set_id, patch_kind""") { (s, dir) =>
+      val links = Tables(s, dir, "lineitem").select(
+        concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
+        when(pmod(col("l_linenumber"), lit(2)) === 0, "introduced")
+          .otherwise("fixed").as("patch_kind"),
+        md5(pmod(col("l_partkey"), lit(97)).cast("string"))
+          .as("commit_hash"),
+        concat(lit("https://git.example/r"), pmod(col("l_suppkey"), lit(7)))
+          .as("vcs_url"))
+      val members = Tables(s, dir, "orders").select(
+        pmod(col("o_orderkey"), lit(30)).as("set_id"),
+        concat(lit("adv/"), pmod(col("o_custkey"), lit(50))).as("avid"))
+        .distinct()
+      Serving.patchSetMap(links, members)
+        .withColumn("patches", concat_ws(",",
+          expr("transform(patches, p -> p.commit_hash || '|' || p.vcs_url)")))
+        .orderBy("set_id", "patch_kind")
+    },
   )
 
   /** Synthetic advisories with ids, two aliases, references, and a

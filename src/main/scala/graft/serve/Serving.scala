@@ -428,6 +428,31 @@ object Serving {
       .select("base_purl", "avid", "patch_kind", "commit_hash", "vcs_url")
       .distinct()
 
+  /** build_patch_set_map (api_v3.py:528-560 + :707-724): the
+    * introduced/fixed commit patches of an ADVISORY SET = the deduped
+    * union over its member advisories' patches — the aggregation behind
+    * `introduced_in_patches`/`fixed_in_patches` in the v3 details
+    * response (asserted by the reference's
+    * PackageCommitPatchComplexTest: the primary's fix hash reappearing
+    * as a member's introduced hash must surface once per kind).
+    * Patches sort canonically (hash, url) — the reference preserves
+    * first-seen iteration order, which has no engine analog; the SET of
+    * patches per (advisory_set, kind) is the contract.
+    *
+    * Scale shape: members (set_id, avid) equi-join the patch-link
+    * corpus on avid, then one map-side-combining collect_set per
+    * (set, kind) — member lists are advisory-set-bounded.
+    *
+    * @param patchLinks (avid, patch_kind, commit_hash, vcs_url)
+    * @param setMembers (set_id, avid)
+    */
+  def patchSetMap(patchLinks: DataFrame, setMembers: DataFrame): DataFrame =
+    setMembers.join(patchLinks, Seq("avid"))
+      .filter(col("commit_hash").isNotNull || col("vcs_url").isNotNull)
+      .groupBy("set_id", "patch_kind")
+      .agg(array_sort(collect_set(struct(col("commit_hash"),
+        col("vcs_url")))).as("patches"))
+
   /** The v3 bulk-packages endpoint composed END-TO-END as one mart
     * (api_v3.py:253-339 create + :566-700 get_affected_advisories_bulk +
     * :891-959 get_fixing_advisories_bulk): filter_purls →

@@ -156,6 +156,40 @@ class CapturedApiSpec extends AnyFunSuite with SparkTestSession {
     assert(nextLatest(Set("2.14.0-rc1")) == (None, None))
   }
 
+  test("v3 set-member patches aggregation (test_api_v3.py:405-558)") {
+    val sp = spark
+    import sp.implicits._
+    // the reference's PackageCommitPatchComplexTest scenario: set with
+    // primary AVID-123 (introduced 0658…, fixed 98e5…) and member
+    // AVID-456 (introduced 98e5…, fixed 2fc5…) — per-kind union with
+    // the shared hash surfacing once per kind
+    val url = "https://github.com/aboutcode-org/sample"
+    val links = Seq(
+      ("importer_1/AVID-123", "introduced",
+        "06580c7f99c6fde7bcf18e30bdcc61f081430957", url),
+      ("importer_1/AVID-123", "fixed",
+        "98e516011d6e096e25247b82fc5f196bbeecff10", url),
+      ("importer_1/AVID-456", "introduced",
+        "98e516011d6e096e25247b82fc5f196bbeecff10", url),
+      ("importer_1/AVID-456", "fixed",
+        "2fc5f196bbeecff1098e516011d6e096e25247b8", url))
+      .toDF("avid", "patch_kind", "commit_hash", "vcs_url")
+    val members = Seq(
+      (1L, "importer_1/AVID-123"), (1L, "importer_1/AVID-456"))
+      .toDF("set_id", "avid")
+    val got = Serving.patchSetMap(links, members)
+      .collect().map { r =>
+        r.getAs[String]("patch_kind") ->
+          r.getSeq[Row](2).map(_.getString(0)).toSet
+      }.toMap
+    assert(got("introduced") == Set(
+      "06580c7f99c6fde7bcf18e30bdcc61f081430957",
+      "98e516011d6e096e25247b82fc5f196bbeecff10"))
+    assert(got("fixed") == Set(
+      "98e516011d6e096e25247b82fc5f196bbeecff10",
+      "2fc5f196bbeecff1098e516011d6e096e25247b8"))
+  }
+
   // ---------------------------------------------------------------
   // Part 2 — the api_fixtures Django dumps
   // ---------------------------------------------------------------
