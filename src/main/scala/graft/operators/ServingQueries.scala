@@ -481,6 +481,54 @@ object ServingQueries extends QueryModule {
           expr("transform(patches, p -> p.commit_hash || '|' || p.vcs_url)")))
         .orderBy("set_id", "patch_kind")
     },
+
+    // Per-set SSVC trees (api_v3.py:692-704): union members' SSVC rows,
+    // one per source_url (least (avid, vector) member wins), trees
+    // sorted by source_url.
+    q("s23_ssvc_set_trees",
+      """WITH ssvc AS (SELECT
+        |    'adv/' || CAST(l_orderkey % 50 AS VARCHAR) AS avid,
+        |    'E:' || CAST(l_linenumber AS VARCHAR) AS vector,
+        |    CASE WHEN l_quantity > 25 THEN 'Act' ELSE 'Track' END
+        |      AS decision,
+        |    'o' || CAST(l_suppkey % 3 AS VARCHAR) AS options,
+        |    'https://ssvc.example/s' || CAST(l_partkey % 9 AS VARCHAR)
+        |      AS source_url
+        |  FROM lineitem),
+        |members AS (SELECT DISTINCT
+        |    o_orderkey % 30 AS set_id,
+        |    'adv/' || CAST(o_custkey % 50 AS VARCHAR) AS avid
+        |  FROM orders),
+        |per_src AS (
+        |  SELECT m.set_id, s.source_url,
+        |         arg_min(s.vector || '|' || s.decision || '|' || s.options,
+        |                 s.avid || CHR(1) || s.vector || CHR(1) ||
+        |                 s.decision || CHR(1) || s.options) AS t
+        |  FROM members m JOIN ssvc s USING (avid)
+        |  GROUP BY m.set_id, s.source_url)
+        |SELECT set_id,
+        |       array_to_string(list_sort(list(source_url || '|' || t)), ',')
+        |         AS trees
+        |FROM per_src GROUP BY set_id ORDER BY set_id""") { (s, dir) =>
+      val ssvc = Tables(s, dir, "lineitem").select(
+        concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
+        concat(lit("E:"), col("l_linenumber")).as("vector"),
+        when(col("l_quantity") > 25, "Act").otherwise("Track")
+          .as("decision"),
+        concat(lit("o"), pmod(col("l_suppkey"), lit(3))).as("options"),
+        concat(lit("https://ssvc.example/s"), pmod(col("l_partkey"), lit(9)))
+          .as("source_url"))
+      val members = Tables(s, dir, "orders").select(
+        pmod(col("o_orderkey"), lit(30)).as("set_id"),
+        concat(lit("adv/"), pmod(col("o_custkey"), lit(50))).as("avid"))
+        .distinct()
+      Serving.ssvcSetTrees(ssvc, members)
+        .withColumn("trees", concat_ws(",", expr(
+          "transform(ssvc_trees, t -> t.source_url || '|' || t.vector" +
+            " || '|' || t.decision || '|' || t.options)")))
+        .select("set_id", "trees")
+        .orderBy("set_id")
+    },
   )
 
   /** Synthetic advisories with ids, two aliases, references, and a

@@ -339,6 +339,29 @@ object Serving {
         coalesce(col("source_ssvcs"), array()))
   }
 
+  /** Per-ADVISORY-SET SSVC trees (api_v3.py:692-704): union the
+    * members' SSVC rows, keep ONE row per source_url. The reference
+    * keeps first-seen iteration order over a defaultdict — no engine
+    * analog — so the deterministic contract here is: per (set,
+    * source_url) the lexicographically-least full row
+    * (avid, vector, decision, options) wins — the key must be TOTAL or
+    * the pick is engine-dependent — and the set's trees list sorts by
+    * source_url.
+    *
+    * @param ssvcRows (avid, vector, decision, options, source_url) —
+    *                 per-advisory SSVC rows (advisorySsvc's flat input)
+    * @param setMembers (set_id, avid)
+    */
+  def ssvcSetTrees(ssvcRows: DataFrame, setMembers: DataFrame): DataFrame =
+    setMembers.join(ssvcRows, Seq("avid"))
+      .groupBy("set_id", "source_url")
+      .agg(expr("min_by(struct(vector, decision, options)," +
+        " struct(avid, vector, decision, options))").as("t"))
+      .groupBy("set_id")
+      .agg(array_sort(collect_list(struct(col("source_url"),
+        col("t.vector").as("vector"), col("t.decision").as("decision"),
+        col("t.options").as("options")))).as("ssvc_trees"))
+
   /** Nested exploit list per advisory (the Exploit model's serving shape,
     * models.py:1720-1812 incl. the Known/Unknown rendering of
     * known_ransomware_campaign_use). `exploits` from
