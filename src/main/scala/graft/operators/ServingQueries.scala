@@ -529,6 +529,61 @@ object ServingQueries extends QueryModule {
         .select("set_id", "trees")
         .orderBy("set_id")
     },
+
+    // max_advisories response gate (api_v3.py:795-805): a purl whose
+    // advisory count exceeds the cap answers a NULL sentinel, not a
+    // truncated list. Cap 5 sits inside the fixture's count spread so
+    // both branches appear.
+    q("s24_capped_advisories",
+      s"""WITH u AS (
+         |  SELECT 'adv/' || CAST(l_orderkey % 50 AS VARCHAR) AS avid,
+         |         'pkg:npm/p' || CAST(l_partkey % 20 AS VARCHAR)
+         |           AS base_purl,
+         |         CAST(l_linenumber AS VARCHAR) AS version,
+         |         l_quantity > 25
+         |           AND l_orderkey % 50 < l_partkey % 20 + 3
+         |           AS is_affected
+         |  FROM lineitem),
+         |req AS (SELECT base_purl, version,
+         |               base_purl || '@' || version AS purl
+         |        FROM (VALUES ('pkg:npm/p1','1'),('pkg:npm/p2','3'),
+         |                     ('pkg:npm/p5','2'),('pkg:npm/p7','4'))
+         |          AS r(base_purl, version)),
+         |pairs AS (
+         |  SELECT DISTINCT r.purl, u.avid
+         |  FROM u JOIN req r ON u.base_purl = r.base_purl
+         |                   AND u.version = r.version
+         |  WHERE u.is_affected),
+         |g AS (SELECT purl, list_sort(list(avid)) AS avids,
+         |             count(*) AS n
+         |      FROM pairs GROUP BY purl)
+         |SELECT purl,
+         |       CASE WHEN n > 5 THEN NULL
+         |            ELSE array_to_string(avids, ',') END AS advisories,
+         |       n > 5 AS overflow
+         |FROM g ORDER BY purl""") { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      val req = Seq(("pkg:npm/p1", "1"), ("pkg:npm/p2", "3"),
+        ("pkg:npm/p5", "2"), ("pkg:npm/p7", "4"))
+        .toDF("base_purl", "version")
+      // structure-determined counts (purl p<k> is affected by ~k+3
+      // advisories regardless of SF) so BOTH gate branches appear
+      val u = Tables(s, dir, "lineitem").select(
+        concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
+        concat(lit("pkg:npm/p"), pmod(col("l_partkey"), lit(20)))
+          .as("base_purl"),
+        col("l_linenumber").cast("string").as("version"),
+        (col("l_quantity") > 25 &&
+          pmod(col("l_orderkey"), lit(50)) <
+            pmod(col("l_partkey"), lit(20)) + 3).as("is_affected"),
+        lit(false).as("is_fixed"))
+      Serving.cappedAdvisoriesPerPurl(u, req, 5)
+        .withColumn("advisories", concat_ws(",", col("advisories")))
+        .withColumn("advisories",
+          when(col("overflow"), lit(null)).otherwise(col("advisories")))
+        .orderBy("purl")
+    },
   )
 
   /** Synthetic advisories with ids, two aliases, references, and a

@@ -339,6 +339,22 @@ object Serving {
         coalesce(col("source_ssvcs"), array()))
   }
 
+  /** The max_advisories response gate (api_v3.py:795-805): per
+    * requested purl, the sorted advisory-id list — unless the count
+    * exceeds `maxAdvisories`, in which case the endpoint answers a
+    * NULL sentinel ("too many, fetch individually") instead of
+    * truncating. Request side broadcast as everywhere in the bulk
+    * family; the corpus streams. */
+  def cappedAdvisoriesPerPurl(unfurled: DataFrame, purls: DataFrame,
+      maxAdvisories: Int, mode: String = "affecting"): DataFrame =
+    advisoryPurlPairs(unfurled, purls, mode)
+      .groupBy("purl")
+      .agg(array_sort(collect_set(col("avid"))).as("_avids"))
+      .select(col("purl"),
+        when(size(col("_avids")) > maxAdvisories, lit(null))
+          .otherwise(col("_avids")).as("advisories"),
+        (size(col("_avids")) > maxAdvisories).as("overflow"))
+
   /** Per-ADVISORY-SET SSVC trees (api_v3.py:692-704): union the
     * members' SSVC rows, keep ONE row per source_url. The reference
     * keeps first-seen iteration order over a defaultdict — no engine
