@@ -26,7 +26,11 @@ object ExplainAudit {
         "x_cardinality_profile", "t8_sessionize", "j15_interval_count",
         "x_bm25_search", "x_ann_recall_planted", "w6b_keyset_page",
         "f24_cwe_lookup", "x_multimodal_decode_real", "i5_oval",
-        "x_contamination", "x_semantic_dedup_capped", "x_bpe_train2")
+        "x_contamination", "x_semantic_dedup_capped", "x_bpe_train2",
+        "d16_default_inferences", "d17_valid_version_inferences",
+        "d18_vuln_status", "d19_nginx_inferences", "s21_v3_bulk",
+        "s22_patch_set_map", "s23_ssvc_set_trees", "s24_capped_advisories",
+        "x_embed_lsh_wide")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)
