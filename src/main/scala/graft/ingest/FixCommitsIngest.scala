@@ -72,6 +72,24 @@ object FixCommitsIngest {
     }
   }
 
+  /** Commit reference url, purl2url-style: the reference renders the
+    * reference URL via `purl2url(PackageURL(type, ns, name,
+    * version=commit_hash))` (vcs_collector_utils.py:129-141), which for
+    * github yields `https://github.com/{ns}/{name}/tree/{hash}` and for
+    * gitlab `https://gitlab.com/{ns}/{name}/-/tree/{hash}` — proven by
+    * the captured golden (test_data/fix_commits/
+    * expected_linux_advisory_output.json: ".../tree/41b43c…"). purl
+    * types purl2url can't render get NO reference (`if not ref_url:
+    * continue`, :136-137) — None here mirrors that. */
+  def commitRefUrl(repoUrl: String): Option[String] =
+    "https://(github\\.com|gitlab\\.com)/([^/]+)/([^/]+)/?$".r
+      .findFirstMatchIn(repoUrl).map { g =>
+        val path = s"${g.group(2).toLowerCase}/${g.group(3).toLowerCase}"
+        if (g.group(1) == "github.com")
+          s"https://github.com/$path/tree/"
+        else s"https://gitlab.com/$path/-/tree/"
+      }
+
   /** One advisory per vulnerability id found in commit messages.
     *
     * `commits`: (commit_hash, message) — the repo's log dump. The grouping
@@ -80,26 +98,41 @@ object FixCommitsIngest {
     * inherits git iteration order — summary line order is the one
     * deliberate difference).
     */
+  /** (commit_hash, message) → one (vuln_id, commit_hash, message) row
+    * per vulnerability id mentioned in the message (the
+    * extract_vulnerability_id + grouping scan,
+    * vcs_collector_utils.py:66-98). */
+  def extractVulnIds(commits: DataFrame): DataFrame = commits
+    .select(col("commit_hash"), col("message"),
+      array_distinct(concat(
+        transform(regexp_extract_all(col("message"),
+          lit(Patterns.head), lit(0)), upper _),
+        // GHSA ids are canonically "GHSA-" + lowercase groups —
+        // uppercasing them (as CVEs are) produced ids that never
+        // matched the GithubIngest ghsaId for the same advisory
+        transform(regexp_extract_all(col("message"),
+          lit(Patterns(1)), lit(0)),
+          m => concat(lit("GHSA-"),
+            lower(substring(m, 6, 1000)))))).as("vuln_ids"))
+    .filter(size(col("vuln_ids")) > 0)
+    .select(explode(col("vuln_ids")).as("vuln_id"),
+      col("commit_hash"), col("message"))
+
   def fromCommits(spark: SparkSession, commits: DataFrame, repoUrl: String,
+      datasourceId: String, precedence: Int = 5): Dataset[AdvisoryRow] =
+    fromGrouped(spark, extractVulnIds(commits), repoUrl, datasourceId,
+      precedence)
+
+  /** The grouped→advisory tail of the pipeline, from pre-extracted
+    * (vuln_id, commit_hash, message) rows — the stage the reference's
+    * captured golden exercises (collect_advisories over a mocked
+    * collect_fix_commits, test_collect_fix_commit.py:76-88). */
+  def fromGrouped(spark: SparkSession, matched: DataFrame, repoUrl: String,
       datasourceId: String, precedence: Int = 5): Dataset[AdvisoryRow] = {
     import spark.implicits._
     val purl = purlForRepo(repoUrl)
       .getOrElse(s"pkg:generic/${repoUrl.replaceAll("^https?://", "")}")
-    val matched = commits
-      .select(col("commit_hash"), col("message"),
-        array_distinct(concat(
-          transform(regexp_extract_all(col("message"),
-            lit(Patterns.head), lit(0)), upper _),
-          // GHSA ids are canonically "GHSA-" + lowercase groups —
-          // uppercasing them (as CVEs are) produced ids that never
-          // matched the GithubIngest ghsaId for the same advisory
-          transform(regexp_extract_all(col("message"),
-            lit(Patterns(1)), lit(0)),
-            m => concat(lit("GHSA-"),
-              lower(substring(m, 6, 1000)))))).as("vuln_ids"))
-      .filter(size(col("vuln_ids")) > 0)
-      .select(explode(col("vuln_ids")).as("vuln_id"),
-        col("commit_hash"), col("message"))
+    val refBase = commitRefUrl(repoUrl)
     matched
       .groupBy("vuln_id")
       .agg(array_sort(collect_set(struct(col("commit_hash"),
@@ -111,11 +144,13 @@ object FixCommitsIngest {
           concat(c.getField("commit_hash"), lit(":"),
             c.getField("message"))), "\n").as("summary"),
         array().cast("array<string>").as("aliases"),
-        transform(col("commits"), c => struct(
-          concat(lit(repoUrl), lit("/commit/"), c.getField("commit_hash"))
-            .as("url"),
+        refBase.map(base => transform(col("commits"), c => struct(
+          concat(lit(base), c.getField("commit_hash")).as("url"),
           lit("commit").as("reference_type"),
-          c.getField("commit_hash").as("reference_id"))).as("references"),
+          c.getField("commit_hash").as("reference_id"))))
+          .getOrElse(array().cast("array<struct<url:string," +
+            "reference_type:string,reference_id:string>>"))
+          .as("references"),
         array().cast(
           "array<struct<scoring_system:string,value:string," +
             "scoring_elements:string,url:string>>").as("severities"),
@@ -139,10 +174,12 @@ object FixCommitsIngest {
     * (vcs_collector_utils.py:120-127). */
   def commitLinks(spark: SparkSession, commits: DataFrame, repoUrl: String,
       datasourceId: String): DataFrame =
-    fromCommits(spark, commits, repoUrl, datasourceId).toDF()
-      .select(concat(col("datasource_id"), lit("/"), col("advisory_id"))
-        .as("avid"), explode(col("references")).as("r"))
-      .select(col("avid"), lit(repoUrl).as("vcs_url"),
-        col("r.reference_id").as("commit_hash"))
+    // from the extraction directly, not the references —
+    // PackageCommitPatchData rows exist even for repos whose purl
+    // purl2url can't render (vcs_collector_utils.py:120-127 attaches
+    // the patch before the `if not ref_url: continue` reference guard)
+    extractVulnIds(commits)
+      .select(concat(lit(datasourceId), lit("/"), col("vuln_id"))
+        .as("avid"), lit(repoUrl).as("vcs_url"), col("commit_hash"))
       .distinct()
 }

@@ -645,4 +645,47 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
         rows.map(RefCapture.canonRow), want)
     }
   }
+
+  // --------------------------------------------------- vcs fix commits
+  withRef("fix commits: captured grouped input matches advisory golden") {
+    // test_collect_fix_commit.py:76-88 — collect_advisories over the
+    // pre-grouped capture (repo_url="https://github.com/test/repo"),
+    // compared to expected_linux_advisory_output.json. The grouped keys
+    // are the vulnerability ids (the messages mention OTHER CVE ids
+    // that must NOT be re-extracted at this stage).
+    val sp = spark
+    import sp.implicits._
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val grouped = mapper.readTree(
+      RefCapture.text("fix_commits/grouped_commits_input.json"))
+    val rowsIn = grouped.properties().asScala.toSeq.flatMap { e =>
+      e.getValue.elements().asScala.toSeq.map(pair =>
+        (e.getKey, pair.get(0).asText, pair.get(1).asText))
+    }.toDF("vuln_id", "commit_hash", "message")
+    val repo = "https://github.com/test/repo"
+    val rows = FixCommitsIngest.fromGrouped(sp, rowsIn, repo,
+      "repo_fix_commits").collect().toSeq
+    val want = RefCapture.loadExpected(
+      "fix_commits/expected_linux_advisory_output.json")
+    // the golden's fixed_by_commit_patches travel as commitLinks rows in
+    // the engine (AdvisoryRow has no patch field) — compared below;
+    // skip that facet on the advisory compare
+    RefCapture.assertMatch("fix_commits", rows.map(RefCapture.canonRow),
+      want, skip = Set("commits"))
+    assert(rows.forall(r => r.references.forall(ref =>
+      ref.url == s"$repo/tree/${ref.reference_id}" &&
+        ref.reference_type == "commit")))
+    val links = FixCommitsIngest.commitLinks(sp,
+      rowsIn.select("commit_hash", "message"), repo, "repo_fix_commits")
+      .collect().map(r => (r.getAs[String]("vcs_url"),
+        r.getAs[String]("commit_hash"))).toSet
+    val wantPatches = want.flatMap(c =>
+      c.commits.collect { case ("fixed", h) => (repo, h) }).toSet
+    // commitLinks re-extracts ids from messages; the golden rows whose
+    // message names a DIFFERENT id than the grouping key still carry the
+    // same (vcs_url, hash) patch pair, which is what the links table is
+    assert(links == wantPatches,
+      s"commit links differ: ours=$links ref=$wantPatches")
+  }
 }

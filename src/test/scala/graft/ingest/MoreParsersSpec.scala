@@ -421,7 +421,7 @@ class FixCommitsIngestSpec extends AnyFunSuite with SparkTestSession {
     val a = rows("CVE-2030-1111")
     assert(a.references.map(_.reference_id).sorted == Seq("aaa111", "bbb222"))
     assert(a.references.head.url.startsWith(
-      "https://github.com/torvalds/linux/commit/"))
+      "https://github.com/torvalds/linux/tree/"))
     assert(a.affected.map(_.purl).distinct == Seq("pkg:github/torvalds/linux"))
     assert(a.summary.contains("aaa111:fix heap overflow"))
 
