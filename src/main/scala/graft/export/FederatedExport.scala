@@ -111,8 +111,11 @@ object FederatedExport {
       lit("  - url: "), yamlQuote(r.getField("url")),
       lit("\n    reference_type: "), yamlQuote(r.getField("reference_type")),
       lit("\n    reference_id: "), yamlQuote(r.getField("reference_id"))))
+    // the reference serializes Weakness.cwe, the "CWE-<id>" rendering
+    // (export.py:141 via models.py:560-561) — pinned by the captured
+    // federate_vulnerabilities golden ("CWE-707", "CWE-20")
     val weakItems = transform(col("weaknesses"),
-      w => concat(lit("  - "), w.cast("string")))
+      w => concat(lit("  - CWE-"), w.cast("string")))
     val aliasItems = transform(array_sort(col("aliases")),
       a => concat(lit("  - "), yamlQuote(a)))
     latest.join(imp, latest("avid") === imp("_avid"), "left")

@@ -20,17 +20,27 @@ object PurlCodec {
       qualifiers: Map[String, String],
       subpath: String) {     // "" when absent
 
-    /** Canonical string form. */
+    /** Canonical string form, percent-encoded like packageurl-python's
+      * `str(purl)` — the spelling the reference persists as
+      * `package_url` and serves in responses. The captured sort golden
+      * (test_data/package_sort/sorted_purls.txt) pins the observable
+      * rules: `@` in a namespace renders `%40` (npm scoped packages),
+      * `+` in a version renders `%2B` (debian revisions), while `:`
+      * (alpm epochs), `~` (debian pre-releases), `.`/`-`/`_` and the
+      * multi-segment namespace `/` stay raw. Encoding is minimal (the
+      * structural characters plus `%` itself) rather than a full RFC
+      * 3986 quote — every non-structural byte in the captured corpora
+      * is passed through raw by the reference too. */
     def format: String = {
       val sb = new StringBuilder("pkg:")
       sb.append(ptype)
-      if (namespace.nonEmpty) sb.append('/').append(namespace)
-      sb.append('/').append(name)
-      if (version.nonEmpty) sb.append('@').append(version)
+      if (namespace.nonEmpty) sb.append('/').append(enc(namespace))
+      sb.append('/').append(enc(name))
+      if (version.nonEmpty) sb.append('@').append(enc(version))
       if (qualifiers.nonEmpty)
         sb.append('?').append(qualifiers.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"$k=$v" }.mkString("&"))
-      if (subpath.nonEmpty) sb.append('#').append(subpath)
+          .map { case (k, v) => s"$k=${enc(v)}" }.mkString("&"))
+      if (subpath.nonEmpty) sb.append('#').append(enc(subpath))
       sb.toString
     }
 
@@ -95,15 +105,38 @@ object PurlCodec {
       subpath)
   }
 
+  /** Minimal percent-encoding for one purl field (see [[Purl.format]]):
+    * structural separators (`@ ? # &`), `+`, `%`, and whitespace encode;
+    * `/` stays raw (multi-segment namespaces and subpaths keep it, and
+    * it never reaches version/name fields from [[parse]]). */
+  private def enc(s: String): String =
+    if (s.forall(c => c != '@' && c != '?' && c != '#' && c != '&' &&
+        c != '+' && c != '%' && !c.isWhitespace)) s
+    else {
+      val sb = new StringBuilder(s.length + 8)
+      s.foreach {
+        case c @ ('@' | '?' | '#' | '&' | '+' | '%') =>
+          sb.append(f"%%${c.toInt}%02X")
+        case c if c.isWhitespace =>
+          c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+
   /** Round-trip normalization (models.py:927-950 save()-time normalize). */
   def normalize(purl: String): String = parse(purl).format
 
   private def normalizeName(ptype: String, name: String): String =
     ptype match {
-      // per purl spec these types have case-insensitive names
-      case "pypi"                  => name.toLowerCase.replace('_', '-')
-      case "deb" | "npm" | "golang" => name.toLowerCase
-      case _                        => name
+      // per purl spec these types have case-insensitive names. golang
+      // is case-insensitive ON PAPER but packageurl-python (what the
+      // reference runs) preserves its case — the captured sort golden
+      // keeps "1Panel-dev/1Panel" — so the engine preserves it too
+      case "pypi"         => name.toLowerCase.replace('_', '-')
+      case "deb" | "npm" => name.toLowerCase
+      case _              => name
     }
 
   private def decode(s: String): String = {

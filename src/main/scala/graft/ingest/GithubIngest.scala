@@ -119,8 +119,12 @@ object GithubIngest {
       when(t === "maven",
         when(pn.contains(":"),
           concat(lit("pkg:maven/"), regexp_replace(pn, ":", "/"))))
+        // a scoped vendor prefix ("@xmldom/xmldom") renders with the
+        // canonical %40 — str(PackageURL) percent-encodes the namespace
+        // (github_api/npm-expected.json pins "%40"-free decoded FIELDS
+        // but the purl string itself encodes)
         .when(t.isin("composer", "npm"),
-          concat(lit("pkg:"), t, lit("/"), pn))
+          concat(lit("pkg:"), t, lit("/"), regexp_replace(pn, "^@", "%40")))
         .when(t === "pypi", concat(lit("pkg:pypi/"),
           lower(regexp_replace(pn, "_", "-"))))
         .when(t.isin("nuget", "gem", "golang", "cargo"),

@@ -62,7 +62,7 @@ object ImporterRegistry {
     "apache_httpd_importer_v2" -> ("apache_httpd", Dedicated("ApacheHttpdIngest.parse")),
     "epss_importer_v2" -> ("epss", Dedicated("EpssIngest.fromCsv + donors")),
     // enrichment catalogs (improver-side in the reference)
-    "enhance_with_kev_v2" -> ("kev", Dedicated("TabularIngest.kevFromCsv")),
+    "enhance_with_kev_v2" -> ("kev", Dedicated("TabularIngest.kevFromJson")),
     "enhance_with_exploitdb_v2" -> ("exploitdb", Dedicated("TabularIngest.exploitDbFromCsv")),
     "enhance_with_metasploit_v2" -> ("metasploit", Dedicated("TabularIngest.metasploitFromJson")),
     "enhance_with_github_poc" -> ("github_poc", Dedicated("TabularIngest.githubPocFromTree")),

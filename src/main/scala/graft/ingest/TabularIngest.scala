@@ -31,6 +31,40 @@ object TabularIngest {
         to_date(col("dateAdded")).as("date_added"),
         lit("kev").as("data_source"))
 
+  /** KEV v2 catalog: one JSON document with a `vulnerabilities` array
+    * (v2_improvers/enhance_with_kev.py:57-95). Each record becomes one
+    * exploit-catalog row keyed by its CVE (`record_id=cveID`,
+    * `data_source="KEV"`), carrying the v2 fields the CSV form lacks
+    * (required_action, due_date, notes);
+    * `known_ransomware_campaign_use` is the ternary string compared to
+    * the literal "Known". */
+  def kevFromJson(spark: SparkSession, path: String): DataFrame = {
+    val record = StructType(Seq(
+      StructField("cveID", StringType),
+      StructField("shortDescription", StringType),
+      StructField("dateAdded", StringType),
+      StructField("requiredAction", StringType),
+      StructField("dueDate", StringType),
+      StructField("notes", StringType),
+      StructField("knownRansomwareCampaignUse", StringType)))
+    val catalog = StructType(Seq(
+      StructField("vulnerabilities", ArrayType(record))))
+    spark.read.option("multiLine", "true").schema(catalog).json(path)
+      .select(explode(col("vulnerabilities")).as("v"))
+      .filter(col("v.cveID").isNotNull && length(col("v.cveID")) > 0)
+      .select(
+        col("v.cveID").as("alias"),
+        col("v.cveID").as("record_id"),
+        lit("KEV").as("data_source"),
+        col("v.shortDescription").as("description"),
+        to_date(col("v.dateAdded")).as("date_added"),
+        col("v.requiredAction").as("required_action"),
+        to_date(col("v.dueDate")).as("due_date"),
+        col("v.notes").as("notes"),
+        (col("v.knownRansomwareCampaignUse") === "Known")
+          .as("known_ransomware_campaign_use"))
+  }
+
   /** Parse an NDJSON advisory feed with an explicit schema. */
   def ndjson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

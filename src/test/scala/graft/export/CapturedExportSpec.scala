@@ -1,0 +1,110 @@
+package graft.export
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.derive.AdvisoryDerive
+import graft.ingest.RefCapture
+import graft.model.{AdvisoryRow, AffectedRow, ReferenceRow, SeverityRow}
+import graft.operators.SparkTestSession
+
+/** Golden-compare of the FederatedCode export sink against the
+  * reference's CAPTURED exporter fixtures
+  * (test_data/exporters/federate_vulnerabilities, asserted by
+  * test_federate_vulnerabilities.py:57-162): the two test advisories
+  * ADV-001/ADV-002 serialize through [[FederatedExport.serialize]] and
+  * the package index through [[FederatedExport.packageIndex]], then
+  * compare SEMANTICALLY (snakeyaml-parsed structures) to the
+  * `*-expected.yml` files — the reference writes saneyaml plain
+  * scalars while the engine writes quoted flow scalars, so the byte
+  * form differs by design; the parsed documents must not.
+  *
+  * Canonicalization: empty strings and nulls unify (saneyaml renders
+  * None as the empty scalar; the engine renders absent fields as "");
+  * `published_at` is null on both sides here (no publication time on
+  * the captured severities).
+  */
+class CapturedExportSpec extends AnyFunSuite with SparkTestSession {
+
+  private val yaml = new org.yaml.snakeyaml.Yaml()
+
+  /** Parse + canonicalize: ""→null recursively, so quoting/None
+    * conventions drop out of the compare. */
+  private def canon(doc: String): Object = {
+    def walk(v: Object): Object = v match {
+      case s: String if s.isEmpty => null
+      case m: java.util.Map[_, _] =>
+        val out = new java.util.LinkedHashMap[Object, Object]()
+        m.asInstanceOf[java.util.Map[Object, Object]].asScala.foreach {
+          case (k, x) => out.put(k, walk(x))
+        }
+        out
+      case l: java.util.List[_] =>
+        l.asInstanceOf[java.util.List[Object]].asScala.map(walk).asJava
+      case other => other
+    }
+    walk(yaml.load[Object](doc))
+  }
+
+  private def expectedYml(rel: String): Object =
+    canon(RefCapture.text("exporters/federate_vulnerabilities/" + rel))
+
+  // the reference test's two fixtures (test_federate_vulnerabilities.py
+  // setUp, lines 57-107), re-expressed as engine rows
+  private def fixtureAdvisories = {
+    val sp = spark
+    import sp.implicits._
+    AdvisoryDerive.withContentIdAndLatest(Seq(
+      AdvisoryRow("test", "ADV-001", "Test advisory",
+        Seq("CVE-2025-0001"),
+        Seq.empty[ReferenceRow], Seq.empty[SeverityRow], Seq.empty[Int],
+        Seq(AffectedRow("pkg:npm/foobar", "vers:npm/<=1.2.3",
+          "vers:npm/1.2.4")),
+        java.sql.Timestamp.valueOf("2025-06-01 00:00:00"), None,
+        "https://example.com/advisory/1", 10),
+      AdvisoryRow("test", "ADV-002", "Test advisory2",
+        Seq("CVE-2025-0002"),
+        Seq(ReferenceRow("https://example.com/vuln1", null, null)),
+        Seq(SeverityRow("cvssv3", "8.8",
+          "CVSS:3.0/AV:N/AC:L/PR:N/UI:R/S:U/C:H/I:H/A:H", null)),
+        Seq(707, 20),
+        Seq(AffectedRow("pkg:npm/foobar", "vers:npm/>=1.2.4",
+          "vers:npm/2.0.0")),
+        java.sql.Timestamp.valueOf("2025-06-01 00:00:00"), None,
+        "https://example.com/advisory/2", 10)).toDF())
+  }
+
+  test("captured federate_vulnerabilities goldens: advisory documents") {
+    assume(RefCapture.available, "reference test_data checkout not present")
+    val sp = spark
+    import sp.implicits._
+    val patches = Seq(
+      ("test/ADV-002", "pkg:npm/foobar", "https://foobar.vcs/", "982f801f",
+        "fixed"))
+      .toDF("avid", "purl", "vcs_url", "commit_hash", "kind")
+    val serialized =
+      FederatedExport.serialize(fixtureAdvisories, Some(patches))
+        .select("advisory_id", "yaml").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(serialized.keySet == Set("ADV-001", "ADV-002"))
+    assert(canon(serialized("ADV-001")) == expectedYml("ADV-001-expected.yml"))
+    assert(canon(serialized("ADV-002")) == expectedYml("ADV-002-expected.yml"))
+  }
+
+  test("captured federate_vulnerabilities golden: package index") {
+    assume(RefCapture.available, "reference test_data checkout not present")
+    val sp = spark
+    import sp.implicits._
+    // the unfurled state of the two fixtures at the one concrete
+    // version the golden lists: 1.2.4 is affected by ADV-002
+    // (vers:npm/>=1.2.4) and fixed by ADV-001 (vers:npm/1.2.4)
+    val unfurled = Seq(
+      ("test/ADV-002", "pkg:npm/foobar", "1.2.4", true, false),
+      ("test/ADV-001", "pkg:npm/foobar", "1.2.4", false, true))
+      .toDF("avid", "base_purl", "version", "is_affected", "is_fixed")
+    val doc = FederatedExport.packageIndex(unfurled)
+      .select("yaml").collect().head.getString(0)
+    assert(canon(doc) == expectedYml("1.2.4/advisories-expected.yml"))
+  }
+}

@@ -15,8 +15,14 @@ class PurlCodecSpec extends AnyFunSuite {
 
   test("format round-trip is canonical") {
     assert(PurlCodec.normalize("pkg:PyPI/Django_Rest@3.1") == "pkg:pypi/django-rest@3.1")
+    // namespace "@" re-encodes: str(PackageURL) percent-encodes, pinned
+    // by the captured sort golden (package_sort/sorted_purls.txt
+    // "pkg:npm/%40budibase/bbui@…")
     assert(PurlCodec.normalize("pkg:npm/%40angular/core@12.0.0")
-      == "pkg:npm/@angular/core@12.0.0")
+      == "pkg:npm/%40angular/core@12.0.0")
+    assert(PurlCodec.normalize(
+      "pkg:deb/debian/jackson-databind@2.12.1-1%2Bdeb11u1?distro=sid")
+      == "pkg:deb/debian/jackson-databind@2.12.1-1%2Bdeb11u1?distro=sid")
     assert(PurlCodec.normalize("pkg:deb/debian/curl@7.50.3-1") == "pkg:deb/debian/curl@7.50.3-1")
   }
 

@@ -172,8 +172,8 @@ class FederatedExportSpec extends AnyFunSuite with SparkTestSession {
         |    published_at: null
         |    url: "https://nvd.example/1"
         |weaknesses:
-        |  - 89
-        |  - 79
+        |  - CWE-89
+        |  - CWE-79
         |references:
         |  - url: "https://x/poc"
         |    reference_type: "exploit"

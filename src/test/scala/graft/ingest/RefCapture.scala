@@ -81,16 +81,22 @@ object RefCapture {
   /** Reassemble a purl string from the expected file's exploded
     * PackageURL dict (same shape to_string produces). */
   private def purlOf(p: JsonNode): String = {
-    val ns = optText(p, "namespace").filter(_.nonEmpty)
-    val version = optText(p, "version").filter(_.nonEmpty)
-    val qualifiers = optText(p, "qualifiers").filter(_.nonEmpty)
-    val subpath = optText(p, "subpath").filter(_.nonEmpty)
-    "pkg:" + p.get("type").asText +
-      ns.map("/" + _).getOrElse("") +
-      "/" + p.get("name").asText +
-      version.map("@" + _).getOrElse("") +
-      qualifiers.map("?" + _).getOrElse("") +
-      subpath.map("#" + _).getOrElse("")
+    // expected JSONs carry DECODED fields; render through the codec so
+    // both sides of every compare use the same canonical encoding
+    val quals = optText(p, "qualifiers").filter(_.nonEmpty)
+      .map(_.split('&').toSeq.filter(_.contains("="))
+        .map { kv =>
+          val i = kv.indexOf('=')
+          kv.substring(0, i).toLowerCase -> kv.substring(i + 1)
+        }.filter(_._2.nonEmpty).toMap)
+      .getOrElse(Map.empty[String, String])
+    graft.functions.PurlCodec.Purl(
+      p.get("type").asText,
+      optText(p, "namespace").getOrElse(""),
+      p.get("name").asText,
+      optText(p, "version").getOrElse(""),
+      quals,
+      optText(p, "subpath").getOrElse("")).format
   }
 
   private def canonInstant(s: String): String =
