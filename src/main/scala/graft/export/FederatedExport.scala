@@ -34,7 +34,7 @@ object FederatedExport {
     * \r matters in practice: CRLF-sourced advisory text would otherwise
     * emit a literal carriage return inside the scalar and break the
     * one-scalar-per-line document layout the serializer assumes. */
-  private def yamlQuote(c: Column): Column =
+  private[export] def yamlQuote(c: Column): Column =
     concat(lit("\""),
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         regexp_replace(
@@ -45,7 +45,7 @@ object FederatedExport {
 
   /** List body: inline ` []` when empty, else newline + joined items.
     * Items must not carry a trailing newline. */
-  private def listBody(items: Column): Column =
+  private[export] def listBody(items: Column): Column =
     when(items.isNull || size(items) === 0, lit(" []"))
       .otherwise(concat(lit("\n"), array_join(items, "\n")))
 

@@ -1,0 +1,150 @@
+package graft.export
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import FederatedExport.{listBody, yamlQuote}
+
+/** V1 FederatedCode export layout (management/commands/export.py +
+  * aboutcode/hashid): one YAML document per vulnerability VCID sharded
+  * on the VCID's first two uid characters, plus per-package `purls.yml`
+  * (known versions) and `vulnerabilities.yml` (affected-by / fixing
+  * VCIDs per version) sharded by the tiered purl hash.
+  *
+  * Spark-first shape: every path and document is one projection over
+  * the v1 marts — the purl hash (sha256 low bits, hex) runs as codegen
+  * column arithmetic, the per-package documents are one groupBy over
+  * the version-grain mart, and the write is a partitioned text sink.
+  * The reference's per-package Python loop (export.py:94-160) becomes
+  * a distributed scan: at 100 TB the export is shuffle-once on the
+  * core-purl key, no driver iteration.
+  */
+object V1Export {
+
+  /** Repos-per-ecosystem tier table (hashid BIT_COUNT_BY_ECOSYSTEM) —
+    * bit width of the purl-hash space. Unlisted types use 0 (a single
+    * repository, empty hash). */
+  val bitCountByType: Map[String, Int] = Map(
+    "github" -> 10, "npm" -> 10,
+    "golang" -> 7, "maven" -> 7, "nuget" -> 7, "perl" -> 7, "php" -> 7,
+    "pypi" -> 7, "ruby" -> 7,
+    "alpm" -> 5, "bitbucket" -> 5, "cocoapods" -> 5, "composer" -> 5,
+    "deb" -> 5, "docker" -> 5, "gem" -> 5, "generic" -> 5,
+    "huggingface" -> 5, "mlflow" -> 5, "pub" -> 5, "rpm" -> 5)
+
+  private val bitsExpr: Column => Column = ptype =>
+    bitCountByType.foldLeft(lit(0)) { case (acc, (t, b)) =>
+      when(ptype === t, lit(b)).otherwise(acc)
+    }
+
+  /** Tiered purl hash (hashid get_purl_hash:342-410): sha256 of the
+    * CORE purl (version/qualifiers/subpath dropped) as big-endian int,
+    * modulo 2^bits, lowercase hex zero-padded to ceil(bits/4) chars.
+    * Only the digest's low 32 bits participate once the modulus is
+    * ≤2^10, so the arithmetic stays in one long. */
+  def purlHash(corePurl: Column, ptype: Column): Column = {
+    val bits = bitsExpr(ptype)
+    val low32 = conv(substring(sha2(corePurl, 256), 57, 8), 16, 10)
+      .cast("long")
+    // 2^bits as a long (bits ≤ 10, exact in double); shiftleft's Scala
+    // signature only takes a literal Int shift
+    val value = pmod(low32, pow(lit(2.0), bits).cast("long"))
+    val width = ceil(bits.cast("double") / 4.0).cast("int")
+    when(bits === 0, lit(""))
+      .otherwise(lpad(lower(hex(value)), width, lit("0")))
+  }
+
+  /** `aboutcode-packages-<type>-<hash>/<type>[/<ns>]/<name>` — the
+    * package base directory (hashid get_package_base_dir). */
+  def packageBaseDir(corePurl: Column, ptype: Column, namespace: Column,
+      name: Column): Column =
+    concat(lit("aboutcode-packages-"), ptype, lit("-"),
+      purlHash(corePurl, ptype), lit("/"), ptype, lit("/"),
+      when(namespace.isNull || namespace === "", name)
+        .otherwise(concat(namespace, lit("/"), name)))
+
+  /** `aboutcode-vulnerabilities/<uid[0:2]>/<VCID>.yml`
+    * (hashid vulnerability_yml_path: shard on the first two characters
+    * after the "VCID-" prefix). */
+  def vcidPath(vcid: Column): Column =
+    concat(lit("aboutcode-vulnerabilities/"), substring(vcid, 6, 2),
+      lit("/"), vcid, lit(".yml"))
+
+  /** Per-VCID vulnerability documents (export.py:38-62
+    * serialize_vulnerability): (path, yaml, vulnerability_id).
+    *
+    * Input mart columns: vulnerability_id, aliases array<string>,
+    * summary, severities array<struct{scoring_system,value,
+    * scoring_elements,url}>, weaknesses array<int>, references
+    * array<struct{url,reference_type,reference_id}>.
+    *
+    * The v1 serializer stringifies the (always-absent here)
+    * severity publication time as Python `str(None)` — the literal
+    * scalar `None`, pinned by the export_command golden. */
+  def vulnerabilityDocs(vulns: DataFrame): DataFrame = {
+    val sevItems = transform(col("severities"), s => concat(
+      lit("  - score: "), yamlQuote(s.getField("value")),
+      lit("\n    scoring_system: "), yamlQuote(s.getField("scoring_system")),
+      lit("\n    scoring_elements: "),
+      yamlQuote(s.getField("scoring_elements")),
+      lit("\n    published_at: \"None\""),
+      lit("\n    url: "), yamlQuote(s.getField("url"))))
+    val refItems = transform(col("references"), r => concat(
+      lit("  - url: "), yamlQuote(r.getField("url")),
+      lit("\n    reference_type: "), yamlQuote(r.getField("reference_type")),
+      lit("\n    reference_id: "), yamlQuote(r.getField("reference_id"))))
+    val weakItems = transform(col("weaknesses"),
+      w => concat(lit("  - CWE-"), w.cast("string")))
+    val aliasItems = transform(col("aliases"),
+      a => concat(lit("  - "), yamlQuote(a)))
+    vulns.select(
+      col("vulnerability_id"),
+      vcidPath(col("vulnerability_id")).as("path"),
+      concat(
+        lit("vulnerability_id: "), yamlQuote(col("vulnerability_id")),
+        lit("\naliases:"), listBody(aliasItems),
+        lit("\nsummary: "), yamlQuote(col("summary")),
+        lit("\nseverities:"), listBody(sevItems),
+        lit("\nweaknesses:"), listBody(weakItems),
+        lit("\nreferences:"), listBody(refItems),
+        lit("\n")).as("yaml"))
+  }
+
+  /** Per-package documents (export.py:110-155): one `purls.yml` (the
+    * known version purls, oldest first) and one `vulnerabilities.yml`
+    * (per-version affected-by / fixing VCID lists) per core package.
+    *
+    * Input: version grain — ptype, namespace (nullable), name,
+    * purl (versioned), version_rank (ecosystem order), affected_by
+    * array<string>, fixing array<string>. One shuffle on the core key.
+    */
+  def packageDocs(pkgVulns: DataFrame): DataFrame = {
+    val perVersion = struct(col("version_rank"), col("purl"),
+      concat(
+        lit("- purl: "), yamlQuote(col("purl")),
+        lit("\n  affected_by_vulnerabilities:"),
+        listBody(transform(col("affected_by"),
+          v => concat(lit("    - "), yamlQuote(v)))),
+        lit("\n  fixing_vulnerabilities:"),
+        listBody(transform(col("fixing"),
+          v => concat(lit("    - "), yamlQuote(v))))).as("item"))
+    pkgVulns
+      .groupBy("ptype", "namespace", "name")
+      .agg(sort_array(collect_list(perVersion)).as("vs"))
+      .withColumn("base_dir", packageBaseDir(
+        concat(lit("pkg:"), col("ptype"), lit("/"),
+          when(col("namespace").isNull || col("namespace") === "", col("name"))
+            .otherwise(concat(col("namespace"), lit("/"), col("name")))),
+        col("ptype"), col("namespace"), col("name")))
+      .select(
+        col("base_dir"),
+        concat(col("base_dir"), lit("/purls.yml")).as("purls_path"),
+        concat(array_join(transform(col("vs"),
+          v => concat(lit("- "), yamlQuote(v.getField("purl")))), "\n"),
+          lit("\n")).as("purls_yaml"),
+        concat(col("base_dir"), lit("/vulnerabilities.yml"))
+          .as("vulnerabilities_path"),
+        concat(array_join(transform(col("vs"), v => v.getField("item")),
+          "\n"), lit("\n")).as("vulnerabilities_yaml"))
+  }
+}

@@ -65,6 +65,32 @@ object TabularIngest {
           .as("known_ransomware_campaign_use"))
   }
 
+  /** PyPI releases payloads → version-universe rows for the
+    * valid-version improver (the reference fetches the same payload
+    * per-package through fetchcode's PYPI path and keeps EVERY
+    * `releases` key verbatim — prereleases and junk entries included,
+    * pinned by package_manager_data/pypi.json's "vulnerabilities" key
+    * in test_github_importer_pipeline.py:300-333).
+    *
+    * Input: (name, json) rows — one raw API payload per package (the
+    * fetch is a driver-side boundary in both systems; at scale this is
+    * an NDJSON feed of payloads and the parse distributes per-row).
+    * Output: (ptype, namespace, name, version) as
+    * [[graft.derive.Improvers.validVersionInferences]] expects. */
+  def pypiReleaseVersions(payloads: DataFrame): DataFrame = {
+    // keys carry the versions; values (arrays of file dicts) are
+    // irrelevant — a minimal value schema keeps the parse cheap
+    val releases = MapType(StringType,
+      ArrayType(StructType(Seq(StructField("filename", StringType)))))
+    payloads.select(col("name"),
+      explode(map_keys(from_json(
+        get_json_object(col("json"), "$.releases"), releases)))
+        .as("version"))
+      .select(lit("pypi").as("ptype"),
+        lit(null).cast("string").as("namespace"),
+        col("name"), col("version"))
+  }
+
   /** Parse an NDJSON advisory feed with an explicit schema. */
   def ndjson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)

@@ -4,7 +4,7 @@ import graft.core.{QueryEntry, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.export.FederatedExport
+import graft.export.{FederatedExport, V1Export}
 
 /** SURVEY §2 S7 driver-oracle coverage — the federated export run
   * through the REAL serialize/packageIndex paths over synthetic
@@ -119,6 +119,175 @@ object ExportQueries extends QueryModule {
       FederatedExport.packageIndex(unfurled(s, dir))
         .select("purl", "shard", "affected_csv", "fixing_csv")
         .orderBy("purl")
+    },
+
+    // S7 — v1 export-command package documents (export.py:110-155 +
+    // aboutcode hashid tiered sharding): DuckDB re-derives the full
+    // purls.yml / vulnerabilities.yml bodies AND the tiered purl-hash
+    // paths (sha256 low bits mod 2^tier, hex) so a sharding or
+    // rendering drift fails the gate. Types span all four tiers
+    // (npm=10, pypi=7, gem=5, cargo=0 bits).
+    q("e3_v1_package_docs",
+      """WITH p AS (
+        |  SELECT ['npm','pypi','gem','cargo'][(p_partkey % 4) + 1] AS ptype,
+        |         CASE WHEN p_partkey % 2 = 0 THEN NULL
+        |              ELSE 'ns' || CAST(p_partkey % 3 AS VARCHAR) END AS ns,
+        |         'p' || CAST(p_partkey % 40 AS VARCHAR) AS name,
+        |         CAST(p_size % 9 AS VARCHAR) AS version,
+        |         p_size % 9 AS version_rank
+        |  FROM part),
+        |v AS (
+        |  SELECT ptype, ns, name, version, version_rank,
+        |         'pkg:' || ptype || '/' ||
+        |           CASE WHEN ns IS NULL THEN name
+        |                ELSE ns || '/' || name END ||
+        |           '@' || version AS purl,
+        |         CASE WHEN version_rank % 2 = 0
+        |              THEN '    - "V' || version || '"' END AS aff_line,
+        |         CASE WHEN version_rank % 3 = 0
+        |              THEN '    - "F' || version || '"' END AS fix_line
+        |  FROM p),
+        |items AS (
+        |  SELECT ptype, ns, name, version_rank, purl,
+        |         '- purl: "' || purl || '"' ||
+        |         chr(10) || '  affected_by_vulnerabilities:' ||
+        |         CASE WHEN aff_line IS NULL THEN ' []'
+        |              ELSE chr(10) || aff_line END ||
+        |         chr(10) || '  fixing_vulnerabilities:' ||
+        |         CASE WHEN fix_line IS NULL THEN ' []'
+        |              ELSE chr(10) || fix_line END AS item
+        |  FROM v),
+        |docs AS (
+        |  SELECT ptype, ns, name,
+        |         string_agg('- "' || purl || '"', chr(10)
+        |                    ORDER BY version_rank, purl) || chr(10)
+        |           AS purls_yaml,
+        |         string_agg(item, chr(10)
+        |                    ORDER BY version_rank, purl) || chr(10)
+        |           AS vulnerabilities_yaml
+        |  FROM items GROUP BY ptype, ns, name),
+        |sharded AS (
+        |  SELECT *,
+        |         'pkg:' || ptype || '/' ||
+        |           CASE WHEN ns IS NULL THEN name
+        |                ELSE ns || '/' || name END AS core,
+        |         CASE ptype WHEN 'npm' THEN 10 WHEN 'pypi' THEN 7
+        |              WHEN 'gem' THEN 5 ELSE 0 END AS bits
+        |  FROM docs),
+        |pathed AS (
+        |  SELECT *,
+        |         'aboutcode-packages-' || ptype || '-' ||
+        |           CASE WHEN bits = 0 THEN ''
+        |                ELSE lpad(lower(format('{:x}',
+        |                  CAST(('0x' || substring(sha256(core), 57, 8))
+        |                       AS BIGINT) % CAST(pow(2, bits) AS BIGINT))),
+        |                  CAST(ceil(bits / 4.0) AS INT), '0') END ||
+        |           '/' || ptype || '/' ||
+        |           CASE WHEN ns IS NULL THEN name
+        |                ELSE ns || '/' || name END AS base_dir
+        |  FROM sharded)
+        |SELECT base_dir, base_dir || '/purls.yml' AS purls_path,
+        |       purls_yaml,
+        |       base_dir || '/vulnerabilities.yml' AS vulnerabilities_path,
+        |       vulnerabilities_yaml
+        |FROM pathed ORDER BY base_dir""") { (s, dir) =>
+      val in = Tables(s, dir, "part").select(
+        element_at(array(lit("npm"), lit("pypi"), lit("gem"),
+          lit("cargo")), (pmod(col("p_partkey"), lit(4)) + 1).cast("int"))
+          .as("ptype"),
+        when(pmod(col("p_partkey"), lit(2)) === 0,
+          lit(null).cast("string"))
+          .otherwise(concat(lit("ns"), pmod(col("p_partkey"), lit(3))))
+          .as("namespace"),
+        concat(lit("p"), pmod(col("p_partkey"), lit(40))).as("name"),
+        pmod(col("p_size"), lit(9)).as("version_rank"))
+        .withColumn("purl", concat(lit("pkg:"), col("ptype"), lit("/"),
+          when(col("namespace").isNull, col("name"))
+            .otherwise(concat(col("namespace"), lit("/"), col("name"))),
+          lit("@"), col("version_rank"))) // version string == rank
+        .withColumn("affected_by",
+          when(pmod(col("version_rank"), lit(2)) === 0,
+            array(concat(lit("V"), col("version_rank"))))
+            .otherwise(expr("CAST(array() AS array<string>)")))
+        .withColumn("fixing",
+          when(pmod(col("version_rank"), lit(3)) === 0,
+            array(concat(lit("F"), col("version_rank"))))
+            .otherwise(expr("CAST(array() AS array<string>)")))
+      V1Export.packageDocs(in)
+        .select("base_dir", "purls_path", "purls_yaml",
+          "vulnerabilities_path", "vulnerabilities_yaml")
+        .orderBy("base_dir")
+    },
+
+    // S7 — v1 export-command vulnerability documents (export.py:38-62,
+    // hashid vulnerability_yml_path): DuckDB re-renders the complete
+    // document (str(None) publication time, CWE-prefixed weaknesses)
+    // and the uid-sharded path.
+    q("e4_v1_vuln_docs",
+      """WITH o AS (SELECT DISTINCT o_orderkey % 300 AS k FROM orders),
+        |v AS (
+        |  SELECT 'VCID-k' || CAST(k AS VARCHAR) || '-aaaa-aaab' AS vcid,
+        |         k FROM o)
+        |SELECT vcid AS vulnerability_id,
+        |       'aboutcode-vulnerabilities/' || substring(vcid, 6, 2) ||
+        |         '/' || vcid || '.yml' AS path,
+        |       'vulnerability_id: "' || vcid || '"' ||
+        |       chr(10) || 'aliases:' ||
+        |       chr(10) || '  - "CVE-' || CAST(k AS VARCHAR) || '"' ||
+        |       chr(10) || 'summary: "s' || CAST(k AS VARCHAR) || '"' ||
+        |       chr(10) || 'severities:' ||
+        |       CASE WHEN k % 3 = 0 THEN
+        |         chr(10) || '  - score: "' || CAST(k % 10 AS VARCHAR) ||
+        |         '"' ||
+        |         chr(10) || '    scoring_system: "cvssv3.1"' ||
+        |         chr(10) || '    scoring_elements: "CVSS:3.1/X"' ||
+        |         chr(10) || '    published_at: "None"' ||
+        |         chr(10) || '    url: "https://s/' || CAST(k AS VARCHAR)
+        |           || '"'
+        |       ELSE ' []' END ||
+        |       chr(10) || 'weaknesses:' ||
+        |       CASE WHEN k % 5 = 0
+        |            THEN chr(10) || '  - CWE-79' || chr(10) || '  - CWE-89'
+        |            ELSE ' []' END ||
+        |       chr(10) || 'references:' ||
+        |       CASE WHEN k % 4 = 0 THEN
+        |         chr(10) || '  - url: "https://r/' || CAST(k AS VARCHAR)
+        |           || '"' ||
+        |         chr(10) || '    reference_type: "advisory"' ||
+        |         chr(10) || '    reference_id: "R-' || CAST(k AS VARCHAR)
+        |           || '"'
+        |       ELSE ' []' END || chr(10) AS yaml
+        |FROM v ORDER BY path""") { (s, dir) =>
+      val sevType = "array<struct<scoring_system:string,value:string," +
+        "scoring_elements:string,url:string>>"
+      val refType = "array<struct<url:string,reference_type:string," +
+        "reference_id:string>>"
+      val in = Tables(s, dir, "orders")
+        .select(pmod(col("o_orderkey"), lit(300)).as("k")).distinct()
+        .select(
+          concat(lit("VCID-k"), col("k"), lit("-aaaa-aaab"))
+            .as("vulnerability_id"),
+          array(concat(lit("CVE-"), col("k"))).as("aliases"),
+          concat(lit("s"), col("k")).as("summary"),
+          when(pmod(col("k"), lit(3)) === 0, array(
+            struct(lit("cvssv3.1").as("scoring_system"),
+              pmod(col("k"), lit(10)).cast("string").as("value"),
+              lit("CVSS:3.1/X").as("scoring_elements"),
+              concat(lit("https://s/"), col("k")).as("url"))))
+            .otherwise(expr(s"CAST(array() AS $sevType)"))
+            .as("severities"),
+          when(pmod(col("k"), lit(5)) === 0, array(lit(79), lit(89)))
+            .otherwise(expr("CAST(array() AS array<int>)"))
+            .as("weaknesses"),
+          when(pmod(col("k"), lit(4)) === 0, array(
+            struct(concat(lit("https://r/"), col("k")).as("url"),
+              lit("advisory").as("reference_type"),
+              concat(lit("R-"), col("k")).as("reference_id"))))
+            .otherwise(expr(s"CAST(array() AS $refType)"))
+            .as("references"))
+      V1Export.vulnerabilityDocs(in)
+        .select("vulnerability_id", "path", "yaml")
+        .orderBy("path")
     },
   )
 }

@@ -92,6 +92,68 @@ class CapturedExportSpec extends AnyFunSuite with SparkTestSession {
     assert(canon(serialized("ADV-002")) == expectedYml("ADV-002-expected.yml"))
   }
 
+  // ----------------------------------------------- v1 export command
+  // test_export.py:100-125 builds one vulnerability
+  // (VCID-pst6-b358-aaap: alias CVE-xxx-xxx-xx, a cvssv3_vector
+  // severity, CWE-15, one reference) affecting pkg:generic/nginx/test@2
+  // and asserts the three YAML files the `export` command writes; the
+  // goldens pin the hashid sharding (vcid shard "ps", purl hash "0d")
+  // and the v1 document shapes, including the str(None) publication
+  // time (export.py:34 `"published_at": str(sev.published_at)`).
+  test("captured export_command goldens: v1 vulnerability + package docs") {
+    assume(RefCapture.available, "reference test_data checkout not present")
+    val sp = spark
+    import sp.implicits._
+    val vulns = Seq((
+      "VCID-pst6-b358-aaap", Seq("CVE-xxx-xxx-xx"), "test-vuln",
+      Seq(SeverityRow("cvssv3_vector", "7.0",
+        "CVSS:3.0/AV:N/AC:L/PR:N/UI:N/S:U/C:N/I:N/A:H", "https://..")),
+      Seq(15),
+      Seq(ReferenceRow("https://..", null, "fake"))))
+      .toDF("vulnerability_id", "aliases", "summary", "severities",
+        "weaknesses", "references")
+    val doc = V1Export.vulnerabilityDocs(vulns).collect().head
+    assert(doc.getAs[String]("path") ==
+      "aboutcode-vulnerabilities/ps/VCID-pst6-b358-aaap.yml")
+    val expectedVuln = canon(RefCapture.text(
+      "export_command/aboutcode-vulnerabilities/ps/VCID-pst6-b358-aaap.yml"))
+    assert(canon(doc.getAs[String]("yaml")) == expectedVuln)
+
+    val pkgs = Seq((
+      "generic", "nginx", "test", "pkg:generic/nginx/test@2", 1,
+      Seq("VCID-pst6-b358-aaap"), Seq.empty[String]))
+      .toDF("ptype", "namespace", "name", "purl", "version_rank",
+        "affected_by", "fixing")
+    val pdoc = V1Export.packageDocs(pkgs).collect().head
+    assert(pdoc.getAs[String]("purls_path") ==
+      "aboutcode-packages-generic-0d/generic/nginx/test/purls.yml")
+    assert(pdoc.getAs[String]("vulnerabilities_path") ==
+      "aboutcode-packages-generic-0d/generic/nginx/test/vulnerabilities.yml")
+    assert(canon(pdoc.getAs[String]("purls_yaml")) == canon(RefCapture.text(
+      "export_command/aboutcode-packages-generic-0d/generic/nginx/test/purls.yml")))
+    assert(canon(pdoc.getAs[String]("vulnerabilities_yaml")) ==
+      canon(RefCapture.text(
+        "export_command/aboutcode-packages-generic-0d/generic/nginx/test/vulnerabilities.yml")))
+  }
+
+  test("tiered purl hash matches the hashid doctest vectors") {
+    val sp = spark
+    import sp.implicits._
+    // hashid get_purl_hash doctests: pypi/univers → "09" (7 bits),
+    // pypi/expressionss → "57", pypi/license-expression → "50";
+    // unlisted type (cargo, 0 bits) → ""
+    val rows = Seq(
+      ("pkg:pypi/univers", "pypi"),
+      ("pkg:pypi/expressionss", "pypi"),
+      ("pkg:pypi/license-expression", "pypi"),
+      ("pkg:cargo/serde", "cargo"))
+      .toDF("core", "ptype")
+      .select(V1Export.purlHash(org.apache.spark.sql.functions.col("core"),
+        org.apache.spark.sql.functions.col("ptype")).as("h"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("09", "57", "50", ""))
+  }
+
   test("captured federate_vulnerabilities golden: package index") {
     assume(RefCapture.available, "reference test_data checkout not present")
     val sp = spark
