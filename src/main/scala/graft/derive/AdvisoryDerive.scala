@@ -388,18 +388,31 @@ object AdvisoryDerive {
     sets.join(minAlias, Seq("group_id"), "left")
   }
 
-  /** ToDo detection (D6/D7): data-quality classification + cross-source
-    * conflicts per (alias, purl). */
+  /** Per-advisory ToDo detection
+    * (compute_advisory_todo.py:36-58,140-197): MISSING_SUMMARY is an
+    * INDEPENDENT check (an advisory can carry it alongside a package
+    * issue), and the package check is the reference's trichotomy over
+    * two existence flags — any affected entry with a version range, any
+    * entry with a fixed version (a bare `vers:<scheme>/` counts as
+    * absent). Map-only: two flag expressions and a union, no shuffle. */
   def todos(advisories: DataFrame): DataFrame = {
     val latest = advisories.filter(col("is_latest"))
-    val quality = latest.select(col("avid"),
-      when(length(trim(col("summary"))) === 0, "missing_summary")
-        .when(size(col("affected")) === 0, "missing_affected")
-        .when(expr("!exists(affected, a -> a.fixed_vers != '' AND a.fixed_vers NOT LIKE '%/')"),
-          "missing_fixed")
-        .otherwise(null).as("issue"))
+    val summaryIssues = latest
+      .filter(col("summary").isNull || length(trim(col("summary"))) === 0)
+      .select(col("avid"), lit("MISSING_SUMMARY").as("issue"))
+    val pkgIssues = latest.select(col("avid"),
+      expr("exists(affected, a -> a.affecting_vers != '' AND " +
+        "a.affecting_vers NOT LIKE '%/')").as("_has_aff"),
+      expr("exists(affected, a -> a.fixed_vers != '' AND " +
+        "a.fixed_vers NOT LIKE '%/')").as("_has_fix"))
+      .select(col("avid"),
+        when(!col("_has_aff") && !col("_has_fix"),
+          "MISSING_AFFECTED_AND_FIXED_BY_PACKAGES")
+          .when(!col("_has_aff"), "MISSING_AFFECTED_PACKAGE")
+          .when(!col("_has_fix"), "MISSING_FIXED_BY_PACKAGE")
+          .otherwise(null).as("issue"))
       .filter(col("issue").isNotNull)
-    quality
+    summaryIssues.unionByName(pkgIssues)
   }
 
   /** J11 — severity-relation join (relate_severities.py:61-119): donor
@@ -699,17 +712,63 @@ object AdvisoryDerive {
         lit(actor).as("actor"))
   }
 
-  /** Conflict matrix (D7/A12): for each (alias, purl), >1 distinct
-    * affected-range profile across sources ⇒ conflicting advisories. */
-  def conflicts(advisories: DataFrame): DataFrame =
-    advisories.filter(col("is_latest"))
+  /** Cross-advisory conflict ToDos
+    * (compute_advisory_todo.py:89-135,200-307): for each CVE alias
+    * (case-insensitive `cve` prefix, like the reference's
+    * `istartswith="cve"`), compare PER-ADVISORY sets — each advisory's
+    * frozenset of affected ranges and of fixed versions per purl; more
+    * than one distinct set across advisories ⇒ conflict. Advisories
+    * flagged MISSING_AFFECTED_AND_FIXED_BY_PACKAGES are excluded from
+    * every alias's matrix (the reference's queryset `.exclude`), and
+    * the per-alias issue is the trichotomy
+    * CONFLICTING_{AFFECTED_AND_FIXED_BY,AFFECTED,FIXED_BY}_PACKAGES.
+    *
+    * Spark-first shape: two groupBys on narrowing keys
+    * ((alias, purl, avid) → (alias, purl) → alias); set identity
+    * compares as a sorted ``-joined string, never a driver-side
+    * matrix. Scale: cardinality is bounded by impact rows; every
+    * aggregation is partial-merge friendly. */
+  def conflicts(advisories: DataFrame): DataFrame = {
+    val excluded = todos(advisories)
+      .filter(col("issue") === "MISSING_AFFECTED_AND_FIXED_BY_PACKAGES")
+      .select("avid")
+    val impacts = advisories.filter(col("is_latest"))
       .select(col("avid"), explode(col("aliases")).as("alias"),
         col("affected"))
+      .filter(lower(col("alias")).startsWith("cve"))
+      .join(excluded, Seq("avid"), "left_anti")
       .select(col("avid"), col("alias"), explode(col("affected")).as("a"))
-      .groupBy(col("alias"), col("a.purl").as("purl"))
-      .agg(countDistinct(col("a.affecting_vers")).as("n_profiles"),
+    // one row per (alias, purl, advisory): that advisory's SET of
+    // ranges/fixes for the purl (empty entries drop out of the set the
+    // way the reference's truthiness guards drop them)
+    val perAdvisory = impacts
+      .groupBy(col("alias"), col("a.purl").as("purl"), col("avid"))
+      .agg(
+        array_join(array_sort(collect_set(when(
+          col("a.affecting_vers") =!= "", col("a.affecting_vers")))),
+          "").as("aff_set"),
+        array_join(array_sort(collect_set(when(
+          col("a.fixed_vers") =!= "", col("a.fixed_vers")))), "")
+          .as("fix_set"))
+    val perPurl = perAdvisory
+      .groupBy("alias", "purl")
+      .agg(
+        (countDistinct(col("aff_set")) > 1).as("purl_aff_conflict"),
+        (countDistinct(col("fix_set")) > 1).as("purl_fix_conflict"),
         collect_set(col("avid")).as("advisories"))
-      .filter(col("n_profiles") > 1)
-      .select(col("alias"), col("purl"), col("n_profiles"),
-        array_join(array_sort(col("advisories")), ",").as("advisory_list"))
+    perPurl
+      .groupBy("alias")
+      .agg(
+        max(col("purl_aff_conflict")).as("_aff"),
+        max(col("purl_fix_conflict")).as("_fix"),
+        array_sort(array_distinct(flatten(collect_list(col("advisories")))))
+          .as("related"))
+      .filter(col("_aff") || col("_fix"))
+      .select(col("alias"),
+        when(col("_aff") && col("_fix"),
+          "CONFLICTING_AFFECTED_AND_FIXED_BY_PACKAGES")
+          .when(col("_aff"), "CONFLICTING_AFFECTED_PACKAGES")
+          .otherwise("CONFLICTING_FIXED_BY_PACKAGES").as("issue"),
+        array_join(col("related"), ",").as("advisory_list"))
+  }
 }

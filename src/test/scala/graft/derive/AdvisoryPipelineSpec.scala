@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ingest.OsvIngest
+import graft.model.{AdvisoryRow, AffectedRow, ReferenceRow}
 import graft.operators.SparkTestSession
 import graft.serve.Serving
 
@@ -270,6 +271,80 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     val c = AdvisoryDerive.conflicts(adv).collect()
     assert(c.length == 1)
     assert(c.head.getAs[String]("alias") == "CVE-1")
-    assert(c.head.getAs[Long]("n_profiles") == 2L)
+    // both the ranges (|<2.0 vs |<3.0) and the fixed pins disagree
+    assert(c.head.getAs[String]("issue") ==
+      "CONFLICTING_AFFECTED_AND_FIXED_BY_PACKAGES")
+    assert(c.head.getAs[String]("advisory_list").split(",").length == 2)
+  }
+
+  // ------------------------------------------------------ reference todo
+  // semantics, mirroring test_compute_advisory_todo.py:76-200 scenario
+  // for scenario (same advisory shapes, same single-issue expectations)
+  private def todoAdvisory(id: String, summary: String, aff: String,
+      fix: String, alias: Seq[String] = Seq.empty) = {
+    AdvisoryRow("ds", id, summary, alias,
+      Seq(ReferenceRow("https://example.com/vuln1", null, null)),
+      Seq.empty, Seq.empty,
+      Seq(AffectedRow("pkg:npm/package1", aff, fix)),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), None,
+      "https://test.url/", 10)
+  }
+
+  test("todo trichotomy + independent missing-summary (compute_advisory_todo)") {
+    val sp = spark
+    import sp.implicits._
+    def todosOf(rows: AdvisoryRow*) =
+      AdvisoryDerive.todos(
+        AdvisoryDerive.withContentIdAndLatest(rows.toDF()))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // scenario 1: empty summary, complete packages → MISSING_SUMMARY only
+    assert(todosOf(todoAdvisory("A1", "",
+      "vers:npm/>=1.0.0|<2.0.0", "vers:npm/2.0.0")) ==
+      Set(("ds/A1", "MISSING_SUMMARY")))
+    // scenario 2: range but no fixed → MISSING_FIXED_BY_PACKAGE
+    assert(todosOf(todoAdvisory("A2", "Test summary",
+      "vers:npm/>=1.0.0|<2.0.0", "")) ==
+      Set(("ds/A2", "MISSING_FIXED_BY_PACKAGE")))
+    // scenario 3: fixed but no range → MISSING_AFFECTED_PACKAGE
+    assert(todosOf(todoAdvisory("A3", "Test summary",
+      "", "vers:npm/2.0.0")) ==
+      Set(("ds/A3", "MISSING_AFFECTED_PACKAGE")))
+    // neither → the combined issue; with an empty summary BOTH issues
+    // coexist (the reference's two checks run independently)
+    assert(todosOf(todoAdvisory("A4", "", "", "")) ==
+      Set(("ds/A4", "MISSING_SUMMARY"),
+        ("ds/A4", "MISSING_AFFECTED_AND_FIXED_BY_PACKAGES")))
+  }
+
+  test("conflicting fixed+affected across two advisories of one CVE") {
+    val sp = spark
+    import sp.implicits._
+    val adv = AdvisoryDerive.withContentIdAndLatest(Seq(
+      todoAdvisory("T1", "Test summary", "vers:npm/>=1.0.0|<2.0.0",
+        "vers:npm/2.0.0", Seq("CVE-0000-0000")),
+      todoAdvisory("T2", "Test summary", "vers:npm/>=1.0.0|<=2.0.0",
+        "vers:npm/2.0.1", Seq("CVE-0000-0000"))).toDF())
+    val c = AdvisoryDerive.conflicts(adv).collect()
+    assert(c.length == 1)
+    assert(c.head.getAs[String]("alias") == "CVE-0000-0000")
+    assert(c.head.getAs[String]("issue") ==
+      "CONFLICTING_AFFECTED_AND_FIXED_BY_PACKAGES")
+    assert(c.head.getAs[String]("advisory_list") == "ds/T1,ds/T2")
+    // a MISSING_AFFECTED_AND_FIXED_BY_PACKAGES advisory is excluded
+    // from the matrix (the reference's queryset .exclude) — its empty
+    // sets must NOT create a third opinion
+    val withEmpty = AdvisoryDerive.withContentIdAndLatest(Seq(
+      todoAdvisory("T1", "Test summary", "vers:npm/>=1.0.0|<2.0.0",
+        "vers:npm/2.0.0", Seq("CVE-0000-0000")),
+      todoAdvisory("T3", "Test summary", "", "",
+        Seq("CVE-0000-0000"))).toDF())
+    assert(AdvisoryDerive.conflicts(withEmpty).isEmpty)
+    // non-CVE aliases never enter the matrix
+    val ghsaOnly = AdvisoryDerive.withContentIdAndLatest(Seq(
+      todoAdvisory("T1", "Test summary", "vers:npm/>=1.0.0|<2.0.0",
+        "vers:npm/2.0.0", Seq("GHSA-xxxx")),
+      todoAdvisory("T2", "Test summary", "vers:npm/>=1.0.0|<=2.0.0",
+        "vers:npm/2.0.1", Seq("GHSA-xxxx"))).toDF())
+    assert(AdvisoryDerive.conflicts(ghsaOnly).isEmpty)
   }
 }
