@@ -584,7 +584,97 @@ object ServingQueries extends QueryModule {
           when(col("overflow"), lit(null)).otherwise(col("advisories")))
         .orderBy("purl")
     },
+
+    // all-vulnerable-purls dump (api_v3.py:268-272 empty-purls POST +
+    // models.py:3693-3704): the package table semi-joined to the
+    // affected edge; packages divisible by 3 also exist in a
+    // ?arch-qualified spelling, so the dump carries both spellings
+    q("s25_all_vulnerable_purls",
+      s"""WITH u AS ($unfurledSql),
+         |pk AS (
+         |  SELECT DISTINCT
+         |         'pkg:npm/p' || CAST(l_partkey % 20 AS VARCHAR)
+         |           AS base_purl,
+         |         CAST(l_linenumber AS VARCHAR) AS version,
+         |         CASE WHEN l_partkey % 3 = 0 THEN '?arch=x'
+         |              ELSE '' END AS quals
+         |  FROM lineitem),
+         |vuln AS (SELECT DISTINCT base_purl, version FROM u
+         |         WHERE is_affected)
+         |SELECT pk.base_purl || '@' || pk.version || pk.quals
+         |         AS package_url
+         |FROM pk JOIN vuln ON pk.base_purl = vuln.base_purl
+         |                 AND pk.version = vuln.version
+         |ORDER BY package_url""") { (s, dir) =>
+      Serving.allVulnerablePurls(packageV2Fixture(s, dir),
+        unfurled(s, dir)).orderBy("package_url")
+    },
+
+    // details=false + ignore_qualifiers_subpath=true POST
+    // (api_v3.py:276-315): queried purls strip to their plain form,
+    // match plain_package_url, and only the vulnerable ones answer —
+    // one row per matching package row (the qualified and plain
+    // spellings of one plain purl both answer, like values_list)
+    q("s26_vulnerable_plain_purls",
+      s"""WITH u AS ($unfurledSql),
+         |pk AS (
+         |  SELECT DISTINCT
+         |         'pkg:npm/p' || CAST(l_partkey % 20 AS VARCHAR)
+         |           AS base_purl,
+         |         CAST(l_linenumber AS VARCHAR) AS version
+         |  FROM lineitem),
+         |pkrows AS (
+         |  SELECT base_purl, version,
+         |         base_purl || '@' || version AS plain_package_url
+         |  FROM pk),
+         |req AS (SELECT * FROM (VALUES ('pkg:npm/p1@1'),
+         |          ('pkg:npm/p2@3'),('pkg:npm/p5@2'),('pkg:npm/p19@6'))
+         |          AS r(q)),
+         |vuln AS (SELECT DISTINCT base_purl, version FROM u
+         |         WHERE is_affected)
+         |SELECT p.plain_package_url AS purl
+         |FROM pkrows p
+         |JOIN req r ON p.plain_package_url = r.q
+         |JOIN vuln v ON p.base_purl = v.base_purl
+         |           AND p.version = v.version
+         |ORDER BY purl""") { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      // queried purls carry qualifiers/subpath noise the endpoint strips
+      val purls = Seq("pkg:npm/p1@1?arch=x86&distro=sid",
+        "pkg:npm/p2@3", "pkg:npm/p5@2#sub/path", "pkg:npm/p19@6")
+        .toDF("purl")
+      // one package row per plain purl (the fixture's package table has
+      // a single spelling here; multi-spelling fan-out is s25's case)
+      val pk = Tables(s, dir, "lineitem").select(
+        concat(lit("pkg:npm/p"), pmod(col("l_partkey"), lit(20)))
+          .as("base_purl"),
+        col("l_linenumber").cast("string").as("version"))
+        .distinct()
+        .withColumn("plain_package_url",
+          concat(col("base_purl"), lit("@"), col("version")))
+      Serving.vulnerablePlainPurlsOf(pk, unfurled(s, dir), purls)
+        .orderBy("purl")
+    },
   )
+
+  /** PackageV2-shaped rows from lineitem: one plain spelling per
+    * (base, version), plus an ?arch-qualified spelling for partkeys
+    * divisible by 3 (distinct rows, like real packages that differ only
+    * in qualifiers). */
+  private def packageV2Fixture(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").select(
+      concat(lit("pkg:npm/p"), pmod(col("l_partkey"), lit(20)))
+        .as("base_purl"),
+      col("l_linenumber").cast("string").as("version"),
+      when(pmod(col("l_partkey"), lit(3)) === 0, "?arch=x")
+        .otherwise("").as("quals"))
+      .distinct()
+      .select(col("base_purl"), col("version"),
+        concat(col("base_purl"), lit("@"), col("version"), col("quals"))
+          .as("package_url"),
+        concat(col("base_purl"), lit("@"), col("version"))
+          .as("plain_package_url"))
 
   /** Synthetic advisories with ids, two aliases, references, and a
     * summary, derived from `orders` — enough surface for every search

@@ -512,6 +512,45 @@ object Serving {
     *
     * @param severities (avid, severity INT) — the advisory severity dim
     */
+  /** All vulnerable purls (api_v3.py:268-272 empty-purls mode,
+    * models.py:3693-3704 `all_vulnerable_purls`): every package with at
+    * least one affecting impact from a latest, fully-unfurled advisory
+    * (the `unfurled` mart only carries those), as the ordered purl
+    * list. One left-semi against the distinct affected
+    * (base_purl, version) edge — no aggregation state; at corpus scale
+    * this is a shuffle on the package key and nothing else. */
+  def allVulnerablePurls(packages: DataFrame,
+      unfurled: DataFrame): DataFrame =
+    packages.join(
+      unfurled.filter(col("is_affected"))
+        .select("base_purl", "version").distinct(),
+      Seq("base_purl", "version"), "left_semi")
+      .select("package_url").orderBy("package_url")
+
+  /** v3 packages POST with details=false +
+    * ignore_qualifiers_subpath=true (api_v3.py:276-315): the queried
+    * purls stripped to their plain form (no qualifiers/subpath), matched
+    * against `plain_package_url`, reduced to the vulnerable ones, and
+    * returned in the plain spelling — one row per matching package row
+    * like the reference's values_list (no distinct: two packages that
+    * differ only in qualifiers both answer). The request side
+    * broadcasts; the vulnerable edge is the same semi-join as
+    * [[allVulnerablePurls]]. */
+  def vulnerablePlainPurlsOf(packages: DataFrame, unfurled: DataFrame,
+      purls: DataFrame): DataFrame = {
+    val queried = purls
+      .select(graft.functions.GraftFunctions.purlPlainUdf(col("purl"))
+        .as("q")).distinct()
+    packages
+      .join(broadcast(queried), col("plain_package_url") === col("q"),
+        "left_semi")
+      .join(unfurled.filter(col("is_affected"))
+        .select("base_purl", "version").distinct(),
+        Seq("base_purl", "version"), "left_semi")
+      .select(col("plain_package_url").as("purl"))
+      .orderBy("purl")
+  }
+
   def v3BulkPackages(unfurled: DataFrame, severities: DataFrame,
       request: DataFrame): DataFrame = {
     val req = request.select(col("base_purl"), col("version"),
