@@ -541,6 +541,40 @@ object AdvisoryDerive {
     * like compute_patch_checksum (utils.py:866-870), unique per
     * (commit_hash, vcs_url). `patches` rows: (vcs_url, commit_hash,
     * patch_text). */
+  /** CodeFixV2 mart (v2_improvers/collect_commits.py:35-77 +
+    * models.py:1943-1969): advisory references whose URL is a VCS URL
+    * containing `/commit/` become one CodeFix row per affecting
+    * concrete package of that advisory. The VCS URL is normalized the
+    * scancode way for the shapes that can carry `/commit/`
+    * (`git+` prefix and `.git` suffix stripped, `git://`→`https://`);
+    * a commit already claimed by another advisory is skipped — the
+    * reference's is-already-processed check walks advisories in
+    * queryset order, re-expressed deterministically as min(avid) per
+    * commit URL.
+    *
+    * Shape: explode references (narrow), one groupBy on the commit URL
+    * for the first-wins dedup, one equi-join to the affecting edge. */
+  def codeFixes(advisories: DataFrame, unfurled: DataFrame): DataFrame = {
+    val vcsUrl = regexp_replace(regexp_replace(
+      trim(col("url")), "^git\\+", ""), "\\.git$", "")
+    val commitRefs = advisories.filter(col("is_latest"))
+      .select(col("avid"), explode(col("references")).as("r"))
+      .select(col("avid"), col("r.url").as("url"))
+      .filter(col("url").contains("/commit/") &&
+        col("url").rlike(
+          "^(git\\+)?(https?|git|hg|svn)(\\+https?|\\+git)?://"))
+      .select(col("avid"),
+        regexp_replace(vcsUrl, "^git://", "https://").as("vcs_url"))
+    val firstClaim = commitRefs.groupBy("vcs_url")
+      .agg(min(col("avid")).as("avid"))
+    val affecting = unfurled.filter(col("is_affected"))
+      .select(col("avid"), col("base_purl"), col("version")).distinct()
+    firstClaim.join(affecting, Seq("avid"))
+      .select(col("vcs_url"), col("avid"),
+        concat(col("base_purl"), lit("@"), col("version"))
+          .as("affected_package"))
+  }
+
   def commitPatches(advisories: DataFrame, patches: DataFrame): DataFrame = {
     val commitRefs = advisories.filter(col("is_latest"))
       .select(col("avid"), explode(col("references")).as("r"))

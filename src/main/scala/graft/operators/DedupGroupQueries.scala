@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.core.{QueryEntry, QueryModule, Tables}
+import graft.derive.AdvisoryDerive
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -596,6 +597,78 @@ object DedupGroupQueries extends QueryModule {
           concat_ws(",", col("affected_versions")).as("affected"),
           col("fixed_version").as("fixed"), col("confidence"))
         .orderBy("avid", "fixed")
+    },
+
+    // D20 — CodeFixV2 mart (v2_improvers/collect_commits.py:35-77):
+    // VCS-scheme /commit/ reference URLs normalize (git+ / .git / git://
+    // stripped), a commit claimed once across advisories (min-avid
+    // first-wins, the queryset-order analog), fanned to the advisory's
+    // affecting packages. The git:// and https:// spellings of one
+    // commit normalize to the SAME url, so the oracle also gates the
+    // cross-scheme dedup.
+    q("d20_code_fixes",
+      """WITH r AS (
+        |  SELECT 'adv/' || CAST(o_orderkey % 50 AS VARCHAR) AS avid,
+        |         CASE
+        |           WHEN o_orderkey % 4 = 0 THEN
+        |             'https://github.com/org/r' ||
+        |             CAST(o_orderkey % 7 AS VARCHAR) || '/commit/' ||
+        |             substring(md5(CAST(o_orderkey % 8 AS VARCHAR)), 1, 8)
+        |           WHEN o_orderkey % 4 = 1 THEN
+        |             'git://github.com/org/r' ||
+        |             CAST(o_orderkey % 7 AS VARCHAR) || '/commit/' ||
+        |             substring(md5(CAST(o_orderkey % 8 AS VARCHAR)), 1, 8)
+        |           WHEN o_orderkey % 4 = 2 THEN
+        |             'https://example.com/advisory/' ||
+        |             CAST(o_orderkey AS VARCHAR)
+        |           ELSE 'ftp://host/commit/deadbeef' END AS url
+        |  FROM orders),
+        |norm AS (
+        |  SELECT avid,
+        |         regexp_replace(regexp_replace(regexp_replace(trim(url),
+        |           '^git\+', ''), '\.git$', ''), '^git://', 'https://')
+        |           AS vcs_url
+        |  FROM r
+        |  WHERE url LIKE '%/commit/%'
+        |    AND regexp_matches(url,
+        |      '^(git\+)?(https?|git|hg|svn)(\+https?|\+git)?://')),
+        |first AS (SELECT vcs_url, min(avid) AS avid FROM norm
+        |          GROUP BY vcs_url),
+        |aff AS (
+        |  SELECT DISTINCT 'adv/' || CAST(l_orderkey % 50 AS VARCHAR)
+        |           AS avid,
+        |         'pkg:npm/p' || CAST(l_partkey % 20 AS VARCHAR) || '@' ||
+        |           CAST(l_linenumber AS VARCHAR) AS affected_package
+        |  FROM lineitem WHERE l_quantity > 25)
+        |SELECT f.vcs_url, f.avid, a.affected_package
+        |FROM first f JOIN aff a USING (avid)
+        |ORDER BY vcs_url, affected_package""") { (s, dir) =>
+      val okey = col("o_orderkey")
+      val commit = substring(md5(pmod(okey, lit(8)).cast("string")), 1, 8)
+      val refs = t(s, dir, "orders").select(
+        concat(lit("adv/"), pmod(okey, lit(50))).as("avid"),
+        when(pmod(okey, lit(4)) === 0,
+          concat(lit("https://github.com/org/r"), pmod(okey, lit(7)),
+            lit("/commit/"), commit))
+          .when(pmod(okey, lit(4)) === 1,
+            concat(lit("git://github.com/org/r"), pmod(okey, lit(7)),
+              lit("/commit/"), commit))
+          .when(pmod(okey, lit(4)) === 2,
+            concat(lit("https://example.com/advisory/"), okey))
+          .otherwise(lit("ftp://host/commit/deadbeef")).as("url"))
+      val advisories = refs.groupBy("avid")
+        .agg(collect_list(struct(col("url"),
+          lit("advisory").as("reference_type"),
+          lit("").as("reference_id"))).as("references"))
+        .withColumn("is_latest", lit(true))
+      val unfurled = t(s, dir, "lineitem").select(
+        concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
+        concat(lit("pkg:npm/p"), pmod(col("l_partkey"), lit(20)))
+          .as("base_purl"),
+        col("l_linenumber").cast("string").as("version"),
+        (col("l_quantity") > 25).as("is_affected"))
+      AdvisoryDerive.codeFixes(advisories, unfurled)
+        .orderBy("vcs_url", "affected_package")
     },
   )
 }
