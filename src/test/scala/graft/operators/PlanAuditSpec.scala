@@ -164,4 +164,81 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(aggs.size >= 2,
       s"expected partial+final aggregation, got ${aggs.size} agg nodes")
   }
+
+  test("vulnerable-purls endpoints semi-join; request side broadcasts") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("planpkg").toString
+    (0 until 200).map { i =>
+      (s"pkg:npm/p${i % 20}", s"${i % 7}",
+        s"pkg:npm/p${i % 20}@${i % 7}", s"pkg:npm/p${i % 20}@${i % 7}")
+    }.toDF("base_purl", "version", "package_url", "plain_package_url")
+      .distinct().write.mode("overwrite").parquet(dir)
+    val pkgs = spark.read.parquet(dir)
+    val unfurled = (0 until 300).map { i =>
+      (s"adv/${i % 50}", s"pkg:npm/p${i % 20}", s"${i % 7}", i % 3 == 0,
+        false)
+    }.toDF("avid", "base_purl", "version", "is_affected", "is_fixed")
+    val purls = Seq("pkg:npm/p1@1?arch=x", "pkg:npm/p2@3").toDF("purl")
+    val cases = Seq(
+      "allVulnerablePurls" ->
+        graft.serve.Serving.allVulnerablePurls(pkgs, unfurled),
+      "vulnerablePlainPurlsOf" ->
+        graft.serve.Serving.vulnerablePlainPurlsOf(pkgs, unfurled, purls))
+    cases.foreach { case (name, df) =>
+      df.collect()
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val bad = nodes.filter(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      assert(bad.isEmpty, s"$name has a non-equi join: ${bad.map(_.nodeName)}")
+      val semis = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty, s"$name must semi-join the vulnerable edge")
+    }
+    // the bounded request list must be the BROADCAST side of its join
+    val plain = graft.serve.Serving
+      .vulnerablePlainPurlsOf(pkgs, unfurled, purls)
+    plain.collect()
+    assert(allNodes(plain.queryExecution.executedPlan).exists {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }, "request list must broadcast, never shuffle the package table for it")
+  }
+
+  test("codeFixes claims commits with one partial aggregation, equi-joins") {
+    val sp = spark
+    import sp.implicits._
+    val advisories = (0 until 100).map { i =>
+      (s"adv/${i % 25}",
+        Seq((s"https://github.com/o/r${i % 5}/commit/${"%08x".format(i % 8)}",
+          "advisory", "")),
+        true)
+    }.toDF("avid", "references", "is_latest")
+      .withColumn("references", col("references").cast(
+        "array<struct<url:string,reference_type:string,reference_id:string>>"))
+    val unfurled = (0 until 300).map { i =>
+      (s"adv/${i % 25}", s"pkg:npm/p${i % 10}", s"${i % 4}", i % 2 == 0)
+    }.toDF("avid", "base_purl", "version", "is_affected")
+    val df = graft.derive.AdvisoryDerive.codeFixes(advisories, unfurled)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "codeFixes must stay equi-join only")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+      "first-wins claim must be an aggregation, not a window sort")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "codeFixes must not window-sort the reference corpus")
+  }
 }
