@@ -129,7 +129,8 @@ object ImporterRegistry {
       ("-", Shared("AdvisoryDerive.unfurl + staleImpacts")),
     "mark_unfurl_version_range_v2" ->
       ("-", Shared("AdvisoryDerive.allImpactsUnfurled")),
-    "collect_fix_commits_v2" -> ("-", Shared("AdvisoryDerive.commitPatches")),
+    "collect_fix_commits_v2" ->
+      ("-", Shared("AdvisoryDerive.codeFixes + commitPatches")),
     "collect_ref_fix_commits_v2" ->
       ("-", Shared("AdvisoryDerive.commitPatches")),
     "federate_vulnerabilities_v2" ->
