@@ -83,6 +83,33 @@ object Cvss {
     else if (score < 9.0) "high"
     else "critical"
 
+  /** Severity-range string over mixed numeric/word values
+    * (utils.py:512-545 get_severity_range): words map to their
+    * [lo, hi] bucket (low / moderate / medium / high / important /
+    * critical), numerics pass through, unknown words drop, and the
+    * result is "min - max" — None when nothing parses. Rendered like
+    * Python str(float) (trailing .0 kept). */
+  def severityRange(values: Iterable[String]): Option[String] = {
+    val scoreMap = Map(
+      "low" -> Seq(0.1, 3.0), "moderate" -> Seq(4.0, 6.9),
+      "medium" -> Seq(4.0, 6.9), "high" -> Seq(7.0, 8.9),
+      "important" -> Seq(7.0, 8.9), "critical" -> Seq(9.0, 10.0))
+    val scores = values.toSeq.flatMap { v =>
+      try Seq(v.trim.toDouble)
+      catch {
+        case _: NumberFormatException =>
+          scoreMap.getOrElse(v.trim.toLowerCase, Seq.empty)
+      }
+    }
+    if (scores.isEmpty) None
+    else {
+      def py(d: Double): String =
+        if (d == d.floor && math.abs(d) < 1e16) s"${d.toLong}.0"
+        else d.toString
+      Some(s"${py(scores.min)} - ${py(scores.max)}")
+    }
+  }
+
   private def metrics(vector: String): Map[String, String] =
     vector.trim.split('/').toSeq
       .filter(_.contains(':'))

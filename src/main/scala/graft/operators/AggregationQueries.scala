@@ -268,6 +268,50 @@ object AggregationQueries extends QueryModule {
         .orderBy("user_id")
     },
 
+    // A14 — severity_range_score (api.py:259-281, utils.py:512-545):
+    // textual buckets expand to [lo, hi], numerics pass through,
+    // unknown words drop, "min - max" per group
+    q("a14_severity_range",
+      """WITH v AS (
+        |  SELECT p_brand,
+        |         CASE p_size % 5
+        |           WHEN 0 THEN 'LOW' WHEN 1 THEN 'critical'
+        |           WHEN 2 THEN 'unknown'
+        |           WHEN 3 THEN CAST(p_size AS VARCHAR)
+        |           ELSE 'Medium' END AS val
+        |  FROM part),
+        |e AS (
+        |  SELECT p_brand, x
+        |  FROM v, LATERAL unnest(
+        |    CASE lower(trim(val))
+        |      WHEN 'low' THEN [0.1, 3.0]
+        |      WHEN 'moderate' THEN [4.0, 6.9]
+        |      WHEN 'medium' THEN [4.0, 6.9]
+        |      WHEN 'high' THEN [7.0, 8.9]
+        |      WHEN 'important' THEN [7.0, 8.9]
+        |      WHEN 'critical' THEN [9.0, 10.0]
+        |      ELSE CASE WHEN regexp_matches(trim(val),
+        |                       '^[0-9]+(\.[0-9]+)?$')
+        |                THEN [CAST(val AS DOUBLE)]
+        |                ELSE [] END END) AS t(x))
+        |SELECT p_brand,
+        |       CAST(min(x) AS VARCHAR) || ' - ' ||
+        |         CAST(max(x) AS VARCHAR) AS severity_range
+        |FROM e GROUP BY p_brand ORDER BY p_brand""") { (s, dir) =>
+      val v = t(s, dir, "part").select(col("p_brand"),
+        when(pmod(col("p_size"), lit(5)) === 0, "LOW")
+          .when(pmod(col("p_size"), lit(5)) === 1, "critical")
+          .when(pmod(col("p_size"), lit(5)) === 2, "unknown")
+          .when(pmod(col("p_size"), lit(5)) === 3,
+            col("p_size").cast("string"))
+          .otherwise("Medium").as("val"))
+      v.groupBy("p_brand")
+        .agg(graft.serve.Serving.severityRangeCol(
+          collect_list(col("val"))).as("severity_range"))
+        .filter(col("severity_range").isNotNull)
+        .orderBy("p_brand")
+    },
+
     // A13 — distinct-group count for progress stats (single row)
     q("a13_distinct_count",
       """SELECT count(*) AS n_groups FROM

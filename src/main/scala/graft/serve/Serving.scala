@@ -512,6 +512,31 @@ object Serving {
     *
     * @param severities (avid, severity INT) — the advisory severity dim
     */
+  /** severity_range_score (api.py:259-281 via utils.py:512-545
+    * get_severity_range): the "min - max" string over a vulnerability's
+    * severity VALUES — textual buckets expand to their [lo, hi] pair,
+    * numerics pass through, unknown words drop, null when nothing
+    * parses. Pure column arithmetic over the collected value array
+    * (codegen'd — no UDF); the double→string cast renders 1-decimal
+    * doubles exactly like Python str(float). */
+  def severityRangeCol(values: Column): Column = {
+    val buckets = map(
+      lit("low"), array(lit(0.1), lit(3.0)),
+      lit("moderate"), array(lit(4.0), lit(6.9)),
+      lit("medium"), array(lit(4.0), lit(6.9)),
+      lit("high"), array(lit(7.0), lit(8.9)),
+      lit("important"), array(lit(7.0), lit(8.9)),
+      lit("critical"), array(lit(9.0), lit(10.0)))
+    val expanded = flatten(transform(values, v =>
+      when(trim(v).rlike("^[0-9]+(\\.[0-9]+)?$"),
+        array(trim(v).cast("double")))
+        .otherwise(coalesce(element_at(buckets, lower(trim(v))),
+          array().cast("array<double>")))))
+    when(size(expanded) > 0,
+      concat(array_min(expanded).cast("string"), lit(" - "),
+        array_max(expanded).cast("string")))
+  }
+
   /** All vulnerable purls (api_v3.py:268-272 empty-purls mode,
     * models.py:3693-3704 `all_vulnerable_purls`): every package with at
     * least one affecting impact from a latest, fully-unfurled advisory

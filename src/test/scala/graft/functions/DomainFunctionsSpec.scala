@@ -82,6 +82,19 @@ class CvssSpec extends AnyFunSuite {
     assert(v3("CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:N/I:N/A:N") == 0.0)
   }
 
+  test("severity range string matches the reference doctests") {
+    // utils.py:512-523 doctest vectors, verbatim
+    assert(Cvss.severityRange(Set("LOW", "7.5", "5"))
+      .contains("0.1 - 7.5"))
+    assert(Cvss.severityRange(Set("LOW", "Medium")).contains("0.1 - 6.9"))
+    assert(Cvss.severityRange(Set("9.5", "critical"))
+      .contains("9.0 - 10.0"))
+    assert(Cvss.severityRange(Set("9.5", "critical", "unknown"))
+      .contains("9.0 - 10.0"))
+    assert(Cvss.severityRange(Set.empty[String]).isEmpty)
+    assert(Cvss.severityRange(Set("unknown")).isEmpty)
+  }
+
   test("CVSS v2 known scores") {
     assert(Cvss.v2BaseScore("AV:N/AC:L/Au:N/C:C/I:C/A:C").get == 10.0)
     assert(Cvss.v2BaseScore("AV:N/AC:L/Au:N/C:P/I:P/A:P").get == 7.5)
