@@ -237,5 +237,96 @@ object StreamingQueries extends QueryModule {
       val s3 = graft.derive.Upserts.confidenceMax(s2, batch(2), Seq("key"))
       s3.orderBy("key")
     },
+
+    // T10 — PipelineRun status machine (models.py:2035-2122): exitcode
+    // 0/88/99/positive → success/stale/stopped/failure; no exitcode →
+    // running (started) or queued (created only); runtime for ended runs
+    q("t10_run_status",
+      s"""WITH $runsFixtureSql
+         |SELECT run_id, pipeline_id,
+         |       CASE WHEN exitcode = 0 THEN 'success'
+         |            WHEN exitcode = 88 THEN 'stale'
+         |            WHEN exitcode = 99 THEN 'stopped'
+         |            WHEN exitcode > 0 THEN 'failure'
+         |            WHEN started_at IS NOT NULL THEN 'running'
+         |            WHEN created_at IS NOT NULL THEN 'queued'
+         |            ELSE 'unknown' END AS status,
+         |       CAST(CASE WHEN started_at IS NOT NULL
+         |                  AND ended_at IS NOT NULL
+         |                 THEN epoch(ended_at) - epoch(started_at)
+         |            END AS BIGINT) AS runtime_s
+         |FROM runs ORDER BY run_id""") { (s, dir) =>
+      graft.derive.Pipeline.runStatus(runsFixture(s, dir))
+        .select("run_id", "pipeline_id", "status", "runtime_s")
+        .orderBy("run_id")
+    },
+
+    // T11 — PipelineSchedule rollup (models.py:2240-2330): per pipeline
+    // the latest run's status, its creation time and the run count
+    q("t11_schedule_status",
+      s"""WITH $runsFixtureSql,
+         |st AS (
+         |  SELECT *,
+         |         CASE WHEN exitcode = 0 THEN 'success'
+         |              WHEN exitcode = 88 THEN 'stale'
+         |              WHEN exitcode = 99 THEN 'stopped'
+         |              WHEN exitcode > 0 THEN 'failure'
+         |              WHEN started_at IS NOT NULL THEN 'running'
+         |              WHEN created_at IS NOT NULL THEN 'queued'
+         |              ELSE 'unknown' END AS status
+         |  FROM runs),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY pipeline_id
+         |            ORDER BY created_at DESC, run_id DESC) AS rn,
+         |         count(*) OVER (PARTITION BY pipeline_id) AS n
+         |  FROM st)
+         |SELECT pipeline_id, status AS latest_status,
+         |       created_at AS latest_run_date, n AS run_count
+         |FROM ranked WHERE rn = 1 ORDER BY pipeline_id""") { (s, dir) =>
+      graft.derive.Pipeline.scheduleStatus(runsFixture(s, dir))
+        .orderBy("pipeline_id")
+    },
   )
+
+  /** PipelineRun-shaped rows from events: created_at is the event time,
+    * start/end/exitcode vary by event id so every status branch appears
+    * (0 success, 88 stale, 99 stopped, 2 failure, null running, null
+    * queued). */
+  private def runsFixture(s: SparkSession, dir: String): DataFrame = {
+    val e = col("event_id")
+    t(s, dir, "events").select(
+      e.as("run_id"),
+      concat(lit("pl"), pmod(col("user_id"), lit(10))).as("pipeline_id"),
+      col("ts").as("created_at"),
+      when(pmod(e, lit(5)) =!= 0,
+        col("ts") + expr("INTERVAL 1 MINUTE")).as("started_at"),
+      when(pmod(e, lit(5)).isin(1, 2, 3),
+        col("ts") + expr("INTERVAL 10 MINUTE")).as("ended_at"),
+      when(pmod(e, lit(7)) === 0 && pmod(e, lit(5)).isin(1, 2, 3),
+        lit(0))
+        .when(pmod(e, lit(7)) === 1 && pmod(e, lit(5)).isin(1, 2, 3),
+          lit(88))
+        .when(pmod(e, lit(7)) === 2 && pmod(e, lit(5)).isin(1, 2, 3),
+          lit(99))
+        .when(pmod(e, lit(7)) === 3 && pmod(e, lit(5)).isin(1, 2, 3),
+          lit(2))
+        .cast("int").as("exitcode"))
+  }
+
+  private def runsFixtureSql: String =
+    """runs AS (
+      |  SELECT event_id AS run_id,
+      |         'pl' || CAST(user_id % 10 AS VARCHAR) AS pipeline_id,
+      |         ts AS created_at,
+      |         CASE WHEN event_id % 5 <> 0
+      |              THEN ts + INTERVAL 1 MINUTE END AS started_at,
+      |         CASE WHEN event_id % 5 IN (1, 2, 3)
+      |              THEN ts + INTERVAL 10 MINUTE END AS ended_at,
+      |         CASE WHEN event_id % 5 NOT IN (1, 2, 3) THEN NULL
+      |              WHEN event_id % 7 = 0 THEN 0
+      |              WHEN event_id % 7 = 1 THEN 88
+      |              WHEN event_id % 7 = 2 THEN 99
+      |              WHEN event_id % 7 = 3 THEN 2
+      |              ELSE NULL END AS exitcode
+      |  FROM events)""".stripMargin
 }
