@@ -746,6 +746,32 @@ object AdvisoryDerive {
         lit(actor).as("actor"))
   }
 
+  /** PackageChangeLog mart (models.py:1648-1717 + test_changelog.py):
+    * one AFFECTED_BY entry per (package version, advisory) affecting it
+    * and one FIXING entry per fixing relation — idempotent like the
+    * reference's log_action get_or_create (re-running the import never
+    * duplicates an entry), with the advisory's datasource as the actor
+    * and its URL as the source. Distinct over the action key; the
+    * advisory dimension joins broadcast-size columns only. */
+  def packageChangeLog(unfurled: DataFrame,
+      advisories: DataFrame): DataFrame = {
+    val dim = advisories.filter(col("is_latest"))
+      .select(col("avid"), col("datasource_id").as("actor"),
+        col("url").as("source_url"))
+    val affected = unfurled.filter(col("is_affected"))
+      .select(col("avid"), col("base_purl"), col("version"),
+        lit("AFFECTED_BY").as("action_type"))
+    val fixing = unfurled.filter(col("is_fixed"))
+      .select(col("avid"), col("base_purl"), col("version"),
+        lit("FIXING").as("action_type"))
+    affected.unionByName(fixing)
+      .distinct()
+      .join(dim, Seq("avid"))
+      .select(
+        concat(col("base_purl"), lit("@"), col("version")).as("purl"),
+        col("action_type"), col("avid"), col("actor"), col("source_url"))
+  }
+
   /** Cross-advisory conflict ToDos
     * (compute_advisory_todo.py:89-135,200-307): for each CVE alias
     * (case-insensitive `cve` prefix, like the reference's

@@ -140,6 +140,46 @@ object StreamingQueries extends QueryModule {
         .orderBy("avid", "action_time", "action_type")
     },
 
+    // T5b — PackageChangeLog (models.py:1648-1717): one idempotent
+    // AFFECTED_BY / FIXING entry per (package version, advisory)
+    // relation, actor = the advisory's datasource
+    q("t5b_package_changelog",
+      """WITH u AS (
+        |  SELECT 'adv/' || CAST(l_orderkey % 50 AS VARCHAR) AS avid,
+        |         'pkg:npm/p' || CAST(l_partkey % 20 AS VARCHAR)
+        |           AS base_purl,
+        |         CAST(l_linenumber AS VARCHAR) AS version,
+        |         l_quantity > 25 AS is_affected,
+        |         l_quantity <= 25 AS is_fixed
+        |  FROM lineitem),
+        |acts AS (
+        |  SELECT DISTINCT avid, base_purl, version,
+        |         'AFFECTED_BY' AS action_type FROM u WHERE is_affected
+        |  UNION
+        |  SELECT DISTINCT avid, base_purl, version, 'FIXING'
+        |  FROM u WHERE is_fixed)
+        |SELECT base_purl || '@' || version AS purl, action_type, avid,
+        |       'ds' || CAST(CAST(substring(avid, 5) AS INT) % 3
+        |                    AS VARCHAR) AS actor,
+        |       'https://src/' || avid AS source_url
+        |FROM acts ORDER BY purl, action_type, avid""") { (s, dir) =>
+      val unfurled = t(s, dir, "lineitem").select(
+        concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
+        concat(lit("pkg:npm/p"), pmod(col("l_partkey"), lit(20)))
+          .as("base_purl"),
+        col("l_linenumber").cast("string").as("version"),
+        (col("l_quantity") > 25).as("is_affected"),
+        (col("l_quantity") <= 25).as("is_fixed"))
+      val sp = s
+      import sp.implicits._
+      val advisories = (0 until 50).map { k =>
+        (s"adv/$k", s"ds${k % 3}", true, s"https://src/adv/$k")
+      }.toDF("avid", "datasource_id", "is_latest", "url")
+      graft.derive.AdvisoryDerive
+        .packageChangeLog(unfurled, advisories)
+        .orderBy("purl", "action_type", "avid")
+    },
+
     // T4 — import-once pending queue (anti-join vs processed marker set)
     q("t4_pending_queue",
       """SELECT e.event_id, e.event_type FROM events e
