@@ -39,7 +39,9 @@ object Engine {
       packageCounts: DataFrame,
       vulnerabilities: DataFrame,
       vulnerabilityMembership: DataFrame,
-      v1PackageVulnCounts: DataFrame)
+      v1PackageVulnCounts: DataFrame,
+      codeFixes: DataFrame,
+      packageChangeLog: DataFrame)
 
   /** Session with extensions + registered functions. */
   def newSession(appName: String = "graft", cpus: String = "32"): SparkSession = {
@@ -102,7 +104,10 @@ object Engine {
           precomputedMembership = Some(v1Member)),
       vulnerabilityMembership = v1Member,
       v1PackageVulnCounts = graft.derive.VulnerabilityV1
-        .packageVulnerabilityCounts(unfurled, v1Member))
+        .packageVulnerabilityCounts(unfurled, v1Member),
+      codeFixes = AdvisoryDerive.codeFixes(advisories, unfurled),
+      packageChangeLog =
+        AdvisoryDerive.packageChangeLog(unfurled, advisories))
     Seq(
       "advisories" -> marts.advisories,
       "impacts" -> marts.impacts,
@@ -126,6 +131,8 @@ object Engine {
       "vulnerabilities" -> marts.vulnerabilities,
       "vulnerability_membership" -> marts.vulnerabilityMembership,
       "v1_package_vuln_counts" -> marts.v1PackageVulnCounts,
+      "code_fixes" -> marts.codeFixes,
+      "package_changelog" -> marts.packageChangeLog,
     ).foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }
     marts
   }

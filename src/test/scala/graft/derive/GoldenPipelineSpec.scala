@@ -102,6 +102,10 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
       "api_purl_pairs" -> Serving.advisoryPurlPairs(unfurled,
         Seq(("pkg:pypi/foo", "1.0.0"), ("pkg:pypi/foo", "1.20.0"))
           .toDF("base_purl", "version"), mode = "both"),
+      // round-12 continuation marts
+      "code_fixes" -> AdvisoryDerive.codeFixes(advisories, unfurled),
+      "package_changelog" ->
+        AdvisoryDerive.packageChangeLog(unfurled, advisories),
     )
   }
 
@@ -111,7 +115,8 @@ class GoldenPipelineSpec extends AnyFunSuite with SparkTestSession {
     "api_affecting_detail_foo_1_0_0", "packages", "non_vulnerable_versions",
     "advisory_set_summaries", "export_yaml", "risk_scores_epss",
     "ssvc_decisions", "ssvc_serving", "commit_patches", "api_fixed_by_foo",
-    "api_purl_pairs", "mitigations", "mitigation_curation")
+    "api_purl_pairs", "mitigations", "mitigation_curation",
+    "code_fixes", "package_changelog")
     .foreach { name =>
     test(s"golden: $name") {
       GoldenFiles.check(name, derived(name))
