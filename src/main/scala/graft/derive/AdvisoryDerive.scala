@@ -544,10 +544,13 @@ object AdvisoryDerive {
   /** CodeFixV2 mart (v2_improvers/collect_commits.py:35-77 +
     * models.py:1943-1969): advisory references whose URL is a VCS URL
     * containing `/commit/` become one CodeFix row per affecting
-    * concrete package of that advisory. The VCS URL is normalized the
-    * scancode way for the shapes that can carry `/commit/`
-    * (`git+` prefix and `.git` suffix stripped, `git://`→`https://`);
-    * a commit already claimed by another advisory is skipped — the
+    * concrete package of that advisory. normalize_vcs_url
+    * (collect_commits.py:130-175) returns any URL that already carries
+    * a VCS or plain scheme VERBATIM — and the `/commit/` + scheme
+    * filter admits only those — so the stored commit URL is the
+    * trimmed reference URL, exactly like the reference (no scheme
+    * rewriting; its git@/shortcut branches cannot contain `/commit/`).
+    * A commit already claimed by another advisory is skipped — the
     * reference's is-already-processed check walks advisories in
     * queryset order, re-expressed deterministically as min(avid) per
     * commit URL.
@@ -555,16 +558,13 @@ object AdvisoryDerive {
     * Shape: explode references (narrow), one groupBy on the commit URL
     * for the first-wins dedup, one equi-join to the affecting edge. */
   def codeFixes(advisories: DataFrame, unfurled: DataFrame): DataFrame = {
-    val vcsUrl = regexp_replace(regexp_replace(
-      trim(col("url")), "^git\\+", ""), "\\.git$", "")
     val commitRefs = advisories.filter(col("is_latest"))
       .select(col("avid"), explode(col("references")).as("r"))
       .select(col("avid"), col("r.url").as("url"))
       .filter(col("url").contains("/commit/") &&
         col("url").rlike(
           "^(git\\+)?(https?|git|hg|svn)(\\+https?|\\+git)?://"))
-      .select(col("avid"),
-        regexp_replace(vcsUrl, "^git://", "https://").as("vcs_url"))
+      .select(col("avid"), trim(col("url")).as("vcs_url"))
     val firstClaim = commitRefs.groupBy("vcs_url")
       .agg(min(col("avid")).as("avid"))
     val affecting = unfurled.filter(col("is_affected"))

@@ -41,13 +41,39 @@ object TextUtil {
 
   /** VCS URL normalization subset (collect_commits.py:92-257):
     * npm-style shortcuts + scheme suffix cleanup. */
+  /** npm-style VCS URL normalization
+    * (collect_commits.py:110-175 normalize_vcs_url, identical in the v2
+    * improver): a URL already carrying a VCS or plain scheme returns
+    * VERBATIM (no .git strip, no scheme rewrite — the reference's
+    * first branch), `git@host:path` rewrites to https:// for the known
+    * hosters (git:// otherwise), the `github:`/`gitlab:`/`bitbucket:`/
+    * `gist:` shortcuts expand, and a bare `user/repo` is implicit
+    * GitHub. */
   def normalizeVcsUrl(url: String): String = {
     val u = Option(url).getOrElse("").trim
-      .stripPrefix("git+").stripSuffix(".git")
-    if (u.startsWith("github:")) s"https://github.com/${u.stripPrefix("github:")}"
+    val schemes = Seq("git://", "git+git://", "git+https://", "git+http://",
+      "hg://", "hg+http://", "hg+https://", "svn://", "svn+https://",
+      "svn+http://", "https://", "http://")
+    if (u.isEmpty) u
+    else if (schemes.exists(u.startsWith)) u
+    else if (u.startsWith("git@")) {
+      val right = u.substring(4)
+      val (host, repo) =
+        if (right.contains(':')) {
+          val i = right.indexOf(':'); (right.substring(0, i), right.substring(i + 1))
+        } else {
+          val i = right.indexOf('/')
+          if (i < 0) (right, "") else (right.substring(0, i), right.substring(i + 1))
+        }
+      val scheme = if (Seq("bitbucket", "gitlab", "github").exists(host.contains))
+        "https" else "git"
+      s"$scheme://$host/$repo"
+    }
+    else if (u.startsWith("github:")) s"https://github.com/${u.stripPrefix("github:")}"
     else if (u.startsWith("gitlab:")) s"https://gitlab.com/${u.stripPrefix("gitlab:")}"
     else if (u.startsWith("bitbucket:")) s"https://bitbucket.org/${u.stripPrefix("bitbucket:")}"
-    else if (u.startsWith("git://")) "https://" + u.stripPrefix("git://")
+    else if (u.startsWith("gist:")) s"https://gist.github.com/${u.stripPrefix("gist:")}"
+    else if (u.split('/').length == 2) s"https://github.com/$u"
     else u
   }
 

@@ -600,12 +600,12 @@ object DedupGroupQueries extends QueryModule {
     },
 
     // D20 — CodeFixV2 mart (v2_improvers/collect_commits.py:35-77):
-    // VCS-scheme /commit/ reference URLs normalize (git+ / .git / git://
-    // stripped), a commit claimed once across advisories (min-avid
-    // first-wins, the queryset-order analog), fanned to the advisory's
-    // affecting packages. The git:// and https:// spellings of one
-    // commit normalize to the SAME url, so the oracle also gates the
-    // cross-scheme dedup.
+    // VCS-scheme /commit/ reference URLs store VERBATIM
+    // (normalize_vcs_url's scheme branch is identity), a commit claimed
+    // once across advisories (min-avid first-wins, the queryset-order
+    // analog), fanned to the advisory's affecting packages. The git://
+    // and https:// spellings of one commit stay DISTINCT like the
+    // reference — the oracle gates that too.
     q("d20_code_fixes",
       """WITH r AS (
         |  SELECT 'adv/' || CAST(o_orderkey % 50 AS VARCHAR) AS avid,
@@ -624,10 +624,7 @@ object DedupGroupQueries extends QueryModule {
         |           ELSE 'ftp://host/commit/deadbeef' END AS url
         |  FROM orders),
         |norm AS (
-        |  SELECT avid,
-        |         regexp_replace(regexp_replace(regexp_replace(trim(url),
-        |           '^git\+', ''), '\.git$', ''), '^git://', 'https://')
-        |           AS vcs_url
+        |  SELECT avid, trim(url) AS vcs_url
         |  FROM r
         |  WHERE url LIKE '%/commit/%'
         |    AND regexp_matches(url,

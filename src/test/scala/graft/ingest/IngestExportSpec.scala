@@ -253,9 +253,24 @@ class SsvcTextUtilSpec extends AnyFunSuite {
   }
 
   test("vcs url normalization + commit check (F21)") {
+    // the reference's normalize_vcs_url doctests + test_collect_commits
+    // assertions: scheme'd URLs come back VERBATIM, git@ rewrites per
+    // hoster, shortcuts expand, bare user/repo is implicit github
     assert(TextUtil.normalizeVcsUrl("github:user/repo") == "https://github.com/user/repo")
     assert(TextUtil.normalizeVcsUrl("git+https://github.com/a/b.git")
-      == "https://github.com/a/b")
+      == "git+https://github.com/a/b.git")
+    assert(TextUtil.normalizeVcsUrl("git@github.com:user/repo.git")
+      == "https://github.com/user/repo.git")
+    assert(TextUtil.normalizeVcsUrl("git@example.org:user/repo.git")
+      == "git://example.org/user/repo.git")
+    assert(TextUtil.normalizeVcsUrl("git@github.com/Filirom1/npm2aur.git")
+      == "https://github.com/Filirom1/npm2aur.git")
+    assert(TextUtil.normalizeVcsUrl("expressjs/serve-static")
+      == "https://github.com/expressjs/serve-static")
+    assert(TextUtil.normalizeVcsUrl("gist:11081aaa281")
+      == "https://gist.github.com/11081aaa281")
+    assert(TextUtil.normalizeVcsUrl("git://github.com/hapijs/boom")
+      == "git://github.com/hapijs/boom")
     assert(TextUtil.isCommit("deadbeefcafe1234"))
     assert(!TextUtil.isCommit("not-a-commit"))
   }
