@@ -75,9 +75,12 @@ object PurlCodec {
     require(s.startsWith("pkg:"), s"not a purl: $purl")
     var rest = s.stripPrefix("pkg:").dropWhile(_ == '/')
     // subpath
+    // the subpath decodes like every other field (packageurl-python
+    // unquotes it); '/' segments survive the round-trip because enc()
+    // leaves '/' raw
     val (beforeSub, subpath) = rest.indexOf('#') match {
       case -1 => (rest, "")
-      case i  => (rest.substring(0, i), rest.substring(i + 1).trim)
+      case i  => (rest.substring(0, i), decode(rest.substring(i + 1).trim))
     }
     // qualifiers
     val (beforeQ, qualStr) = beforeSub.indexOf('?') match {
