@@ -114,8 +114,8 @@ object AdvisoryDerive {
   /** version_rank (W1): ecosystem-order rank per package group. */
   def versionRank(versionsDim: DataFrame): DataFrame = {
     val keyed = versionsDim.withColumn("sort_key",
-      GraftFunctions.versionSortKeyUdf(
-        GraftFunctions.purlVersionSchemeUdf(col("base_purl")), col("version")))
+      GraftFunctions.versionSortKey(
+        GraftFunctions.purlVersionScheme(col("base_purl")), col("version")))
     val w = Window.partitionBy("base_purl").orderBy(col("sort_key"),
       col("version"))
     keyed.withColumn("version_rank", row_number().over(w)).drop("sort_key")

@@ -36,28 +36,29 @@ object Improvers {
 
   val MaxConfidence = 100
 
-  private val resolvedEndpointsUdf = udf { (spec: String) =>
-    if (spec == null || spec.trim.isEmpty) Seq.empty[String]
-    else try Vers.resolvedConstraintVersions(spec)
-    catch { case _: Exception => Seq.empty[String] }
-  }
-
-  private val excludedEndpointsUdf = udf { (spec: String) =>
-    if (spec == null || spec.trim.isEmpty) Seq.empty[String]
-    else try Vers.exactVersions(spec)._2
-    catch { case _: Exception => Seq.empty[String] }
-  }
+  // Endpoint extraction + rendering run as the NATIVE catalyst
+  // expressions (expr/VersionExpressions.scala — vers_endpoints_native /
+  // vers_excluded_native / version_render_native): the whole inference
+  // assembly stays inside WholeStageCodegen, pinned UDF-free by
+  // PlanAuditSpec. The natives are null-propagating where the old UDF
+  // twins returned empties, so call sites coalesce explicitly.
+  private val emptyStrArr = array().cast("array<string>")
+  private def resolvedEndpoints(spec: org.apache.spark.sql.Column) =
+    coalesce(call_function("vers_endpoints_native", spec), emptyStrArr)
+  private def excludedEndpoints(spec: org.apache.spark.sql.Column) =
+    coalesce(call_function("vers_excluded_native", spec), emptyStrArr)
 
   // get_exact_purls emits `str(version)` on univers objects — the
   // scheme-aware canonical rendering (VersionOrd.render; apache
-  // four-segment → +build is the one non-identity family)
-  private val renderSeqUdf = udf { (scheme: String, vs: Seq[String]) =>
-    Option(vs).getOrElse(Seq.empty)
-      .map(v => graft.functions.VersionOrd.render(scheme, v))
-  }
-  private val renderUdf = udf { (scheme: String, v: String) =>
-    if (v == null) null else graft.functions.VersionOrd.render(scheme, v)
-  }
+  // four-segment → +build is the one non-identity family). A null
+  // scheme renders identity, so call sites pass coalesce(scheme, '').
+  private def renderAll(scheme: org.apache.spark.sql.Column,
+      vs: org.apache.spark.sql.Column) =
+    transform(vs, v =>
+      call_function("version_render_native", coalesce(scheme, lit("")), v))
+  private def render(scheme: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column) =
+    call_function("version_render_native", coalesce(scheme, lit("")), v)
 
   /** DefaultImprover.get_inferences (improvers/default.py:52-85) +
     * get_exact_purls (:88-141): disregard ranges except for their exact
@@ -83,9 +84,9 @@ object Improvers {
       col("ptype"))
     val perImpact = impacts
       .withColumn("affected_versions",
-        renderSeqUdf(scheme, resolvedEndpointsUdf(col("affecting_vers"))))
-      .withColumn("fixed_versions", renderSeqUdf(scheme, concat(
-        excludedEndpointsUdf(col("affecting_vers")),
+        renderAll(scheme, resolvedEndpoints(col("affecting_vers"))))
+      .withColumn("fixed_versions", renderAll(scheme, concat(
+        excludedEndpoints(col("affecting_vers")),
         when(col("fixed_version").isNotNull &&
           length(col("fixed_version")) > 0, array(col("fixed_version")))
           .otherwise(array().cast("array<string>")))))
@@ -277,7 +278,7 @@ object Improvers {
       .select(col("avid"), col("ptype"), col("namespace"), col("name"),
         when(col("_merged"), col("qualifiers")).as("qualifiers"),
         array().cast("array<string>").as("affected_versions"),
-        renderUdf(col("ptype"), col("fixed_version")).as("fixed_version"))
+        render(col("ptype"), col("fixed_version")).as("fixed_version"))
 
     // Branch B: range expansion against the known versions.
     val ranged = marked

@@ -31,6 +31,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "version_in_range_native"),
       (args: Seq[Expression]) => VersionInRangeExpr(args(0), args(1))))
     e.injectFunction((
+      new FunctionIdentifier("version_render_native"),
+      new ExpressionInfo(classOf[VersionRenderExpr].getName,
+        "version_render_native"),
+      (args: Seq[Expression]) => VersionRenderExpr(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("vers_endpoints_native"),
+      new ExpressionInfo(classOf[VersEndpointsExpr].getName,
+        "vers_endpoints_native"),
+      (args: Seq[Expression]) => VersEndpointsExpr(args(0), excluded = false)))
+    e.injectFunction((
+      new FunctionIdentifier("vers_excluded_native"),
+      new ExpressionInfo(classOf[VersEndpointsExpr].getName,
+        "vers_excluded_native"),
+      (args: Seq[Expression]) => VersEndpointsExpr(args(0), excluded = true)))
+    e.injectFunction((
       new FunctionIdentifier("array_dot_native"),
       new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot_native"),
       (args: Seq[Expression]) => ArrayDotExpr(args(0), args(1))))

@@ -1,8 +1,9 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{Vers, VersionOrd}
@@ -78,4 +79,63 @@ object VersionInRangeExpr {
   /** Codegen helper for the non-constant-spec path. */
   def safeContains(version: String, spec: String): Boolean =
     try Vers.versionInRange(version, spec) catch { case _: Exception => false }
+}
+
+/** Scheme-aware canonical version rendering (univers `str(version)`;
+  * VersionOrd.render — apache 4-segment `+build` is the one non-identity
+  * family). Native so the improver family's inference assembly stays
+  * inside WholeStageCodegen. */
+case class VersionRenderExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // left = scheme, right = version
+  override def dataType: DataType = StringType
+  override def prettyName: String = "version_render_native"
+
+  override protected def nullSafeEval(scheme: Any, version: Any): Any =
+    UTF8String.fromString(VersionOrd.render(scheme.toString, version.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, v) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.VersionOrd.render($s.toString(), $v.toString()))")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VersionRenderExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Constraint-endpoint extraction from a `vers:` spec, native array
+  * output (DefaultImprover's get_exact_purls algebra — improvers/
+  * default.py:88-141): `excluded = false` → resolved endpoints that
+  * satisfy their own range; `excluded = true` → `!=` exclusions.
+  * Malformed specs yield an empty array (the error-channel convention
+  * of the UDF twins in GraftFunctions). */
+case class VersEndpointsExpr(child: Expression, excluded: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String =
+    if (excluded) "vers_excluded_native" else "vers_endpoints_native"
+
+  override protected def nullSafeEval(spec: Any): Any =
+    VersEndpointsExpr.eval(spec.toString, excluded)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.expr.VersEndpointsExpr.eval($s.toString(), $excluded)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VersEndpointsExpr = copy(child = newChild)
+}
+
+object VersEndpointsExpr {
+  def eval(spec: String, excluded: Boolean): ArrayData = {
+    val vs =
+      if (spec.trim.isEmpty) Seq.empty[String]
+      else
+        try {
+          if (excluded) Vers.exactVersions(spec)._2
+          else Vers.resolvedConstraintVersions(spec)
+        } catch { case _: Exception => Seq.empty[String] }
+    new GenericArrayData(vs.map(UTF8String.fromString))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{call_function, coalesce, element_at, lit, regexp_extract, typedLit, udf}
 
 /** Registration of the domain functions as Spark UDFs (SQL + Column API).
   *
@@ -62,10 +62,34 @@ object GraftFunctions {
       SsvcParsed(opts.map { case (n, v) => SsvcOption(n, v) }, d)
     }.orNull)
 
+  /** Column helpers route to the CODEGEN'D native expressions
+    * (expr/VersionExpressions.scala), not the Scala UDFs above: the UDF
+    * form pays an InternalRow conversion + breaks WholeStageCodegen on
+    * every row of the unfurl join — the engine's hottest scan. The UDF
+    * twins stay registered for spark.sql textual use only.
+    * Requires the GraftExtensions function registry (set by
+    * core.Sessions for every engine session). */
   def versionSortKey(scheme: Column, v: Column): Column =
-    versionSortKeyUdf(scheme, v)
+    call_function("version_sort_key_native", scheme, v)
   def versionInRange(version: Column, spec: Column): Column =
-    versionInRangeUdf(version, spec)
+    call_function("version_in_range_native", version, spec)
+
+  /** univers version-range scheme for a base purl, as a codegen'd column:
+    * ptype via regexp_extract + a literal map lookup (PurlCodec
+    * .versionScheme's table), default "generic". Keeps versionRank's
+    * sort-key derivation UDF-free. */
+  private val schemeByPtype: Map[String, String] = Map(
+    "npm" -> "semver", "cargo" -> "semver", "composer" -> "semver",
+    "hex" -> "semver", "gem" -> "gem", "golang" -> "golang",
+    "nuget" -> "nuget", "alpm" -> "alpm", "ebuild" -> "ebuild",
+    "pypi" -> "pypi", "deb" -> "deb", "rpm" -> "rpm", "maven" -> "maven",
+    "apk" -> "alpine")
+  def purlVersionScheme(basePurl: Column): Column = {
+    val m = typedLit(schemeByPtype)
+    coalesce(
+      element_at(m, regexp_extract(basePurl, "^pkg:([^/]+)/", 1)),
+      lit("generic"))
+  }
 
   /** Register all functions for spark.sql use. */
   def register(spark: SparkSession): Unit = {

@@ -99,7 +99,7 @@ object VersionQueries extends QueryModule {
       withVersion(s, dir)
         .select(col("p_brand"),
           struct(
-            GraftFunctions.versionSortKeyUdf(lit("semver"), col("version"))
+            GraftFunctions.versionSortKey(lit("semver"), col("version"))
               .as("sk"),
             col("version")).as("kv"))
         .distinct()
@@ -123,7 +123,7 @@ object VersionQueries extends QueryModule {
          |         AS vulnerable
          |FROM part p ORDER BY p.p_partkey""") { (s, dir) =>
       val v = withVersion(s, dir).withColumn("sk",
-        GraftFunctions.versionSortKeyUdf(lit("semver"), col("version")))
+        GraftFunctions.versionSortKey(lit("semver"), col("version")))
       val fixes = v.filter(pmod(col("p_size"), lit(5)) === 0)
         .groupBy(col("p_brand").as("f_brand"))
         .agg(max("sk").as("max_fix_sk"))
@@ -146,7 +146,7 @@ object VersionQueries extends QueryModule {
          |  FROM part) WHERE version_rank = 1
          |ORDER BY p_brand""") { (s, dir) =>
       val v = withVersion(s, dir).withColumn("sk",
-        GraftFunctions.versionSortKeyUdf(lit("semver"), col("version")))
+        GraftFunctions.versionSortKey(lit("semver"), col("version")))
       val w = Window.partitionBy("p_brand").orderBy(col("sk"), col("p_partkey"))
       v.withColumn("version_rank", row_number().over(w))
         .filter(col("version_rank") === 1)
