@@ -287,7 +287,14 @@ object AdvisoryDerive {
     * (VulnerabilityV1.membership) does not re-explode the alias table.
     */
   def advisorySetsKeyed(spark: SparkSession,
-      advisories: DataFrame): DataFrame = {
+      advisories: DataFrame): DataFrame =
+    advisorySetsKeyed(spark, advisories, SetsLocalThreshold)
+
+  /** `localThreshold` is exposed for the path-equivalence spec (0
+    * forces the distributed branch on tiny inputs); production callers
+    * use the default. */
+  private[derive] def advisorySetsKeyed(spark: SparkSession,
+      advisories: DataFrame, localThreshold: Int): DataFrame = {
     val latest = advisories.filter(col("is_latest"))
     // Bounded-input fast path: ONE limit-guarded collect decides and,
     // when the input is small, also supplies the data. Node ids come
@@ -298,8 +305,8 @@ object AdvisoryDerive {
         coalesce(col("aliases"), array()).as("aliases"),
         col("advisory_id"),
         col("precedence").cast("long").as("precedence"))
-      .limit(SetsLocalThreshold + 1).collect()
-    if (probe.length <= SetsLocalThreshold) {
+      .limit(localThreshold + 1).collect()
+    if (probe.length <= localThreshold) {
       val rows = probe.map(r => (r.getString(0), r.getLong(1),
         r.getSeq[String](2), r.getString(3), r.getLong(4))).toSeq
       require(rows.map(_._1).distinct.size ==
@@ -335,8 +342,15 @@ object AdvisoryDerive {
       val primary = grouped.map { case (gid, members) =>
         gid -> members.minBy(m => (-m._5, m._1))._1
       }
+      // sort by UTF-8 byte order (== code point order) to match the
+      // distributed min(alias): Java String.compareTo is UTF-16
+      // code-unit order, which disagrees for supplementary characters
+      val utf8Ord: Ordering[String] = (a: String, b: String) => {
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        java.util.Arrays.compareUnsigned(x, y)
+      }
       val minAlias = grouped.map { case (gid, members) =>
-        gid -> members.flatMap(_._3).sorted.headOption.orNull
+        gid -> members.flatMap(_._3).sorted(utf8Ord).headOption.orNull
       }
       import spark.implicits._
       return rows.map { case (avid, node, _, _, _) =>
@@ -360,8 +374,12 @@ object AdvisoryDerive {
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     require(nAvid == nNode,
       s"xxhash64 node-id collision: $nAvid distinct avids -> $nNode node ids")
+    // coalesce BEFORE concat: concat(NULL, [id]) is NULL and explode
+    // would drop the advisory's keys entirely, grouping a null-alias
+    // advisory differently above vs below the local threshold
     val keys = latest
-      .select(col("avid"), explode(concat(col("aliases"),
+      .select(col("avid"), explode(concat(
+        coalesce(col("aliases"), array().cast("array<string>")),
         array(col("advisory_id")))).as("key"))
       .join(ids, Seq("avid"))
     // edges: advisories sharing a key → star to the min node per key
@@ -773,15 +791,19 @@ object AdvisoryDerive {
   }
 
   /** Cross-advisory conflict ToDos
-    * (compute_advisory_todo.py:89-135,200-307): for each CVE alias
-    * (case-insensitive `cve` prefix, like the reference's
-    * `istartswith="cve"`), compare PER-ADVISORY sets — each advisory's
-    * frozenset of affected ranges and of fixed versions per purl; more
-    * than one distinct set across advisories ⇒ conflict. Advisories
-    * flagged MISSING_AFFECTED_AND_FIXED_BY_PACKAGES are excluded from
-    * every alias's matrix (the reference's queryset `.exclude`), and
-    * the per-alias issue is the trichotomy
-    * CONFLICTING_{AFFECTED_AND_FIXED_BY,AFFECTED,FIXED_BY}_PACKAGES.
+    * (compute_advisory_todo.py:89-135,200-307): for EVERY alias — the
+    * reference chains cve_aliases and non_cve_aliases querysets
+    * (:147-164), the `istartswith="cve"` split is processing order, not
+    * a filter — compare PER-ADVISORY sets: each advisory's frozenset of
+    * affected ranges and of fixed versions per purl; more than one
+    * distinct set across advisories ⇒ conflict. Advisories flagged
+    * MISSING_AFFECTED_AND_FIXED_BY_PACKAGES are excluded from every
+    * alias's matrix (the reference's queryset `.exclude`), the
+    * per-alias issue is the trichotomy
+    * CONFLICTING_{AFFECTED_AND_FIXED_BY,AFFECTED,FIXED_BY}_PACKAGES,
+    * and the related advisories are ONLY those attached to a purl with
+    * an actual disagreement (`conflicting_advisories.update` runs after
+    * the no-disagreement `continue`, :985-1001).
     *
     * Spark-first shape: two groupBys on narrowing keys
     * ((alias, purl, avid) → (alias, purl) → alias); set identity
@@ -795,7 +817,6 @@ object AdvisoryDerive {
     val impacts = advisories.filter(col("is_latest"))
       .select(col("avid"), explode(col("aliases")).as("alias"),
         col("affected"))
-      .filter(lower(col("alias")).startsWith("cve"))
       .join(excluded, Seq("avid"), "left_anti")
       .select(col("avid"), col("alias"), explode(col("affected")).as("a"))
     // one row per (alias, purl, advisory): that advisory's SET of
@@ -806,9 +827,9 @@ object AdvisoryDerive {
       .agg(
         array_join(array_sort(collect_set(when(
           col("a.affecting_vers") =!= "", col("a.affecting_vers")))),
-          "").as("aff_set"),
+          "\u0001").as("aff_set"),
         array_join(array_sort(collect_set(when(
-          col("a.fixed_vers") =!= "", col("a.fixed_vers")))), "")
+          col("a.fixed_vers") =!= "", col("a.fixed_vers")))), "\u0001")
           .as("fix_set"))
     val perPurl = perAdvisory
       .groupBy("alias", "purl")
@@ -821,8 +842,11 @@ object AdvisoryDerive {
       .agg(
         max(col("purl_aff_conflict")).as("_aff"),
         max(col("purl_fix_conflict")).as("_fix"),
-        array_sort(array_distinct(flatten(collect_list(col("advisories")))))
-          .as("related"))
+        // only advisories attached to a DISAGREEING purl relate to the
+        // ToDo (collect_list drops the nulls of agreeing purls)
+        array_sort(array_distinct(flatten(collect_list(
+          when(col("purl_aff_conflict") || col("purl_fix_conflict"),
+            col("advisories")))))).as("related"))
       .filter(col("_aff") || col("_fix"))
       .select(col("alias"),
         when(col("_aff") && col("_fix"),

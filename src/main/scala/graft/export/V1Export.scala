@@ -21,16 +21,19 @@ import FederatedExport.{listBody, yamlQuote}
   */
 object V1Export {
 
-  /** Repos-per-ecosystem tier table (hashid BIT_COUNT_BY_ECOSYSTEM) —
-    * bit width of the purl-hash space. Unlisted types use 0 (a single
-    * repository, empty hash). */
+  /** Repos-per-ecosystem tier table (hashid BIT_COUNT_BY_ECOSYSTEM:175-212)
+    * — bit width of the purl-hash space. The Small Ecosystem tier is 0
+    * bits (a single repository); unlisted types also default to 0 per
+    * `BIT_COUNT_BY_ECOSYSTEM.get(purl.type, 0)` (hashid:285). */
   val bitCountByType: Map[String, Int] = Map(
     "github" -> 10, "npm" -> 10,
     "golang" -> 7, "maven" -> 7, "nuget" -> 7, "perl" -> 7, "php" -> 7,
     "pypi" -> 7, "ruby" -> 7,
     "alpm" -> 5, "bitbucket" -> 5, "cocoapods" -> 5, "composer" -> 5,
     "deb" -> 5, "docker" -> 5, "gem" -> 5, "generic" -> 5,
-    "huggingface" -> 5, "mlflow" -> 5, "pub" -> 5, "rpm" -> 5)
+    "huggingface" -> 5, "mlflow" -> 5, "pub" -> 5, "rpm" -> 5,
+    "bitnami" -> 0, "cargo" -> 0, "conan" -> 0, "conda" -> 0, "cpan" -> 0,
+    "cran" -> 0, "hackage" -> 0, "hex" -> 0, "luarocks" -> 0, "swift" -> 0)
 
   private val bitsExpr: Column => Column = ptype =>
     bitCountByType.foldLeft(lit(0)) { case (acc, (t, b)) =>
@@ -49,9 +52,11 @@ object V1Export {
     // 2^bits as a long (bits ≤ 10, exact in double); shiftleft's Scala
     // signature only takes a literal Int shift
     val value = pmod(low32, pow(lit(2.0), bits).cast("long"))
-    val width = ceil(bits.cast("double") / 4.0).cast("int")
-    when(bits === 0, lit(""))
-      .otherwise(lpad(lower(hex(value)), width, lit("0")))
+    // Python renders f"{short_hash:0{ceil(bits/4)}x}" — int formatting
+    // always emits at least ONE digit, so a 0-bit (Small Ecosystem /
+    // unlisted) type hashes to "0", never "".
+    val width = greatest(lit(1), ceil(bits.cast("double") / 4.0).cast("int"))
+    lpad(lower(hex(value)), width, lit("0"))
   }
 
   /** `aboutcode-packages-<type>-<hash>/<type>[/<ns>]/<name>` — the

@@ -83,22 +83,42 @@ object Cvss {
     else if (score < 9.0) "high"
     else "critical"
 
+  /** Numeric-severity grammar shared by this scalar form, the column
+    * twin `Serving.severityRangeCol`, and the a14 DuckDB oracle: the
+    * Python float() literal grammar minus inf/nan (no severity source
+    * emits those). One explicit rule so the two engine implementations
+    * can never disagree on what counts as numeric. */
+  val NumericScoreRe =
+    "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
   /** Severity-range string over mixed numeric/word values
     * (utils.py:512-545 get_severity_range): words map to their
     * [lo, hi] bucket (low / moderate / medium / high / important /
     * critical), numerics pass through, unknown words drop, and the
     * result is "min - max" — None when nothing parses. Rendered like
-    * Python str(float) (trailing .0 kept). */
+    * Python str(): floats keep the trailing .0, but the low bucket's
+    * upper bound is the INT 3 in the reference score_map, so an
+    * all-low maximum renders "3" (f-string int rendering). When a
+    * NUMERIC 3.0 is also present the float spelling wins ("3.0") —
+    * the reference's own output there depends on list order; this is
+    * the deterministic reading. */
   def severityRange(values: Iterable[String]): Option[String] = {
     val scoreMap = Map(
       "low" -> Seq(0.1, 3.0), "moderate" -> Seq(4.0, 6.9),
       "medium" -> Seq(4.0, 6.9), "high" -> Seq(7.0, 8.9),
       "important" -> Seq(7.0, 8.9), "critical" -> Seq(9.0, 10.0))
+    var lowUsed = false
+    var numericThree = false
     val scores = values.toSeq.flatMap { v =>
-      try Seq(v.trim.toDouble)
-      catch {
-        case _: NumberFormatException =>
-          scoreMap.getOrElse(v.trim.toLowerCase, Seq.empty)
+      val t = v.trim
+      if (t.matches(NumericScoreRe)) {
+        val d = t.toDouble
+        if (d == 3.0) numericThree = true
+        Seq(d)
+      } else {
+        val key = t.toLowerCase
+        if (key == "low") lowUsed = true
+        scoreMap.getOrElse(key, Seq.empty)
       }
     }
     if (scores.isEmpty) None
@@ -106,7 +126,10 @@ object Cvss {
       def py(d: Double): String =
         if (d == d.floor && math.abs(d) < 1e16) s"${d.toLong}.0"
         else d.toString
-      Some(s"${py(scores.min)} - ${py(scores.max)}")
+      val mx = scores.max
+      val maxStr =
+        if (mx == 3.0 && lowUsed && !numericThree) "3" else py(mx)
+      Some(s"${py(scores.min)} - $maxStr")
     }
   }
 

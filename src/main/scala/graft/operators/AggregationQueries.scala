@@ -269,8 +269,10 @@ object AggregationQueries extends QueryModule {
     },
 
     // A14 — severity_range_score (api.py:259-281, utils.py:512-545):
-    // textual buckets expand to [lo, hi], numerics pass through,
-    // unknown words drop, "min - max" per group
+    // textual buckets expand to [lo, hi], numerics pass through
+    // (Python-float grammar, Cvss.NumericScoreRe), unknown words drop,
+    // "min - max" per group — with the low bucket's upper bound
+    // rendered as the reference's INT 3 unless a numeric 3.0 parsed
     q("a14_severity_range",
       """WITH v AS (
         |  SELECT p_brand,
@@ -291,13 +293,24 @@ object AggregationQueries extends QueryModule {
         |      WHEN 'important' THEN [7.0, 8.9]
         |      WHEN 'critical' THEN [9.0, 10.0]
         |      ELSE CASE WHEN regexp_matches(trim(val),
-        |                       '^[0-9]+(\.[0-9]+)?$')
+        |             '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
         |                THEN [CAST(val AS DOUBLE)]
-        |                ELSE [] END END) AS t(x))
-        |SELECT p_brand,
+        |                ELSE [] END END) AS t(x)),
+        |f AS (
+        |  SELECT p_brand,
+        |         bool_or(lower(trim(val)) = 'low') AS low_used,
+        |         bool_or(regexp_matches(trim(val),
+        |             '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |           AND TRY_CAST(trim(val) AS DOUBLE) = 3.0) AS num3
+        |  FROM v GROUP BY p_brand)
+        |SELECT e.p_brand,
         |       CAST(min(x) AS VARCHAR) || ' - ' ||
-        |         CAST(max(x) AS VARCHAR) AS severity_range
-        |FROM e GROUP BY p_brand ORDER BY p_brand""") { (s, dir) =>
+        |         CASE WHEN max(x) = 3.0 AND f.low_used AND NOT f.num3
+        |              THEN '3' ELSE CAST(max(x) AS VARCHAR) END
+        |           AS severity_range
+        |FROM e JOIN f USING (p_brand)
+        |GROUP BY e.p_brand, f.low_used, f.num3
+        |ORDER BY p_brand""") { (s, dir) =>
       val v = t(s, dir, "part").select(col("p_brand"),
         when(pmod(col("p_size"), lit(5)) === 0, "LOW")
           .when(pmod(col("p_size"), lit(5)) === 1, "critical")

@@ -177,11 +177,10 @@ object ExportQueries extends QueryModule {
         |pathed AS (
         |  SELECT *,
         |         'aboutcode-packages-' || ptype || '-' ||
-        |           CASE WHEN bits = 0 THEN ''
-        |                ELSE lpad(lower(format('{:x}',
+        |           lpad(lower(format('{:x}',
         |                  CAST(('0x' || substring(sha256(core), 57, 8))
         |                       AS BIGINT) % CAST(pow(2, bits) AS BIGINT))),
-        |                  CAST(ceil(bits / 4.0) AS INT), '0') END ||
+        |                  CAST(greatest(1, ceil(bits / 4.0)) AS INT), '0') ||
         |           '/' || ptype || '/' ||
         |           CASE WHEN ns IS NULL THEN name
         |                ELSE ns || '/' || name END AS base_dir

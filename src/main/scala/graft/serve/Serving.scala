@@ -520,6 +520,12 @@ object Serving {
     * (codegen'd — no UDF); the double→string cast renders 1-decimal
     * doubles exactly like Python str(float). */
   def severityRangeCol(values: Column): Column = {
+    // numeric grammar + int-3 rendering shared with the scalar twin
+    // (Cvss.severityRange / Cvss.NumericScoreRe) and the a14 oracle:
+    // the reference's low bucket upper bound is the INT 3, so an
+    // all-low maximum renders "3"; a parsed numeric 3.0 wins as "3.0"
+    val numRe = graft.functions.Cvss.NumericScoreRe
+    val isNum = (v: Column) => trim(v).rlike(numRe)
     val buckets = map(
       lit("low"), array(lit(0.1), lit(3.0)),
       lit("moderate"), array(lit(4.0), lit(6.9)),
@@ -528,13 +534,17 @@ object Serving {
       lit("important"), array(lit(7.0), lit(8.9)),
       lit("critical"), array(lit(9.0), lit(10.0)))
     val expanded = flatten(transform(values, v =>
-      when(trim(v).rlike("^[0-9]+(\\.[0-9]+)?$"),
-        array(trim(v).cast("double")))
+      when(isNum(v), array(trim(v).cast("double")))
         .otherwise(coalesce(element_at(buckets, lower(trim(v))),
           array().cast("array<double>")))))
+    val lowUsed = exists(values, v => lower(trim(v)) === "low")
+    val numericThree =
+      exists(values, v => isNum(v) && trim(v).cast("double") === 3.0)
+    val mx = array_max(expanded)
+    val maxStr = when(mx === 3.0 && lowUsed && !numericThree, lit("3"))
+      .otherwise(mx.cast("string"))
     when(size(expanded) > 0,
-      concat(array_min(expanded).cast("string"), lit(" - "),
-        array_max(expanded).cast("string")))
+      concat(array_min(expanded).cast("string"), lit(" - "), maxStr))
   }
 
   /** All vulnerable purls (api_v3.py:268-272 empty-purls mode,

@@ -139,6 +139,34 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(sets("ghsa/GHSA-bbbb") != sets("pypa/PYSEC-1"))
   }
 
+  test("advisory sets: local and distributed paths agree on null aliases") {
+    val sp = spark
+    import sp.implicits._
+    // B carries NULL aliases but its advisory_id is C's alias: both
+    // paths must still key B by its advisory_id (the distributed
+    // explode(concat(NULL, [id])) bug dropped B's keys entirely)
+    val adv = Seq(
+      ("ds/A", "A", Seq("CVE-1"), true, 10L),
+      ("ds/B", "B", null.asInstanceOf[Seq[String]], true, 5L),
+      ("ds/C", "C", Seq("B"), true, 7L),
+      ("ds/D", "D", Seq("CVE-1"), true, 3L))
+      .toDF("avid", "advisory_id", "aliases", "is_latest", "precedence")
+    def groupsOf(df: org.apache.spark.sql.DataFrame) = {
+      val m = df.collect().map(r => r.getAs[String]("avid") ->
+        (r.getAs[Long]("group_id"), r.getAs[String]("primary_avid"),
+          r.getAs[String]("min_alias"))).toMap
+      assert(m.size == 4)
+      m
+    }
+    val local = groupsOf(
+      AdvisoryDerive.advisorySetsKeyed(sp, adv, 100000))
+    val dist = groupsOf(AdvisoryDerive.advisorySetsKeyed(sp, adv, 0))
+    assert(local == dist)
+    assert(local("ds/B")._1 == local("ds/C")._1)
+    assert(local("ds/A")._1 == local("ds/D")._1)
+    assert(local("ds/B")._1 != local("ds/A")._1)
+  }
+
   test("serving: affecting advisories + bulk lookup + package detail") {
     val sp = spark
     import sp.implicits._
@@ -339,12 +367,42 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
       todoAdvisory("T3", "Test summary", "", "",
         Seq("CVE-0000-0000"))).toDF())
     assert(AdvisoryDerive.conflicts(withEmpty).isEmpty)
-    // non-CVE aliases never enter the matrix
+    // non-CVE aliases enter the matrix too: the reference iterates
+    // cve_aliases THEN non_cve_aliases (compute_advisory_todo.py:
+    // 147-164) — `istartswith="cve"` is processing order, not a filter
     val ghsaOnly = AdvisoryDerive.withContentIdAndLatest(Seq(
       todoAdvisory("T1", "Test summary", "vers:npm/>=1.0.0|<2.0.0",
         "vers:npm/2.0.0", Seq("GHSA-xxxx")),
       todoAdvisory("T2", "Test summary", "vers:npm/>=1.0.0|<=2.0.0",
         "vers:npm/2.0.1", Seq("GHSA-xxxx"))).toDF())
-    assert(AdvisoryDerive.conflicts(ghsaOnly).isEmpty)
+    val g = AdvisoryDerive.conflicts(ghsaOnly).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[String]("alias") == "GHSA-xxxx")
+    // related advisories come only from purls with an actual
+    // disagreement (:985-1001 — update runs after the continue)
+    val mixed = AdvisoryDerive.withContentIdAndLatest(Seq(
+      // purl package1 disagrees between T1/T2; package2 agrees T1/T3
+      AdvisoryRow("ds", "T1", "Test summary", Seq("CVE-0000-0001"),
+        Seq(ReferenceRow("https://example.com/vuln1", null, null)),
+        Seq.empty, Seq.empty,
+        Seq(AffectedRow("pkg:npm/package1", "vers:npm/>=1.0.0|<2.0.0",
+          "vers:npm/2.0.0"),
+          AffectedRow("pkg:npm/package2", "vers:npm/>=1.0.0|<3.0.0",
+            "vers:npm/3.0.0")),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), None,
+        "https://test.url/", 10),
+      todoAdvisory("T2", "Test summary", "vers:npm/>=1.0.0|<=2.0.0",
+        "vers:npm/2.0.1", Seq("CVE-0000-0001")),
+      AdvisoryRow("ds", "T3", "Test summary", Seq("CVE-0000-0001"),
+        Seq(ReferenceRow("https://example.com/vuln1", null, null)),
+        Seq.empty, Seq.empty,
+        Seq(AffectedRow("pkg:npm/package2", "vers:npm/>=1.0.0|<3.0.0",
+          "vers:npm/3.0.0")),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), None,
+        "https://test.url/", 10)).toDF())
+    val m = AdvisoryDerive.conflicts(mixed).collect()
+    assert(m.length == 1)
+    // T3 only shares the AGREEING purl package2 → not related
+    assert(m.head.getAs[String]("advisory_list") == "ds/T1,ds/T2")
   }
 }

@@ -141,17 +141,19 @@ class CapturedExportSpec extends AnyFunSuite with SparkTestSession {
     import sp.implicits._
     // hashid get_purl_hash doctests: pypi/univers → "09" (7 bits),
     // pypi/expressionss → "57", pypi/license-expression → "50";
-    // unlisted type (cargo, 0 bits) → ""
+    // Small Ecosystem (cargo) and unlisted types are 0 bits → "0":
+    // f"{0:00x}" still emits one digit (int formatting never yields "")
     val rows = Seq(
       ("pkg:pypi/univers", "pypi"),
       ("pkg:pypi/expressionss", "pypi"),
       ("pkg:pypi/license-expression", "pypi"),
-      ("pkg:cargo/serde", "cargo"))
+      ("pkg:cargo/serde", "cargo"),
+      ("pkg:foo/unlisted", "foo"))
       .toDF("core", "ptype")
       .select(V1Export.purlHash(org.apache.spark.sql.functions.col("core"),
         org.apache.spark.sql.functions.col("ptype")).as("h"))
       .collect().map(_.getString(0)).toSeq
-    assert(rows == Seq("09", "57", "50", ""))
+    assert(rows == Seq("09", "57", "50", "0", "0"))
   }
 
   test("captured federate_vulnerabilities golden: package index") {

@@ -93,6 +93,13 @@ class CvssSpec extends AnyFunSuite {
       .contains("9.0 - 10.0"))
     assert(Cvss.severityRange(Set.empty[String]).isEmpty)
     assert(Cvss.severityRange(Set("unknown")).isEmpty)
+    // the low bucket's upper bound is the INT 3 in the reference
+    // score_map — an all-low max renders "3", not "3.0"; a parsed
+    // numeric 3.0 keeps the float spelling
+    assert(Cvss.severityRange(Set("LOW")).contains("0.1 - 3"))
+    assert(Cvss.severityRange(Set("LOW", "3.0")).contains("0.1 - 3.0"))
+    // numeric grammar follows Python float(): negatives and exponents
+    assert(Cvss.severityRange(Set("-2", "1e1")).contains("-2.0 - 10.0"))
   }
 
   test("CVSS v2 known scores") {

@@ -9,20 +9,23 @@ import graft.operators.SparkTestSession
   * reference doctests) and the codegen'd column twin
   * `Serving.severityRangeCol` (oracled as a14) agree on arbitrary
   * mixed word/numeric severity lists — the realistic value domain:
-  * bucket words in any case, unknown words, and plain decimal scores.
-  * (Scientific notation parses scalar-side like Python float but is
-  * excluded column-side by the decimal regexp; no severity source
-  * emits it, and the generators stay in the shared domain.)
+  * bucket words in any case, unknown words, and numeric scores. Both
+  * sides share one numeric grammar (Cvss.NumericScoreRe — Python
+  * float() literals minus inf/nan) and one low-bucket int-3 rendering
+  * rule, so the generators include signed/exponent spellings and the
+  * bare "3".
   */
 class SeverityRangePropSpec extends AnyFunSuite with SparkTestSession {
 
   private val wordGen = Gen.oneOf(
     "low", "LOW", "Low", "moderate", "Medium", "medium", "high",
     "Important", "critical", "CRITICAL", "unknown", "none", "urgent")
-  private val numGen = for {
-    a <- Gen.choose(0, 10)
-    b <- Gen.choose(0, 9)
-  } yield s"$a.$b"
+  private val numGen = Gen.frequency(
+    6 -> (for {
+      a <- Gen.choose(0, 10)
+      b <- Gen.choose(0, 9)
+    } yield s"$a.$b"),
+    1 -> Gen.oneOf("3", "3.0", "-2", "+4.5", "1e1", ".5", "7."))
   private val valuesGen: Gen[List[String]] =
     Gen.listOfN(6, Gen.frequency(2 -> wordGen, 3 -> numGen))
       .flatMap(l => Gen.choose(0, 6).map(n => l.take(n)))
