@@ -36,6 +36,36 @@ object Improvers {
 
   val MaxConfidence = 100
 
+  /** Registry parity vs the reference's ACTIVE improver registry
+    * (improvers/__init__.py:30-48 IMPROVERS_REGISTRY). Improver files
+    * that sit in the reference tree but are NOT registered there:
+    *  - `add_missing_refid.py` CveIdImprover — v1-era, unregistered;
+    *    implemented here anyway as [[cveIdBackfill]] (one map-only
+    *    regexp_extract, d21-oracled) because the data repair is still
+    *    useful at serving time.
+    * Everything in the active registry maps to an engine operator
+    * (exploitdb/kev/metasploit enrichments, ghost flagging, risk,
+    * unfurl, ssvc, relate-severities, archive, todo/conflicts, fix
+    * commits, github PoC, patch-set grouping) — see SURVEY §2. */
+  val unregisteredReferenceImprovers: Map[String, String] = Map(
+    "add_missing_refid" ->
+      "not in IMPROVERS_REGISTRY; implemented as Improvers.cveIdBackfill")
+
+  /** CveIdImprover (improvers/add_missing_refid.py:26-46): references
+    * with a missing id whose url is an NVD CVE detail page get the
+    * CVE id regex-extracted from the url (uppercase CVE only, the
+    * reference's own note). No-match urls keep their missing id (the
+    * `if cve_match` guard). Map-only — no shuffle at any scale. */
+  def cveIdBackfill(references: DataFrame): DataFrame = {
+    val extracted =
+      regexp_extract(col("url"), "(CVE-\\d{4}-\\d{4,7})", 1)
+    references.withColumn("reference_id",
+      when((col("reference_id").isNull || col("reference_id") === "") &&
+        col("url").contains("nvd.nist.gov/vuln/detail/CVE-") &&
+        extracted =!= "",
+        extracted).otherwise(col("reference_id")))
+  }
+
   // Endpoint extraction + rendering run as the NATIVE catalyst
   // expressions (expr/VersionExpressions.scala — vers_endpoints_native /
   // vers_excluded_native / version_render_native): the whole inference

@@ -152,4 +152,73 @@ object V1Export {
         concat(array_join(transform(col("vs"), v => v.getField("item")),
           "\n"), lit("\n")).as("vulnerabilities_yaml"))
   }
+
+  /** purl2cpe dump rows (management/commands/purl2cpe.py:30-64 +
+    * models.py VulnerabilityQuerySet.with_packages/with_cpes,
+    * get_related_cves/purls/cpes): per vulnerability with at least one
+    * related package AND one NVD CPE reference, its CVE aliases
+    * (`startswith("CVE")`), related purls, and CPE reference ids
+    * (`startswith("cpe")`); the dump files group the documents by CVE
+    * year, and a vulnerability is appended once PER CVE alias
+    * (`for cve in p2c.cves: by_years[...].append` — two same-year CVEs
+    * list it twice), so the grain here is (vulnerability, cve) with
+    * `year = cve.split("-")[1]`. Lists are sorted+deduped (the
+    * reference's `.distinct()` querysets in DB order — sorting is the
+    * deterministic canonicalization).
+    *
+    * Input grain: (vulnerability_id, aliases array<string>,
+    * reference_ids array<string>, purls array<string>). Map-only after
+    * the input's own aggregation — no shuffle at any corpus size.
+    */
+  def purl2cpe(vulns: DataFrame): DataFrame =
+    vulns
+      .withColumn("cves", array_sort(array_distinct(
+        filter(col("aliases"), a => a.startsWith("CVE")))))
+      .withColumn("cpes", array_sort(array_distinct(
+        filter(col("reference_ids"), r => r.startsWith("cpe")))))
+      .withColumn("purls", array_sort(array_distinct(col("purls"))))
+      .filter(size(col("cpes")) > 0 && size(col("purls")) > 0)
+      .select(col("vulnerability_id").as("vulnerablecode_id"),
+        col("cves"), col("purls"), col("cpes"),
+        explode(col("cves")).as("cve"))
+      .withColumn("year", split(col("cve"), "-").getItem(1))
+
+  /** [[purl2cpe]] assembled from the engine marts: aliases and
+    * reference ids from the latest advisories rolled to the V1
+    * vulnerability grain through the alias-set membership, purls from
+    * every related (affected or fixing) concrete package. Three
+    * partial-aggregating groupBys on vulnerability_id — the reference's
+    * per-vulnerability Python loop becomes one shuffle per facet. */
+  def purl2cpeFromMarts(membership: DataFrame, advisories: DataFrame,
+      unfurled: DataFrame): DataFrame = {
+    val member = membership.select("avid", "vulnerability_id")
+    val latest = advisories.filter(col("is_latest"))
+    val aliases = latest
+      .select(col("avid"), explode(col("aliases")).as("alias"))
+      .join(member, Seq("avid"))
+      .groupBy("vulnerability_id")
+      .agg(collect_set(col("alias")).as("aliases"))
+    val refIds = latest
+      .select(col("avid"), explode(col("references")).as("r"))
+      .select(col("avid"), col("r.reference_id").as("rid"))
+      .filter(col("rid").isNotNull && col("rid") =!= "")
+      .join(member, Seq("avid"))
+      .groupBy("vulnerability_id")
+      .agg(collect_set(col("rid")).as("reference_ids"))
+    val purls = unfurled
+      .filter(col("is_affected") || col("is_fixed"))
+      .select(col("avid"),
+        concat(col("base_purl"), lit("@"), col("version")).as("purl"))
+      .join(member, Seq("avid"))
+      .groupBy("vulnerability_id")
+      .agg(collect_set(col("purl")).as("purls"))
+    val emptyArr = array().cast("array<string>")
+    purl2cpe(refIds
+      .join(aliases, Seq("vulnerability_id"), "left")
+      .join(purls, Seq("vulnerability_id"), "left")
+      .select(col("vulnerability_id"),
+        coalesce(col("aliases"), emptyArr).as("aliases"),
+        col("reference_ids"),
+        coalesce(col("purls"), emptyArr).as("purls")))
+  }
 }

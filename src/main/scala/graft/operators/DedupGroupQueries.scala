@@ -667,5 +667,61 @@ object DedupGroupQueries extends QueryModule {
       AdvisoryDerive.codeFixes(advisories, unfurled)
         .orderBy("vcs_url", "affected_package")
     },
+
+    // D21 — CveIdImprover backfill (improvers/add_missing_refid.py:
+    // 26-46, unregistered in the reference's active registry — see
+    // Improvers.unregisteredReferenceImprovers): references with a
+    // missing id and an NVD CVE detail url get the id regex-extracted;
+    // non-NVD urls, already-set ids, and pattern misses stay untouched
+    // (k%5=0 rows carry a too-short CVE number that contains the NVD
+    // prefix but fails the \d{4,7} pattern).
+    q("d21_cveid_backfill",
+      """WITH r AS (
+        |  SELECT o_orderkey AS ref_key,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN
+        |                'https://nvd.nist.gov/vuln/detail/CVE-2021-' ||
+        |                  CASE WHEN o_orderkey % 5 = 0 THEN
+        |                    CAST(o_orderkey % 100 AS VARCHAR)
+        |                  ELSE CAST(1000 + o_orderkey % 9000 AS VARCHAR)
+        |                  END
+        |              WHEN o_orderkey % 3 = 1 THEN
+        |                'https://nvd.nist.gov/vuln/detail/CVE-2020-' ||
+        |                  CAST(1000 + o_orderkey % 9000 AS VARCHAR)
+        |              ELSE 'https://example.com/adv/' ||
+        |                CAST(o_orderkey AS VARCHAR) END AS url,
+        |         CASE WHEN o_orderkey % 3 = 1
+        |              THEN 'R-' || CAST(o_orderkey AS VARCHAR) END
+        |           AS reference_id
+        |  FROM orders)
+        |SELECT ref_key, url,
+        |       CASE WHEN (reference_id IS NULL OR reference_id = '')
+        |                 AND contains(url,
+        |                   'nvd.nist.gov/vuln/detail/CVE-')
+        |                 AND regexp_matches(url,
+        |                   'CVE-[0-9]{4}-[0-9]{4,7}')
+        |            THEN regexp_extract(url,
+        |              '(CVE-[0-9]{4}-[0-9]{4,7})', 1)
+        |            ELSE reference_id END AS reference_id
+        |FROM r ORDER BY ref_key""") { (s, dir) =>
+      val okey = col("o_orderkey")
+      val refs = t(s, dir, "orders").select(
+        okey.as("ref_key"),
+        when(pmod(okey, lit(3)) === 0,
+          concat(lit("https://nvd.nist.gov/vuln/detail/CVE-2021-"),
+            when(pmod(okey, lit(5)) === 0,
+              pmod(okey, lit(100)).cast("string"))
+              .otherwise((lit(1000) + pmod(okey, lit(9000)))
+                .cast("string"))))
+          .when(pmod(okey, lit(3)) === 1,
+            concat(lit("https://nvd.nist.gov/vuln/detail/CVE-2020-"),
+              (lit(1000) + pmod(okey, lit(9000))).cast("string")))
+          .otherwise(concat(lit("https://example.com/adv/"),
+            okey.cast("string"))).as("url"),
+        when(pmod(okey, lit(3)) === 1,
+          concat(lit("R-"), okey.cast("string"))).as("reference_id"))
+      graft.derive.Improvers.cveIdBackfill(refs)
+        .select("ref_key", "url", "reference_id")
+        .orderBy("ref_key")
+    },
   )
 }

@@ -288,5 +288,76 @@ object ExportQueries extends QueryModule {
         .select("vulnerability_id", "path", "yaml")
         .orderBy("path")
     },
+
+    // S7 — purl2cpe dump (management/commands/purl2cpe.py:30-64): per
+    // vulnerability with ≥1 related package AND ≥1 CPE reference, the
+    // (cves, purls, cpes) document, one row per CVE alias with its
+    // year (the dump appends the doc once per CVE). Groups k%5=0 carry
+    // no CPE refs and k%7=0 no purls — both must drop; non-CVE aliases
+    // and non-cpe reference ids must filter out of the lists.
+    q("e5_purl2cpe",
+      """WITH b AS (
+        |  SELECT p_partkey, p_partkey % 50 AS k,
+        |         'CVE-' || CAST(2015 + p_partkey % 8 AS VARCHAR) || '-' ||
+        |           CAST(p_partkey % 20 AS VARCHAR) AS cve,
+        |         CASE WHEN p_partkey % 2 = 0 AND (p_partkey % 50) % 5 <> 0
+        |              THEN 'cpe:2.3:a:v' || CAST(p_partkey % 7 AS VARCHAR)
+        |              END AS cpe,
+        |         CASE WHEN (p_partkey % 50) % 7 <> 0
+        |              THEN 'pkg:npm/p' || CAST(p_partkey % 30 AS VARCHAR)
+        |                || '@1' END AS purl
+        |  FROM part),
+        |g AS (
+        |  SELECT k,
+        |         list_sort(list_distinct(list(cve))) AS cves,
+        |         list_sort(list_distinct(list(cpe)
+        |           FILTER (WHERE cpe IS NOT NULL))) AS cpes,
+        |         list_sort(list_distinct(list(purl)
+        |           FILTER (WHERE purl IS NOT NULL))) AS purls
+        |  FROM b GROUP BY k),
+        |e AS (
+        |  SELECT 'VCID-' || CAST(k AS VARCHAR) AS vulnerablecode_id,
+        |         cves, purls, cpes, unnest(cves) AS cve
+        |  FROM g WHERE len(cpes) > 0 AND len(purls) > 0)
+        |SELECT string_split(cve, '-')[2] AS year, cve, vulnerablecode_id,
+        |       array_to_string(cves, ',') AS cves,
+        |       array_to_string(purls, ',') AS purls,
+        |       array_to_string(cpes, ',') AS cpes
+        |FROM e ORDER BY year, cve, vulnerablecode_id""") { (s, dir) =>
+      val k = pmod(col("p_partkey"), lit(50))
+      val grain = Tables(s, dir, "part")
+        .select(col("p_partkey"), k.as("k"))
+        .groupBy("k")
+        .agg(
+          // CVE aliases + GHSA noise the engine must filter out
+          array_union(
+            collect_set(concat(lit("CVE-"),
+              (lit(2015) + pmod(col("p_partkey"), lit(8))).cast("string"),
+              lit("-"), pmod(col("p_partkey"), lit(20)).cast("string"))),
+            collect_set(when(pmod(col("p_partkey"), lit(3)) === 0,
+              concat(lit("GHSA-"),
+                pmod(col("p_partkey"), lit(5)).cast("string")))))
+            .as("aliases"),
+          // cpe ids + plain-url reference ids the engine must filter out
+          array_union(
+            collect_set(when(pmod(col("p_partkey"), lit(2)) === 0 &&
+              pmod(col("k"), lit(5)) =!= 0,
+              concat(lit("cpe:2.3:a:v"),
+                pmod(col("p_partkey"), lit(7)).cast("string")))),
+            collect_set(concat(lit("https://ref/"),
+              col("p_partkey").cast("string")))).as("reference_ids"),
+          collect_set(when(pmod(col("k"), lit(7)) =!= 0,
+            concat(lit("pkg:npm/p"),
+              pmod(col("p_partkey"), lit(30)).cast("string"), lit("@1"))))
+            .as("purls"))
+        .select(concat(lit("VCID-"), col("k")).as("vulnerability_id"),
+          col("aliases"), col("reference_ids"), col("purls"))
+      V1Export.purl2cpe(grain)
+        .select(col("year"), col("cve"), col("vulnerablecode_id"),
+          array_join(col("cves"), ",").as("cves"),
+          array_join(col("purls"), ",").as("purls"),
+          array_join(col("cpes"), ",").as("cpes"))
+        .orderBy("year", "cve", "vulnerablecode_id")
+    },
   )
 }

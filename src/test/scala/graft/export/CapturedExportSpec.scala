@@ -171,4 +171,44 @@ class CapturedExportSpec extends AnyFunSuite with SparkTestSession {
       .select("yaml").collect().head.getString(0)
     assert(canon(doc) == expectedYml("1.2.4/advisories-expected.yml"))
   }
+
+  test("purl2cpe marts assembly: cves+purls+cpes per vulnerability") {
+    val sp = spark
+    import sp.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def adv(ds: String, id: String, aliases: Seq[String],
+        refIds: Seq[String], purl: String) =
+      AdvisoryRow(ds, id, "s", aliases,
+        refIds.map(r => ReferenceRow(s"https://r/$r", "other", r)),
+        Seq.empty[SeverityRow], Seq.empty[Int],
+        Seq(AffectedRow(purl, "vers:npm/>=1", "vers:npm/2")),
+        ts, None, "https://u", 10)
+    // A1+B1 share CVE-2021-1 → one vulnerability pooling both packages'
+    // purls and both CPE refs; C1 has packages but no CPE ref → dropped
+    // (with_cpes); non-CVE aliases and non-cpe reference ids filter out
+    val advisories = AdvisoryDerive.withContentIdAndLatest(Seq(
+      adv("a", "A1", Seq("CVE-2021-1"), Seq("cpe:2.3:a:x", "R-1"),
+        "pkg:npm/foo"),
+      adv("b", "B1", Seq("CVE-2021-1", "CVE-2020-2", "GHSA-x"),
+        Seq("cpe:2.3:a:y"), "pkg:npm/bar"),
+      adv("c", "C1", Seq("CVE-2019-9"), Seq("R-2"), "pkg:npm/baz"))
+      .toDF())
+    val versions = Seq(("pkg:npm/foo", "1.5"), ("pkg:npm/bar", "2.0"),
+      ("pkg:npm/baz", "1.0")).toDF("base_purl", "version")
+    val unfurled = AdvisoryDerive.unfurl(
+      AdvisoryDerive.impacts(advisories), versions)
+    val member = graft.derive.VulnerabilityV1.membership(sp, advisories)
+    val rows = V1Export.purl2cpeFromMarts(member, advisories, unfurled)
+      .collect()
+    assert(rows.map(_.getAs[String]("cve")).sorted.toSeq ==
+      Seq("CVE-2020-2", "CVE-2021-1"))
+    val r = rows.find(_.getAs[String]("cve") == "CVE-2021-1").get
+    assert(r.getAs[String]("year") == "2021")
+    assert(r.getSeq[String](r.fieldIndex("cves")).toList ==
+      List("CVE-2020-2", "CVE-2021-1"))
+    assert(r.getSeq[String](r.fieldIndex("purls")).toSet ==
+      Set("pkg:npm/foo@1.5", "pkg:npm/bar@2.0"))
+    assert(r.getSeq[String](r.fieldIndex("cpes")).toList ==
+      List("cpe:2.3:a:x", "cpe:2.3:a:y"))
+  }
 }
