@@ -340,4 +340,117 @@ class CapturedApiSpec extends AnyFunSuite with SparkTestSession {
       }
     }
   }
+
+  // ---------------------------------------------------------------
+  // Part 3 — v3 advisory + package endpoint families
+  // (test_api_v3.py:33-184 APIV3TestCase, :187-309 the two
+  // multi-row scenarios), rebuilt through the REAL pipeline
+  // (withContentIdAndLatest → impacts → unfurl) and the Serving
+  // entry points, asserted against the reference tests' response
+  // expectations.
+  // ---------------------------------------------------------------
+
+  private def v3Advisory(ds: String, id: String, aliases: Seq[String],
+      affected: Seq[graft.model.AffectedRow]) =
+    graft.model.AdvisoryRow(ds, id, "summary", aliases,
+      Seq.empty, Seq.empty, Seq.empty, affected,
+      java.sql.Timestamp.valueOf("2025-06-01 00:00:00"), None,
+      "https://example.com/advisory", 100)
+
+  test("v3 advisory endpoints golden (test_api_v3.py:33-154)") {
+    val sp = spark
+    import sp.implicits._
+    import graft.derive.AdvisoryDerive
+    val advisories = AdvisoryDerive.withContentIdAndLatest(Seq(
+      v3Advisory("ghsa", "GHSA-1234", Seq.empty,
+        Seq(graft.model.AffectedRow("pkg:pypi/sample",
+          "vers:pypi/=1.0.0", "")))).toDF())
+    val versions = Seq(("pkg:pypi/sample", "1.0.0"))
+      .toDF("base_purl", "version")
+    val unfurled =
+      AdvisoryDerive.unfurl(AdvisoryDerive.impacts(advisories), versions)
+    val req = Seq(("pkg:pypi/sample", "1.0.0"))
+      .toDF("base_purl", "version")
+    // advisories POST (latest_advisories_for_purls = affecting ∪ fixed):
+    // advisory_id "GHSA-1234", advisory_uid "ghsa/GHSA-1234"
+    val advs = Serving.advisoriesForPurls(advisories, unfurled, req,
+      mode = "both").collect()
+    assert(advs.length == 1)
+    assert(advs.head.getAs[String]("advisory_id") == "GHSA-1234")
+    assert(advs.head.getAs[String]("avid") == "ghsa/GHSA-1234")
+    // affected-by-advisories list: one result; fixing list: empty
+    assert(Serving.advisoriesForPurls(advisories, unfurled, req,
+      mode = "affecting").count() == 1)
+    assert(Serving.advisoriesForPurls(advisories, unfurled, req,
+      mode = "fixed").count() == 0)
+    // packages POST without details: echoes the vulnerable purl
+    val pkgs = AdvisoryDerive.packages(versions)
+    val exact = pkgs
+      .filter(col("package_url") === "pkg:pypi/sample@1.0.0")
+      .join(unfurled.filter(col("is_affected"))
+        .select("base_purl", "version").distinct(),
+        Seq("base_purl", "version"), "left_semi")
+      .select("package_url").collect().map(_.getString(0)).toSeq
+    assert(exact == Seq("pkg:pypi/sample@1.0.0"))
+    // ignore_qualifiers_subpath: the qualified request purl still
+    // answers with the plain vulnerable spelling
+    val plain = Serving.vulnerablePlainPurlsOf(pkgs, unfurled,
+      Seq("pkg:pypi/sample@1.0.0?foo=bar").toDF("purl"))
+      .collect().map(_.getString(0)).toSeq
+    assert(plain.contains("pkg:pypi/sample@1.0.0"))
+  }
+
+  test("v3 one package x 101 advisories: page of 100, first GHSA-12341") {
+    val sp = spark
+    import sp.implicits._
+    import graft.derive.AdvisoryDerive
+    // test_api_v3.py:187-245: 101 advisories GHSA-1234{1..101} all
+    // affecting pkg:pypi/sample@1.0.0; the POST page holds 100 rows
+    // and the first is GHSA-12341 (lexicographic avid order agrees
+    // with the reference's insertion order on the first row)
+    val rows = (1 to 101).map(i => v3Advisory("ghsa", s"GHSA-1234$i",
+      Seq(s"CVE-2021-1234$i"),
+      Seq(graft.model.AffectedRow("pkg:pypi/sample",
+        "vers:pypi/=1.0.0", ""))))
+    val advisories = AdvisoryDerive.withContentIdAndLatest(rows.toDF())
+    val versions = Seq(("pkg:pypi/sample", "1.0.0"))
+      .toDF("base_purl", "version")
+    val unfurled =
+      AdvisoryDerive.unfurl(AdvisoryDerive.impacts(advisories), versions)
+    val req = Seq(("pkg:pypi/sample", "1.0.0"))
+      .toDF("base_purl", "version")
+    val all = Serving.advisoriesForPurls(advisories, unfurled, req,
+      mode = "both")
+    assert(all.count() == 101)
+    val page = all.orderBy("avid").limit(100)
+      .select("advisory_id").collect().map(_.getString(0)).toSeq
+    assert(page.length == 100)
+    assert(page.head == "GHSA-12341")
+  }
+
+  test("v3 one advisory x 101 packages: empty purls -> all vulnerable") {
+    val sp = spark
+    import sp.implicits._
+    import graft.derive.AdvisoryDerive
+    // test_api_v3.py:247-309: empty request purls switch the packages
+    // POST to all_vulnerable_purls ordered by package_url; 101
+    // vulnerable packages page to 100 results
+    val affected = (1 to 101).map(i => graft.model.AffectedRow(
+      s"pkg:pypi/sample$i", "vers:pypi/=1.0.0", ""))
+    val advisories = AdvisoryDerive.withContentIdAndLatest(Seq(
+      v3Advisory("ghsa", "GHSA-1234101", Seq("CVE-2021-1234101"),
+        affected)).toDF())
+    val versions = (1 to 101).map(i => (s"pkg:pypi/sample$i", "1.0.0"))
+      .toDF("base_purl", "version")
+    val unfurled =
+      AdvisoryDerive.unfurl(AdvisoryDerive.impacts(advisories), versions)
+    val pkgs = AdvisoryDerive.packages(versions)
+    val all = Serving.allVulnerablePurls(pkgs, unfurled)
+      .collect().map(_.getString(0)).toSeq
+    assert(all.length == 101)
+    val page = all.take(100)
+    assert(page.length == 100)
+    assert(page.forall(p =>
+      p.startsWith("pkg:pypi/sample") && p.endsWith("@1.0.0")))
+  }
 }
