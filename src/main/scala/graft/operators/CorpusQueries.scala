@@ -335,7 +335,8 @@ object CorpusQueries extends QueryModule {
          |truth AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM dsets a JOIN dsets b
-         |    ON a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+         |    ON a.doc_id % 10 = 0 AND a.doc_id < 100000
+         |   AND a.doc_id <> b.doc_id
          |   AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)
          |   AND CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
          |       / (a.n + b.n - len(list_intersect(a.sset, b.sset))) >= 0.5),
@@ -397,12 +398,17 @@ object CorpusQueries extends QueryModule {
       // 16-word AND/bit_count costs nanoseconds (the same cross through
       // interpreted higher-order-function lambdas spent 92 s at 10×,
       // through materialized join rows 100+ s). The broadcast is
-      // bounded by the gauge's anchor sampling rate — the knob a
-      // production run turns down first.
+      // ABSOLUTELY bounded: anchors are the %10 sample RESTRICTED to
+      // doc_id < 100000 (mirrored in the oracle), so the driver collect
+      // holds at most 10k bitmap rows no matter how large the corpus —
+      // the relative rate alone would scale the collect with the data.
       import s.implicits._
+      val anchorIdCap = 100000L
       val bmT = bm.select(col("id").cast("long"), col("bm"),
         col("n").cast("int")).as[(Long, Array[Long], Int)]
-      val anchorRows = bmT.filter(_._1 % 10 == 0).collect().sortBy(_._1)
+      val anchorRows = bmT
+        .filter(r => r._1 % 10 == 0 && r._1 < anchorIdCap)
+        .collect().sortBy(_._1)
       val bcAnchors = s.sparkContext.broadcast(anchorRows)
       val truth = bmT.mapPartitions { it =>
         val anchors = bcAnchors.value

@@ -585,7 +585,7 @@ object SimilarityQueries extends QueryModule {
          |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
          |             $centCos DESC, b.centroid_id) AS rn
          |    FROM embeddings a CROSS JOIN cent b
-         |    WHERE a.vec_id % 100 = 0)
+         |    WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
          |  WHERE rn = 1),
          |corp AS (
          |  SELECT vec_id, centroid_id FROM (
@@ -621,7 +621,15 @@ object SimilarityQueries extends QueryModule {
       val corpusAssigned = Similarity
         .assignToCentroids(e, cent, "vec_id", "embedding")
         .select("vec_id", "embedding", "centroid_id")
-      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      // probe batch is ABSOLUTELY bounded (%100 sample capped at
+      // vec_id < 100000, mirrored in the oracle): a relative sample
+      // makes probes grow with the corpus and the search join's
+      // candidate volume O(N^2/(100k)) — IvfStageProbe measured that
+      // term at 95 of 102 s in the round-12 100x spot. A bounded
+      // request batch against a growing corpus is the serving shape;
+      // per-probe cost still scales with the inverted-list length.
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 &&
+          col("vec_id") < 100000)
         .select(col("vec_id"), col("embedding"))
       Similarity.ivfTopK(probes, corpusAssigned, cent,
           "vec_id", "embedding", k = 5)
