@@ -121,8 +121,14 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{""",
         ",",
         "}}")
+    // A SCOPED run (SPARK_GRAFT_BENCH_ONLY) writes its detail to
+    // BENCH_SCOPED.json so ad-hoc isolation/rehearsal runs can never
+    // clobber the committed full-run artifact the driver/BASELINE.md
+    // point at.
+    val detailFile =
+      if (only.isDefined) "BENCH_SCOPED.json" else "BENCH_FULL.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(detailFile),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Compact stdout contract line: slowest 40 queries, 3-decimal seconds.
     val top = results.sortBy(-_._2).take(40).sortBy(_._1)
@@ -131,7 +137,7 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"detail":"BENCH_FULL.json","queries":$qs$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"detail":"$detailFile","queries":$qs$failedJson,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
     System.out.flush()

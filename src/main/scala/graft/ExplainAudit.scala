@@ -30,7 +30,8 @@ object ExplainAudit {
         "d16_default_inferences", "d17_valid_version_inferences",
         "d18_vuln_status", "d19_nginx_inferences", "s21_v3_bulk",
         "s22_patch_set_map", "s23_ssvc_set_trees", "s24_capped_advisories",
-        "x_embed_lsh_wide")
+        "x_embed_lsh_wide", "e5_purl2cpe", "d21_cveid_backfill",
+        "x_lsh_recall")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)
