@@ -65,7 +65,7 @@ object SimilarityQueries extends QueryModule {
          |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
          |           AS cos_sim
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 100 = 0)
+         |  WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
          |SELECT probe_id, neighbor_id, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY probe_id
          |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM pairs)
@@ -74,7 +74,7 @@ object SimilarityQueries extends QueryModule {
       // norms precomputed per SIDE (probes + corpus) — inside the join
       // they'd be re-derived per PAIR, tripling the hot-loop flops for a
       // bit-identical value
-      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") < 100000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
         .withColumn("pn", norm(col("pe")))
       val corpus = e.select(col("vec_id").as("neighbor_id"),
@@ -164,7 +164,7 @@ object SimilarityQueries extends QueryModule {
         |            sqrt(CAST(list_sum(list_transform(b.q, x -> x * x)) AS DOUBLE))),
         |           6) AS cos_sim
         |  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
-        |  WHERE a.vec_id % 100 = 0)
+        |  WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
         |SELECT probe_id, neighbor_id, cos_sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY probe_id
         |            ORDER BY cos_sim DESC, neighbor_id) AS rn FROM pairs)
@@ -172,7 +172,7 @@ object SimilarityQueries extends QueryModule {
       val e = emb(s, dir)
       val base = e.select(col("vec_id"),
         call_function("int8_quantize_native", col("embedding")).as("q"))
-      val probes = base.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val probes = base.filter(pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") < 100000)
         .select(col("vec_id").as("probe_id"), col("q").as("pq"))
         .withColumn("pn", sqrt(dot(col("pq"), col("pq"))))
       val corpus = base.select(col("vec_id").as("neighbor_id"),
@@ -208,7 +208,7 @@ object SimilarityQueries extends QueryModule {
          |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
          |             DESC, b.label) AS rn
          |    FROM embeddings a, cent b
-         |    WHERE a.vec_id % 100 = 0)
+         |    WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
          |  WHERE rn = 1),
          |hits AS (
          |  SELECT s.probe_id, b.vec_id AS neighbor_id,
@@ -229,7 +229,7 @@ object SimilarityQueries extends QueryModule {
       val e = emb(s, dir).cache()
       val cent = labelSeededCentroids(e, "c_label", "cemb")
         .withColumn("centn", norm(col("cemb")))
-      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") < 100000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
         .withColumn("pn", norm(col("pe")))
       val centCos = round(dot(col("pe"), col("cemb")) /
@@ -286,7 +286,7 @@ object SimilarityQueries extends QueryModule {
          |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
          |             DESC, b.label) AS rn
          |    FROM embeddings a, cent b
-         |    WHERE a.vec_id % 100 = 0)
+         |    WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
          |  WHERE rn = 1),
          |hits AS (
          |  SELECT s.probe_id, b.vec_id AS neighbor_id,
@@ -313,7 +313,7 @@ object SimilarityQueries extends QueryModule {
       e.write.mode("overwrite").partitionBy("label").parquet(path)
       val cent = labelSeededCentroids(e, "c_label", "cemb")
         .withColumn("centn", norm(col("cemb")))
-      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") < 100000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
         .withColumn("pn", norm(col("pe")))
       val centCos = round(dot(col("pe"), col("cemb")) /
@@ -372,7 +372,7 @@ object SimilarityQueries extends QueryModule {
          |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
          |             DESC, b.label) AS rn
          |    FROM embeddings a, cent b
-         |    WHERE a.vec_id % 100 = 0)
+         |    WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
          |  WHERE rn = 1),
          |qv AS (
          |  SELECT vec_id, label,
@@ -404,7 +404,7 @@ object SimilarityQueries extends QueryModule {
       val cent = labelSeededCentroids(e, "c_label", "cemb")
         .withColumn("centn", norm(col("cemb")))
       val quant = call_function("int8_quantize_native", col("embedding"))
-      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") < 100000)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           quant.as("pq"))
         .withColumn("pn", norm(col("pe")))
@@ -502,7 +502,7 @@ object SimilarityQueries extends QueryModule {
          |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
          |             DESC, b.label) AS rn
          |    FROM embeddings a, cent b
-         |    WHERE a.vec_id % 100 = 0)
+         |    WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
          |  WHERE rn <= 2),
          |hits AS (
          |  SELECT s.probe_id, b.vec_id AS neighbor_id,
@@ -522,7 +522,7 @@ object SimilarityQueries extends QueryModule {
          |WHERE rn <= 5 ORDER BY probe_id, rn""") { (s, dir) =>
       val e = emb(s, dir).cache()
       val cent = labelSeededCentroids(e)
-      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") < 100000)
         .select(col("vec_id"), col("embedding"))
       val corpusAssigned = e.select(col("vec_id"), col("embedding"),
         col("label").as("centroid_id"))
@@ -660,7 +660,7 @@ object SimilarityQueries extends QueryModule {
          |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
          |             DESC, b.vec_id) AS rn
          |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-         |    WHERE a.vec_id % 100 = 0)
+         |    WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
          |  WHERE rn <= 5),
          |cent AS (
          |  SELECT e.label, e.embedding FROM embeddings e
@@ -677,7 +677,7 @@ object SimilarityQueries extends QueryModule {
          |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
          |             DESC, b.label) AS rn
          |    FROM embeddings a, cent b
-         |    WHERE a.vec_id % 100 = 0)
+         |    WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
          |  WHERE rn = 1),
          |ivf5 AS (
          |  SELECT probe_id, neighbor_id FROM (
@@ -705,7 +705,7 @@ object SimilarityQueries extends QueryModule {
          |GROUP BY e.probe_id
          |ORDER BY e.probe_id""") { (s, dir) =>
       val e = emb(s, dir).cache()
-      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") < 100000)
         .select(col("vec_id"), col("embedding"))
       val exact = Similarity.topK(probes, e, "vec_id", "embedding", k = 5)
       val cent = labelSeededCentroids(e)
@@ -750,7 +750,7 @@ object SimilarityQueries extends QueryModule {
          |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
          |             DESC, b.vec_id) AS rn
          |    FROM planted a JOIN planted b ON a.vec_id <> b.vec_id
-         |    WHERE a.vec_id % 100 = 0)
+         |    WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
          |  WHERE rn <= 5),
          |cent AS (
          |  SELECT e.label, e.embedding FROM planted e
@@ -767,7 +767,7 @@ object SimilarityQueries extends QueryModule {
          |                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
          |             DESC, b.label) AS rn
          |    FROM planted a, cent b
-         |    WHERE a.vec_id % 100 = 0)
+         |    WHERE a.vec_id % 100 = 0 AND a.vec_id < 100000)
          |  WHERE rn = 1),
          |ivf5 AS (
          |  SELECT probe_id, neighbor_id FROM (
@@ -796,7 +796,7 @@ object SimilarityQueries extends QueryModule {
          |ORDER BY e.probe_id"""
     }) { (s, dir) =>
       val e = SimilarityQueries.plantedCorpus(emb(s, dir)).cache()
-      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") < 100000)
         .select(col("vec_id"), col("embedding"))
       val exact = Similarity.topK(probes, e, "vec_id", "embedding", k = 5)
       val cent = labelSeededCentroids(e)
