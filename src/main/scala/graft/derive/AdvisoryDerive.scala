@@ -307,8 +307,11 @@ object AdvisoryDerive {
         col("precedence").cast("long").as("precedence"))
       .limit(localThreshold + 1).collect()
     if (probe.length <= localThreshold) {
+      // precedence reads as Option: Row.getLong NPEs on null, and the
+      // distributed Window's `desc` orders nulls LAST — mirror that
       val rows = probe.map(r => (r.getString(0), r.getLong(1),
-        r.getSeq[String](2), r.getString(3), r.getLong(4))).toSeq
+        r.getSeq[String](2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
       require(rows.map(_._1).distinct.size ==
         rows.map(_._2).distinct.size,
         "xxhash64 node-id collision in advisory set ids")
@@ -339,15 +342,29 @@ object AdvisoryDerive {
         groupOf(r) = math.min(groupOf.getOrElse(r, node), node)
       }
       val grouped = rows.groupBy(r => groupOf(find(r._2)))
-      val primary = grouped.map { case (gid, members) =>
-        gid -> members.minBy(m => (-m._5, m._1))._1
-      }
-      // sort by UTF-8 byte order (== code point order) to match the
-      // distributed min(alias): Java String.compareTo is UTF-16
-      // code-unit order, which disagrees for supplementary characters
+      // string ties break in UTF-8 byte order (== code point order) to
+      // match Spark's binary comparisons: Java String.compareTo is
+      // UTF-16 code-unit order, which disagrees for supplementary
+      // characters
       val utf8Ord: Ordering[String] = (a: String, b: String) => {
         val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
         java.util.Arrays.compareUnsigned(x, y)
+      }
+      // primary pick mirrors the distributed Window.orderBy(
+      // precedence.desc, avid): precedence descending with nulls LAST
+      // (Spark's desc default; no negation — Long.MinValue-safe), avid
+      // in binary order
+      val precDescNullsLast: Ordering[Option[Long]] =
+        (a: Option[Long], b: Option[Long]) => (a, b) match {
+          case (Some(x), Some(y)) => java.lang.Long.compare(y, x)
+          case (Some(_), None)    => -1
+          case (None, Some(_))    => 1
+          case (None, None)       => 0
+        }
+      val primaryOrd: Ordering[(Option[Long], String)] =
+        Ordering.Tuple2(precDescNullsLast, utf8Ord)
+      val primary = grouped.map { case (gid, members) =>
+        gid -> members.map(m => (m._5, m._1)).min(primaryOrd)._2
       }
       val minAlias = grouped.map { case (gid, members) =>
         gid -> members.flatMap(_._3).sorted(utf8Ord).headOption.orNull

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{call_function, coalesce, element_at, lit, regexp_extract, typedLit, udf}
+import org.apache.spark.sql.functions.{call_function, coalesce, element_at, lit, lower, regexp_extract, trim, typedLit, udf}
 
 /** Registration of the domain functions as Spark UDFs (SQL + Column API).
   *
@@ -86,9 +86,12 @@ object GraftFunctions {
     "apk" -> "alpine")
   def purlVersionScheme(basePurl: Column): Column = {
     val m = typedLit(schemeByPtype)
-    coalesce(
-      element_at(m, regexp_extract(basePurl, "^pkg:([^/]+)/", 1)),
-      lit("generic"))
+    // tolerate the spellings PurlCodec.parse tolerates: surrounding
+    // whitespace, leading slashes after pkg:, uppercase types
+    // (spec-normalized to lowercase) — pinned against the scalar twin
+    // by NativeTwinsSpec
+    val ptype = lower(regexp_extract(trim(basePurl), "^pkg:/*([^/]+)/", 1))
+    coalesce(element_at(m, ptype), lit("generic"))
   }
 
   /** Register all functions for spark.sql use. */

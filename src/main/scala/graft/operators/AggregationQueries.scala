@@ -274,7 +274,7 @@ object AggregationQueries extends QueryModule {
     // "min - max" per group — with the low bucket's upper bound
     // rendered as the reference's INT 3 unless a numeric 3.0 parsed
     q("a14_severity_range",
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT p_brand,
         |         CASE p_size % 5
         |           WHEN 0 THEN 'LOW' WHEN 1 THEN 'critical'
@@ -293,14 +293,14 @@ object AggregationQueries extends QueryModule {
         |      WHEN 'important' THEN [7.0, 8.9]
         |      WHEN 'critical' THEN [9.0, 10.0]
         |      ELSE CASE WHEN regexp_matches(trim(val),
-        |             '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |             '${graft.functions.Cvss.NumericScoreRe}')
         |                THEN [CAST(val AS DOUBLE)]
         |                ELSE [] END END) AS t(x)),
         |f AS (
         |  SELECT p_brand,
         |         bool_or(lower(trim(val)) = 'low') AS low_used,
         |         bool_or(regexp_matches(trim(val),
-        |             '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |             '${graft.functions.Cvss.NumericScoreRe}')
         |           AND TRY_CAST(trim(val) AS DOUBLE) = 3.0) AS num3
         |  FROM v GROUP BY p_brand)
         |SELECT e.p_brand,

@@ -55,7 +55,13 @@ object IvfStageProbe {
       a
     }
 
-    val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+    // same probe set as the benchmark query: the %100 sample under the
+    // ABSOLUTE cap (round-13 fix). Pass "uncapped" as argv(1) to
+    // reproduce the pre-fix relative sample the round-12 diagnosis
+    // measured.
+    val uncapped = args.length > 1 && args(1) == "uncapped"
+    val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 &&
+        (if (uncapped) lit(true) else col("vec_id") < 100000))
       .select(col("vec_id"), col("embedding"))
     val nProbes = probes.count()
     // candidate volume of the search join = sum over probes of their

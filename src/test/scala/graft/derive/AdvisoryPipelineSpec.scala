@@ -167,6 +167,37 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(local("ds/B")._1 != local("ds/A")._1)
   }
 
+  test("advisory sets: primary tie-breaks agree across paths " +
+      "(null/MinValue precedence, supplementary-plane avids)") {
+    val sp = spark
+    import sp.implicits._
+    // Group 1: equal precedence, avids differing only in a
+    // supplementary-plane character — UTF-16 code-unit order (Java
+    // String.compareTo) puts U+10000 (surrogate D800 DC00) BELOW
+    // U+FFFD, UTF-8 byte order (Spark binary) puts it ABOVE; the local
+    // path must pick the UTF-8 min like the distributed Window does.
+    // Group 2: precedence Long.MinValue vs null — the old local
+    // negation (-precedence) overflowed MinValue, and null precedence
+    // NPE'd Row.getLong; distributed desc puts nulls LAST.
+    val supp = "ds/" + new String(Character.toChars(0x10000))
+    val repl = "ds/" + "\uFFFD"
+    val adv = Seq(
+      (supp, "E", Seq("CVE-9"), true, Some(5L)),
+      (repl, "F", Seq("CVE-9"), true, Some(5L)),
+      ("ds/G", "G", Seq("CVE-8"), true, Some(Long.MinValue)),
+      ("ds/H", "H", Seq("CVE-8"), true, Option.empty[Long]))
+      .toDF("avid", "advisory_id", "aliases", "is_latest", "precedence")
+    def primaries(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("avid") ->
+        r.getAs[String]("primary_avid")).toMap
+    val local = primaries(AdvisoryDerive.advisorySetsKeyed(sp, adv, 100000))
+    val dist = primaries(AdvisoryDerive.advisorySetsKeyed(sp, adv, 0))
+    assert(local == dist)
+    assert(supp.compareTo(repl) < 0) // UTF-16 disagrees with UTF-8 here
+    assert(local(supp) == repl)      // UTF-8 min of the tie
+    assert(local("ds/H") == "ds/G")  // MinValue beats null
+  }
+
   test("serving: affecting advisories + bulk lookup + package detail") {
     val sp = spark
     import sp.implicits._

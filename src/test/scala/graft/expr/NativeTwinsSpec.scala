@@ -19,7 +19,13 @@ class NativeTwinsSpec extends AnyFunSuite with SparkTestSession {
     val ptypes = Seq("npm", "cargo", "composer", "hex", "gem", "golang",
       "nuget", "alpm", "ebuild", "pypi", "deb", "rpm", "maven", "apk",
       "generic", "github", "unknown-type", "swift")
-    val purls = ptypes.map(t => s"pkg:$t/x")
+    // non-canonical spellings PurlCodec.parse tolerates (trim, leading
+    // slashes after pkg:, uppercase type) must derive the same scheme
+    // through the column twin — the round-13 review caught the twin
+    // falling back to 'generic' on these
+    val nonCanonical = Seq("pkg:NPM/x", "pkg://npm/x", "pkg:///Pypi/x",
+      "  pkg:deb/x@1 ", "pkg:Gem/rails@7.0.0")
+    val purls = ptypes.map(t => s"pkg:$t/x") ++ nonCanonical
     val expected = purls.map(p => PurlCodec.parse(p).versionScheme)
     val got = purls.toDF("purl")
       .select(GraftFunctions.purlVersionScheme(col("purl")).as("s"))
