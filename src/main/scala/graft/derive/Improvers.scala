@@ -316,10 +316,17 @@ object Improvers {
         length(col("affecting_vers")) > 0)
       .select("_impact_id", "avid", "ptype", "namespace", "name",
         "affecting_vers")
+    // partition the dim by the JOIN key before the post-clean dedup:
+    // HashPartitioning(pkg) satisfies the distinct's clustering on
+    // (pkg, version) AND the equi-join's on (pkg), so the corpus-scale
+    // versions dimension shuffles ONCE on the sort-merge path instead
+    // of once for the distinct and again for the join
     val cleaned = validVersions
       .withColumn("version", regexp_replace(col("version"), "\\s+", ""))
       .withColumn("version", regexp_replace(col("version"), "^[vV]+", ""))
-      .select("ptype", "namespace", "name", "version").distinct()
+      .select("ptype", "namespace", "name", "version")
+      .repartition(col("ptype"), col("namespace"), col("name"))
+      .distinct()
     val joined = ranged
       .join(cleaned, Seq("ptype", "namespace", "name"))
       .withColumn("in_range", GraftFunctions.versionInRange(col("version"),
@@ -330,7 +337,13 @@ object Improvers {
     // nearest strictly-greater unaffected version (bisect_right): walk
     // versions descending; the fix for an affected row is the LAST
     // unaffected version seen strictly before it.
-    val w = Window.partitionBy("_impact_id")
+    // _impact_id alone determines the partition (it is unique per
+    // impact row), but leading with the package columns lets the window
+    // reuse the equi-join's (pkg) clustering on the sort-merge path —
+    // the post-join fan-out (the largest intermediate in this improver)
+    // is sorted in place instead of reshuffled
+    val w = Window
+      .partitionBy("ptype", "namespace", "name", "_impact_id")
       .orderBy(col("_vkey").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val assigned = joined

@@ -114,13 +114,17 @@ object PurlCodec {
     * it never reaches version/name fields from [[parse]]). */
   private def enc(s: String): String =
     if (s.forall(c => c != '@' && c != '?' && c != '#' && c != '&' &&
-        c != '+' && c != '%' && !c.isWhitespace)) s
+        c != '+' && c != '%' && !c.isWhitespace && !c.isControl)) s
     else {
       val sb = new StringBuilder(s.length + 8)
       s.foreach {
         case c @ ('@' | '?' | '#' | '&' | '+' | '%') =>
           sb.append(f"%%${c.toInt}%02X")
-        case c if c.isWhitespace =>
+        // control chars must encode like whitespace (urllib.parse.quote
+        // encodes both): left raw, a decoded %00-%1F lands at a field
+        // boundary where parse's trim strips it, so the canonical form
+        // would not be a fixpoint of normalize
+        case c if c.isWhitespace || c.isControl =>
           c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
         case c => sb.append(c)
