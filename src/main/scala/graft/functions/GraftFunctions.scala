@@ -89,7 +89,10 @@ object GraftFunctions {
     // tolerate the spellings PurlCodec.parse tolerates: surrounding
     // whitespace, leading slashes after pkg:, uppercase types
     // (spec-normalized to lowercase) — pinned against the scalar twin
-    // by NativeTwinsSpec
+    // by NativeTwinsSpec. Known residual divergence: a percent-ENCODED
+    // type ("pkg:np%6Dm/x") decodes through the scalar parse but falls
+    // to 'generic' here — the purl spec forbids encoding the type, and
+    // no ingest emits one
     val ptype = lower(regexp_extract(trim(basePurl), "^pkg:/*([^/]+)/", 1))
     coalesce(element_at(m, ptype), lit("generic"))
   }
