@@ -441,7 +441,16 @@ object VersionOrd {
 
   private def sortKeyUncached(scheme: String, version: String): String = {
     val s = Option(scheme).getOrElse("generic").toLowerCase
-    val v = Option(version).getOrElse("")
+    // Collapse surrogates (supplementary-plane chars) to the High
+    // marker BEFORE any scheme key-building: keys must order the same
+    // under Spark's UTF-8 binary comparison and Java's UTF-16
+    // String.compareTo, and supplementary chars are the one BMP-exit
+    // where those two orders disagree. No version-scheme grammar
+    // admits them, so the deterministic collapse never touches a
+    // parseable version. Pinned by VersionOrdPropSpec.
+    val v0 = Option(version).getOrElse("")
+    val v = if (v0.forall(!Character.isSurrogate(_))) v0
+            else v0.map(c => if (Character.isSurrogate(c)) High else c)
     s match {
       // golang is NOT an alias of convenience: x/mod/semver.Compare is
       // plain SemVer 2.0 precedence, and pseudo-versions
