@@ -311,22 +311,28 @@ object Improvers {
         render(col("ptype"), col("fixed_version")).as("fixed_version"))
 
     // Branch B: range expansion against the known versions.
+    // NOT pre-partitioned by the package key: hashing the impacts side
+    // on (pkg) before the join would move the fan-out shuffle earlier,
+    // but it caps parallelism at the distinct-package count — measured
+    // 110 s vs 96 s at 100x on the low-cardinality bench corpus. The
+    // window's (pkg, _impact_id) clustering below adapts by itself:
+    // satisfied in place after a sort-merge join (high-cardinality
+    // corpora), hashed on the uniform _impact_id when the small-dim
+    // broadcast plan exchanges the fan-out.
     val ranged = marked
       .filter(col("affecting_vers").isNotNull &&
         length(col("affecting_vers")) > 0)
       .select("_impact_id", "avid", "ptype", "namespace", "name",
         "affecting_vers")
-    // partition the dim by the JOIN key before the post-clean dedup:
-    // HashPartitioning(pkg) satisfies the distinct's clustering on
-    // (pkg, version) AND the equi-join's on (pkg), so the corpus-scale
-    // versions dimension shuffles ONCE on the sort-merge path instead
-    // of once for the distinct and again for the join
+    // the distinct stays UN-pre-partitioned: its partial aggregate
+    // dedups map-side at full scan parallelism, so both its exchange
+    // and the join's re-shuffle carry only the deduped dimension rows
+    // — pre-hashing by the package key would funnel the raw dimension
+    // through however many distinct packages exist before any dedup
     val cleaned = validVersions
       .withColumn("version", regexp_replace(col("version"), "\\s+", ""))
       .withColumn("version", regexp_replace(col("version"), "^[vV]+", ""))
-      .select("ptype", "namespace", "name", "version")
-      .repartition(col("ptype"), col("namespace"), col("name"))
-      .distinct()
+      .select("ptype", "namespace", "name", "version").distinct()
     val joined = ranged
       .join(cleaned, Seq("ptype", "namespace", "name"))
       .withColumn("in_range", GraftFunctions.versionInRange(col("version"),
