@@ -326,9 +326,14 @@ object AdvisoryDerive {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
+      // null KEYS never join in the distributed path (SQL equi-join
+      // semantics), so a null alias element or null advisory_id must
+      // not union here either — without the filter two advisories
+      // sharing only a null alias would merge locally but not
+      // distributed
       val byKey = scala.collection.mutable.Map[String, Long]()
       rows.foreach { case (_, node, aliases, advisoryId, _) =>
-        (aliases :+ advisoryId).foreach { k =>
+        (aliases :+ advisoryId).filter(_ != null).foreach { k =>
           byKey.get(k) match {
             case Some(root) => union(node, root)
             case None       => byKey(k) = node
@@ -366,8 +371,11 @@ object AdvisoryDerive {
       val primary = grouped.map { case (gid, members) =>
         gid -> members.map(m => (m._5, m._1)).min(primaryOrd)._2
       }
+      // SQL min() skips null alias elements; mirror it (a null here
+      // would NPE utf8Ord's getBytes besides ranking differently)
       val minAlias = grouped.map { case (gid, members) =>
-        gid -> members.flatMap(_._3).sorted(utf8Ord).headOption.orNull
+        gid -> members.flatMap(_._3).filter(_ != null)
+          .sorted(utf8Ord).headOption.orNull
       }
       import spark.implicits._
       return rows.map { case (avid, node, _, _, _) =>

@@ -111,7 +111,12 @@ object Cvss {
     var numericThree = false
     val scores = values.toSeq.flatMap { v =>
       val t = v.trim
-      if (t.matches(NumericScoreRe)) {
+      // finite-only: the grammar admits overflow spellings ("1e999")
+      // that Python parses to inf, but the three renderers disagree
+      // there (Python "inf", Spark cast "Infinity", DuckDB 'inf') —
+      // non-finite parses drop like unknown words in ALL THREE twins,
+      // the one documented divergence from float()
+      if (t.matches(NumericScoreRe) && !t.toDouble.isInfinity) {
         val d = t.toDouble
         if (d == 3.0) numericThree = true
         Seq(d)
@@ -123,9 +128,13 @@ object Cvss {
     }
     if (scores.isEmpty) None
     else {
+      // str(float) parity incl. the sign of negative zero ("-0" parses
+      // to -0.0 and Python, Spark cast and DuckDB all render "-0.0")
       def py(d: Double): String =
-        if (d == d.floor && math.abs(d) < 1e16) s"${d.toLong}.0"
-        else d.toString
+        if (d == d.floor && math.abs(d) < 1e16) {
+          val sign = if (d == 0.0 && 1.0 / d < 0) "-" else ""
+          s"$sign${d.toLong}.0"
+        } else d.toString
       val mx = scores.max
       val maxStr =
         if (mx == 3.0 && lowUsed && !numericThree) "3" else py(mx)

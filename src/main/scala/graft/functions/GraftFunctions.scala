@@ -78,14 +78,8 @@ object GraftFunctions {
     * ptype via regexp_extract + a literal map lookup (PurlCodec
     * .versionScheme's table), default "generic". Keeps versionRank's
     * sort-key derivation UDF-free. */
-  private val schemeByPtype: Map[String, String] = Map(
-    "npm" -> "semver", "cargo" -> "semver", "composer" -> "semver",
-    "hex" -> "semver", "gem" -> "gem", "golang" -> "golang",
-    "nuget" -> "nuget", "alpm" -> "alpm", "ebuild" -> "ebuild",
-    "pypi" -> "pypi", "deb" -> "deb", "rpm" -> "rpm", "maven" -> "maven",
-    "apk" -> "alpine")
   def purlVersionScheme(basePurl: Column): Column = {
-    val m = typedLit(schemeByPtype)
+    val m = typedLit(PurlCodec.SchemeByPtype)
     // tolerate the spellings PurlCodec.parse tolerates: surrounding
     // whitespace, leading slashes after pkg:, uppercase types
     // (spec-normalized to lowercase) — pinned against the scalar twin
@@ -93,7 +87,12 @@ object GraftFunctions {
     // type ("pkg:np%6Dm/x") decodes through the scalar parse but falls
     // to 'generic' here — the purl spec forbids encoding the type, and
     // no ingest emits one
-    val ptype = lower(regexp_extract(trim(basePurl), "^pkg:/*([^/]+)/", 1))
+    // leading junk is stripped by the regex, NOT Spark's trim():
+    // PurlCodec.parse trims with Java String.trim (every char <=
+    // U+0020 — tabs, newlines, controls) while Spark trim strips only
+    // ASCII space
+    val ptype = lower(regexp_extract(basePurl,
+      "^[\\x00-\\x20]*pkg:/*([^/]+)/", 1))
     coalesce(element_at(m, ptype), lit("generic"))
   }
 

@@ -52,21 +52,20 @@ object PurlCodec {
 
     /** Version-range scheme for this package type (univers
       * RANGE_CLASS_BY_SCHEMES subset). */
-    def versionScheme: String = ptype match {
-      case "npm" | "cargo" | "composer" | "hex" => "semver"
-      case "gem"    => "gem"
-      case "golang" => "golang"
-      case "nuget"  => "nuget"
-      case "alpm"   => "alpm"
-      case "ebuild" => "ebuild"
-      case "pypi"  => "pypi"
-      case "deb"   => "deb"
-      case "rpm"   => "rpm"
-      case "maven" => "maven"
-      case "apk"   => "alpine"
-      case _       => "generic"
-    }
+    def versionScheme: String =
+      PurlCodec.SchemeByPtype.getOrElse(ptype, "generic")
   }
+
+  /** The ONE ptype -> version-scheme table, shared by the scalar
+    * [[Purl.versionScheme]] and the column twin
+    * `GraftFunctions.purlVersionScheme` (a `typedLit` of this map) so
+    * an added or fixed mapping can never split the two. */
+  val SchemeByPtype: Map[String, String] = Map(
+    "npm" -> "semver", "cargo" -> "semver", "composer" -> "semver",
+    "hex" -> "semver", "gem" -> "gem", "golang" -> "golang",
+    "nuget" -> "nuget", "alpm" -> "alpm", "ebuild" -> "ebuild",
+    "pypi" -> "pypi", "deb" -> "deb", "rpm" -> "rpm", "maven" -> "maven",
+    "apk" -> "alpine")
 
   /** Parse a purl string; throws IllegalArgumentException on malformed
     * input (callers route bad rows to the error channel). */

@@ -294,6 +294,7 @@ object AggregationQueries extends QueryModule {
         |      WHEN 'critical' THEN [9.0, 10.0]
         |      ELSE CASE WHEN regexp_matches(trim(val),
         |             '${graft.functions.Cvss.NumericScoreRe}')
+        |             AND isfinite(TRY_CAST(trim(val) AS DOUBLE))
         |                THEN [CAST(val AS DOUBLE)]
         |                ELSE [] END END) AS t(x)),
         |f AS (
@@ -301,6 +302,7 @@ object AggregationQueries extends QueryModule {
         |         bool_or(lower(trim(val)) = 'low') AS low_used,
         |         bool_or(regexp_matches(trim(val),
         |             '${graft.functions.Cvss.NumericScoreRe}')
+        |           AND isfinite(TRY_CAST(trim(val) AS DOUBLE))
         |           AND TRY_CAST(trim(val) AS DOUBLE) = 3.0) AS num3
         |  FROM v GROUP BY p_brand)
         |SELECT e.p_brand,

@@ -525,7 +525,11 @@ object Serving {
     // the reference's low bucket upper bound is the INT 3, so an
     // all-low maximum renders "3"; a parsed numeric 3.0 wins as "3.0"
     val numRe = graft.functions.Cvss.NumericScoreRe
-    val isNum = (v: Column) => trim(v).rlike(numRe)
+    // finite-only, like the scalar twin and the a14 oracle: overflow
+    // spellings ("1e999") drop instead of rendering engine-specific
+    // infinity strings
+    val isNum = (v: Column) => trim(v).rlike(numRe) &&
+      abs(trim(v).cast("double")) <= lit(Double.MaxValue)
     val buckets = map(
       lit("low"), array(lit(0.1), lit(3.0)),
       lit("moderate"), array(lit(4.0), lit(6.9)),

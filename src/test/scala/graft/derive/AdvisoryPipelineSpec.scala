@@ -167,6 +167,32 @@ class AdvisoryPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(local("ds/B")._1 != local("ds/A")._1)
   }
 
+  test("advisory sets: null alias ELEMENTS never key a group") {
+    val sp = spark
+    import sp.implicits._
+    // a null INSIDE the aliases array is not a joinable key in the
+    // distributed path (SQL equi-join semantics), so the local path
+    // must not union on it either — E and F share only the null
+    // element and must stay separate — and min_alias must skip nulls
+    // like SQL min()
+    val adv = Seq(
+      ("ds/E", "E", Seq("CVE-9", null), true, 5L),
+      ("ds/F", "F", Seq(null.asInstanceOf[String]), true, 4L),
+      ("ds/G", "G", Seq("CVE-9"), true, 3L))
+      .toDF("avid", "advisory_id", "aliases", "is_latest", "precedence")
+    def facts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("avid") ->
+        (r.getAs[Long]("group_id"), r.getAs[String]("primary_avid"),
+          r.getAs[String]("min_alias"))).toMap
+    val local = facts(AdvisoryDerive.advisorySetsKeyed(sp, adv, 100000))
+    val dist = facts(AdvisoryDerive.advisorySetsKeyed(sp, adv, 0))
+    assert(local == dist)
+    assert(local("ds/E")._1 == local("ds/G")._1)  // real shared alias
+    assert(local("ds/F")._1 != local("ds/E")._1)  // null is no key
+    assert(local("ds/E")._3 == "CVE-9")           // min skips null
+    assert(local("ds/F")._3 == null)
+  }
+
   test("advisory sets: primary tie-breaks agree across paths " +
       "(null/MinValue precedence, supplementary-plane avids)") {
     val sp = spark

@@ -24,7 +24,9 @@ class NativeTwinsSpec extends AnyFunSuite with SparkTestSession {
     // through the column twin — the round-13 review caught the twin
     // falling back to 'generic' on these
     val nonCanonical = Seq("pkg:NPM/x", "pkg://npm/x", "pkg:///Pypi/x",
-      "  pkg:deb/x@1 ", "pkg:Gem/rails@7.0.0")
+      "  pkg:deb/x@1 ", "pkg:Gem/rails@7.0.0",
+      // Java String.trim strips every char <= U+0020, not just spaces
+      "\tpkg:npm/x", "\npkg:rpm/x@1", "pkg:maven/g/a")
     val purls = ptypes.map(t => s"pkg:$t/x") ++ nonCanonical
     val expected = purls.map(p => PurlCodec.parse(p).versionScheme)
     val got = purls.toDF("purl")

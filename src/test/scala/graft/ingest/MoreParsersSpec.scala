@@ -463,6 +463,12 @@ class ImporterRegistrySpec extends AnyFunSuite {
       case (_, ImporterRegistry.Missing(note)) => note.nonEmpty
       case _ => false
     })
+    // the improver-side registry delta self-documents the same way:
+    // the only reference improver file outside IMPROVERS_REGISTRY is
+    // add_missing_refid, and its entry names the engine operator
+    assert(graft.derive.Improvers.unregisteredReferenceImprovers ==
+      Map("add_missing_refid" ->
+        "not in IMPROVERS_REGISTRY; implemented as Improvers.cveIdBackfill"))
     // the derive-side pipelines resolve too (the recompute model): every
     // reference pipeline_id that is not an importer maps to a derivation
     Seq("remove_duplicate_advisories", "compute_advisory_todo_v2",
