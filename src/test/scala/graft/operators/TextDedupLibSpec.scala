@@ -51,6 +51,27 @@ class TextDedupLibSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("positional filter keeps a just-above-threshold pair (bound math)") {
+    val sp = spark
+    import sp.implicits._
+    // controlled dfs: A and B share 9 of 10 shingles (J = 9/11 = 0.818,
+    // just over t = 0.8 which needs overlap >= ceil(20·0.8/1.8) = 9);
+    // their rarest-first prefixes meet at skewed positions, so an
+    // overly-aggressive positional upper bound would prune the TRUE
+    // pair before verify. C shares 8 with A (J = 0.67) and must drop.
+    val rows =
+      ((1 to 8).map(i => (1L, s"t$i")) ++ Seq((1L, "t9"), (1L, "t10")) ++
+        (1 to 8).map(i => (2L, s"t$i")) ++ Seq((2L, "t9"), (2L, "u1")) ++
+        (1 to 8).map(i => (3L, s"t$i")) ++ Seq((3L, "v1"), (3L, "v2")))
+        .toDF("id", "shingle")
+    val got = TextDedup.ngramJaccardPairsPrefix(rows, "id", "shingle",
+      threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(math.abs(got.head._3 - 9.0 / 11.0) < 1e-12)
+  }
+
   test("collapsed LSH pairs cluster identically to the plain pair join") {
     val sp = spark
     import sp.implicits._
