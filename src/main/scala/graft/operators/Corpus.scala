@@ -293,6 +293,60 @@ object Corpus {
           .as("cleaned"))
   }
 
+  /** CROSS-document boilerplate strip — the corpus-level complement of
+    * [[dedupChunksInDoc]] ([[chunkDupStats]] only FLAGS): chunk every
+    * document into consecutive `chunkTokens`-token chunks, count each
+    * chunk's document frequency corpus-wide, and rebuild every text
+    * with chunks appearing in >= `dfThreshold` documents removed (the
+    * repeated headers/footers/licence blocks a crawl shares), keeping
+    * the un-chunked tail tokens. Returns (idCol, n_chunks, n_stripped,
+    * text_clean) for every input document.
+    *
+    * Shape at 100 TB: one chunk-keyed aggregation for the df table and
+    * one regroup by document — both map-side combining. The chunk
+    * STRINGS shuffle (exact, oracle-reproducible); a production run
+    * would pre-hash chunks to a wide digest to narrow both shuffles at
+    * a quantified collision rate, as [[chunkDupStats]] documents. */
+  def stripCorpusBoilerplate(df: DataFrame, textCol: String,
+      idCol: String, chunkTokens: Int = 10,
+      dfThreshold: Int = 2): DataFrame = {
+    val ct = chunkTokens
+    val base = df.select(col(idCol).as("_id"),
+        tokens(col(textCol)).as("_toks"))
+      .withColumn("_full", floor(size(col("_toks")) / ct).cast("int"))
+      .withColumn("_tail", expr(
+        s"concat_ws(' ', slice(_toks, _full * $ct + 1, " +
+          s"greatest(size(_toks) - _full * $ct, 0)))"))
+    // positional chunks: position rides along so the rebuild is
+    // order-stable after the regroup (collect_list order is not)
+    val chunkRows = base
+      .select(col("_id"), explode(expr(
+        s"""transform(slice(sequence(0, greatest(_full - 1, 0)), 1, _full),
+           |  i -> named_struct('pos', i,
+           |    'chunk', concat_ws(' ', slice(_toks, i * $ct + 1, $ct))))"""
+          .stripMargin)).as("_c"))
+      .select(col("_id"), col("_c.pos").as("_pos"),
+        col("_c.chunk").as("_chunk"))
+    val dfreq = chunkRows.groupBy("_chunk")
+      .agg(countDistinct("_id").as("_df"))
+    val agg = chunkRows.join(dfreq, Seq("_chunk"))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_df") >= dfThreshold, 1L).otherwise(0L))
+          .as("n_stripped"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          s"CASE WHEN _df < $dfThreshold THEN " +
+          "named_struct('pos', _pos, 'chunk', _chunk) END)), x -> x.chunk)"),
+          " ").as("_kept"))
+    base.join(agg, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_stripped"), lit(0L)).as("n_stripped"),
+        array_join(expr(
+          "filter(array(_kept, _tail), x -> x IS NOT NULL AND x != '')"),
+          " ").as("text_clean"))
+  }
+
   /** Source-mixture sampling — the training-mixture weighting step:
     * keep each row with its source's probability, decided by a
     * deterministic 16-bit md5 bucket (digest chars 5–8, a DIFFERENT

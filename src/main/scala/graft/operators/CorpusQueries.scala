@@ -845,6 +845,50 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Cross-document boilerplate STRIP (the corpus-level complement of
+    // x_chunk_dedup's flag and x_dedup_in_doc's in-doc strip): chunks
+    // appearing in >= 2 documents are removed from EVERY text, tails
+    // kept. Positional chunks (non-distinct) so a chunk repeated inside
+    // one doc counts once per position in n_chunks; df counts distinct
+    // docs. The rebuild is order-stable via the carried position.
+    q("x_strip_boilerplate",
+      s"""WITH t AS ($toksSql),
+         |b AS (SELECT doc_id, toks,
+         |             CAST(len(toks) // 10 AS INT) AS nfull
+         |      FROM t),
+         |ch AS (SELECT doc_id, i AS pos,
+         |              array_to_string(toks[i*10+1 : (i+1)*10], ' ')
+         |                AS chunk
+         |       FROM b, LATERAL unnest(range(0, nfull)) AS u(i)),
+         |dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS df
+         |          FROM ch GROUP BY chunk),
+         |agg AS (SELECT doc_id,
+         |               CAST(count(*) AS BIGINT) AS n_chunks,
+         |               CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+         |                 AS BIGINT) AS n_stripped,
+         |               string_agg(CASE WHEN f.df < 2 THEN chunk END,
+         |                          ' ' ORDER BY pos) AS kept
+         |        FROM ch JOIN dfreq f USING (chunk)
+         |        GROUP BY doc_id),
+         |tl AS (SELECT doc_id,
+         |              -- array_to_string([]) is NULL in DuckDB, '' here
+         |              coalesce(array_to_string(
+         |                toks[nfull*10+1 : len(toks)], ' '), '') AS tail
+         |       FROM b)
+         |SELECT b.doc_id,
+         |       coalesce(a.n_chunks, 0) AS n_chunks,
+         |       coalesce(a.n_stripped, 0) AS n_stripped,
+         |       CASE WHEN a.kept IS NULL OR a.kept = '' THEN tl.tail
+         |            WHEN tl.tail = '' THEN a.kept
+         |            ELSE a.kept || ' ' || tl.tail END AS text_clean
+         |FROM b LEFT JOIN agg a USING (doc_id)
+         |JOIN tl USING (doc_id)
+         |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.stripCorpusBoilerplate(docs(s, dir), "text", "doc_id",
+          chunkTokens = 10, dfThreshold = 2)
+        .orderBy("doc_id")
+    },
+
     // Contiguous sequence packing: each doc lands in the fixed-budget
     // training sequence its starting token offset falls into, per source
     // stream. Pure integer arithmetic (exact cross-engine); the only

@@ -344,6 +344,29 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(2) == ((3L, 0L, 0L, "just four words")))
   }
 
+  test("stripCorpusBoilerplate removes cross-doc chunks, keeps tails") {
+    val sp = spark
+    import sp.implicits._
+    val header = "terms of service apply to this site" // 7 toks (1 chunk@7)
+    val rows = Seq(
+      (1L, s"$header alpha beta gamma"),   // header + 3-tok tail
+      (2L, s"$header delta epsilon"),      // header + 2-tok tail
+      (3L, "unique body seven tokens in a row"), // 1 unique chunk, no tail
+      (4L, "short doc"))                   // all tail
+      .toDF("doc_id", "text")
+    val got = Corpus.stripCorpusBoilerplate(rows, "text", "doc_id",
+        chunkTokens = 7, dfThreshold = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // the shared header chunk (df=2) is stripped from BOTH docs; the
+    // unique chunk and all tails survive verbatim
+    assert(got(0) == ((1L, 1L, 1L, "alpha beta gamma")))
+    assert(got(1) == ((2L, 1L, 1L, "delta epsilon")))
+    assert(got(2) == ((3L, 1L, 0L, "unique body seven tokens in a row")))
+    assert(got(3) == ((4L, 0L, 0L, "short doc")))
+  }
+
   test("redactPii scrubs emails, IPv4s and phones with counts intact") {
     val rows = docsDF(Seq(
       doc(1, "mail alice.smith@corp.example and bob_2@mail.example now"),
