@@ -117,7 +117,12 @@ object Cvss {
       // non-finite parses drop like unknown words in ALL THREE twins,
       // the one documented divergence from float()
       if (t.matches(NumericScoreRe) && !t.toDouble.isInfinity) {
-        val d = t.toDouble
+        // "+ 0.0" folds negative zero to +0.0 in ALL THREE twins: the
+        // reference's own ±0.0 output is list-order-dependent (Python
+        // min/max return the first of equal elements) and Spark's
+        // array_min/Scala's Double.compare disagree on the sign, so
+        // the deterministic reading is the unsigned zero
+        val d = t.toDouble + 0.0
         if (d == 3.0) numericThree = true
         Seq(d)
       } else {
@@ -128,13 +133,11 @@ object Cvss {
     }
     if (scores.isEmpty) None
     else {
-      // str(float) parity incl. the sign of negative zero ("-0" parses
-      // to -0.0 and Python, Spark cast and DuckDB all render "-0.0")
+      // str(float) parity; negative zero cannot reach here (folded to
+      // +0.0 at parse, see above)
       def py(d: Double): String =
-        if (d == d.floor && math.abs(d) < 1e16) {
-          val sign = if (d == 0.0 && 1.0 / d < 0) "-" else ""
-          s"$sign${d.toLong}.0"
-        } else d.toString
+        if (d == d.floor && math.abs(d) < 1e16) s"${d.toLong}.0"
+        else d.toString
       val mx = scores.max
       val maxStr =
         if (mx == 3.0 && lowUsed && !numericThree) "3" else py(mx)

@@ -295,7 +295,7 @@ object AggregationQueries extends QueryModule {
         |      ELSE CASE WHEN regexp_matches(trim(val),
         |             '${graft.functions.Cvss.NumericScoreRe}')
         |             AND isfinite(TRY_CAST(trim(val) AS DOUBLE))
-        |                THEN [CAST(val AS DOUBLE)]
+        |                THEN [CAST(val AS DOUBLE) + 0.0]
         |                ELSE [] END END) AS t(x)),
         |f AS (
         |  SELECT p_brand,

@@ -537,8 +537,10 @@ object Serving {
       lit("high"), array(lit(7.0), lit(8.9)),
       lit("important"), array(lit(7.0), lit(8.9)),
       lit("critical"), array(lit(9.0), lit(10.0)))
+    // "+ 0.0" folds negative zero like the scalar twin and the oracle
+    // (array_min/array_max pick an order-dependent sign otherwise)
     val expanded = flatten(transform(values, v =>
-      when(isNum(v), array(trim(v).cast("double")))
+      when(isNum(v), array(trim(v).cast("double") + lit(0.0)))
         .otherwise(coalesce(element_at(buckets, lower(trim(v))),
           array().cast("array<double>")))))
     val lowUsed = exists(values, v => lower(trim(v)) === "low")
