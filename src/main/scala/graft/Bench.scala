@@ -124,9 +124,13 @@ object Bench {
     // A SCOPED run (SPARK_GRAFT_BENCH_ONLY) writes its detail to
     // BENCH_SCOPED.json so ad-hoc isolation/rehearsal runs can never
     // clobber the committed full-run artifact the driver/BASELINE.md
-    // point at.
-    val detailFile =
-      if (only.isDefined) "BENCH_SCOPED.json" else "BENCH_FULL.json"
+    // point at. SPARK_GRAFT_BENCH_OUT overrides the detail filename:
+    // the builder's clean-window closes set it to BENCH_CLEAN.json
+    // (the committed artifact), leaving BENCH_FULL.json to the driver's
+    // own per-round run — two artifacts, neither clobbering the other
+    // (BASELINE.md names which is which).
+    val detailFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_SCOPED.json" else "BENCH_FULL.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailFile),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

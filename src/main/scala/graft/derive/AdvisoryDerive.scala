@@ -600,10 +600,26 @@ object AdvisoryDerive {
     *
     * Shape: explode references (narrow), one groupBy on the commit URL
     * for the first-wins dedup, one equi-join to the affecting edge. */
-  def codeFixes(advisories: DataFrame, unfurled: DataFrame): DataFrame = {
-    val commitRefs = advisories.filter(col("is_latest"))
-      .select(col("avid"), explode(col("references")).as("r"))
-      .select(col("avid"), col("r.url").as("url"))
+  def codeFixes(advisories: DataFrame, unfurled: DataFrame): DataFrame =
+    codeFixesFromLinks(
+      advisories.filter(col("is_latest"))
+        .select(col("avid"), explode(col("references")).as("r"))
+        .select(col("avid"), col("r.url").as("url")),
+      unfurled)
+
+  /** [[codeFixes]] over FLAT (avid, url) reference-link rows — the shape
+    * the reference pipeline actually iterates (v2_improvers/
+    * collect_commits.py:51 walks the AdvisoryReference link table, not
+    * nested arrays). Prefer this entry point when links are already
+    * flat: nesting rows into per-advisory arrays only to explode them
+    * back moves the whole reference corpus through a collect_list
+    * shuffle for nothing (FanoutStageProbe measured that round-trip as
+    * ~3/4 of d20's 100× cost — the avid-domain modulo made each
+    * synthetic advisory carry ~3M references). The filter + first-claim
+    * min here combine map-side, so this path's only wide shuffle
+    * carries the ~|distinct vcs_url| claim table. */
+  def codeFixesFromLinks(links: DataFrame, unfurled: DataFrame): DataFrame = {
+    val commitRefs = links
       .filter(col("url").contains("/commit/") &&
         col("url").rlike(
           "^(git\\+)?(https?|git|hg|svn)(\\+https?|\\+git)?://"))

@@ -19,58 +19,96 @@ import graft.functions.{Vers, VersionOrd}
   * (set by graft.core.Sessions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** SQL-surface arity check: without it, `args(1)` on a 1-arg call
+    * surfaces as an IndexOutOfBoundsException deep in the builder and
+    * extra args are silently dropped. Match Spark's builtin behavior of
+    * failing the call cleanly with the expected arity spelled out. */
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function $name: expected $n, " +
+          s"found ${args.length}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("version_sort_key_native"),
       new ExpressionInfo(classOf[VersionSortKeyExpr].getName,
         "version_sort_key_native"),
-      (args: Seq[Expression]) => VersionSortKeyExpr(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("version_sort_key_native", 2, args)
+        VersionSortKeyExpr(args(0), args(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("version_in_range_native"),
       new ExpressionInfo(classOf[VersionInRangeExpr].getName,
         "version_in_range_native"),
-      (args: Seq[Expression]) => VersionInRangeExpr(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("version_in_range_native", 2, args)
+        VersionInRangeExpr(args(0), args(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("version_render_native"),
       new ExpressionInfo(classOf[VersionRenderExpr].getName,
         "version_render_native"),
-      (args: Seq[Expression]) => VersionRenderExpr(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("version_render_native", 2, args)
+        VersionRenderExpr(args(0), args(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("vers_endpoints_native"),
       new ExpressionInfo(classOf[VersEndpointsExpr].getName,
         "vers_endpoints_native"),
-      (args: Seq[Expression]) => VersEndpointsExpr(args(0), excluded = false)))
+      (args: Seq[Expression]) => {
+        arity("vers_endpoints_native", 1, args)
+        VersEndpointsExpr(args(0), excluded = false)
+      }))
     e.injectFunction((
       new FunctionIdentifier("vers_excluded_native"),
       new ExpressionInfo(classOf[VersEndpointsExpr].getName,
         "vers_excluded_native"),
-      (args: Seq[Expression]) => VersEndpointsExpr(args(0), excluded = true)))
+      (args: Seq[Expression]) => {
+        arity("vers_excluded_native", 1, args)
+        VersEndpointsExpr(args(0), excluded = true)
+      }))
     e.injectFunction((
       new FunctionIdentifier("array_dot_native"),
       new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot_native"),
-      (args: Seq[Expression]) => ArrayDotExpr(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("array_dot_native", 2, args)
+        ArrayDotExpr(args(0), args(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("int8_quantize_native"),
       new ExpressionInfo(classOf[Int8QuantizeExpr].getName,
         "int8_quantize_native"),
-      (args: Seq[Expression]) => Int8QuantizeExpr(args(0))))
+      (args: Seq[Expression]) => {
+        arity("int8_quantize_native", 1, args)
+        Int8QuantizeExpr(args(0))
+      }))
     e.injectFunction((
       new FunctionIdentifier("sign_lsh_sig_native"),
       new ExpressionInfo(classOf[SignLshSigExpr].getName,
         "sign_lsh_sig_native"),
-      (args: Seq[Expression]) => SignLshSigExpr(args(0), args(1) match {
-        case l: Literal => l.value.asInstanceOf[Int]
-        case other => throw new IllegalArgumentException(
-          s"sign_lsh_sig_native bits must be a literal, got $other")
-      })))
+      (args: Seq[Expression]) => {
+        arity("sign_lsh_sig_native", 2, args)
+        SignLshSigExpr(args(0), args(1) match {
+          case l: Literal => l.value.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"sign_lsh_sig_native bits must be a literal, got $other")
+        })
+      }))
     e.injectFunction((
       new FunctionIdentifier("top_ngram_native"),
       new ExpressionInfo(classOf[TopNgramExpr].getName, "top_ngram_native"),
-      (args: Seq[Expression]) => TopNgramExpr(args(0), args(1) match {
-        case l: Literal => l.value.asInstanceOf[Int]
-        case other => throw new IllegalArgumentException(
-          s"top_ngram_native n must be a literal, got $other")
-      })))
+      (args: Seq[Expression]) => {
+        arity("top_ngram_native", 2, args)
+        TopNgramExpr(args(0), args(1) match {
+          case l: Literal => l.value.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"top_ngram_native n must be a literal, got $other")
+        })
+      }))
     e.injectOptimizerRule(_ => ConstantVersionRangeRewrite)
     e.injectOptimizerRule(_ => MaterializedVersionKeyRewrite)
   }

@@ -111,12 +111,16 @@ object Cvss {
     var numericThree = false
     val scores = values.toSeq.flatMap { v =>
       val t = v.trim
-      // finite-only: the grammar admits overflow spellings ("1e999")
-      // that Python parses to inf, but the three renderers disagree
-      // there (Python "inf", Spark cast "Infinity", DuckDB 'inf') —
-      // non-finite parses drop like unknown words in ALL THREE twins,
-      // the one documented divergence from float()
-      if (t.matches(NumericScoreRe) && !t.toDouble.isInfinity) {
+      // finite-only AND |d| < 1e16: the grammar admits overflow
+      // spellings ("1e999") that Python parses to inf, but the three
+      // renderers disagree there (Python "inf", Spark cast "Infinity",
+      // DuckDB 'inf') — non-finite parses drop like unknown words in
+      // ALL THREE twins. Same rule for finite large magnitudes
+      // ("1e17"): above 1e16 py()/the Spark cast stop matching Python
+      // str(float) ("1.0E17" vs "1e+17"), so the shared domain clamps
+      // there too — the two documented divergences from float()
+      if (t.matches(NumericScoreRe) && !t.toDouble.isInfinity &&
+          math.abs(t.toDouble) < 1e16) {
         // "+ 0.0" folds negative zero to +0.0 in ALL THREE twins: the
         // reference's own ±0.0 output is list-order-dependent (Python
         // min/max return the first of equal elements) and Spark's

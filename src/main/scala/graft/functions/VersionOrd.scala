@@ -27,7 +27,7 @@ object VersionOrd {
   val schemes: Set[String] = Set(
     "semver", "npm", "cargo", "gem", "golang", "composer", "nginx", "hex",
     "pypi", "deb", "ubuntu", "rpm", "alpm", "nuget", "maven", "generic",
-    "apk", "alpine", "ebuild")
+    "apk", "alpine", "ebuild", "openssl")
 
   private final val Term = '\u0004'      // global end-of-key sentinel
   private final val Low1 = '\u0001'      // sorts before everything
@@ -408,6 +408,45 @@ object VersionOrd {
     keys.mkString + Term
   }
 
+  // -------------------------------------------------------------- openssl
+  /** univers OpensslVersion (the scheme behind `vers:openssl/` ranges,
+    * built by the reference's pipes/openssl.py:22-54 from CVE 5.x
+    * records): a two-era order.
+    *
+    *  - LEGACY (major < 3): MAJOR.MINOR.BUILD plus an optional
+    *    lowercase letter-patch suffix compared as a STRING after the
+    *    numeric triple — `1.1.1 < 1.1.1a < … < 1.1.1z < 1.1.1za`
+    *    (univers LegacyOpensslVersion's (major, minor, build, patch)
+    *    tuple compare; the empty patch sorts first, and `z < za` by
+    *    plain string order — OpenSSL really shipped 0.9.8za…0.9.8zh).
+    *    Legacy has no prerelease grammar.
+    *  - SEMVER era (major >= 3): full SemVer precedence, so
+    *    `3.0.0-alpha1 < 3.0.0` and build metadata is ignored — both
+    *    orderings the generic fallback got wrong.
+    *  - Every legacy version sorts below every semver-era version
+    *    (univers routes on `int(major) >= 3` and mixed-type compare
+    *    makes the legacy side smaller), encoded as a leading era
+    *    marker.
+    *
+    * Unparseable legacy-era strings fall back to the generic walk
+    * INSIDE the legacy band (univers would raise; a total sort key
+    * cannot). */
+  private def opensslKey(v0: String): String = {
+    val v = v0.trim.toLowerCase.stripPrefix("v")
+    val major = v.takeWhile(_.isDigit)
+    val semverEra = major.nonEmpty && BigInt(major) >= 3
+    if (semverEra) Low2.toString + semverKey(v)
+    else {
+      val legacyRx = raw"^(\d+)\.(\d+)\.(\d+)([a-z]*)$$".r
+      v match {
+        case legacyRx(ma, mi, b, patch) =>
+          Low1.toString + encNum(ma) + encNum(mi) + encNum(b) +
+            encAlpha(patch) + Term
+        case _ => Low1.toString + genericKey(v)
+      }
+    }
+  }
+
   // -------------------------------------------------------------- generic
   /** Generic dotted comparison: digit runs numeric, alpha runs lexical,
     * numeric sorts before alpha at the same position, shorter prefix first.
@@ -471,6 +510,7 @@ object VersionOrd {
       // release<_p phases, -rN revision) — ebuild shares the key
       case "apk" | "alpine" | "ebuild" => alpineKey(v)
       case "maven"          => mavenKey(v)
+      case "openssl"        => opensslKey(v)
       case _                => genericKey(v)
     }
   }

@@ -274,7 +274,7 @@ object AggregationQueries extends QueryModule {
     // "min - max" per group — with the low bucket's upper bound
     // rendered as the reference's INT 3 unless a numeric 3.0 parsed
     q("a14_severity_range",
-      s"""WITH v AS (
+      s"""WITH v0 AS (
         |  SELECT p_brand,
         |         CASE p_size % 5
         |           WHEN 0 THEN 'LOW' WHEN 1 THEN 'critical'
@@ -282,28 +282,37 @@ object AggregationQueries extends QueryModule {
         |           WHEN 3 THEN CAST(p_size AS VARCHAR)
         |           ELSE 'Medium' END AS val
         |  FROM part),
+        |-- Java-trim parity with the engine twins: strip every char
+        |-- <= U+0020 on both ends ('g' so the trailing run strips too)
+        |v AS (
+        |  SELECT p_brand,
+        |         regexp_replace(val,
+        |           '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g') AS tval
+        |  FROM v0),
         |e AS (
         |  SELECT p_brand, x
         |  FROM v, LATERAL unnest(
-        |    CASE lower(trim(val))
+        |    CASE lower(tval)
         |      WHEN 'low' THEN [0.1, 3.0]
         |      WHEN 'moderate' THEN [4.0, 6.9]
         |      WHEN 'medium' THEN [4.0, 6.9]
         |      WHEN 'high' THEN [7.0, 8.9]
         |      WHEN 'important' THEN [7.0, 8.9]
         |      WHEN 'critical' THEN [9.0, 10.0]
-        |      ELSE CASE WHEN regexp_matches(trim(val),
+        |      ELSE CASE WHEN regexp_matches(tval,
         |             '${graft.functions.Cvss.NumericScoreRe}')
-        |             AND isfinite(TRY_CAST(trim(val) AS DOUBLE))
-        |                THEN [CAST(val AS DOUBLE) + 0.0]
+        |             AND isfinite(TRY_CAST(tval AS DOUBLE))
+        |             AND abs(TRY_CAST(tval AS DOUBLE)) < 1e16
+        |                THEN [CAST(tval AS DOUBLE) + 0.0]
         |                ELSE [] END END) AS t(x)),
         |f AS (
         |  SELECT p_brand,
-        |         bool_or(lower(trim(val)) = 'low') AS low_used,
-        |         bool_or(regexp_matches(trim(val),
+        |         bool_or(lower(tval) = 'low') AS low_used,
+        |         bool_or(regexp_matches(tval,
         |             '${graft.functions.Cvss.NumericScoreRe}')
-        |           AND isfinite(TRY_CAST(trim(val) AS DOUBLE))
-        |           AND TRY_CAST(trim(val) AS DOUBLE) = 3.0) AS num3
+        |           AND isfinite(TRY_CAST(tval AS DOUBLE))
+        |           AND abs(TRY_CAST(tval AS DOUBLE)) < 1e16
+        |           AND TRY_CAST(tval AS DOUBLE) = 3.0) AS num3
         |  FROM v GROUP BY p_brand)
         |SELECT e.p_brand,
         |       CAST(min(x) AS VARCHAR) || ' - ' ||

@@ -187,6 +187,23 @@ object Corpus {
         round(col("_s").cast("double") / col("n_toks"), 4).as("tfidf"))
   }
 
+  /** 128-bit chunk digest: two independent codegen'd xxhash64 passes
+    * (the second salted) packed in a struct key — 16 bytes on the wire
+    * instead of a 10-token string (~60–80 bytes typical, unbounded).
+    *
+    * Collision budget at 100 TB: N distinct chunks collide in expected
+    * ~N²/2^129 pairs; at N = 2^41 (≈2.2e12 chunks — 100 TB of 10-token
+    * chunks) that is 2^-47 ≈ 7e-15 expected colliding pairs, i.e. zero.
+    * A SINGLE xxhash64 would expect 2^82/2^65 ≈ 1.3e5 colliding pairs
+    * at that N — why 64 bits alone is not enough and the salted second
+    * hash rides along. A collision makes two distinct chunks share a df
+    * count (over-stripping/over-flagging by one chunk); it cannot
+    * corrupt rebuilt text, which is always rendered from the document's
+    * own tokens. */
+  private def chunkDigest(chunk: Column): Column =
+    struct(xxhash64(chunk).as("h1"),
+      xxhash64(lit("graft.chunk.h2"), chunk).as("h2"))
+
   /** Exact chunk-level duplication stats: split each doc into consecutive
     * `chunkTokens`-token chunks and measure how much of it recurs
     * verbatim elsewhere in the corpus — the substring-level complement of
@@ -194,24 +211,34 @@ object Corpus {
     * Returns (idCol, n_chunks, n_dup_chunks, dup_ratio, flagged) per doc
     * with ≥ 1 full chunk; a chunk is "dup" when it appears in ≥ 2 docs.
     *
-    * The distinct + df counting shuffles chunk STRINGS (exact, oracle-
-    * reproducible); a 100 TB run would pre-hash chunks to a wide digest
-    * ([[TextDedup.shingleBase]]-style) to narrow the shuffle at the cost
-    * of a quantified collision rate. */
+    * `digestKeyed = true` (the library default) replaces the chunk
+    * string with [[chunkDigest]] BEFORE anything shuffles: the distinct,
+    * the df aggregation, and the join-back all carry a 16-byte struct
+    * instead of raw chunk text, so the op's entire shuffle volume is
+    * O(16B · chunks) regardless of chunk width (ChunkShuffleProbe at
+    * 10×: 16.1 → 8.6 MB shuffled, 3.9 → 1.9 s, identical checksums;
+    * collision budget on [[chunkDigest]]'s scaladoc). `digestKeyed = false` is the byte-exact oracle gate
+    * (x_chunk_dedup); both forms return identical rows whenever the
+    * digest is injective on the corpus — which the shared oracle SQL
+    * checks end-to-end, since DuckDB recomputes on the raw strings. */
   def chunkDupStats(df: DataFrame, textCol: String, idCol: String,
-      chunkTokens: Int = 10, flagAt: Double = 0.5): DataFrame = {
+      chunkTokens: Int = 10, flagAt: Double = 0.5,
+      digestKeyed: Boolean = true): DataFrame = {
     val ct = chunkTokens
-    val ch = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val chStr = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= ct)
       .select(col("id"), explode(expr(
         s"""array_distinct(transform(
            |  sequence(0, CAST(floor(size(toks) / $ct) AS INT) - 1),
            |  i -> concat_ws(' ', slice(toks, i * $ct + 1, $ct))))"""
           .stripMargin)).as("chunk"))
-    val dfreq = ch.groupBy("chunk")
+    val ch =
+      if (digestKeyed) chStr.select(col("id"), chunkDigest(col("chunk")).as("_k"))
+      else chStr.select(col("id"), col("chunk").as("_k"))
+    val dfreq = ch.groupBy("_k")
       .agg(countDistinct("id").as("_df"))
     val rate = col("n_dup_chunks").cast("double") / col("n_chunks")
-    ch.join(dfreq, Seq("chunk"))
+    ch.join(dfreq, Seq("_k"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
@@ -302,14 +329,30 @@ object Corpus {
     * the un-chunked tail tokens. Returns (idCol, n_chunks, n_stripped,
     * text_clean) for every input document.
     *
-    * Shape at 100 TB: one chunk-keyed aggregation for the df table and
-    * one regroup by document — both map-side combining. The chunk
-    * STRINGS shuffle (exact, oracle-reproducible); a production run
-    * would pre-hash chunks to a wide digest to narrow both shuffles at
-    * a quantified collision rate, as [[chunkDupStats]] documents. */
+    * Shape at 100 TB (`digestKeyed = true`, the library default): the
+    * chunk STRINGS never shuffle at all. Chunks digest to the 16-byte
+    * [[chunkDigest]] map-side; the df table aggregates on the digest
+    * (the op's one wide shuffle, O(16B · chunks)); the boilerplate set
+    * (`_df >= dfThreshold` digests — headers/footers/licence blocks, a
+    * tiny fraction of distinct chunks) semi-join-filters the positional
+    * digest rows, leaving only the STRIPPED positions to regroup per
+    * document (a near-empty shuffle: most documents strip nothing); and
+    * the text is rebuilt MAP-SIDE from the document's own tokens by
+    * skipping the dropped positions. So the full text crosses the wire
+    * once (the doc-keyed join with the small drop-position table),
+    * versus the exact form's chunk-string df shuffle + join-back +
+    * kept-chunk regroup. ChunkShuffleProbe at 10×: 15.4 → 9.0 MB
+    * shuffled, 2.9 → 1.9 s, identical full-width checksums (the
+    * synthetic corpus's 31-word vocab deflates the byte ratio; real
+    * crawl text widens it — strings grow with the data, digests stay
+    * 16 B). `digestKeyed = false` keeps the byte-exact string-keyed
+    * shape as the oracle gate (x_strip_boilerplate); the shared oracle
+    * SQL re-derives everything from raw strings in DuckDB, so the
+    * digest twin's correctness (digest injectivity included) is checked
+    * end-to-end by x_strip_boilerplate_digest. */
   def stripCorpusBoilerplate(df: DataFrame, textCol: String,
       idCol: String, chunkTokens: Int = 10,
-      dfThreshold: Int = 2): DataFrame = {
+      dfThreshold: Int = 2, digestKeyed: Boolean = true): DataFrame = {
     val ct = chunkTokens
     val base = df.select(col(idCol).as("_id"),
         tokens(col(textCol)).as("_toks"))
@@ -327,24 +370,48 @@ object Corpus {
           .stripMargin)).as("_c"))
       .select(col("_id"), col("_c.pos").as("_pos"),
         col("_c.chunk").as("_chunk"))
-    val dfreq = chunkRows.groupBy("_chunk")
-      .agg(countDistinct("_id").as("_df"))
-    val agg = chunkRows.join(dfreq, Seq("_chunk"))
-      .groupBy("_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("_df") >= dfThreshold, 1L).otherwise(0L))
-          .as("n_stripped"),
-        array_join(expr("transform(array_sort(collect_list(" +
-          s"CASE WHEN _df < $dfThreshold THEN " +
-          "named_struct('pos', _pos, 'chunk', _chunk) END)), x -> x.chunk)"),
-          " ").as("_kept"))
-    base.join(agg, Seq("_id"), "left")
-      .select(col("_id").as(idCol),
-        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-        coalesce(col("n_stripped"), lit(0L)).as("n_stripped"),
-        array_join(expr(
-          "filter(array(_kept, _tail), x -> x IS NOT NULL AND x != '')"),
-          " ").as("text_clean"))
+    if (digestKeyed) {
+      val chunkD = chunkRows.select(col("_id"), col("_pos"),
+        chunkDigest(col("_chunk")).as("_dig"))
+      val dfreq = chunkD.groupBy("_dig")
+        .agg(countDistinct("_id").as("_df"))
+      val hot = dfreq.filter(col("_df") >= dfThreshold).select("_dig")
+      val dropPos = chunkD.join(hot, Seq("_dig"), "left_semi")
+        .groupBy("_id")
+        .agg(sort_array(collect_list(col("_pos"))).as("_drop"))
+      base.join(dropPos, Seq("_id"), "left")
+        .select(col("_id").as(idCol),
+          col("_full").cast("long").as("n_chunks"),
+          coalesce(size(col("_drop")).cast("long"), lit(0L))
+            .as("n_stripped"),
+          array_join(expr(
+            s"""filter(array(
+               |  concat_ws(' ', transform(
+               |    filter(slice(sequence(0, greatest(_full - 1, 0)), 1, _full),
+               |      i -> _drop IS NULL OR NOT array_contains(_drop, i)),
+               |    i -> concat_ws(' ', slice(_toks, i * $ct + 1, $ct)))),
+               |  _tail), x -> x != '')""".stripMargin),
+            " ").as("text_clean"))
+    } else {
+      val dfreq = chunkRows.groupBy("_chunk")
+        .agg(countDistinct("_id").as("_df"))
+      val agg = chunkRows.join(dfreq, Seq("_chunk"))
+        .groupBy("_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("_df") >= dfThreshold, 1L).otherwise(0L))
+            .as("n_stripped"),
+          array_join(expr("transform(array_sort(collect_list(" +
+            s"CASE WHEN _df < $dfThreshold THEN " +
+            "named_struct('pos', _pos, 'chunk', _chunk) END)), x -> x.chunk)"),
+            " ").as("_kept"))
+      base.join(agg, Seq("_id"), "left")
+        .select(col("_id").as(idCol),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("n_stripped"), lit(0L)).as("n_stripped"),
+          array_join(expr(
+            "filter(array(_kept, _tail), x -> x IS NOT NULL AND x != '')"),
+            " ").as("text_clean"))
+    }
   }
 
   /** Source-mixture sampling — the training-mixture weighting step:

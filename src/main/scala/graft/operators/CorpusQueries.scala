@@ -841,6 +841,40 @@ object CorpusQueries extends QueryModule {
          |GROUP BY c.doc_id
          |ORDER BY doc_id""") { (s, dir) =>
       Corpus.chunkDupStats(docs(s, dir), "text", "doc_id",
+          chunkTokens = 10, flagAt = 0.5, digestKeyed = false)
+        .orderBy("doc_id")
+    },
+
+    // Digest-keyed library twin of x_chunk_dedup: identical semantics
+    // and oracle, but every shuffle carries the 16-byte chunk digest
+    // instead of raw chunk strings (Corpus.chunkDigest — collision
+    // budget in its scaladoc). The SAME string-derived oracle checks
+    // the digest path end-to-end: a digest collision would break the
+    // hash match here, so injectivity on the corpus is gated, not
+    // assumed.
+    q("x_chunk_dedup_digest",
+      s"""WITH t AS ($toksSql),
+         |ch AS (SELECT DISTINCT doc_id, chunk FROM (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(0, CAST(len(toks) // 10 AS INT)),
+         |           i -> array_to_string(toks[i*10+1 : (i+1)*10], ' ')))
+         |           AS chunk
+         |  FROM t WHERE len(toks) >= 10)),
+         |dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS df
+         |          FROM ch GROUP BY chunk)
+         |SELECT c.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_chunks,
+         |       CAST(round(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+         |                       AS DOUBLE) / count(*), 4) AS DOUBLE)
+         |         AS dup_ratio,
+         |       CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) >= 0.5 AS flagged
+         |FROM ch c JOIN dfreq f USING (chunk)
+         |GROUP BY c.doc_id
+         |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.chunkDupStats(docs(s, dir), "text", "doc_id",
           chunkTokens = 10, flagAt = 0.5)
         .orderBy("doc_id")
     },
@@ -872,6 +906,50 @@ object CorpusQueries extends QueryModule {
          |        GROUP BY doc_id),
          |tl AS (SELECT doc_id,
          |              -- array_to_string([]) is NULL in DuckDB, '' here
+         |              coalesce(array_to_string(
+         |                toks[nfull*10+1 : len(toks)], ' '), '') AS tail
+         |       FROM b)
+         |SELECT b.doc_id,
+         |       coalesce(a.n_chunks, 0) AS n_chunks,
+         |       coalesce(a.n_stripped, 0) AS n_stripped,
+         |       CASE WHEN a.kept IS NULL OR a.kept = '' THEN tl.tail
+         |            WHEN tl.tail = '' THEN a.kept
+         |            ELSE a.kept || ' ' || tl.tail END AS text_clean
+         |FROM b LEFT JOIN agg a USING (doc_id)
+         |JOIN tl USING (doc_id)
+         |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.stripCorpusBoilerplate(docs(s, dir), "text", "doc_id",
+          chunkTokens = 10, dfThreshold = 2, digestKeyed = false)
+        .orderBy("doc_id")
+    },
+
+    // Digest-keyed library twin of x_strip_boilerplate: same output,
+    // same string-derived oracle, but chunk text never shuffles — the
+    // df table keys on the 16-byte digest, only STRIPPED positions
+    // regroup per doc, and the text rebuilds map-side from each doc's
+    // own tokens by skipping dropped positions. A digest collision
+    // would over-strip a chunk and fail this row's hash match, so
+    // injectivity is gated end-to-end.
+    q("x_strip_boilerplate_digest",
+      s"""WITH t AS ($toksSql),
+         |b AS (SELECT doc_id, toks,
+         |             CAST(len(toks) // 10 AS INT) AS nfull
+         |      FROM t),
+         |ch AS (SELECT doc_id, i AS pos,
+         |              array_to_string(toks[i*10+1 : (i+1)*10], ' ')
+         |                AS chunk
+         |       FROM b, LATERAL unnest(range(0, nfull)) AS u(i)),
+         |dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS df
+         |          FROM ch GROUP BY chunk),
+         |agg AS (SELECT doc_id,
+         |               CAST(count(*) AS BIGINT) AS n_chunks,
+         |               CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+         |                 AS BIGINT) AS n_stripped,
+         |               string_agg(CASE WHEN f.df < 2 THEN chunk END,
+         |                          ' ' ORDER BY pos) AS kept
+         |        FROM ch JOIN dfreq f USING (chunk)
+         |        GROUP BY doc_id),
+         |tl AS (SELECT doc_id,
          |              coalesce(array_to_string(
          |                toks[nfull*10+1 : len(toks)], ' '), '') AS tail
          |       FROM b)

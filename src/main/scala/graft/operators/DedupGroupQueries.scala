@@ -497,6 +497,68 @@ object DedupGroupQueries extends QueryModule {
         .orderBy("avid", "name", "quals", "affected", "fixed")
     },
 
+    // D17b — the d17 improver over `vers:openssl/` ranges (round-14
+    // scheme addition): legacy letter-patch boundaries (>=1.1.1|<1.1.1b
+    // .. d) and the era split (<3.0.0 catches the 3.0.0 prereleases —
+    // univers OpensslVersion, where the generic fallback ordered
+    // 3.0.0-alpha1 ABOVE 3.0.0). The oracle ranks the constructed
+    // version set explicitly (a VALUES table), so the DuckDB side is an
+    // independent spelling of the openssl order, not a key mirror.
+    q("d17b_openssl_letters",
+      """WITH v(r, vname) AS (VALUES
+        |    (0, '1.1.1'), (1, '1.1.1a'), (2, '1.1.1b'), (3, '1.1.1c'),
+        |    (4, '1.1.1d'), (5, '1.1.1e'), (6, '1.1.1f'), (7, '1.1.1g'),
+        |    (8, '3.0.0-alpha1'), (9, '3.0.0')),
+        |imp AS (SELECT o_orderkey AS iid,
+        |         'ossl/' || CAST(o_orderkey % 20 AS VARCHAR) AS avid,
+        |         CASE o_orderkey % 4 WHEN 3 THEN 9
+        |              ELSE o_orderkey % 4 + 2 END AS hi
+        |       FROM orders),
+        |vv AS (SELECT DISTINCT p_partkey % 10 AS r FROM part),
+        |joined AS (SELECT i.iid, i.avid, vv.r, vv.r < i.hi AS in_range
+        |           FROM imp i, vv),
+        |assigned AS (
+        |  SELECT iid, avid, r,
+        |         (SELECT min(j2.r) FROM joined j2
+        |          WHERE j2.iid = j.iid AND NOT j2.in_range
+        |            AND j2.r > j.r) AS fx
+        |  FROM joined j WHERE j.in_range),
+        |expanded AS (
+        |  SELECT a.avid,
+        |         string_agg(v.vname, ',' ORDER BY a.r) AS affected,
+        |         max(f.vname) AS fixed
+        |  FROM assigned a JOIN v ON v.r = a.r
+        |       LEFT JOIN v f ON f.r = a.fx
+        |  GROUP BY a.iid, a.avid, a.fx)
+        |SELECT avid, 'openssl' AS name, affected, fixed, 100 AS confidence
+        |FROM expanded
+        |ORDER BY avid, affected, fixed""") { (s, dir) =>
+      val letters = Seq("1.1.1") ++ "abcdefg".map(c => s"1.1.1$c") ++
+        Seq("3.0.0-alpha1", "3.0.0")
+      val hiLetter = array(lit("1.1.1b"), lit("1.1.1c"), lit("1.1.1d"))
+      val impacts = t(s, dir, "orders").select(
+        concat(lit("ossl/"), pmod(col("o_orderkey"), lit(20))).as("avid"),
+        lit("openssl").as("ptype"), lit("").as("namespace"),
+        lit("openssl").as("name"), lit("").as("qualifiers"),
+        concat(lit("vers:openssl/>=1.1.1|<"),
+          when(pmod(col("o_orderkey"), lit(4)) === 3, lit("3.0.0"))
+            .otherwise(element_at(hiLetter,
+              (pmod(col("o_orderkey"), lit(4)) + 1).cast("int"))))
+          .as("affecting_vers"),
+        lit(null).cast("string").as("fixed_version"))
+      val versions = t(s, dir, "part").select(
+        lit("openssl").as("ptype"), lit("").as("namespace"),
+        lit("openssl").as("name"),
+        element_at(array(letters.map(lit): _*),
+          (pmod(col("p_partkey"), lit(10)) + 1).cast("int")).as("version"))
+        .distinct()
+      graft.derive.Improvers.validVersionInferences(impacts, versions)
+        .select(col("avid"), col("name"),
+          concat_ws(",", col("affected_versions")).as("affected"),
+          col("fixed_version").as("fixed"), col("confidence"))
+        .orderBy("avid", "affected", "fixed")
+    },
+
     // D18 — NVD status improver (improvers/vulnerability_status.py:
     // 78-103): MITRE CVE records → status enum; disputed-tag beats
     // REJECTED state beats PUBLISHED default, missing record →

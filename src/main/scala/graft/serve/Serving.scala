@@ -525,11 +525,20 @@ object Serving {
     // the reference's low bucket upper bound is the INT 3, so an
     // all-low maximum renders "3"; a parsed numeric 3.0 wins as "3.0"
     val numRe = graft.functions.Cvss.NumericScoreRe
-    // finite-only, like the scalar twin and the a14 oracle: overflow
-    // spellings ("1e999") drop instead of rendering engine-specific
-    // infinity strings
-    val isNum = (v: Column) => trim(v).rlike(numRe) &&
-      abs(trim(v).cast("double")) <= lit(Double.MaxValue)
+    // Java-trim parity with the scalar twin: String.trim strips every
+    // char <= U+0020 (tabs, newlines, NUL) while Spark/DuckDB trim()
+    // strips ASCII space only — normalize with the explicit
+    // control-char class so a tab-padded value parses in BOTH twins
+    // (the a14 oracle mirrors the same regexp)
+    val jtrim = (v: Column) =>
+      regexp_replace(v, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+    // finite-only AND |d| < 1e16, like the scalar twin and the a14
+    // oracle: overflow spellings ("1e999") drop instead of rendering
+    // engine-specific infinity strings, and finite large magnitudes
+    // ("1e17") drop because above 1e16 the Spark cast ("1.0E17") stops
+    // matching Python str(float) ("1e+17")
+    val isNum = (v: Column) => jtrim(v).rlike(numRe) &&
+      abs(jtrim(v).cast("double")) < lit(1e16)
     val buckets = map(
       lit("low"), array(lit(0.1), lit(3.0)),
       lit("moderate"), array(lit(4.0), lit(6.9)),
@@ -540,17 +549,27 @@ object Serving {
     // "+ 0.0" folds negative zero like the scalar twin and the oracle
     // (array_min/array_max pick an order-dependent sign otherwise)
     val expanded = flatten(transform(values, v =>
-      when(isNum(v), array(trim(v).cast("double") + lit(0.0)))
-        .otherwise(coalesce(element_at(buckets, lower(trim(v))),
+      when(isNum(v), array(jtrim(v).cast("double") + lit(0.0)))
+        .otherwise(coalesce(element_at(buckets, lower(jtrim(v))),
           array().cast("array<double>")))))
-    val lowUsed = exists(values, v => lower(trim(v)) === "low")
+    val lowUsed = exists(values, v => lower(jtrim(v)) === "low")
     val numericThree =
-      exists(values, v => isNum(v) && trim(v).cast("double") === 3.0)
+      exists(values, v => isNum(v) && jtrim(v).cast("double") === 3.0)
+    // Python str(float) parity, mirroring the scalar twin's py():
+    // integral doubles render "<long>.0" (a plain double→string cast is
+    // Java Double.toString, which flips to scientific at 1e7 — "1.2E7"
+    // where Python says "12000000.0"); non-integral doubles fall back
+    // to the cast, where Spark's Double.toString IS the scalar's
+    // d.toString, so the twins agree on the whole clamped domain
+    val pyStr = (d: Column) =>
+      when(d === floor(d) && abs(d) < lit(1e16),
+        concat(d.cast("long").cast("string"), lit(".0")))
+        .otherwise(d.cast("string"))
     val mx = array_max(expanded)
     val maxStr = when(mx === 3.0 && lowUsed && !numericThree, lit("3"))
-      .otherwise(mx.cast("string"))
+      .otherwise(pyStr(mx))
     when(size(expanded) > 0,
-      concat(array_min(expanded).cast("string"), lit(" - "), maxStr))
+      concat(pyStr(array_min(expanded)), lit(" - "), maxStr))
   }
 
   /** All vulnerable purls (api_v3.py:268-272 empty-purls mode,

@@ -28,8 +28,12 @@ class SeverityRangePropSpec extends AnyFunSuite with SparkTestSession {
     1 -> Gen.oneOf("3", "3.0", "-2", "+4.5", "1e1", ".5", "7.",
       // negative zero keeps its sign in str(float); overflow spellings
       // parse to inf in Python but drop in ALL graft twins (documented
-      // finite-only rule)
-      "-0", "-0.0", "1e999", "-1e999"))
+      // finite-only rule); finite large-exponent spellings (>= 1e16)
+      // drop by the shared clamp (Python "1e+17" vs Spark "1.0E17"
+      // rendering split); control-char padding exercises the Java-trim
+      // parity rule (tab/newline strip in BOTH twins)
+      "-0", "-0.0", "1e999", "-1e999", "1e17", "-2E16", "9.9e15",
+      "\t3.5", "4.5\n", " 6.1\t", "\u000BHigh\n"))
   private val valuesGen: Gen[List[String]] =
     Gen.listOfN(6, Gen.frequency(2 -> wordGen, 3 -> numGen))
       .flatMap(l => Gen.choose(0, 6).map(n => l.take(n)))

@@ -28,7 +28,7 @@ class VersionOrdPropSpec extends AnyFunSuite {
 
   private val seg = Gen.chooseNum(0L, 9999999L)
   private val schemes = Seq("semver", "pypi", "deb", "rpm", "maven",
-    "alpine", "alpm", "gem", "nuget", "generic")
+    "alpine", "alpm", "gem", "nuget", "generic", "openssl")
 
   test("numeric segments order numerically at every magnitude") {
     check(Prop.forAll(Gen.oneOf(schemes), seg, seg, seg, seg) {

@@ -286,6 +286,96 @@ class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
     RefCapture.assertMatch("openssl", rows.map(RefCapture.canonRow), want)
   }
 
+  withRef("openssl: captured ranges drive unfurl across letter and " +
+      "era boundaries") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+
+    // the real release-history shapes the openssl scheme must order:
+    // legacy letter patches (incl. the post-z za..zh tail) and the
+    // 3.x semver era with prereleases
+    val probeVersions = Seq(
+      "0.9.6", "0.9.6e", "0.9.7", "0.9.7l", "0.9.8", "0.9.8c", "0.9.8d",
+      "0.9.8n", "0.9.8za", "0.9.8zh", "1.0.0", "1.0.0p", "1.0.1",
+      "1.0.1j", "1.0.1k", "1.1.1", "1.1.1a", "1.1.1t", "3.0.0-alpha1",
+      "3.0.0", "3.0.7", "3.0.8", "3.2.0", "3.2.5", "3.2.6", "3.3.5")
+
+    // independent openssl comparator for the probe grammar (univers
+    // OpensslVersion: legacy (maj,min,build,letters) tuples below the
+    // semver era, prerelease below its release)
+    def cmp(a: String, b: String): Int = {
+      val lx = raw"^(\d+)\.(\d+)\.(\d+)([a-z]*)$$".r
+      def era(s: String) = if (s.takeWhile(_.isDigit).toInt >= 3) 1 else 0
+      if (era(a) != era(b)) return era(a) - era(b)
+      def semTuple(s: String) = {
+        val (core, pre) = s.span(_ != '-')
+        val Array(x, y, z) = core.split('.').map(_.toInt)
+        (x, y, z, if (pre.isEmpty) "\uffff" else pre)
+      }
+      if (era(a) == 1) {
+        Ordering[(Int, Int, Int, String)].compare(semTuple(a), semTuple(b))
+      } else (a, b) match {
+        case (lx(a1, a2, a3, ap), lx(b1, b2, b3, bp)) =>
+          Ordering[(Int, Int, Int, String)].compare(
+            (a1.toInt, a2.toInt, a3.toInt, ap),
+            (b1.toInt, b2.toInt, b3.toInt, bp))
+      }
+    }
+    def contains(range: String, v: String): Boolean =
+      range.stripPrefix("vers:openssl/").split('|').forall { c =>
+        if (c.startsWith(">=")) cmp(v, c.drop(2)) >= 0
+        else if (c.startsWith("<=")) cmp(v, c.drop(2)) <= 0
+        else if (c.startsWith("<")) cmp(v, c.drop(1)) < 0
+        else if (c.startsWith("=")) cmp(v, c.drop(1)) == 0
+        else cmp(v, c) == 0
+      }
+
+    val dir = RefCapture.root.resolve("openssl/release_metadata/secjson")
+    val files = java.nio.file.Files.list(dir).iterator().asScala.toSeq
+    val adv = OpensslIngest.parse(sp,
+      files.map(f => ("openssl", java.nio.file.Files.readString(f)))
+        .toDF("datasource_id", "json"))
+    val imp = adv.select(col("advisory_id").as("avid"),
+        explode(col("affected")).as("a"))
+      .select(col("avid"), col("a.purl").as("base_purl"),
+        col("a.affecting_vers"), col("a.fixed_vers"))
+    val rangesByAvid = imp.select("avid", "affecting_vers").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    assert(rangesByAvid.nonEmpty)
+    // at least one captured range has a LETTER upper bound — the class
+    // the generic fallback never modeled as a dedicated scheme
+    assert(rangesByAvid.values.flatten
+      .exists(r => r.matches(""".*\|<[0-9.]+[a-z]$""")), rangesByAvid)
+
+    val versionsDim = probeVersions
+      .map(v => ("pkg:openssl/openssl", v)).toDF("base_purl", "version")
+    val affected = graft.derive.AdvisoryDerive.unfurl(imp, versionsDim)
+      .filter(col("is_affected")).select("avid", "version")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (for {
+      (avid, ranges) <- rangesByAvid.toSeq
+      v <- probeVersions
+      if ranges.exists(contains(_, v))
+    } yield (avid, v)).toSet
+    assert(affected == expected,
+      s"unfurl vs independent openssl order:\n  only engine: ${
+        affected -- expected}\n  only expected: ${expected -- affected}")
+
+    // the era split is SHARP vs the old generic fallback: a 3.0.x range
+    // must not catch the 3.0.0 prereleases (generic ordered
+    // 3.0.0-alpha1 ABOVE 3.0.0 and inside <=3.0.7)
+    val eraRange = rangesByAvid.values.flatten
+      .find(_.matches(""".*>=3\.0\.0\|<=3\.0\.7$"""))
+    eraRange.foreach { r =>
+      assert(!contains(r, "3.0.0-alpha1"))
+      assert(!affected.exists(_._2 == "3.0.0-alpha1") ||
+        expected.exists(_._2 == "3.0.0-alpha1"))
+    }
+  }
+
   // --------------------------------------------------------------- redhat
   withRef("redhat: captured CSAF advisories match v2 expected") {
     val sp = spark
