@@ -137,6 +137,53 @@ object Engine {
     marts
   }
 
+  /** End-to-end ADVISORY-side hash gate (a15) — the advisory analog of
+    * the corpus side's `runCorpusPipeline(...).ledger`: one narrow row
+    * per latest advisory proving the COMPOSED chain
+    * ingest log → content-id/latest (withContentIdAndLatest) →
+    * impacts → unfurl (versions dimension) → risk trio →
+    * alias-connected sets (membership's vuln_key/primary) →
+    * serving package counts — each stage the same proven library call
+    * its component oracle checks (d1/w2, j12, v2_unfurl, a5–a7, d4,
+    * s-family), but hash-gated here as ONE composition so a stage-glue
+    * regression (a dropped filter, a wrong join key between stages)
+    * cannot hide behind individually-green components.
+    *
+    * Scale shape: the log streams once through the content-id window
+    * (keyed by avid), the unfurl join is the package-keyed equi-join,
+    * risk and counts are map-side-combining groupBys, and membership
+    * rides advisorySets' bounded label propagation — no new shuffle
+    * beyond the components' own. */
+  def advisoryLedger(spark: SparkSession, rawAdvisories: DataFrame,
+      versionsDim: DataFrame,
+      severityWeights: Map[String, Int] =
+        graft.functions.SeverityWeights.map): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // consumed by impacts, risk, membership and the final projection:
+    // checkpoint so the log scan + content window run once, not 4x
+    val advisories = AdvisoryDerive.withContentIdAndLatest(rawAdvisories)
+      .localCheckpoint()
+    val impacts = AdvisoryDerive.impacts(advisories)
+    val unfurled = AdvisoryDerive.unfurl(impacts, versionsDim)
+    val risk = AdvisoryDerive.advisoryRisk(advisories, severityWeights)
+    val member = graft.derive.VulnerabilityV1.membership(spark, advisories)
+    val counts = graft.serve.Serving.advisoryPackageCounts(unfurled)
+    advisories.filter(col("is_latest"))
+      .select(col("avid"),
+        substring(col("unique_content_id"), 1, 8).as("content_prefix"))
+      .join(member.select(col("avid"), col("vuln_key").as("group_key"),
+        col("primary_avid")), Seq("avid"))
+      .join(risk, Seq("avid"), "left")
+      .join(counts, Seq("avid"), "left")
+      .select(col("avid"), col("content_prefix"), col("group_key"),
+        col("primary_avid"), col("weighted_severity"),
+        col("exploitability"), col("risk_score"),
+        coalesce(col("vulnerable_package_count"), lit(0L))
+          .as("vulnerable_package_count"),
+        coalesce(col("patched_package_count"), lit(0L))
+          .as("patched_package_count"))
+  }
+
   /** Derived marts of one corpus-curation run. */
   final case class CorpusMarts(
       quality: DataFrame,

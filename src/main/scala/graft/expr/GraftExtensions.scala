@@ -72,6 +72,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VersEndpointsExpr(args(0), excluded = true)
       }))
     e.injectFunction((
+      new FunctionIdentifier("vers_pure_bounds_native"),
+      new ExpressionInfo(classOf[VersPureBoundsExpr].getName,
+        "vers_pure_bounds_native"),
+      (args: Seq[Expression]) => {
+        arity("vers_pure_bounds_native", 1, args)
+        VersPureBoundsExpr(args(0))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("array_dot_native"),
       new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot_native"),
       (args: Seq[Expression]) => {

@@ -117,18 +117,23 @@ case class VersEndpointsExpr(child: Expression, excluded: Boolean)
     if (excluded) "vers_excluded_native" else "vers_endpoints_native"
 
   override protected def nullSafeEval(spec: Any): Any =
-    VersEndpointsExpr.eval(spec.toString, excluded)
+    VersEndpointsExpr.evalSpec(spec.toString, excluded)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s =>
-      s"graft.expr.VersEndpointsExpr.eval($s.toString(), $excluded)")
+      s"graft.expr.VersEndpointsExpr.evalSpec($s.toString(), $excluded)")
 
   override protected def withNewChildInternal(
       newChild: Expression): VersEndpointsExpr = copy(child = newChild)
 }
 
 object VersEndpointsExpr {
-  def eval(spec: String, excluded: Boolean): ArrayData = {
+  /** Named evalSpec, NOT eval: a companion method sharing its name with
+    * Expression.eval gets no static forwarder on the class, so janino
+    * resolved the generated call against the instance method and the
+    * whole stage fell back to interpreter mode (a silent per-row cost
+    * found in round 14 via the Predicate codegen WARN). */
+  def evalSpec(spec: String, excluded: Boolean): ArrayData = {
     val vs =
       if (spec.trim.isEmpty) Seq.empty[String]
       else
@@ -137,5 +142,87 @@ object VersEndpointsExpr {
           else Vers.resolvedConstraintVersions(spec)
         } catch { case _: Exception => Seq.empty[String] }
     new GenericArrayData(vs.map(UTF8String.fromString))
+  }
+}
+
+/** Pure-interval bound extraction from a `vers:` spec — the
+  * data-column analog of [[ConstantVersionRangeRewrite]]'s purity test,
+  * evaluated per ROW so non-constant range columns (d17's
+  * `affecting_vers`) can take a sort-key bound fast path.
+  *
+  * Returns struct(lo_key, hi_key, hi_incl, pure):
+  *  - `pure = true` iff the spec is a single closed-form interval the
+  *    key algebra reproduces EXACTLY: ops drawn from one optional `>=`
+  *    and one optional `<`/`<=` (at least one present, and
+  *    lo_key < hi_key strictly when both), or a single `=` pin
+  *    (lo_key = hi_key, inclusive). `Vers.contains` compares the same
+  *    sort keys, so on pure specs
+  *    `in_range ⇔ (lo_key ≤ key) ∧ (key <(=) hi_key)` by construction.
+  *  - anything else — exclusions, `>`, `*`, multi-interval,
+  *    inverted/degenerate bounds, parse failures — yields
+  *    `pure = false` and the caller falls back to the full interval
+  *    walk.
+  * Keys are scheme-aware ([[VersionOrd.sortKey]] on the spec's own
+  * scheme), matching the `_vkey` the caller computes on the version
+  * column with the same scheme. */
+case class VersPureBoundsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = VersPureBoundsExpr.schema
+  override def prettyName: String = "vers_pure_bounds_native"
+
+  override protected def nullSafeEval(spec: Any): Any =
+    VersPureBoundsExpr.evalSpec(spec.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.expr.VersPureBoundsExpr.evalSpec($s.toString())")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VersPureBoundsExpr = copy(child = newChild)
+}
+
+object VersPureBoundsExpr {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("lo_key", StringType, nullable = true),
+    StructField("hi_key", StringType, nullable = true),
+    StructField("hi_incl", BooleanType, nullable = false),
+    StructField("pure", BooleanType, nullable = false)))
+
+  private val notPure: InternalRow =
+    new GenericInternalRow(Array[Any](null, null, false, false))
+
+  /** evalSpec, not eval — see [[VersEndpointsExpr.evalSpec]]'s
+    * static-forwarder note. */
+  def evalSpec(spec: String): InternalRow = {
+    val r =
+      try Vers.parseCached(spec)
+      catch { case _: Exception => return notPure }
+    val cs = r.constraints
+    val ops = cs.map(_.op)
+    def key(v: String) = VersionOrd.sortKey(r.scheme, v)
+    if (ops == Seq("=")) {
+      val k = UTF8String.fromString(key(cs.head.version))
+      return new GenericInternalRow(Array[Any](k, k, true, true))
+    }
+    val pureOps = ops.nonEmpty &&
+      ops.forall(o => o == ">=" || o == "<" || o == "<=") &&
+      ops.count(_ == ">=") <= 1 &&
+      ops.count(o => o == "<" || o == "<=") <= 1
+    if (!pureOps) return notPure
+    val lo = cs.find(_.op == ">=").map(c => key(c.version))
+    val hiC = cs.find(c => c.op == "<" || c.op == "<=")
+    val hi = hiC.map(c => key(c.version))
+    val ordered = (lo, hi) match {
+      case (Some(l), Some(h)) => l < h
+      case _ => true
+    }
+    if (!ordered) notPure
+    else new GenericInternalRow(Array[Any](
+      lo.map(UTF8String.fromString).orNull,
+      hi.map(UTF8String.fromString).orNull,
+      hiC.exists(_.op == "<="), true))
   }
 }

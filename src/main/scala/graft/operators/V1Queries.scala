@@ -214,6 +214,115 @@ object V1Queries extends QueryModule {
     // alias key and precedence primary, through the REAL advisorySets
     // label propagation (hash component ids never surface — the stable
     // key does).
+    // A15 — the advisory-side END-TO-END hash gate (round-14 directive
+    // #4), mirroring x_curation_ledger: one narrow row per latest
+    // advisory through the COMPOSED chain ingest log →
+    // content-id/latest → impacts → unfurl → risk trio → alias sets →
+    // serving package counts (Engine.advisoryLedger). The oracle
+    // re-derives every stage independently: the canonical content
+    // sha256 (contentIdColumn's exact field order and NUL separators),
+    // the per-advisory latest pick (rev desc, content id asc), the
+    // alias-component recursive CC with vuln_key/primary, the
+    // weight-5 risk trio, and the unfurl counts against the versions
+    // dimension. A regression in any stage OR in the glue between
+    // stages breaks this row's hash.
+    q("a15_advisory_ledger",
+      s"""WITH RECURSIVE
+         |log AS (SELECT o_orderkey % 500 AS k, o_orderkey % 7 AS rev
+         |        FROM orders),
+         |cidt AS (SELECT k, rev, sha256(
+         |    'summary ' || CAST(k AS VARCHAR) || ' r' ||
+         |      CAST(rev AS VARCHAR) || chr(0) ||
+         |    least('AL-' || CAST(k % 250 AS VARCHAR),
+         |          'BL-' || CAST(k // 2 AS VARCHAR)) || '|' ||
+         |    greatest('AL-' || CAST(k % 250 AS VARCHAR),
+         |             'BL-' || CAST(k // 2 AS VARCHAR)) || chr(0) ||
+         |    CASE WHEN k % 13 = 0 THEN 'https://exploit.example/x'
+         |         ELSE '' END || chr(0) ||
+         |    'generic:' || CAST(k % 10 AS VARCHAR) || chr(0) ||
+         |    'pkg:npm/p' || CAST(k % 20 AS VARCHAR) ||
+         |      '#vers:generic/>=' || CAST(k % 3 + 1 AS VARCHAR) ||
+         |      '|<=' || CAST(k % 3 + 4 AS VARCHAR) ||
+         |      '#vers:generic/=' || CAST(k % 3 + 5 AS VARCHAR)) AS cid
+         |  FROM log),
+         |latest AS (SELECT k, cid FROM (
+         |    SELECT k, cid, row_number() OVER (PARTITION BY k
+         |             ORDER BY rev DESC, cid) AS rn
+         |    FROM cidt) WHERE rn = 1),
+         |$ccSql,
+         |dim AS (SELECT DISTINCT
+         |          'pkg:npm/p' || CAST(p_partkey % 20 AS VARCHAR) AS purl,
+         |          p_partkey % 8 + 1 AS v
+         |        FROM part),
+         |cnt AS (SELECT o.k,
+         |        (SELECT count(*) FROM dim d
+         |         WHERE d.purl = 'pkg:npm/p' || CAST(o.k % 20 AS VARCHAR)
+         |           AND d.v BETWEEN o.k % 3 + 1 AND o.k % 3 + 4) AS vul,
+         |        (SELECT count(*) FROM dim d
+         |         WHERE d.purl = 'pkg:npm/p' || CAST(o.k % 20 AS VARCHAR)
+         |           AND d.v = o.k % 3 + 5) AS fix
+         |        FROM o),
+         |lrisk AS (SELECT k,
+         |         round(CAST(k % 10 AS DOUBLE) * 5 / 10, 1) AS ws,
+         |         CAST(CASE WHEN k % 13 = 0 THEN 1.0 ELSE 0.5 END
+         |              AS DOUBLE) AS ex
+         |        FROM o)
+         |SELECT 'src/ADV-' || CAST(o.k AS VARCHAR) AS avid,
+         |       substr(l.cid, 1, 8) AS content_prefix,
+         |       v.vuln_key AS group_key,
+         |       'src/ADV-' || CAST(p.pk AS VARCHAR) AS primary_avid,
+         |       r.ws AS weighted_severity,
+         |       r.ex AS exploitability,
+         |       CASE WHEN r.ws > 0 AND r.ex > 0
+         |            THEN round(least(r.ws * r.ex, 10), 1)
+         |       END AS risk_score,
+         |       CAST(c2.vul AS BIGINT) AS vulnerable_package_count,
+         |       CAST(c2.fix AS BIGINT) AS patched_package_count
+         |FROM o
+         |JOIN latest l USING (k)
+         |JOIN comp c ON c.k = o.k
+         |JOIN vkey v ON v.comp = c.comp
+         |JOIN prim p ON p.comp = c.comp
+         |JOIN cnt c2 ON c2.k = o.k
+         |JOIN lrisk r ON r.k = o.k
+         |ORDER BY avid""") { (s, dir) =>
+      val refType = "array<struct<reference_id:string," +
+        "reference_type:string,url:string>>"
+      val k = pmod(col("o_orderkey"), lit(500))
+      val rev = pmod(col("o_orderkey"), lit(7))
+      val raw = Tables(s, dir, "orders").select(
+        lit("src").as("datasource_id"),
+        concat(lit("ADV-"), k).as("advisory_id"),
+        concat(lit("summary "), k, lit(" r"), rev).as("summary"),
+        array(concat(lit("AL-"), pmod(k, lit(250))),
+          concat(lit("BL-"), expr("(o_orderkey % 500) div 2")))
+          .as("aliases"),
+        when(pmod(k, lit(13)) === 0, array(struct(
+          lit("r1").as("reference_id"),
+          lit("exploit").as("reference_type"),
+          lit("https://exploit.example/x").as("url"))))
+          .otherwise(array().cast(refType)).as("references"),
+        array(struct(lit("generic").as("scoring_system"),
+          pmod(k, lit(10)).cast("string").as("value"),
+          lit("").as("scoring_elements"),
+          lit("https://sev.example/s").as("url"))).as("severities"),
+        array(struct(
+          concat(lit("pkg:npm/p"), pmod(k, lit(20))).as("purl"),
+          concat(lit("vers:generic/>="), pmod(k, lit(3)) + 1,
+            lit("|<="), pmod(k, lit(3)) + 4).as("affecting_vers"),
+          concat(lit("vers:generic/="), pmod(k, lit(3)) + 5)
+            .as("fixed_vers"))).as("affected"),
+        to_timestamp(concat(lit("2024-01-0"), rev + 1))
+          .as("date_collected"),
+        pmod(k, lit(7)).as("precedence"))
+      val dim = Tables(s, dir, "part").select(
+        concat(lit("pkg:npm/p"), pmod(col("p_partkey"), lit(20)))
+          .as("base_purl"),
+        (pmod(col("p_partkey"), lit(8)) + 1).cast("string").as("version"))
+        .distinct()
+      graft.Engine.advisoryLedger(s, raw, dim).orderBy("avid")
+    },
+
     q("d4_advisory_sets",
       s"""WITH RECURSIVE
          |$ccSql
