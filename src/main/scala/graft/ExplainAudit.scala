@@ -31,7 +31,9 @@ object ExplainAudit {
         "d18_vuln_status", "d19_nginx_inferences", "s21_v3_bulk",
         "s22_patch_set_map", "s23_ssvc_set_trees", "s24_capped_advisories",
         "x_embed_lsh_wide", "e5_purl2cpe", "d21_cveid_backfill",
-        "x_lsh_recall")
+        "x_lsh_recall", "a15_advisory_ledger", "d17b_openssl_letters",
+        "x_chunk_dedup_digest", "x_strip_boilerplate_digest",
+        "d20_code_fixes")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)

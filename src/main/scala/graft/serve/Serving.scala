@@ -529,16 +529,19 @@ object Serving {
     // char <= U+0020 (tabs, newlines, NUL) while Spark/DuckDB trim()
     // strips ASCII space only — normalize with the explicit
     // control-char class so a tab-padded value parses in BOTH twins
-    // (the a14 oracle mirrors the same regexp)
-    val jtrim = (v: Column) =>
-      regexp_replace(v, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+    // (the a14 oracle mirrors the same regexp). Trimmed ONCE per
+    // element here: the first cut re-ran the regexp inside every
+    // downstream lambda (~7 regex evals per value) and a14's bench
+    // median rose 28%.
+    val tvals = transform(values, v =>
+      regexp_replace(v, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""))
     // finite-only AND |d| < 1e16, like the scalar twin and the a14
     // oracle: overflow spellings ("1e999") drop instead of rendering
     // engine-specific infinity strings, and finite large magnitudes
     // ("1e17") drop because above 1e16 the Spark cast ("1.0E17") stops
     // matching Python str(float) ("1e+17")
-    val isNum = (v: Column) => jtrim(v).rlike(numRe) &&
-      abs(jtrim(v).cast("double")) < lit(1e16)
+    val isNum = (t: Column) => t.rlike(numRe) &&
+      abs(t.cast("double")) < lit(1e16)
     val buckets = map(
       lit("low"), array(lit(0.1), lit(3.0)),
       lit("moderate"), array(lit(4.0), lit(6.9)),
@@ -548,13 +551,13 @@ object Serving {
       lit("critical"), array(lit(9.0), lit(10.0)))
     // "+ 0.0" folds negative zero like the scalar twin and the oracle
     // (array_min/array_max pick an order-dependent sign otherwise)
-    val expanded = flatten(transform(values, v =>
-      when(isNum(v), array(jtrim(v).cast("double") + lit(0.0)))
-        .otherwise(coalesce(element_at(buckets, lower(jtrim(v))),
+    val expanded = flatten(transform(tvals, t =>
+      when(isNum(t), array(t.cast("double") + lit(0.0)))
+        .otherwise(coalesce(element_at(buckets, lower(t)),
           array().cast("array<double>")))))
-    val lowUsed = exists(values, v => lower(jtrim(v)) === "low")
+    val lowUsed = exists(tvals, t => lower(t) === "low")
     val numericThree =
-      exists(values, v => isNum(v) && jtrim(v).cast("double") === 3.0)
+      exists(tvals, t => isNum(t) && t.cast("double") === 3.0)
     // Python str(float) parity, mirroring the scalar twin's py():
     // integral doubles render "<long>.0" (a plain double→string cast is
     // Java Double.toString, which flips to scientific at 1e7 — "1.2E7"
