@@ -414,6 +414,79 @@ object Corpus {
     }
   }
 
+  /** Cross-document SUBSTRING dedup spans (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * exact-substring dedup, re-expressed Spark-first): flag, per
+    * document, the maximal token spans covered by `windowTokens`-token
+    * windows that appear verbatim in >= 2 distinct documents. Unlike
+    * [[chunkDupStats]]'s DISJOINT chunks (alignment-sensitive: a
+    * duplicated passage straddling a chunk boundary is missed), the
+    * windows here slide at STRIDE 1, so any duplicated run of at least
+    * `windowTokens` tokens is caught regardless of alignment — the
+    * suffix-array guarantee at the chosen granularity, without a
+    * distributed suffix array.
+    *
+    * Shape at 100 TB: window digests ([[chunkDigest]], 16 bytes)
+    * compute map-side — the window STRINGS never shuffle; the df table
+    * aggregates on digests (the one wide shuffle, O(16B · tokens));
+    * duplicated digests semi-join-filter the positional rows (most
+    * windows are unique, so the per-doc regroup carries only the
+    * DUPLICATED positions); and the interval merge is a per-row fold
+    * over that small sorted array. The O(L) per-position window build
+    * is the known constant (a production run would swap in a true
+    * O(1) rolling hash inside a compiled pass); everything after it is
+    * the digest-narrow chunk-family plan. Collision budget: a
+    * colliding window flags one span as duplicated spuriously — same
+    * 2^-47 expected-pair budget as [[chunkDigest]], and the oracle's
+    * string-derived recompute gates injectivity end-to-end.
+    *
+    * Returns (idCol, n_windows, n_dup_windows, n_spans, dup_tokens,
+    * spans) where spans is the merged "start-end" token-interval list
+    * (end exclusive) and dup_tokens its total covered tokens. */
+  def substringDupSpans(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 20): DataFrame = {
+    val L = windowTokens
+    val base = df.select(col(idCol).as("_id"),
+        tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") >= L)
+    val winRows = base
+      .select(col("_id"), explode(expr(
+        s"transform(sequence(0, _n - $L), i -> named_struct('pos', i, " +
+          s"'w', concat_ws(' ', slice(_toks, i + 1, $L))))")).as("_c"))
+      .select(col("_id"), col("_c.pos").as("_pos"),
+        chunkDigest(col("_c.w")).as("_dig"))
+    val dfreq = winRows.groupBy("_dig")
+      .agg(countDistinct("_id").as("_df"))
+    val hot = dfreq.filter(col("_df") >= 2).select("_dig")
+    val dupPos = winRows.join(hot, Seq("_dig"), "left_semi")
+      .groupBy("_id")
+      .agg(sort_array(collect_list(col("_pos"))).as("_dups"))
+    base.join(dupPos, Seq("_id"), "left")
+      .withColumn("_spans", expr(
+        // windows sorted ascending share a length, so the running span
+        // end is always (last merged pos) + L: merge when p <= last.e
+        s"""aggregate(coalesce(_dups, array()),
+           |  CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+           |  (acc, p) -> CASE
+           |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('s', element_at(acc, -1).s,
+           |        'e', p + $L)))
+           |    ELSE concat(acc, array(named_struct('s', p, 'e', p + $L)))
+           |    END)""".stripMargin))
+      .select(col("_id").as(idCol),
+        (col("_n") - L + 1).cast("long").as("n_windows"),
+        coalesce(size(col("_dups")), lit(0)).cast("long")
+          .as("n_dup_windows"),
+        size(col("_spans")).cast("long").as("n_spans"),
+        expr("aggregate(_spans, 0L, (a, x) -> a + x.e - x.s)")
+          .as("dup_tokens"),
+        array_join(expr(
+          "transform(_spans, x -> concat(x.s, '-', x.e))"), ";")
+          .as("spans"))
+  }
+
   /** Source-mixture sampling — the training-mixture weighting step:
     * keep each row with its source's probability, decided by a
     * deterministic 16-bit md5 bucket (digest chars 5–8, a DIFFERENT

@@ -967,6 +967,58 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Cross-document SUBSTRING dedup (Lee et al. 2022 exact-substring
+    // dedup, alignment-free): stride-1 12-token rolling windows,
+    // digest-keyed df counting, per-doc merged duplicated spans. The
+    // oracle recomputes from raw window STRINGS with a gaps-and-islands
+    // interval merge, so digest injectivity and the engine's fold-based
+    // merge are both gated by the hash compare.
+    q("x_substring_dedup",
+      s"""WITH t AS ($toksSql),
+         |b AS (SELECT doc_id, toks, len(toks) AS n FROM t
+         |      WHERE len(toks) >= 12),
+         |w AS (SELECT doc_id, i AS pos,
+         |        array_to_string(toks[i+1 : i+12], ' ') AS win
+         |      FROM b, LATERAL unnest(range(0, n - 11)) AS u(i)),
+         |hot AS (SELECT win FROM w GROUP BY win
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |dup AS (SELECT w.doc_id, w.pos FROM w JOIN hot USING (win)),
+         |lagd AS (SELECT doc_id, pos,
+         |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |           AS prev
+         |         FROM dup),
+         |isl AS (SELECT doc_id, pos,
+         |         sum(CASE WHEN prev IS NULL OR pos > prev + 12
+         |                  THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |        FROM lagd),
+         |spans AS (SELECT doc_id, island, min(pos) AS s,
+         |                 max(pos) + 12 AS e
+         |          FROM isl GROUP BY doc_id, island),
+         |agg AS (SELECT doc_id,
+         |          CAST(count(*) AS BIGINT) AS n_spans,
+         |          CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+         |          string_agg(CAST(s AS VARCHAR) || '-' ||
+         |                     CAST(e AS VARCHAR), ';' ORDER BY s)
+         |            AS spans
+         |        FROM spans GROUP BY doc_id),
+         |dcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+         |           AS n_dup_windows
+         |         FROM dup GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |       CAST(b.n - 11 AS BIGINT) AS n_windows,
+         |       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+         |       coalesce(a.n_spans, 0) AS n_spans,
+         |       coalesce(a.dup_tokens, 0) AS dup_tokens,
+         |       coalesce(a.spans, '') AS spans
+         |FROM b LEFT JOIN dcnt d USING (doc_id)
+         |LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.substringDupSpans(docs(s, dir), "text", "doc_id",
+          windowTokens = 12)
+        .orderBy("doc_id")
+    },
+
     // Contiguous sequence packing: each doc lands in the fixed-budget
     // training sequence its starting token offset falls into, per source
     // stream. Pure integer arithmetic (exact cross-engine); the only

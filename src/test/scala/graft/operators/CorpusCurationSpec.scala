@@ -367,6 +367,63 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3) == ((4L, 0L, 0L, "short doc")))
   }
 
+  test("substringDupSpans catches unaligned duplicated runs and merges " +
+      "overlapping windows into maximal spans") {
+    val sp = spark
+    import sp.implicits._
+    // a 6-token duplicated run, placed at DIFFERENT offsets in the two
+    // docs — chunk-aligned dedup would miss it; stride-1 windows must
+    // flag every covering window and merge them into one span
+    val run = "one two three four five six"
+    val rows = Seq(
+      (1L, s"$run aa bb cc dd"),            // run at tokens [0, 6)
+      (2L, s"xx yy $run zz ww"),            // run at tokens [2, 8)
+      (3L, "p q r s t u v w"),              // no duplication
+      (4L, "tiny"))                         // shorter than the window
+      .toDF("doc_id", "text")
+    val got = Corpus.substringDupSpans(rows, "text", "doc_id",
+        windowTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+      .sortBy(_._1)
+    // doc 1: 10 toks → 7 windows; the run's 4-token windows at pos
+    // 0,1,2 are shared with doc 2 → one merged span [0, 6) = 6 tokens
+    assert(got(0) == ((1L, 7L, 3L, 1L, 6L, "0-6")))
+    // doc 2: 10 toks → 7 windows; shared windows at pos 2,3,4 → [2, 8)
+    assert(got(1) == ((2L, 7L, 3L, 1L, 6L, "2-8")))
+    // doc 3: windows exist but none duplicated
+    assert(got(2) == ((3L, 5L, 0L, 0L, 0L, "")))
+    // doc 4 is below the window size: excluded (no window exists)
+    assert(got.length == 3)
+  }
+
+  test("substringDupSpans keeps DISJOINT duplicated regions as " +
+      "separate spans and merges adjacent ones") {
+    val sp = spark
+    import sp.implicits._
+    val a = "alpha beta gamma delta"       // 4-token run A
+    val b = "epsilon zeta eta theta"       // 4-token run B
+    val rows = Seq(
+      // doc 1 carries A and B separated by a 3-token unique gap →
+      // two disjoint spans; doc 2/3 donate the duplicates separately
+      (1L, s"$a u1 u2 u3 $b"),
+      (2L, s"$a k1 k2 k3 k4 k5"),
+      (3L, s"m1 m2 m3 m4 m5 $b"),
+      // doc 4 carries A and B back to back: dup windows at pos 0 and
+      // pos 4 exactly — spans [0,4) and [4,8) are ADJACENT (p ==
+      // prev + L) and must merge into one contiguous region
+      (4L, s"$a $b w1 w2"))
+      .toDF("doc_id", "text")
+    val got = Corpus.substringDupSpans(rows, "text", "doc_id",
+        windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getString(5))).sortBy(_._1)
+    assert(got(0) == ((1L, "0-4;7-11")))
+    assert(got(1)._2 == "0-4")
+    assert(got(2)._2 == "5-9")
+    assert(got(3) == ((4L, "0-8")))
+  }
+
   test("redactPii scrubs emails, IPv4s and phones with counts intact") {
     val rows = docsDF(Seq(
       doc(1, "mail alice.smith@corp.example and bob_2@mail.example now"),
