@@ -33,7 +33,7 @@ object ExplainAudit {
         "x_embed_lsh_wide", "e5_purl2cpe", "d21_cveid_backfill",
         "x_lsh_recall", "a15_advisory_ledger", "d17b_openssl_letters",
         "x_chunk_dedup_digest", "x_strip_boilerplate_digest",
-        "d20_code_fixes", "x_substring_dedup")
+        "d20_code_fixes", "x_substring_dedup", "x_lm_perplexity")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)

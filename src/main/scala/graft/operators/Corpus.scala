@@ -414,6 +414,64 @@ object Corpus {
     }
   }
 
+  /** CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data" — the KenLM perplexity-filtering step, re-expressed
+    * as a deterministic bigram LM): train add-one-smoothed bigram
+    * probabilities on a REFERENCE corpus (the high-quality exemplar
+    * set: a wiki slice, an eval suite), then score every raw document
+    * by its average negative log-likelihood — low avg_nll ≈ fluent,
+    * high ≈ gibberish/boilerplate, the CCNet head/middle/tail cut.
+    *
+    *   nll(w1 w2) = -ln((c(w1 w2) + 1) / (c(w1) + V))
+    *
+    * with c(·) the reference counts and V the reference vocabulary
+    * size; unseen words/bigrams degrade gracefully through the same
+    * formula (c = 0). Determinism discipline (the tfidf/dsir pattern):
+    * each bigram's nll rounds to 6dp, per-doc summation runs in
+    * DECIMAL so no float accumulation order can flip a rounded score,
+    * and the final average rounds to 4dp.
+    *
+    * Scale shape: the reference corpus is BOUNDED (an exemplar set),
+    * so both count tables and the 1-row vocab size broadcast; the raw
+    * corpus explodes to bigrams map-side, probes the broadcasts, and
+    * the per-doc aggregation combines map-side — scan-bound at 100 TB
+    * with zero corpus-keyed shuffles beyond the per-doc combine.
+    * Returns (idCol, n_bigrams, avg_nll) for docs with >= 1 bigram. */
+  def lmAvgNll(raw: DataFrame, reference: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def bigrams(df: DataFrame, keep: Column*): DataFrame = df
+      .select(keep :+ tokens(col(textCol)).as("_toks"): _*)
+      .filter(size(col("_toks")) >= 2)
+      .select(keep :+ explode(expr(
+        "transform(sequence(1, size(_toks) - 1), " +
+          "i -> named_struct('w1', _toks[i - 1], 'w2', _toks[i]))"))
+        .as("_b"): _*)
+      .select(keep :+ col("_b.w1") :+ col("_b.w2"): _*)
+    val refBi = bigrams(reference)
+    val biCounts = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // c(w1) = the HISTORY count (bigrams starting with w1), the
+    // standard bigram-MLE denominator; V = the reference vocabulary
+    // over both positions
+    val uniCounts = refBi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = refBi.select(col("w1"))
+      .unionAll(refBi.select(col("w2").as("w1")))
+      .agg(countDistinct(col("w1")).as("v"))
+    bigrams(raw, col(idCol))
+      .join(broadcast(biCounts), Seq("w1", "w2"), "left")
+      .join(broadcast(uniCounts), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("_nll",
+        round(-log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nll")).as("_s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("_s").cast("double") / col("n_bigrams"), 4)
+          .as("avg_nll"))
+  }
+
   /** Cross-document SUBSTRING dedup spans (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" —
     * exact-substring dedup, re-expressed Spark-first): flag, per

@@ -967,6 +967,48 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // CCNet-style LM quality score (Wenzek et al. 2020): add-one
+    // bigram LM trained on the bench exemplar slice, every raw doc
+    // scored by average negative log-likelihood — the perplexity
+    // filtering step, deterministic (per-bigram nll rounds 6dp,
+    // DECIMAL per-doc sums, 4dp average; natural log agrees across
+    // engines after the rounding, the dsir discipline).
+    q("x_lm_perplexity",
+      s"""WITH t AS ($toksSql),
+         |ref AS (SELECT toks FROM t
+         |        WHERE doc_id % 97 = 0 AND doc_id < 5000
+         |          AND len(toks) >= 2),
+         |rb AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+         |       FROM ref, LATERAL unnest(range(1, len(toks))) AS u(i)),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM rb GROUP BY w1, w2),
+         |uc AS (SELECT w1, count(*) AS cu FROM rb GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM
+         |        (SELECT w1 AS w FROM rb
+         |         UNION ALL SELECT w2 AS w FROM rb)),
+         |raw AS (SELECT doc_id, toks FROM t
+         |        WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000)
+         |          AND len(toks) >= 2),
+         |db AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |       FROM raw, LATERAL unnest(range(1, len(toks))) AS u(i)),
+         |nll AS (SELECT doc_id,
+         |        CAST(round(-ln((coalesce(bc.cb, 0) + 1) /
+         |          CAST(coalesce(uc.cu, 0) + v.v AS DOUBLE)), 6)
+         |          AS DECIMAL(18,6)) AS nll
+         |        FROM db LEFT JOIN bc USING (w1, w2)
+         |        LEFT JOIN uc USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(round(CAST(sum(nll) AS DOUBLE) / count(*), 4)
+         |            AS DOUBLE) AS avg_nll
+         |FROM nll GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val isBench =
+        pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 5000
+      Corpus.lmAvgNll(
+          raw = d.filter(!isBench), reference = d.filter(isBench),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // Cross-document SUBSTRING dedup (Lee et al. 2022 exact-substring
     // dedup, alignment-free): stride-1 12-token rolling windows,
     // digest-keyed df counting, per-doc merged duplicated spans. The

@@ -367,6 +367,28 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3) == ((4L, 0L, 0L, "short doc")))
   }
 
+  test("lmAvgNll scores reference-like text low and unseen text high, " +
+      "with exact add-one bigram arithmetic") {
+    val sp = spark
+    import sp.implicits._
+    // reference "a b a b a": bigrams (a,b)x2, (b,a)x2; c(a)=c(b)=2; V=2
+    val ref = Seq((100L, "a b a b a")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "a b a"),  // 2 bigrams, both seen: -ln((2+1)/(2+2)) = 0.287682
+      (2L, "x y"),    // 1 bigram, fully unseen: -ln(1/(0+2)) = 0.693147
+      (3L, "solo"))   // < 2 tokens: no bigram, excluded
+      .toDF("doc_id", "text")
+    val got = Corpus.lmAvgNll(raw, ref, "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0) == ((1L, 2L, 0.2877)))
+    assert(got(1) == ((2L, 1L, 0.6931)))
+    assert(got(0)._3 < got(1)._3,
+      "reference-like text must score below unseen text")
+  }
+
   test("substringDupSpans catches unaligned duplicated runs and merges " +
       "overlapping windows into maximal spans") {
     val sp = spark
