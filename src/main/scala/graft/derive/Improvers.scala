@@ -362,8 +362,8 @@ object Improvers {
     // groupBy, whose (pkg, _impact_id) keys reuse the join's (pkg)
     // clustering on the sort-merge path — no exchange, no sort. Ties
     // between versions with equal keys resolve to the smallest version
-    // string — the deterministic reading (the window form's pick was
-    // sort-order-dependent there).
+    // string — matching the general window path's (_vkey, version)
+    // desc tiebreak, so both routes agree on key-tied corpora.
     val pj = fanout(withBounds.filter(col("_b.pure")))
       .filter(col("_b.lo_key").isNull ||
         col("_vkey") >= col("_b.lo_key"))
@@ -399,9 +399,22 @@ object Improvers {
     // reuse the equi-join's (pkg) clustering on the sort-merge path —
     // the post-join fan-out (the largest intermediate in this improver)
     // is sorted in place instead of reshuffled
+    // (_vkey, in_range, version) desc, not _vkey alone: schemes can
+    // sort-tie DISTINCT version strings (apache build metadata —
+    // 0.10.2.2 ties 0.10.2), and with a bare _vkey order the
+    // last-unaffected pick on a tied pair was sort-order-dependent.
+    //  - in_range desc puts a tie group's AFFECTED rows before its
+    //    unaffected rows in the descending walk, so a tied unaffected
+    //    version is never offered as the fix — bisect_right semantics
+    //    (utils.py:190: the fix is the nearest STRICTLY-greater
+    //    unaffected version; equal precedence is skipped);
+    //  - version desc makes the pick among key-tied unaffected rows
+    //    deterministic (smallest string), agreeing with the pure path's
+    //    min(struct(_vkey, version)). Pinned by
+    //    ImproverPathEquivalenceSpec's apache tie corpus.
     val w = Window
       .partitionBy("ptype", "namespace", "name", "_impact_id")
-      .orderBy(col("_vkey").desc)
+      .orderBy(col("_vkey").desc, col("in_range").desc, col("version").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val assigned = joined
       .withColumn("fixed_version",

@@ -204,6 +204,10 @@ object VersPureBoundsExpr {
     val ops = cs.map(_.op)
     def key(v: String) = VersionOrd.sortKey(r.scheme, v)
     if (ops == Seq("=")) {
+      // a `=` pin folds to [key, key] ONLY where key equality IS version
+      // equality; apache's build-metadata-inclusive `=` (eqKey finer
+      // than sortKey) must take the interval-walk path instead
+      if (VersionOrd.eqSensitive(r.scheme)) return notPure
       val k = UTF8String.fromString(key(cs.head.version))
       return new GenericInternalRow(Array[Any](k, k, true, true))
     }

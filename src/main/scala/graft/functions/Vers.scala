@@ -79,13 +79,19 @@ object Vers {
     val key = VersionOrd.sortKey(range.scheme, version)
     val cs = range.constraints
     if (cs.isEmpty) return false
-    // equality / exclusion passes first (vers spec steps 2-3)
+    // equality / exclusion passes first (vers spec steps 2-3). These use
+    // eqKey, not sortKey: univers evaluates `=`/`!=` with the version
+    // class's __eq__, which for apache includes the build metadata that
+    // precedence (and therefore sortKey) ignores — `!=0.10.2` must not
+    // exclude 0.10.2.2 even though the two sort-tie. eqKey == sortKey
+    // for every other scheme.
+    val eqK = VersionOrd.eqKey(range.scheme, version)
     val eqKeys = cs.filter(_.op == "=")
-      .map(c => VersionOrd.sortKey(range.scheme, c.version))
+      .map(c => VersionOrd.eqKey(range.scheme, c.version))
     val neqKeys = cs.filter(_.op == "!=")
-      .map(c => VersionOrd.sortKey(range.scheme, c.version))
-    if (neqKeys.contains(key)) return false
-    if (eqKeys.contains(key)) return true
+      .map(c => VersionOrd.eqKey(range.scheme, c.version))
+    if (neqKeys.contains(eqK)) return false
+    if (eqKeys.contains(eqK)) return true
     if (cs.exists(_.op == "*")) return true
     // interval walk over sorted comparators
     val comps = cs.filter(c => c.op != "=" && c.op != "!=" && c.op != "*")

@@ -27,7 +27,7 @@ object VersionOrd {
   val schemes: Set[String] = Set(
     "semver", "npm", "cargo", "gem", "golang", "composer", "nginx", "hex",
     "pypi", "deb", "ubuntu", "rpm", "alpm", "nuget", "maven", "generic",
-    "apk", "alpine", "ebuild", "openssl")
+    "apk", "alpine", "ebuild", "openssl", "apache")
 
   private final val Term = '\u0004'      // global end-of-key sentinel
   private final val Low1 = '\u0001'      // sorts before everything
@@ -447,6 +447,81 @@ object VersionOrd {
     }
   }
 
+  // --------------------------------------------------------------- apache
+  /** univers ApacheVersion (the scheme behind `vers:apache/` ranges —
+    * the reference's httpd/tomcat/kafka importers, importers/
+    * apache_httpd.py:18,148, apache_tomcat.py:19,439): a SemverVersion
+    * subclass whose value is `semantic_version.Version.coerce(string)`,
+    * so ORDERING is SemVer precedence over the coerced form:
+    *
+    *  - the numeric core pads to three segments (`2.37` == `2.37.0`);
+    *  - a FOURTH dotted numeric segment becomes build metadata
+    *    (`0.10.2.2` → `0.10.2+2`) and build metadata is IGNORED by
+    *    precedence, so `0.10.2.2` sort-TIES `0.10.2` — NOT greater, the
+    *    way the old generic fallback read it;
+    *  - a dash/glued suffix becomes a prerelease, below the release
+    *    (`10.0.0-M4 < 10.0.0`, `3.3a` → `3.3.0-a < 3.3.0`) with SemVer
+    *    identifier order (numeric ids numeric and below alphanumeric).
+    *
+    * Equality is NOT precedence: semantic_version `__eq__` includes the
+    * build tuple (`0.10.2.2 != 0.10.2` but `== 0.10.2+2`), which a
+    * total-order sort key cannot carry — [[eqKey]] appends the build
+    * ids for the `=`/`!=` membership passes.
+    *
+    * Strings coerce cannot parse (no leading digit) raise in univers; a
+    * total key cannot, so they fall back to the generic walk (same
+    * documented divergence as openssl's legacy fallback). Prerelease
+    * ids key case-INSENSITIVELY via the shared semver encoder — a
+    * divergence from semantic_version's ASCII-ordinal id compare that
+    * only surfaces when one boundary mixes cases (no captured apache
+    * corpus does). */
+  private val apacheBaseRx = raw"^\d+(?:\.\d+(?:\.\d+)?)?".r
+
+  /** Emulates semantic_version.Version.coerce: returns
+    * (3-padded numeric core, prerelease, build-ids string) or None when
+    * coerce would raise (string does not start with a digit). */
+  private def apacheCoerce(v0: String): Option[(Seq[String], String, String)] = {
+    val v = v0.trim
+    apacheBaseRx.findPrefixMatchOf(v).map { m =>
+      val nums0 = m.matched.split('.').toSeq
+      val nums = (nums0 ++ Seq.fill(3)("0")).take(3)
+      if (m.end == v.length) (nums, "", "")
+      else {
+        // coerce sanitizes the tail to [a-zA-Z0-9+.-], '-' elsewhere
+        val rest = v.substring(m.end).map(c =>
+          if (c.isDigit || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            c == '+' || c == '.' || c == '-') c else '-')
+        val (pre, build) = rest.head match {
+          case '+' | '.' => ("", rest.tail)
+          case '-' =>
+            val r = rest.tail
+            r.indexOf('+') match {
+              case -1 => (r, "")
+              case i  => (r.substring(0, i), r.substring(i + 1))
+            }
+          case _ =>
+            rest.indexOf('+') match {
+              case -1 => (rest, "")
+              case i  => (rest.substring(0, i), rest.substring(i + 1))
+            }
+        }
+        (nums, pre, build.replace('+', '.'))
+      }
+    }
+  }
+
+  private def apacheKey(v0: String): String =
+    apacheCoerce(v0) match {
+      case Some((nums, pre, _)) => // build metadata ignored by precedence
+        val preKey =
+          if (pre.isEmpty) High.toString
+          else Low1.toString + pre.split('.').map { id =>
+            if (id.nonEmpty && id.forall(_.isDigit)) encNum(id) else encAlpha(id)
+          }.mkString
+        nums.map(encNum).mkString + preKey + Term
+      case None => genericKey(v0) // univers raises; a total key cannot
+    }
+
   // -------------------------------------------------------------- generic
   /** Generic dotted comparison: digit runs numeric, alpha runs lexical,
     * numeric sorts before alpha at the same position, shorter prefix first.
@@ -511,6 +586,7 @@ object VersionOrd {
       case "apk" | "alpine" | "ebuild" => alpineKey(v)
       case "maven"          => mavenKey(v)
       case "openssl"        => opensslKey(v)
+      case "apache"         => apacheKey(v)
       case _                => genericKey(v)
     }
   }
@@ -519,6 +595,31 @@ object VersionOrd {
     * can never disagree. */
   def compare(scheme: String, a: String, b: String): Int =
     sortKey(scheme, a).compareTo(sortKey(scheme, b))
+
+  /** True when the scheme's version EQUALITY is finer than its sort
+    * order, i.e. [[eqKey]] differs from [[sortKey]]. Only apache today:
+    * semantic_version ignores build metadata for <,<=,>,>= but includes
+    * it in ==/!=. Consumers that fold `=` pins into key-bound intervals
+    * (VersPureBoundsExpr) must skip such schemes. */
+  def eqSensitive(scheme: String): Boolean =
+    Option(scheme).exists(_.toLowerCase == "apache")
+
+  /** Key whose EQUALITY matches the scheme's version `__eq__` — used by
+    * the `=`/`!=` membership passes of Vers.contains. Identical to
+    * sortKey for every scheme except apache, where the canonical build
+    * ids append after a separator below any key char: `0.10.2.2` and
+    * `0.10.2+2` share an eqKey, `0.10.2` does not (semantic_version
+    * `__eq__` compares the build tuple verbatim — `+02` != `+2`). Only
+    * key EQUALITY is meaningful here; relative order of eqKeys is
+    * sortKey order with an arbitrary-but-deterministic build tiebreak. */
+  def eqKey(scheme: String, version: String): String = {
+    val base = sortKey(scheme, version)
+    if (!eqSensitive(scheme)) base
+    else apacheCoerce(Option(version).getOrElse("")) match {
+      case Some((_, _, build)) if build.nonEmpty => base + Low3 + build
+      case _ => base
+    }
+  }
 
   /** Canonical scheme-aware RENDERING of a version string — the analog
     * of the reference's `str(version_class(v))` round-trip, which every

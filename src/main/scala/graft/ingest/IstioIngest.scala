@@ -64,6 +64,11 @@ object IstioIngest {
     val affected =
       if (cons.isEmpty) Seq.empty
       else Seq(
+        // label-fidelity divergence: the reference spells the github
+        // purl's range with GitHubVersionRange (importers/istio.py:25),
+        // i.e. `vers:github/`; its version class IS SemverVersion, so
+        // the value semantics are identical and only the scheme label
+        // differs here
         AffectedRow("pkg:github/istio/istio",
           "vers:semver/" + cons.mkString("|"), "vers:semver/"),
         AffectedRow("pkg:golang/istio.io/istio",

@@ -565,6 +565,96 @@ object DedupGroupQueries extends QueryModule {
         .orderBy("avid", "affected", "fixed")
     },
 
+    // D17c — the d17 improver over `vers:apache/` ranges (round-15
+    // scheme addition): univers ApacheVersion is semantic_version
+    // coerce, so a 4th dotted segment is build metadata that sort-TIES
+    // its base (0.10.2.2 == 0.10.2 for <,<=) while `=`/`!=` include it
+    // — both boundaries the generic fallback got wrong. The oracle
+    // ranks the constructed version set explicitly (a VALUES table
+    // where tied versions SHARE a rank), so the DuckDB side is an
+    // independent spelling of the apache order: pure variants take the
+    // bound fast path, the `!=`-exclusion variant drives the general
+    // window's bisect_right tie discipline (a tied unaffected version
+    // is never the fix).
+    q("d17c_apache_buildmeta",
+      """WITH v(r, vname) AS (VALUES
+        |    (0,'2.4.1'),(1,'2.4.2'),(1,'2.4.2.2'),(2,'2.4.3'),
+        |    (2,'2.4.3.1'),(3,'2.4.4'),(4,'10.0.0-M4'),(5,'10.0.0'),
+        |    (5,'10.0.0.1'),(6,'10.1')),
+        |imp AS (SELECT DISTINCT o_orderkey % 2000 AS iid,
+        |         'apch/' || CAST((o_orderkey % 2000) % 50 AS VARCHAR)
+        |           AS avid,
+        |         (o_orderkey % 2000) % 5 AS var
+        |       FROM orders),
+        |joined AS (SELECT i.iid, i.avid, i.var, v.r, v.vname,
+        |    CASE i.var
+        |      WHEN 0 THEN v.r <= 1
+        |      WHEN 1 THEN v.r BETWEEN 1 AND 2
+        |      WHEN 2 THEN v.r BETWEEN 2 AND 4
+        |      WHEN 3 THEN v.r BETWEEN 0 AND 2 AND v.vname <> '2.4.2.2'
+        |      ELSE v.r = 5 END AS in_range,
+        |    CASE i.var WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 4 THEN 5
+        |      ELSE 0 END AS lo_r
+        |  FROM imp i, v),
+        |purefix AS (
+        |  SELECT j.iid, j.vname AS fixed,
+        |         row_number() OVER (PARTITION BY j.iid
+        |           ORDER BY j.r, j.vname) AS rn
+        |  FROM joined j
+        |  WHERE j.var <> 3 AND NOT j.in_range AND j.r >= j.lo_r),
+        |pure AS (
+        |  SELECT p.iid, p.avid,
+        |         string_agg(p.vname, ',' ORDER BY p.r, p.vname) AS affected,
+        |         f.fixed
+        |  FROM joined p LEFT JOIN (SELECT iid, fixed FROM purefix
+        |                           WHERE rn = 1) f ON f.iid = p.iid
+        |  WHERE p.var <> 3 AND p.in_range
+        |  GROUP BY p.iid, p.avid, f.fixed),
+        |genfix AS (
+        |  SELECT a.iid, a.avid, a.r, a.vname,
+        |    (SELECT u.vname FROM joined u
+        |      WHERE u.iid = a.iid AND NOT u.in_range AND u.r > a.r
+        |      ORDER BY u.r, u.vname LIMIT 1) AS fixed
+        |  FROM joined a WHERE a.var = 3 AND a.in_range),
+        |gen AS (
+        |  SELECT iid, avid,
+        |         string_agg(vname, ',' ORDER BY r, vname) AS affected,
+        |         fixed
+        |  FROM genfix GROUP BY iid, avid, fixed)
+        |SELECT avid, 'httpd' AS name, affected, fixed, 100 AS confidence
+        |FROM (SELECT avid, affected, fixed FROM pure
+        |      UNION ALL SELECT avid, affected, fixed FROM gen)
+        |ORDER BY avid, affected, fixed""") { (s, dir) =>
+      val vnames = Seq("2.4.1", "2.4.2", "2.4.2.2", "2.4.3", "2.4.3.1",
+        "2.4.4", "10.0.0-M4", "10.0.0", "10.0.0.1", "10.1")
+      val ranges = array(
+        lit("vers:apache/<=2.4.2"),
+        lit("vers:apache/>=2.4.2|<2.4.4"),
+        lit("vers:apache/>=2.4.3|<10.0.0"),
+        lit("vers:apache/>=2.4.1|<2.4.4|!=2.4.2.2"),
+        lit("vers:apache/>=10.0.0|<10.1"))
+      val iid = pmod(col("o_orderkey"), lit(2000))
+      val impacts = t(s, dir, "orders").select(iid.as("_iid")).distinct()
+        .select(
+          concat(lit("apch/"), pmod(col("_iid"), lit(50))).as("avid"),
+          lit("apache").as("ptype"), lit("").as("namespace"),
+          lit("httpd").as("name"), lit("").as("qualifiers"),
+          element_at(ranges, (pmod(col("_iid"), lit(5)) + 1).cast("int"))
+            .as("affecting_vers"),
+          lit(null).cast("string").as("fixed_version"))
+      val versions = t(s, dir, "part").select(
+        lit("apache").as("ptype"), lit("").as("namespace"),
+        lit("httpd").as("name"),
+        element_at(array(vnames.map(lit): _*),
+          (pmod(col("p_partkey"), lit(10)) + 1).cast("int")).as("version"))
+        .distinct()
+      graft.derive.Improvers.validVersionInferences(impacts, versions)
+        .select(col("avid"), col("name"),
+          concat_ws(",", col("affected_versions")).as("affected"),
+          col("fixed_version").as("fixed"), col("confidence"))
+        .orderBy("avid", "affected", "fixed")
+    },
+
     // D18 — NVD status improver (improvers/vulnerability_status.py:
     // 78-103): MITRE CVE records → status enum; disputed-tag beats
     // REJECTED state beats PUBLISHED default, missing record →

@@ -15,9 +15,11 @@ import graft.operators.SparkTestSession
   * nearest-strictly-greater-unaffected, utils.py
   * nearest_patched_package): exclusions, inverted bounds, `>` ops,
   * unbounded sides, `=` pins, and no-match ranges all included.
-  * Version keys in the fixture are DISTINCT by construction so the
-  * window's tie behavior (sort-order-dependent) cannot blur the
-  * compare. */
+  * The semver fixture's keys are distinct; the apache fixture then
+  * deliberately sort-TIES distinct version strings (build metadata:
+  * 0.10.2.2 ties 0.10.2) to pin the window path's tie discipline —
+  * a tied unaffected version is never the fix (bisect_right skips
+  * equal precedence, utils.py:190) and tie picks are deterministic. */
 class ImproverPathEquivalenceSpec extends AnyFunSuite with SparkTestSession {
 
   private val scheme = "semver"
@@ -72,6 +74,57 @@ class ImproverPathEquivalenceSpec extends AnyFunSuite with SparkTestSession {
 
     assert(got == expected,
       s"\n  only engine: ${got -- expected}\n  only brute: ${expected -- got}")
+  }
+
+  test("apache key-tied corpus: both paths match brute force") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+
+    val apacheVersions = Seq("2.4.1", "2.4.2", "2.4.2.2", "2.4.3",
+      "2.4.3.1", "2.4.4", "10.0.0-M4", "10.0.0", "10.0.0.1", "10.1")
+    val apacheSpecs = Seq(
+      // pure shapes (fast path) across tie boundaries
+      "pa1" -> "vers:apache/<=2.4.2",          // inclusive hi catches the tie
+      "pa2" -> "vers:apache/>=2.4.2|<2.4.4",
+      "pa3" -> "vers:apache/>=2.4.3|<10.0.0",  // fix lands on a tied pair
+      "pa4" -> "vers:apache/>=10.0.0|<10.1",
+      // general shapes (window path): exclusion and pin hit eqKey, '>'
+      // fails on a precedence tie
+      "ga1" -> "vers:apache/>=2.4.1|<2.4.4|!=2.4.2.2",
+      "ga2" -> "vers:apache/=2.4.2",
+      "ga3" -> "vers:apache/>2.4.2|<10.0.0")
+
+    val impacts = apacheSpecs.map { case (id, spec) =>
+      (s"adv/$id", "apache", "", "httpd", "", spec, null: String)
+    }.toDF("avid", "ptype", "namespace", "name", "qualifiers",
+      "affecting_vers", "fixed_version")
+    val dim = apacheVersions.map(v => ("apache", "", "httpd", v))
+      .toDF("ptype", "namespace", "name", "version")
+
+    val got = Improvers.validVersionInferences(impacts, dim)
+      .select(col("avid"), concat_ws(",", col("affected_versions")),
+        coalesce(col("fixed_version"), lit("-")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+
+    val key = (v: String) => VersionOrd.sortKey("apache", v)
+    val expected = apacheSpecs.flatMap { case (id, spec) =>
+      val in = (v: String) => Vers.versionInRange(v, spec)
+      val affected = apacheVersions.filter(in)
+      affected.groupBy { v =>
+        // strictly-greater KEY: a precedence tie is never the fix
+        apacheVersions.filter(u => !in(u) && key(u) > key(v))
+          .sortBy(u => (key(u), u)).headOption.getOrElse("-")
+      }.map { case (fix, avs) =>
+        (s"adv/$id", avs.sortBy(v => (key(v), v)).mkString(","), fix)
+      }
+    }.toSet
+
+    assert(got == expected,
+      s"\n  only engine: ${got -- expected}\n  only brute: ${expected -- got}")
+    // the tie boundary actually bites: <=2.4.2 includes the tied .2.2
+    assert(got.exists(_._2.contains("2.4.2.2")))
   }
 
   test("vers_pure_bounds_native classifies and bounds correctly") {

@@ -76,6 +76,22 @@ class VersSpec extends AnyFunSuite {
     out("vers:semver/<1.10.0", "1.10.0")
   }
 
+  test("apache membership: build metadata ties order but splits =/!=") {
+    // univers ApacheVersion (semantic_version): <,<=,>,>= ignore build
+    // metadata, ==/!= include it — so 0.10.2.2 (== 0.10.2+2) satisfies
+    // <=0.10.2 yet is not excluded by !=0.10.2 nor pinned by =0.10.2
+    in("vers:apache/<=0.10.2", "0.10.2.2")     // precedence tie → <= holds
+    out("vers:apache/<0.10.2", "0.10.2.2")     // strict < fails on a tie
+    in("vers:apache/>=0.10.2", "0.10.2.2")
+    out("vers:apache/>=0.10.2|<0.10.2.2", "0.10.2") // hi key ties lo → walk
+    out("vers:apache/=0.10.2", "0.10.2.2")     // eq includes build
+    in("vers:apache/=0.10.2+2", "0.10.2.2")
+    in("vers:apache/>=0.10.1|<=0.10.3|!=0.10.2", "0.10.2.2") // != misses tie
+    out("vers:apache/>=0.10.1|<=0.10.3|!=0.10.2.2", "0.10.2.2")
+    in("vers:apache/>=0.10.1|<=0.10.3|!=0.10.2.2", "0.10.2")
+    in("vers:apache/<10.0.0", "10.0.0-M4")     // milestone below release
+  }
+
   test("exact pin extraction (V3)") {
     val (pins, excluded) = Vers.exactVersions("vers:npm/=1.0.0|>=2.0.0|<3.0.0|!=2.5.0")
     assert(pins == Seq("1.0.0"))

@@ -28,7 +28,7 @@ class VersionOrdPropSpec extends AnyFunSuite {
 
   private val seg = Gen.chooseNum(0L, 9999999L)
   private val schemes = Seq("semver", "pypi", "deb", "rpm", "maven",
-    "alpine", "alpm", "gem", "nuget", "generic", "openssl")
+    "alpine", "alpm", "gem", "nuget", "generic", "openssl", "apache")
 
   test("numeric segments order numerically at every magnitude") {
     check(Prop.forAll(Gen.oneOf(schemes), seg, seg, seg, seg) {
@@ -69,6 +69,23 @@ class VersionOrdPropSpec extends AnyFunSuite {
       val rel = s"$a.$b.$c"
       VersionOrd.compare("semver", s"$rel-$p", rel) < 0 &&
         VersionOrd.compare("deb", s"$rel~$p", rel) < 0
+    })
+  }
+
+  test("apache: 4th-segment build metadata sort-ties the base but splits eqKey") {
+    // univers ApacheVersion = semantic_version.Version.coerce: the 4th
+    // dotted numeric becomes build metadata — IGNORED by precedence
+    // (sortKey ties), INCLUDED by __eq__ (eqKey differs); and the
+    // dotted spelling equals the explicit `+` spelling in both.
+    check(Prop.forAll(seg, seg, seg, Gen.chooseNum(1L, 9999L)) {
+      (a, b, c, d) =>
+        val base = s"$a.$b.$c"
+        VersionOrd.compare("apache", s"$base.$d", base) == 0 &&
+          VersionOrd.eqKey("apache", s"$base.$d") !=
+            VersionOrd.eqKey("apache", base) &&
+          VersionOrd.eqKey("apache", s"$base.$d") ==
+            VersionOrd.eqKey("apache", s"$base+$d") &&
+          VersionOrd.compare("apache", s"$base-rc.1", base) < 0
     })
   }
 

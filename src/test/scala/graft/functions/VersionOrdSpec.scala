@@ -128,6 +128,35 @@ class VersionOrdSpec extends AnyFunSuite {
     lt("rpm", "1.0~rc1^post", "1.0")      // tilde dominates
   }
 
+  test("apache ordering (univers ApacheVersion = semantic_version coerce)") {
+    lt("apache", "1.3", "2.0")
+    eqv("apache", "2.37", "2.37.0")        // coerce pads to 3 segments
+    lt("apache", "2.4.9", "2.4.10")
+    // 4-segment build metadata: IGNORED by precedence (the boundary the
+    // generic fallback got wrong — it read 0.10.2.2 > 0.10.2)
+    eqv("apache", "0.10.2.2", "0.10.2")
+    eqv("apache", "0.10.2.2", "0.10.2+2")
+    lt("apache", "0.10.2.2", "0.10.3")
+    lt("apache", "0.10.1", "0.10.2.2")
+    eqv("apache", "1.2.3.4.5", "1.2.3")    // deep tails are all build
+    // prerelease shapes: tomcat milestones and glued letters
+    lt("apache", "10.0.0-M4", "10.0.0")
+    // tomcat 9's dotted milestone spelling: coerce reads a '.'-led tail
+    // as BUILD, so univers ties it with the release (not a prerelease)
+    eqv("apache", "9.0.0.M4", "9.0.0")
+    lt("apache", "3.3a", "3.3")            // glued letter → prerelease
+    lt("apache", "10.0.0-M10", "10.0.0-M4") // alnum ids compare lexically
+    // equality (eqKey) is finer than order: build participates
+    assert(VersionOrd.eqKey("apache", "0.10.2.2") !=
+      VersionOrd.eqKey("apache", "0.10.2"))
+    assert(VersionOrd.eqKey("apache", "0.10.2.2") ==
+      VersionOrd.eqKey("apache", "0.10.2+2"))
+    assert(VersionOrd.eqKey("apache", "0.10.2+02") !=
+      VersionOrd.eqKey("apache", "0.10.2+2")) // build tuple is verbatim
+    assert(VersionOrd.eqKey("apache", "2.37") ==
+      VersionOrd.eqKey("apache", "2.37.0")) // no build → eqKey == sortKey
+  }
+
   test("generic ordering") {
     lt("generic", "1.0", "1.0.1")
     lt("generic", "1.9", "1.10")
