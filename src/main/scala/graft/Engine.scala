@@ -199,6 +199,7 @@ object Engine {
       vocabProfile: DataFrame,
       contamination: Option[DataFrame],
       embedNearDupPairs: Option[DataFrame],
+      substringStripped: Option[DataFrame],
       ledger: DataFrame)
 
   /** Full corpus curation: documents (+ optional benchmark suite and
@@ -215,7 +216,13 @@ object Engine {
       textCol: String = "text", idCol: String = "doc_id",
       qualityCol: String = "n_chars", strataCol: String = "source",
       samplePerStratum: Int = 1000,
-      dedupMaxDf: Int = 10000): CorpusMarts = {
+      dedupMaxDf: Int = 10000,
+      // cross-doc exact-substring strip (Lee et al. 2022) as an OPTIONAL
+      // stage: Some(L) rebuilds each doc with non-canonical duplicated
+      // >=L-token runs removed and adds `substring_stripped_tokens` to
+      // the ledger; None (the default) leaves both mart and ledger
+      // schema untouched
+      substringStripWindow: Option[Int] = None): CorpusMarts = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Corpus, Similarity, TextDedup}
     val quality = Corpus.qualityFlags(documents, textCol)
@@ -267,7 +274,9 @@ object Engine {
     // reweight instead of dropping without recomputing the graph
     val soft = Corpus.softDedupWeightsFromComponents(dedupComp, idCol)
       .select(col(idCol), col("weight"))
-    val ledger = quality.select(col(idCol), col("passes"))
+    val substringStripped = substringStripWindow.map(l =>
+      Corpus.stripSubstringDups(documents, textCol, idCol, windowTokens = l))
+    val ledger0 = quality.select(col(idCol), col("passes"))
       .join(splits.select(col(idCol), col("split")), Seq(idCol), "left")
       .join(redacted.select(col(idCol),
         (col("n_emails") + col("n_ips") + col("n_phones")).as("pii_spans")),
@@ -284,6 +293,17 @@ object Engine {
       .withColumn("keep",
         col("passes") && !col("contaminated") &&
           (!col("near_dup_paired") || col("is_canonical")))
+    // ledger gains the strip accounting ONLY when the stage is on, so
+    // the default composition (and its oracle) keeps its schema
+    val ledger = substringStripped match {
+      case None => ledger0
+      case Some(st) => ledger0.join(
+        st.select(col(idCol),
+          col("stripped_tokens").as("substring_stripped_tokens")),
+        Seq(idCol), "left")
+        .withColumn("substring_stripped_tokens",
+          coalesce(col("substring_stripped_tokens"), lit(0L)))
+    }
     val marts = CorpusMarts(
       quality = quality,
       nearDupPairs = nearDupPairs,
@@ -304,6 +324,7 @@ object Engine {
       contamination = contamination,
       embedNearDupPairs = embeddings.map(e =>
         Similarity.signLshPairs(e, "vec_id", "embedding")),
+      substringStripped = substringStripped,
       ledger = ledger)
     (Seq(
       "corpus_quality" -> marts.quality,
@@ -319,7 +340,8 @@ object Engine {
       "corpus_vocab_profile" -> marts.vocabProfile,
       "corpus_ledger" -> marts.ledger) ++
       marts.contamination.map("corpus_contamination" -> _) ++
-      marts.embedNearDupPairs.map("corpus_embed_neardups" -> _))
+      marts.embedNearDupPairs.map("corpus_embed_neardups" -> _) ++
+      marts.substringStripped.map("corpus_substring_stripped" -> _))
       .foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }
     marts
   }

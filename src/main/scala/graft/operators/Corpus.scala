@@ -501,6 +501,20 @@ object Corpus {
     * Returns (idCol, n_windows, n_dup_windows, n_spans, dup_tokens,
     * spans) where spans is the merged "start-end" token-interval list
     * (end exclusive) and dup_tokens its total covered tokens. */
+  /** Interval merge over a sorted `_dups` position array: windows share
+    * a length, so the running span end is always (last merged pos) + L;
+    * merge when p <= last.e (adjacent runs coalesce). */
+  private def mergeSpansFold(L: Int): String =
+    s"""aggregate(coalesce(_dups, array()),
+       |  CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
+       |  (acc, p) -> CASE
+       |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+       |    THEN concat(slice(acc, 1, size(acc) - 1),
+       |      array(named_struct('s', element_at(acc, -1).s,
+       |        'e', p + $L)))
+       |    ELSE concat(acc, array(named_struct('s', p, 'e', p + $L)))
+       |    END)""".stripMargin
+
   def substringDupSpans(df: DataFrame, textCol: String, idCol: String,
       windowTokens: Int = 20): DataFrame = {
     val L = windowTokens
@@ -521,18 +535,7 @@ object Corpus {
       .groupBy("_id")
       .agg(sort_array(collect_list(col("_pos"))).as("_dups"))
     base.join(dupPos, Seq("_id"), "left")
-      .withColumn("_spans", expr(
-        // windows sorted ascending share a length, so the running span
-        // end is always (last merged pos) + L: merge when p <= last.e
-        s"""aggregate(coalesce(_dups, array()),
-           |  CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>),
-           |  (acc, p) -> CASE
-           |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
-           |    THEN concat(slice(acc, 1, size(acc) - 1),
-           |      array(named_struct('s', element_at(acc, -1).s,
-           |        'e', p + $L)))
-           |    ELSE concat(acc, array(named_struct('s', p, 'e', p + $L)))
-           |    END)""".stripMargin))
+      .withColumn("_spans", expr(mergeSpansFold(L)))
       .select(col("_id").as(idCol),
         (col("_n") - L + 1).cast("long").as("n_windows"),
         coalesce(size(col("_dups")), lit(0)).cast("long")
@@ -543,6 +546,63 @@ object Corpus {
         array_join(expr(
           "transform(_spans, x -> concat(x.s, '-', x.e))"), ";")
           .as("spans"))
+  }
+
+  /** Cross-document exact-substring STRIP — the consuming step of
+    * [[substringDupSpans]] (Lee et al. 2022: of every duplicated
+    * substring cluster exactly ONE occurrence survives the corpus):
+    * stride-1 L-token window digests; a digest seen in >= 2 distinct
+    * documents keeps its lowest-(doc, pos) occurrence as the canonical
+    * copy and every OTHER occurrence marks its L-token interval for
+    * removal; per doc the marked intervals merge (same fold as the
+    * spans operator — adjacent and unaligned runs coalesce) and the
+    * text rebuilds from the surviving tokens, boundary tails kept.
+    * The substring analog of [[stripCorpusBoilerplate]]'s rebuild.
+    *
+    * Scale shape: identical to substringDupSpans up to the hot set —
+    * the canonical pick rides the SAME digest aggregation (a min-struct
+    * beside the distinct-doc count, both map-side combining; no second
+    * shuffle), the hot set joins back on the 16-byte digest, and the
+    * rebuild is a map-only array filter. Documents shorter than L
+    * tokens, and docs whose duplicated windows are all canonical, pass
+    * through VERBATIM (original whitespace intact); only stripped docs
+    * rebuild with single-space joins — the tokenizer's normalization.
+    *
+    * Returns (idCol, n_tokens, n_spans, stripped_tokens, text). */
+  def stripSubstringDups(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 20): DataFrame = {
+    val L = windowTokens
+    val base = df.select(col(idCol).as("_id"), col(textCol).as("_text"),
+        tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+    val winRows = base.filter(col("_n") >= L)
+      .select(col("_id"), explode(expr(
+        s"transform(sequence(0, _n - $L), i -> named_struct('pos', i, " +
+          s"'w', concat_ws(' ', slice(_toks, i + 1, $L))))")).as("_c"))
+      .select(col("_id"), col("_c.pos").as("_pos"),
+        chunkDigest(col("_c.w")).as("_dig"))
+    val hot = winRows.groupBy("_dig")
+      .agg(countDistinct("_id").as("_df"),
+        min(struct(col("_id"), col("_pos"))).as("_keep"))
+      .filter(col("_df") >= 2)
+      .select("_dig", "_keep")
+    val dupPos = winRows.join(hot, Seq("_dig"))
+      .filter(col("_id") =!= col("_keep._id") ||
+        col("_pos") =!= col("_keep._pos"))
+      .groupBy("_id")
+      .agg(sort_array(collect_list(col("_pos"))).as("_dups"))
+    base.join(dupPos, Seq("_id"), "left")
+      .withColumn("_spans", expr(mergeSpansFold(L)))
+      .select(col("_id").as(idCol),
+        col("_n").cast("long").as("n_tokens"),
+        size(col("_spans")).cast("long").as("n_spans"),
+        expr("aggregate(_spans, 0L, (a, x) -> a + x.e - x.s)")
+          .as("stripped_tokens"),
+        when(size(col("_spans")) === 0, col("_text"))
+          .otherwise(expr(
+            "concat_ws(' ', filter(_toks, (t, i) -> " +
+              "!exists(_spans, sp -> i >= sp.s AND i < sp.e)))"))
+          .as("text"))
   }
 
   /** Source-mixture sampling — the training-mixture weighting step:

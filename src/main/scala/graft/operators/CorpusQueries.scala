@@ -1061,6 +1061,71 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Cross-document exact-substring STRIP (the consuming step of
+    // x_substring_dedup): every duplicated window cluster keeps its
+    // lowest-(doc, pos) canonical occurrence; other occurrences merge
+    // into per-doc removal spans and the text rebuilds without them.
+    // The oracle recomputes from raw window STRINGS (row_number over
+    // (doc, pos) per window = the canonical pick) and rebuilds kept
+    // tokens positionally — digest injectivity, the fold merge AND the
+    // rebuild all gated by the hash compare.
+    q("x_substring_strip",
+      """WITH t AS (SELECT doc_id, text,
+        |        list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                    x -> x <> '') AS toks
+        |      FROM documents),
+        |b AS (SELECT doc_id, text, toks, len(toks) AS n FROM t),
+        |w AS (SELECT doc_id, i AS pos,
+        |        array_to_string(toks[i+1 : i+12], ' ') AS win
+        |      FROM b, LATERAL unnest(range(0, n - 11)) AS u(i)
+        |      WHERE n >= 12),
+        |hot AS (SELECT win FROM w GROUP BY win
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |ranked AS (SELECT w.doc_id, w.pos,
+        |             row_number() OVER (PARTITION BY w.win
+        |               ORDER BY w.doc_id, w.pos) AS rn
+        |           FROM w JOIN hot USING (win)),
+        |dup AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+        |lagd AS (SELECT doc_id, pos,
+        |           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |             AS prev
+        |         FROM dup),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev IS NULL OR pos > prev + 12
+        |                   THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM lagd),
+        |spans AS (SELECT doc_id, island, min(pos) AS s,
+        |                 max(pos) + 12 AS e
+        |          FROM isl GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |          CAST(sum(e - s) AS BIGINT) AS stripped_tokens
+        |        FROM spans GROUP BY doc_id),
+        |toki AS (SELECT b.doc_id, u.i, b.toks[u.i + 1] AS tok
+        |         FROM b JOIN agg USING (doc_id),
+        |              LATERAL unnest(range(0, b.n)) AS u(i)),
+        |kept AS (SELECT tk.doc_id,
+        |           array_to_string(list(tk.tok ORDER BY tk.i), ' ')
+        |             AS txt
+        |         FROM toki tk
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |           WHERE s.doc_id = tk.doc_id
+        |             AND tk.i >= s.s AND tk.i < s.e)
+        |         GROUP BY tk.doc_id)
+        |SELECT b.doc_id,
+        |       CAST(b.n AS BIGINT) AS n_tokens,
+        |       coalesce(a.n_spans, 0) AS n_spans,
+        |       coalesce(a.stripped_tokens, 0) AS stripped_tokens,
+        |       CASE WHEN a.doc_id IS NOT NULL THEN coalesce(k.txt, '')
+        |            ELSE b.text END AS text
+        |FROM b LEFT JOIN agg a USING (doc_id)
+        |       LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""") { (s, dir) =>
+      Corpus.stripSubstringDups(docs(s, dir), "text", "doc_id",
+          windowTokens = 12)
+        .orderBy("doc_id")
+    },
+
     // Contiguous sequence packing: each doc lands in the fixed-budget
     // training sequence its starting token offset falls into, per source
     // stream. Pure integer arithmetic (exact cross-engine); the only

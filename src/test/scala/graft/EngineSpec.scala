@@ -193,4 +193,34 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(soft == Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.5, 4L -> 0.5))
   }
+
+  test("substring-strip is an optional pipeline stage: off by default, " +
+      "on it registers the mart and extends the ledger") {
+    val sp = spark
+    import sp.implicits._
+    val run = "one two three four five six"
+    val docs = Seq(
+      (1L, s"$run aa bb cc dd ee ff gg hh", "src0"),  // canonical copy
+      (2L, s"xx yy $run zz ww vv uu tt ss", "src0"),  // stripped copy
+      (3L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11", "src1"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val off = Engine.runCorpusPipeline(sp, docs, samplePerStratum = 1)
+    assert(off.substringStripped.isEmpty)
+    assert(!off.ledger.columns.contains("substring_stripped_tokens"),
+      "default ledger schema must be untouched")
+    val on = Engine.runCorpusPipeline(sp, docs, samplePerStratum = 1,
+      substringStripWindow = Some(4))
+    val stripped = sp.sql(
+      "SELECT doc_id, stripped_tokens, text FROM graft_corpus_substring_stripped")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(stripped(1L)._1 == 0L)  // canonical copy intact
+    assert(stripped(2L) == ((6L, "xx yy zz ww vv uu tt ss")))
+    assert(stripped(3L)._1 == 0L)
+    val led = on.ledger
+      .select("doc_id", "substring_stripped_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(led == Map(1L -> 0L, 2L -> 6L, 3L -> 0L))
+  }
 }

@@ -446,6 +446,41 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3) == ((4L, "0-8")))
   }
 
+  test("stripSubstringDups keeps the lowest-(doc,pos) canonical copy, " +
+      "strips unaligned copies with tails kept, merges adjacent runs, " +
+      "and passes short/clean docs verbatim") {
+    val sp = spark
+    import sp.implicits._
+    val run = "one two three four five six"  // 6-token duplicated run
+    val a = "alpha beta gamma delta"         // 4-token run A
+    val b = "epsilon zeta eta theta"         // 4-token run B
+    val rows = Seq(
+      (1L, s"$run aa bb cc dd"),   // canonical copy at [0,6) — intact
+      (2L, s"xx yy $run zz ww"),   // unaligned copy at [2,8) — stripped
+      (3L, s"pp $run qq"),         // third copy at [1,7) — stripped
+      (4L, "p  q r"),              // clean + short: verbatim (dbl space)
+      (5L, "tiny"),
+      (6L, s"$a u1 u2 u3 $b"),     // canonical for BOTH A and B — intact
+      (7L, s"k0 $a k1 k2 $b"),     // copies of A [1,5) and B [7,11)
+      (8L, s"$a $b w1 w2"))        // back-to-back: [0,4)+[4,8) merge
+      .toDF("doc_id", "text")
+    val got = Corpus.stripSubstringDups(rows, "text", "doc_id",
+        windowTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(_._1).toList
+    assert(got(0) == ((1L, 10L, 0L, 0L, s"$run aa bb cc dd")))
+    assert(got(1) == ((2L, 10L, 1L, 6L, "xx yy zz ww")))
+    assert(got(2) == ((3L, 8L, 1L, 6L, "pp qq")))
+    assert(got(3) == ((4L, 3L, 0L, 0L, "p  q r"))) // whitespace verbatim
+    assert(got(4) == ((5L, 1L, 0L, 0L, "tiny")))
+    assert(got(5) == ((6L, 11L, 0L, 0L, s"$a u1 u2 u3 $b")))
+    assert(got(6) == ((7L, 11L, 2L, 8L, "k0 k1 k2")))
+    // adjacent spans coalesce: ONE 8-token span, only tails survive
+    assert(got(7) == ((8L, 10L, 1L, 8L, "w1 w2")))
+  }
+
   test("redactPii scrubs emails, IPv4s and phones with counts intact") {
     val rows = docsDF(Seq(
       doc(1, "mail alice.smith@corp.example and bob_2@mail.example now"),
