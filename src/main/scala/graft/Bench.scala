@@ -59,6 +59,26 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // blank value = no restriction (mirror Verify)
+    // Constant-work CANARY: a data-independent seeded aggregation timed
+    // with the same rep/median discipline as the queries. Four idle-host
+    // closes spread ±9% with UNIFORM per-query drift (round-14 finding:
+    // VM-level window speed, not code), so cross-run deltas under ~30%
+    // are unreadable raw — the canary gives every artifact a
+    // window-speed divisor: normalize two runs by their canary ratio
+    // before reading per-query deltas. 100M codegen'd xxhash64 folded
+    // with bit_xor (sum would overflow a long under ANSI mode) over a
+    // fixed 32-partition range: no I/O, no data dependence, ~1 s.
+    val canary = {
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        spark.range(0L, 100000000L, 1L, 32)
+          .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times((times.size - 1) / 2)
+    }
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -118,7 +138,7 @@ object Bench {
           ",\"reps\":[" + times.mkString(",") + "]}"
       }
       .mkString(
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{""",
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"canary":$canary,"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{""",
         ",",
         "}}")
     // A SCOPED run (SPARK_GRAFT_BENCH_ONLY) writes its detail to
@@ -128,9 +148,20 @@ object Bench {
     // the builder's clean-window closes set it to BENCH_CLEAN.json
     // (the committed artifact), leaving BENCH_FULL.json to the driver's
     // own per-round run — two artifacts, neither clobbering the other
-    // (BASELINE.md names which is which).
-    val detailFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+    // (BASELINE.md names which is which). A scoped run pointed at
+    // BENCH_FULL.json is ALWAYS a mistake (it would clobber the full
+    // artifact with a partial map) — redirect it to BENCH_SCOPED.json
+    // loudly instead of honoring the override.
+    val detailFile0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "BENCH_SCOPED.json" else "BENCH_FULL.json")
+    val detailFile =
+      if (only.isDefined && java.nio.file.Paths.get(detailFile0)
+          .getFileName.toString == "BENCH_FULL.json") {
+        System.err.println("[bench] refusing to write a SCOPED run to " +
+          s"$detailFile0 (the committed full artifact); " +
+          "writing BENCH_SCOPED.json instead")
+        "BENCH_SCOPED.json"
+      } else detailFile0
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailFile),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -141,7 +172,7 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"detail":"$detailFile","queries":$qs$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"canary":${f3(canary)},"detail":"$detailFile","queries":$qs$failedJson,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
     System.out.flush()

@@ -428,20 +428,36 @@ object VersionOrd {
     *    makes the legacy side smaller), encoded as a leading era
     *    marker.
     *
-    * Unparseable legacy-era strings fall back to the generic walk
-    * INSIDE the legacy band (univers would raise; a total sort key
-    * cannot). */
+    * Legacy prereleases: OpenSSL really shipped `1.0.0-beta1`…`beta5`
+    * (and `-preN` spellings); the legacy grammar captures them sorting
+    * BELOW the bare release and below any letter patch (release
+    * history order). univers itself would route such strings through
+    * its semver branch (LegacyOpensslVersion's grammar has no dash),
+    * where the era-based mixed compare is a routing artifact rather
+    * than order semantics — the historical order is the deliberate
+    * reading here.
+    *
+    * Other unparseable legacy-era strings fall back to the generic
+    * walk INSIDE the legacy band (univers would raise; a total sort
+    * key cannot). */
   private def opensslKey(v0: String): String = {
     val v = v0.trim.toLowerCase.stripPrefix("v")
     val major = v.takeWhile(_.isDigit)
     val semverEra = major.nonEmpty && BigInt(major) >= 3
     if (semverEra) Low2.toString + semverKey(v)
     else {
-      val legacyRx = raw"^(\d+)\.(\d+)\.(\d+)([a-z]*)$$".r
+      val legacyRx =
+        raw"^(\d+)\.(\d+)\.(\d+)(?:[-_](?:beta|pre)(\d*)|([a-z]*))$$".r
       v match {
-        case legacyRx(ma, mi, b, patch) =>
+        case legacyRx(ma, mi, b, betaN, patch) =>
+          // prerelease marker Low2 sorts below the release's empty
+          // patch (encAlpha "" = '@') and below every letter patch
+          val tail =
+            if (betaN != null)
+              Low2.toString + encNum(if (betaN.isEmpty) "0" else betaN)
+            else encAlpha(patch)
           Low1.toString + encNum(ma) + encNum(mi) + encNum(b) +
-            encAlpha(patch) + Term
+            tail + Term
         case _ => Low1.toString + genericKey(v)
       }
     }

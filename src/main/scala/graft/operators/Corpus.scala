@@ -187,22 +187,33 @@ object Corpus {
         round(col("_s").cast("double") / col("n_toks"), 4).as("tfidf"))
   }
 
-  /** 128-bit chunk digest: two independent codegen'd xxhash64 passes
-    * (the second salted) packed in a struct key — 16 bytes on the wire
-    * instead of a 10-token string (~60–80 bytes typical, unbounded).
+  /** 128-bit chunk digest drawn from TWO hash families: one codegen'd
+    * xxhash64 pass (64 bits) plus two codegen'd Murmur3-x86-32 words
+    * (plain and prefix-salted, 32+32 bits), packed in a struct key —
+    * 16 bytes on the wire instead of a 10-token string (~60–80 bytes
+    * typical, unbounded).
     *
     * Collision budget at 100 TB: N distinct chunks collide in expected
     * ~N²/2^129 pairs; at N = 2^41 (≈2.2e12 chunks — 100 TB of 10-token
     * chunks) that is 2^-47 ≈ 7e-15 expected colliding pairs, i.e. zero.
     * A SINGLE xxhash64 would expect 2^82/2^65 ≈ 1.3e5 colliding pairs
-    * at that N — why 64 bits alone is not enough and the salted second
-    * hash rides along. A collision makes two distinct chunks share a df
-    * count (over-stripping/over-flagging by one chunk); it cannot
-    * corrupt rebuilt text, which is always rendered from the document's
-    * own tokens. */
+    * at that N — why 64 bits alone is not enough. The budget MODELS the
+    * three words as independent uniform outputs; neither xxHash64 nor
+    * Murmur3 is cryptographic, so the model can be beaten by
+    * adversarial inputs — but an input class that correlates the two
+    * words of one construction does not transfer across the two
+    * DIFFERENT constructions used here (an earlier revision reseeded
+    * xxhash64 for the second 64 bits, where a single structural
+    * weakness would hit both passes at once). Injectivity is still
+    * hash-gated end-to-end at test scale: the string-keyed twins share
+    * the digest paths' oracle SQL. A residual collision makes two
+    * distinct chunks share a df count (over-stripping/over-flagging by
+    * one chunk); it cannot corrupt rebuilt text, which is always
+    * rendered from the document's own tokens. */
   private def chunkDigest(chunk: Column): Column =
     struct(xxhash64(chunk).as("h1"),
-      xxhash64(lit("graft.chunk.h2"), chunk).as("h2"))
+      hash(chunk).as("h2"),
+      hash(lit("graft.chunk.h3"), chunk).as("h3"))
 
   /** Exact chunk-level duplication stats: split each doc into consecutive
     * `chunkTokens`-token chunks and measure how much of it recurs

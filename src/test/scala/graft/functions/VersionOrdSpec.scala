@@ -128,6 +128,26 @@ class VersionOrdSpec extends AnyFunSuite {
     lt("rpm", "1.0~rc1^post", "1.0")      // tilde dominates
   }
 
+  test("openssl ordering (univers OpensslVersion two-era order)") {
+    // legacy era: letter patches as string after the numeric triple
+    lt("openssl", "1.1.1", "1.1.1a")
+    lt("openssl", "1.1.1a", "1.1.1b")
+    lt("openssl", "0.9.8z", "0.9.8za")      // z < za (real releases)
+    lt("openssl", "0.9.8zh", "1.0.0")
+    // legacy prereleases OpenSSL actually shipped: beta sorts BELOW the
+    // release AND below any letter patch (release-history order; the
+    // old generic fallback inverted this)
+    lt("openssl", "1.0.0-beta1", "1.0.0")
+    lt("openssl", "1.0.0-beta1", "1.0.0-beta2")
+    lt("openssl", "1.0.0-beta5", "1.0.0")
+    lt("openssl", "1.0.0-beta5", "1.0.0a")
+    lt("openssl", "0.9.8", "1.0.0-beta1")   // still above older releases
+    // era split: every legacy below every 3.x, prerelease grammar there
+    lt("openssl", "1.1.1t", "3.0.0-alpha1")
+    lt("openssl", "3.0.0-alpha1", "3.0.0")
+    lt("openssl", "3.0.7", "3.1.0")
+  }
+
   test("apache ordering (univers ApacheVersion = semantic_version coerce)") {
     lt("apache", "1.3", "2.0")
     eqv("apache", "2.37", "2.37.0")        // coerce pads to 3 segments
