@@ -188,6 +188,98 @@ object V1Queries extends QueryModule {
         .orderBy("vulnerability_id")
     },
 
+    // S27 — the v2 package list (api_v2.py:192-330 PackageV2Serializer,
+    // captured expectations tests/test_api_v2.py:216-475, golden-pinned
+    // in CapturedApiSpec part 5): per concrete package the
+    // affected_by_vulnerabilities dict (VCID + the vulnerability's
+    // first fixed-by purl, min-purl deterministic), the fixing VCIDs,
+    // next/latest non-vulnerable versions and the package risk score.
+    // The oracle re-derives VCIDs via the recursive CC + vcidSql, the
+    // safe-version walk numerically (single-digit versions: numeric ==
+    // semver order) and package risk as max affecting-advisory risk.
+    q("s27_v2_package_list",
+      s"""WITH RECURSIVE
+         |$ccSql,
+         |$riskSql,
+         |$unfurledSql,
+         |rs AS (SELECT k, CASE WHEN ws > 0
+         |         THEN round(least(ws * ex, 10), 1) END AS risk
+         |       FROM advrisk),
+         |vc AS (SELECT c.k, ${VulnerabilityV1.vcidSql("v.vuln_key")}
+         |         AS vcid
+         |       FROM comp c JOIN vkey v USING (comp)),
+         |fb AS (SELECT vc.vcid,
+         |         min(u.base_purl || '@' || u.version) AS fixed_by
+         |       FROM u JOIN vc USING (k)
+         |       WHERE u.is_fixed AND u.version IS NOT NULL
+         |       GROUP BY vc.vcid),
+         |pkg AS (SELECT DISTINCT base_purl, version FROM u),
+         |aff AS (SELECT u.base_purl, u.version, vc.vcid
+         |        FROM u JOIN vc USING (k) WHERE u.is_affected
+         |        GROUP BY u.base_purl, u.version, vc.vcid),
+         |affcsv AS (SELECT a.base_purl, a.version,
+         |             string_agg(a.vcid || ':' ||
+         |               coalesce(f.fixed_by, '-'), ',' ORDER BY a.vcid)
+         |               AS affected_csv
+         |           FROM aff a LEFT JOIN fb f ON f.vcid = a.vcid
+         |           GROUP BY a.base_purl, a.version),
+         |fixd AS (SELECT DISTINCT u.base_purl, u.version, vc.vcid
+         |         FROM u JOIN vc USING (k) WHERE u.is_fixed),
+         |fixcsv AS (SELECT base_purl, version,
+         |             string_agg(vcid, ',' ORDER BY vcid) AS fixing_csv
+         |           FROM fixd GROUP BY base_purl, version),
+         |vuln AS (SELECT DISTINCT base_purl, version FROM u
+         |         WHERE is_affected),
+         |pk AS (SELECT p.base_purl, p.version,
+         |         CAST(p.version AS INT) AS vi,
+         |         EXISTS(SELECT 1 FROM vuln v
+         |           WHERE v.base_purl = p.base_purl
+         |             AND v.version = p.version) AS is_vuln
+         |       FROM pkg p),
+         |nv AS (SELECT a.base_purl, a.version,
+         |         min(CASE WHEN NOT b.is_vuln AND b.vi > a.vi
+         |                  THEN b.vi END) AS nxt,
+         |         max(CASE WHEN NOT b.is_vuln AND b.vi > a.vi
+         |                  THEN b.vi END) AS lst
+         |       FROM pk a JOIN pk b USING (base_purl)
+         |       GROUP BY a.base_purl, a.version),
+         |prisk AS (SELECT u.base_purl, u.version,
+         |            round(max(r.risk), 1) AS risk_score
+         |          FROM u JOIN rs r USING (k) WHERE u.is_affected
+         |          GROUP BY u.base_purl, u.version)
+         |SELECT p.base_purl || '@' || p.version AS purl,
+         |       coalesce(ac.affected_csv, '') AS affected_csv,
+         |       coalesce(fc.fixing_csv, '') AS fixing_csv,
+         |       CAST(n.nxt AS VARCHAR) AS next_v,
+         |       CAST(n.lst AS VARCHAR) AS latest_v,
+         |       pr.risk_score
+         |FROM pkg p
+         |LEFT JOIN affcsv ac USING (base_purl, version)
+         |LEFT JOIN fixcsv fc USING (base_purl, version)
+         |LEFT JOIN nv n ON n.base_purl = p.base_purl
+         |              AND n.version = p.version
+         |LEFT JOIN prisk pr ON pr.base_purl = p.base_purl
+         |                  AND pr.version = p.version
+         |ORDER BY purl""") { (s, dir) =>
+      val adv = advisories(s, dir).localCheckpoint()
+      val unf = unfurled(s, dir)
+      val pkgs = unf.select("base_purl", "version").distinct()
+      val mem = VulnerabilityV1.membership(s, adv)
+      val risk = graft.derive.AdvisoryDerive.advisoryRisk(adv)
+      graft.serve.PackageV2
+        .packageList(pkgs, unf, mem, advisoryRisk = Some(risk))
+        .select(col("purl"),
+          array_join(expr("transform(affected_by_vulnerabilities, " +
+            "x -> x.vulnerability_id || ':' || " +
+            "coalesce(x.fixed_by_packages, '-'))"), ",")
+            .as("affected_csv"),
+          array_join(col("fixing_vulnerabilities"), ",").as("fixing_csv"),
+          col("next_non_vulnerable_version").as("next_v"),
+          col("latest_non_vulnerable_version").as("latest_v"),
+          col("risk_score"))
+        .orderBy("purl")
+    },
+
     // V1 package querysets (models.py:697-733): per concrete package
     // the distinct vulnerabilities affecting / fixed by it — the
     // with_vulnerability_counts annotations; `vulnerable`/`fixing` are

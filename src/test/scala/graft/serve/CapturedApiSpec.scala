@@ -583,4 +583,143 @@ class CapturedApiSpec extends AnyFunSuite with SparkTestSession {
     assert(page.forall(p =>
       p.startsWith("pkg:pypi/sample") && p.endsWith("@1.0.0")))
   }
+
+  // ------------------------------------------------------------ part 5
+  // api_v2 endpoint family, against tests/test_api_v2.py's captured
+  // expectations (the reference keeps that suite commented out; the
+  // assertions still document the serializer contract), driven through
+  // the real pipeline → serving path.
+
+  private def v2State() = {
+    val sp = spark
+    import sp.implicits._
+    import graft.derive.{AdvisoryDerive, VulnerabilityV1}
+    // the reference fixture (test_api_v2.py:216-239): django@3.2
+    // AFFECTED by vuln1 (alias CVE-2021-1234), lodash@4.17.20 FIXING
+    // vuln2 (alias CVE-2021-5678); plus a ghost package fixing vuln2
+    // to pin the ghost rule
+    def adv(id: String, alias: String, summary: String,
+        affected: Seq[graft.model.AffectedRow]): graft.model.AdvisoryRow =
+      graft.model.AdvisoryRow("src", id, summary, Seq(alias), Seq.empty,
+        Seq.empty, Seq.empty, affected,
+        java.sql.Timestamp.valueOf("2025-06-01 00:00:00"), None,
+        "https://example.com/advisory", 100)
+    val advisories = AdvisoryDerive.withContentIdAndLatest(Seq(
+      adv("ADV-1", "CVE-2021-1234", "Test vulnerability 1",
+        Seq(graft.model.AffectedRow("pkg:pypi/django",
+          "vers:pypi/=3.2", ""))),
+      adv("ADV-2", "CVE-2021-5678", "Test vulnerability 2",
+        Seq(graft.model.AffectedRow("pkg:npm/lodash",
+          "", "vers:npm/=4.17.20"),
+          graft.model.AffectedRow("pkg:npm/ghostpkg",
+            "", "vers:npm/=1.0")))).toDF())
+    val packages = Seq(
+      ("pkg:pypi/django", "3.2", false),
+      ("pkg:npm/lodash", "4.17.20", false),
+      ("pkg:npm/ghostpkg", "1.0", true))
+      .toDF("base_purl", "version", "is_ghost")
+    val versions = packages.select("base_purl", "version")
+    val unfurled =
+      AdvisoryDerive.unfurl(AdvisoryDerive.impacts(advisories), versions)
+    val member = VulnerabilityV1.membership(sp, advisories)
+    val vcidOf = member.select("avid", "vulnerability_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val rows = PackageV2.packageList(packages, unfurled, member)
+      .collect().map(r => r.getString(0) -> r).toMap
+    (advisories, packages, unfurled, member, vcidOf, rows)
+  }
+
+  test("PackageV2 serializer golden (test_api_v2.py:316-366, 425-461): " +
+      "affected dict shape, fixing list, None next/latest/risk, ghost") {
+    val (_, _, _, _, vcidOf, rows) = v2State()
+    val (vcid1, vcid2) = (vcidOf("src/ADV-1"), vcidOf("src/ADV-2"))
+    // django: affected_by_vulnerabilities == {vuln1: {code_fixes: [],
+    // vulnerability_id, fixed_by_packages: None}} — vuln1 has no fixing
+    // package; fixing []; next/latest/risk all None (risk pipeline and
+    // safe versions absent in the fixture)
+    val dj = rows("pkg:pypi/django@3.2")
+    val affected = dj.getSeq[org.apache.spark.sql.Row](
+      dj.fieldIndex("affected_by_vulnerabilities"))
+      .map(x => (x.getString(0), Option(x.getString(1)),
+        x.getSeq[String](2)))
+    assert(affected == Seq((vcid1, None, Seq.empty)))
+    assert(dj.getSeq[String](dj.fieldIndex("fixing_vulnerabilities")).isEmpty)
+    assert(dj.isNullAt(dj.fieldIndex("next_non_vulnerable_version")))
+    assert(dj.isNullAt(dj.fieldIndex("latest_non_vulnerable_version")))
+    assert(dj.isNullAt(dj.fieldIndex("risk_score")))
+    // lodash: fixes vuln2 (test_get_fixing_vulnerabilities:
+    // == ["VCID-5678"]), affected empty
+    val lo = rows("pkg:npm/lodash@4.17.20")
+    assert(lo.getSeq[org.apache.spark.sql.Row](
+      lo.fieldIndex("affected_by_vulnerabilities")).isEmpty)
+    assert(lo.getSeq[String](lo.fieldIndex("fixing_vulnerabilities")) ==
+      Seq(vcid2))
+    // ghost package fixes NOTHING (api_v2.py:239-242) even though the
+    // unfurl carries its fixed row
+    val gh = rows("pkg:npm/ghostpkg@1.0")
+    assert(gh.getSeq[String](gh.fieldIndex("fixing_vulnerabilities")).isEmpty)
+  }
+
+  test("PackageV2 queryset filters (test_api_v2.py:268-314, 393-423): " +
+      "purl / affected_by / fixing, invalid filters -> empty") {
+    val sp = spark
+    val (_, packages, unfurled, member, vcidOf, _) = v2State()
+    val (vcid1, vcid2) = (vcidOf("src/ADV-1"), vcidOf("src/ADV-2"))
+    val list = PackageV2.packageList(packages, unfurled, member)
+    def purls(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("purl").collect().map(_.getString(0)).toSeq.sorted
+    // purl filter: exactly the requested package
+    assert(purls(list.filter(col("purl") === "pkg:pypi/django@3.2")) ==
+      Seq("pkg:pypi/django@3.2"))
+    // affected_by_vulnerability filter -> django
+    assert(purls(list.filter(exists(col("affected_by_vulnerabilities"),
+      x => x.getField("vulnerability_id") === vcid1))) ==
+      Seq("pkg:pypi/django@3.2"))
+    // fixing_vulnerability filter -> lodash (the ghost is excluded by
+    // its empty fixing list)
+    assert(purls(list.filter(
+      array_contains(col("fixing_vulnerabilities"), vcid2))) ==
+      Seq("pkg:npm/lodash@4.17.20"))
+    // invalid vulnerability / purl -> empty lists, not errors
+    assert(purls(list.filter(exists(col("affected_by_vulnerabilities"),
+      x => x.getField("vulnerability_id") === "VCID-9999"))).isEmpty)
+    assert(purls(list.filter(
+      col("purl") === "pkg:nonexistent/package@1.0.0")).isEmpty)
+  }
+
+  test("V2 list endpoints (test_api_v2.py:70-164, 241-266): page-scoped " +
+      "vulnerabilities dict and vulnerability id/alias filters") {
+    val sp = spark
+    import graft.derive.VulnerabilityV1
+    val (advisories, packages, unfurled, member, vcidOf, _) = v2State()
+    val (vcid1, vcid2) = (vcidOf("src/ADV-1"), vcidOf("src/ADV-2"))
+    val list = PackageV2.packageList(packages, unfurled, member)
+    val vulns = VulnerabilityV1.vulnerabilities(sp, advisories,
+      precomputedMembership = Some(member))
+    // test_list_packages: every VCID referenced by the page's packages
+    // appears in the response's vulnerabilities dict
+    val dict = PackageV2.vulnerabilitiesDict(list, vulns)
+      .collect().map(r => r.getAs[String]("vulnerability_id") ->
+        r.getAs[String]("summary")).toMap
+    assert(dict.keySet == Set(vcid1, vcid2))
+    assert(dict(vcid1) == "Test vulnerability 1")
+    assert(dict(vcid2) == "Test vulnerability 2")
+    // vulnerability list filters (exact-in semantics, CharInFilter):
+    // by id, by multiple ids, by alias, by multiple aliases
+    def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("vulnerability_id").collect().map(_.getString(0)).toSet
+    assert(ids(vulns.filter(col("vulnerability_id") === vcid1)) ==
+      Set(vcid1))
+    assert(ids(vulns.filter(
+      col("vulnerability_id").isin(vcid1, vcid2))) == Set(vcid1, vcid2))
+    assert(ids(vulns.filter(
+      array_contains(col("aliases"), "CVE-2021-5678"))) == Set(vcid2))
+    assert(ids(vulns.filter(
+      array_contains(col("aliases"), "CVE-2021-1234") ||
+        array_contains(col("aliases"), "CVE-2021-5678"))) ==
+      Set(vcid1, vcid2))
+    // invalid id -> empty (test_invalid_vulnerability_id's 404)
+    assert(ids(vulns.filter(col("vulnerability_id") === "VCID-9999"))
+      .isEmpty)
+  }
 }
