@@ -448,38 +448,50 @@ object Corpus {
     * corpus explodes to bigrams map-side, probes the broadcasts, and
     * the per-doc aggregation combines map-side — scan-bound at 100 TB
     * with zero corpus-keyed shuffles beyond the per-doc combine.
-    * Returns (idCol, n_bigrams, avg_nll) for docs with >= 1 bigram. */
+    * Returns (idCol, n_bigrams — n_ngrams for order > 2, avg_nll) for
+    * docs with >= 1 n-gram. */
   def lmAvgNll(raw: DataFrame, reference: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    def bigrams(df: DataFrame, keep: Column*): DataFrame = df
+      idCol: String, order: Int = 2): DataFrame = {
+    // order 2 is the committed bigram form; order 3 doubles fidelity
+    // toward CCNet's 5-gram KenLM for one more broadcast table (the
+    // n-gram count tables stay bounded by the exemplar token count)
+    require(order >= 2 && order <= 4, s"unsupported LM order $order")
+    val ws = (1 to order).map(j => s"w$j")
+    val structFields = ws.zipWithIndex.map { case (w, j) =>
+      s"'$w', _toks[i - ${order - 1 - j}]"
+    }.mkString(", ")
+    def ngrams(df: DataFrame, keep: Column*): DataFrame = df
       .select(keep :+ tokens(col(textCol)).as("_toks"): _*)
-      .filter(size(col("_toks")) >= 2)
+      .filter(size(col("_toks")) >= order)
       .select(keep :+ explode(expr(
-        "transform(sequence(1, size(_toks) - 1), " +
-          "i -> named_struct('w1', _toks[i - 1], 'w2', _toks[i]))"))
-        .as("_b"): _*)
-      .select(keep :+ col("_b.w1") :+ col("_b.w2"): _*)
-    val refBi = bigrams(reference)
-    val biCounts = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    // c(w1) = the HISTORY count (bigrams starting with w1), the
-    // standard bigram-MLE denominator; V = the reference vocabulary
-    // over both positions
-    val uniCounts = refBi.groupBy("w1").agg(count(lit(1)).as("cu"))
-    val vocab = refBi.select(col("w1"))
-      .unionAll(refBi.select(col("w2").as("w1")))
+        s"transform(sequence(${order - 1}, size(_toks) - 1), " +
+          s"i -> named_struct($structFields))")).as("_b"): _*)
+      .select(keep ++ ws.map(w => col(s"_b.$w")): _*)
+    val refN = ngrams(reference)
+    val nCounts = refN.groupBy(ws.head, ws.tail: _*)
+      .agg(count(lit(1)).as("cb"))
+    // c(history) = the (order-1)-gram HISTORY count (n-grams starting
+    // with it), the standard n-gram-MLE denominator; V = the reference
+    // vocabulary over every position
+    val hist = ws.init
+    val uniCounts = refN.groupBy(hist.head, hist.tail: _*)
+      .agg(count(lit(1)).as("cu"))
+    val vocab = ws.map(w => refN.select(col(w).as("w1")))
+      .reduce(_ unionAll _)
       .agg(countDistinct(col("w1")).as("v"))
-    bigrams(raw, col(idCol))
-      .join(broadcast(biCounts), Seq("w1", "w2"), "left")
-      .join(broadcast(uniCounts), Seq("w1"), "left")
+    val nName = if (order == 2) "n_bigrams" else "n_ngrams"
+    ngrams(raw, col(idCol))
+      .join(broadcast(nCounts), ws, "left")
+      .join(broadcast(uniCounts), hist, "left")
       .crossJoin(broadcast(vocab))
       .withColumn("_nll",
         round(-log((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
           (coalesce(col("cu"), lit(0L)) + col("v"))), 6)
           .cast("decimal(18,6)"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nll")).as("_s"))
-      .select(col(idCol), col("n_bigrams"),
-        round(col("_s").cast("double") / col("n_bigrams"), 4)
+      .agg(count(lit(1)).as(nName), sum(col("_nll")).as("_s"))
+      .select(col(idCol), col(nName),
+        round(col("_s").cast("double") / col(nName), 4)
           .as("avg_nll"))
   }
 

@@ -1009,6 +1009,48 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Trigram upgrade of the CCNet LM score (round-15 stretch): same
+    // DECIMAL discipline, one more broadcast table (both count tables
+    // stay bounded by the exemplar slice's token count).
+    q("x_lm_perplexity3",
+      s"""WITH t AS ($toksSql),
+         |ref AS (SELECT toks FROM t
+         |        WHERE doc_id % 97 = 0 AND doc_id < 5000
+         |          AND len(toks) >= 3),
+         |rb AS (SELECT toks[i-1] AS w1, toks[i] AS w2, toks[i+1] AS w3
+         |       FROM ref, LATERAL unnest(range(2, len(toks))) AS u(i)),
+         |bc AS (SELECT w1, w2, w3, count(*) AS cb FROM rb
+         |       GROUP BY w1, w2, w3),
+         |uc AS (SELECT w1, w2, count(*) AS cu FROM rb GROUP BY w1, w2),
+         |v AS (SELECT count(DISTINCT w) AS v FROM
+         |        (SELECT w1 AS w FROM rb
+         |         UNION ALL SELECT w2 AS w FROM rb
+         |         UNION ALL SELECT w3 AS w FROM rb)),
+         |raw AS (SELECT doc_id, toks FROM t
+         |        WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000)
+         |          AND len(toks) >= 3),
+         |db AS (SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2,
+         |              toks[i+1] AS w3
+         |       FROM raw, LATERAL unnest(range(2, len(toks))) AS u(i)),
+         |nll AS (SELECT doc_id,
+         |        CAST(round(-ln((coalesce(bc.cb, 0) + 1) /
+         |          CAST(coalesce(uc.cu, 0) + v.v AS DOUBLE)), 6)
+         |          AS DECIMAL(18,6)) AS nll
+         |        FROM db LEFT JOIN bc USING (w1, w2, w3)
+         |        LEFT JOIN uc USING (w1, w2) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |       CAST(round(CAST(sum(nll) AS DOUBLE) / count(*), 4)
+         |            AS DOUBLE) AS avg_nll
+         |FROM nll GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val isBench =
+        pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 5000
+      Corpus.lmAvgNll(
+          raw = d.filter(!isBench), reference = d.filter(isBench),
+          "text", "doc_id", order = 3)
+        .orderBy("doc_id")
+    },
+
     // Cross-document SUBSTRING dedup (Lee et al. 2022 exact-substring
     // dedup, alignment-free): stride-1 12-token rolling windows,
     // digest-keyed df counting, per-doc merged duplicated spans. The

@@ -389,6 +389,41 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
       "reference-like text must score below unseen text")
   }
 
+  test("lmAvgNll order=3: exact add-one trigram arithmetic, bounded " +
+      "count tables") {
+    val sp = spark
+    import sp.implicits._
+    // reference "a b c a b c": trigrams (a,b,c)x2, (b,c,a), (c,a,b);
+    // histories c(a,b)=2, c(b,c)=1, c(c,a)=1; V=3
+    val ref = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val raw = Seq(
+      // (a,b,c): -ln((2+1)/(2+3)) = 0.510826
+      // (b,c,d): unseen under history (b,c): -ln(1/(1+3)) = 1.386294
+      (1L, "a b c d"),
+      // (c,a,b): -ln((1+1)/(1+3)) = 0.693147
+      (2L, "c a b"),
+      (3L, "x y"))    // < 3 tokens: no trigram, excluded
+      .toDF("doc_id", "text")
+    val got = Corpus.lmAvgNll(raw, ref, "text", "doc_id", order = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.length == 2)
+    // (0.510826 + 1.386294) / 2 = 0.948560 → 0.9486
+    assert(got(0) == ((1L, 2L, 0.9486)))
+    assert(got(1) == ((2L, 1L, 0.6931)))
+    // the broadcast stays bounded by the exemplar slice: the trigram
+    // and history tables can never exceed the reference token count
+    val refToks = 6L
+    val tris = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+      .select(explode(expr(
+        "transform(sequence(2, size(split(text, ' ')) - 1), i -> " +
+          "concat_ws('', split(text, ' ')[i-2], " +
+          "split(text, ' ')[i-1], split(text, ' ')[i]))")).as("t"))
+      .distinct().count()
+    assert(tris <= refToks, "trigram table bounded by exemplar tokens")
+  }
+
   test("substringDupSpans catches unaligned duplicated runs and merges " +
       "overlapping windows into maximal spans") {
     val sp = spark
