@@ -53,6 +53,7 @@ object Bench {
     // for identical code; defaulting the driver's invocation to the same
     // methodology keeps the two artifacts comparable.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "noop")
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run — for isolating one
     // query's cost from cross-query JVM interference when triaging a
     // regression. The driver never sets it; full runs stay the contract.
@@ -65,15 +66,18 @@ object Bench {
     // VM-level window speed, not code), so cross-run deltas under ~30%
     // are unreadable raw — the canary gives every artifact a
     // window-speed divisor: normalize two runs by their canary ratio
-    // before reading per-query deltas. 100M codegen'd xxhash64 folded
+    // before reading per-query deltas. 400M codegen'd xxhash64 folded
     // with bit_xor (sum would overflow a long under ANSI mode) over a
-    // fixed 32-partition range: no I/O, no data dependence, ~1 s.
+    // fixed 32-partition range: no I/O, no data dependence, ~1 s —
+    // sized so the reading's own jitter is small relative to the ±9%
+    // window drift it measures (a 100M first cut read 0.19–0.24 s,
+    // where sub-second scheduling noise rivaled the signal).
     val canary = {
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        spark.range(0L, 100000000L, 1L, 32)
+        spark.range(0L, 400000000L, 1L, 32)
           .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
         (System.nanoTime() - t0) / 1e9
       }.sorted
@@ -101,8 +105,26 @@ object Bench {
         // 10x run once recorded 19.7s for a query that takes 73s when it
         // actually completes. Failures time as the NEGATED elapsed time —
         // visibly wrong in any artifact — and are listed in "failed".
+        //
+        // Consumption mode (SPARK_GRAFT_BENCH_MODE, default "noop"):
+        // rounds 1–14 consumed with .count(), under which Catalyst
+        // legitimately SKIPS work the count does not need — column
+        // pruning plus left-outer-join elimination (a unique-keyed
+        // aggregate right side preserves cardinality) removed, e.g.,
+        // x_substring_strip's entire window/digest pipeline: its "100×"
+        // count-mode reading was 0.27 s of base scan. The noop sink
+        // (format("noop")) materializes EVERY output column through the
+        // full plan — what a user writing the result would pay — and is
+        // the committed methodology from round 15 on; "count" remains
+        // for bridge comparisons against pre-15 artifacts (BASELINE.md
+        // records one round of both).
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try {
+            val df = fn(spark, sfDir)
+            if (mode == "count") df.count()
+            else df.write.format("noop").mode("overwrite").save()
+            true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
@@ -138,7 +160,7 @@ object Bench {
           ",\"reps\":[" + times.mkString(",") + "]}"
       }
       .mkString(
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"canary":$canary,"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{""",
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"mode":"$mode","canary":$canary,"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{""",
         ",",
         "}}")
     // A SCOPED run (SPARK_GRAFT_BENCH_ONLY) writes its detail to
@@ -172,7 +194,7 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"canary":${f3(canary)},"detail":"$detailFile","queries":$qs$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"mode":"$mode","canary":${f3(canary)},"detail":"$detailFile","queries":$qs$failedJson,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
     System.out.flush()

@@ -33,7 +33,9 @@ object ExplainAudit {
         "x_embed_lsh_wide", "e5_purl2cpe", "d21_cveid_backfill",
         "x_lsh_recall", "a15_advisory_ledger", "d17b_openssl_letters",
         "x_chunk_dedup_digest", "x_strip_boilerplate_digest",
-        "d20_code_fixes", "x_substring_dedup", "x_lm_perplexity")
+        "d20_code_fixes", "x_substring_dedup", "x_lm_perplexity",
+        "d17c_apache_buildmeta", "s27_v2_package_list",
+        "x_substring_strip", "x_lm_perplexity3")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)

@@ -117,6 +117,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"top_ngram_native n must be a literal, got $other")
         })
       }))
+    e.injectFunction((
+      new FunctionIdentifier("rolling_window_digests_native"),
+      new ExpressionInfo(classOf[RollingWindowDigestsExpr].getName,
+        "rolling_window_digests_native"),
+      (args: Seq[Expression]) => {
+        arity("rolling_window_digests_native", 2, args)
+        RollingWindowDigestsExpr(args(0), args(1) match {
+          case l: Literal => l.value.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"rolling_window_digests_native window must be a literal, got $other")
+        })
+      }))
     e.injectOptimizerRule(_ => ConstantVersionRangeRewrite)
     e.injectOptimizerRule(_ => MaterializedVersionKeyRewrite)
   }

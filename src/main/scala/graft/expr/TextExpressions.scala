@@ -126,3 +126,119 @@ object TopNgramExpr {
     new GenericInternalRow(Array[Any](bestGram, bestCnt, total))
   }
 }
+
+/** Stride-1 L-token window digests in ONE O(tokens) pass — the rolling
+  * hash the substring-dedup family's scaladoc promised for production
+  * (the first cut materialized each window as a concat_ws string and
+  * hashed it: O(tokens × L) characters built and hashed; at 100× that
+  * string build dominated the whole operator).
+  *
+  * Per token one xxhash64 (Spark's own XXH64 over the UTF8 bytes, two
+  * seeds); per window two polynomial combinations updated in O(1):
+  *  - h1 = Σ A^(L-1-j)·x₁[i+j] in the 2^64 ring (odd A, natural
+  *    overflow);
+  *  - h2 = Σ B^(L-1-j)·x₂[i+j] mod p, p = 2^61−1 (Mersenne; mulmod via
+  *    Math.multiplyHigh and 2^64 ≡ 8 (mod p)).
+  * Collision model: ~125 combined bits across two DIFFERENT rings under
+  * ideal token hashes — expected colliding window pairs ≈ N²/2^126,
+  * ~2^-44 at N = 2^41 (the chunkDigest budget). The 2^64 ring alone has
+  * known structure (low-bit weakness of power-of-two moduli); the
+  * Mersenne ring does not share it — the same cross-family argument as
+  * chunkDigest. Non-cryptographic: adversarial inputs can beat the
+  * model; injectivity is hash-gated end-to-end at test scale by the
+  * string-derived oracles (x_substring_dedup / x_substring_strip
+  * recompute from raw window strings in DuckDB).
+  *
+  * Input: array<string> tokens; returns array<struct<pos:int, h1:long,
+  * h2:long>> — one entry per window start, empty when
+  * size(tokens) < L. */
+case class RollingWindowDigestsExpr(child: Expression, windowTokens: Int)
+    extends UnaryExpression {
+  require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
+
+  override def dataType: DataType = RollingWindowDigestsExpr.schema
+  override def prettyName: String = "rolling_window_digests_native"
+
+  override protected def nullSafeEval(toks: Any): Any =
+    RollingWindowDigestsExpr.evalTokens(
+      toks.asInstanceOf[ArrayData], windowTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.RollingWindowDigestsExpr.evalTokens($c, $windowTokens)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingWindowDigestsExpr = copy(child = newChild)
+}
+
+object RollingWindowDigestsExpr {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("pos", org.apache.spark.sql.types.IntegerType,
+      nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+
+  private final val A = 0x9E3779B97F4A7C15L | 1L // odd: unit in Z/2^64
+  private final val P = (1L << 61) - 1           // Mersenne prime
+  private final val B = 0x2545F4914F6CDD1DL % P
+
+  /** (a*b) mod 2^61−1 for 0 <= a,b < p: 128-bit product via
+    * multiplyHigh, folded with 2^64 ≡ 8 (mod p). */
+  private def mulmodP(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b) // < 2^58 for a,b < 2^61
+    val lo = a * b
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & P)
+    while (r >= P) r -= P
+    r
+  }
+
+  /** evalTokens, not eval — see VersEndpointsExpr's static-forwarder
+    * note (a companion `eval` clashes with Expression.eval and drops
+    * the stage to interpreter mode). */
+  def evalTokens(toks: ArrayData, l: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < l) return new GenericArrayData(Array.empty[Any])
+    val x1 = new Array[Long](n)
+    val x2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      x1(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      x2(i) = java.lang.Long.remainderUnsigned(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 0x9747b28cL), P)
+      i += 1
+    }
+    // A^L in the 2^64 ring; B^L mod p
+    var aL = 1L
+    var bL = 1L
+    i = 0
+    while (i < l) { aL *= A; bL = mulmodP(bL, B); i += 1 }
+    // initial window [0, l)
+    var h1 = 0L
+    var h2 = 0L
+    i = 0
+    while (i < l) {
+      h1 = h1 * A + x1(i)
+      h2 = (mulmodP(h2, B) + x2(i)) % P
+      i += 1
+    }
+    val out = new Array[Any](n - l + 1)
+    var pos = 0
+    while (true) {
+      out(pos) = new GenericInternalRow(Array[Any](pos, h1, h2))
+      if (pos + l >= n) return new GenericArrayData(out)
+      // slide: drop x[pos], admit x[pos+l]
+      h1 = h1 * A - aL * x1(pos) + x1(pos + l)
+      val drop = mulmodP(bL, x2(pos))
+      h2 = (mulmodP(h2, B) + P - drop) % P
+      h2 = (h2 + x2(pos + l)) % P
+      h2 = ((h2 % P) + P) % P
+      pos += 1
+    }
+    new GenericArrayData(out) // unreachable
+  }
+}

@@ -507,19 +507,21 @@ object Corpus {
     * suffix-array guarantee at the chosen granularity, without a
     * distributed suffix array.
     *
-    * Shape at 100 TB: window digests ([[chunkDigest]], 16 bytes)
-    * compute map-side — the window STRINGS never shuffle; the df table
-    * aggregates on digests (the one wide shuffle, O(16B · tokens));
-    * duplicated digests semi-join-filter the positional rows (most
-    * windows are unique, so the per-doc regroup carries only the
-    * DUPLICATED positions); and the interval merge is a per-row fold
-    * over that small sorted array. The O(L) per-position window build
-    * is the known constant (a production run would swap in a true
-    * O(1) rolling hash inside a compiled pass); everything after it is
-    * the digest-narrow chunk-family plan. Collision budget: a
-    * colliding window flags one span as duplicated spuriously — same
-    * 2^-47 expected-pair budget as [[chunkDigest]], and the oracle's
-    * string-derived recompute gates injectivity end-to-end.
+    * Shape at 100 TB: window digests (16 bytes) compute map-side in
+    * ONE O(tokens) pass — [[graft.expr.RollingWindowDigestsExpr]], a
+    * native two-ring polynomial rolling hash over per-token xxhash64
+    * values, so no window STRING is ever even BUILT (the first cut
+    * concat_ws'd each window: O(tokens × L) characters, measured 77 s
+    * of the operator's 100× noop cost); the df table aggregates on
+    * digests (the one wide shuffle, O(16B · tokens)); duplicated
+    * digests semi-join-filter the positional rows (most windows are
+    * unique, so the per-doc regroup carries only the DUPLICATED
+    * positions); and the interval merge is a per-row fold over that
+    * small sorted array. Collision budget: a colliding window flags
+    * one span as duplicated spuriously — ~2^-44 expected pairs at 2^41
+    * windows (the expression's scaladoc states the two-ring model),
+    * and the oracle's string-derived recompute gates injectivity
+    * end-to-end.
     *
     * Returns (idCol, n_windows, n_dup_windows, n_spans, dup_tokens,
     * spans) where spans is the merged "start-end" token-interval list
@@ -546,11 +548,10 @@ object Corpus {
       .withColumn("_n", size(col("_toks")))
       .filter(col("_n") >= L)
     val winRows = base
-      .select(col("_id"), explode(expr(
-        s"transform(sequence(0, _n - $L), i -> named_struct('pos', i, " +
-          s"'w', concat_ws(' ', slice(_toks, i + 1, $L))))")).as("_c"))
+      .select(col("_id"), explode(call_function(
+        "rolling_window_digests_native", col("_toks"), lit(L))).as("_c"))
       .select(col("_id"), col("_c.pos").as("_pos"),
-        chunkDigest(col("_c.w")).as("_dig"))
+        struct(col("_c.h1"), col("_c.h2")).as("_dig"))
     val dfreq = winRows.groupBy("_dig")
       .agg(countDistinct("_id").as("_df"))
     val hot = dfreq.filter(col("_df") >= 2).select("_dig")
@@ -599,11 +600,10 @@ object Corpus {
         tokens(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")))
     val winRows = base.filter(col("_n") >= L)
-      .select(col("_id"), explode(expr(
-        s"transform(sequence(0, _n - $L), i -> named_struct('pos', i, " +
-          s"'w', concat_ws(' ', slice(_toks, i + 1, $L))))")).as("_c"))
+      .select(col("_id"), explode(call_function(
+        "rolling_window_digests_native", col("_toks"), lit(L))).as("_c"))
       .select(col("_id"), col("_c.pos").as("_pos"),
-        chunkDigest(col("_c.w")).as("_dig"))
+        struct(col("_c.h1"), col("_c.h2")).as("_dig"))
     val hot = winRows.groupBy("_dig")
       .agg(countDistinct("_id").as("_df"),
         min(struct(col("_id"), col("_pos"))).as("_keep"))
