@@ -368,15 +368,28 @@ object Serving {
     *                 per-advisory SSVC rows (advisorySsvc's flat input)
     * @param setMembers (set_id, avid)
     */
-  def ssvcSetTrees(ssvcRows: DataFrame, setMembers: DataFrame): DataFrame =
-    setMembers.join(ssvcRows, Seq("avid"))
+  def ssvcSetTrees(ssvcRows: DataFrame, setMembers: DataFrame): DataFrame = {
+    // pre-reduce per (avid, source_url) BEFORE the membership fan-out:
+    // the min_by ordering key LEADS with avid, so the per-avid minimum
+    // is a lossless partial — the set-level minimum over the members'
+    // union equals the minimum of the per-avid minima. The first cut
+    // joined the raw ssvc rows against the members (a many-sets-per-
+    // advisory fan-out) and carried every row's structs through the
+    // first aggregation: 38 s of the round-15 noop close for a result
+    // the 450-row pre-reduced side reproduces exactly. The min struct
+    // is simultaneously the ordering key and (suffix) the value.
+    val perAvid = ssvcRows
+      .groupBy("avid", "source_url")
+      .agg(min(struct(col("avid").as("a"), col("vector"),
+        col("decision"), col("options"))).as("k"))
+    setMembers.join(perAvid, Seq("avid"))
       .groupBy("set_id", "source_url")
-      .agg(expr("min_by(struct(vector, decision, options)," +
-        " struct(avid, vector, decision, options))").as("t"))
+      .agg(min(col("k")).as("k"))
       .groupBy("set_id")
       .agg(array_sort(collect_list(struct(col("source_url"),
-        col("t.vector").as("vector"), col("t.decision").as("decision"),
-        col("t.options").as("options")))).as("ssvc_trees"))
+        col("k.vector").as("vector"), col("k.decision").as("decision"),
+        col("k.options").as("options")))).as("ssvc_trees"))
+  }
 
   /** Nested exploit list per advisory (the Exploit model's serving shape,
     * models.py:1720-1812 incl. the Known/Unknown rendering of
@@ -486,8 +499,17 @@ object Serving {
     * @param setMembers (set_id, avid)
     */
   def patchSetMap(patchLinks: DataFrame, setMembers: DataFrame): DataFrame =
-    setMembers.join(patchLinks, Seq("avid"))
-      .filter(col("commit_hash").isNotNull || col("vcs_url").isNotNull)
+    // distinct BEFORE the membership fan-out: collect_set is a set
+    // union, so deduping the (avid, kind, patch) rows first is lossless
+    // — and the raw link table repeats each patch massively (the first
+    // cut fanned 600k raw rows ×30 sets into the aggregation, 29 s of
+    // the round-15 noop close; the distinct side is ~1% of that)
+    setMembers.join(
+      patchLinks
+        .filter(col("commit_hash").isNotNull || col("vcs_url").isNotNull)
+        .select("avid", "patch_kind", "commit_hash", "vcs_url")
+        .distinct(),
+      Seq("avid"))
       .groupBy("set_id", "patch_kind")
       .agg(array_sort(collect_set(struct(col("commit_hash"),
         col("vcs_url")))).as("patches"))
