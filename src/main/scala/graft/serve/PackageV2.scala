@@ -117,6 +117,27 @@ object PackageV2 {
       col("risk_score"))
   }
 
+  /** CodeFixV2 list endpoint (api_v2.py:679-696 CodeFixV2ViewSet +
+    * :605-654 CodeFixV2Serializer; captured expectations
+    * tests/test_api_v2.py:860-913): the code-fix mart rows
+    * (AdvisoryDerive.codeFixesFromLinks — one row per first-claiming
+    * advisory commit × affected package) in the serializer's field
+    * names — `affected_advisory_id` is the avid, `commits` the VCS
+    * URL list, `affected_package_purl` the concrete purl — optionally
+    * filtered by the advisory's avid (exact, the viewset's
+    * `advisory_id` query param; unknown ids yield an empty list, not
+    * an error). A request-bounded filter over a derived mart: the
+    * predicate pushes to the mart scan. */
+  def v2CodeFixes(codeFixes: DataFrame,
+      advisoryId: Option[String] = None): DataFrame = {
+    val base = codeFixes.select(
+      col("avid").as("affected_advisory_id"),
+      array(col("vcs_url")).as("commits"),
+      col("affected_package").as("affected_package_purl"))
+    advisoryId.fold(base)(a =>
+      base.filter(col("affected_advisory_id") === a))
+  }
+
   /** The list endpoint's page-scoped `vulnerabilities` dict
     * (api_v2.py:301-330): every vulnerability referenced by the page's
     * packages — affected-by and fixing sides both — keyed by VCID.

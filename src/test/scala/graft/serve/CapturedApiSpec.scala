@@ -722,4 +722,41 @@ class CapturedApiSpec extends AnyFunSuite with SparkTestSession {
     assert(ids(vulns.filter(col("vulnerability_id") === "VCID-9999"))
       .isEmpty)
   }
+
+  test("CodeFixV2 endpoint (test_api_v2.py:860-913): list, filter by " +
+      "advisory avid, unknown avid -> empty") {
+    val sp = spark
+    import sp.implicits._
+    import graft.derive.AdvisoryDerive
+    // the reference fixture: one advisory test_source/TEST-2025-001
+    // with a code fix linking an affected package; built through the
+    // real link-fed mart (codeFixesFromLinks)
+    val links = Seq(
+      ("test_source/TEST-2025-001",
+        "https://github.com/org/repo/commit/abc123def"),
+      ("test_source/TEST-2025-001",
+        "https://example.com/advisory"))   // non-commit ref: dropped
+      .toDF("avid", "url")
+    val unfurled = Seq(
+      ("test_source/TEST-2025-001", "pkg:pypi/affected_package", "1.0.0",
+        true, false))
+      .toDF("avid", "base_purl", "version", "is_affected", "is_fixed")
+    val fixes = AdvisoryDerive.codeFixesFromLinks(links, unfurled)
+    // list all: one code fix, affected_advisory_id == the avid
+    val all = PackageV2.v2CodeFixes(fixes).collect()
+    assert(all.length == 1)
+    val r = all.head
+    assert(r.getAs[String]("affected_advisory_id") ==
+      "test_source/TEST-2025-001")
+    assert(r.getSeq[String](r.fieldIndex("commits")) ==
+      Seq("https://github.com/org/repo/commit/abc123def"))
+    assert(r.getAs[String]("affected_package_purl") ==
+      "pkg:pypi/affected_package@1.0.0")
+    // filter by advisory_id: found
+    assert(PackageV2.v2CodeFixes(fixes,
+      Some("test_source/TEST-2025-001")).count() == 1)
+    // unknown advisory_id: count == 0, not an error
+    assert(PackageV2.v2CodeFixes(fixes,
+      Some("nonexistent/ADVISORY-ID")).count() == 0)
+  }
 }
