@@ -66,12 +66,27 @@ object Cvss {
   }
 
   /** Score a vector by sniffing its version. */
+  /** Bounded vector → score memo (the Vers.parseCached pattern): CVSS
+    * vector strings come from a finite grammar and real severity feeds
+    * repeat them massively (the noop-mode bench measured ~25 µs per
+    * v4 scoring — the macrovector candidate search — against a fixture
+    * with 8 distinct vectors). Capped at 64k entries; past the cap
+    * later arrivals compute per call. Some(null-free) Options only —
+    * the map stores the Option itself. */
+  private val scoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Double]]()
+
   def baseScore(vector: String): Option[Double] = {
     val v = vector.trim
-    if (v.startsWith("CVSS:3")) v3BaseScore(v)
-    else if (v.startsWith("CVSS:4")) Cvss4.baseScore(v)
-    else if (v.contains("Au:")) v2BaseScore(v)
-    else v3BaseScore(v)
+    val hit = scoreCache.get(v)
+    if (hit != null) return hit
+    val r =
+      if (v.startsWith("CVSS:3")) v3BaseScore(v)
+      else if (v.startsWith("CVSS:4")) Cvss4.baseScore(v)
+      else if (v.contains("Au:")) v2BaseScore(v)
+      else v3BaseScore(v)
+    if (scoreCache.size < 65536) scoreCache.putIfAbsent(v, r)
+    r
   }
 
   /** Severity bucket per the public v3 ratings (also applied to v2 for the
