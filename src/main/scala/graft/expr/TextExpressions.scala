@@ -151,13 +151,26 @@ object TopNgramExpr {
   *
   * Input: array<string> tokens; returns array<struct<pos:int, h1:long,
   * h2:long>> — one entry per window start, empty when
-  * size(tokens) < L. */
+  * size(tokens) < L. A null ELEMENT hashes as the empty string (the
+  * committed call sites never produce one — tokens() yields non-null —
+  * but the function is registered for direct SQL use, where the
+  * concat_ws formulation it replaced also null-tolerated). */
 case class RollingWindowDigestsExpr(child: Expression, windowTokens: Int)
     extends UnaryExpression {
   require(windowTokens >= 1, s"windowTokens must be >= 1: $windowTokens")
 
   override def dataType: DataType = RollingWindowDigestsExpr.schema
   override def prettyName: String = "rolling_window_digests_native"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_window_digests_native needs array<string>, got $t")
+    }
 
   override protected def nullSafeEval(toks: Any): Any =
     RollingWindowDigestsExpr.evalTokens(
@@ -204,7 +217,9 @@ object RollingWindowDigestsExpr {
     val x2 = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val s = toks.getUTF8String(i)
+      val raw = toks.getUTF8String(i)
+      // null element hashes as "" (see class scaladoc)
+      val s = if (raw == null) UTF8String.EMPTY_UTF8 else raw
       x1(i) = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       x2(i) = java.lang.Long.remainderUnsigned(

@@ -93,10 +93,16 @@ object Vers {
     if (neqKeys.contains(eqK)) return false
     if (eqKeys.contains(eqK)) return true
     if (cs.exists(_.op == "*")) return true
-    // interval walk over sorted comparators
+    // Interval walk over sorted comparators. Sort is by sortKey with
+    // lower bounds FIRST on key ties: apache's build-metadata precedence
+    // can sort-tie a lower/upper pair (e.g. `>=0.10.2|<0.10.2.2`), and a
+    // stable spec-order tiebreak would make membership depend on the
+    // spelling order — `<0.10.2.2|>=0.10.2` would read as (-inf,hi) plus
+    // [lo,inf) = everything. Lower-first pairs the tie into one
+    // (empty-at-the-tie) interval regardless of spec order.
     val comps = cs.filter(c => c.op != "=" && c.op != "!=" && c.op != "*")
       .map(c => (c.op, VersionOrd.sortKey(range.scheme, c.version)))
-      .sortBy(_._2)
+      .sortBy(c => (c._2, if (isLower(c._1)) 0 else 1))
     if (comps.isEmpty) return false
     var i = 0
     var in = false

@@ -138,23 +138,54 @@ object PackageV2 {
       base.filter(col("affected_advisory_id") === a))
   }
 
+  /** The pre-ghost-mask fixing relation (purl, vulnerability_id) — the
+    * ORM `package.fixing_vulnerabilities` M2M that the v2 list
+    * endpoint's dict collection walks directly (api_v2.py:312-314),
+    * BEFORE the serializer's ghost exclusion (api_v2.py:239-242)
+    * empties the per-package list. Feed it to [[vulnerabilitiesDict]]
+    * so a vulnerability fixed only by a ghost package still appears in
+    * the page dict, exactly as the reference responds. */
+  def fixingRelation(unfurled: DataFrame, member: DataFrame): DataFrame =
+    unfurled.filter(col("is_fixed"))
+      .join(member.select("avid", "vulnerability_id"), Seq("avid"))
+      .select(concat(col("base_purl"), lit("@"), col("version")).as("purl"),
+        col("vulnerability_id"))
+      .distinct()
+
   /** The list endpoint's page-scoped `vulnerabilities` dict
     * (api_v2.py:301-330): every vulnerability referenced by the page's
     * packages — affected-by and fixing sides both — keyed by VCID.
     * `vulnerabilities` is the V1/V2 vulnerability mart
     * (VulnerabilityV1.vulnerabilities: vulnerability_id, aliases,
     * summary, risk trio — the VulnerabilityV2Serializer core). The
-    * page is request-bounded, so the semi-join broadcasts. */
+    * page is request-bounded, so the semi-joins broadcast.
+    *
+    * Pass `fixingAll` ([[fixingRelation]]) to reproduce the reference
+    * exactly: its list() collects the fixing side from the ORM relation
+    * (api_v2.py:312-314), which does NOT apply the serializer's ghost
+    * rule — a vulnerability fixed only by a ghost package appears in
+    * the page dict even though every package row shows it fixing
+    * nothing. Without `fixingAll` the fixing side falls back to the
+    * page rows' (ghost-masked) `fixing_vulnerabilities` arrays — a
+    * documented divergence for callers that only have the serialized
+    * page. */
   def vulnerabilitiesDict(packagesPage: DataFrame,
-      vulnerabilities: DataFrame): DataFrame = {
-    val referenced = packagesPage
+      vulnerabilities: DataFrame,
+      fixingAll: Option[DataFrame] = None): DataFrame = {
+    val affectedSide = packagesPage
       .select(explode(expr(
         "transform(affected_by_vulnerabilities, x -> x.vulnerability_id)"))
         .as("vulnerability_id"))
-      .union(packagesPage
+    val fixingSide = fixingAll match {
+      case Some(rel) => rel
+        .join(broadcast(packagesPage.select("purl")), Seq("purl"),
+          "left_semi")
+        .select("vulnerability_id")
+      case None => packagesPage
         .select(explode(col("fixing_vulnerabilities"))
-          .as("vulnerability_id")))
-      .distinct()
+          .as("vulnerability_id"))
+    }
+    val referenced = affectedSide.union(fixingSide).distinct()
     vulnerabilities.join(broadcast(referenced),
       Seq("vulnerability_id"), "left_semi")
   }

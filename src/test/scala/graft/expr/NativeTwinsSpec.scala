@@ -91,4 +91,32 @@ class NativeTwinsSpec extends AnyFunSuite with SparkTestSession {
       .head()
     assert(n.isNullAt(0))
   }
+  test("rolling_window_digests_native: null element hashes as empty " +
+      "string; non-array<string> input fails analysis") {
+    val sp = spark
+    import sp.implicits._
+    // a null token and an empty-string token produce IDENTICAL window
+    // digests (the documented null behavior of the registered SQL
+    // function; the concat_ws path it replaced also null-tolerated)
+    val withNull = Seq(Tuple1(Seq("a", null, "c", "d")))
+      .toDF("toks")
+      .select(call_function("rolling_window_digests_native",
+        col("toks"), lit(2)).as("w"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    val withEmpty = Seq(Tuple1(Seq("a", "", "c", "d")))
+      .toDF("toks")
+      .select(call_function("rolling_window_digests_native",
+        col("toks"), lit(2)).as("w"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(withNull.nonEmpty && withNull == withEmpty)
+    // wrong child type is an analysis error, not a runtime cast failure
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1(Seq(1, 2, 3))).toDF("toks")
+        .select(call_function("rolling_window_digests_native",
+          col("toks"), lit(2)))
+        .head()
+    }
+    assert(err.getMessage.contains("rolling_window_digests_native") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
 }

@@ -92,6 +92,20 @@ class VersSpec extends AnyFunSuite {
     in("vers:apache/<10.0.0", "10.0.0-M4")     // milestone below release
   }
 
+  test("key-tied lower/upper bound pair: membership is spec-order " +
+      "independent (lower bound sorts first on ties)") {
+    // apache build metadata sort-ties 0.10.2.2 with 0.10.2, so this
+    // pair shares a sortKey. Both spellings must read as ONE interval
+    // (empty at the tie), not as (-inf,hi) ∪ [lo,inf) = everything.
+    for (spec <- Seq("vers:apache/>=0.10.2|<0.10.2.2",
+        "vers:apache/<0.10.2.2|>=0.10.2")) {
+      out(spec, "0.10.1")   // below the pair
+      out(spec, "0.10.2")   // at the tie: >= holds, < fails
+      out(spec, "0.10.2.2") // the tie's build twin: same keys
+      out(spec, "0.10.3")   // above the pair
+    }
+  }
+
   test("exact pin extraction (V3)") {
     val (pins, excluded) = Vers.exactVersions("vers:npm/=1.0.0|>=2.0.0|<3.0.0|!=2.5.0")
     assert(pins == Seq("1.0.0"))

@@ -612,7 +612,13 @@ class CapturedApiSpec extends AnyFunSuite with SparkTestSession {
         Seq(graft.model.AffectedRow("pkg:npm/lodash",
           "", "vers:npm/=4.17.20"),
           graft.model.AffectedRow("pkg:npm/ghostpkg",
-            "", "vers:npm/=1.0")))).toDF())
+            "", "vers:npm/=1.0"))),
+      // fixed ONLY by the ghost package — visible in the list
+      // endpoint's page dict (ORM relation, api_v2.py:312-314) while
+      // every serialized package shows it fixing nothing
+      adv("ADV-3", "CVE-2021-9999", "Test vulnerability 3",
+        Seq(graft.model.AffectedRow("pkg:npm/ghostpkg",
+          "", "vers:npm/=1.0")))).toDF())
     val packages = Seq(
       ("pkg:pypi/django", "3.2", false),
       ("pkg:npm/lodash", "4.17.20", false),
@@ -696,14 +702,25 @@ class CapturedApiSpec extends AnyFunSuite with SparkTestSession {
     val list = PackageV2.packageList(packages, unfurled, member)
     val vulns = VulnerabilityV1.vulnerabilities(sp, advisories,
       precomputedMembership = Some(member))
+    val vcid3 = vcidOf("src/ADV-3")
     // test_list_packages: every VCID referenced by the page's packages
-    // appears in the response's vulnerabilities dict
-    val dict = PackageV2.vulnerabilitiesDict(list, vulns)
+    // appears in the response's vulnerabilities dict. The fixing side
+    // comes from the PRE-ghost-mask ORM relation (api_v2.py:312-314):
+    // vuln3 is fixed only by the ghost package, yet it IS in the dict
+    // even though no serialized package claims to fix it.
+    val dict = PackageV2.vulnerabilitiesDict(list, vulns,
+      fixingAll = Some(PackageV2.fixingRelation(unfurled, member)))
       .collect().map(r => r.getAs[String]("vulnerability_id") ->
         r.getAs[String]("summary")).toMap
-    assert(dict.keySet == Set(vcid1, vcid2))
+    assert(dict.keySet == Set(vcid1, vcid2, vcid3))
     assert(dict(vcid1) == "Test vulnerability 1")
     assert(dict(vcid2) == "Test vulnerability 2")
+    assert(dict(vcid3) == "Test vulnerability 3")
+    // without the relation the dict degrades to the page rows'
+    // ghost-masked arrays (documented fallback): vuln3 drops
+    val masked = PackageV2.vulnerabilitiesDict(list, vulns)
+      .collect().map(_.getAs[String]("vulnerability_id")).toSet
+    assert(masked == Set(vcid1, vcid2))
     // vulnerability list filters (exact-in semantics, CharInFilter):
     // by id, by multiple ids, by alias, by multiple aliases
     def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
