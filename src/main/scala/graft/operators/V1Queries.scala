@@ -280,6 +280,96 @@ object V1Queries extends QueryModule {
         .orderBy("purl")
     },
 
+    // S28 — the CodeFixV2 list endpoint (api_v2.py:679-696
+    // CodeFixV2ViewSet; captured expectations test_api_v2.py:860-913,
+    // pinned in CapturedApiSpec part 5): the d20 code-fix mart in the
+    // CodeFixV2Serializer field names, with the viewset's advisory_id
+    // query-param filter exercised in three variants — unfiltered list,
+    // a present avid ('adv/0' — the mart's min-avid first-wins rule
+    // makes low avids the claimed ones), and an unknown avid (must
+    // yield an empty page, not an error; the hash gates that the
+    // 'none' variant contributes zero rows). The mart checkpoints once
+    // and each variant is a pushed-down predicate over it — the
+    // request-bounded serving shape.
+    q("s28_v2_code_fixes",
+      """WITH r AS (
+        |  SELECT 'adv/' || CAST(o_orderkey % 50 AS VARCHAR) AS avid,
+        |         CASE
+        |           WHEN o_orderkey % 4 = 0 THEN
+        |             'https://github.com/org/r' ||
+        |             CAST(o_orderkey % 7 AS VARCHAR) || '/commit/' ||
+        |             substring(md5(CAST(o_orderkey % 8 AS VARCHAR)), 1, 8)
+        |           WHEN o_orderkey % 4 = 1 THEN
+        |             'git://github.com/org/r' ||
+        |             CAST(o_orderkey % 7 AS VARCHAR) || '/commit/' ||
+        |             substring(md5(CAST(o_orderkey % 8 AS VARCHAR)), 1, 8)
+        |           WHEN o_orderkey % 4 = 2 THEN
+        |             'https://example.com/advisory/' ||
+        |             CAST(o_orderkey AS VARCHAR)
+        |           ELSE 'ftp://host/commit/deadbeef' END AS url
+        |  FROM orders),
+        |norm AS (
+        |  SELECT avid, trim(url) AS vcs_url
+        |  FROM r
+        |  WHERE url LIKE '%/commit/%'
+        |    AND regexp_matches(url,
+        |      '^(git\+)?(https?|git|hg|svn)(\+https?|\+git)?://')),
+        |first AS (SELECT vcs_url, min(avid) AS avid FROM norm
+        |          GROUP BY vcs_url),
+        |aff AS (
+        |  SELECT DISTINCT 'adv/' || CAST(l_orderkey % 50 AS VARCHAR)
+        |           AS avid,
+        |         'pkg:npm/p' || CAST(l_partkey % 20 AS VARCHAR) || '@' ||
+        |           CAST(l_linenumber AS VARCHAR) AS affected_package
+        |  FROM lineitem WHERE l_quantity > 25),
+        |mart AS (
+        |  SELECT f.avid AS affected_advisory_id,
+        |         f.vcs_url AS commits_csv,
+        |         a.affected_package AS affected_package_purl
+        |  FROM first f JOIN aff a USING (avid))
+        |SELECT * FROM (
+        |  SELECT 'all' AS variant, * FROM mart
+        |  UNION ALL
+        |  SELECT 'one' AS variant, * FROM mart
+        |  WHERE affected_advisory_id = 'adv/0'
+        |  UNION ALL
+        |  SELECT 'none' AS variant, * FROM mart
+        |  WHERE affected_advisory_id = 'adv/999')
+        |ORDER BY variant, affected_advisory_id, affected_package_purl,
+        |         commits_csv""") { (s, dir) =>
+      val okey = col("o_orderkey")
+      val commit = substring(md5(pmod(okey, lit(8)).cast("string")), 1, 8)
+      val refs = Tables(s, dir, "orders").select(
+        concat(lit("adv/"), pmod(okey, lit(50))).as("avid"),
+        when(pmod(okey, lit(4)) === 0,
+          concat(lit("https://github.com/org/r"), pmod(okey, lit(7)),
+            lit("/commit/"), commit))
+          .when(pmod(okey, lit(4)) === 1,
+            concat(lit("git://github.com/org/r"), pmod(okey, lit(7)),
+              lit("/commit/"), commit))
+          .when(pmod(okey, lit(4)) === 2,
+            concat(lit("https://example.com/advisory/"), okey))
+          .otherwise(lit("ftp://host/commit/deadbeef")).as("url"))
+      val unf = Tables(s, dir, "lineitem").select(
+        concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
+        concat(lit("pkg:npm/p"), pmod(col("l_partkey"), lit(20)))
+          .as("base_purl"),
+        col("l_linenumber").cast("string").as("version"),
+        (col("l_quantity") > 25).as("is_affected"))
+      val mart = graft.derive.AdvisoryDerive
+        .codeFixesFromLinks(refs, unf).localCheckpoint()
+      def page(v: String, advisoryId: Option[String]) =
+        graft.serve.PackageV2.v2CodeFixes(mart, advisoryId).select(
+          lit(v).as("variant"), col("affected_advisory_id"),
+          array_join(col("commits"), ",").as("commits_csv"),
+          col("affected_package_purl"))
+      page("all", None)
+        .unionAll(page("one", Some("adv/0")))
+        .unionAll(page("none", Some("adv/999")))
+        .orderBy("variant", "affected_advisory_id",
+          "affected_package_purl", "commits_csv")
+    },
+
     // V1 package querysets (models.py:697-733): per concrete package
     // the distinct vulnerabilities affecting / fixed by it — the
     // with_vulnerability_counts annotations; `vulnerable`/`fixing` are
