@@ -89,6 +89,56 @@ class VersionOrdPropSpec extends AnyFunSuite {
     })
   }
 
+  test("eqKey refines sortKey: eqKey-equal implies sortKey-equal, and " +
+      "eqKey is the identity off eq-sensitive schemes") {
+    // The algebraic contract the =/!= membership passes rest on: eqKey
+    // partitions each sortKey tie class (never merges across classes),
+    // so `=`-pins are always at least as selective as key-bound
+    // intervals; and for every non-eqSensitive scheme the two keys are
+    // THE SAME string, so the split cannot drift in silently.
+    val junk = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('.', '-', '+', '~', '_', ':'),
+      1 -> Gen.numChar)).map(_.mkString.take(24))
+    check(Prop.forAll(Gen.oneOf(schemes), junk, junk) { (scheme, va, vb) =>
+      val refines =
+        VersionOrd.eqKey(scheme, va) != VersionOrd.eqKey(scheme, vb) ||
+          VersionOrd.sortKey(scheme, va) == VersionOrd.sortKey(scheme, vb)
+      val identityOffApache = VersionOrd.eqSensitive(scheme) ||
+        (VersionOrd.eqKey(scheme, va) == VersionOrd.sortKey(scheme, va) &&
+          VersionOrd.eqKey(scheme, vb) == VersionOrd.sortKey(scheme, vb))
+      refines && identityOffApache
+    })
+  }
+
+  test("apache membership algebra: =/!= evaluate on eqKey, bounds on " +
+      "sortKey, for arbitrary build twins") {
+    check(Prop.forAll(seg, seg, seg,
+        Gen.chooseNum(1L, 9999L), Gen.chooseNum(1L, 9999L)) {
+      (a, b, c, d, e) =>
+        val base = s"$a.$b.$c"
+        val vd = s"$base.$d" // build twin: sort-ties base, eq-differs
+        val ve = s"$base.$e"
+        // bounds see the sortKey tie: any build twin satisfies the
+        // inclusive bounds of its base and fails the strict ones
+        Vers.versionInRange(vd, s"vers:apache/<=$base") &&
+          Vers.versionInRange(vd, s"vers:apache/>=$base") &&
+          !Vers.versionInRange(vd, s"vers:apache/<$base") &&
+          !Vers.versionInRange(vd, s"vers:apache/>$base") &&
+          // `=` pins see eqKey: only the identical build satisfies
+          Vers.versionInRange(vd, s"vers:apache/=$vd") &&
+          Vers.versionInRange(vd, s"vers:apache/=$base+$d") &&
+          (Vers.versionInRange(vd, s"vers:apache/=$ve") == (d == e)) &&
+          !Vers.versionInRange(base, s"vers:apache/=$vd") &&
+          !Vers.versionInRange(vd, s"vers:apache/=$base") &&
+          // `!=` excludes exactly the eqKey-equal spelling: the build
+          // twin passes through a !=base exclusion and vice versa
+          Vers.versionInRange(vd, s"vers:apache/>=$base|!=$base") &&
+          !Vers.versionInRange(vd, s"vers:apache/>=$base|!=$vd") &&
+          Vers.versionInRange(base, s"vers:apache/>=$base|!=$vd")
+    })
+  }
+
   test("a higher deb/rpm epoch dominates any version body") {
     val body = Gen.nonEmptyListOf(seg).map(_.take(4).mkString("."))
     check(Prop.forAll(Gen.chooseNum(0, 98), body, body) { (e, va, vb) =>
