@@ -628,6 +628,120 @@ object Corpus {
           .as("text"))
   }
 
+  /** Bootstrap (or rebuild) the persisted substring-digest index over an
+    * admitted corpus: the DISTINCT stride-1 L-token window digests, 16
+    * bytes per row — the only corpus-side state
+    * [[incrementalSubstringStrip]] ever touches. Equal to the union of
+    * every prior batch's appended fresh digests, so a rebuilt index and
+    * an accumulated one decide identically. */
+  def substringDigestIndex(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 20): DataFrame =
+    df.select(tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= windowTokens)
+      .select(explode(call_function("rolling_window_digests_native",
+        col("_toks"), lit(windowTokens))).as("_c"))
+      .select(col("_c.h1").as("h1"), col("_c.h2").as("h2"))
+      .distinct()
+
+  /** Incremental cross-document exact-substring STRIP — admit an arrival
+    * batch against the persisted digest index of everything already
+    * admitted, WITHOUT re-reading admitted text (the
+    * [[graft.operators.TextDedup.incrementalMinHashDedup]] admission
+    * pattern applied to the Lee et al. substring family; the batch form
+    * [[stripSubstringDups]] remains the global compaction path).
+    *
+    * Decision rules, preserving the batch form's keep-lowest-(doc, pos)
+    * contract across the admitted/arrival boundary (ids are the
+    * admission order, so every admitted occurrence precedes every
+    * arrival occurrence):
+    *  - an arrival window whose digest IS in the index strips — its
+    *    canonical copy was admitted earlier;
+    *  - a FRESH digest (not indexed) seen in >= 2 distinct arrival docs
+    *    keeps its lowest-(doc, pos) occurrence and strips the rest —
+    *    exactly the batch rule scoped to the batch;
+    *  - a fresh digest in a single arrival doc is not duplication at
+    *    this grain (the batch form's countDistinct >= 2), nothing
+    *    strips.
+    * Append the returned fresh-digest set to the index and the next
+    * batch continues from there. Note the index records digests whose
+    * canonical occurrence was admitted; an overlapping strip span from
+    * a DIFFERENT digest may later truncate that occurrence's text —
+    * the same already-merged-spans property the batch form (and the
+    * suffix-array original) has — so the index upper-bounds the corpus
+    * and later batches can only strip more, never less (the dedup-safe
+    * direction).
+    *
+    * Scale shape: one O(tokens) native rolling-digest pass over the
+    * batch (checkpointed — three narrow consumers, no re-tokenize);
+    * classification is digest equi-semi/anti-joins against the
+    * 16-byte/row index; the intra-batch hot pick is the batch form's
+    * single min-struct aggregation; span merge + rebuild are map-only.
+    * The corpus-sized side is touched only through the index —
+    * O(distinct windows) rows, no text.
+    *
+    * Returns (result, freshDigests): result = per arrival doc
+    * (idCol, n_tokens, n_windows, n_fresh_windows, n_index_dup_windows,
+    * n_intra_dup_windows, n_spans, stripped_tokens, text) — the three
+    * window counters make the boundary classification itself
+    * oracle-gateable; freshDigests = (h1, h2) rows to append. */
+  def incrementalSubstringStrip(delta: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, windowTokens: Int = 20)
+      : (DataFrame, DataFrame) = {
+    val L = windowTokens
+    val base = delta.select(col(idCol).as("_id"), col(textCol).as("_text"),
+        tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+    val winRows = base.filter(col("_n") >= L)
+      .select(col("_id"), explode(call_function(
+        "rolling_window_digests_native", col("_toks"), lit(L))).as("_c"))
+      .select(col("_id"), col("_c.pos").as("_pos"),
+        col("_c.h1").as("h1"), col("_c.h2").as("h2"))
+      .localCheckpoint()
+    val ix = index.select("h1", "h2")
+    val dupIx = winRows.join(ix, Seq("h1", "h2"), "left_semi")
+    val freshRows = winRows.join(ix, Seq("h1", "h2"), "left_anti")
+    val hotFresh = freshRows.groupBy("h1", "h2")
+      .agg(countDistinct("_id").as("_df"),
+        min(struct(col("_id"), col("_pos"))).as("_keep"))
+      .filter(col("_df") >= 2)
+      .select("h1", "h2", "_keep")
+    val dupIntra = freshRows.join(hotFresh, Seq("h1", "h2"))
+      .filter(col("_id") =!= col("_keep._id") ||
+        col("_pos") =!= col("_keep._pos"))
+    val dupPos = dupIx.select("_id", "_pos")
+      .unionAll(dupIntra.select("_id", "_pos"))
+      .groupBy("_id")
+      .agg(sort_array(collect_list(col("_pos"))).as("_dups"))
+    val freshCnt = freshRows.groupBy("_id")
+      .agg(count(lit(1)).as("_n_fresh"))
+    val ixCnt = dupIx.groupBy("_id").agg(count(lit(1)).as("_n_ixdup"))
+    val intraCnt = dupIntra.groupBy("_id")
+      .agg(count(lit(1)).as("_n_intradup"))
+    val result = base
+      .join(dupPos, Seq("_id"), "left")
+      .join(freshCnt, Seq("_id"), "left")
+      .join(ixCnt, Seq("_id"), "left")
+      .join(intraCnt, Seq("_id"), "left")
+      .withColumn("_spans", expr(mergeSpansFold(L)))
+      .select(col("_id").as(idCol),
+        col("_n").cast("long").as("n_tokens"),
+        greatest(col("_n") - (L - 1), lit(0)).cast("long")
+          .as("n_windows"),
+        coalesce(col("_n_fresh"), lit(0L)).as("n_fresh_windows"),
+        coalesce(col("_n_ixdup"), lit(0L)).as("n_index_dup_windows"),
+        coalesce(col("_n_intradup"), lit(0L)).as("n_intra_dup_windows"),
+        size(col("_spans")).cast("long").as("n_spans"),
+        expr("aggregate(_spans, 0L, (a, x) -> a + x.e - x.s)")
+          .as("stripped_tokens"),
+        when(size(col("_spans")) === 0, col("_text"))
+          .otherwise(expr(
+            "concat_ws(' ', filter(_toks, (t, i) -> " +
+              "!exists(_spans, sp -> i >= sp.s AND i < sp.e)))"))
+          .as("text"))
+    val freshDigests = freshRows.select("h1", "h2").distinct()
+    (result, freshDigests)
+  }
+
   /** Source-mixture sampling — the training-mixture weighting step:
     * keep each row with its source's probability, decided by a
     * deterministic 16-bit md5 bucket (digest chars 5–8, a DIFFERENT

@@ -1168,6 +1168,101 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Incremental substring-dedup admission (the x_incremental_dedup
+    // pattern on the Lee et al. substring family): arrivals
+    // (doc_id % 10 = 7) strip against the admitted corpus's persisted
+    // window-digest index — never its text — plus intra-batch
+    // keep-lowest-(doc, pos). The oracle recomputes BOTH sides from raw
+    // window STRINGS (admitted index = distinct admitted windows), so
+    // cross-boundary digest injectivity, the three-way window
+    // classification (fresh / index-dup / intra-dup counters), the
+    // span merge AND the rebuild are all hash-gated.
+    q("x_incremental_substring",
+      """WITH t AS (SELECT doc_id, text,
+        |        list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                    x -> x <> '') AS toks
+        |      FROM documents),
+        |b AS (SELECT doc_id, text, toks, len(toks) AS n FROM t),
+        |w AS (SELECT doc_id, i AS pos,
+        |        array_to_string(toks[i+1 : i+12], ' ') AS win
+        |      FROM b, LATERAL unnest(range(0, n - 11)) AS u(i)
+        |      WHERE n >= 12),
+        |ix AS (SELECT DISTINCT win FROM w WHERE doc_id % 10 <> 7),
+        |aw AS (SELECT doc_id, pos, win FROM w WHERE doc_id % 10 = 7),
+        |dupix AS (SELECT a.doc_id, a.pos FROM aw a
+        |          WHERE EXISTS (SELECT 1 FROM ix WHERE ix.win = a.win)),
+        |fresh AS (SELECT a.doc_id, a.pos, a.win FROM aw a
+        |          WHERE NOT EXISTS
+        |            (SELECT 1 FROM ix WHERE ix.win = a.win)),
+        |hotf AS (SELECT win FROM fresh GROUP BY win
+        |         HAVING count(DISTINCT doc_id) >= 2),
+        |rankedf AS (SELECT f.doc_id, f.pos,
+        |              row_number() OVER (PARTITION BY f.win
+        |                ORDER BY f.doc_id, f.pos) AS rn
+        |            FROM fresh f JOIN hotf USING (win)),
+        |dupintra AS (SELECT doc_id, pos FROM rankedf WHERE rn > 1),
+        |dup AS (SELECT doc_id, pos FROM dupix
+        |        UNION ALL SELECT doc_id, pos FROM dupintra),
+        |lagd AS (SELECT doc_id, pos,
+        |           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |             AS prev
+        |         FROM dup),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev IS NULL OR pos > prev + 12
+        |                   THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM lagd),
+        |spans AS (SELECT doc_id, island, min(pos) AS s,
+        |                 max(pos) + 12 AS e
+        |          FROM isl GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |          CAST(sum(e - s) AS BIGINT) AS stripped_tokens
+        |        FROM spans GROUP BY doc_id),
+        |fcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fresh
+        |         FROM fresh GROUP BY doc_id),
+        |icnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ixdup
+        |         FROM dupix GROUP BY doc_id),
+        |ncnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_intradup
+        |         FROM dupintra GROUP BY doc_id),
+        |ab AS (SELECT doc_id, text, toks, n FROM b
+        |       WHERE doc_id % 10 = 7),
+        |toki AS (SELECT ab.doc_id, u.i, ab.toks[u.i + 1] AS tok
+        |         FROM ab JOIN agg USING (doc_id),
+        |              LATERAL unnest(range(0, ab.n)) AS u(i)),
+        |kept AS (SELECT tk.doc_id,
+        |           array_to_string(list(tk.tok ORDER BY tk.i), ' ')
+        |             AS txt
+        |         FROM toki tk
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |           WHERE s.doc_id = tk.doc_id
+        |             AND tk.i >= s.s AND tk.i < s.e)
+        |         GROUP BY tk.doc_id)
+        |SELECT ab.doc_id,
+        |       CAST(ab.n AS BIGINT) AS n_tokens,
+        |       CAST(greatest(ab.n - 11, 0) AS BIGINT) AS n_windows,
+        |       coalesce(f.n_fresh, 0) AS n_fresh_windows,
+        |       coalesce(i.n_ixdup, 0) AS n_index_dup_windows,
+        |       coalesce(nc.n_intradup, 0) AS n_intra_dup_windows,
+        |       coalesce(a.n_spans, 0) AS n_spans,
+        |       coalesce(a.stripped_tokens, 0) AS stripped_tokens,
+        |       CASE WHEN a.doc_id IS NOT NULL THEN coalesce(k.txt, '')
+        |            ELSE ab.text END AS text
+        |FROM ab LEFT JOIN agg a USING (doc_id)
+        |       LEFT JOIN fcnt f USING (doc_id)
+        |       LEFT JOIN icnt i USING (doc_id)
+        |       LEFT JOIN ncnt nc USING (doc_id)
+        |       LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val arrivals = d.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val admitted = d.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val index = Corpus.substringDigestIndex(admitted, "text", "doc_id",
+        windowTokens = 12).localCheckpoint()
+      Corpus.incrementalSubstringStrip(arrivals, index, "text", "doc_id",
+          windowTokens = 12)._1
+        .orderBy("doc_id")
+    },
+
     // Contiguous sequence packing: each doc lands in the fixed-budget
     // training sequence its starting token offset falls into, per source
     // stream. Pure integer arithmetic (exact cross-engine); the only

@@ -516,6 +516,79 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(7) == ((8L, 10L, 1L, 8L, "w1 w2")))
   }
 
+  test("incrementalSubstringStrip admits batches against the digest " +
+      "index: index dups strip, fresh intra-batch dups keep lowest, " +
+      "appended digests carry to the next batch") {
+    val sp = spark
+    import sp.implicits._
+    val run = "one two three four five six" // admitted 6-token run
+    val f = "fa fb fc fd fe"                // fresh 5-token run
+    val batch1 = Seq((1L, s"$run aa bb"), (2L, "solo words only here"))
+      .toDF("doc_id", "text")
+    val index1 = Corpus.substringDigestIndex(batch1, "text", "doc_id",
+      windowTokens = 4).localCheckpoint()
+    val batch2 = Seq(
+      (10L, s"xx $run yy"), // copies an ADMITTED run -> index dups
+      (11L, s"$f m1 m2"),   // canonical for the fresh run (lowest doc)
+      (12L, s"n1 $f n2"),   // intra-batch copy -> stripped
+      (13L, "tiny doc"))    // short: verbatim, zero windows
+      .toDF("doc_id", "text")
+    val (res2, fresh2) = Corpus.incrementalSubstringStrip(
+      batch2, index1, "text", "doc_id", windowTokens = 4)
+    val got = res2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getString(8)))
+      .sortBy(_._1).toList
+    // (id, n_tokens, n_windows, fresh, ixdup, intradup, spans,
+    //  stripped, text)
+    assert(got(0) == ((10L, 8L, 5L, 2L, 3L, 0L, 1L, 6L, "xx yy")))
+    assert(got(1) == ((11L, 7L, 4L, 4L, 0L, 0L, 0L, 0L, s"$f m1 m2")))
+    // n_fresh counts NOT-INDEXED windows — intra-batch dups included
+    // (n_fresh + n_ixdup = n_windows; intra dups are a subset of fresh)
+    assert(got(2) == ((12L, 7L, 4L, 4L, 0L, 2L, 1L, 5L, "n1 n2")))
+    assert(got(3) == ((13L, 2L, 0L, 0L, 0L, 0L, 0L, 0L, "tiny doc")))
+    // 8 distinct fresh window digests appended (the shared fresh-run
+    // windows of docs 11/12 count once)
+    assert(fresh2.count() == 8L)
+    // next batch strips against index1 UNION the appended digests: the
+    // fresh run is now admitted (canonical in doc 11), so a copy in
+    // batch 3 is an INDEX dup — admitted text never re-read
+    val index2 = index1.unionAll(fresh2)
+    val batch3 = Seq((20L, s"zz $f ww")).toDF("doc_id", "text")
+    val r3 = Corpus.incrementalSubstringStrip(
+        batch3, index2, "text", "doc_id", windowTokens = 4)._1
+      .collect().head
+    assert(r3.getLong(4) == 2L)        // n_index_dup_windows
+    assert(r3.getLong(5) == 0L)        // no intra dups
+    assert(r3.getString(8) == "zz ww") // run stripped, tails kept
+  }
+
+  test("incrementalSubstringStrip over an empty index equals the batch " +
+      "stripSubstringDups on the same corpus") {
+    val sp = spark
+    import sp.implicits._
+    val run = "one two three four five six"
+    val a = "alpha beta gamma delta"
+    val b = "epsilon zeta eta theta"
+    val rows = Seq(
+      (1L, s"$run aa bb cc dd"), (2L, s"xx yy $run zz ww"),
+      (3L, s"pp $run qq"), (4L, "p  q r"), (5L, "tiny"),
+      (6L, s"$a u1 u2 u3 $b"), (7L, s"k0 $a k1 k2 $b"),
+      (8L, s"$a $b w1 w2"))
+      .toDF("doc_id", "text")
+    val emptyIx = Seq.empty[(Long, Long)].toDF("h1", "h2")
+    val shared = Seq("doc_id", "n_tokens", "n_spans", "stripped_tokens",
+      "text")
+    val inc = Corpus.incrementalSubstringStrip(
+        rows, emptyIx, "text", "doc_id", windowTokens = 4)._1
+      .select(shared.map(col): _*).collect().map(_.toSeq).sortBy(_.toString)
+    val batch = Corpus.stripSubstringDups(rows, "text", "doc_id",
+        windowTokens = 4)
+      .select(shared.map(col): _*).collect().map(_.toSeq).sortBy(_.toString)
+    assert(inc.toSeq == batch.toSeq)
+  }
+
   test("redactPii scrubs emails, IPv4s and phones with counts intact") {
     val rows = docsDF(Seq(
       doc(1, "mail alice.smith@corp.example and bob_2@mail.example now"),
