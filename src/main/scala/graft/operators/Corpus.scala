@@ -939,15 +939,67 @@ object Corpus {
           .as("mean_surprisal"))
   }
 
+  /** A batch's contribution to the incremental BM25 inverted index —
+    * the x_incremental_dedup admission pattern applied to lexical
+    * retrieval: the index is (postings, docLens) with postings =
+    * (id, token, tc) and docLens = (id, n_toks), both PURE per-doc
+    * statistics (independent of every other document), so maintenance
+    * under append-only admission is a UNION of per-batch deltas — the
+    * corpus text is never re-read and the corpus-dependent parts of the
+    * score (df, N, avgdl) are recomputed from the narrow index at query
+    * time, which is what keeps an incrementally-built index EXACTLY
+    * equal to a from-scratch one (BM25 weights of old documents change
+    * as the corpus grows; an index that froze scores could not be).
+    * Bootstrap = this function over the initial corpus. */
+  def bm25IndexDelta(df: DataFrame, textCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val perDoc = toks.groupBy("id", "token").agg(count(lit(1)).as("tc"))
+    val docLen = perDoc.groupBy("id").agg(sum("tc").as("n_toks"))
+    (perDoc, docLen)
+  }
+
+  /** BM25 query search over a maintained inverted index
+    * ([[bm25IndexDelta]] unions) — the serving path: the query-term
+    * filter restricts the postings BEFORE document frequencies are
+    * computed (df of a term over its own filtered postings equals its
+    * full-vocabulary df, so the result is IDENTICAL to [[bm25Search]]
+    * while only |query terms| posting lists flow through the scoring
+    * join); corpus stats (N, avgdl) aggregate the narrow docLens side.
+    * Same quantized expression as the batch scorer — one shared
+    * [[bm25TermScoresFromIndex]] core, so the two paths cannot drift. */
+  def bm25SearchIndexed(postings: DataFrame, docLens: DataFrame,
+      idCol: String, query: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val qTerms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "query must contain at least one token")
+    bm25TermScoresFromIndex(
+        postings.filter(col("token").isin(qTerms: _*)), docLens, k1, b)
+      .groupBy("id")
+      .agg(sum("_ts").as("_s"))
+      .select(col("id").as(idCol),
+        round(col("_s").cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Shared BM25 core: one row per (doc, term) with the quantized
     * per-term score `_ts` (DECIMAL(18,6) — see [[bm25Scores]]'s
     * determinism note) and the doc length. */
   private def bm25TermScores(df: DataFrame, textCol: String, idCol: String,
       k1: Double, b: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("token"))
-    val perDoc = toks.groupBy("id", "token").agg(count(lit(1)).as("tc"))
-    val docLen = perDoc.groupBy("id").agg(sum("tc").as("n_toks"))
+    val (perDoc, docLen) = bm25IndexDelta(df, textCol, idCol)
+    bm25TermScoresFromIndex(perDoc, docLen, k1, b)
+  }
+
+  /** The scoring core over index state — used by both the batch path
+    * (via [[bm25TermScores]]) and the incremental serving path
+    * ([[bm25SearchIndexed]]); a single spelling of the score keeps the
+    * two provably the same rule. */
+  private def bm25TermScoresFromIndex(perDoc: DataFrame, docLen: DataFrame,
+      k1: Double, b: Double): DataFrame = {
     val docFreq = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       round(avg(col("n_toks").cast("decimal(18,6)")), 6).cast("double")

@@ -814,6 +814,53 @@ object CorpusQueries extends QueryModule {
         "spark hash merge window", k = 20)
     },
 
+    // Incremental BM25 index maintenance: the corpus is admitted in two
+    // batches (arrivals = doc_id % 10 = 7) whose per-doc index deltas
+    // UNION into the inverted index — admitted text never re-read —
+    // and the query is served from the index. The oracle is the SAME
+    // full-corpus BM25 truth as x_bm25_search (different query), so
+    // the hash gates that incremental admission reaches byte-identical
+    // scores to a from-scratch build: df/N/avgdl recomputed at query
+    // time from the narrow index, old docs re-weighted as the corpus
+    // grows.
+    q("x_incremental_bm25",
+      s"""WITH t AS ($toksSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |perdoc AS (SELECT doc_id, token, count(*) AS tc
+         |           FROM tok GROUP BY doc_id, token),
+         |doclen AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_toks
+         |           FROM perdoc GROUP BY doc_id),
+         |docfreq AS (SELECT token, count(*) AS df FROM perdoc GROUP BY token),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 CAST(round(avg(CAST(n_toks AS DECIMAL(18,6))), 6)
+         |                      AS DOUBLE) AS avgdl
+         |          FROM doclen),
+         |idf AS (SELECT token,
+         |               round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 6)
+         |                 AS idf,
+         |               avgdl
+         |        FROM docfreq, stats)
+         |SELECT p.doc_id,
+         |       CAST(round(CAST(sum(CAST(round(
+         |              i.idf * (p.tc * 2.2) /
+         |              (p.tc + 1.2 * (0.25 + 0.75 * d.n_toks / i.avgdl)),
+         |              6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE)
+         |         AS score
+         |FROM perdoc p
+         |JOIN doclen d USING (doc_id)
+         |JOIN idf i USING (token)
+         |WHERE p.token IN ('scan', 'filter', 'sort')
+         |GROUP BY p.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""") { (s, dir) =>
+      val d = docs(s, dir)
+      val arrivals = d.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val admitted = d.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val (p0, l0) = Corpus.bm25IndexDelta(admitted, "text", "doc_id")
+      val (p1, l1) = Corpus.bm25IndexDelta(arrivals, "text", "doc_id")
+      Corpus.bm25SearchIndexed(p0.unionAll(p1), l0.unionAll(l1),
+        "doc_id", "scan filter sort", k = 20)
+    },
+
     // Chunk-level exact duplication (substring-level dedup signal): docs
     // split into consecutive 10-token chunks; a chunk recurring in ≥ 2
     // docs marks verbatim boilerplate. Distinct + df counting are narrow

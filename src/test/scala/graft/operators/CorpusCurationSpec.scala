@@ -627,4 +627,34 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(top.head == 1L || top.head == 4L)
     assert(top.indexOf(2L) == 2, s"long sparse doc must rank last: $top")
   }
+
+  test("bm25SearchIndexed over unioned per-batch deltas equals the " +
+      "batch bm25Search, byte-identically") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "nothing relevant here at all"),
+      (4L, "spark engine"),
+      (7L, "spark engine engine late arrival"),  // the arrival batch
+      (17L, "filler spark"))
+      .toDF("doc_id", "text")
+    val batch = Corpus.bm25Search(corpus, "text", "doc_id",
+        "spark engine", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // admit in two batches; index = union of deltas; query from index.
+    // Old docs' scores must re-weight under the grown corpus (df/N/avgdl
+    // recomputed at query time), so the equality is exact, not
+    // approximate.
+    val arr = corpus.filter(pmod(col("doc_id"), lit(10)) === 7)
+    val adm = corpus.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val (p0, l0) = Corpus.bm25IndexDelta(adm, "text", "doc_id")
+    val (p1, l1) = Corpus.bm25IndexDelta(arr, "text", "doc_id")
+    val inc = Corpus.bm25SearchIndexed(p0.unionAll(p1), l0.unionAll(l1),
+        "doc_id", "spark engine", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inc == batch)
+    assert(inc.nonEmpty && inc.map(_._1).contains(7L))
+  }
 }
