@@ -73,6 +73,41 @@ object DocumentStreaming {
     admittedSig.write.mode("append").parquet(indexPath)
   }
 
+  /** Streaming cross-document substring-dedup admission — the
+    * [[admissionSink]] pattern on the Lee et al. substring family: each
+    * micro-batch runs
+    * [[graft.operators.Corpus.incrementalSubstringStrip]] against the
+    * window-digest index accumulated from every earlier batch; the
+    * STRIPPED batch (duplicated ≥L-token runs removed, canonical
+    * occurrences preserved where they were first admitted) appends to
+    * `strippedPath` and the batch's surviving fresh digests to
+    * `indexPath` (16 bytes per distinct window — the only corpus-side
+    * state; admitted text is never re-read). Same at-least-once
+    * delivery note as [[admissionSink]].
+    *
+    * Usage: `docs.writeStream.foreachBatch(
+    *   DocumentStreaming.substringStripSink(ix, out, "text",
+    *   "doc_id"))`. */
+  def substringStripSink(indexPath: String, strippedPath: String,
+      textCol: String, idCol: String, windowTokens: Int = 20)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    val emptyIndex = graft.operators.Corpus
+      .substringDigestIndex(batch.limit(0), textCol, idCol, windowTokens)
+    val index =
+      try spark.read.schema(emptyIndex.schema).parquet(indexPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyIndex }
+    val (strippedRaw, freshRaw) = graft.operators.Corpus
+      .incrementalSubstringStrip(batch, index, textCol, idCol,
+        windowTokens)
+    // two write actions below; checkpoint so the digest classification
+    // joins against the accumulated index run once, not per consumer
+    val stripped = strippedRaw.localCheckpoint()
+    val fresh = freshRaw.localCheckpoint()
+    stripped.write.mode("append").parquet(strippedPath)
+    fresh.write.mode("append").parquet(indexPath)
+  }
+
   /** Per-window language/quality profile of the arrival stream (the
     * monitoring mart a training-data intake runs): windowed counts and
     * mean document length per detected language bucket. */

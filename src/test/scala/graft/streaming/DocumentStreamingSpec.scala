@@ -107,6 +107,44 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("substringStripSink strips duplicated runs against the " +
+      "accumulated digest index across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sstrip").toString
+    val (ix, out) = (s"$root/index", s"$root/stripped")
+    val run = "one two three four five six"
+    val mem = MemoryStream[DocArrival]
+    val query = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(DocumentStreaming.substringStripSink(ix, out,
+        "text", "doc_id", windowTokens = 4))
+      .start()
+    try {
+      mem.addData(
+        doc(1, s"$run aa bb", "2024-01-01 00:00:00"),
+        doc(2, "solo words only here", "2024-01-01 00:01:00"))
+      query.processAllAvailable()
+      // batch 2: 10 copies batch1's run (cross-batch, via the index);
+      // 11 is fresh and survives verbatim
+      mem.addData(
+        doc(10, s"xx $run yy", "2024-01-01 01:00:00"),
+        doc(11, "fa fb fc fd fe m1 m2", "2024-01-01 01:01:00"))
+      query.processAllAvailable()
+      val texts = sp.read.parquet(out)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(texts(1L) == s"$run aa bb")   // batch 1 admitted verbatim
+      assert(texts(10L) == "xx yy")        // cross-batch run stripped
+      assert(texts(11L) == "fa fb fc fd fe m1 m2")
+      // the index accumulates distinct window digests across batches:
+      // batch1 contributes 6 (5 from doc1 + 1 from doc2), batch2 adds
+      // doc10's 2 fresh boundary windows + doc11's 4
+      assert(sp.read.parquet(ix).distinct().count() == 12L)
+    } finally query.stop()
+  }
+
   test("EmbeddingStreaming.admissionSink dedups semantically across batches") {
     val sp = spark
     import sp.implicits._
