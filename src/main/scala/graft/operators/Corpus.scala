@@ -672,12 +672,12 @@ object Corpus {
     * direction).
     *
     * Scale shape: one O(tokens) native rolling-digest pass over the
-    * batch (checkpointed — three narrow consumers, no re-tokenize);
-    * classification is digest equi-semi/anti-joins against the
-    * 16-byte/row index; the intra-batch hot pick is the batch form's
-    * single min-struct aggregation; span merge + rebuild are map-only.
-    * The corpus-sized side is touched only through the index —
-    * O(distinct windows) rows, no text.
+    * batch; classification is ONE left equi-join against the
+    * 16-byte/row index (checkpointed — the downstream consumers never
+    * re-touch the corpus-scale side or re-tokenize); the intra-batch
+    * hot pick is the batch form's single min-struct aggregation; span
+    * merge + rebuild are map-only. The corpus-sized side is touched
+    * only through the index — O(distinct windows) rows, no text.
     *
     * Returns (result, freshDigests): result = per arrival doc
     * (idCol, n_tokens, n_windows, n_fresh_windows, n_index_dup_windows,
@@ -696,10 +696,19 @@ object Corpus {
         "rolling_window_digests_native", col("_toks"), lit(L))).as("_c"))
       .select(col("_id"), col("_c.pos").as("_pos"),
         col("_c.h1").as("h1"), col("_c.h2").as("h2"))
+    // ONE join against the corpus-scale index, checkpointed: the five
+    // consumers below (strip positions, hot pick, three counters, the
+    // fresh-digest append) would otherwise each re-run an index-sized
+    // semi/anti join. A LEFT join is row-preserving because the index
+    // is a SET by contract — substringDigestIndex dedups the bootstrap
+    // and every append batch is anti-joined fresh, so the accumulated
+    // union stays duplicate-free.
+    val classed = winRows
+      .join(index.select(col("h1"), col("h2"), lit(true).as("_ix")),
+        Seq("h1", "h2"), "left")
       .localCheckpoint()
-    val ix = index.select("h1", "h2")
-    val dupIx = winRows.join(ix, Seq("h1", "h2"), "left_semi")
-    val freshRows = winRows.join(ix, Seq("h1", "h2"), "left_anti")
+    val dupIx = classed.filter(col("_ix"))
+    val freshRows = classed.filter(col("_ix").isNull)
     val hotFresh = freshRows.groupBy("h1", "h2")
       .agg(countDistinct("_id").as("_df"),
         min(struct(col("_id"), col("_pos"))).as("_keep"))
