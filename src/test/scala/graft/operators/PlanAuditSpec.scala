@@ -263,4 +263,77 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
       "codeFixes must not window-sort the reference corpus")
   }
+
+  test("bm25SearchIndexed top-ks without a global sort and keeps the " +
+      "query-term filter ahead of the posting-list aggregation") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25ix").toString
+    val (p0, l0) = Corpus.bm25IndexDelta(docs, "text", "doc_id")
+    p0.write.mode("overwrite").parquet(s"$dir/postings")
+    l0.write.mode("overwrite").parquet(s"$dir/doclens")
+    val postings = sp.read.parquet(s"$dir/postings")
+    val docLens = sp.read.parquet(s"$dir/doclens")
+    val df = Corpus.bm25SearchIndexed(postings, docLens, "doc_id",
+      "w1 w2", k = 5)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    // ORDER BY score + LIMIT k must collapse to TakeOrderedAndProject
+    // (per-partition top-k, k-sized driver merge) — never a global sort
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "indexed search must TakeOrderedAndProject")
+    assert(!nodes.exists {
+      case s: org.apache.spark.sql.execution.SortExec => s.global
+      case _ => false
+    }, "indexed search must not global-sort")
+    // the query-term In filter reaches the postings parquet scan, so
+    // only |query terms| posting lists are read from the index
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("postings") => f
+    }
+    assert(scans.nonEmpty, "expected a postings scan")
+    assert(scans.exists(_.metadata("PushedFilters").contains("In(token")),
+      s"query-term filter not pushed: " +
+        scans.map(_.metadata("PushedFilters")).mkString("; "))
+  }
+
+  test("incrementalSubstringStrip classifies with ONE index join, " +
+      "equi-only, no window sort") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sstrip_ix").toString
+    Corpus.substringDigestIndex(docs, "text", "doc_id", windowTokens = 3)
+      .write.mode("overwrite").parquet(s"$dir/index")
+    val index = sp.read.parquet(s"$dir/index")
+    // audit the CLASSIFICATION plan (the checkpoint inside the operator
+    // hides upstream nodes): the same left join the operator builds
+    val winRows = docs
+      .select(col("doc_id").as("_id"),
+        explode(call_function("rolling_window_digests_native",
+          Corpus.tokens(col("text")), lit(3))).as("_c"))
+      .select(col("_id"), col("_c.pos").as("_pos"),
+        col("_c.h1").as("h1"), col("_c.h2").as("h2"))
+    val classed = winRows.join(
+      index.select(col("h1"), col("h2"), lit(true).as("_ix")),
+      Seq("h1", "h2"), "left")
+    classed.collect()
+    val nodes = allNodes(classed.queryExecution.executedPlan)
+    val joins = nodes.filter(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(joins.size == 1, s"expected ONE index join, got ${joins.size}")
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "classification must stay an equi-join")
+    // the full operator: no window sort anywhere (the hot pick is a
+    // min-struct aggregation, the rebuild map-only)
+    val (res, _) = Corpus.incrementalSubstringStrip(
+      docs, index, "text", "doc_id", windowTokens = 3)
+    res.collect()
+    assert(!allNodes(res.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "admission must not window-sort")
+  }
 }
