@@ -564,6 +564,39 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(r3.getString(8) == "zz ww") // run stripped, tails kept
   }
 
+  test("substring admission index invariant: the accumulated fresh-digest " +
+      "union equals the bootstrap index over the whole corpus, for any " +
+      "batch split") {
+    val sp = spark
+    import sp.implicits._
+    val run = "one two three four five six"
+    val docsAll = Seq(
+      (1L, s"$run aa bb"), (2L, "solo words only here"),
+      (3L, s"xx $run yy"), (4L, "fa fb fc fd fe"),
+      (5L, s"fa fb fc fd fe tail"), (6L, "tiny"))
+    // every contiguous 2-way and 3-way split admits to the same index
+    val splits: Seq[Seq[Seq[(Long, String)]]] =
+      (1 until docsAll.size).map(i => Seq(docsAll.take(i), docsAll.drop(i))) :+
+        Seq(docsAll.take(2), docsAll.slice(2, 4), docsAll.drop(4))
+    val bootstrap = Corpus.substringDigestIndex(
+        docsAll.toDF("doc_id", "text"), "text", "doc_id", windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (batches <- splits) {
+      var index = Seq.empty[(Long, Long)].toDF("h1", "h2")
+      for (b <- batches) {
+        val (_, fresh) = Corpus.incrementalSubstringStrip(
+          b.toDF("doc_id", "text"), index, "text", "doc_id",
+          windowTokens = 4)
+        index = index.unionAll(fresh).localCheckpoint()
+      }
+      val acc = index.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(acc == bootstrap,
+        s"split ${batches.map(_.map(_._1))} diverged: " +
+          s"${acc.size} vs ${bootstrap.size}")
+    }
+  }
+
   test("incrementalSubstringStrip over an empty index equals the batch " +
       "stripSubstringDups on the same corpus") {
     val sp = spark
