@@ -146,7 +146,7 @@ object PackageV2 {
     * so a vulnerability fixed only by a ghost package still appears in
     * the page dict, exactly as the reference responds. */
   def fixingRelation(unfurled: DataFrame, member: DataFrame): DataFrame =
-    unfurled.filter(col("is_fixed"))
+    unfurled.filter(col("is_fixed") && col("version").isNotNull)
       .join(member.select("avid", "vulnerability_id"), Seq("avid"))
       .select(concat(col("base_purl"), lit("@"), col("version")).as("purl"),
         col("vulnerability_id"))
