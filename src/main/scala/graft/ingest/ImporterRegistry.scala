@@ -23,20 +23,20 @@ object ImporterRegistry {
 
   /** Legacy v1-only importers whose FILES still sit under the
     * reference's `importers/` but which its own active registry no
-    * longer loads (`importers/__init__.py:57-…` lists neither) — the
-    * reference has abandoned them, so porting would add dead surface.
-    * Kept as explicit exclusions rather than silence. */
-  val excludedLegacy: Map[String, (String, Support)] = Map(
-    "gsd" -> ("gsd", Missing(
-      "v1-only; absent from the reference's active importer registry")),
-    "kaybee" -> ("kaybee", Missing(
-      "v1-only; absent from the reference's active importer registry")),
-    "rust" -> ("rust", Missing(
-      "v1-only; RustSec flows arrive via the OSV/github_osv family now")),
-    "suse_backports" -> ("suse_backports", Missing(
-      "v1-only; absent from the reference's active importer registry")),
-    "ubuntu_usn" -> ("ubuntu_usn", Missing(
-      "v1-only; superseded by ubuntu_osv_importer_v2 (OSV feed)")))
+    * longer loads (`importers/__init__.py:57-…` lists neither). They
+    * now have working parsers anyway — a reference user migrating an
+    * OLD deployment can still replay these feeds — while this separate
+    * table keeps the registry honest about the reference's own active
+    * set (rust.py can no longer even import in the reference tree: it
+    * depends on the deleted `package_managers` module; the ubuntu_usn
+    * feed is superseded by ubuntu_osv_importer_v2). */
+  val legacyV1: Map[String, (String, Support)] = Map(
+    "gsd" -> ("gsd", Dedicated("GsdIngest.parse")),
+    "kaybee" -> ("kaybee", Dedicated("KaybeeIngest.parse")),
+    "rust" -> ("rust", Dedicated("RustIngest.parse")),
+    "suse_backports" ->
+      ("suse_backports", Dedicated("SuseBackportsIngest.parse")),
+    "ubuntu_usn" -> ("ubuntu_usn", Dedicated("UbuntuUsnIngest.parse")))
 
   /** pipeline_id → (datasource_id, support). */
   val registry: Map[String, (String, Support)] = Map(

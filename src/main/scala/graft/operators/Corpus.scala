@@ -98,10 +98,34 @@ object Corpus {
     * contaminated). */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
+      flagAt: Double = 0.8): DataFrame =
+    contaminationAgainstIndex(corpus,
+      benchmarkVocab(benchmark, textCol, idCol, n),
+      textCol, idCol, n, flagAt)
+
+  /** The benchmark's distinct shingle vocabulary — the PERSISTED index
+    * of the incremental form. Bounded by the eval suites' size (millions
+    * of shingles, not corpus-scale), so it broadcasts. */
+  def benchmarkVocab(benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame =
+    TextDedup.shingles(benchmark, textCol, idCol, n)
+      .select("shingle").distinct()
+
+  /** New benchmark docs → ONLY the shingles absent from the index —
+    * append them and the index stays distinct without a rewrite (the
+    * substring-admission append-only discipline). */
+  def extendBenchmarkVocab(index: DataFrame, newBenchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame =
+    benchmarkVocab(newBenchmark, textCol, idCol, n)
+      .join(index, Seq("shingle"), "left_anti")
+
+  /** Contamination of `corpus` against a prebuilt vocabulary index —
+    * the per-batch body of both the batch and incremental forms. */
+  def contaminationAgainstIndex(corpus: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
       flagAt: Double = 0.8): DataFrame = {
     val sh = TextDedup.shingles(corpus, textCol, idCol, n)
-    val vocab = TextDedup.shingles(benchmark, textCol, idCol, n)
-      .select("shingle").distinct().withColumn("_hit", lit(1))
+    val vocab = index.select("shingle").withColumn("_hit", lit(1))
     val agg = sh.join(broadcast(vocab), Seq("shingle"), "left_outer")
       .groupBy("id")
       .agg(count(lit(1)).as("n_sh"), count(col("_hit")).as("n_hit"))
@@ -111,6 +135,25 @@ object Corpus {
       round(rate, 4).cast("double").as("contamination"),
       (rate >= flagAt).as("contaminated"))
   }
+
+  /** Incremental contamination screening: an ARRIVAL batch is shingled
+    * once and tested against the persisted benchmark vocabulary — the
+    * benchmark is never re-read, mirroring the x_incremental_dedup /
+    * incrementalSubstringStrip admission pattern. When new eval suites
+    * register between batches, extendBenchmarkVocab appends exactly the
+    * missing shingles and later batches see the grown index; screening
+    * results for ALREADY-screened batches are immutable (append-only
+    * index ⇒ monotone, batch-order-free for a fixed index state).
+    *
+    * Scale shape: identical to the batch form's per-batch cost — one
+    * map-side shingle pass over the arrivals, one broadcast left join
+    * against the bounded vocab, one per-doc aggregation; no state but
+    * the vocab index is touched, and the index update itself is a
+    * left-anti join narrowed to the NEW suite's shingles. */
+  def incrementalContamination(delta: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, n: Int = 3,
+      flagAt: Double = 0.8): DataFrame =
+    contaminationAgainstIndex(delta, index, textCol, idCol, n, flagAt)
 
   /** Corpus-frequency top-k tokens (vocabulary heavy hitters). Spark
     * plans the orderBy+limit as TakeOrderedAndProject — per-partition

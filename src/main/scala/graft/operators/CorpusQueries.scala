@@ -276,6 +276,79 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Incremental contamination screening (the x_incremental_dedup
+    // admission pattern applied to the benchmark screen): the benchmark
+    // vocabulary persists as an index, arrival batches shingle ONCE and
+    // broadcast-test against it, and a newly-registered eval suite
+    // between batches appends exactly its missing shingles
+    // (extendBenchmarkVocab left-anti). Phase 1 screens the even
+    // arrivals against suite A's vocab; suite B registers; phase 2
+    // screens the odd arrivals against A∪B — so the oracle gates BOTH
+    // the per-batch screen and the index-extension contract (a phase-2
+    // doc can be contaminated only via B's shingles; phase-1 results
+    // ignore B entirely).
+    q("x_incremental_contamination",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+        |           AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |marks AS (
+        |  SELECT *,
+        |    (doc_id % 97 = 0 AND doc_id < 5000) AS is_a,
+        |    (doc_id % 89 = 0 AND doc_id < 5000
+        |      AND NOT (doc_id % 97 = 0)) AS is_b
+        |  FROM sh),
+        |va AS (SELECT DISTINCT shingle FROM marks WHERE is_a),
+        |vab AS (SELECT DISTINCT shingle FROM marks WHERE is_a OR is_b),
+        |corp AS (SELECT doc_id, shingle FROM marks
+        |         WHERE NOT is_a AND NOT is_b),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY doc_id),
+        |hit1 AS (SELECT c.doc_id, count(*) AS n_hit
+        |         FROM corp c JOIN va USING (shingle)
+        |         WHERE c.doc_id % 2 = 0 GROUP BY c.doc_id),
+        |hit2 AS (SELECT c.doc_id, count(*) AS n_hit
+        |         FROM corp c JOIN vab USING (shingle)
+        |         WHERE c.doc_id % 2 = 1 GROUP BY c.doc_id),
+        |ph AS (
+        |  SELECT 1 AS batch, doc_id, n_hit FROM hit1
+        |  UNION ALL
+        |  SELECT 2 AS batch, doc_id, n_hit FROM hit2)
+        |SELECT b.batch, b.doc_id, b.n_hit,
+        |       CAST(round(CAST(b.n_hit AS DOUBLE) / t.n_sh, 4) AS DOUBLE)
+        |         AS contamination,
+        |       CAST(b.n_hit AS DOUBLE) / t.n_sh >= 0.8 AS contaminated
+        |FROM ph b JOIN tot t USING (doc_id)
+        |ORDER BY batch, doc_id""") { (s, dir) =>
+      val d = docs(s, dir)
+      val isA = pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 5000
+      val isB = pmod(col("doc_id"), lit(89)) === 0 &&
+        col("doc_id") < 5000 && !(pmod(col("doc_id"), lit(97)) === 0)
+      val arrivals = d.filter(!isA && !isB)
+      val indexA = Corpus.benchmarkVocab(d.filter(isA), "text", "doc_id")
+      val out1 = Corpus.incrementalContamination(
+          arrivals.filter(pmod(col("doc_id"), lit(2)) === 0), indexA,
+          "text", "doc_id")
+        .withColumn("batch", lit(1))
+      val indexAB = indexA.unionAll(
+        Corpus.extendBenchmarkVocab(indexA, d.filter(isB),
+          "text", "doc_id"))
+      val out2 = Corpus.incrementalContamination(
+          arrivals.filter(pmod(col("doc_id"), lit(2)) === 1), indexAB,
+          "text", "doc_id")
+        .withColumn("batch", lit(2))
+      out1.unionByName(out2)
+        .select(col("batch"), col("doc_id"), col("n_hit"),
+          col("contamination"), col("contaminated"))
+        .orderBy("batch", "doc_id")
+    },
+
     // End-to-end dedup pipeline: capped n-gram Jaccard pairs (the
     // scale-safe library form) → connected components over the pair
     // graph → canonical document per cluster (max n_chars, ties to the

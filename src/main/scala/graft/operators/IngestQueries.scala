@@ -455,6 +455,127 @@ object IngestQueries extends QueryModule {
        |         'string_agg', ','), '') AS fixed_csv
        |FROM lists ORDER BY definition_id""".stripMargin
 
+  // --- S2/legacy: GSD JSON (importers/gsd.py:52-95) — the legacy-v1
+  // family's oracle row. Aliases project as a SORTED distinct set (the
+  // parser's order-preserving dedupe is pinned by LegacyImportersSpec
+  // against the reference's captured expected files; sorting makes the
+  // DuckDB re-derivation order-free), references in file order.
+
+  private def gsdSpark(s: SparkSession): DataFrame = {
+    val raw = s.read.option("wholetext", "true").text(s"$Fix/gsd")
+      .select(lit("gsd").as("datasource_id"),
+        input_file_name().as("path"), col("value").as("json"))
+    graft.ingest.GsdIngest.parse(s, raw).toDF().select(
+      col("advisory_id"), col("summary"),
+      array_join(array_sort(array_distinct(col("aliases"))), ",")
+        .as("aliases_csv"),
+      joined(col("references"), r => r.getField("url")).as("ref_urls"),
+      col("date_published").cast("long").as("published_ep"))
+      .orderBy("advisory_id")
+  }
+
+  private def gsdOracle: String =
+    s"""WITH raw AS (
+       |  SELECT * FROM read_json('$Fix/gsd/*.json', filename=true,
+       |    columns={'GSD':'STRUCT(id VARCHAR, alias VARCHAR,
+       |        description VARCHAR)',
+       |      'namespaces':'JSON'})),
+       |n AS (
+       |  SELECT coalesce(GSD.id, regexp_extract(filename, '[^/]+$$', 0))
+       |      AS advisory_id,
+       |    GSD.alias AS alias,
+       |    coalesce(GSD.description, '') AS gsd_desc,
+       |    json_extract_string(namespaces,
+       |      '$$."cve.org".CVE_data_meta.ID') AS cve_id,
+       |    coalesce(json_extract_string(namespaces,
+       |      '$$."cve.org".CVE_data_meta.TITLE'), '') AS title,
+       |    json_extract_string(namespaces,
+       |      '$$."cve.org".source.advisory') AS adv,
+       |    json_extract_string(namespaces,
+       |      '$$."nvd.nist.gov".CVE_data_meta.ID') AS nvd_cve,
+       |    json_extract_string(namespaces,
+       |      '$$."nvd.nist.gov".source.advisory') AS nvd_adv,
+       |    json_extract_string(namespaces,
+       |      '$$."nvd.nist.gov".publishedDate') AS pub,
+       |    coalesce(json_transform(json_extract(namespaces,
+       |      '$$."cve.org".description.description_data'),
+       |      '[{"lang":"VARCHAR","value":"VARCHAR"}]'), []) AS descs,
+       |    coalesce(json_transform(json_extract(namespaces,
+       |      '$$."cve.org".references.reference_data'),
+       |      '[{"url":"VARCHAR"}]'), []) AS refs
+       |  FROM raw),
+       |b AS (
+       |  SELECT *, trim(title) AS t,
+       |    -- build_description(utils.py:326-339) over the GSD
+       |    -- description or the joined eng cve.org descriptions
+       |    trim(CASE WHEN gsd_desc <> '' THEN gsd_desc ELSE
+       |      coalesce(list_aggr(list_transform(list_filter(descs,
+       |        d -> d.lang = 'eng' AND d."value" IS NOT NULL
+       |          AND d."value" <> ''),
+       |        d -> d."value"), 'string_agg', ''), '') END) AS dd
+       |  FROM n)
+       |SELECT advisory_id,
+       |  CASE WHEN dd = '' THEN t
+       |       WHEN t <> '' AND strpos(dd, t) = 0 THEN t || chr(10) || dd
+       |       ELSE dd END AS summary,
+       |  array_to_string(list_sort(list_distinct(list_filter(
+       |    [alias, advisory_id, cve_id, adv, nvd_cve, nvd_adv],
+       |    x -> x IS NOT NULL AND x <> ''))), ',') AS aliases_csv,
+       |  coalesce(array_to_string(list_transform(refs, r -> r.url), ';'),
+       |    '') AS ref_urls,
+       |  -- epoch(naive strptime) is tz-independent; the ::TIMESTAMPTZ
+       |  -- cast form would read the session timezone
+       |  CAST(coalesce(epoch(TRY_CAST(pub AS TIMESTAMPTZ)),
+       |    epoch(try_strptime(pub, '%Y-%m-%dT%H:%MZ'))) AS BIGINT)
+       |    AS published_ep
+       |FROM b ORDER BY advisory_id""".stripMargin
+
+  // --- S2/legacy: Ubuntu USN db (importers/ubuntu_usn.py:72-92) — one
+  // JSON object keyed by USN id; every prefix-valid CVE fans out to its
+  // own advisory carrying the USN reference. The bz2-wire + streaming
+  // parse path is pinned by LegacyImportersSpec against the captured
+  // reference db; this row gates the same mapping through DuckDB's
+  // independent json_keys re-derivation on an uncompressed sample.
+
+  private def usnSpark(s: SparkSession): DataFrame = {
+    val raw = s.read.option("wholetext", "true")
+      .text(s"$Fix/usn/database-sample.json")
+      .select(lit("ubuntu_usn").as("datasource_id"),
+        col("value").as("text"))
+    graft.ingest.UbuntuUsnIngest.parse(s, raw).toDF().select(
+      col("advisory_id"),
+      array_join(col("aliases"), ",").as("aliases_csv"),
+      joined(col("references"), r => r.getField("reference_id"))
+        .as("ref_ids"),
+      col("url"))
+      .orderBy("advisory_id")
+  }
+
+  private def usnOracle: String =
+    s"""WITH raw AS (
+       |  SELECT json FROM read_json_objects(
+       |    '$Fix/usn/database-sample.json', format='unstructured')),
+       |entries AS (
+       |  SELECT k AS usn_key, json_extract(json, '$$."' || k || '"')
+       |    AS entry
+       |  FROM raw, unnest(json_keys(json)) AS t(k)),
+       |flat AS (
+       |  SELECT usn_key,
+       |    json_extract_string(entry, '$$.id') AS id,
+       |    unnest(coalesce(CAST(json_extract(entry, '$$.cves')
+       |      AS VARCHAR[]), [])) AS cve
+       |  FROM entries)
+       |SELECT 'usn-' || coalesce(id, usn_key) || '-' || cve AS advisory_id,
+       |  cve AS aliases_csv,
+       |  CASE WHEN id IS NOT NULL THEN 'USN-' || id ELSE '' END AS ref_ids,
+       |  CASE WHEN id IS NOT NULL
+       |       THEN 'https://usn.ubuntu.com/' || id || '/'
+       |       ELSE 'https://usn.ubuntu.com/usn-db/database-all.json.bz2'
+       |       END AS url
+       |FROM flat
+       |WHERE regexp_matches(cve, '^(?i)CVE-[0-9]{4}-[0-9]{4,19}')
+       |ORDER BY advisory_id""".stripMargin
+
   override val entries: Seq[QueryEntry] = Seq(
     q("i1_advisory_tree", advisoryTreeOracle) { (s, _) =>
       advisoryTreeSpark(s)
@@ -465,5 +586,7 @@ object IngestQueries extends QueryModule {
     },
     q("i4_epss_csv", epssOracle) { (s, _) => epssSpark(s) },
     q("i5_oval", ovalOracle) { (s, _) => ovalSpark(s) },
+    q("i6_gsd", gsdOracle) { (s, _) => gsdSpark(s) },
+    q("i7_ubuntu_usn", usnOracle) { (s, _) => usnSpark(s) },
   )
 }

@@ -17,12 +17,13 @@ import graft.operators.SparkTestSession
   * whose parser family already validates against a newer v2 capture
   * (github_osv/pysec/pypa/oss_fuzz v1 — the shared OSV parser is
   * covered by the 15 osv_test v2 files; fireeye/gentoo/ruby/nvd/suse v1
-  * — superseded by their _v2 sets), captures of reference-abandoned v1
-  * importers (gsd, ubuntu_usn_db, debian tracker v1, debian-oval/
-  * ubuntu-oval/suse_oval — no OVAL importer is in the reference's
-  * active registry; see ImporterRegistry exclusions), and improver
+  * — superseded by their _v2 sets), captures of v1 OVAL variants
+  * (debian tracker v1, debian-oval/ubuntu-oval/suse_oval — no OVAL
+  * importer is in the reference's active registry), and improver
   * fixtures (the improver derivations are covered by the d/j-query
-  * oracles).
+  * oracles). The reference-abandoned v1 importers (gsd, ubuntu_usn_db,
+  * rust, suse_backports, kaybee) are covered separately by
+  * LegacyImportersSpec against the same captured test_data.
   */
 class CapturedFixtureSpec extends AnyFunSuite with SparkTestSession {
 

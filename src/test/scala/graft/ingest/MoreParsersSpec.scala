@@ -454,13 +454,13 @@ class ImporterRegistrySpec extends AnyFunSuite {
     }
     // every pipeline in the registry now has a working reader
     assert(missing == 0, s"unexpected Missing rows: $missing")
-    // the reference-abandoned v1 importers are DELIBERATE exclusions,
-    // each carrying its rationale (the registry self-documents the
-    // delta instead of silently omitting them)
-    assert(ImporterRegistry.excludedLegacy.keySet ==
+    // the reference-abandoned v1 importers are implemented anyway (an
+    // old deployment can replay these feeds), but stay in a separate
+    // table so the registry is honest about the reference's active set
+    assert(ImporterRegistry.legacyV1.keySet ==
       Set("gsd", "kaybee", "rust", "suse_backports", "ubuntu_usn"))
-    assert(ImporterRegistry.excludedLegacy.values.forall {
-      case (_, ImporterRegistry.Missing(note)) => note.nonEmpty
+    assert(ImporterRegistry.legacyV1.values.forall {
+      case (_, ImporterRegistry.Dedicated(entry)) => entry.nonEmpty
       case _ => false
     })
     // the improver-side registry delta self-documents the same way:

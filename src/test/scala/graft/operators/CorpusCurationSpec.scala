@@ -95,6 +95,36 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(!got.contains(0)) // benchmark docs are excluded from the check
   }
 
+  test("incremental contamination: persisted vocab + suite registration") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val suiteB = "one two three four five six seven eight nine"
+    val docs = docsDF(Seq(
+      doc(10, bench),   // suite A
+      doc(11, suiteB),  // suite B, registered between batches
+      doc(1, bench),                                       // dup of A
+      doc(2, suiteB),                                      // dup of B
+      doc(3, "totally fresh words nothing shared at all today")))
+    val suiteA = docs.filter(col("doc_id") === 10)
+    val sB = docs.filter(col("doc_id") === 11)
+    val indexA = Corpus.benchmarkVocab(suiteA, "text", "doc_id")
+    // batch 1 = docs 1 and 2 against A only: 2's overlap with B is
+    // invisible (B not yet registered)
+    val out1 = Corpus.incrementalContamination(
+      docs.filter(col("doc_id").isin(1, 2)), indexA, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out1 == Map(1L -> 1.0))
+    // suite B registers: the extension carries ONLY B's new shingles
+    val ext = Corpus.extendBenchmarkVocab(indexA, sB, "text", "doc_id")
+    assert(ext.count() == 7 &&
+      ext.join(indexA, Seq("shingle"), "left_semi").count() == 0)
+    // batch 2 = docs 2 and 3 against A∪B: 2 now flags, 3 still clean
+    val out2 = Corpus.incrementalContamination(
+      docs.filter(col("doc_id").isin(2, 3)), indexA.unionAll(ext),
+      "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out2 == Map(2L -> 1.0))
+  }
+
   test("softDedupWeights preserves one document-equivalent per cluster") {
     val rows = docsDF(Seq(
       doc(1, "the quick brown fox jumps over the lazy dog"),
