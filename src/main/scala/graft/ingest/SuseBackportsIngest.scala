@@ -34,7 +34,8 @@ object SuseBackportsIngest {
       text: String, precedence: Int = 500): Seq[AdvisoryRow] = {
     val out = Seq.newBuilder[AdvisoryRow]
     try {
-      val doc = yaml.load[Object](text) match {
+      val doc = (try yaml.load[Object](text)
+        catch { case _: Exception => return Seq.empty }) match {
         case l: java.util.List[_] if !l.isEmpty =>
           asMap(l.get(0).asInstanceOf[Object])
         case _ => return Seq.empty

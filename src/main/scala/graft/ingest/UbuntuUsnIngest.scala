@@ -69,24 +69,35 @@ object UbuntuUsnIngest {
   }
 
   /** Parse one whole db dump (decompressed JSON text) streaming —
-    * only one USN entry is resident at a time. */
+    * only one USN entry is resident at a time. A malformed or truncated
+    * dump yields the entries parsed before the bad token and stops
+    * (never throws — malformed feed records route to silence, not to
+    * job failure). */
   def parseDb(datasourceId: String, json: String,
       precedence: Int = 500): Iterator[AdvisoryRow] = {
     val mapper = new ObjectMapper()
-    val p = new JsonFactory(mapper).createParser(json)
-    require(p.nextToken() == JsonToken.START_OBJECT,
-      "USN db dump must be a JSON object keyed by USN id")
-    new Iterator[Seq[AdvisoryRow]] {
-      private var tok = p.nextToken()
-      def hasNext: Boolean = tok == JsonToken.FIELD_NAME
-      def next(): Seq[AdvisoryRow] = {
-        val key = p.currentName()
-        p.nextToken()
-        val entry = mapper.readTree[JsonNode](p)
-        tok = p.nextToken()
-        entryToAdvisories(datasourceId, key, entry, precedence)
-      }
-    }.flatten
+    try {
+      val p = new JsonFactory(mapper).createParser(json)
+      if (p.nextToken() != JsonToken.START_OBJECT)
+        return Iterator.empty
+      new Iterator[Seq[AdvisoryRow]] {
+        private var tok =
+          try p.nextToken() catch { case _: Exception => null }
+        def hasNext: Boolean = tok == JsonToken.FIELD_NAME
+        def next(): Seq[AdvisoryRow] =
+          try {
+            val key = p.currentName()
+            p.nextToken()
+            val entry = mapper.readTree[JsonNode](p)
+            tok = p.nextToken()
+            entryToAdvisories(datasourceId, key, entry, precedence)
+          } catch {
+            case _: Exception => tok = null; Seq.empty
+          }
+      }.flatten
+    } catch {
+      case _: Exception => Iterator.empty
+    }
   }
 
   /** raw: (datasource_id, text) — one row per db dump. */
