@@ -108,6 +108,57 @@ object DocumentStreaming {
     fresh.write.mode("append").parquet(indexPath)
   }
 
+  /** Register an eval suite into the persisted benchmark-vocabulary
+    * index: appends ONLY the suite's shingles not already indexed
+    * ([[graft.operators.Corpus.extendBenchmarkVocab]]), so the parquet
+    * index stays distinct without a rewrite. Driver-side companion of
+    * [[contaminationSink]] — suites register out-of-band (they arrive
+    * by release, not by stream). */
+  def registerSuite(spark: org.apache.spark.sql.SparkSession,
+      vocabPath: String, suite: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): Unit = {
+    val emptyVocab = graft.operators.Corpus
+      .benchmarkVocab(suite.limit(0), textCol, idCol, n)
+    val existing =
+      try spark.read.schema(emptyVocab.schema).parquet(vocabPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyVocab }
+    graft.operators.Corpus
+      .extendBenchmarkVocab(existing, suite, textCol, idCol, n)
+      .write.mode("append").parquet(vocabPath)
+  }
+
+  /** Streaming benchmark-contamination screen — the [[admissionSink]]
+    * pattern on the contamination check: each micro-batch shingles ONCE
+    * and broadcast-tests against the vocabulary index accumulated by
+    * [[registerSuite]]; a decision row per batch doc (zero-overlap docs
+    * explicitly clean, n_hit=0) appends to `screenedPath`. The batch
+    * never shuffles for the membership test and no state but the
+    * bounded vocab is read. Same at-least-once delivery note as
+    * [[admissionSink]].
+    *
+    * Usage: `docs.writeStream.foreachBatch(
+    *   DocumentStreaming.contaminationSink(vocabPath, out, "text",
+    *   "doc_id"))`. */
+  def contaminationSink(vocabPath: String, screenedPath: String,
+      textCol: String, idCol: String, n: Int = 3, flagAt: Double = 0.8)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    val emptyVocab = graft.operators.Corpus
+      .benchmarkVocab(batch.limit(0), textCol, idCol, n)
+    val vocab =
+      try spark.read.schema(emptyVocab.schema).parquet(vocabPath)
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyVocab }
+    val hits = graft.operators.Corpus.incrementalContamination(
+      batch, vocab, textCol, idCol, n, flagAt)
+    batch.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("contamination"), lit(0.0)).as("contamination"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .write.mode("append").parquet(screenedPath)
+  }
+
   /** Per-window language/quality profile of the arrival stream (the
     * monitoring mart a training-data intake runs): windowed counts and
     * mean document length per detected language bucket. */

@@ -145,6 +145,48 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("contaminationSink screens arrivals; registerSuite grows the vocab") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("contam").toString
+    val (vocab, out) = (s"$root/vocab", s"$root/screened")
+    val benchA = "alpha beta gamma delta epsilon zeta"
+    val benchB = "one two three four five six"
+    DocumentStreaming.registerSuite(sp, vocab,
+      Seq((100L, benchA)).toDF("doc_id", "text"), "text", "doc_id")
+    val mem = MemoryStream[DocArrival]
+    val query = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(DocumentStreaming.contaminationSink(vocab, out,
+        "text", "doc_id"))
+      .start()
+    try {
+      // batch 1: doc 1 copies suite A (flags), doc 2 copies suite B
+      // (NOT yet registered — explicitly clean decision row)
+      mem.addData(
+        doc(1, benchA, "2024-01-01 00:00:00"),
+        doc(2, benchB, "2024-01-01 00:01:00"))
+      query.processAllAvailable()
+      // suite B registers between batches; re-registering A is a no-op
+      DocumentStreaming.registerSuite(sp, vocab,
+        Seq((101L, benchB), (100L, benchA)).toDF("doc_id", "text"),
+        "text", "doc_id")
+      // batch 2: doc 3 copies suite B (now flags)
+      mem.addData(doc(3, benchB, "2024-01-01 01:00:00"))
+      query.processAllAvailable()
+      val got = sp.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_hit"), r.getAs[Boolean]("contaminated"))))
+        .toMap
+      assert(got == Map(1L -> ((4L, true)), 2L -> ((0L, false)),
+        3L -> ((4L, true))))
+      // vocab stayed distinct across the duplicate registration
+      val vx = sp.read.parquet(vocab)
+      assert(vx.count() == vx.distinct().count() && vx.count() == 8L)
+    } finally query.stop()
+  }
+
   test("EmbeddingStreaming.admissionSink dedups semantically across batches") {
     val sp = spark
     import sp.implicits._
