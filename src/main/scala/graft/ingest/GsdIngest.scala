@@ -83,11 +83,11 @@ object GsdIngest {
   /** publishedDate minute-precision ISO ("2022-06-23T07:15Z"). */
   def parsePublished(s: String): Option[Timestamp] = {
     val t = s.trim
+    // ISO_OFFSET_DATE_TIME already accepts the minute-precision
+    // "2021-06-23T07:15Z" form; the LocalDateTime fallback covers
+    // offset-less captures (UTC by convention)
     val candidates = Seq(
       () => java.time.OffsetDateTime.parse(t).toInstant,
-      () => java.time.OffsetDateTime.parse(t,
-        java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd'T'HH:mmXXX")).toInstant,
       () => java.time.LocalDateTime.parse(t)
         .toInstant(java.time.ZoneOffset.UTC))
     candidates.view.flatMap(f =>

@@ -98,7 +98,10 @@ object KaybeeIngest {
 
     val summary =
       if (Option(data.get("text")).map(strOf).exists(_.nonEmpty))
-        listOf(data, "notes").map(n => strOf(n.get("text"))).mkString("\n")
+        // links-only notes (no `text` key) contribute nothing — the
+        // raw strOf would render them as the literal string "null"
+        listOf(data, "notes").flatMap(n => Option(n.get("text")))
+          .map(strOf).mkString("\n")
       else ""
 
     val (impacted, resolvedP) = listOf(data, "artifacts").flatMap { a =>
@@ -111,12 +114,15 @@ object KaybeeIngest {
       }))
     }.partition(_._2)
 
+    // a commit entry missing repository or id is malformed (the
+    // reference would KeyError the whole statement); skip the entry
+    // rather than emit a "null/<sha>" url
     val refs = for {
       fix <- listOf(data, "fixes")
       commit <- listOf(fix, "commits")
-    } yield ReferenceRow(
-      s"${strOf(commit.get("repository"))}/${strOf(commit.get("id"))}",
-      "", "")
+      repo <- Option(commit.get("repository")).map(strOf)
+      cid <- Option(commit.get("id")).map(strOf)
+    } yield ReferenceRow(s"$repo/$cid", "", "")
 
     Some(AdvisoryRow(datasourceId, vulnId, summary, Seq(vulnId), refs,
       Seq.empty, Seq.empty,

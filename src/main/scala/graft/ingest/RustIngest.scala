@@ -42,22 +42,21 @@ object RustIngest {
   // is parsed here; toml.loads-equivalent for these files
   // (rust.py:211-227).
 
-  /** Lines of the ```toml fence (rust.py:184-209). */
+  /** Lines of the ```toml fence (rust.py:184-209): the opening fence
+    * line is skipped, the closing fence stops the stream, everything
+    * else — including lines BEFORE the fence, like the reference —
+    * streams through. */
   def tomlLines(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var inBody = false
     val it = text.linesIterator
     var done = false
     while (it.hasNext && !done) {
       val line = it.next().trim
-      if (line.startsWith("```toml")) inBody = true // skipped, like ref
+      if (line.startsWith("```toml")) () // opening fence: skipped
       else if (line.endsWith("```")) done = true
       else out += line
     }
-    // mirror the reference: lines BEFORE the fence also stream through
-    // (get_toml_lines yields everything until the closing fence)
-    val res = out.result()
-    if (inBody || res.nonEmpty) res else Seq.empty
+    out.result()
   }
 
   /** Split a TOML array body `"a", "b"` → elements (strings unquoted). */
@@ -82,6 +81,21 @@ object RustIngest {
       }
     }
     out.result()
+  }
+
+  /** Index of the first `]` OUTSIDE double quotes, -1 if none — the
+    * array terminator scan must not trip on a `]` inside a quoted
+    * element (rust function paths like `<[u8]>::method`). */
+  private def unquotedBracket(s: String): Int = {
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"') inQ = !inQ
+      else if (c == ']' && !inQ) return i
+      i += 1
+    }
+    -1
   }
 
   /** Key = bare ident or quoted string (function paths carry `:`/`.`). */
@@ -120,11 +134,12 @@ object RustIngest {
           var v = v0
           if (v.startsWith("[")) {
             // array, possibly spanning lines until the closing bracket
-            while (!v.contains("]") && i + 1 < ls.length) {
+            // (quote-aware: a ']' inside an element must not terminate)
+            while (unquotedBracket(v) < 0 && i + 1 < ls.length) {
               i += 1; v = v + " " + ls(i).trim
             }
             sec.put(key,
-              arrayElems(v.substring(1, v.lastIndexOf(']').max(1))))
+              arrayElems(v.substring(1, unquotedBracket(v).max(1))))
           } else if (v.startsWith("\"")) {
             val close = v.indexOf('"', 1)
             sec.put(key, if (close > 0) v.substring(1, close) else "")
@@ -142,15 +157,54 @@ object RustIngest {
 
   // ---- categorize_versions (rust.py:139-183) ------------------------
 
+  /** Expand a semver caret/tilde requirement token into its bound
+    * pair. `^1.2.3` → [1.2.3, 2.0.0); `^0.2.3` → [0.2.3, 0.3.0);
+    * `^0.0.3` → [0.0.3, 0.0.4); `~1.2.3` → [1.2.3, 1.3.0);
+    * `~1.2`/`~1` widen at their own grain — the cargo semver-req
+    * rules RustSec ranges are written in. */
+  private[ingest] def caretTildeBounds(tok: String): Seq[String] = {
+    val op = tok.head
+    val v = tok.tail.trim
+    val parts = v.takeWhile(c => c.isDigit || c == '.')
+      .split('.').filter(_.nonEmpty).map(_.toLong)
+    if (parts.isEmpty) return Seq("=" + v)
+    val upper: Seq[Long] =
+      if (op == '^') {
+        if (parts(0) != 0L || parts.length == 1) Seq(parts(0) + 1)
+        else if (parts(1) != 0L || parts.length == 2)
+          Seq(0L, parts(1) + 1)
+        else Seq(0L, 0L, parts(2) + 1)
+      } else { // '~': bump the second-to-last given segment
+        if (parts.length >= 2) Seq(parts(0), parts(1) + 1)
+        else Seq(parts(0) + 1)
+      }
+    Seq(">=" + v, "<" + upper.mkString("."))
+  }
+
   /** `version in range` for one spec string (">= 0.6.1", "< 0.4.0",
-    * comma-AND pairs) — univers' semver from_scheme_version_spec_string
-    * semantics; comma pairs flatten to the vers interval walk. */
+    * "^1.0.5", comma-AND pairs) — univers' semver
+    * from_scheme_version_spec_string semantics; comma pairs flatten to
+    * the vers interval walk. Caret/tilde requirements expand to their
+    * bound pairs first (GitlabIngest.rangeConstraints knows gem's `~>`
+    * but not cargo's `^`/`~`, which would otherwise fall through as
+    * never-matching literal pins). */
   def semverContains(spec: String, version: String): Boolean = {
-    val cons = GitlabIngest.rangeConstraints(spec)
-    if (cons.isEmpty) false
-    else Vers.contains(
-      Vers.Range("semver", Vers.parseConstraints(cons.mkString("|"))),
-      version)
+    // comma tokens are a CONJUNCTION (univers VersionRange semantics):
+    // each token must contain the version. Per token the expansion is
+    // at most a (>=lo, <hi) pair, which the vers interval walk reads as
+    // one interval — flattening ALL tokens into one walk instead would
+    // read a second upper bound as a new interval (OR), e.g.
+    // "^1.0.0, < 1.5.0" would admit 1.5.0.
+    val tokens = spec.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    tokens.nonEmpty && tokens.forall { tok =>
+      val cons =
+        if ((tok.startsWith("^") || tok.startsWith("~")) &&
+            !tok.startsWith("~>")) caretTildeBounds(tok)
+        else GitlabIngest.rangeConstraints(tok)
+      cons.nonEmpty && Vers.contains(
+        Vers.Range("semver", Vers.parseConstraints(cons.mkString("|"))),
+        version)
+    }
   }
 
   /** → (unaffected, affected) version sets. */

@@ -43,11 +43,18 @@ object SuseBackportsIngest {
       if (doc == null) return Seq.empty
       val packages = asMap(doc.get("packages"))
       if (packages == null) return Seq.empty
-      for ((pkg, body) <- packages.asScala) {
-        val fixed = asMap(asMap(body).get("fixed"))
+      for (pe <- packages.asInstanceOf[java.util.Map[Object, Object]]
+          .entrySet().asScala) {
+        val pkg = String.valueOf(pe.getKey)
+        val fixed = asMap(asMap(pe.getValue).get("fixed"))
         if (fixed == null) throw new ClassCastException // ≙ TypeError
-        for ((versionK, vulns) <- fixed.asScala) {
-          val version = String.valueOf(versionK)
+        // iterate raw entries: YAML version keys are not always strings
+        // (an unquoted `2.24:` parses as a Double) — stringify like the
+        // reference's str(version), never checkcast
+        for (e <- fixed.asInstanceOf[java.util.Map[Object, Object]]
+            .entrySet().asScala) {
+          val version = String.valueOf(e.getKey)
+          val vulns = e.getValue
           vulns match {
             case l: java.util.List[_] =>
               for (v <- l.asScala) {

@@ -99,7 +99,7 @@ object Corpus {
   def contamination(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
       flagAt: Double = 0.8): DataFrame =
-    contaminationAgainstIndex(corpus,
+    incrementalContamination(corpus,
       benchmarkVocab(benchmark, textCol, idCol, n),
       textCol, idCol, n, flagAt)
 
@@ -119,12 +119,25 @@ object Corpus {
     benchmarkVocab(newBenchmark, textCol, idCol, n)
       .join(index, Seq("shingle"), "left_anti")
 
-  /** Contamination of `corpus` against a prebuilt vocabulary index —
-    * the per-batch body of both the batch and incremental forms. */
-  def contaminationAgainstIndex(corpus: DataFrame, index: DataFrame,
+  /** Incremental contamination screening: an ARRIVAL batch (or the
+    * whole corpus, for the batch form above) is shingled once and
+    * tested against a prebuilt benchmark-vocabulary index — the
+    * benchmark is never re-read, mirroring the x_incremental_dedup /
+    * incrementalSubstringStrip admission pattern. When new eval suites
+    * register between batches, extendBenchmarkVocab appends exactly the
+    * missing shingles and later batches see the grown index; screening
+    * results for ALREADY-screened batches are immutable (append-only
+    * index ⇒ monotone, batch-order-free for a fixed index state).
+    *
+    * Scale shape: one map-side shingle pass over the arrivals, one
+    * broadcast left join against the bounded vocab, one per-doc
+    * aggregation; no state but the vocab index is touched, and the
+    * index update itself is a left-anti join narrowed to the NEW
+    * suite's shingles. */
+  def incrementalContamination(delta: DataFrame, index: DataFrame,
       textCol: String, idCol: String, n: Int = 3,
       flagAt: Double = 0.8): DataFrame = {
-    val sh = TextDedup.shingles(corpus, textCol, idCol, n)
+    val sh = TextDedup.shingles(delta, textCol, idCol, n)
     val vocab = index.select("shingle").withColumn("_hit", lit(1))
     val agg = sh.join(broadcast(vocab), Seq("shingle"), "left_outer")
       .groupBy("id")
@@ -135,25 +148,6 @@ object Corpus {
       round(rate, 4).cast("double").as("contamination"),
       (rate >= flagAt).as("contaminated"))
   }
-
-  /** Incremental contamination screening: an ARRIVAL batch is shingled
-    * once and tested against the persisted benchmark vocabulary — the
-    * benchmark is never re-read, mirroring the x_incremental_dedup /
-    * incrementalSubstringStrip admission pattern. When new eval suites
-    * register between batches, extendBenchmarkVocab appends exactly the
-    * missing shingles and later batches see the grown index; screening
-    * results for ALREADY-screened batches are immutable (append-only
-    * index ⇒ monotone, batch-order-free for a fixed index state).
-    *
-    * Scale shape: identical to the batch form's per-batch cost — one
-    * map-side shingle pass over the arrivals, one broadcast left join
-    * against the bounded vocab, one per-doc aggregation; no state but
-    * the vocab index is touched, and the index update itself is a
-    * left-anti join narrowed to the NEW suite's shingles. */
-  def incrementalContamination(delta: DataFrame, index: DataFrame,
-      textCol: String, idCol: String, n: Int = 3,
-      flagAt: Double = 0.8): DataFrame =
-    contaminationAgainstIndex(delta, index, textCol, idCol, n, flagAt)
 
   /** Corpus-frequency top-k tokens (vocabulary heavy hitters). Spark
     * plans the orderBy+limit as TakeOrderedAndProject — per-partition

@@ -462,7 +462,9 @@ object IngestQueries extends QueryModule {
   // DuckDB re-derivation order-free), references in file order.
 
   private def gsdSpark(s: SparkSession): DataFrame = {
-    val raw = s.read.option("wholetext", "true").text(s"$Fix/gsd")
+    // *.json on BOTH sides: a stray non-json file in the fixture dir
+    // must stay invisible to Spark exactly as it is to the oracle glob
+    val raw = s.read.option("wholetext", "true").text(s"$Fix/gsd/*.json")
       .select(lit("gsd").as("datasource_id"),
         input_file_name().as("path"), col("value").as("json"))
     graft.ingest.GsdIngest.parse(s, raw).toDF().select(

@@ -218,6 +218,77 @@ class LegacyImportersSpec extends AnyFunSuite with SparkTestSession {
       ("2.0.0", None)))
   }
 
+  test("rust: caret/tilde requirements expand to semver-req bounds") {
+    // cargo semver-req semantics — a bare GitlabIngest pass would have
+    // read `^1.0.5` as a literal pin that matches nothing
+    assert(RustIngest.semverContains("^1.0.5", "1.9.9"))
+    assert(!RustIngest.semverContains("^1.0.5", "2.0.0"))
+    assert(!RustIngest.semverContains("^1.0.5", "1.0.4"))
+    assert(RustIngest.semverContains("^0.2.3", "0.2.9"))
+    assert(!RustIngest.semverContains("^0.2.3", "0.3.0"))
+    assert(RustIngest.semverContains("^0.0.3", "0.0.3"))
+    assert(!RustIngest.semverContains("^0.0.3", "0.0.4"))
+    assert(RustIngest.semverContains("~1.2.3", "1.2.9"))
+    assert(!RustIngest.semverContains("~1.2.3", "1.3.0"))
+    assert(RustIngest.semverContains("~1", "1.9.0"))
+    assert(!RustIngest.semverContains("~1", "2.0.0"))
+    // comma-AND still composes with the expansion
+    assert(RustIngest.semverContains("^1.0.0, < 1.5.0", "1.4.9"))
+    assert(!RustIngest.semverContains("^1.0.0, < 1.5.0", "1.5.0"))
+    // patched = ["^0.6.1"] categorizes like the >= form
+    assert(RustIngest.categorizeVersions(Set("0.6.0", "0.6.1", "0.6.5"),
+      Seq.empty, Seq.empty, Seq("^0.6.1")) ==
+      (Set("0.6.1", "0.6.5"), Set("0.6.0")))
+  }
+
+  test("rust: quoted array elements may contain ']' (function paths)") {
+    val doc = RustIngest.parseToml(Seq(
+      "[affected.functions]",
+      "\"byte_struct::<[u8]>::read\" = [",
+      "    \"< 0.6.1\",",
+      "    \"trait::<[u8; 4]>::x\",",
+      "]"))
+    assert(doc("affected.functions")("byte_struct::<[u8]>::read") ==
+      Seq("< 0.6.1", "trait::<[u8; 4]>::x"))
+  }
+
+  test("suse_backports: numeric YAML version keys stringify") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val rows = SuseBackportsIngest.parseFile(yaml, "suse_backports",
+      """- name: SLES
+        |  packages:
+        |    libfoo:
+        |      fixed:
+        |        2.24:
+        |          - CVE-2020-1111
+        |        1.0-1.1:
+        |          - CVE-2020-2222
+        |""".stripMargin)
+    // an unquoted `2.24:` parses as a Double key; str(version) keeps it
+    assert(rows.map(r => r.affected.head.fixed_vers).toSet ==
+      Set("vers:rpm/=2.24", "vers:rpm/=1.0-1.1"))
+  }
+
+  test("kaybee: links-only notes and malformed commits stay silent") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val r = KaybeeIngest.parseOne(yaml, "kaybee",
+      """text: present
+        |vulnerability_id: CVE-2020-3333
+        |notes:
+        |  - links:
+        |      - https://example.org/only-links
+        |  - text: real note
+        |fixes:
+        |  - id: B
+        |    commits:
+        |      - id: abc123
+        |      - id: def456
+        |        repository: https://github.com/o/r
+        |""".stripMargin).get
+    assert(r.summary == "real note") // no "null" line from the first note
+    assert(r.references.map(_.url) == Seq("https://github.com/o/r/def456"))
+  }
+
   test("legacy registry: all five have dedicated parsers") {
     assert(ImporterRegistry.legacyV1.values.map(_._2).forall {
       case ImporterRegistry.Dedicated(e) => e.endsWith(".parse")

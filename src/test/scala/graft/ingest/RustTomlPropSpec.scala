@@ -31,10 +31,12 @@ class RustTomlPropSpec extends AnyFunSuite {
       1 -> Gen.const(':'), 1 -> Gen.const('.'), 1 -> Gen.const('_')))
       .map(_.mkString)
 
-  // string values: anything printable except the quote itself
+  // string values: anything printable except the quote itself —
+  // INCLUDING brackets (rust function paths like `<[u8]>::method`
+  // carry `]` inside quoted array elements)
   private val strValue: Gen[String] =
     Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '.', '/', ':',
-      '-', '#', '!', '(', ')', '>'))).map(_.mkString)
+      '-', '#', '!', '(', ')', '>', '<', '[', ']'))).map(_.mkString)
 
   private val bareScalar: Gen[String] = Gen.oneOf(
     Gen.chooseNum(0, 99999).map(_.toString),
