@@ -414,6 +414,85 @@ object TextDedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** (band, chunk) rows of a (id, simhash) signature set — shared by
+    * [[simHashPairs]] and [[incrementalSimHashDedup]]. */
+  private def simHashBandRows(sig: DataFrame, bits: Int,
+      bands: Int): DataFrame = {
+    val width = bits / bands
+    // width = 64 (bands = 1): (1L << 64) wraps to 1L under Scala's
+    // mod-64 shift — full-width chunks take the all-ones mask explicitly
+    val chunkMask = if (width == 64) -1L else (1L << width) - 1
+    val chunkCols = (0 until bands).map { b =>
+      val chunk = expr(
+        s"shiftrightunsigned(simhash, ${b * width}) & $chunkMask")
+      struct(lit(b).as("band"), chunk.as("chunk"))
+    }
+    sig.select(col("id"), col("simhash"),
+        explode(array(chunkCols: _*)).as("bc"))
+      .select(col("id"), col("simhash"),
+        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+  }
+
+  /** Incremental SimHash near-dup admission — the
+    * [[incrementalMinHashDedup]] contract on Hamming-banded signatures,
+    * completing the incremental family (MinHash, SemDeDup, substring,
+    * BM25, contamination all have one): a delta doc is rejected when
+    * its signature is within `maxHamming` bits of ANY indexed doc's, or
+    * of ANY delta doc with a smaller id — monotone and order-free, with
+    * the batch pipeline remaining the global-compaction path. The index
+    * holds (id, simhash) rows only (8 bytes of state per admitted doc —
+    * the narrowest of the admission indexes); admitted text is never
+    * re-read. Candidates come from the [[simHashPairs]] (band, chunk)
+    * equi-join (pigeonhole: bands > maxHamming), hot buckets capped
+    * over BOTH sides like the MinHash form. Docs with no tokens have no
+    * signature and are decided keep=true, mirroring the short-doc rule.
+    *
+    * Returns (decisions, admittedSignatures): decisions =
+    * (id, dup_of_index, dup_of_delta, keep); admittedSignatures = the
+    * kept docs' (id, simhash) rows — append to the index and the next
+    * batch continues from there. */
+  def incrementalSimHashDedup(delta: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, bits: Int = 64, bands: Int = 4,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000)
+      : (DataFrame, DataFrame) = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(bands > maxHamming,
+      "need bands > maxHamming for the pigeonhole guarantee")
+    val deltaSig = simHash(delta, textCol, idCol, bits).localCheckpoint()
+    val db = simHashBandRows(deltaSig, bits, bands)
+    val ib = simHashBandRows(index.select(col("id"), col("simhash")),
+      bits, bands)
+    val hot = db.select("band", "chunk")
+      .unionAll(ib.select("band", "chunk"))
+      .groupBy("band", "chunk").count()
+      .filter(col("count") > maxBucketSize).select("band", "chunk")
+    val dbC = db.join(hot, Seq("band", "chunk"), "left_anti")
+    val ibC = ib.join(hot, Seq("band", "chunk"), "left_anti")
+    def dupsAgainst(b: DataFrame, pred: Column): DataFrame =
+      dbC.select(col("id").as("id_a"), col("simhash").as("sig_a"),
+          col("band"), col("chunk"))
+        .join(b.select(col("id").as("id_b"), col("simhash").as("sig_b"),
+          col("band"), col("chunk")), Seq("band", "chunk"))
+        .filter(pred)
+        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+          <= maxHamming)
+        .select(col("id_a").as("id")).distinct()
+    val dupIx = dupsAgainst(ibC, lit(true))
+      .withColumn("dup_of_index", lit(true))
+    val dupDelta = dupsAgainst(dbC, col("id_a") > col("id_b"))
+      .withColumn("dup_of_delta", lit(true))
+    val decisions = delta.select(col(idCol).as("id"))
+      .join(dupIx, Seq("id"), "left")
+      .join(dupDelta, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dup_of_index"), lit(false)).as("dup_of_index"),
+        coalesce(col("dup_of_delta"), lit(false)).as("dup_of_delta"))
+      .withColumn("keep", !col("dup_of_index") && !col("dup_of_delta"))
+    val admitted = deltaSig
+      .join(decisions.filter(col("keep")).select("id"), Seq("id"))
+    (decisions, admitted)
+  }
+
   /** SimHash near-duplicate pairs: candidates via band buckets over the
     * signature (pigeonhole: two signatures within `maxHamming` bits must
     * agree on at least one of `bands` disjoint bit chunks whenever
@@ -430,21 +509,8 @@ object TextDedup {
     require(bits % bands == 0, "bands must divide bits")
     require(bands > maxHamming,
       "need bands > maxHamming for the pigeonhole guarantee")
-    val width = bits / bands
     val sig = simHash(df, textCol, idCol, bits).localCheckpoint()
-    // width = 64 (bands = 1): (1L << 64) wraps to 1L under Scala's mod-64
-    // shift, masking every chunk to 0 and collapsing the corpus into one
-    // bucket — full-width chunks take the all-ones mask explicitly
-    val chunkMask = if (width == 64) -1L else (1L << width) - 1
-    val chunkCols = (0 until bands).map { b =>
-      val chunk = expr(
-        s"shiftrightunsigned(simhash, ${b * width}) & $chunkMask")
-      struct(lit(b).as("band"), chunk.as("chunk"))
-    }
-    val banded = sig.select(col("id"), col("simhash"),
-      explode(array(chunkCols: _*)).as("bc"))
-      .select(col("id"), col("simhash"),
-        col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val banded = simHashBandRows(sig, bits, bands)
     // bucket cap via window count (one shuffle the self-join reuses)
     val capped = banded
       .withColumn("_n",

@@ -272,6 +272,73 @@ object TextDedupQueries extends QueryModule {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental SimHash admission (the x_incremental_dedup contract
+    // on Hamming-banded signatures): within the same deterministic 10%
+    // subset as x_simhash_pairs, docs with doc_id % 3 == 0 arrive as
+    // the delta; the rest are the admitted corpus, visible ONLY through
+    // its (id, simhash) index. The oracle recomputes both sides'
+    // signatures and restricts pairing to delta×index and
+    // delta×earlier-delta with the same popcount ≤ 2 verification. The
+    // hot-bucket cap is not mirrored (no bucket approaches 10k rows at
+    // these SFs; the cap's shape is pinned by x_simhash_pairs' twin in
+    // the library code path).
+    q("x_incremental_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |           regexp_split_to_array(trim(text), '\s+'),
+        |           x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bits AS (
+        |  SELECT doc_id, b.bit,
+        |         sum(CASE WHEN
+        |           ((strpos('0123456789abcdef',
+        |                    substr(md5(tok), 1 + b.bit // 4, 1)) - 1)
+        |            // CASE b.bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |                            WHEN 2 THEN 2 ELSE 1 END) % 2 = 1
+        |           THEN 1 ELSE -1 END) AS s
+        |  FROM tok, (SELECT unnest(range(0, 16)) AS bit) b
+        |  GROUP BY doc_id, b.bit),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0
+        |                  THEN (CAST(1 AS BIGINT) << CAST(15 - bit AS INTEGER))
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, simhash, b.band,
+        |         (simhash >> CAST(b.band * 4 AS INTEGER)) & 15 AS chunk
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+        |d AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+        |ix AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+        |dup_ix AS (
+        |  SELECT DISTINCT a.doc_id FROM d a JOIN ix b
+        |    ON a.band = b.band AND a.chunk = b.chunk
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+        |dup_dd AS (
+        |  SELECT DISTINCT a.doc_id FROM d a JOIN d b
+        |    ON a.band = b.band AND a.chunk = b.chunk
+        |   AND a.doc_id > b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2)
+        |SELECT dd.doc_id,
+        |       di.doc_id IS NOT NULL AS dup_of_index,
+        |       dl.doc_id IS NOT NULL AS dup_of_delta,
+        |       di.doc_id IS NULL AND dl.doc_id IS NULL AS keep
+        |FROM (SELECT doc_id FROM documents
+        |      WHERE doc_id % 10 = 0 AND doc_id % 3 = 0) dd
+        |LEFT JOIN dup_ix di USING (doc_id)
+        |LEFT JOIN dup_dd dl USING (doc_id)
+        |ORDER BY dd.doc_id""") { (s, dir) =>
+      val sub = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
+      val delta = sub.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val index = TextDedup.simHash(
+        sub.filter(pmod(col("doc_id"), lit(3)) =!= 0), "text", "doc_id",
+        bits = 16)
+      val (decisions, _) = TextDedup.incrementalSimHashDedup(
+        delta, index, "text", "doc_id", bits = 16, bands = 4,
+        maxHamming = 2)
+      decisions.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    },
+
     // n-gram Jaccard, CAPPED scale-safe form: the library's
     // TextDedup.ngramJaccardPairs with a shingle document-frequency cap
     // (maxDf = 40 — chosen so the corpus's hot stop-shingles actually get

@@ -120,6 +120,39 @@ class TextDedupLibSpec extends AnyFunSuite with SparkTestSession {
     assert(admit.select("id").collect().map(_.getLong(0)).toSeq == Seq(8L))
   }
 
+  test("incrementalSimHashDedup admits across batches via the sig index") {
+    val sp = spark
+    import sp.implicits._
+    val base = "the quick brown fox jumps over the lazy dog"
+    val index1 = TextDedup.simHash(
+      Seq((1L, base)).toDF("id", "text"), "text", "id")
+    val batch = Seq(
+      (10L, base),                                        // dup of index
+      (11L, "a corpus of training documents for models"), // fresh
+      (12L, "a corpus of training documents for models"), // dup of 11
+      (13L, ""))                                          // no tokens
+      .toDF("id", "text")
+    val (dec, admit) = TextDedup.incrementalSimHashDedup(
+      batch, index1, "text", "id", maxHamming = 3)
+    val d = dec.collect().map(r => r.getLong(0) ->
+      ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(d(10L) == ((true, false, false)))
+    assert(d(11L) == ((false, false, true)))
+    assert(d(12L) == ((false, true, false)))
+    assert(d(13L) == ((false, false, true))) // short doc: kept, unsigned
+    assert(admit.select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(11L)) // only the signable survivor enters the index
+    // the appended index catches a batch-2 dup of 11 without re-reading
+    // any admitted text
+    val index2 = index1.unionByName(admit)
+    val (dec2, _) = TextDedup.incrementalSimHashDedup(
+      Seq((20L, "a corpus of training documents for models"))
+        .toDF("id", "text"),
+      index2, "text", "id", maxHamming = 3)
+    assert(dec2.collect().map(r =>
+      (r.getLong(0), r.getBoolean(3))).toSeq == Seq((20L, false)))
+  }
+
   test("simhash pairs bands=1 (full-width chunk) still buckets correctly") {
     val sp = spark
     import sp.implicits._
