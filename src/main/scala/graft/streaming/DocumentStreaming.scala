@@ -159,6 +159,99 @@ object DocumentStreaming {
       .write.mode("append").parquet(screenedPath)
   }
 
+  /** End-to-end streaming curation — the composed admission form of
+    * [[graft.Engine.runCorpusPipeline]]: each micro-batch flows
+    * quality-flags → MinHash near-dup admission (vs the accumulated
+    * signature index) → cross-doc substring strip (vs the window-digest
+    * index) → benchmark-contamination screen (vs the suite vocab
+    * registered by [[registerSuite]]), appending one LEDGER row per
+    * batch doc and the surviving docs' STRIPPED text to `admitted/`.
+    * State under `root`: `minhash_index/` (kept-and-admitted docs'
+    * signatures — a doc dropped for quality/contamination does not
+    * join the index, so a later clean copy can still be admitted),
+    * `substring_index/` (fresh window digests of dedup-kept docs; a
+    * digest from a doc later dropped by the screen stays indexed —
+    * stripping a duplicated run against dropped text loses nothing,
+    * the run was duplicated either way), `vocab/` (suite shingles).
+    *
+    * Per-batch cost is the sum of the three incremental forms' costs —
+    * each is one scan of the batch plus bounded/banded joins against
+    * its index; admitted text is never re-read by any stage. Admission
+    * dedup signatures are computed on ARRIVAL text (pre-strip), the
+    * same text the batch pipeline pairs on. Same at-least-once
+    * delivery note as [[admissionSink]].
+    *
+    * Usage: `docs.writeStream.foreachBatch(
+    *   DocumentStreaming.curationSink(root, "text", "doc_id"))`. */
+  def curationSink(root: String, textCol: String, idCol: String,
+      n: Int = 2, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, windowTokens: Int = 20,
+      shingleN: Int = 3, flagAt: Double = 0.8)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    import graft.operators.{Corpus, TextDedup}
+    def readOr(path: String, empty: DataFrame): DataFrame =
+      try spark.read.schema(empty.schema).parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+
+    val quality = Corpus.qualityFlags(batch, textCol)
+      .select(col(idCol), col("passes"))
+    val sigIndex = readOr(s"$root/minhash_index", TextDedup
+      .minHashSignatures(batch.limit(0), textCol, idCol, n, numHashes))
+    val (decisionsRaw, keptSigRaw) = TextDedup.incrementalMinHashDedup(
+      batch, sigIndex, textCol, idCol, n, numHashes, bands, threshold)
+    val decisions = decisionsRaw.localCheckpoint()
+    val keptSig = keptSigRaw.localCheckpoint()
+    val keptDocs = batch.join(
+      decisions.filter(col("keep")).select(col("id").as(idCol)),
+      Seq(idCol))
+
+    val subIndex = readOr(s"$root/substring_index", Corpus
+      .substringDigestIndex(batch.limit(0), textCol, idCol, windowTokens))
+    val (strippedRaw, freshRaw) = Corpus.incrementalSubstringStrip(
+      keptDocs, subIndex, textCol, idCol, windowTokens)
+    val stripped = strippedRaw.localCheckpoint()
+
+    val vocab = readOr(s"$root/vocab",
+      Corpus.benchmarkVocab(batch.limit(0), textCol, idCol, shingleN))
+    val contam = Corpus.incrementalContamination(
+      stripped.withColumnRenamed("text", textCol), vocab,
+      textCol, idCol, shingleN, flagAt)
+
+    // one ledger row per BATCH doc: every drop reason visible, and
+    // `admitted` is the conjunction a practitioner filters on
+    val ledger = quality
+      .join(decisions.withColumnRenamed("id", idCol), Seq(idCol))
+      .join(stripped.select(col(idCol),
+        col("stripped_tokens"), col("text").as("_stripped")),
+        Seq(idCol), "left")
+      .join(contam.select(col(idCol), col("contamination"),
+        col("contaminated")), Seq(idCol), "left")
+      .select(col(idCol), col("passes"),
+        col("dup_of_index"), col("dup_of_delta"), col("keep"),
+        coalesce(col("stripped_tokens"), lit(0L)).as("stripped_tokens"),
+        coalesce(col("contamination"), lit(0.0)).as("contamination"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        (col("passes") && col("keep") &&
+          !coalesce(col("contaminated"), lit(false))).as("admitted"),
+        col("_stripped"), lit(batchId).as("batch_id"))
+      .localCheckpoint()
+
+    val admittedIds = ledger.filter(col("admitted")).select(col(idCol))
+    ledger.drop("_stripped")
+      .write.mode("append").parquet(s"$root/ledger")
+    ledger.filter(col("admitted"))
+      .select(col(idCol), col("_stripped").as(textCol))
+      .write.mode("append").parquet(s"$root/admitted")
+    // index updates AFTER the decisions: signatures only for docs that
+    // made it into the corpus (narrowed from the dedup-kept signature
+    // set — no re-shingling); fresh digests for every dedup-kept doc
+    // (the strip's own canonical contract)
+    keptSig.join(admittedIds.withColumnRenamed(idCol, "id"), Seq("id"))
+      .write.mode("append").parquet(s"$root/minhash_index")
+    freshRaw.write.mode("append").parquet(s"$root/substring_index")
+  }
+
   /** Per-window language/quality profile of the arrival stream (the
     * monitoring mart a training-data intake runs): windowed counts and
     * mean document length per detected language bucket. */

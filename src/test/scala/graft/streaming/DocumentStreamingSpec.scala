@@ -187,6 +187,60 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("curationSink composes admission, strip and screen across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("curate").toString
+    val good = "the quick brown fox jumps over the lazy sleeping dog"
+    val fresh = "many new ideas about the engines of autumn arrive today"
+    val suite = "alpha beta gamma delta epsilon zeta eta theta"
+    DocumentStreaming.registerSuite(sp, s"$root/vocab",
+      Seq((100L, suite)).toDF("doc_id", "text"), "text", "doc_id")
+    val mem = MemoryStream[DocArrival]
+    val query = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(DocumentStreaming.curationSink(root, "text",
+        "doc_id", windowTokens = 4))
+      .start()
+    try {
+      // batch 1: doc 1 clean and fresh (admitted); doc 2 copies the
+      // suite verbatim (screened out)
+      mem.addData(
+        doc(1, good, "2024-01-01 00:00:00"),
+        doc(2, suite, "2024-01-01 00:01:00"))
+      query.processAllAvailable()
+      // batch 2: doc 10 copies doc 1 verbatim (rejected via the sig
+      // index); doc 11 embeds doc 1's run in fresh text (admitted with
+      // the run stripped via the digest index)
+      mem.addData(
+        doc(10, good, "2024-01-01 01:00:00"),
+        doc(11, s"$good $fresh", "2024-01-01 01:01:00"))
+      query.processAllAvailable()
+      val led = sp.read.parquet(s"$root/ledger").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(led.keySet == Set(1L, 2L, 10L, 11L)) // a row per batch doc
+      assert(led(1L).getAs[Boolean]("admitted") &&
+        led(1L).getAs[Long]("stripped_tokens") == 0L)
+      assert(led(2L).getAs[Boolean]("contaminated") &&
+        !led(2L).getAs[Boolean]("admitted"))
+      assert(led(10L).getAs[Boolean]("dup_of_index") &&
+        !led(10L).getAs[Boolean]("admitted"))
+      assert(led(11L).getAs[Boolean]("admitted") &&
+        led(11L).getAs[Long]("stripped_tokens") == 10L)
+      val admitted = sp.read.parquet(s"$root/admitted").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(admitted.keySet == Set(1L, 11L))
+      assert(admitted(1L) == good)
+      assert(admitted(11L) == fresh) // doc 1's run stripped, tail kept
+      // the signature index holds ADMITTED docs only: doc 2 (screened
+      // out) must not block a later clean arrival of the same text
+      val ixIds = sp.read.parquet(s"$root/minhash_index")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(ixIds == Set(1L, 11L))
+    } finally query.stop()
+  }
+
   test("EmbeddingStreaming.admissionSink dedups semantically across batches") {
     val sp = spark
     import sp.implicits._
