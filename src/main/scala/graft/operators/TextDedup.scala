@@ -341,14 +341,9 @@ object TextDedup {
       maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
     val deltaSig = minHashSignatures(delta, textCol, idCol, n, numHashes)
       .localCheckpoint()
-    val db = bandRows(deltaSig, numHashes, bands)
-    val ib = bandRows(index, numHashes, bands)
-    val hot = db.select("band", "bucket")
-      .unionAll(ib.select("band", "bucket"))
-      .groupBy("band", "bucket").count()
-      .filter(col("count") > maxBucketSize).select("band", "bucket")
-    val dbC = db.join(hot, Seq("band", "bucket"), "left_anti")
-    val ibC = ib.join(hot, Seq("band", "bucket"), "left_anti")
+    val (dbC, ibC) = capHotBuckets(bandRows(deltaSig, numHashes, bands),
+      bandRows(index, numHashes, bands), Seq("band", "bucket"),
+      maxBucketSize)
     val matches = (0 until numHashes)
       .map(i => when(col("sig_a").getField(s"h$i") ===
         col("sig_b").getField(s"h$i"), 1).otherwise(0))
@@ -363,24 +358,51 @@ object TextDedup {
         .agg(first(matches).as("_m"))
         .filter(col("_m").cast("double") / numHashes >= threshold)
         .select(col("id_a").as("id")).distinct()
-    val dupIx = dupsAgainst(ibC, lit(true))
-      .withColumn("dup_of_index", lit(true))
-    val dupDelta = dupsAgainst(dbC, col("id_a") > col("id_b"))
-      .withColumn("dup_of_delta", lit(true))
-    // decisions cover EVERY delta doc, not just the signable ones: a doc
-    // with fewer than n tokens has no shingles, hence no signature and no
-    // duplication evidence at this grain — it is decided keep=true (and
-    // is naturally absent from the admitted signature index, which only
-    // ever holds signature rows). Without this, short docs vanished from
-    // the decision set entirely: never admitted, never flagged, invisible
-    // to a caller reconciling decisions against its input batch.
+    admissionDecisions(delta, idCol, deltaSig,
+      dupsAgainst(ibC, lit(true)),
+      dupsAgainst(dbC, col("id_a") > col("id_b")))
+  }
+
+  /** Drop (band, bucket) groups whose COMBINED two-side population
+    * exceeds `maxBucketSize` — the degenerate-bucket guard shared by
+    * both incremental admission forms. */
+  private def capHotBuckets(db: DataFrame, ib: DataFrame,
+      keyCols: Seq[String], maxBucketSize: Int)
+      : (DataFrame, DataFrame) = {
+    val keys = keyCols.map(col)
+    val hot = db.select(keys: _*).unionAll(ib.select(keys: _*))
+      .groupBy(keys: _*).count()
+      .filter(col("count") > maxBucketSize).select(keys: _*)
+    (db.join(hot, keyCols, "left_anti"),
+      ib.join(hot, keyCols, "left_anti"))
+  }
+
+  /** Shared decision/admission assembly of the incremental dedup forms,
+    * given each form's duplicate-id sets. Decisions cover EVERY delta
+    * doc, not just the signable ones: a doc with too few tokens has no
+    * signature and no duplication evidence at this grain — it is
+    * decided keep=true (and is naturally absent from the admitted
+    * signature index, which only ever holds signature rows). Without
+    * this, short docs vanished from the decision set entirely: never
+    * admitted, never flagged, invisible to a caller reconciling
+    * decisions against its input batch.
+    *
+    * `decisions` is localCheckpoint'ed HERE so the expensive candidate
+    * joins materialize once however many consumers follow — the sinks
+    * previously checkpointed both returned frames and paid the
+    * index-sized join twice per micro-batch. */
+  private def admissionDecisions(delta: DataFrame, idCol: String,
+      deltaSig: DataFrame, dupIx: DataFrame, dupDelta: DataFrame)
+      : (DataFrame, DataFrame) = {
     val decisions = delta.select(col(idCol).as("id"))
-      .join(dupIx, Seq("id"), "left")
-      .join(dupDelta, Seq("id"), "left")
+      .join(dupIx.withColumn("dup_of_index", lit(true)), Seq("id"), "left")
+      .join(dupDelta.withColumn("dup_of_delta", lit(true)),
+        Seq("id"), "left")
       .select(col("id"),
         coalesce(col("dup_of_index"), lit(false)).as("dup_of_index"),
         coalesce(col("dup_of_delta"), lit(false)).as("dup_of_delta"))
       .withColumn("keep", !col("dup_of_index") && !col("dup_of_delta"))
+      .localCheckpoint()
     val admitted = deltaSig
       .join(decisions.filter(col("keep")).select("id"), Seq("id"))
     (decisions, admitted)
@@ -459,15 +481,9 @@ object TextDedup {
     require(bands > maxHamming,
       "need bands > maxHamming for the pigeonhole guarantee")
     val deltaSig = simHash(delta, textCol, idCol, bits).localCheckpoint()
-    val db = simHashBandRows(deltaSig, bits, bands)
-    val ib = simHashBandRows(index.select(col("id"), col("simhash")),
-      bits, bands)
-    val hot = db.select("band", "chunk")
-      .unionAll(ib.select("band", "chunk"))
-      .groupBy("band", "chunk").count()
-      .filter(col("count") > maxBucketSize).select("band", "chunk")
-    val dbC = db.join(hot, Seq("band", "chunk"), "left_anti")
-    val ibC = ib.join(hot, Seq("band", "chunk"), "left_anti")
+    val (dbC, ibC) = capHotBuckets(simHashBandRows(deltaSig, bits, bands),
+      simHashBandRows(index.select(col("id"), col("simhash")), bits,
+        bands), Seq("band", "chunk"), maxBucketSize)
     def dupsAgainst(b: DataFrame, pred: Column): DataFrame =
       dbC.select(col("id").as("id_a"), col("simhash").as("sig_a"),
           col("band"), col("chunk"))
@@ -477,20 +493,9 @@ object TextDedup {
         .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
           <= maxHamming)
         .select(col("id_a").as("id")).distinct()
-    val dupIx = dupsAgainst(ibC, lit(true))
-      .withColumn("dup_of_index", lit(true))
-    val dupDelta = dupsAgainst(dbC, col("id_a") > col("id_b"))
-      .withColumn("dup_of_delta", lit(true))
-    val decisions = delta.select(col(idCol).as("id"))
-      .join(dupIx, Seq("id"), "left")
-      .join(dupDelta, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("dup_of_index"), lit(false)).as("dup_of_index"),
-        coalesce(col("dup_of_delta"), lit(false)).as("dup_of_delta"))
-      .withColumn("keep", !col("dup_of_index") && !col("dup_of_delta"))
-    val admitted = deltaSig
-      .join(decisions.filter(col("keep")).select("id"), Seq("id"))
-    (decisions, admitted)
+    admissionDecisions(delta, idCol, deltaSig,
+      dupsAgainst(ibC, lit(true)),
+      dupsAgainst(dbC, col("id_a") > col("id_b")))
   }
 
   /** SimHash near-duplicate pairs: candidates via band buckets over the

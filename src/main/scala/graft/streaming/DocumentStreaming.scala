@@ -57,15 +57,12 @@ object DocumentStreaming {
     val index =
       try spark.read.schema(emptyIndex.schema).parquet(indexPath)
       catch { case _: org.apache.spark.sql.AnalysisException => emptyIndex }
-    val (decisionsRaw, admittedSigRaw) = graft.operators.TextDedup
+    // decisions come back localCheckpoint'ed by the library (both
+    // returned frames share the one materialized candidate join — the
+    // two write actions below cannot re-run it or diverge on replay)
+    val (decisions, admittedSig) = graft.operators.TextDedup
       .incrementalMinHashDedup(batch, index, textCol, idCol,
         n, numHashes, bands, threshold)
-    // two write actions consume the dedup below; without a checkpoint
-    // each re-runs the candidate-generation join against the full
-    // accumulated index — the per-batch cost doubled (and the two
-    // writes could diverge on a lineage replay)
-    val decisions = decisionsRaw.localCheckpoint()
-    val admittedSig = admittedSigRaw.localCheckpoint()
     val kept = decisions.filter(col("keep"))
       .select(col("id").as(idCol))
     batch.join(kept, Seq(idCol))
@@ -168,7 +165,12 @@ object DocumentStreaming {
     * batch doc and the surviving docs' STRIPPED text to `admitted/`.
     * State under `root`: `minhash_index/` (kept-and-admitted docs'
     * signatures — a doc dropped for quality/contamination does not
-    * join the index, so a later clean copy can still be admitted),
+    * join the index, so a later clean copy can still be admitted in a
+    * LATER batch; within one micro-batch the admission contract's
+    * earlier-id rule still applies whether or not the earlier doc was
+    * itself admitted — the documented monotonicity tradeoff of
+    * [[graft.operators.TextDedup.incrementalMinHashDedup]], paid here
+    * for one batch at most),
     * `substring_index/` (fresh window digests of dedup-kept docs; a
     * digest from a doc later dropped by the screen stays indexed —
     * stripping a duplicated run against dropped text loses nothing,
@@ -198,10 +200,10 @@ object DocumentStreaming {
       .select(col(idCol), col("passes"))
     val sigIndex = readOr(s"$root/minhash_index", TextDedup
       .minHashSignatures(batch.limit(0), textCol, idCol, n, numHashes))
-    val (decisionsRaw, keptSigRaw) = TextDedup.incrementalMinHashDedup(
+    // decisions come back checkpointed; keptSig derives from that
+    // checkpoint plus the checkpointed signatures (no second index join)
+    val (decisions, keptSig) = TextDedup.incrementalMinHashDedup(
       batch, sigIndex, textCol, idCol, n, numHashes, bands, threshold)
-    val decisions = decisionsRaw.localCheckpoint()
-    val keptSig = keptSigRaw.localCheckpoint()
     val keptDocs = batch.join(
       decisions.filter(col("keep")).select(col("id").as(idCol)),
       Seq(idCol))
@@ -232,8 +234,15 @@ object DocumentStreaming {
         coalesce(col("stripped_tokens"), lit(0L)).as("stripped_tokens"),
         coalesce(col("contamination"), lit(0.0)).as("contamination"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        // the non-empty floor guards the stripped-to-nothing case: a
+        // copy of a dedup-kept-but-later-dropped doc is not caught by
+        // the signature index (dropped docs don't join it), loses every
+        // window to the digest index, and would otherwise be "admitted"
+        // as an empty document (its zero shingles can't flag either)
         (col("passes") && col("keep") &&
-          !coalesce(col("contaminated"), lit(false))).as("admitted"),
+          !coalesce(col("contaminated"), lit(false)) &&
+          coalesce(length(trim(col("_stripped"))) > 0, lit(false)))
+          .as("admitted"),
         col("_stripped"), lit(batchId).as("batch_id"))
       .localCheckpoint()
 

@@ -194,7 +194,9 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
     val root = java.nio.file.Files.createTempDirectory("curate").toString
     val good = "the quick brown fox jumps over the lazy sleeping dog"
     val fresh = "many new ideas about the engines of autumn arrive today"
-    val suite = "alpha beta gamma delta epsilon zeta eta theta"
+    // quality-PASSING suite text: doc 20's batch-3 assertion needs the
+    // non-empty floor to be the binding constraint, not a quality fail
+    val suite = "the ancient harbor lights glow over the quiet water tonight"
     DocumentStreaming.registerSuite(sp, s"$root/vocab",
       Seq((100L, suite)).toDF("doc_id", "text"), "text", "doc_id")
     val mem = MemoryStream[DocArrival]
@@ -228,6 +230,18 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
         !led(10L).getAs[Boolean]("admitted"))
       assert(led(11L).getAs[Boolean]("admitted") &&
         led(11L).getAs[Long]("stripped_tokens") == 10L)
+      // batch 3: doc 20 re-arrives as another copy of the suite. The
+      // screened-out doc 2 never joined the signature index, so dedup
+      // keeps 20 — but doc 2's window digests DID index, so 20 strips
+      // to nothing, its zero shingles can't flag, and without the
+      // non-empty floor it was admitted as an EMPTY document
+      mem.addData(doc(20, suite, "2024-01-01 02:00:00"))
+      query.processAllAvailable()
+      val led20 = sp.read.parquet(s"$root/ledger")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(led20(20L).getAs[Boolean]("keep") &&
+        !led20(20L).getAs[Boolean]("contaminated") &&
+        !led20(20L).getAs[Boolean]("admitted"))
       val admitted = sp.read.parquet(s"$root/admitted").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
       assert(admitted.keySet == Set(1L, 11L))
