@@ -111,6 +111,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(aggs <= 4, s"expected at most two aggregate pairs, saw $aggs")
   }
 
+  test("incremental admission candidate joins stay equi-joins too") {
+    // the delta-vs-index forms must inherit the batch forms' contract:
+    // every candidate join keys on (band, bucket/chunk), never a
+    // cross/nested-loop product, however the index side arrives
+    val index = TextDedup.minHashSignatures(
+      docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
+    val simIndex = TextDedup.simHash(
+      docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id", bits = 16)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val cases: Seq[(String, DataFrame)] = Seq(
+      "incrementalMinHashDedup" -> TextDedup.incrementalMinHashDedup(
+        delta, index, "text", "doc_id", numHashes = 16, bands = 4,
+        threshold = 0.1, maxBucketSize = 50)._1,
+      "incrementalSimHashDedup" -> TextDedup.incrementalSimHashDedup(
+        delta, simIndex, "text", "doc_id", bits = 16, bands = 4,
+        maxHamming = 2, maxBucketSize = 50)._1)
+    cases.foreach { case (name, df) =>
+      df.collect()
+      val nodes = allNodes(df.queryExecution.executedPlan)
+      val bad = nodes.filter(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      assert(bad.isEmpty,
+        s"$name plan contains a non-equi join: ${bad.map(_.nodeName)}")
+    }
+  }
+
+  test("incrementalContamination broadcasts the persisted vocab index") {
+    val vocab = Corpus.benchmarkVocab(
+      docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 2)
+    val df = Corpus.incrementalContamination(
+      docs.filter(col("doc_id") % 10 =!= 0), vocab, "text", "doc_id",
+      n = 2)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val bcast = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => j
+    }
+    assert(bcast.nonEmpty,
+      "arrival batches must never shuffle for the membership test — " +
+        "the bounded vocab index broadcasts")
+  }
+
   test("quantile sketch partial-aggregates map-side (mergeable state)") {
     val df = Corpus.qualityQuantiles(docs, "doc_id", "source", Seq(0.5, 0.9))
     df.collect()
