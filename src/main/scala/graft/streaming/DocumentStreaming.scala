@@ -171,10 +171,14 @@ object DocumentStreaming {
     * itself admitted — the documented monotonicity tradeoff of
     * [[graft.operators.TextDedup.incrementalMinHashDedup]], paid here
     * for one batch at most),
-    * `substring_index/` (fresh window digests of dedup-kept docs; a
-    * digest from a doc later dropped by the screen stays indexed —
-    * stripping a duplicated run against dropped text loses nothing,
-    * the run was duplicated either way), `vocab/` (suite shingles).
+    * `substring_index/` (window digests of ADMITTED docs' admitted
+    * text only — like the signature index, a doc that never entered
+    * the corpus must not strip later arrivals of the same content, or
+    * that content would become permanently unadmittable; the in-batch
+    * canonical rule still lets a doc dropped LATER in the same batch
+    * strip its batch-siblings, the same one-batch-at-most tradeoff,
+    * and the `stripped_empty` ledger column records when that empties
+    * a doc), `vocab/` (suite shingles).
     *
     * Per-batch cost is the sum of the three incremental forms' costs —
     * each is one scan of the batch plus bounded/banded joins against
@@ -210,7 +214,7 @@ object DocumentStreaming {
 
     val subIndex = readOr(s"$root/substring_index", Corpus
       .substringDigestIndex(batch.limit(0), textCol, idCol, windowTokens))
-    val (strippedRaw, freshRaw) = Corpus.incrementalSubstringStrip(
+    val (strippedRaw, _) = Corpus.incrementalSubstringStrip(
       keptDocs, subIndex, textCol, idCol, windowTokens)
     val stripped = strippedRaw.localCheckpoint()
 
@@ -234,11 +238,15 @@ object DocumentStreaming {
         coalesce(col("stripped_tokens"), lit(0L)).as("stripped_tokens"),
         coalesce(col("contamination"), lit(0.0)).as("contamination"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"),
-        // the non-empty floor guards the stripped-to-nothing case: a
-        // copy of a dedup-kept-but-later-dropped doc is not caught by
-        // the signature index (dropped docs don't join it), loses every
-        // window to the digest index, and would otherwise be "admitted"
-        // as an empty document (its zero shingles can't flag either)
+        // stripped_empty is the fourth drop reason, recorded explicitly
+        // (every drop reason must be visible in the ledger): a doc can
+        // lose its whole text to the strip — all windows duplicated in
+        // admitted content, or in a batch-sibling whose canonical copy
+        // is itself dropped later in the batch — and its zero shingles
+        // can't flag contamination, so without the floor it would be
+        // admitted as an empty document
+        coalesce(length(trim(col("_stripped"))) === 0, lit(false))
+          .as("stripped_empty"),
         (col("passes") && col("keep") &&
           !coalesce(col("contaminated"), lit(false)) &&
           coalesce(length(trim(col("_stripped"))) > 0, lit(false)))
@@ -252,13 +260,22 @@ object DocumentStreaming {
     ledger.filter(col("admitted"))
       .select(col(idCol), col("_stripped").as(textCol))
       .write.mode("append").parquet(s"$root/admitted")
-    // index updates AFTER the decisions: signatures only for docs that
-    // made it into the corpus (narrowed from the dedup-kept signature
-    // set — no re-shingling); fresh digests for every dedup-kept doc
-    // (the strip's own canonical contract)
+    // index updates AFTER the decisions, BOTH narrowed to the admitted
+    // corpus: signatures from the dedup-kept set (no re-shingling), and
+    // window digests re-derived from the admitted docs' ADMITTED
+    // (post-strip) text — the digests that physically remain in the
+    // corpus. freshRaw (all dedup-kept docs' fresh digests) is NOT
+    // written here: it would make content from never-admitted docs
+    // permanently unadmittable (the standalone substringStripSink keeps
+    // it because there every stripped doc IS admitted).
     keptSig.join(admittedIds.withColumnRenamed(idCol, "id"), Seq("id"))
       .write.mode("append").parquet(s"$root/minhash_index")
-    freshRaw.write.mode("append").parquet(s"$root/substring_index")
+    graft.operators.Corpus.substringDigestIndex(
+        ledger.filter(col("admitted"))
+          .select(col(idCol), col("_stripped").as(textCol)),
+        textCol, idCol, windowTokens)
+      .join(subIndex, Seq("h1", "h2"), "left_anti")
+      .write.mode("append").parquet(s"$root/substring_index")
   }
 
   /** Per-window language/quality profile of the arrival stream (the

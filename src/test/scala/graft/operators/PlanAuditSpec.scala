@@ -114,28 +114,53 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
   test("incremental admission candidate joins stay equi-joins too") {
     // the delta-vs-index forms must inherit the batch forms' contract:
     // every candidate join keys on (band, bucket/chunk), never a
-    // cross/nested-loop product, however the index side arrives
+    // cross/nested-loop product, however the index side arrives. The
+    // returned decisions frame is localCheckpoint'ed INSIDE the library
+    // (its own plan is a bare RDD scan), so the candidate joins are
+    // captured as they EXECUTE, via a QueryExecutionListener — auditing
+    // the returned plan would be vacuous.
     val index = TextDedup.minHashSignatures(
       docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id")
     val simIndex = TextDedup.simHash(
       docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id", bits = 16)
     val delta = docs.filter(col("doc_id") % 3 === 0)
-    val cases: Seq[(String, DataFrame)] = Seq(
-      "incrementalMinHashDedup" -> TextDedup.incrementalMinHashDedup(
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = seen.add(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      TextDedup.incrementalMinHashDedup(
         delta, index, "text", "doc_id", numHashes = 16, bands = 4,
-        threshold = 0.1, maxBucketSize = 50)._1,
-      "incrementalSimHashDedup" -> TextDedup.incrementalSimHashDedup(
+        threshold = 0.1, maxBucketSize = 50)
+      TextDedup.incrementalSimHashDedup(
         delta, simIndex, "text", "doc_id", bits = 16, bands = 4,
-        maxHamming = 2, maxBucketSize = 50)._1)
-    cases.foreach { case (name, df) =>
-      df.collect()
-      val nodes = allNodes(df.queryExecution.executedPlan)
-      val bad = nodes.filter(n =>
+        maxHamming = 2, maxBucketSize = 50)
+      // listener delivery is async; wait until the checkpoint
+      // executions (which contain the candidate joins) have landed
+      def joinNodes = {
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq.flatMap(allNodes).filter(n =>
+          n.nodeName.toLowerCase.contains("join"))
+      }
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime < deadline && joinNodes.size < 2)
+        Thread.sleep(100)
+      val joins = joinNodes
+      assert(joins.size >= 2,
+        s"expected the captured checkpoint executions to contain the " +
+          s"candidate joins, saw ${joins.map(_.nodeName)}")
+      val bad = joins.filter(n =>
         n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
           n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
       assert(bad.isEmpty,
-        s"$name plan contains a non-equi join: ${bad.map(_.nodeName)}")
-    }
+        s"admission plans contain a non-equi join: ${bad.map(_.nodeName)}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("incrementalContamination broadcasts the persisted vocab index") {

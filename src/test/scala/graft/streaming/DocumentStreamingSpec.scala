@@ -231,17 +231,21 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
       assert(led(11L).getAs[Boolean]("admitted") &&
         led(11L).getAs[Long]("stripped_tokens") == 10L)
       // batch 3: doc 20 re-arrives as another copy of the suite. The
-      // screened-out doc 2 never joined the signature index, so dedup
-      // keeps 20 — but doc 2's window digests DID index, so 20 strips
-      // to nothing, its zero shingles can't flag, and without the
-      // non-empty floor it was admitted as an EMPTY document
+      // screened-out doc 2 joined NEITHER index (a never-admitted doc
+      // must not make its content permanently unadmittable), so 20
+      // survives dedup AND the strip intact — and is then rejected for
+      // the RIGHT reason: the screen flags it against the suite vocab
       mem.addData(doc(20, suite, "2024-01-01 02:00:00"))
       query.processAllAvailable()
       val led20 = sp.read.parquet(s"$root/ledger")
         .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
       assert(led20(20L).getAs[Boolean]("keep") &&
-        !led20(20L).getAs[Boolean]("contaminated") &&
+        !led20(20L).getAs[Boolean]("stripped_empty") &&
+        led20(20L).getAs[Boolean]("contaminated") &&
         !led20(20L).getAs[Boolean]("admitted"))
+      // the digest index holds exactly the ADMITTED text's windows:
+      // doc 1's 7 + doc 11's post-strip 7; nothing from docs 2/10/20
+      assert(sp.read.parquet(s"$root/substring_index").count() == 14L)
       val admitted = sp.read.parquet(s"$root/admitted").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
       assert(admitted.keySet == Set(1L, 11L))
@@ -252,6 +256,43 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
       val ixIds = sp.read.parquet(s"$root/minhash_index")
         .select("id").collect().map(_.getLong(0)).toSet
       assert(ixIds == Set(1L, 11L))
+    } finally query.stop()
+  }
+
+  test("curationSink floors docs stripped to nothing (stripped_empty)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("curfloor").toString
+    val good = "the quick brown fox jumps over the lazy sleeping dog"
+    val mem = MemoryStream[DocArrival]
+    // threshold 0.9 so a SUB-SLICE of an admitted doc (jaccard ~0.78)
+    // passes the near-dup gate and reaches the strip
+    val query = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(DocumentStreaming.curationSink(root, "text",
+        "doc_id", threshold = 0.9, windowTokens = 4))
+      .start()
+    try {
+      mem.addData(doc(1, good, "2024-01-01 00:00:00"))
+      query.processAllAvailable()
+      // doc 21 = tokens 1..8 of doc 1: every 4-token window is a
+      // sub-window of admitted text, so the strip empties it; quality
+      // passes and its zero shingles cannot flag — only the floor
+      // (recorded as stripped_empty) keeps the empty doc out
+      mem.addData(doc(21,
+        "quick brown fox jumps over the lazy sleeping",
+        "2024-01-01 01:00:00"))
+      query.processAllAvailable()
+      val led = sp.read.parquet(s"$root/ledger").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(led(21L).getAs[Boolean]("passes") &&
+        led(21L).getAs[Boolean]("keep") &&
+        !led(21L).getAs[Boolean]("contaminated"))
+      assert(led(21L).getAs[Boolean]("stripped_empty") &&
+        !led(21L).getAs[Boolean]("admitted"))
+      assert(sp.read.parquet(s"$root/admitted")
+        .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
     } finally query.stop()
   }
 
