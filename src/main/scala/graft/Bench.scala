@@ -83,6 +83,33 @@ object Bench {
       }.sorted
       times((times.size - 1) / 2)
     }
+    // Constant-work IO/SHUFFLE canary: the round-16 sessions proved the
+    // CPU canary above can read 1.7× FASTER while the suite's
+    // shuffle/IO-bound rows run 1.3–1.7× slower (diffuse disk/page-cache
+    // window drift the codegen'd range scan never touches), which made
+    // cross-session deltas unreadable without manual isolated
+    // re-measures. This probe pays what those rows pay: 30M rows
+    // (~0.7 GB of unsafe-row shuffle) hash-REPARTITIONED (repartition
+    // has no map-side combine, so the full volume is written to local
+    // shuffle files and read back) then folded. Same rep/median
+    // discipline; recorded as `canary_io` beside `canary` in every
+    // artifact — BASELINE.md's reading rule uses the PAIR (CPU drift
+    // indexes via canary, IO drift via canary_io).
+    val canaryIo = {
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        spark.range(0L, 30000000L, 1L, 32)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.expr(
+              "(id * 2654435761) % 1048576").as("k"))
+          .repartition(64, org.apache.spark.sql.functions.col("k"))
+          .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times((times.size - 1) / 2)
+    }
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -160,7 +187,7 @@ object Bench {
           ",\"reps\":[" + times.mkString(",") + "]}"
       }
       .mkString(
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"mode":"$mode","canary":$canary,"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{""",
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"mode":"$mode","canary":$canary,"canary_io":$canaryIo,"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{""",
         ",",
         "}}")
     // A SCOPED run (SPARK_GRAFT_BENCH_ONLY) writes its detail to
@@ -194,7 +221,7 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"mode":"$mode","canary":${f3(canary)},"detail":"$detailFile","queries":$qs$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"mode":"$mode","canary":${f3(canary)},"canary_io":${f3(canaryIo)},"detail":"$detailFile","queries":$qs$failedJson,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
     System.out.flush()

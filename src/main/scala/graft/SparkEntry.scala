@@ -28,6 +28,7 @@ object SparkEntry {
     SimilarityQueries,
     MultimodalQueries,
     CorpusQueries,
+    CurationSinkQueries,
     StreamingQueries,
     ServingQueries,
     V1Queries,

@@ -69,10 +69,14 @@ object UbuntuUsnIngest {
   }
 
   /** Parse one whole db dump (decompressed JSON text) streaming —
-    * only one USN entry is resident at a time. A malformed or truncated
-    * dump yields the entries parsed before the bad token and stops
-    * (never throws — malformed feed records route to silence, not to
-    * job failure). */
+    * only one USN entry is resident at a time. A PER-ENTRY failure (one
+    * corrupt value in the ~100 MB map) skips just that entry: the
+    * parser resyncs to the next top-level FIELD_NAME and continues, so
+    * one bad record no longer silently drops the remainder of the feed.
+    * Only a failure the tokenizer itself cannot scan past (truncated
+    * input, or re-throwing on every resync attempt) aborts, yielding
+    * the entries parsed so far (never throws — malformed feed records
+    * route to silence, not to job failure). */
   def parseDb(datasourceId: String, json: String,
       precedence: Int = 500): Iterator[AdvisoryRow] = {
     val mapper = new ObjectMapper()
@@ -92,7 +96,24 @@ object UbuntuUsnIngest {
             tok = p.nextToken()
             entryToAdvisories(datasourceId, key, entry, precedence)
           } catch {
-            case _: Exception => tok = null; Seq.empty
+            case _: Exception =>
+              // Per-entry recovery: advance to the next FIELD_NAME at
+              // the ROOT object's depth (values are skipped wholesale;
+              // a FIELD_NAME nested inside a partially-consumed entry
+              // value is not a resync point). nextToken() re-throwing
+              // means the tokenizer cannot scan past the damage —
+              // that is the truncated-input abort.
+              tok =
+                try {
+                  var t = p.currentToken()
+                  while (t != null && !(t == JsonToken.FIELD_NAME &&
+                      p.getParsingContext.getParent != null &&
+                      p.getParsingContext.getParent.inRoot())) {
+                    t = p.nextToken()
+                  }
+                  t
+                } catch { case _: Exception => null }
+              Seq.empty
           }
       }.flatten
     } catch {

@@ -21,7 +21,7 @@ object BpeQueries extends QueryModule {
     Tables(s, dir, "documents")
 
   /** Shared SQL prefix: word frequencies (the corpus-scale pass). */
-  private val wcSql =
+  private[operators] val wcSql =
     """w AS (
       |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
       |                x -> x <> '')) AS word
@@ -31,7 +31,7 @@ object BpeQueries extends QueryModule {
   /** DuckDB twin of [[Bpe.applyMerge]]: left-fold over the word's chars
     * with a tab-joined accumulator; trailing-symbol-== a test via
     * ends_with on the separator. `a`/`b` are the merge-rule columns. */
-  private def foldSql(chars: String, a: String, b: String): String =
+  private[operators] def foldSql(chars: String, a: String, b: String): String =
     s"""list_reduce($chars,
        |  (acc, x) -> CASE WHEN (acc = $a OR ends_with(acc, chr(9) || $a))
        |                    AND x = $b
@@ -163,6 +163,83 @@ object BpeQueries extends QueryModule {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("ws_tokens"),
           sum("n_pieces").as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Tokenizer-aware sequence packing (Corpus.packTokenized) — the
+    // composition of the two halves a training pipeline actually runs
+    // back-to-back: the x_bpe_encode token counts (+1 EOS per doc) fill
+    // fixed-384 training sequences greedily per source stream, docs
+    // never split across a sequence boundary (a crossing doc starts
+    // the next sequence), and docs too long for ANY sequence surface
+    // as overlong instead of being truncated. The oracle re-derives
+    // the greedy fold with a list_reduce scan per source — the
+    // sequential-per-stream semantics is the operator's contract, so
+    // both engines pay it; parallelism is across the 20 sources.
+    q("x_pack_tokenized",
+      s"""WITH $wcSql,
+         |pr0 AS (SELECT word, wc, unnest(range(1, len(word))) AS i
+         |        FROM wc WHERE len(word) >= 2),
+         |pc0 AS (SELECT word[i] AS a, word[i+1] AS b, sum(wc) AS cnt
+         |        FROM pr0 GROUP BY 1, 2),
+         |m1 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+         |seg AS (SELECT wc.word,
+         |          len(string_split(${foldSql(
+               "list_transform(range(1, len(wc.word) + 1), i -> wc.word[i])",
+               "m.a", "m.b")}, chr(9))) AS n_pieces
+         |        FROM wc LEFT JOIN m1 m ON TRUE),
+         |tok AS (
+         |  SELECT doc_id, source, unnest(list_filter(
+         |           regexp_split_to_array(trim(text), '\\s+'),
+         |           x -> x <> '')) AS word
+         |  FROM documents),
+         |cnts AS (
+         |  SELECT t.doc_id, t.source,
+         |         CAST(sum(s.n_pieces) AS BIGINT) + 1 AS k
+         |  FROM tok t JOIN seg s USING (word)
+         |  GROUP BY t.doc_id, t.source),
+         |ord AS (SELECT source, list(doc_id ORDER BY doc_id) AS ids,
+         |               list(k ORDER BY doc_id) AS ks
+         |        FROM cnts WHERE k <= 384 GROUP BY source),
+         |ends AS (SELECT source, ids, ks,
+         |           list_reduce(list_transform(ks, k -> [k]),
+         |             (a, x) -> list_append(a,
+         |               CASE WHEN (a[-1] % 384) + x[1] > 384
+         |                    THEN (a[-1] // 384 + 1) * 384 + x[1]
+         |                    ELSE a[-1] + x[1] END)) AS es
+         |         FROM ord),
+         |packed AS (SELECT source, unnest(ids) AS doc_id,
+         |                  unnest(es) AS e, unnest(ks) AS k
+         |           FROM ends)
+         |SELECT doc_id, source, k AS n_tokens,
+         |       source || '#' || CAST((e - k) // 384 AS VARCHAR) AS seq_id,
+         |       (e - k) % 384 AS seq_off, FALSE AS overlong
+         |FROM packed
+         |UNION ALL
+         |SELECT doc_id, source, k AS n_tokens,
+         |       CAST(NULL AS VARCHAR) AS seq_id,
+         |       CAST(-1 AS BIGINT) AS seq_off, TRUE AS overlong
+         |FROM cnts WHERE k > 384
+         |ORDER BY doc_id""") { (s, dir) =>
+      val words = Bpe.wordCounts(docs(s, dir), "text")
+      val vocab = words
+        .select(col("word"), col("wc"), Bpe.charSymbols(col("word")).as("syms"))
+      val m1 = Bpe.pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("pair_a"), col("pair_b"))
+        .limit(1)
+        .select(col("pair_a").as("_ma"), col("pair_b").as("_mb"))
+      val seg = vocab.join(broadcast(m1), lit(true), "left")
+        .select(col("word"),
+          size(Bpe.applyMerge(col("syms"), col("_ma"), col("_mb")))
+            .cast("long").as("n_pieces"))
+      val counts = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(Corpus.tokens(col("text"))).as("word"))
+        .join(broadcast(seg), Seq("word"))
+        .groupBy("doc_id", "source")
+        .agg(sum("n_pieces").as("bpe_tokens"))
+      Corpus.packTokenized(counts, "doc_id", "source", "bpe_tokens",
+          ctxLen = 384)
         .orderBy("doc_id")
     },
   )

@@ -318,6 +318,71 @@ object Corpus {
       .drop("_cum")
   }
 
+  /** Tokenizer-aware sequence packing — the last-mile op before
+    * training, composing the BPE encode with [[packSequences]]'s
+    * budget idea under the GREEDY NO-SPLIT rule: each doc costs its
+    * encoded token count plus `eosTokens` (the end-of-document marker a
+    * packed corpus inserts between docs); docs fill fixed-`ctxLen`
+    * training sequences greedily in `idCol` order within each
+    * `groupCol` stream, and a doc whose tokens would cross the
+    * sequence boundary STARTS THE NEXT SEQUENCE instead of splitting —
+    * the boundary tokens the split-allowed [[packSequences]] form
+    * shares across sequences become padding here, which is what
+    * document-boundary-respecting training recipes pay. Docs with
+    * `nTokCol` <= 0 drop (nothing to pack); docs whose cost exceeds
+    * `ctxLen` outright can fit NO sequence and are emitted with
+    * `overlong = true`, `seq_id = NULL`, `seq_off = -1`, EXCLUDED from
+    * the greedy state (route them to a chunking op — x_pack_sequences'
+    * split-allowed form — rather than silently truncating).
+    *
+    * Scale shape: greedy packing is inherently sequential PER STREAM
+    * (each doc's placement depends on all earlier placements), so this
+    * is the one operator family that runs as genuine per-partition
+    * imperative logic: one shuffle co-locates each group, a
+    * sort-within-partitions orders it, and a single O(1)-state linear
+    * scan assigns sequences — no collect, no window over the corpus.
+    * Parallelism is across groups; one monster group serializes through
+    * one task by construction (the greedy order IS the semantics) —
+    * shard such streams upstream into (source, shard) groups when that
+    * matters.
+    *
+    * Returns (idCol, groupCol, n_tokens = encoded + eos, seq_id =
+    * "group#n", seq_off = start offset inside the sequence, overlong).
+    */
+  def packTokenized(counts: DataFrame, idCol: String, groupCol: String,
+      nTokCol: String, ctxLen: Int, eosTokens: Int = 1): DataFrame = {
+    require(ctxLen > eosTokens, "ctxLen must exceed the EOS cost")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val typed = counts
+      .filter(col(nTokCol) > 0)
+      .select(col(idCol).cast("long"), col(groupCol).cast("string"),
+        (col(nTokCol).cast("long") + eosTokens).as("_k"))
+      .as[(Long, String, Long)]
+    val ctx = ctxLen.toLong
+    val packed = typed
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+      .mapPartitions { it =>
+        // per-partition state machine: (current group, its running end)
+        var curGroup: String = null
+        var curEnd: Long = 0L
+        it.map { case (id, g, k) =>
+          if (g != curGroup) { curGroup = g; curEnd = 0L }
+          if (k > ctx) (id, g, k, null.asInstanceOf[String], -1L, true)
+          else {
+            val start =
+              if (curEnd % ctx + k > ctx) (curEnd / ctx + 1) * ctx
+              else curEnd
+            curEnd = start + k
+            (id, g, k, s"$g#${start / ctx}", start % ctx, false)
+          }
+        }
+      }
+    packed.toDF(idCol, groupCol, "n_tokens", "seq_id", "seq_off",
+      "overlong")
+  }
+
   /** Deterministic train/val/test split: a 16-bit md5 prefix of the id
     * buckets each row into `train` (< trainUpTo/65536), `val`
     * (< valUpTo/65536), else `test`. Reproducible across engines, runs,

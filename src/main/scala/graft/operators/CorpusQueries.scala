@@ -36,7 +36,7 @@ object CorpusQueries extends QueryModule {
   /** The `sig`/`bands` half of [[minhashCteSql]] — callers that already
     * carry a `raw` shingle CTE (e.g. x_lsh_recall sharing one `raw`
     * between the exact-pair and signature chains) splice this alone. */
-  private val minhashSigBandsSql: String =
+  private[operators] val minhashSigBandsSql: String =
     s"""sig AS (
        |  SELECT doc_id,
        |         ${(0 until 16).map(i =>
@@ -128,7 +128,7 @@ object CorpusQueries extends QueryModule {
   /** Estimated-similarity predicate text over two `sig` aliases: the
     * matching-hash fraction ≥ threshold, exactly as the Spark side
     * scores candidates. */
-  private def minhashSimSql(a: String, b: String, th: Double): String =
+  private[operators] def minhashSimSql(a: String, b: String, th: Double): String =
     s"""CAST((${(0 until 16).map(i =>
       s"CASE WHEN $a.h$i = $b.h$i THEN 1 ELSE 0 END").mkString(" + ")})
        | AS DOUBLE) / 16 >= $th""".stripMargin

@@ -479,14 +479,21 @@ object IngestQueries extends QueryModule {
   private def gsdOracle: String =
     s"""WITH raw AS (
        |  SELECT * FROM read_json('$Fix/gsd/*.json', filename=true,
-       |    columns={'GSD':'STRUCT(id VARCHAR, alias VARCHAR,
-       |        description VARCHAR)',
-       |      'namespaces':'JSON'})),
+       |    columns={'GSD':'JSON', 'namespaces':'JSON'})),
        |n AS (
-       |  SELECT coalesce(GSD.id, regexp_extract(filename, '[^/]+$$', 0))
+       |  SELECT coalesce(json_extract_string(GSD, '$$.id'),
+       |      regexp_extract(filename, '[^/]+$$', 0))
        |      AS advisory_id,
-       |    GSD.alias AS alias,
-       |    coalesce(GSD.description, '') AS gsd_desc,
+       |    json_extract_string(GSD, '$$.alias') AS alias,
+       |    coalesce(json_extract_string(GSD, '$$.description'), '')
+       |      AS gsd_desc,
+       |    -- gsd.py:66 quirk: the references list lives under the
+       |    -- EMPTY-STRING key of the GSD object. DuckDB's JSON path
+       |    -- syntax cannot name an empty key, so go through a
+       |    -- MAP(VARCHAR, JSON) transform and map_extract(m, '').
+       |    coalesce(TRY_CAST(map_extract(json_transform(GSD,
+       |      '"MAP(VARCHAR, JSON)"'), '')[1] AS VARCHAR[]), [])
+       |      AS gsd_refs,
        |    json_extract_string(namespaces,
        |      '$$."cve.org".CVE_data_meta.ID') AS cve_id,
        |    coalesce(json_extract_string(namespaces,
@@ -523,7 +530,8 @@ object IngestQueries extends QueryModule {
        |  array_to_string(list_sort(list_distinct(list_filter(
        |    [alias, advisory_id, cve_id, adv, nvd_cve, nvd_adv],
        |    x -> x IS NOT NULL AND x <> ''))), ',') AS aliases_csv,
-       |  coalesce(array_to_string(list_transform(refs, r -> r.url), ';'),
+       |  coalesce(array_to_string(
+       |    list_concat(list_transform(refs, r -> r.url), gsd_refs), ';'),
        |    '') AS ref_urls,
        |  -- epoch(naive strptime) is tz-independent; the ::TIMESTAMPTZ
        |  -- cast form would read the session timezone

@@ -339,6 +339,76 @@ object TextDedupQueries extends QueryModule {
       decisions.withColumnRenamed("id", "doc_id").orderBy("doc_id")
     },
 
+    // Incremental SimHash admission at the LIBRARY-DEFAULT config —
+    // 64-bit signatures, 4 bands of 16 bits, maxHamming 3 (the shape
+    // the scaladoc recommends and the 100 TB path runs): 65536 buckets
+    // per band keep candidate density selective where the 16-bit
+    // oracle config above (16 buckets/band) floods structurally. Same
+    // deterministic delta/index split as the 16-bit row so the two are
+    // directly comparable; the oracle builds the 64-bit signature via
+    // HUGEINT bit accumulation wrapped to the signed-64 value Spark's
+    // shiftleft sum produces (bit 63 set ⇒ negative — both engines
+    // agree bit-for-bit), and bands slice 16-bit chunks whose
+    // arithmetic-shift+mask equals Spark's shiftrightunsigned+mask.
+    q("x_incremental_simhash_wide",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |           regexp_split_to_array(trim(text), '\s+'),
+        |           x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bits AS (
+        |  SELECT doc_id, b.bit,
+        |         sum(CASE WHEN
+        |           ((strpos('0123456789abcdef',
+        |                    substr(md5(tok), 1 + b.bit // 4, 1)) - 1)
+        |            // CASE b.bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |                            WHEN 2 THEN 2 ELSE 1 END) % 2 = 1
+        |           THEN 1 ELSE -1 END) AS sgn
+        |  FROM tok, (SELECT unnest(range(0, 64)) AS bit) b
+        |  GROUP BY doc_id, b.bit),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(h - CASE WHEN h >= 9223372036854775808
+        |                  THEN 18446744073709551616 ELSE 0 END
+        |              AS BIGINT) AS simhash
+        |  FROM (SELECT doc_id,
+        |          sum(CASE WHEN sgn > 0
+        |              THEN CAST(1 AS HUGEINT) << CAST(63 - bit AS INTEGER)
+        |              ELSE CAST(0 AS HUGEINT) END) AS h
+        |        FROM bits GROUP BY doc_id)),
+        |banded AS (
+        |  SELECT doc_id, simhash, b.band,
+        |         (simhash >> CAST(b.band * 16 AS INTEGER)) & 65535 AS chunk
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+        |d AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+        |ix AS (SELECT * FROM banded WHERE doc_id % 3 <> 0),
+        |dup_ix AS (
+        |  SELECT DISTINCT a.doc_id FROM d a JOIN ix b
+        |    ON a.band = b.band AND a.chunk = b.chunk
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |dup_dd AS (
+        |  SELECT DISTINCT a.doc_id FROM d a JOIN d b
+        |    ON a.band = b.band AND a.chunk = b.chunk
+        |   AND a.doc_id > b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+        |SELECT dd.doc_id,
+        |       di.doc_id IS NOT NULL AS dup_of_index,
+        |       dl.doc_id IS NOT NULL AS dup_of_delta,
+        |       di.doc_id IS NULL AND dl.doc_id IS NULL AS keep
+        |FROM (SELECT doc_id FROM documents
+        |      WHERE doc_id % 10 = 0 AND doc_id % 3 = 0) dd
+        |LEFT JOIN dup_ix di USING (doc_id)
+        |LEFT JOIN dup_dd dl USING (doc_id)
+        |ORDER BY dd.doc_id""") { (s, dir) =>
+      val sub = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
+      val delta = sub.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val index = TextDedup.simHash(
+        sub.filter(pmod(col("doc_id"), lit(3)) =!= 0), "text", "doc_id")
+      val (decisions, _) = TextDedup.incrementalSimHashDedup(
+        delta, index, "text", "doc_id")
+      decisions.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    },
+
     // n-gram Jaccard, CAPPED scale-safe form: the library's
     // TextDedup.ngramJaccardPairs with a shingle document-frequency cap
     // (maxDf = 40 — chosen so the corpus's hot stop-shingles actually get

@@ -1,14 +1,54 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Structured-Streaming transforms for document (training-data) arrival —
   * the streaming forms of the x_* dedup/analysis family, written against
   * the unified API so the same code runs incremental-batch or
   * `readStream`.
+  *
+  * ==Delivery guarantee (all foreachBatch sinks here)==
+  * Every state/output write is keyed by the micro-batch id
+  * (`path/batch_id=N`, overwritten in place) and every state READ is
+  * restricted to strictly-earlier batches (`batch_id < N`). So an
+  * at-least-once replay of batch N (crash between the writes and the
+  * streaming checkpoint commit) (a) sees EXACTLY the state the first
+  * attempt saw — its own partial appends are invisible to the
+  * `batch_id < N` load — and recomputes identical decisions, and
+  * (b) OVERWRITES its own earlier partial output instead of appending
+  * beside it. Net: effectively-once on plain parquet, no transactional
+  * table format required; ledger/output readers never see duplicate or
+  * contradictory rows for a doc. (The previous flat-append layout
+  * documented an at-least-once caveat — a replay both saw its own
+  * signatures in the index, flipping its decisions to dup_of_index, and
+  * double-appended ledger rows.)
   */
 object DocumentStreaming {
+
+  /** Read a batch-keyed state directory: rows written by batches
+    * STRICTLY BEFORE `batchId` (partition pruning skips newer dirs), or
+    * `empty` when the state has never been written. Existence decides
+    * the fallback — a transient read failure on an existing index must
+    * FAIL the micro-batch rather than silently reset the state and
+    * re-admit duplicates. */
+  private def readState(spark: SparkSession, path: String,
+      empty: DataFrame, batchId: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.schema(empty.schema.add("batch_id", LongType))
+        .parquet(path)
+        .filter(col("batch_id") < batchId).drop("batch_id")
+    else empty
+  }
+
+  /** Overwrite this batch's partition of a batch-keyed state/output
+    * directory — the replay-idempotent append. */
+  private def writeState(df: DataFrame, path: String,
+      batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
   /** Streaming exact dedup on arrival (the streaming form of D1 /
     * x_dedup_exact): the first arrival of each normalized content hash
@@ -31,32 +71,24 @@ object DocumentStreaming {
     * micro-batch is a delta run through
     * [[graft.operators.TextDedup.incrementalMinHashDedup]] against the
     * signature index accumulated from every earlier batch. Admitted
-    * docs append to `admittedPath`, their signatures to `indexPath` —
-    * the per-batch corpus-side cost is the narrow index scan
-    * (numHashes longs per admitted doc), never the admitted text,
-    * which is what keeps an unbounded intake viable: state grows with
-    * ADMITTED docs (post-dedup), and none of it lives in the state
-    * store.
-    *
-    * Delivery: the two plain-parquet appends are not atomic with the
-    * streaming checkpoint, so a crash between them replays the batch —
-    * at-least-once. On a platform with a transactional table format the
-    * same two writes in one transaction make it exactly-once; with
-    * plain parquet, downstream reads dedup idempotently on the id (the
-    * same D1 content-id contract the batch path uses).
+    * docs land under `admittedPath`, their signatures under
+    * `indexPath` (both batch-keyed — see the object scaladoc's
+    * effectively-once contract) — the per-batch corpus-side cost is
+    * the narrow index scan (numHashes longs per admitted doc), never
+    * the admitted text, which is what keeps an unbounded intake
+    * viable: state grows with ADMITTED docs (post-dedup), and none of
+    * it lives in the state store.
     *
     * Usage: `docs.writeStream.foreachBatch(
     *   DocumentStreaming.admissionSink(ix, out, "text", "doc_id"))`. */
   def admissionSink(indexPath: String, admittedPath: String,
       textCol: String, idCol: String, n: Int = 2, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val emptyIndex = graft.operators.TextDedup
-      .minHashSignatures(batch.limit(0), textCol, idCol, n, numHashes)
-    val index =
-      try spark.read.schema(emptyIndex.schema).parquet(indexPath)
-      catch { case _: org.apache.spark.sql.AnalysisException => emptyIndex }
+    val index = readState(spark, indexPath, graft.operators.TextDedup
+      .minHashSignatures(batch.limit(0), textCol, idCol, n, numHashes),
+      batchId)
     // decisions come back localCheckpoint'ed by the library (both
     // returned frames share the one materialized candidate join — the
     // two write actions below cannot re-run it or diverge on replay)
@@ -65,9 +97,8 @@ object DocumentStreaming {
         n, numHashes, bands, threshold)
     val kept = decisions.filter(col("keep"))
       .select(col("id").as(idCol))
-    batch.join(kept, Seq(idCol))
-      .write.mode("append").parquet(admittedPath)
-    admittedSig.write.mode("append").parquet(indexPath)
+    writeState(batch.join(kept, Seq(idCol)), admittedPath, batchId)
+    writeState(admittedSig, indexPath, batchId)
   }
 
   /** Streaming cross-document substring-dedup admission — the
@@ -76,24 +107,22 @@ object DocumentStreaming {
     * [[graft.operators.Corpus.incrementalSubstringStrip]] against the
     * window-digest index accumulated from every earlier batch; the
     * STRIPPED batch (duplicated ≥L-token runs removed, canonical
-    * occurrences preserved where they were first admitted) appends to
-    * `strippedPath` and the batch's surviving fresh digests to
+    * occurrences preserved where they were first admitted) lands under
+    * `strippedPath` and the batch's surviving fresh digests under
     * `indexPath` (16 bytes per distinct window — the only corpus-side
-    * state; admitted text is never re-read). Same at-least-once
-    * delivery note as [[admissionSink]].
+    * state; admitted text is never re-read). Batch-keyed writes per
+    * the object scaladoc's effectively-once contract.
     *
     * Usage: `docs.writeStream.foreachBatch(
     *   DocumentStreaming.substringStripSink(ix, out, "text",
     *   "doc_id"))`. */
   def substringStripSink(indexPath: String, strippedPath: String,
       textCol: String, idCol: String, windowTokens: Int = 20)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val emptyIndex = graft.operators.Corpus
-      .substringDigestIndex(batch.limit(0), textCol, idCol, windowTokens)
-    val index =
-      try spark.read.schema(emptyIndex.schema).parquet(indexPath)
-      catch { case _: org.apache.spark.sql.AnalysisException => emptyIndex }
+    val index = readState(spark, indexPath, graft.operators.Corpus
+      .substringDigestIndex(batch.limit(0), textCol, idCol, windowTokens),
+      batchId)
     val (strippedRaw, freshRaw) = graft.operators.Corpus
       .incrementalSubstringStrip(batch, index, textCol, idCol,
         windowTokens)
@@ -101,8 +130,8 @@ object DocumentStreaming {
     // joins against the accumulated index run once, not per consumer
     val stripped = strippedRaw.localCheckpoint()
     val fresh = freshRaw.localCheckpoint()
-    stripped.write.mode("append").parquet(strippedPath)
-    fresh.write.mode("append").parquet(indexPath)
+    writeState(stripped, strippedPath, batchId)
+    writeState(fresh, indexPath, batchId)
   }
 
   /** Register an eval suite into the persisted benchmark-vocabulary
@@ -110,7 +139,9 @@ object DocumentStreaming {
     * ([[graft.operators.Corpus.extendBenchmarkVocab]]), so the parquet
     * index stays distinct without a rewrite. Driver-side companion of
     * [[contaminationSink]] — suites register out-of-band (they arrive
-    * by release, not by stream). */
+    * by release, not by stream), so the vocab dir stays flat-append:
+    * re-registering the same suite appends nothing (the anti-join),
+    * which is the idempotence this out-of-band path needs. */
   def registerSuite(spark: org.apache.spark.sql.SparkSession,
       vocabPath: String, suite: DataFrame, textCol: String,
       idCol: String, n: Int = 3): Unit = {
@@ -128,17 +159,22 @@ object DocumentStreaming {
     * pattern on the contamination check: each micro-batch shingles ONCE
     * and broadcast-tests against the vocabulary index accumulated by
     * [[registerSuite]]; a decision row per batch doc (zero-overlap docs
-    * explicitly clean, n_hit=0) appends to `screenedPath`. The batch
+    * explicitly clean, n_hit=0) lands under `screenedPath`
+    * (batch-keyed — replays overwrite their own attempt). The batch
     * never shuffles for the membership test and no state but the
-    * bounded vocab is read. Same at-least-once delivery note as
-    * [[admissionSink]].
+    * bounded vocab is read. Note the vocab itself is out-of-band
+    * (flat, monotone-growing): a replay screens against the vocab AS
+    * OF the replay, so a suite registered between attempt and replay
+    * can flag a doc the first attempt passed — registerSuite between
+    * retries of the SAME batch is the one ordering the screen does
+    * not pin, and it errs in the flag-more direction.
     *
     * Usage: `docs.writeStream.foreachBatch(
     *   DocumentStreaming.contaminationSink(vocabPath, out, "text",
     *   "doc_id"))`. */
   def contaminationSink(vocabPath: String, screenedPath: String,
       textCol: String, idCol: String, n: Int = 3, flagAt: Double = 0.8)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     val emptyVocab = graft.operators.Corpus
       .benchmarkVocab(batch.limit(0), textCol, idCol, n)
@@ -147,13 +183,13 @@ object DocumentStreaming {
       catch { case _: org.apache.spark.sql.AnalysisException => emptyVocab }
     val hits = graft.operators.Corpus.incrementalContamination(
       batch, vocab, textCol, idCol, n, flagAt)
-    batch.select(col(idCol))
+    writeState(batch.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         coalesce(col("contamination"), lit(0.0)).as("contamination"),
-        coalesce(col("contaminated"), lit(false)).as("contaminated"))
-      .write.mode("append").parquet(screenedPath)
+        coalesce(col("contaminated"), lit(false)).as("contaminated")),
+      screenedPath, batchId)
   }
 
   /** End-to-end streaming curation — the composed admission form of
@@ -161,14 +197,25 @@ object DocumentStreaming {
     * quality-flags → MinHash near-dup admission (vs the accumulated
     * signature index) → cross-doc substring strip (vs the window-digest
     * index) → benchmark-contamination screen (vs the suite vocab
-    * registered by [[registerSuite]]), appending one LEDGER row per
-    * batch doc and the surviving docs' STRIPPED text to `admitted/`.
+    * registered by [[registerSuite]]), writing one LEDGER row per
+    * batch doc and the surviving docs' STRIPPED text to `admitted/`
+    * (both batch-keyed: the ledger's `batch_id` is the partition
+    * column).
+    *
+    * Only QUALITY-PASSING docs feed the dedup and strip stages: a doc
+    * whose rejection is already decided by its own content must not
+    * reject a clean near-dup sibling or strip shared windows out of an
+    * admitted sibling (its junk would cost good content for that
+    * batch). Quality-failed docs still get a ledger row; their dedup
+    * columns read false/false/false — "never considered", not "kept".
+    *
     * State under `root`: `minhash_index/` (kept-and-admitted docs'
     * signatures — a doc dropped for quality/contamination does not
     * join the index, so a later clean copy can still be admitted in a
     * LATER batch; within one micro-batch the admission contract's
-    * earlier-id rule still applies whether or not the earlier doc was
-    * itself admitted — the documented monotonicity tradeoff of
+    * earlier-id rule applies among the quality-passing docs whether or
+    * not the earlier doc was itself admitted — the documented
+    * monotonicity tradeoff of
     * [[graft.operators.TextDedup.incrementalMinHashDedup]], paid here
     * for one batch at most),
     * `substring_index/` (window digests of ADMITTED docs' admitted
@@ -178,14 +225,15 @@ object DocumentStreaming {
     * canonical rule still lets a doc dropped LATER in the same batch
     * strip its batch-siblings, the same one-batch-at-most tradeoff,
     * and the `stripped_empty` ledger column records when that empties
-    * a doc), `vocab/` (suite shingles).
+    * a doc), `vocab/` (suite shingles, out-of-band flat append).
     *
     * Per-batch cost is the sum of the three incremental forms' costs —
     * each is one scan of the batch plus bounded/banded joins against
     * its index; admitted text is never re-read by any stage. Admission
     * dedup signatures are computed on ARRIVAL text (pre-strip), the
-    * same text the batch pipeline pairs on. Same at-least-once
-    * delivery note as [[admissionSink]].
+    * same text the batch pipeline pairs on. Replays recompute
+    * identical decisions and overwrite their own attempt (object
+    * scaladoc).
     *
     * Usage: `docs.writeStream.foreachBatch(
     *   DocumentStreaming.curationSink(root, "text", "doc_id"))`. */
@@ -196,45 +244,57 @@ object DocumentStreaming {
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     import graft.operators.{Corpus, TextDedup}
-    def readOr(path: String, empty: DataFrame): DataFrame =
-      try spark.read.schema(empty.schema).parquet(path)
-      catch { case _: org.apache.spark.sql.AnalysisException => empty }
 
     val quality = Corpus.qualityFlags(batch, textCol)
       .select(col(idCol), col("passes"))
-    val sigIndex = readOr(s"$root/minhash_index", TextDedup
-      .minHashSignatures(batch.limit(0), textCol, idCol, n, numHashes))
+    // only quality-passing docs enter dedup/strip (see scaladoc)
+    val qualified = batch.join(
+      quality.filter(col("passes")).select(col(idCol)), Seq(idCol))
+
+    val sigIndex = readState(spark, s"$root/minhash_index", TextDedup
+      .minHashSignatures(batch.limit(0), textCol, idCol, n, numHashes),
+      batchId)
     // decisions come back checkpointed; keptSig derives from that
     // checkpoint plus the checkpointed signatures (no second index join)
     val (decisions, keptSig) = TextDedup.incrementalMinHashDedup(
-      batch, sigIndex, textCol, idCol, n, numHashes, bands, threshold)
-    val keptDocs = batch.join(
+      qualified, sigIndex, textCol, idCol, n, numHashes, bands, threshold)
+    val keptDocs = qualified.join(
       decisions.filter(col("keep")).select(col("id").as(idCol)),
       Seq(idCol))
 
-    val subIndex = readOr(s"$root/substring_index", Corpus
-      .substringDigestIndex(batch.limit(0), textCol, idCol, windowTokens))
+    val subIndex = readState(spark, s"$root/substring_index", Corpus
+      .substringDigestIndex(batch.limit(0), textCol, idCol, windowTokens),
+      batchId)
     val (strippedRaw, _) = Corpus.incrementalSubstringStrip(
       keptDocs, subIndex, textCol, idCol, windowTokens)
     val stripped = strippedRaw.localCheckpoint()
 
-    val vocab = readOr(s"$root/vocab",
-      Corpus.benchmarkVocab(batch.limit(0), textCol, idCol, shingleN))
+    val vocab = {
+      val empty =
+        Corpus.benchmarkVocab(batch.limit(0), textCol, idCol, shingleN)
+      try spark.read.schema(empty.schema).parquet(s"$root/vocab")
+      catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    }
     val contam = Corpus.incrementalContamination(
       stripped.withColumnRenamed("text", textCol), vocab,
       textCol, idCol, shingleN, flagAt)
 
     // one ledger row per BATCH doc: every drop reason visible, and
-    // `admitted` is the conjunction a practitioner filters on
+    // `admitted` is the conjunction a practitioner filters on.
+    // decisions/strip/screen cover the quality-passing subset only, so
+    // they left-join; a quality-failed doc's dedup columns coalesce to
+    // false/false/false ("never considered")
     val ledger = quality
-      .join(decisions.withColumnRenamed("id", idCol), Seq(idCol))
+      .join(decisions.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .join(stripped.select(col(idCol),
         col("stripped_tokens"), col("text").as("_stripped")),
         Seq(idCol), "left")
       .join(contam.select(col(idCol), col("contamination"),
         col("contaminated")), Seq(idCol), "left")
       .select(col(idCol), col("passes"),
-        col("dup_of_index"), col("dup_of_delta"), col("keep"),
+        coalesce(col("dup_of_index"), lit(false)).as("dup_of_index"),
+        coalesce(col("dup_of_delta"), lit(false)).as("dup_of_delta"),
+        coalesce(col("keep"), lit(false)).as("keep"),
         coalesce(col("stripped_tokens"), lit(0L)).as("stripped_tokens"),
         coalesce(col("contamination"), lit(0.0)).as("contamination"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"),
@@ -247,19 +307,18 @@ object DocumentStreaming {
         // admitted as an empty document
         coalesce(length(trim(col("_stripped"))) === 0, lit(false))
           .as("stripped_empty"),
-        (col("passes") && col("keep") &&
+        (col("passes") && coalesce(col("keep"), lit(false)) &&
           !coalesce(col("contaminated"), lit(false)) &&
           coalesce(length(trim(col("_stripped"))) > 0, lit(false)))
           .as("admitted"),
-        col("_stripped"), lit(batchId).as("batch_id"))
+        col("_stripped"))
       .localCheckpoint()
 
     val admittedIds = ledger.filter(col("admitted")).select(col(idCol))
-    ledger.drop("_stripped")
-      .write.mode("append").parquet(s"$root/ledger")
-    ledger.filter(col("admitted"))
-      .select(col(idCol), col("_stripped").as(textCol))
-      .write.mode("append").parquet(s"$root/admitted")
+    writeState(ledger.drop("_stripped"), s"$root/ledger", batchId)
+    writeState(ledger.filter(col("admitted"))
+      .select(col(idCol), col("_stripped").as(textCol)),
+      s"$root/admitted", batchId)
     // index updates AFTER the decisions, BOTH narrowed to the admitted
     // corpus: signatures from the dedup-kept set (no re-shingling), and
     // window digests re-derived from the admitted docs' ADMITTED
@@ -268,14 +327,15 @@ object DocumentStreaming {
     // written here: it would make content from never-admitted docs
     // permanently unadmittable (the standalone substringStripSink keeps
     // it because there every stripped doc IS admitted).
-    keptSig.join(admittedIds.withColumnRenamed(idCol, "id"), Seq("id"))
-      .write.mode("append").parquet(s"$root/minhash_index")
-    graft.operators.Corpus.substringDigestIndex(
+    writeState(keptSig.join(
+      admittedIds.withColumnRenamed(idCol, "id"), Seq("id")),
+      s"$root/minhash_index", batchId)
+    writeState(graft.operators.Corpus.substringDigestIndex(
         ledger.filter(col("admitted"))
           .select(col(idCol), col("_stripped").as(textCol)),
         textCol, idCol, windowTokens)
-      .join(subIndex, Seq("h1", "h2"), "left_anti")
-      .write.mode("append").parquet(s"$root/substring_index")
+      .join(subIndex, Seq("h1", "h2"), "left_anti"),
+      s"$root/substring_index", batchId)
   }
 
   /** Per-window language/quality profile of the arrival stream (the

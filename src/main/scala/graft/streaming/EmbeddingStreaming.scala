@@ -12,10 +12,11 @@ import graft.operators.Similarity
   * corpus's embeddings are never re-read), kept rows append to the
   * corpus store and budget-fitting anchors append to the index.
   *
-  * Delivery matches the minhash sink: the two plain-parquet appends are
-  * not atomic with the streaming checkpoint, so a crash between them
-  * replays the batch — at-least-once; downstream reads dedup
-  * idempotently on the id.
+  * Delivery matches the minhash sink: every write is batch-keyed
+  * (`path/batch_id=N`, overwritten) and the index load reads strictly
+  * earlier batches only — a replay recomputes identical decisions and
+  * overwrites its own attempt (effectively-once on plain parquet; see
+  * [[DocumentStreaming]]'s object scaladoc for the full argument).
   */
 object EmbeddingStreaming {
 
@@ -26,7 +27,7 @@ object EmbeddingStreaming {
   def admissionSink(indexPath: String, admittedPath: String,
       centroids: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxPriors: Int = 20)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     // centroid_id's type follows the caller's centroids frame — a
     // hardcoded LongType would wedge the stream on the second batch if
@@ -44,7 +45,10 @@ object EmbeddingStreaming {
       spark.sparkContext.hadoopConfiguration)
     val index =
       if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-        spark.read.schema(emptyIndex.schema).parquet(indexPath)
+        spark.read.schema(emptyIndex.schema
+            .add("batch_id", org.apache.spark.sql.types.LongType))
+          .parquet(indexPath)
+          .filter(col("batch_id") < batchId).drop("batch_id")
       else emptyIndex
     val (decisionsRaw, anchorsRaw) = Similarity.incrementalSemanticDedup(
       batch, index, centroids, idCol, vecCol, threshold, maxPriors)
@@ -55,7 +59,7 @@ object EmbeddingStreaming {
     val anchors = anchorsRaw.localCheckpoint()
     val kept = decisions.filter(col("keep")).select(col(idCol))
     batch.join(kept, Seq(idCol))
-      .write.mode("append").parquet(admittedPath)
-    anchors.write.mode("append").parquet(indexPath)
+      .write.mode("overwrite").parquet(s"$admittedPath/batch_id=$batchId")
+    anchors.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
   }
 }

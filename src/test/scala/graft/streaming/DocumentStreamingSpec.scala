@@ -296,6 +296,88 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("curationSink: a quality-failed doc cannot reject or strip " +
+      "its quality-passing near-dup sibling") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curqual").toString
+    val clean = "the quick brown fox jumps over lazy dogs tonight"
+    // junk = clean + 40 copies of one token: minhash-similar to clean
+    // (2 extra distinct shingles out of ~10) but diversity-FAILING
+    // (10 distinct / 49 tokens < 0.3) — with the junk doc at the
+    // SMALLER id, an ungated dedup would mark the clean doc
+    // dup_of_delta; the quality gate must keep junk out of the feed
+    val junk = clean + (" spam" * 40)
+    val f = DocumentStreaming.curationSink(root, "text", "doc_id",
+      windowTokens = 4)
+    f(Seq((1L, junk), (2L, clean)).toDF("doc_id", "text"), 0L)
+    val led = sp.read.parquet(s"$root/ledger").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!led(1L).getAs[Boolean]("passes") &&
+      !led(1L).getAs[Boolean]("admitted"))
+    // "never considered", not "kept": all three dedup columns false
+    assert(!led(1L).getAs[Boolean]("dup_of_index") &&
+      !led(1L).getAs[Boolean]("dup_of_delta") &&
+      !led(1L).getAs[Boolean]("keep"))
+    assert(led(2L).getAs[Boolean]("admitted") &&
+      led(2L).getAs[Long]("stripped_tokens") == 0L)
+    val ixIds = sp.read.parquet(s"$root/minhash_index")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ixIds == Set(2L))
+  }
+
+  test("curationSink replay recomputes identical decisions and " +
+      "overwrites its own attempt (effectively-once)") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curreplay").toString
+    val good = "the quick brown fox jumps over the lazy sleeping dog"
+    val fresh = "many new ideas about the engines of autumn arrive today"
+    val f = DocumentStreaming.curationSink(root, "text", "doc_id",
+      windowTokens = 4)
+    f(Seq((1L, good)).toDF("doc_id", "text"), 0L)
+    val b1 = Seq((10L, good), (11L, fresh)).toDF("doc_id", "text")
+    f(b1, 1L)
+    val firstLedger = sp.read.parquet(s"$root/ledger").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"),
+        r.getAs[Boolean]("admitted"))).toSet
+    // the crash-replay: same batch df, same batch id — the state load
+    // (batch_id < 1) must hide the first attempt's own appends, so the
+    // decisions come out identical and every write lands on top of the
+    // first attempt instead of beside it
+    f(b1, 1L)
+    val replayLedger = sp.read.parquet(s"$root/ledger").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"),
+        r.getAs[Boolean]("admitted"))).toSet
+    assert(replayLedger == firstLedger)
+    // exactly one ledger row per doc — no duplicated/contradictory rows
+    assert(sp.read.parquet(s"$root/ledger").count() == 3L)
+    val ix = sp.read.parquet(s"$root/minhash_index")
+    assert(ix.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 11L))
+    assert(sp.read.parquet(s"$root/admitted").count() == 2L)
+  }
+
+  test("admissionSink replay: identical decisions, index cardinality " +
+      "unchanged") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("admreplay").toString
+    val (ix, out) = (s"$root/index", s"$root/admitted")
+    val f = DocumentStreaming.admissionSink(ix, out, "text", "doc_id")
+    f(Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"), 0L)
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (11L, "a corpus of training documents for language models"))
+      .toDF("doc_id", "text")
+    f(b1, 1L)
+    f(b1, 1L) // replay
+    assert(sp.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 11L))
+    assert(sp.read.parquet(ix).count() == 2L) // one signature per kept doc
+  }
+
   test("EmbeddingStreaming.admissionSink dedups semantically across batches") {
     val sp = spark
     import sp.implicits._
