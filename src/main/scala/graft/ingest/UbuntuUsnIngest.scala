@@ -69,14 +69,23 @@ object UbuntuUsnIngest {
   }
 
   /** Parse one whole db dump (decompressed JSON text) streaming —
-    * only one USN entry is resident at a time. A PER-ENTRY failure (one
-    * corrupt value in the ~100 MB map) skips just that entry: the
-    * parser resyncs to the next top-level FIELD_NAME and continues, so
-    * one bad record no longer silently drops the remainder of the feed.
-    * Only a failure the tokenizer itself cannot scan past (truncated
-    * input, or re-throwing on every resync attempt) aborts, yielding
-    * the entries parsed so far (never throws — malformed feed records
-    * route to silence, not to job failure). */
+    * only one USN entry is resident at a time. Failure containment has
+    * two measured classes (Jackson 2.21 semantics, pinned by
+    * ParserRobustnessSpec):
+    *  - corruption INSIDE a structurally-entered value (a bad token
+    *    within an entry's object/array — e.g. a bare NaN in `cves`)
+    *    consumes the offending token as it throws; the resync walks to
+    *    the next top-level FIELD_NAME and ONLY that entry is lost;
+    *  - corruption AT a top-level token boundary (garbage where a
+    *    value should start) kills the tokenizer — the stream aborts,
+    *    yielding every entry parsed so far, INCLUDING the entry
+    *    preceding the damage (Jackson prefetches, so the error
+    *    surfaces on the previous entry's advance; parse-then-advance
+    *    below keeps its rows).
+    * Resync is best-effort with a bounded retry budget so a
+    * non-advancing tokenizer (truncated input, dead parser state)
+    * cannot loop; never throws — malformed feed records route to
+    * silence, not to job failure. */
   def parseDb(datasourceId: String, json: String,
       precedence: Int = 500): Iterator[AdvisoryRow] = {
     val mapper = new ObjectMapper()
@@ -84,37 +93,49 @@ object UbuntuUsnIngest {
       val p = new JsonFactory(mapper).createParser(json)
       if (p.nextToken() != JsonToken.START_OBJECT)
         return Iterator.empty
+
+      // Advance to the next FIELD_NAME at the ROOT object's depth (a
+      // FIELD_NAME nested inside a partially-consumed entry value is
+      // not a resync point), tolerating per-call tokenizer errors up
+      // to a budget — Jackson's scanner often consumes the offending
+      // bytes as it throws, so retrying walks past garbage; when it
+      // cannot advance (truncated input), the budget bounds the loop
+      // and the iterator aborts.
+      def resync(): JsonToken = {
+        var budget = 10000
+        while (budget > 0) {
+          budget -= 1
+          val t =
+            try p.nextToken()
+            catch { case _: Exception => JsonToken.NOT_AVAILABLE }
+          if (t == null) return null
+          if (t == JsonToken.FIELD_NAME &&
+              p.getParsingContext.getParent != null &&
+              p.getParsingContext.getParent.inRoot()) return t
+        }
+        null
+      }
+
       new Iterator[Seq[AdvisoryRow]] {
         private var tok =
-          try p.nextToken() catch { case _: Exception => null }
+          try p.nextToken() catch { case _: Exception => resync() }
         def hasNext: Boolean = tok == JsonToken.FIELD_NAME
-        def next(): Seq[AdvisoryRow] =
-          try {
-            val key = p.currentName()
-            p.nextToken()
-            val entry = mapper.readTree[JsonNode](p)
-            tok = p.nextToken()
-            entryToAdvisories(datasourceId, key, entry, precedence)
-          } catch {
-            case _: Exception =>
-              // Per-entry recovery: advance to the next FIELD_NAME at
-              // the ROOT object's depth (values are skipped wholesale;
-              // a FIELD_NAME nested inside a partially-consumed entry
-              // value is not a resync point). nextToken() re-throwing
-              // means the tokenizer cannot scan past the damage —
-              // that is the truncated-input abort.
-              tok =
-                try {
-                  var t = p.currentToken()
-                  while (t != null && !(t == JsonToken.FIELD_NAME &&
-                      p.getParsingContext.getParent != null &&
-                      p.getParsingContext.getParent.inRoot())) {
-                    t = p.nextToken()
-                  }
-                  t
-                } catch { case _: Exception => null }
-              Seq.empty
-          }
+        def next(): Seq[AdvisoryRow] = {
+          // parse the entry FIRST; advance separately, so an advance
+          // failure (the next entry's corruption, prefetched) cannot
+          // discard this entry's already-parsed advisories
+          val out =
+            try {
+              val key = p.currentName()
+              p.nextToken()
+              val entry = mapper.readTree[JsonNode](p)
+              entryToAdvisories(datasourceId, key, entry, precedence)
+            } catch {
+              case _: Exception => tok = resync(); return Seq.empty
+            }
+          tok = try p.nextToken() catch { case _: Exception => resync() }
+          out
+        }
       }.flatten
     } catch {
       case _: Exception => Iterator.empty

@@ -21,7 +21,7 @@ object BpeQueries extends QueryModule {
     Tables(s, dir, "documents")
 
   /** Shared SQL prefix: word frequencies (the corpus-scale pass). */
-  private[operators] val wcSql =
+  private val wcSql =
     """w AS (
       |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
       |                x -> x <> '')) AS word
@@ -31,7 +31,7 @@ object BpeQueries extends QueryModule {
   /** DuckDB twin of [[Bpe.applyMerge]]: left-fold over the word's chars
     * with a tab-joined accumulator; trailing-symbol-== a test via
     * ends_with on the separator. `a`/`b` are the merge-rule columns. */
-  private[operators] def foldSql(chars: String, a: String, b: String): String =
+  private def foldSql(chars: String, a: String, b: String): String =
     s"""list_reduce($chars,
        |  (acc, x) -> CASE WHEN (acc = $a OR ends_with(acc, chr(9) || $a))
        |                    AND x = $b

@@ -353,34 +353,44 @@ object Corpus {
       nTokCol: String, ctxLen: Int, eosTokens: Int = 1): DataFrame = {
     require(ctxLen > eosTokens, "ctxLen must exceed the EOS cost")
     val spark = counts.sparkSession
-    import spark.implicits._
-    val typed = counts
+    // idCol keeps its ORIGINAL type (string ids are as valid an
+    // admission order as numeric ones — forcing a long cast would
+    // silently null non-numeric ids); it must be orderable and unique,
+    // since the per-stream (groupCol, idCol) sort IS the packing order
+    val proj = counts
       .filter(col(nTokCol) > 0)
-      .select(col(idCol).cast("long"), col(groupCol).cast("string"),
+      .select(col(idCol), col(groupCol).cast("string").as(groupCol),
         (col(nTokCol).cast("long") + eosTokens).as("_k"))
-      .as[(Long, String, Long)]
-    val ctx = ctxLen.toLong
-    val packed = typed
       .repartition(col(groupCol))
       .sortWithinPartitions(col(groupCol), col(idCol))
-      .mapPartitions { it =>
-        // per-partition state machine: (current group, its running end)
-        var curGroup: String = null
-        var curEnd: Long = 0L
-        it.map { case (id, g, k) =>
-          if (g != curGroup) { curGroup = g; curEnd = 0L }
-          if (k > ctx) (id, g, k, null.asInstanceOf[String], -1L, true)
-          else {
-            val start =
-              if (curEnd % ctx + k > ctx) (curEnd / ctx + 1) * ctx
-              else curEnd
-            curEnd = start + k
-            (id, g, k, s"$g#${start / ctx}", start % ctx, false)
-          }
+    val ctx = ctxLen.toLong
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      proj.schema.head, // idCol, original type
+      StructField(groupCol, StringType),
+      StructField("n_tokens", LongType),
+      StructField("seq_id", StringType, nullable = true),
+      StructField("seq_off", LongType),
+      StructField("overlong", BooleanType)))
+    val packed = proj.rdd.mapPartitions { it =>
+      // per-partition state machine: (current group, its running end)
+      var curGroup: String = null
+      var curEnd: Long = 0L
+      it.map { r =>
+        val (id, g, k) = (r.get(0), r.getString(1), r.getLong(2))
+        if (g != curGroup) { curGroup = g; curEnd = 0L }
+        if (k > ctx) Row(id, g, k, null, -1L, true)
+        else {
+          val start =
+            if (curEnd % ctx + k > ctx) (curEnd / ctx + 1) * ctx
+            else curEnd
+          curEnd = start + k
+          Row(id, g, k, s"$g#${start / ctx}", start % ctx, false)
         }
       }
-    packed.toDF(idCol, groupCol, "n_tokens", "seq_id", "seq_off",
-      "overlong")
+    }
+    spark.createDataFrame(packed, outSchema)
   }
 
   /** Deterministic train/val/test split: a 16-bit md5 prefix of the id

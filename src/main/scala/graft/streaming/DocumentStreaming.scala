@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Structured-Streaming transforms for document (training-data) arrival —
   * the streaming forms of the x_* dedup/analysis family, written against
@@ -28,25 +27,48 @@ import org.apache.spark.sql.types.LongType
 object DocumentStreaming {
 
   /** Read a batch-keyed state directory: rows written by batches
-    * STRICTLY BEFORE `batchId` (partition pruning skips newer dirs), or
-    * `empty` when the state has never been written. Existence decides
-    * the fallback — a transient read failure on an existing index must
-    * FAIL the micro-batch rather than silently reset the state and
-    * re-admit duplicates. */
-  private def readState(spark: SparkSession, path: String,
+    * STRICTLY BEFORE `batchId`, PLUS any flat (non-batch-keyed) files
+    * at the directory root — a BOOTSTRAPPED index (the
+    * `Corpus.substringDigestIndex`-style rebuild the scaladocs
+    * document, or a state dir carried over from the flat-append
+    * layout) is always-visible prior state, never silently dropped.
+    * The listing selects the leaf paths explicitly (no Hive partition
+    * discovery), so flat and batch-keyed files coexist. `empty` only
+    * when the directory is absent or holds no data files — a
+    * transient read failure on existing state FAILS the micro-batch
+    * rather than silently resetting the index and re-admitting
+    * duplicates.
+    *
+    * Restart caveat: batch visibility is `batch_id < batchId`, so
+    * resuming a stream from its checkpoint is seamless, but starting a
+    * FRESH checkpoint over existing batch-keyed state hides batches
+    * >= the restarted ids — compact such state into a flat bootstrap
+    * layout first (read the dir, write it back flat). */
+  private[streaming] def readState(spark: SparkSession, path: String,
       empty: DataFrame, batchId: Long): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      spark.read.schema(empty.schema.add("batch_id", LongType))
-        .parquet(path)
-        .filter(col("batch_id") < batchId).drop("batch_id")
-    else empty
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) empty
+    else {
+      val statuses = fs.listStatus(p)
+      val batchDirs = statuses.filter { s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
+          s.getPath.getName.drop("batch_id=".length).toLongOption
+            .exists(_ < batchId)
+      }
+      val flatFiles = statuses.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val paths = (batchDirs ++ flatFiles).map(_.getPath.toString)
+      if (paths.isEmpty) empty
+      else spark.read.schema(empty.schema).parquet(paths: _*)
+    }
   }
 
   /** Overwrite this batch's partition of a batch-keyed state/output
     * directory — the replay-idempotent append. */
-  private def writeState(df: DataFrame, path: String,
+  private[streaming] def writeState(df: DataFrame, path: String,
       batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 

@@ -36,20 +36,11 @@ object EmbeddingStreaming {
     val emptyIndex = batch.limit(0)
       .select(col(idCol), col(vecCol),
         lit(null).cast(cidType).as("centroid_id"))
-    // only a genuinely ABSENT index means "first batch": an existence
-    // check decides, so a transient read failure (permissions, corrupt
-    // footer) on an existing index FAILS the micro-batch instead of
-    // silently resetting the anchor set and re-admitting semantic
-    // duplicates
-    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val index =
-      if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-        spark.read.schema(emptyIndex.schema
-            .add("batch_id", org.apache.spark.sql.types.LongType))
-          .parquet(indexPath)
-          .filter(col("batch_id") < batchId).drop("batch_id")
-      else emptyIndex
+    // shared batch-keyed state contract (DocumentStreaming.readState:
+    // flat bootstrap rows always-visible, earlier batches only, loud
+    // failure on unreadable existing state)
+    val index = DocumentStreaming.readState(spark, indexPath,
+      emptyIndex, batchId)
     val (decisionsRaw, anchorsRaw) = Similarity.incrementalSemanticDedup(
       batch, index, centroids, idCol, vecCol, threshold, maxPriors)
     // two write actions consume the admission below; checkpoint so the
@@ -58,8 +49,8 @@ object EmbeddingStreaming {
     val decisions = decisionsRaw.localCheckpoint()
     val anchors = anchorsRaw.localCheckpoint()
     val kept = decisions.filter(col("keep")).select(col(idCol))
-    batch.join(kept, Seq(idCol))
-      .write.mode("overwrite").parquet(s"$admittedPath/batch_id=$batchId")
-    anchors.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+    DocumentStreaming.writeState(batch.join(kept, Seq(idCol)),
+      admittedPath, batchId)
+    DocumentStreaming.writeState(anchors, indexPath, batchId)
   }
 }

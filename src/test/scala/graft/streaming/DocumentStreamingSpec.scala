@@ -358,6 +358,35 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(sp.read.parquet(s"$root/admitted").count() == 2L)
   }
 
+  test("admissionSink sees a flat BOOTSTRAPPED index as prior state " +
+      "(not silently dropped)") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("admboot").toString
+    val (ix, out) = (s"$root/index", s"$root/admitted")
+    val good = "the quick brown fox jumps over the lazy dog"
+    // bootstrap the signature index the documented way: a flat parquet
+    // rebuild over the already-admitted corpus (no batch_id= dirs)
+    graft.operators.TextDedup.minHashSignatures(
+        Seq((1L, good)).toDF("doc_id", "text"), "text", "doc_id", 2, 16)
+      .write.parquet(ix)
+    val f = DocumentStreaming.admissionSink(ix, out, "text", "doc_id")
+    // batch 0 re-delivers the bootstrapped content plus a fresh doc:
+    // the flat rows must reject the dup (the old readState filtered
+    // them out as batch_id=null and re-admitted everything)
+    f(Seq((10L, good),
+      (11L, "a corpus of training documents for language models"))
+      .toDF("doc_id", "text"), 0L)
+    assert(sp.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(11L))
+    // batch 1 sees flat bootstrap AND batch-0 state together
+    f(Seq((20L, "a corpus of training documents for language models"))
+      .toDF("doc_id", "text"), 1L)
+    val admitted = sp.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted == Set(11L))
+  }
+
   test("admissionSink replay: identical decisions, index cardinality " +
       "unchanged") {
     val sp = spark
