@@ -102,12 +102,17 @@ object UbuntuUsnIngest {
       // cannot advance (truncated input), the budget bounds the loop
       // and the iterator aborts.
       def resync(): JsonToken = {
+        // the budget bounds THROWING calls only — a successful advance
+        // is progress through finite input and must not count against
+        // it (a single kernel-sized entry's valid tail can exceed any
+        // fixed token budget; draining the budget on it would lose the
+        // whole feed remainder to one early corruption)
         var budget = 10000
         while (budget > 0) {
-          budget -= 1
           val t =
             try p.nextToken()
-            catch { case _: Exception => JsonToken.NOT_AVAILABLE }
+            catch { case _: Exception =>
+              budget -= 1; JsonToken.NOT_AVAILABLE }
           if (t == null) return null
           if (t == JsonToken.FIELD_NAME &&
               p.getParsingContext.getParent != null &&

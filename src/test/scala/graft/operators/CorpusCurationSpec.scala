@@ -294,6 +294,39 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
       4L -> ((2L, "s2#0"))))
   }
 
+  test("packTokenized: greedy no-split fill, overlong surfacing, and " +
+      "STRING ids kept verbatim (never cast numeric)") {
+    val sp = spark
+    import sp.implicits._
+    // string ids pin the generic-id contract: the original defect cast
+    // idCol to long, nulling these and scrambling the packing order
+    val counts = Seq(
+      ("doc-a", "s1", 5L),  // k=6, seq 0 @ 0
+      ("doc-b", "s1", 3L),  // k=4, 6+4=10 fits ctx 10 -> seq 0 @ 6
+      ("doc-c", "s1", 4L),  // k=5, crosses -> starts seq 1 @ 0
+      ("doc-d", "s1", 11L), // k=12 > ctx -> overlong, excluded from state
+      ("doc-e", "s1", 4L),  // k=5, continues seq 1 @ 5
+      ("doc-f", "s2", 1L),  // k=2, own stream, seq 0 @ 0
+      ("doc-g", "s2", 0L))  // nTok <= 0: dropped
+      .toDF("doc_id", "source", "n_tok")
+    val got = Corpus.packTokenized(counts, "doc_id", "source", "n_tok",
+        ctxLen = 10).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), Option(r.getString(3)), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got == Map(
+      "doc-a" -> ((6L, Some("s1#0"), 0L, false)),
+      "doc-b" -> ((4L, Some("s1#0"), 6L, false)),
+      "doc-c" -> ((5L, Some("s1#1"), 0L, false)),
+      "doc-d" -> ((12L, None, -1L, true)),
+      "doc-e" -> ((5L, Some("s1#1"), 5L, false)),
+      "doc-f" -> ((2L, Some("s2#0"), 0L, false))))
+    // the id column keeps its ORIGINAL type
+    assert(Corpus.packTokenized(counts, "doc_id", "source", "n_tok", 10)
+      .schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("splitAssign is deterministic, total, and roughly 80/10/10") {
     val rows = docsDF((1L to 1000L).map(i => doc(i, s"doc $i")))
     val got = Corpus.splitAssign(rows, "doc_id")
