@@ -72,6 +72,35 @@ object DocumentStreaming {
       batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
+  /** Compact a batch-keyed state directory into the flat BOOTSTRAP
+    * layout [[readState]] treats as always-visible prior state — the
+    * documented prerequisite for restarting a stream with a FRESH
+    * checkpoint over existing state (batch ids restart at 0, which
+    * would hide every batch-keyed row). `empty` supplies the state
+    * schema (the same limit(0) frame the sinks build). Run OFFLINE
+    * (no active stream on this state): the rewrite is
+    * write-tmp → delete → rename, not atomic under concurrent
+    * writers; a crash between delete and rename leaves the compacted
+    * copy at `path + ".compact.tmp"` to recover by hand. Compact the
+    * OUTPUT dirs (admitted/, ledger/, screened/) the same way when
+    * restarting fresh — the restarted batch ids overwrite their
+    * `batch_id=N` partitions, so un-compacted old output at those ids
+    * would be replaced. */
+  def compactState(spark: SparkSession, path: String,
+      empty: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val all = readState(spark, path, empty, Long.MaxValue)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+      all.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(p, true)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(
+          s"compactState: rename $tmp -> $p failed; state preserved at $tmp")
+    }
+  }
+
   /** Streaming exact dedup on arrival (the streaming form of D1 /
     * x_dedup_exact): the first arrival of each normalized content hash
     * survives; duplicate deliveries within the watermark horizon are

@@ -387,6 +387,36 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(admitted == Set(11L))
   }
 
+  test("compactState folds batch-keyed state into the flat bootstrap " +
+      "layout a fresh-checkpoint restart can see") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val ix = s"$root/index"
+    val good = "the quick brown fox jumps over the lazy dog"
+    val fresh = "a corpus of training documents for language models"
+    val f = DocumentStreaming.admissionSink(ix, s"$root/admitted",
+      "text", "doc_id")
+    f(Seq((1L, good)).toDF("doc_id", "text"), 0L)
+    f(Seq((2L, fresh)).toDF("doc_id", "text"), 1L)
+    val before = sp.read.parquet(ix).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    val empty = graft.operators.TextDedup.minHashSignatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "text", "doc_id", 2, 16)
+    DocumentStreaming.compactState(sp, ix, empty)
+    // rows preserved byte-for-byte, no batch_id= dirs remain
+    assert(sp.read.parquet(ix).collect().map(_.toSeq).toSet == before)
+    assert(!new java.io.File(ix).listFiles().exists(_.getName
+      .startsWith("batch_id=")))
+    // a restarted stream (fresh checkpoint, batch ids from 0) now sees
+    // the compacted state: a re-delivery of doc 1's content is rejected
+    f(Seq((10L, good)).toDF("doc_id", "text"), 0L)
+    val admitted = sp.read.parquet(s"$root/admitted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!admitted.contains(10L))
+  }
+
   test("admissionSink replay: identical decisions, index cardinality " +
       "unchanged") {
     val sp = spark
