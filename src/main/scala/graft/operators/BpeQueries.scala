@@ -41,6 +41,93 @@ object BpeQueries extends QueryModule {
     Bpe.wordCounts(docs(s, dir), "text")
       .select(col("wc"), Bpe.charSymbols(col("word")).as("syms"))
 
+  /** Shared encode prefix of the x_pack_* family: per-(doc, source)
+    * BPE token counts after ONE learned merge (the x_bpe_encode shape,
+    * with the source stream carried for packing). */
+  private def encodedCounts(s: SparkSession, dir: String): DataFrame = {
+    val words = Bpe.wordCounts(docs(s, dir), "text")
+    val vocab = words
+      .select(col("word"), col("wc"), Bpe.charSymbols(col("word")).as("syms"))
+    val m1 = Bpe.pairCounts(vocab)
+      .orderBy(col("cnt").desc, col("pair_a"), col("pair_b"))
+      .limit(1)
+      .select(col("pair_a").as("_ma"), col("pair_b").as("_mb"))
+    val seg = vocab.join(broadcast(m1), lit(true), "left")
+      .select(col("word"),
+        size(Bpe.applyMerge(col("syms"), col("_ma"), col("_mb")))
+          .cast("long").as("n_pieces"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Corpus.tokens(col("text"))).as("word"))
+      .join(broadcast(seg), Seq("word"))
+      .groupBy("doc_id", "source")
+      .agg(sum("n_pieces").as("bpe_tokens"))
+  }
+
+  /** DuckDB twin of [[encodedCounts]] (CTE block ending in `cnts`:
+    * (doc_id, source, k = bpe_tokens + 1 EOS)). */
+  private val cntsSql =
+    s"""$wcSql,
+       |pr0 AS (SELECT word, wc, unnest(range(1, len(word))) AS i
+       |        FROM wc WHERE len(word) >= 2),
+       |pc0 AS (SELECT word[i] AS a, word[i+1] AS b, sum(wc) AS cnt
+       |        FROM pr0 GROUP BY 1, 2),
+       |m1 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
+       |seg AS (SELECT wc.word,
+       |          len(string_split(${foldSql(
+         "list_transform(range(1, len(wc.word) + 1), i -> wc.word[i])",
+         "m.a", "m.b")}, chr(9))) AS n_pieces
+       |        FROM wc LEFT JOIN m1 m ON TRUE),
+       |tok AS (
+       |  SELECT doc_id, source, unnest(list_filter(
+       |           regexp_split_to_array(trim(text), '\\s+'),
+       |           x -> x <> '')) AS word
+       |  FROM documents),
+       |cnts AS (
+       |  SELECT t.doc_id, t.source,
+       |         CAST(sum(s.n_pieces) AS BIGINT) + 1 AS k
+       |  FROM tok t JOIN seg s USING (word)
+       |  GROUP BY t.doc_id, t.source)""".stripMargin
+
+  /** DuckDB twin of packing `cnts` incrementally in `nBatches` arrival
+    * batches (batch b = doc_id % nBatches = b, ids ascending within a
+    * batch): ONE list_reduce greedy fold over the concatenated order —
+    * the byte-identity the incremental forms guarantee. Emits the
+    * batch index as `batchCol` and each stream's final fill offset as
+    * `final_end`. */
+  private def packFoldSql(nBatches: Int, batchCol: String): String =
+    s"""WITH $cntsSql,
+       |ord AS (SELECT source,
+       |          list(doc_id ORDER BY doc_id % $nBatches, doc_id) AS ids,
+       |          list(k ORDER BY doc_id % $nBatches, doc_id) AS ks
+       |        FROM cnts WHERE k <= 384 GROUP BY source),
+       |ends AS (SELECT source, ids, ks,
+       |           list_reduce(list_transform(ks, k -> [k]),
+       |             (a, x) -> list_append(a,
+       |               CASE WHEN (a[-1] % 384) + x[1] > 384
+       |                    THEN (a[-1] // 384 + 1) * 384 + x[1]
+       |                    ELSE a[-1] + x[1] END)) AS es
+       |         FROM ord),
+       |fe AS (SELECT source, es[-1] AS final_end FROM ends),
+       |packed AS (SELECT source, unnest(ids) AS doc_id,
+       |                  unnest(es) AS e, unnest(ks) AS k
+       |           FROM ends)
+       |SELECT p.doc_id, p.source, p.k AS n_tokens,
+       |       p.source || '#' || CAST((p.e - p.k) // 384 AS VARCHAR)
+       |         AS seq_id,
+       |       (p.e - p.k) % 384 AS seq_off, FALSE AS overlong,
+       |       p.doc_id % $nBatches AS $batchCol, f.final_end
+       |FROM packed p JOIN fe f USING (source)
+       |UNION ALL
+       |SELECT c.doc_id, c.source, c.k AS n_tokens,
+       |       CAST(NULL AS VARCHAR) AS seq_id,
+       |       CAST(-1 AS BIGINT) AS seq_off, TRUE AS overlong,
+       |       c.doc_id % $nBatches AS $batchCol,
+       |       coalesce(f.final_end, 0) AS final_end
+       |FROM cnts c LEFT JOIN fe f USING (source)
+       |WHERE c.k > 384
+       |ORDER BY doc_id""".stripMargin
+
   private def topPairs(pc: DataFrame, k: Int): DataFrame = {
     val ranked = pc
       .select(concat_ws(" ", col("pair_a"), col("pair_b")).as("pair"),
@@ -177,27 +264,7 @@ object BpeQueries extends QueryModule {
     // sequential-per-stream semantics is the operator's contract, so
     // both engines pay it; parallelism is across the 20 sources.
     q("x_pack_tokenized",
-      s"""WITH $wcSql,
-         |pr0 AS (SELECT word, wc, unnest(range(1, len(word))) AS i
-         |        FROM wc WHERE len(word) >= 2),
-         |pc0 AS (SELECT word[i] AS a, word[i+1] AS b, sum(wc) AS cnt
-         |        FROM pr0 GROUP BY 1, 2),
-         |m1 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
-         |seg AS (SELECT wc.word,
-         |          len(string_split(${foldSql(
-               "list_transform(range(1, len(wc.word) + 1), i -> wc.word[i])",
-               "m.a", "m.b")}, chr(9))) AS n_pieces
-         |        FROM wc LEFT JOIN m1 m ON TRUE),
-         |tok AS (
-         |  SELECT doc_id, source, unnest(list_filter(
-         |           regexp_split_to_array(trim(text), '\\s+'),
-         |           x -> x <> '')) AS word
-         |  FROM documents),
-         |cnts AS (
-         |  SELECT t.doc_id, t.source,
-         |         CAST(sum(s.n_pieces) AS BIGINT) + 1 AS k
-         |  FROM tok t JOIN seg s USING (word)
-         |  GROUP BY t.doc_id, t.source),
+      s"""WITH $cntsSql,
          |ord AS (SELECT source, list(doc_id ORDER BY doc_id) AS ids,
          |               list(k ORDER BY doc_id) AS ks
          |        FROM cnts WHERE k <= 384 GROUP BY source),
@@ -221,26 +288,70 @@ object BpeQueries extends QueryModule {
          |       CAST(-1 AS BIGINT) AS seq_off, TRUE AS overlong
          |FROM cnts WHERE k > 384
          |ORDER BY doc_id""") { (s, dir) =>
-      val words = Bpe.wordCounts(docs(s, dir), "text")
-      val vocab = words
-        .select(col("word"), col("wc"), Bpe.charSymbols(col("word")).as("syms"))
-      val m1 = Bpe.pairCounts(vocab)
-        .orderBy(col("cnt").desc, col("pair_a"), col("pair_b"))
-        .limit(1)
-        .select(col("pair_a").as("_ma"), col("pair_b").as("_mb"))
-      val seg = vocab.join(broadcast(m1), lit(true), "left")
-        .select(col("word"),
-          size(Bpe.applyMerge(col("syms"), col("_ma"), col("_mb")))
-            .cast("long").as("n_pieces"))
-      val counts = docs(s, dir)
-        .select(col("doc_id"), col("source"),
-          explode(Corpus.tokens(col("text"))).as("word"))
-        .join(broadcast(seg), Seq("word"))
-        .groupBy("doc_id", "source")
-        .agg(sum("n_pieces").as("bpe_tokens"))
-      Corpus.packTokenized(counts, "doc_id", "source", "bpe_tokens",
-          ctxLen = 384)
+      Corpus.packTokenized(encodedCounts(s, dir),
+          "doc_id", "source", "bpe_tokens", ctxLen = 384)
         .orderBy("doc_id")
+    },
+
+    // Incremental packing (Corpus.incrementalPackTokenized): the even
+    // docs arrive as batch 0 against empty state, the odd docs as
+    // batch 1 against the state batch 0 returned — per-stream fill
+    // state is ONE (source, next_end) row, so incremental packing is
+    // byte-identical to one run over the concatenated (batch, id)
+    // order, which is exactly how the oracle re-derives it (the same
+    // list_reduce fold, ordered by (doc_id % 2, doc_id)). final_end
+    // gates the RETURNED STATE per stream, not just the packed rows;
+    // overlong docs surface with their stream's state untouched.
+    q("x_incremental_pack", packFoldSql(2, "batch")) { (s, dir) =>
+      val counts = encodedCounts(s, dir)
+        .localCheckpoint() // two batch slices consume it below
+      val (p0, st1) = Corpus.incrementalPackTokenized(
+        counts.filter(pmod(col("doc_id"), lit(2)) === 0),
+        Corpus.emptyPackState(s),
+        "doc_id", "source", "bpe_tokens", ctxLen = 384)
+      val (p1, st2) = Corpus.incrementalPackTokenized(
+        counts.filter(pmod(col("doc_id"), lit(2)) === 1), st1,
+        "doc_id", "source", "bpe_tokens", ctxLen = 384)
+      p0.withColumn("batch", lit(0L))
+        .unionByName(p1.withColumn("batch", lit(1L)))
+        .join(st2.withColumnRenamed("next_end", "final_end"),
+          Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("seq_id"), col("seq_off"), col("overlong"), col("batch"),
+          col("final_end"))
+        .orderBy("doc_id")
+    },
+
+    // Streaming packing sink (DocumentStreaming.packSink) driven
+    // end-to-end, the x_curation_sink treatment: three arrival batches
+    // through the REAL foreachBatch closure with batch-keyed parquet
+    // state written and read back per batch (as_of_batch latest-wins),
+    // then packed output + each stream's final fill state hash-gated
+    // against the same ONE-fold DuckDB re-derivation — the persistence
+    // plumbing, not just the in-memory algebra x_incremental_pack
+    // already gates, must preserve the concatenated-order identity.
+    q("x_pack_sink", packFoldSql(3, "batch_id")) { (s, dir) =>
+      val counts = encodedCounts(s, dir).localCheckpoint()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pack_sink").toString
+      val sink = graft.streaming.DocumentStreaming.packSink(
+        s"$root/state", s"$root/packed",
+        "doc_id", "source", "bpe_tokens", ctxLen = 384)
+      (0 until 3).foreach { b =>
+        sink(counts.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+      }
+      val finalState = s.read.parquet(s"$root/state")
+        .groupBy("source")
+        .agg(max_by(col("next_end"), col("as_of_batch")).as("final_end"))
+      val out = s.read.parquet(s"$root/packed")
+        .join(finalState, Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("seq_id"), col("seq_off"), col("overlong"),
+          col("batch_id").cast("long").as("batch_id"), col("final_end"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+      CurationSinkQueries.deleteRec(root)
+      out
     },
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -386,11 +386,143 @@ object Corpus {
             if (curEnd % ctx + k > ctx) (curEnd / ctx + 1) * ctx
             else curEnd
           curEnd = start + k
-          Row(id, g, k, s"$g#${start / ctx}", start % ctx, false)
+          // null stream ⇒ null seq_id (SQL concat semantics — the
+          // DuckDB twin's source || '#' || n is NULL; interpolating
+          // would also collide with a source literally named "null").
+          // Null-group docs still pack and keep state; give streams
+          // real names upstream if their sequences must be addressable
+          Row(id, g, k, if (g == null) null else s"$g#${start / ctx}",
+            start % ctx, false)
         }
       }
     }
     spark.createDataFrame(packed, outSchema)
+  }
+
+  /** The bootstrap state for [[incrementalPackTokenized]]: zero
+    * streams. Single-sources the (groupCol, next_end) state schema the
+    * operator consumes and returns. */
+  def emptyPackState(spark: SparkSession,
+      groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(groupCol, StringType),
+        StructField("next_end", LongType))))
+  }
+
+  /** Incremental [[packTokenized]] — the admission-family form of the
+    * packer: an ARRIVAL batch of encoded docs packs against the
+    * persisted per-stream fill state instead of re-scanning the packed
+    * corpus. State is ONE row per stream — (groupCol, next_end), the
+    * stream's running token offset — so the corpus-side cost of
+    * packing an unbounded intake is O(streams), not O(docs); packed
+    * sequences are never re-read or re-numbered (append-only, the
+    * admission-sink discipline). Greedy fill state is exactly that
+    * offset, so packing batches incrementally in arrival order is
+    * BYTE-IDENTICAL to one batch run over the concatenated order —
+    * the property the oracle row gates. Callers deliver batches in
+    * admission order (ids order within a batch, batches in sequence),
+    * like every incremental form here.
+    *
+    * Scale shape: the bounded state co-partitions WITH the delta (a
+    * tagged union sorted so each stream's state row leads its docs) —
+    * no broadcast, no driver map; then the same one-shuffle,
+    * O(1)-state per-partition scan as the batch form.
+    *
+    * Returns (packed, newState): packed = the batch form's row per
+    * delta doc; newState = (groupCol, next_end) for EVERY stream seen
+    * (carried-forward rows included) — overwrite the state with it and
+    * the next batch continues. */
+  def incrementalPackTokenized(delta: DataFrame, state: DataFrame,
+      idCol: String, groupCol: String, nTokCol: String, ctxLen: Int,
+      eosTokens: Int = 1): (DataFrame, DataFrame) = {
+    require(ctxLen > eosTokens, "ctxLen must exceed the EOS cost")
+    val spark = delta.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idType = delta.schema(idCol).dataType
+    // tagged union: state rows (tag 0) sort before doc rows (tag 1)
+    // within their stream, so the per-partition scan initializes each
+    // stream's running end before its first doc arrives
+    val docRows = delta.filter(col(nTokCol) > 0)
+      .select(col(groupCol).cast("string").as(groupCol),
+        lit(1).as("_tag"), col(idCol).cast(idType).as(idCol),
+        (col(nTokCol).cast("long") + eosTokens).as("_k"))
+    val stateRows = state
+      .select(col(groupCol).cast("string").as(groupCol),
+        lit(0).as("_tag"), lit(null).cast(idType).as(idCol),
+        col("next_end").cast("long").as("_k"))
+    val combined = stateRows.unionByName(docRows)
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col("_tag"), col(idCol))
+    val ctx = ctxLen.toLong
+    val outSchema = StructType(Seq(
+      StructField("_kind", IntegerType), // 0 = state, 1 = packed doc
+      StructField(idCol, idType),
+      StructField(groupCol, StringType),
+      StructField("n_tokens", LongType),
+      StructField("seq_id", StringType, nullable = true),
+      StructField("seq_off", LongType),
+      StructField("overlong", BooleanType),
+      StructField("next_end", LongType)))
+    val scanned = spark.createDataFrame(
+      combined.rdd.mapPartitions { it =>
+        // flush a state row whenever the stream changes (and at the
+        // end): every stream seen — docs or carried state — emits its
+        // final next_end exactly once. `started` is the explicit
+        // no-group-yet flag: a null curGroup sentinel would collide
+        // with a legitimate null groupCol value (nulls sort FIRST in
+        // their partition, so the null stream is always the first
+        // group seen) and silently drop that stream's state row
+        var started = false
+        var curGroup: String = null
+        var curEnd: Long = 0L
+        var pendingFlush = false
+        new Iterator[Row] {
+          private var queued: Row = null
+          private def stateRow(g: String, e: Long): Row =
+            Row(0, null, g, 0L, null, 0L, false, e)
+          def hasNext: Boolean =
+            queued != null || it.hasNext || pendingFlush
+          def next(): Row = {
+            if (queued != null) { val r = queued; queued = null; return r }
+            if (!it.hasNext) { // terminal flush
+              pendingFlush = false
+              return stateRow(curGroup, curEnd)
+            }
+            val r = it.next()
+            val (g, tag, k) = (r.getString(0), r.getInt(1), r.getLong(3))
+            var out: Row = null
+            if (!started || g != curGroup) {
+              if (pendingFlush) out = stateRow(curGroup, curEnd)
+              started = true; curGroup = g; curEnd = 0L; pendingFlush = true
+            }
+            val produced: Row =
+              if (tag == 0) { curEnd = k; null } // state init, no row
+              else if (k > ctx) Row(1, r.get(2), g, k, null, -1L, true, 0L)
+              else {
+                val start =
+                  if (curEnd % ctx + k > ctx) (curEnd / ctx + 1) * ctx
+                  else curEnd
+                curEnd = start + k
+                // null stream ⇒ null seq_id (the batch form's rule)
+                Row(1, r.get(2), g, k,
+                  if (g == null) null else s"$g#${start / ctx}",
+                  start % ctx, false, 0L)
+              }
+            if (out != null) { queued = produced; out }
+            else if (produced != null) produced
+            else next()
+          }
+        }.filter(_ != null)
+      }, outSchema).localCheckpoint()
+    val packed = scanned.filter(col("_kind") === 1)
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("seq_id"), col("seq_off"), col("overlong"))
+    val newState = scanned.filter(col("_kind") === 0)
+      .select(col(groupCol), col("next_end"))
+    (packed, newState)
   }
 
   /** Deterministic train/val/test split: a 16-bit md5 prefix of the id

@@ -243,7 +243,7 @@ object CurationSinkQueries extends QueryModule {
        |ORDER BY tt.doc_id""".stripMargin
   }
 
-  private def deleteRec(root: String): Unit = {
+  private[operators] def deleteRec(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(p)) {
       val it = java.nio.file.Files.walk(p)

@@ -87,11 +87,36 @@ object DocumentStreaming {
     * `batch_id=N` partitions, so un-compacted old output at those ids
     * would be replaced. */
   def compactState(spark: SparkSession, path: String,
-      empty: DataFrame): Unit = {
+      empty: DataFrame): Unit =
+    compactWith(spark, path, empty, identity)
+
+  /** [[compactState]] for [[packSink]]'s (groupCol, next_end,
+    * as_of_batch) state: folds the dir to ONE row per stream — each
+    * stream's newest next_end — re-based to `as_of_batch = -1`, the
+    * BOOTSTRAP marker every restarted batch id (>= 0) outranks in the
+    * sink's per-stream max_by read. The generic [[compactState]] must
+    * NOT be used on pack state before a fresh-checkpoint restart: it
+    * preserves the old as_of_batch values, which the restarted ids
+    * (0, 1, …) would LOSE to, resuming every stream from a stale
+    * pre-restart offset until the new ids grow past the old. Same
+    * offline/non-atomic caveats as [[compactState]]. */
+  def compactPackState(spark: SparkSession, path: String,
+      groupCol: String = "source"): Unit = {
+    val empty = graft.operators.Corpus.emptyPackState(spark, groupCol)
+      .withColumn("as_of_batch", lit(0L))
+    compactWith(spark, path, empty, all => all
+      .groupBy(col(groupCol))
+      .agg(max_by(col("next_end"), col("as_of_batch")).as("next_end"))
+      .select(col(groupCol), col("next_end"),
+        lit(-1L).as("as_of_batch")))
+  }
+
+  private def compactWith(spark: SparkSession, path: String,
+      empty: DataFrame, fold: DataFrame => DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      val all = readState(spark, path, empty, Long.MaxValue)
+      val all = fold(readState(spark, path, empty, Long.MaxValue))
       val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
       all.write.mode("overwrite").parquet(tmp.toString)
       fs.delete(p, true)
@@ -387,6 +412,59 @@ object DocumentStreaming {
         textCol, idCol, windowTokens)
       .join(subIndex, Seq("h1", "h2"), "left_anti"),
       s"$root/substring_index", batchId)
+  }
+
+  /** Streaming tokenizer-aware sequence packing — the [[admissionSink]]
+    * pattern on [[graft.operators.Corpus.incrementalPackTokenized]]:
+    * each micro-batch of ENCODED docs (id, stream, token count — the
+    * x_bpe_encode output shape; encoding happens upstream, packing is
+    * tokenizer-agnostic) fills fixed-`ctxLen` training sequences
+    * greedily against the per-stream fill state accumulated from every
+    * earlier batch. Packed rows land under `packedPath`, the refreshed
+    * state under `statePath` (both batch-keyed — effectively-once per
+    * the object scaladoc); sequences continue monotonically per stream
+    * across batches, byte-identical to one batch
+    * [[graft.operators.Corpus.packTokenized]] run over the concatenated
+    * arrival order (the x_pack_sink hash gate). Packed output is never
+    * re-read or re-numbered; per-batch state cost is O(streams), not
+    * O(docs packed so far).
+    *
+    * State rows carry `as_of_batch`, and a read takes each stream's row
+    * from the LATEST visible batch (max_by per stream, never a union):
+    * [[graft.operators.Corpus.incrementalPackTokenized]] returns
+    * carried-forward streams too, so every batch's state partition is
+    * COMPLETE and a replay of batch N sees exactly the state partition
+    * N-1 wrote — identical packing, overwritten in place. Restarting
+    * with a FRESH checkpoint requires [[compactPackState]] (NOT the
+    * generic [[compactState]]): it re-bases each stream's newest row to
+    * `as_of_batch = -1`, the bootstrap marker every restarted batch id
+    * outranks — un-re-based rows would keep their old (larger)
+    * as_of_batch and win max_by over the restarted ids, resuming from
+    * stale pre-restart offsets. A hand-made bootstrap (fresh checkpoint
+    * over externally-packed state) must supply the same (groupCol,
+    * next_end, as_of_batch) schema with as_of_batch = -1 for the same
+    * reason (0 would TIE with the restarted batch 0's own rows).
+    *
+    * Usage: `encoded.writeStream.foreachBatch(
+    *   DocumentStreaming.packSink(st, out, "doc_id", "source",
+    *   "bpe_tokens", ctxLen = 2048))`. */
+  def packSink(statePath: String, packedPath: String, idCol: String,
+      groupCol: String, nTokCol: String, ctxLen: Int, eosTokens: Int = 1)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val empty = graft.operators.Corpus.emptyPackState(spark, groupCol)
+      .withColumn("as_of_batch", lit(0L))
+    val latest = readState(spark, statePath, empty, batchId)
+      .groupBy(col(groupCol))
+      .agg(max_by(col("next_end"), col("as_of_batch")).as("next_end"))
+    // both returned frames share the operator's one checkpointed scan —
+    // the two writes below cannot re-run it or diverge on replay
+    val (packed, newState) = graft.operators.Corpus
+      .incrementalPackTokenized(batch, latest, idCol, groupCol, nTokCol,
+        ctxLen, eosTokens)
+    writeState(packed, packedPath, batchId)
+    writeState(newState.withColumn("as_of_batch", lit(batchId)),
+      statePath, batchId)
   }
 
   /** Per-window language/quality profile of the arrival stream (the

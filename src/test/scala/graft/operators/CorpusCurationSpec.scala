@@ -327,6 +327,70 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("incrementalPackTokenized: batched == one concatenated run; state " +
+      "carries absent streams forward; overlong never touches state") {
+    val sp = spark
+    import sp.implicits._
+    // batch-0 ids sort before batch-1 ids within every stream, so ONE
+    // packTokenized run over the union is the concatenated-order truth
+    val b0 = Seq(
+      ("a1", "s1", 5L),  // k=6,  s1 seq 0 @ 0
+      ("a2", "s1", 3L),  // k=4,  s1 seq 0 @ 6 -> end 10
+      ("b1", "s2", 1L),  // k=2,  s2 seq 0 @ 0 -> end 2
+      ("c1", "s3", 2L))  // k=3,  s3 only in batch 0 -> end 3
+      .toDF("doc_id", "source", "n_tok")
+    val b1 = Seq(
+      ("d1", "s1", 4L),  // k=5,  10%10=0 -> seq 1 @ 0 -> end 15
+      ("d2", "s1", 11L), // k=12 > 10: overlong, excluded from state
+      ("d3", "s1", 4L),  // k=5,  seq 1 @ 5 -> end 20
+      ("e1", "s2", 9L),  // k=10, 2+10 crosses -> seq 1 @ 0 -> end 20
+      ("f1", "s4", 2L))  // k=3,  stream NEW in batch 1 -> end 3
+      .toDF("doc_id", "source", "n_tok")
+    val empty = Corpus.emptyPackState(sp)
+    val (p0, st1) = Corpus.incrementalPackTokenized(
+      b0, empty, "doc_id", "source", "n_tok", ctxLen = 10)
+    val (p1, st2) = Corpus.incrementalPackTokenized(
+      b1, st1, "doc_id", "source", "n_tok", ctxLen = 10)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)), r.getLong(4), r.getBoolean(5))).toSet
+    // byte-identical to the batch form over the concatenation
+    assert(rows(p0) ++ rows(p1) ==
+      rows(Corpus.packTokenized(b0.unionByName(b1),
+        "doc_id", "source", "n_tok", ctxLen = 10)))
+    // mid-point state: every batch-0 stream, at its running end
+    def state(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state(st1) == Map("s1" -> 10L, "s2" -> 2L, "s3" -> 3L))
+    // final state: s3 carried forward untouched, s4 new, and s1's end
+    // unmoved by the overlong d2 (20, not 32)
+    assert(state(st2) ==
+      Map("s1" -> 20L, "s2" -> 20L, "s3" -> 3L, "s4" -> 3L))
+    // an empty delta is a no-op: no packed rows, state returned intact
+    val (pE, stE) = Corpus.incrementalPackTokenized(
+      b1.limit(0), st2, "doc_id", "source", "n_tok", ctxLen = 10)
+    assert(pE.count() == 0 && state(stE) == state(st2))
+    // a NULL-group stream keeps its state row (nulls sort first, so a
+    // null curGroup sentinel would silently drop it — the original
+    // defect): both batches must agree on the running end
+    val nb = Seq(("n1", null: String, 4L), ("n2", "s9", 2L),
+        ("n3", "null", 4L)) // a source literally NAMED "null"
+      .toDF("doc_id", "source", "n_tok")
+    val (pN, stN) = Corpus.incrementalPackTokenized(
+      nb, Corpus.emptyPackState(sp), "doc_id", "source", "n_tok",
+      ctxLen = 10)
+    val stNm = stN.collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(stNm == Map(Option.empty[String] -> 5L, Option("s9") -> 3L,
+      Option("null") -> 5L))
+    // the null stream's seq_id is NULL (SQL concat semantics), never
+    // the string "null#0" the "null"-named source legitimately owns
+    val seqIds = pN.collect()
+      .map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    assert(seqIds == Map("n1" -> None, "n2" -> Some("s9#0"),
+      "n3" -> Some("null#0")))
+  }
+
   test("splitAssign is deterministic, total, and roughly 80/10/10") {
     val rows = docsDF((1L to 1000L).map(i => doc(i, s"doc $i")))
     val got = Corpus.splitAssign(rows, "doc_id")

@@ -368,6 +368,63 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
         scans.map(_.metadata("PushedFilters")).mkString("; "))
   }
 
+  test("packTokenized co-locates each stream with ONE shuffle — no " +
+      "window sort, no global sort, no join; the incremental form " +
+      "rides the SAME single shuffle over the state∪delta union") {
+    // the operator's packing scan runs as an RDD mapPartitions below
+    // the createDataFrame boundary (the returned plan is a bare RDD
+    // scan), so — the incrementalSubstringStrip treatment — audit the
+    // exact co-location plan the operator builds upstream of it
+    val sp = spark
+    val proj = docs
+      .select(col("doc_id"), col("source").cast("string").as("source"),
+        (size(split(col("text"), " ")).cast("long") + 1).as("_k"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+    val stateRows = sp.range(3)
+      .select(concat(lit("src"), col("id")).as("source"),
+        lit(0).as("_tag"), lit(null).cast("long").as("doc_id"),
+        col("id").as("_k"))
+    // the doc side enters RAW (the operator repartitions the union
+    // once — proj's own exchange above would double-shuffle)
+    val docSide = docs
+      .select(col("source").cast("string").as("source"), lit(1).as("_tag"),
+        col("doc_id"), (size(split(col("text"), " ")).cast("long") + 1)
+          .as("_k"))
+    val combined = stateRows.unionByName(docSide)
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("_tag"), col("doc_id"))
+    Seq("batch" -> proj, "incremental" -> combined).foreach {
+      case (name, df) =>
+        df.collect()
+        val nodes = allNodes(df.queryExecution.executedPlan)
+        val shuffles = nodes.count(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+        assert(shuffles == 1,
+          s"$name packing must co-locate with ONE shuffle, saw $shuffles")
+        assert(!nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+          s"$name packing must not window-sort the corpus")
+        assert(!nodes.exists {
+          case s: org.apache.spark.sql.execution.SortExec => s.global
+          case _ => false
+        }, s"$name packing must sort within partitions only, never globally")
+        assert(!nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+          s"$name packing must not join — state unions in, tag-sorted")
+    }
+    // and the REAL operators produce through that shape: run both on
+    // the parquet docs so the audited twin is the executed code path
+    val counts = docs.select(col("doc_id"), col("source"),
+      (size(split(col("text"), " ")).cast("long")).as("n_tok"))
+    assert(Corpus.packTokenized(counts, "doc_id", "source", "n_tok",
+      ctxLen = 8).count() > 0)
+    val st0 = Corpus.emptyPackState(sp)
+    val (pk, st1) = Corpus.incrementalPackTokenized(
+      counts, st0, "doc_id", "source", "n_tok", ctxLen = 8)
+    assert(pk.count() > 0 && st1.count() == 3)
+  }
+
   test("incrementalSubstringStrip classifies with ONE index join, " +
       "equi-only, no window sort") {
     val sp = spark

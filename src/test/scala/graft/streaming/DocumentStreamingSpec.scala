@@ -11,6 +11,8 @@ import graft.operators.SparkTestSession
 final case class DocArrival(doc_id: Long, text: String, lang: String,
     arrived_at: Timestamp)
 
+final case class EncodedArrival(doc_id: Long, source: String, n_tok: Long)
+
 /** Streaming document dedup/profile under a real readStream with
   * watermarked state (the training-data intake path). */
 class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
@@ -435,6 +437,100 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(sp.read.parquet(out).select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 11L))
     assert(sp.read.parquet(ix).count() == 2L) // one signature per kept doc
+  }
+
+  test("packSink continues sequences across micro-batches, byte-equal " +
+      "to one batch run over the arrival order; replay is identical") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("packsink").toString
+    val (st, out) = (s"$root/state", s"$root/packed")
+    val mem = MemoryStream[EncodedArrival]
+    val query = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(DocumentStreaming.packSink(st, out,
+        "doc_id", "source", "n_tok", ctxLen = 10))
+      .start()
+    val b0 = Seq(EncodedArrival(1, "s1", 5), EncodedArrival(2, "s1", 3),
+      EncodedArrival(3, "s2", 1))
+    val b1 = Seq(EncodedArrival(10, "s1", 4), EncodedArrival(11, "s2", 9),
+      EncodedArrival(12, "s3", 2))
+    try {
+      mem.addData(b0: _*); query.processAllAvailable()
+      mem.addData(b1: _*); query.processAllAvailable()
+    } finally query.stop()
+    def packedRows = sp.read.parquet(out).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("seq_id"),
+        r.getAs[Long]("seq_off"))).toSet
+    // byte-identical to ONE packTokenized run over the concatenated
+    // arrival order (batch-0 ids sort before batch-1 ids per stream)
+    val oneRun = graft.operators.Corpus.packTokenized(
+      (b0 ++ b1).toDF("doc_id", "source", "n_tok"),
+      "doc_id", "source", "n_tok", ctxLen = 10).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(packedRows == oneRun)
+    // sequences CONTINUED: batch-1 docs pack into stream offsets the
+    // batch-0 state implies, not a fresh 0
+    assert(packedRows.contains((10L, "s1", 5L, "s1#1", 0L)))
+    assert(packedRows.contains((11L, "s2", 10L, "s2#1", 0L)))
+    // final state = latest row per stream
+    def state = sp.read.parquet(st)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.col("next_end"),
+        org.apache.spark.sql.functions.col("as_of_batch")).as("ne"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state == Map("s1" -> 15L, "s2" -> 20L, "s3" -> 3L))
+    // at-least-once replay of the last batch: the batch-keyed overwrite
+    // + strictly-earlier state read recompute identical rows and state
+    val before = packedRows
+    DocumentStreaming.packSink(st, out, "doc_id", "source", "n_tok",
+      ctxLen = 10)(b1.toDF(), 1L)
+    assert(packedRows == before && state("s1") == 15L)
+  }
+
+  test("compactPackState re-bases to the bootstrap marker: a fresh-" +
+      "checkpoint restart continues offsets and never resumes stale " +
+      "pre-restart state") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("packrestart")
+      .toString
+    val st = s"$root/state"
+    def sink(out: String) = DocumentStreaming.packSink(st, out,
+      "doc_id", "source", "n_tok", ctxLen = 10)
+    // first run: two batches end s1 at 6 then 10
+    sink(s"$root/packed")(Seq((1L, "s1", 5L))
+      .toDF("doc_id", "source", "n_tok"), 0L)
+    sink(s"$root/packed")(Seq((2L, "s1", 3L))
+      .toDF("doc_id", "source", "n_tok"), 1L)
+    DocumentStreaming.compactPackState(sp, st)
+    val flat = sp.read.parquet(st).collect()
+    assert(flat.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("s1", 10L, -1L))) // one row, newest end, marker
+    // fresh checkpoint: batch ids restart at 0. Restarted batch 0 must
+    // continue from the compacted end (10 -> seq 1 @ 0); restarted
+    // batch 1 must read batch 0's NEW state (15), which the stale
+    // pre-restart as_of_batch values would have outranked un-re-based
+    val out2 = s"$root/packed2"
+    sink(out2)(Seq((10L, "s1", 4L))
+      .toDF("doc_id", "source", "n_tok"), 0L)
+    sink(out2)(Seq((11L, "s1", 4L))
+      .toDF("doc_id", "source", "n_tok"), 1L)
+    val got = sp.read.parquet(out2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("seq_id"), r.getAs[Long]("seq_off")))).toMap
+    assert(got == Map(10L -> (("s1#1", 0L)), 11L -> (("s1#1", 5L))))
+    val finalState = sp.read.parquet(st)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.col("next_end"),
+        org.apache.spark.sql.functions.col("as_of_batch")).as("ne"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalState == Map("s1" -> 20L))
   }
 
   test("EmbeddingStreaming.admissionSink dedups semantically across batches") {
