@@ -492,6 +492,55 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(packedRows == before && state("s1") == 15L)
   }
 
+  test("curationSink chains into packSink per micro-batch: only admitted " +
+      "docs pack, sequences continue across batches") {
+    // the full streaming training-data pipeline as a user composes it:
+    // one foreachBatch closure runs curation, then token-counts THE
+    // BATCH's own admitted partition (batch_id=N — replay-idempotent
+    // like every stage) and packs it against the persisted fill state
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("curpack").toString
+    val curate = DocumentStreaming.curationSink(root, "text", "doc_id",
+      windowTokens = 4)
+    val pack = DocumentStreaming.packSink(s"$root/pack_state",
+      s"$root/packed", "doc_id", "source", "n_tok", ctxLen = 16)
+    val pipeline: (org.apache.spark.sql.DataFrame, Long) => Unit = {
+      (batch, batchId) =>
+        import org.apache.spark.sql.functions.{col, lit, size}
+        curate(batch, batchId)
+        val admitted = sp.read.parquet(s"$root/admitted/batch_id=$batchId")
+        pack(admitted.select(col("doc_id"), lit("s1").as("source"),
+          size(graft.operators.Corpus.tokens(col("text"))).cast("long")
+            .as("n_tok")), batchId)
+    }
+    val good = "the quick brown fox jumps over the lazy sleeping dog"
+    val fresh = "many new ideas about the engines of autumn arrive today"
+    val mem = MemoryStream[DocArrival]
+    val query = mem.toDF().writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(pipeline)
+      .start()
+    try {
+      mem.addData(doc(1, good, "2024-01-01 00:00:00"))
+      query.processAllAvailable()
+      // batch 2: doc 10 dups doc 1 (dropped — must NOT pack); doc 11
+      // is fresh (admitted, continues doc 1's sequence)
+      mem.addData(
+        doc(10, good, "2024-01-01 01:00:00"),
+        doc(11, fresh, "2024-01-01 01:01:00"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val packed = sp.read.parquet(s"$root/packed").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("seq_id"), r.getAs[Long]("seq_off")))).toMap
+    // ONLY the admitted docs packed; doc 1 = 10 toks + eos fills
+    // [0,11) of s1#0, doc 11 = 10 + eos crosses 16 -> starts s1#1 —
+    // the batch-2 placement PROVES the fill state carried over
+    assert(packed == Map(1L -> (("s1#0", 0L)), 11L -> (("s1#1", 0L))))
+  }
+
   test("compactPackState re-bases to the bootstrap marker: a fresh-" +
       "checkpoint restart continues offsets and never resumes stale " +
       "pre-restart state") {
