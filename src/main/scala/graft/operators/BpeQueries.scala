@@ -322,6 +322,53 @@ object BpeQueries extends QueryModule {
         .orderBy("doc_id")
     },
 
+    // Packing-efficiency report (Corpus.packStats): per stream, the
+    // padding the greedy no-split rule pays (boundary padding + final
+    // tail = n_seqs*384 - tokens), fill ratio, and the overlong spill —
+    // sized off x_pack_tokenized's assignments without re-reading the
+    // corpus. The oracle re-derives the fold and aggregates the same
+    // report; full join because an overlong-only stream still reports.
+    q("x_pack_stats",
+      s"""WITH $cntsSql,
+         |ord AS (SELECT source, list(doc_id ORDER BY doc_id) AS ids,
+         |               list(k ORDER BY doc_id) AS ks
+         |        FROM cnts WHERE k <= 384 GROUP BY source),
+         |ends AS (SELECT source, ids, ks,
+         |           list_reduce(list_transform(ks, k -> [k]),
+         |             (a, x) -> list_append(a,
+         |               CASE WHEN (a[-1] % 384) + x[1] > 384
+         |                    THEN (a[-1] // 384 + 1) * 384 + x[1]
+         |                    ELSE a[-1] + x[1] END)) AS es
+         |         FROM ord),
+         |packed AS (SELECT source, unnest(es) AS e, unnest(ks) AS k
+         |           FROM ends),
+         |pk AS (SELECT source, count(*) AS n_docs,
+         |              CAST(sum(k) AS BIGINT) AS n_tokens,
+         |              max((e - k) // 384) + 1 AS n_seqs
+         |       FROM packed GROUP BY source),
+         |ov AS (SELECT source, count(*) AS n_overlong,
+         |              CAST(sum(k) AS BIGINT) AS overlong_tokens
+         |       FROM cnts WHERE k > 384 GROUP BY source)
+         |SELECT source,
+         |       coalesce(n_docs, 0) AS n_docs,
+         |       coalesce(n_overlong, 0) AS n_overlong,
+         |       coalesce(n_tokens, 0) AS n_tokens,
+         |       coalesce(overlong_tokens, 0) AS overlong_tokens,
+         |       coalesce(n_seqs, 0) AS n_seqs,
+         |       coalesce(n_seqs, 0) * 384 - coalesce(n_tokens, 0)
+         |         AS padding_tokens,
+         |       CASE WHEN n_seqs IS NOT NULL THEN
+         |         round(n_tokens::DOUBLE / (n_seqs * 384), 6) END
+         |         AS fill_ratio
+         |FROM pk FULL JOIN ov USING (source)
+         |ORDER BY source""") { (s, dir) =>
+      Corpus.packStats(
+          Corpus.packTokenized(encodedCounts(s, dir),
+            "doc_id", "source", "bpe_tokens", ctxLen = 384),
+          "source", ctxLen = 384)
+        .orderBy("source")
+    },
+
     // Streaming packing sink (DocumentStreaming.packSink) driven
     // end-to-end, the x_curation_sink treatment: three arrival batches
     // through the REAL foreachBatch closure with batch-keyed parquet

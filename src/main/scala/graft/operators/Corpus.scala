@@ -399,6 +399,46 @@ object Corpus {
     spark.createDataFrame(packed, outSchema)
   }
 
+  /** Packing-efficiency report over [[packTokenized]] (or the
+    * incremental/sink forms') output — the numbers a practitioner
+    * reads to size ctxLen and decide whether the overlong spill
+    * warrants a split-allowed path: per stream, packed doc/sequence
+    * counts, token mass, padding cost (the no-split rule's boundary
+    * padding PLUS the final sequence's tail — together
+    * n_seqs·ctx − n_tokens, since greedy sequences are contiguous
+    * 0..max), fill ratio, and the overlong doc/token spill. One
+    * bounded groupBy over the packed assignments; the corpus is never
+    * re-read. A NULL stream's rows carry no seq index (NULL seq_id, the
+    * SQL concat rule), so its n_seqs/padding/fill report NULL — name
+    * streams upstream if their fill cost must be accountable. */
+  def packStats(packed: DataFrame, groupCol: String,
+      ctxLen: Int): DataFrame = {
+    val ctx = lit(ctxLen.toLong)
+    val idx = substring_index(col("seq_id"), "#", -1).cast("long")
+    val packedRow = !col("overlong")
+    val nSeqs = coalesce(col("_max_idx") + 1L, lit(0L))
+    packed
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(packedRow, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("overlong"), 1L).otherwise(0L)).as("n_overlong"),
+        sum(when(packedRow, col("n_tokens")).otherwise(0L))
+          .as("n_tokens"),
+        sum(when(col("overlong"), col("n_tokens")).otherwise(0L))
+          .as("overlong_tokens"),
+        max(when(packedRow, idx)).as("_max_idx"),
+        max(when(packedRow && col("seq_id").isNull, 1).otherwise(0))
+          .as("_null_stream"))
+      .select(col(groupCol), col("n_docs"), col("n_overlong"),
+        col("n_tokens"), col("overlong_tokens"),
+        when(col("_null_stream") === 0, nSeqs).as("n_seqs"),
+        when(col("_null_stream") === 0, nSeqs * ctx - col("n_tokens"))
+          .as("padding_tokens"),
+        when(col("_null_stream") === 0 && col("_max_idx").isNotNull,
+          round(col("n_tokens").cast("double") /
+            ((col("_max_idx") + 1L) * ctx), 6)).as("fill_ratio"))
+  }
+
   /** The bootstrap state for [[incrementalPackTokenized]]: zero
     * streams. Single-sources the (groupCol, next_end) state schema the
     * operator consumes and returns. */

@@ -391,6 +391,31 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
       "n3" -> Some("null#0")))
   }
 
+  test("packStats reports padding, fill and overlong spill per stream; " +
+      "null and overlong-only streams degrade explicitly") {
+    val sp = spark
+    import sp.implicits._
+    val counts = Seq(
+      ("a1", "s1", 5L),          // k=6,  s1#0 @ 0
+      ("a2", "s1", 3L),          // k=4,  s1#0 @ 6 -> end 10
+      ("a3", "s1", 4L),          // k=5,  s1#1 @ 0 -> end 15
+      ("a4", "s1", 11L),         // k=12: overlong spill
+      ("b1", null: String, 4L),  // null stream: no seq index exists
+      ("c1", "s3", 11L))         // overlong-ONLY stream still reports
+      .toDF("doc_id", "source", "n_tok")
+    val got = Corpus.packStats(
+        Corpus.packTokenized(counts, "doc_id", "source", "n_tok", 10),
+        "source", ctxLen = 10)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))).toMap
+    assert(got(Some("s1")) ==
+      ((3L, 1L, 15L, 12L, Some(2L), Some(5L), Some(0.75))))
+    assert(got(Some("s3")) ==
+      ((0L, 1L, 0L, 12L, Some(0L), Some(0L), None)))
+    assert(got(None) == ((1L, 0L, 5L, 0L, None, None, None)))
+  }
+
   test("splitAssign is deterministic, total, and roughly 80/10/10") {
     val rows = docsDF((1L to 1000L).map(i => doc(i, s"doc $i")))
     val got = Corpus.splitAssign(rows, "doc_id")
