@@ -41,52 +41,75 @@ object BpeQueries extends QueryModule {
     Bpe.wordCounts(docs(s, dir), "text")
       .select(col("wc"), Bpe.charSymbols(col("word")).as("syms"))
 
-  /** Shared encode prefix of the x_pack_* family: per-(doc, source)
-    * BPE token counts after ONE learned merge (the x_bpe_encode shape,
-    * with the source stream carried for packing). */
-  private def encodedCounts(s: SparkSession, dir: String): DataFrame = {
-    val words = Bpe.wordCounts(docs(s, dir), "text")
-    val vocab = words
+  /** Shared encode prefix of the x_pack_* family: the one-merge BPE
+    * segmentation as a (word, pieces array) dimension. */
+  private def segPieces(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Bpe.wordCounts(docs(s, dir), "text")
       .select(col("word"), col("wc"), Bpe.charSymbols(col("word")).as("syms"))
     val m1 = Bpe.pairCounts(vocab)
       .orderBy(col("cnt").desc, col("pair_a"), col("pair_b"))
       .limit(1)
       .select(col("pair_a").as("_ma"), col("pair_b").as("_mb"))
-    val seg = vocab.join(broadcast(m1), lit(true), "left")
+    vocab.join(broadcast(m1), lit(true), "left")
       .select(col("word"),
-        size(Bpe.applyMerge(col("syms"), col("_ma"), col("_mb")))
-          .cast("long").as("n_pieces"))
+        Bpe.applyMerge(col("syms"), col("_ma"), col("_mb")).as("pieces"))
+  }
+
+  /** Per-(doc, source) BPE token counts after ONE learned merge (the
+    * x_bpe_encode shape, with the source stream carried for packing). */
+  private def encodedCounts(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), col("source"),
         explode(Corpus.tokens(col("text"))).as("word"))
-      .join(broadcast(seg), Seq("word"))
+      .join(broadcast(segPieces(s, dir)
+        .select(col("word"), size(col("pieces")).cast("long")
+          .as("n_pieces"))), Seq("word"))
       .groupBy("doc_id", "source")
       .agg(sum("n_pieces").as("bpe_tokens"))
-  }
 
-  /** DuckDB twin of [[encodedCounts]] (CTE block ending in `cnts`:
-    * (doc_id, source, k = bpe_tokens + 1 EOS)). */
-  private val cntsSql =
+  /** Per-(doc, source) encoded piece ARRAYS in word order — the
+    * payload twin of [[encodedCounts]] (size(pieces) == bpe_tokens by
+    * construction: same [[segPieces]] dimension). */
+  private def encodedTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(Corpus.tokens(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(segPieces(s, dir)), Seq("word"))
+      .groupBy("doc_id", "source")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("pieces")))),
+        p => p("pieces"))).as("pieces"))
+
+  /** DuckDB twin of [[segPieces]] + positioned tokens: CTE block ending
+    * in `segp` (word, pieces list) and `tok` (doc_id, source, word, i). */
+  private val segSql =
     s"""$wcSql,
        |pr0 AS (SELECT word, wc, unnest(range(1, len(word))) AS i
        |        FROM wc WHERE len(word) >= 2),
        |pc0 AS (SELECT word[i] AS a, word[i+1] AS b, sum(wc) AS cnt
        |        FROM pr0 GROUP BY 1, 2),
        |m1 AS (SELECT a, b FROM pc0 ORDER BY cnt DESC, a, b LIMIT 1),
-       |seg AS (SELECT wc.word,
-       |          len(string_split(${foldSql(
+       |segp AS (SELECT wc.word,
+       |          string_split(${foldSql(
          "list_transform(range(1, len(wc.word) + 1), i -> wc.word[i])",
-         "m.a", "m.b")}, chr(9))) AS n_pieces
+         "m.a", "m.b")}, chr(9)) AS pieces
        |        FROM wc LEFT JOIN m1 m ON TRUE),
-       |tok AS (
-       |  SELECT doc_id, source, unnest(list_filter(
-       |           regexp_split_to_array(trim(text), '\\s+'),
-       |           x -> x <> '')) AS word
-       |  FROM documents),
+       |tokl AS (SELECT doc_id, source,
+       |           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |             x -> x <> '') AS ws
+       |         FROM documents),
+       |tok AS (SELECT doc_id, source, unnest(ws) AS word,
+       |               unnest(range(1, len(ws) + 1)) AS i
+       |        FROM tokl)""".stripMargin
+
+  /** DuckDB twin of [[encodedCounts]] (CTE block ending in `cnts`:
+    * (doc_id, source, k = bpe_tokens + 1 EOS)). */
+  private val cntsSql =
+    s"""$segSql,
        |cnts AS (
        |  SELECT t.doc_id, t.source,
-       |         CAST(sum(s.n_pieces) AS BIGINT) + 1 AS k
-       |  FROM tok t JOIN seg s USING (word)
+       |         CAST(sum(len(s.pieces)) AS BIGINT) + 1 AS k
+       |  FROM tok t JOIN segp s USING (word)
        |  GROUP BY t.doc_id, t.source)""".stripMargin
 
   /** DuckDB twin of packing `cnts` incrementally in `nBatches` arrival
@@ -367,6 +390,57 @@ object BpeQueries extends QueryModule {
             "doc_id", "source", "bpe_tokens", ctxLen = 384),
           "source", ctxLen = 384)
         .orderBy("source")
+    },
+
+    // Sequence materialization (Corpus.materializeSequences): the
+    // actual training rows — each packed doc's encoded pieces at its
+    // assignment, [EOS] after every doc, [PAD] to the fixed 384. The
+    // oracle re-derives the greedy fold AND the payload assembly
+    // (per-doc piece flatten in word order, per-sequence flatten in
+    // seq_off order, pad fill), so the full byte content of every
+    // training sequence is hash-gated cross-engine.
+    q("x_materialize_sequences",
+      s"""WITH $cntsSql,
+         |ord AS (SELECT source, list(doc_id ORDER BY doc_id) AS ids,
+         |               list(k ORDER BY doc_id) AS ks
+         |        FROM cnts WHERE k <= 384 GROUP BY source),
+         |ends AS (SELECT source, ids, ks,
+         |           list_reduce(list_transform(ks, k -> [k]),
+         |             (a, x) -> list_append(a,
+         |               CASE WHEN (a[-1] % 384) + x[1] > 384
+         |                    THEN (a[-1] // 384 + 1) * 384 + x[1]
+         |                    ELSE a[-1] + x[1] END)) AS es
+         |         FROM ord),
+         |pk AS (SELECT source, unnest(ids) AS doc_id,
+         |              unnest(es) AS e, unnest(ks) AS k
+         |       FROM ends),
+         |dtl AS (SELECT t.doc_id, flatten(list(s.pieces ORDER BY t.i))
+         |          AS toks
+         |        FROM tok t JOIN segp s USING (word)
+         |        GROUP BY t.doc_id),
+         |sq AS (SELECT p.source,
+         |              p.source || '#' || CAST((p.e - p.k) // 384
+         |                AS VARCHAR) AS seq_id,
+         |              count(*) AS n_docs,
+         |              flatten(list(list_append(d.toks, '[EOS]')
+         |                ORDER BY (p.e - p.k) % 384)) AS body
+         |       FROM pk p JOIN dtl d USING (doc_id)
+         |       GROUP BY 1, 2)
+         |SELECT source, seq_id, n_docs,
+         |       384 - len(body) AS n_pad,
+         |       list_concat(body,
+         |         list_transform(range(1, 384 - len(body) + 1),
+         |           x -> '[PAD]')) AS tokens
+         |FROM sq
+         |ORDER BY source, seq_id""") { (s, dir) =>
+      val toks = encodedTokens(s, dir).localCheckpoint()
+      val counts = toks.select(col("doc_id"), col("source"),
+        size(col("pieces")).cast("long").as("bpe_tokens"))
+      Corpus.materializeSequences(
+          Corpus.packTokenized(counts, "doc_id", "source", "bpe_tokens",
+            ctxLen = 384),
+          toks, "doc_id", "source", "pieces", ctxLen = 384)
+        .orderBy("source", "seq_id")
     },
 
     // Streaming packing sink (DocumentStreaming.packSink) driven

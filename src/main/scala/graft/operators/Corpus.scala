@@ -439,6 +439,43 @@ object Corpus {
             ((col("_max_idx") + 1L) * ctx), 6)).as("fill_ratio"))
   }
 
+  /** Materialize [[packTokenized]] assignments into actual training
+    * rows: each packed doc's encoded token array (`tokCol`) lands at
+    * its assignment — docs in `seq_off` order, `eos` appended after
+    * every doc, `pad` filling the tail to exactly ctxLen. Greedy
+    * sequences fill contiguously from offset 0, so padding is ONLY
+    * ever the tail (what [[packStats]] prices). One payload shuffle —
+    * the per-sequence groupBy — and that shuffle IS the output;
+    * overlong docs and null-stream rows (no addressable sequence)
+    * are excluded, surface them via [[packStats]]. The caller supplies
+    * the SAME encode the assignments were computed from
+    * (size(tokCol) + eos == n_tokens); a mismatch that overflows a
+    * sequence raises rather than silently truncating.
+    * Returns (groupCol, seq_id, n_docs, n_pad, tokens[ctxLen]). */
+  def materializeSequences(packed: DataFrame, tokens: DataFrame,
+      idCol: String, groupCol: String, tokCol: String, ctxLen: Int,
+      eos: String = "[EOS]", pad: String = "[PAD]"): DataFrame = {
+    val ctx = lit(ctxLen.toLong)
+    packed
+      .filter(!col("overlong") && col("seq_id").isNotNull)
+      .join(tokens.select(col(idCol), col(tokCol).as("_toks")),
+        Seq(idCol))
+      .groupBy(col(groupCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("seq_off").as("o"),
+            col("_toks").as("t")))),
+          p => concat(p("t"), array(lit(eos))))).as("_body"))
+      .select(col(groupCol), col("seq_id"), col("n_docs"),
+        (ctx - size(col("_body"))).as("n_pad"),
+        when(size(col("_body")) > ctx, raise_error(concat(
+          lit("materializeSequences: encode/assignment mismatch " +
+            "overflows "), col("seq_id"))))
+          .otherwise(concat(col("_body"),
+            array_repeat(lit(pad), (ctx - size(col("_body")))
+              .cast("int")))).as("tokens"))
+  }
+
   /** The bootstrap state for [[incrementalPackTokenized]]: zero
     * streams. Single-sources the (groupCol, next_end) state schema the
     * operator consumes and returns. */

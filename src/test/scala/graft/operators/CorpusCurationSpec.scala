@@ -416,6 +416,43 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(None) == ((1L, 0L, 5L, 0L, None, None, None)))
   }
 
+  test("materializeSequences assembles eos-terminated, tail-padded " +
+      "training rows; overlong/null-stream rows excluded; an " +
+      "encode/assignment mismatch raises") {
+    val sp = spark
+    import sp.implicits._
+    val toks = Seq(
+      ("a1", "s1", Seq("t1", "t2", "t3", "t4", "t5")), // k=6, s1#0 @ 0
+      ("a2", "s1", Seq("u1", "u2", "u3")),             // k=4, s1#0 @ 6
+      ("a3", "s1", Seq("v1", "v2", "v3", "v4")),       // k=5, s1#1 @ 0
+      ("a4", "s1", (1 to 11).map(i => s"w$i")),        // overlong: out
+      ("b1", null: String, Seq("x1", "x2")))           // null stream: out
+      .toDF("doc_id", "source", "pieces")
+    val counts = toks.select(col("doc_id"), col("source"),
+      size(col("pieces")).cast("long").as("n_tok"))
+    val packed = Corpus.packTokenized(counts, "doc_id", "source",
+      "n_tok", ctxLen = 10)
+    val got = Corpus.materializeSequences(packed, toks, "doc_id",
+        "source", "pieces", ctxLen = 10).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        r.getSeq[String](4).toList))).toMap
+    assert(got == Map(
+      "s1#0" -> ((2L, 0L, List("t1", "t2", "t3", "t4", "t5", "[EOS]",
+        "u1", "u2", "u3", "[EOS]"))),
+      "s1#1" -> ((1L, 5L, List("v1", "v2", "v3", "v4", "[EOS]",
+        "[PAD]", "[PAD]", "[PAD]", "[PAD]", "[PAD]")))))
+    // a doc whose payload outgrew its assignment must raise, not
+    // silently truncate or emit an over-length sequence
+    val grown = toks.withColumn("pieces",
+      when(col("doc_id") === "a2",
+        concat(col("pieces"), array(lit("extra"), lit("extra2"))))
+        .otherwise(col("pieces")))
+    assertThrows[Exception] {
+      Corpus.materializeSequences(packed, grown, "doc_id", "source",
+        "pieces", ctxLen = 10).collect()
+    }
+  }
+
   test("splitAssign is deterministic, total, and roughly 80/10/10") {
     val rows = docsDF((1L to 1000L).map(i => doc(i, s"doc $i")))
     val got = Corpus.splitAssign(rows, "doc_id")
