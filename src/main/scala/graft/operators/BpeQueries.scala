@@ -112,6 +112,24 @@ object BpeQueries extends QueryModule {
        |  FROM tok t JOIN segp s USING (word)
        |  GROUP BY t.doc_id, t.source)""".stripMargin
 
+  /** The ONE greedy-fold CTE pair every pack oracle shares: `ord`
+    * (per-stream doc/cost lists in `orderKey` order) and `ends` (the
+    * list_reduce running-end scan — seed [k1], each step either
+    * continues the fill or jumps to the next 384 boundary). A fold fix
+    * lands here once or the oracles diverge. */
+  private def foldCtes(orderKey: String): String =
+    s"""ord AS (SELECT source,
+       |          list(doc_id ORDER BY $orderKey) AS ids,
+       |          list(k ORDER BY $orderKey) AS ks
+       |        FROM cnts WHERE k <= 384 GROUP BY source),
+       |ends AS (SELECT source, ids, ks,
+       |           list_reduce(list_transform(ks, k -> [k]),
+       |             (a, x) -> list_append(a,
+       |               CASE WHEN (a[-1] % 384) + x[1] > 384
+       |                    THEN (a[-1] // 384 + 1) * 384 + x[1]
+       |                    ELSE a[-1] + x[1] END)) AS es
+       |         FROM ord)""".stripMargin
+
   /** DuckDB twin of packing `cnts` incrementally in `nBatches` arrival
     * batches (batch b = doc_id % nBatches = b, ids ascending within a
     * batch): ONE list_reduce greedy fold over the concatenated order —
@@ -120,17 +138,7 @@ object BpeQueries extends QueryModule {
     * `final_end`. */
   private def packFoldSql(nBatches: Int, batchCol: String): String =
     s"""WITH $cntsSql,
-       |ord AS (SELECT source,
-       |          list(doc_id ORDER BY doc_id % $nBatches, doc_id) AS ids,
-       |          list(k ORDER BY doc_id % $nBatches, doc_id) AS ks
-       |        FROM cnts WHERE k <= 384 GROUP BY source),
-       |ends AS (SELECT source, ids, ks,
-       |           list_reduce(list_transform(ks, k -> [k]),
-       |             (a, x) -> list_append(a,
-       |               CASE WHEN (a[-1] % 384) + x[1] > 384
-       |                    THEN (a[-1] // 384 + 1) * 384 + x[1]
-       |                    ELSE a[-1] + x[1] END)) AS es
-       |         FROM ord),
+       |${foldCtes(s"doc_id % $nBatches, doc_id")},
        |fe AS (SELECT source, es[-1] AS final_end FROM ends),
        |packed AS (SELECT source, unnest(ids) AS doc_id,
        |                  unnest(es) AS e, unnest(ks) AS k
@@ -288,16 +296,7 @@ object BpeQueries extends QueryModule {
     // both engines pay it; parallelism is across the 20 sources.
     q("x_pack_tokenized",
       s"""WITH $cntsSql,
-         |ord AS (SELECT source, list(doc_id ORDER BY doc_id) AS ids,
-         |               list(k ORDER BY doc_id) AS ks
-         |        FROM cnts WHERE k <= 384 GROUP BY source),
-         |ends AS (SELECT source, ids, ks,
-         |           list_reduce(list_transform(ks, k -> [k]),
-         |             (a, x) -> list_append(a,
-         |               CASE WHEN (a[-1] % 384) + x[1] > 384
-         |                    THEN (a[-1] // 384 + 1) * 384 + x[1]
-         |                    ELSE a[-1] + x[1] END)) AS es
-         |         FROM ord),
+         |${foldCtes("doc_id")},
          |packed AS (SELECT source, unnest(ids) AS doc_id,
          |                  unnest(es) AS e, unnest(ks) AS k
          |           FROM ends)
@@ -353,16 +352,7 @@ object BpeQueries extends QueryModule {
     // report; full join because an overlong-only stream still reports.
     q("x_pack_stats",
       s"""WITH $cntsSql,
-         |ord AS (SELECT source, list(doc_id ORDER BY doc_id) AS ids,
-         |               list(k ORDER BY doc_id) AS ks
-         |        FROM cnts WHERE k <= 384 GROUP BY source),
-         |ends AS (SELECT source, ids, ks,
-         |           list_reduce(list_transform(ks, k -> [k]),
-         |             (a, x) -> list_append(a,
-         |               CASE WHEN (a[-1] % 384) + x[1] > 384
-         |                    THEN (a[-1] // 384 + 1) * 384 + x[1]
-         |                    ELSE a[-1] + x[1] END)) AS es
-         |         FROM ord),
+         |${foldCtes("doc_id")},
          |packed AS (SELECT source, unnest(es) AS e, unnest(ks) AS k
          |           FROM ends),
          |pk AS (SELECT source, count(*) AS n_docs,
@@ -401,16 +391,7 @@ object BpeQueries extends QueryModule {
     // training sequence is hash-gated cross-engine.
     q("x_materialize_sequences",
       s"""WITH $cntsSql,
-         |ord AS (SELECT source, list(doc_id ORDER BY doc_id) AS ids,
-         |               list(k ORDER BY doc_id) AS ks
-         |        FROM cnts WHERE k <= 384 GROUP BY source),
-         |ends AS (SELECT source, ids, ks,
-         |           list_reduce(list_transform(ks, k -> [k]),
-         |             (a, x) -> list_append(a,
-         |               CASE WHEN (a[-1] % 384) + x[1] > 384
-         |                    THEN (a[-1] // 384 + 1) * 384 + x[1]
-         |                    ELSE a[-1] + x[1] END)) AS es
-         |         FROM ord),
+         |${foldCtes("doc_id")},
          |pk AS (SELECT source, unnest(ids) AS doc_id,
          |              unnest(es) AS e, unnest(ks) AS k
          |       FROM ends),
@@ -441,6 +422,81 @@ object BpeQueries extends QueryModule {
             ctxLen = 384),
           toks, "doc_id", "source", "pieces", ctxLen = 384)
         .orderBy("source", "seq_id")
+    },
+
+    // Streaming materialization (DocumentStreaming.materializeSink)
+    // driven end-to-end over a 3-batch arrival split: only FINALIZED
+    // sequences are emitted (fill moved past them), the partial tail
+    // carries in payload state. The oracle re-derives the concatenated-
+    // order fold, materializes every sequence with index <
+    // floor(final_end / 384), and pins each stream's final fill offset
+    // and carried-doc count — so emission completeness, byte content,
+    // AND what stayed behind are all hash-gated.
+    q("x_materialize_incremental",
+      s"""WITH $cntsSql,
+         |${foldCtes("doc_id % 3, doc_id")},
+         |bound AS (SELECT source, es[-1] AS final_end,
+         |                 es[-1] // 384 AS b
+         |          FROM ends),
+         |pk AS (SELECT source, unnest(ids) AS doc_id,
+         |              unnest(es) AS e, unnest(ks) AS k
+         |       FROM ends),
+         |dtl AS (SELECT t.doc_id, flatten(list(s.pieces ORDER BY t.i))
+         |          AS toks
+         |        FROM tok t JOIN segp s USING (word)
+         |        GROUP BY t.doc_id),
+         |tails AS (SELECT p.source, count(*) AS n_tail_docs
+         |          FROM pk p JOIN bound b USING (source)
+         |          WHERE (p.e - p.k) // 384 >= b.b
+         |          GROUP BY p.source),
+         |sq AS (SELECT p.source,
+         |              p.source || '#' || CAST((p.e - p.k) // 384
+         |                AS VARCHAR) AS seq_id,
+         |              bd.final_end,
+         |              count(*) AS n_docs,
+         |              flatten(list(list_append(d.toks, '[EOS]')
+         |                ORDER BY (p.e - p.k) % 384)) AS body
+         |       FROM pk p
+         |       JOIN bound bd USING (source)
+         |       JOIN dtl d USING (doc_id)
+         |       WHERE (p.e - p.k) // 384 < bd.b
+         |       GROUP BY 1, 2, 3)
+         |SELECT s.source, s.seq_id, s.n_docs,
+         |       384 - len(body) AS n_pad,
+         |       list_concat(body,
+         |         list_transform(range(1, 384 - len(body) + 1),
+         |           x -> '[PAD]')) AS tokens,
+         |       s.final_end,
+         |       coalesce(t.n_tail_docs, 0) AS n_tail_docs
+         |FROM sq s
+         |LEFT JOIN tails t USING (source)
+         |ORDER BY source, seq_id""") { (s, dir) =>
+      val toks = encodedTokens(s, dir).localCheckpoint()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mat_sink").toString
+      val sink = graft.streaming.DocumentStreaming.materializeSink(
+        s"$root/fill", s"$root/tail", s"$root/out",
+        "doc_id", "source", "pieces", ctxLen = 384)
+      (0 until 3).foreach { b =>
+        sink(toks.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+      }
+      val fill = s.read.parquet(s"$root/fill")
+      val snapB = fill.agg(max("as_of_batch")).collect()(0).getLong(0)
+      val finalFill = fill.filter(col("as_of_batch") === snapB)
+        .select(col("source"), col("next_end").as("final_end"))
+      val tailCnt = s.read.parquet(s"$root/tail")
+        .filter(col("as_of_batch") === snapB)
+        .groupBy("source").agg(count(lit(1)).as("_nt"))
+      val out = s.read.parquet(s"$root/out")
+        .join(finalFill, Seq("source"))
+        .join(tailCnt, Seq("source"), "left")
+        .select(col("source"), col("seq_id"), col("n_docs"),
+          col("n_pad"), col("tokens"), col("final_end"),
+          coalesce(col("_nt"), lit(0L)).as("n_tail_docs"))
+        .orderBy("source", "seq_id")
+        .localCheckpoint()
+      CurationSinkQueries.deleteRec(root)
+      out
     },
 
     // Streaming packing sink (DocumentStreaming.packSink) driven

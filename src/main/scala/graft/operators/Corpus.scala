@@ -454,12 +454,22 @@ object Corpus {
     * Returns (groupCol, seq_id, n_docs, n_pad, tokens[ctxLen]). */
   def materializeSequences(packed: DataFrame, tokens: DataFrame,
       idCol: String, groupCol: String, tokCol: String, ctxLen: Int,
-      eos: String = "[EOS]", pad: String = "[PAD]"): DataFrame = {
+      eos: String = "[EOS]", pad: String = "[PAD]"): DataFrame =
+    assembleSequences(
+      packed
+        .filter(!col("overlong") && col("seq_id").isNotNull)
+        .join(tokens.select(col(idCol), col(tokCol).as("_toks")),
+          Seq(idCol))
+        .select(col(groupCol), col("seq_id"), col("seq_off"),
+          col("_toks")),
+      groupCol, ctxLen, eos, pad)
+
+  /** The assembly core shared by [[materializeSequences]] and the
+    * incremental form: rows = (groupCol, seq_id, seq_off, _toks). */
+  private def assembleSequences(rows: DataFrame, groupCol: String,
+      ctxLen: Int, eos: String, pad: String): DataFrame = {
     val ctx = lit(ctxLen.toLong)
-    packed
-      .filter(!col("overlong") && col("seq_id").isNotNull)
-      .join(tokens.select(col(idCol), col(tokCol).as("_toks")),
-        Seq(idCol))
+    rows
       .groupBy(col(groupCol), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         flatten(transform(
@@ -469,7 +479,7 @@ object Corpus {
       .select(col(groupCol), col("seq_id"), col("n_docs"),
         (ctx - size(col("_body"))).as("n_pad"),
         when(size(col("_body")) > ctx, raise_error(concat(
-          lit("materializeSequences: encode/assignment mismatch " +
+          lit("sequence assembly: encode/assignment mismatch " +
             "overflows "), col("seq_id"))))
           .otherwise(concat(col("_body"),
             array_repeat(lit(pad), (ctx - size(col("_body")))
@@ -600,6 +610,87 @@ object Corpus {
     val newState = scanned.filter(col("_kind") === 0)
       .select(col(groupCol), col("next_end"))
     (packed, newState)
+  }
+
+  /** The bootstrap tail state for [[incrementalMaterialize]]: zero
+    * carried docs. Single-sources the (groupCol, seq_id, seq_off,
+    * _toks) payload-tail schema. */
+  def emptyMaterializeTail(spark: SparkSession,
+      groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(groupCol, StringType),
+        StructField("seq_id", StringType),
+        StructField("seq_off", LongType),
+        StructField("_toks", ArrayType(StringType)))))
+  }
+
+  /** Incremental [[materializeSequences]] — the streaming form of the
+    * last-mile materialization: an arrival batch of ENCODED docs
+    * advances each stream's greedy fill (via
+    * [[incrementalPackTokenized]]) and emits every sequence the fill
+    * has moved PAST as a finalized eos/pad-complete training row; the
+    * docs of each stream's still-filling sequence are carried in
+    * `tailState` (payloads included) until a later batch completes it.
+    * A sequence is FINAL iff its index < floor(next_end / ctxLen) —
+    * the fill can never return to it: the crossing doc that strands a
+    * partial sequence also moves the fill past it, and the stranded
+    * gap becomes the emitted row's tail padding. Emitted rows are
+    * byte-identical to the batch form over the concatenated arrival
+    * order restricted to the same final set (the
+    * x_materialize_incremental gate).
+    *
+    * State is bounded: fillState = one (groupCol, next_end) row per
+    * stream; tailState = the current partial sequence's docs only —
+    * strictly under ctxLen tokens per stream, so O(streams · ctxLen)
+    * total regardless of corpus size. Emitted sequences are never
+    * re-read or re-written. Overlong and null-stream docs never
+    * materialize (surface them via [[packStats]]); callers keep the
+    * invariant that tailState's streams appear in fillState (any state
+    * pair this function returned satisfies it).
+    *
+    * Returns (complete, newFillState, newTailState). */
+  def incrementalMaterialize(deltaToks: DataFrame, fillState: DataFrame,
+      tailState: DataFrame, idCol: String, groupCol: String,
+      tokCol: String, ctxLen: Int, eos: String = "[EOS]",
+      pad: String = "[PAD]"): (DataFrame, DataFrame, DataFrame) = {
+    val counts = deltaToks.select(col(idCol), col(groupCol),
+      size(col(tokCol)).cast("long").as("_n"))
+    // packed/newFill share the operator's one checkpointed scan
+    val (packed, newFill) = incrementalPackTokenized(counts, fillState,
+      idCol, groupCol, "_n", ctxLen)
+    val batchRows = packed
+      .filter(!col("overlong") && col("seq_id").isNotNull)
+      .join(deltaToks.select(col(idCol), col(tokCol).as("_toks")),
+        Seq(idCol))
+      .select(col(groupCol).cast("string").as(groupCol), col("seq_id"),
+        col("seq_off"), col("_toks"))
+    val bound = newFill.select(col(groupCol),
+      floor(col("next_end") / ctxLen).cast("long").as("_bound"))
+    // LEFT join + raise, not inner: a tailState stream missing from
+    // fillState (a caller-corrupted state pair — the documented
+    // invariant) must fail loudly, not silently discard the carried
+    // docs' training payloads.
+    // checkpoint: the finalized/tail split below consumes this twice
+    val tagged = tailState.unionByName(batchRows)
+      .join(bound, Seq(groupCol), "left")
+      .withColumn("_bound", when(col("_bound").isNull, raise_error(
+        concat(lit("incrementalMaterialize: tailState stream missing " +
+          "from fillState: "), col(groupCol))))
+        .otherwise(col("_bound")))
+      .withColumn("_idx",
+        substring_index(col("seq_id"), "#", -1).cast("long"))
+      .localCheckpoint()
+    (assembleSequences(
+        tagged.filter(col("_idx") < col("_bound"))
+          .select(col(groupCol), col("seq_id"), col("seq_off"),
+            col("_toks")),
+        groupCol, ctxLen, eos, pad),
+      newFill,
+      tagged.filter(col("_idx") >= col("_bound"))
+        .select(col(groupCol), col("seq_id"), col("seq_off"),
+          col("_toks")))
   }
 
   /** Deterministic train/val/test split: a 16-bit md5 prefix of the id

@@ -72,6 +72,39 @@ object DocumentStreaming {
       batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
+  /** The latest batch id visible to `batchId` in a batch-keyed state
+    * dir, or None when only flat bootstrap files (or nothing) exist. */
+  private[streaming] def latestVisibleBatch(spark: SparkSession,
+      path: String, batchId: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(_.getPath.getName match {
+        case n if n.startsWith("batch_id=") =>
+          n.drop("batch_id=".length).toLongOption
+        case _ => None
+      })
+      .filter(_ < batchId)
+      .maxOption
+  }
+
+  /** Read ONE consistent snapshot of a SNAPSHOT-style state dir (each
+    * batch writes the COMPLETE state): the latest visible batch
+    * partition alone, else the flat bootstrap files. Unlike
+    * [[readState]] — which unions all earlier batches and is right for
+    * APPEND-style state like the admission indexes — this reads one
+    * partition per micro-batch, keeping per-batch state IO O(state),
+    * not O(batches · state). */
+  private[streaming] def readStateSnapshot(spark: SparkSession,
+      path: String, empty: DataFrame, batchId: Long): DataFrame =
+    latestVisibleBatch(spark, path, batchId) match {
+      case Some(b) =>
+        spark.read.schema(empty.schema).parquet(s"$path/batch_id=$b")
+      case None => readState(spark, path, empty, 0L) // bootstrap only
+    }
+
   /** Compact a batch-keyed state directory into the flat BOOTSTRAP
     * layout [[readState]] treats as always-visible prior state — the
     * documented prerequisite for restarting a stream with a FRESH
@@ -429,21 +462,22 @@ object DocumentStreaming {
     * re-read or re-numbered; per-batch state cost is O(streams), not
     * O(docs packed so far).
     *
-    * State rows carry `as_of_batch`, and a read takes each stream's row
-    * from the LATEST visible batch (max_by per stream, never a union):
     * [[graft.operators.Corpus.incrementalPackTokenized]] returns
     * carried-forward streams too, so every batch's state partition is
-    * COMPLETE and a replay of batch N sees exactly the state partition
-    * N-1 wrote — identical packing, overwritten in place. Restarting
-    * with a FRESH checkpoint requires [[compactPackState]] (NOT the
-    * generic [[compactState]]): it re-bases each stream's newest row to
-    * `as_of_batch = -1`, the bootstrap marker every restarted batch id
-    * outranks — un-re-based rows would keep their old (larger)
-    * as_of_batch and win max_by over the restarted ids, resuming from
-    * stale pre-restart offsets. A hand-made bootstrap (fresh checkpoint
-    * over externally-packed state) must supply the same (groupCol,
-    * next_end, as_of_batch) schema with as_of_batch = -1 for the same
-    * reason (0 would TIE with the restarted batch 0's own rows).
+    * COMPLETE — reads go through [[readStateSnapshot]] (the latest
+    * visible partition ALONE, O(state) per batch, never the
+    * O(batches · state) union), and a replay of batch N sees exactly
+    * the partition N-1 wrote — identical packing, overwritten in
+    * place. Restarting with a FRESH checkpoint requires
+    * [[compactPackState]] (NOT the generic [[compactState]]): the
+    * snapshot read consults the flat bootstrap only when no batch
+    * partition is visible, and the generic compaction would flatten
+    * ALL batches' rows — duplicate (stream, next_end) rows per stream,
+    * which the packer's tag-sort would order nondeterministically.
+    * compactPackState folds to each stream's newest row (re-based to
+    * `as_of_batch = -1` as the bootstrap provenance marker); a
+    * hand-made bootstrap must likewise hold ONE row per stream with
+    * the (groupCol, next_end, as_of_batch) schema.
     *
     * Usage: `encoded.writeStream.foreachBatch(
     *   DocumentStreaming.packSink(st, out, "doc_id", "source",
@@ -454,9 +488,8 @@ object DocumentStreaming {
     val spark = batch.sparkSession
     val empty = graft.operators.Corpus.emptyPackState(spark, groupCol)
       .withColumn("as_of_batch", lit(0L))
-    val latest = readState(spark, statePath, empty, batchId)
-      .groupBy(col(groupCol))
-      .agg(max_by(col("next_end"), col("as_of_batch")).as("next_end"))
+    val latest = readStateSnapshot(spark, statePath, empty, batchId)
+      .drop("as_of_batch")
     // both returned frames share the operator's one checkpointed scan —
     // the two writes below cannot re-run it or diverge on replay
     val (packed, newState) = graft.operators.Corpus
@@ -465,6 +498,99 @@ object DocumentStreaming {
     writeState(packed, packedPath, batchId)
     writeState(newState.withColumn("as_of_batch", lit(batchId)),
       statePath, batchId)
+  }
+
+  /** Streaming sequence materialization — [[packSink]]'s last-mile
+    * sibling, built on
+    * [[graft.operators.Corpus.incrementalMaterialize]]: each
+    * micro-batch of ENCODED docs (id, stream, token array) advances
+    * the greedy fill and writes every sequence the fill moved past as
+    * a FINALIZED training row under `outPath`; the still-filling
+    * sequence's docs (payloads included, < ctxLen tokens per stream)
+    * carry in `tailPath` until a later batch completes them. All three
+    * writes are batch-keyed (effectively-once per the object
+    * scaladoc); emitted sequences are never re-read or re-written.
+    *
+    * State reads take one consistent SNAPSHOT: every batch writes the
+    * COMPLETE fill and tail states, the FILL dir's latest visible
+    * partition names the snapshot, and the tail is read at exactly
+    * that partition (the tail dir's own latest would be wrong — a
+    * batch whose tail emptied still writes its zero-row partition, but
+    * after a crash between the two writes an older batch's stale tail
+    * must not pair with a newer fill; a missing tail partition at the
+    * fill's snapshot id therefore raises). Reads are
+    * [[readStateSnapshot]]-style — one partition per batch, never the
+    * O(batches · state) history union. Fresh-checkpoint restarts go
+    * through [[compactMaterializeState]].
+    *
+    * Usage: `encoded.writeStream.foreachBatch(
+    *   DocumentStreaming.materializeSink(fill, tail, out, "doc_id",
+    *   "source", "pieces", ctxLen = 2048))`. */
+  def materializeSink(fillPath: String, tailPath: String,
+      outPath: String, idCol: String, groupCol: String, tokCol: String,
+      ctxLen: Int, eos: String = "[EOS]", pad: String = "[PAD]")
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val emptyFill = graft.operators.Corpus.emptyPackState(spark, groupCol)
+      .withColumn("as_of_batch", lit(0L))
+    val emptyTail = graft.operators.Corpus
+      .emptyMaterializeTail(spark, groupCol)
+      .withColumn("as_of_batch", lit(0L))
+    // the FILL dir's latest visible partition names the snapshot; the
+    // tail is read at exactly that partition (see scaladoc)
+    val (fillSt, tailSt) =
+      latestVisibleBatch(spark, fillPath, batchId) match {
+        case Some(b) =>
+          val tp = new org.apache.hadoop.fs.Path(s"$tailPath/batch_id=$b")
+          if (!tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(tp))
+            throw new java.io.IOException(
+              s"materializeSink: fill state batch_id=$b has no tail " +
+                "partition — an interrupted batch must be healed by the " +
+                "stream's own replay, not read as a snapshot")
+          (spark.read.schema(emptyFill.schema)
+             .parquet(s"$fillPath/batch_id=$b"),
+           spark.read.schema(emptyTail.schema).parquet(tp.toString))
+        case None =>
+          (readState(spark, fillPath, emptyFill, 0L),   // flat bootstrap
+           readState(spark, tailPath, emptyTail, 0L))
+      }
+    val (complete, newFill, newTail) = graft.operators.Corpus
+      .incrementalMaterialize(batch, fillSt.drop("as_of_batch"),
+        tailSt.drop("as_of_batch"),
+        idCol, groupCol, tokCol, ctxLen, eos, pad)
+    writeState(complete, outPath, batchId)
+    writeState(newFill.withColumn("as_of_batch", lit(batchId)),
+      fillPath, batchId)
+    writeState(newTail.withColumn("as_of_batch", lit(batchId)),
+      tailPath, batchId)
+  }
+
+  /** [[compactState]] for [[materializeSink]]'s state PAIR: re-bases
+    * the latest consistent snapshot to the -1 bootstrap marker and
+    * drops older batches' rows, so a fresh-checkpoint restart resumes
+    * from exactly that snapshot. The FILL dir's max as_of_batch names
+    * the snapshot for BOTH dirs — the tail dir's own max is not
+    * authoritative, because a batch whose tail emptied writes zero
+    * tail rows and an older batch's stale tail would masquerade as
+    * latest. Run offline after a CLEAN stop, like every compaction
+    * here (a crash between a batch's fill and tail writes is healed by
+    * the stream's own replay, not by compaction). */
+  def compactMaterializeState(spark: SparkSession, fillPath: String,
+      tailPath: String, groupCol: String = "source"): Unit = {
+    val emptyFill = graft.operators.Corpus
+      .emptyPackState(spark, groupCol)
+      .withColumn("as_of_batch", lit(0L))
+    val snap = readState(spark, fillPath, emptyFill, Long.MaxValue)
+      .agg(max("as_of_batch")).collect()(0)
+    def rebase(df: DataFrame): DataFrame =
+      if (snap.isNullAt(0)) df.limit(0)
+      else df.filter(col("as_of_batch") === snap.getLong(0))
+        .withColumn("as_of_batch", lit(-1L))
+    compactWith(spark, fillPath, emptyFill, rebase)
+    compactWith(spark, tailPath, graft.operators.Corpus
+      .emptyMaterializeTail(spark, groupCol)
+      .withColumn("as_of_batch", lit(0L)), rebase)
   }
 
   /** Per-window language/quality profile of the arrival stream (the

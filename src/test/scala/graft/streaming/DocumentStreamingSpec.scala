@@ -582,6 +582,58 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(finalState == Map("s1" -> 20L))
   }
 
+  test("materializeSink emits ONLY finalized sequences per batch, " +
+      "carries the partial tail, replays identically, and restarts " +
+      "from the compacted snapshot") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("matsink").toString
+    val (fill, tail, out) =
+      (s"$root/fill", s"$root/tail", s"$root/out")
+    val f = DocumentStreaming.materializeSink(fill, tail, out,
+      "doc_id", "source", "pieces", ctxLen = 10)
+    def toksDF(rows: (String, Seq[String])*) =
+      rows.toSeq.toDF("doc_id", "pieces")
+        .select(col("doc_id"), lit("s1").as("source"), col("pieces"))
+    def outAt(b: Long) = sp.read.parquet(s"$out/batch_id=$b").collect()
+      .map(r => r.getAs[String]("seq_id") ->
+        r.getAs[Seq[String]]("tokens").toList).toMap
+    def tailDocs = sp.read.parquet(tail)
+    // batch 0: k 6 + k 4 land EXACTLY full -> s1#0 finalizes immediately
+    f(toksDF("a1" -> Seq("t1", "t2", "t3", "t4", "t5"),
+      "a2" -> Seq("u1", "u2", "u3")), 0L)
+    assert(outAt(0) == Map("s1#0" -> List("t1", "t2", "t3", "t4", "t5",
+      "[EOS]", "u1", "u2", "u3", "[EOS]")))
+    // batch 1: k 5 starts s1#1 — partial, so NOTHING emits; a3 tails
+    f(toksDF("a3" -> Seq("v1", "v2", "v3", "v4")), 1L)
+    assert(outAt(1).isEmpty)
+    assert(tailDocs.filter(col("as_of_batch") === 1L).collect()
+      .map(_.getAs[String]("seq_id")).toSeq == Seq("s1#1"))
+    // batch 2: k 10 crosses -> strands s1#1 (emitted WITH its padding)
+    // and lands s1#2 exactly full (emitted too); tail empties
+    f(toksDF("a4" -> (1 to 9).map(i => s"w$i")), 2L)
+    assert(outAt(2) == Map(
+      "s1#1" -> List("v1", "v2", "v3", "v4", "[EOS]",
+        "[PAD]", "[PAD]", "[PAD]", "[PAD]", "[PAD]"),
+      "s1#2" -> ((1 to 9).map(i => s"w$i").toList :+ "[EOS]")))
+    assert(tailDocs.filter(col("as_of_batch") === 2L).count() == 0)
+    // at-least-once replay of batch 2: identical emission, overwritten
+    f(toksDF("a4" -> (1 to 9).map(i => s"w$i")), 2L)
+    assert(outAt(2).keySet == Set("s1#1", "s1#2"))
+    // fresh-checkpoint restart over the compacted snapshot: fill 30
+    // carries (bound 3), the new doc starts s1#3 and tails
+    DocumentStreaming.compactMaterializeState(sp, fill, tail)
+    val out2 = s"$root/out2"
+    DocumentStreaming.materializeSink(fill, tail, out2,
+      "doc_id", "source", "pieces", ctxLen = 10)(
+      toksDF("a5" -> Seq("x1", "x2")), 0L)
+    assert(sp.read.parquet(s"$out2/batch_id=0").count() == 0)
+    assert(tailDocs.filter(col("as_of_batch") === 0L).collect()
+      .map(r => (r.getAs[String]("seq_id"), r.getAs[Long]("seq_off")))
+      .toSeq == Seq(("s1#3", 0L)))
+  }
+
   test("EmbeddingStreaming.admissionSink dedups semantically across batches") {
     val sp = spark
     import sp.implicits._
