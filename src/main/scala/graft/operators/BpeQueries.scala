@@ -362,18 +362,27 @@ object BpeQueries extends QueryModule {
          |ov AS (SELECT source, count(*) AS n_overlong,
          |              CAST(sum(k) AS BIGINT) AS overlong_tokens
          |       FROM cnts WHERE k > 384 GROUP BY source)
-         |SELECT source,
+         |-- NOT DISTINCT FROM join + NULL-source casing: a NULL stream
+         |-- must merge into ONE row (USING would never match NULL keys)
+         |-- and reports NULL n_seqs/padding/fill, the operator's rule —
+         |-- the library cannot recover a seq index from a NULL seq_id
+         |-- even though this fold could
+         |SELECT coalesce(pk.source, ov.source) AS source,
          |       coalesce(n_docs, 0) AS n_docs,
          |       coalesce(n_overlong, 0) AS n_overlong,
          |       coalesce(n_tokens, 0) AS n_tokens,
          |       coalesce(overlong_tokens, 0) AS overlong_tokens,
-         |       coalesce(n_seqs, 0) AS n_seqs,
-         |       coalesce(n_seqs, 0) * 384 - coalesce(n_tokens, 0)
-         |         AS padding_tokens,
-         |       CASE WHEN n_seqs IS NOT NULL THEN
+         |       CASE WHEN coalesce(pk.source, ov.source) IS NOT NULL
+         |         THEN coalesce(n_seqs, 0) END AS n_seqs,
+         |       CASE WHEN coalesce(pk.source, ov.source) IS NOT NULL
+         |         THEN coalesce(n_seqs, 0) * 384 - coalesce(n_tokens, 0)
+         |         END AS padding_tokens,
+         |       CASE WHEN coalesce(pk.source, ov.source) IS NOT NULL
+         |         AND n_seqs IS NOT NULL THEN
          |         round(n_tokens::DOUBLE / (n_seqs * 384), 6) END
          |         AS fill_ratio
-         |FROM pk FULL JOIN ov USING (source)
+         |FROM pk FULL JOIN ov
+         |  ON pk.source IS NOT DISTINCT FROM ov.source
          |ORDER BY source""") { (s, dir) =>
       Corpus.packStats(
           Corpus.packTokenized(encodedCounts(s, dir),

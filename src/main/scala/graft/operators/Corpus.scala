@@ -382,22 +382,34 @@ object Corpus {
         if (g != curGroup) { curGroup = g; curEnd = 0L }
         if (k > ctx) Row(id, g, k, null, -1L, true)
         else {
-          val start =
-            if (curEnd % ctx + k > ctx) (curEnd / ctx + 1) * ctx
-            else curEnd
-          curEnd = start + k
-          // null stream ⇒ null seq_id (SQL concat semantics — the
-          // DuckDB twin's source || '#' || n is NULL; interpolating
-          // would also collide with a source literally named "null").
-          // Null-group docs still pack and keep state; give streams
-          // real names upstream if their sequences must be addressable
-          Row(id, g, k, if (g == null) null else s"$g#${start / ctx}",
-            start % ctx, false)
+          val (start, end) = greedyAdvance(curEnd, k, ctx)
+          curEnd = end
+          Row(id, g, k, seqId(g, start, ctx), start % ctx, false)
         }
       }
     }
     spark.createDataFrame(packed, outSchema)
   }
+
+  /** THE greedy no-split step both packing scans (batch and
+    * incremental) share, the Scala twin of the SQL foldCtes CASE: a
+    * doc of cost k either continues the current fill or starts the
+    * next ctx-boundary sequence. Returns (start, newEnd). A fill-rule
+    * fix lands here once or the two scans diverge. */
+  private def greedyAdvance(curEnd: Long, k: Long, ctx: Long)
+      : (Long, Long) = {
+    val start =
+      if (curEnd % ctx + k > ctx) (curEnd / ctx + 1) * ctx else curEnd
+    (start, start + k)
+  }
+
+  /** Null stream ⇒ null seq_id (SQL concat semantics — the DuckDB
+    * twin's source || '#' || n is NULL; interpolating would also
+    * collide with a source literally named "null"). Null-group docs
+    * still pack and keep state; give streams real names upstream if
+    * their sequences must be addressable. */
+  private def seqId(g: String, start: Long, ctx: Long): String =
+    if (g == null) null else s"$g#${start / ctx}"
 
   /** Packing-efficiency report over [[packTokenized]] (or the
     * incremental/sink forms') output — the numbers a practitioner
@@ -410,7 +422,13 @@ object Corpus {
     * bounded groupBy over the packed assignments; the corpus is never
     * re-read. A NULL stream's rows carry no seq index (NULL seq_id, the
     * SQL concat rule), so its n_seqs/padding/fill report NULL — name
-    * streams upstream if their fill cost must be accountable. */
+    * streams upstream if their fill cost must be accountable.
+    *
+    * Input contract: `packed` must be a stream's COMPLETE accumulated
+    * assignments (the batch form's output, or the UNION of every
+    * incremental/sink batch partition). A single batch's slice reports
+    * silently-wrong padding/fill: n_seqs derives from the global max
+    * sequence index while the token mass would cover only the slice. */
   def packStats(packed: DataFrame, groupCol: String,
       ctxLen: Int): DataFrame = {
     val ctx = lit(ctxLen.toLong)
@@ -458,8 +476,11 @@ object Corpus {
     assembleSequences(
       packed
         .filter(!col("overlong") && col("seq_id").isNotNull)
-        .join(tokens.select(col(idCol), col(tokCol).as("_toks")),
-          Seq(idCol))
+        // payload key is (id, stream) — ids unique only per stream
+        // must not cross-match payloads between streams
+        .join(tokens.select(col(idCol),
+          col(groupCol).cast("string").as(groupCol),
+          col(tokCol).as("_toks")), Seq(idCol, groupCol))
         .select(col(groupCol), col("seq_id"), col("seq_off"),
           col("_toks")),
       groupCol, ctxLen, eos, pad)
@@ -589,13 +610,9 @@ object Corpus {
               if (tag == 0) { curEnd = k; null } // state init, no row
               else if (k > ctx) Row(1, r.get(2), g, k, null, -1L, true, 0L)
               else {
-                val start =
-                  if (curEnd % ctx + k > ctx) (curEnd / ctx + 1) * ctx
-                  else curEnd
-                curEnd = start + k
-                // null stream ⇒ null seq_id (the batch form's rule)
-                Row(1, r.get(2), g, k,
-                  if (g == null) null else s"$g#${start / ctx}",
+                val (start, end) = greedyAdvance(curEnd, k, ctx)
+                curEnd = end
+                Row(1, r.get(2), g, k, seqId(g, start, ctx),
                   start % ctx, false, 0L)
               }
             if (out != null) { queued = produced; out }
@@ -662,10 +679,12 @@ object Corpus {
       idCol, groupCol, "_n", ctxLen)
     val batchRows = packed
       .filter(!col("overlong") && col("seq_id").isNotNull)
-      .join(deltaToks.select(col(idCol), col(tokCol).as("_toks")),
-        Seq(idCol))
-      .select(col(groupCol).cast("string").as(groupCol), col("seq_id"),
-        col("seq_off"), col("_toks"))
+      // payload key is (id, stream), like materializeSequences
+      .join(deltaToks.select(col(idCol),
+        col(groupCol).cast("string").as(groupCol),
+        col(tokCol).as("_toks")), Seq(idCol, groupCol))
+      .select(col(groupCol), col("seq_id"), col("seq_off"),
+        col("_toks"))
     val bound = newFill.select(col(groupCol),
       floor(col("next_end") / ctxLen).cast("long").as("_bound"))
     // LEFT join + raise, not inner: a tailState stream missing from

@@ -577,21 +577,32 @@ object DocumentStreaming {
     * here (a crash between a batch's fill and tail writes is healed by
     * the stream's own replay, not by compaction). */
   def compactMaterializeState(spark: SparkSession, fillPath: String,
-      tailPath: String, groupCol: String = "source"): Unit = {
-    val emptyFill = graft.operators.Corpus
-      .emptyPackState(spark, groupCol)
-      .withColumn("as_of_batch", lit(0L))
-    val snap = readState(spark, fillPath, emptyFill, Long.MaxValue)
-      .agg(max("as_of_batch")).collect()(0)
-    def rebase(df: DataFrame): DataFrame =
-      if (snap.isNullAt(0)) df.limit(0)
-      else df.filter(col("as_of_batch") === snap.getLong(0))
-        .withColumn("as_of_batch", lit(-1L))
-    compactWith(spark, fillPath, emptyFill, rebase)
-    compactWith(spark, tailPath, graft.operators.Corpus
-      .emptyMaterializeTail(spark, groupCol)
-      .withColumn("as_of_batch", lit(0L)), rebase)
-  }
+      tailPath: String, groupCol: String = "source"): Unit =
+    latestVisibleBatch(spark, fillPath, Long.MaxValue) match {
+      case None => () // flat bootstrap (or nothing): already compact
+      case Some(b) =>
+        // same torn-pair guard as the read path: a fill partition with
+        // no tail partition is an interrupted batch — compacting it
+        // would silently flatten the tail to EMPTY and delete the
+        // carried partial-sequence payloads (a zero-ROW tail partition
+        // is legitimate; a missing DIRECTORY is not)
+        val tp = new org.apache.hadoop.fs.Path(s"$tailPath/batch_id=$b")
+        if (!tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(tp))
+          throw new java.io.IOException(
+            s"compactMaterializeState: fill batch_id=$b has no tail " +
+              "partition — resume the stream once to heal the torn " +
+              "pair before compacting")
+        def rebase(df: DataFrame): DataFrame =
+          df.filter(col("as_of_batch") === b)
+            .withColumn("as_of_batch", lit(-1L))
+        compactWith(spark, fillPath, graft.operators.Corpus
+          .emptyPackState(spark, groupCol)
+          .withColumn("as_of_batch", lit(0L)), rebase)
+        compactWith(spark, tailPath, graft.operators.Corpus
+          .emptyMaterializeTail(spark, groupCol)
+          .withColumn("as_of_batch", lit(0L)), rebase)
+    }
 
   /** Per-window language/quality profile of the arrival stream (the
     * monitoring mart a training-data intake runs): windowed counts and

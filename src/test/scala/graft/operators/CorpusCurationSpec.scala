@@ -426,7 +426,10 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
       ("a2", "s1", Seq("u1", "u2", "u3")),             // k=4, s1#0 @ 6
       ("a3", "s1", Seq("v1", "v2", "v3", "v4")),       // k=5, s1#1 @ 0
       ("a4", "s1", (1 to 11).map(i => s"w$i")),        // overlong: out
-      ("b1", null: String, Seq("x1", "x2")))           // null stream: out
+      ("b1", null: String, Seq("x1", "x2")),           // null stream: out
+      // id "a1" REUSED by another stream: the payload join keys on
+      // (id, stream) — the original defect cross-matched payloads
+      ("a1", "s2", Seq("z1", "z2")))                   // k=3, s2#0 @ 0
       .toDF("doc_id", "source", "pieces")
     val counts = toks.select(col("doc_id"), col("source"),
       size(col("pieces")).cast("long").as("n_tok"))
@@ -440,6 +443,8 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
       "s1#0" -> ((2L, 0L, List("t1", "t2", "t3", "t4", "t5", "[EOS]",
         "u1", "u2", "u3", "[EOS]"))),
       "s1#1" -> ((1L, 5L, List("v1", "v2", "v3", "v4", "[EOS]",
+        "[PAD]", "[PAD]", "[PAD]", "[PAD]", "[PAD]"))),
+      "s2#0" -> ((1L, 7L, List("z1", "z2", "[EOS]", "[PAD]", "[PAD]",
         "[PAD]", "[PAD]", "[PAD]", "[PAD]", "[PAD]")))))
     // a doc whose payload outgrew its assignment must raise, not
     // silently truncate or emit an over-length sequence
