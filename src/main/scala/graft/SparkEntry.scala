@@ -29,6 +29,7 @@ object SparkEntry {
     MultimodalQueries,
     CorpusQueries,
     CurationSinkQueries,
+    TrainingPipelineQueries,
     StreamingQueries,
     ServingQueries,
     V1Queries,

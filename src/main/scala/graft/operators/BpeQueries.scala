@@ -112,21 +112,23 @@ object BpeQueries extends QueryModule {
        |  FROM tok t JOIN segp s USING (word)
        |  GROUP BY t.doc_id, t.source)""".stripMargin
 
-  /** The ONE greedy-fold CTE pair every pack oracle shares: `ord`
-    * (per-stream doc/cost lists in `orderKey` order) and `ends` (the
-    * list_reduce running-end scan — seed [k1], each step either
-    * continues the fill or jumps to the next 384 boundary). A fold fix
+  /** The ONE greedy-fold CTE pair every pack oracle shares (incl.
+    * x_training_pipeline's): `ord` (per-stream doc/cost lists from a
+    * `cnts` CTE of (doc_id, source, k), in `orderKey` order) and `ends`
+    * (the list_reduce running-end scan — seed [k1], each step either
+    * continues the fill or jumps to the next ctx boundary). A fold fix
     * lands here once or the oracles diverge. */
-  private def foldCtes(orderKey: String): String =
+  private[operators] def foldCtes(orderKey: String,
+      ctx: Int = 384): String =
     s"""ord AS (SELECT source,
        |          list(doc_id ORDER BY $orderKey) AS ids,
        |          list(k ORDER BY $orderKey) AS ks
-       |        FROM cnts WHERE k <= 384 GROUP BY source),
+       |        FROM cnts WHERE k <= $ctx GROUP BY source),
        |ends AS (SELECT source, ids, ks,
        |           list_reduce(list_transform(ks, k -> [k]),
        |             (a, x) -> list_append(a,
-       |               CASE WHEN (a[-1] % 384) + x[1] > 384
-       |                    THEN (a[-1] // 384 + 1) * 384 + x[1]
+       |               CASE WHEN (a[-1] % $ctx) + x[1] > $ctx
+       |                    THEN (a[-1] // $ctx + 1) * $ctx + x[1]
        |                    ELSE a[-1] + x[1] END)) AS es
        |         FROM ord)""".stripMargin
 
@@ -148,14 +150,18 @@ object BpeQueries extends QueryModule {
        |         AS seq_id,
        |       (p.e - p.k) % 384 AS seq_off, FALSE AS overlong,
        |       p.doc_id % $nBatches AS $batchCol, f.final_end
-       |FROM packed p JOIN fe f USING (source)
+       |-- null-safe state joins in BOTH branches: a null-source stream
+       |-- still packs and keeps state (the operator's documented rule),
+       |-- so its rows must pick up final_end, not vanish (packed
+       |-- branch) or coalesce to 0 past real state (overlong branch)
+       |FROM packed p JOIN fe f ON p.source IS NOT DISTINCT FROM f.source
        |UNION ALL
        |SELECT c.doc_id, c.source, c.k AS n_tokens,
        |       CAST(NULL AS VARCHAR) AS seq_id,
        |       CAST(-1 AS BIGINT) AS seq_off, TRUE AS overlong,
        |       c.doc_id % $nBatches AS $batchCol,
        |       coalesce(f.final_end, 0) AS final_end
-       |FROM cnts c LEFT JOIN fe f USING (source)
+       |FROM cnts c LEFT JOIN fe f ON c.source IS NOT DISTINCT FROM f.source
        |WHERE c.k > 384
        |ORDER BY doc_id""".stripMargin
 
@@ -336,8 +342,11 @@ object BpeQueries extends QueryModule {
         "doc_id", "source", "bpe_tokens", ctxLen = 384)
       p0.withColumn("batch", lit(0L))
         .unionByName(p1.withColumn("batch", lit(1L)))
-        .join(st2.withColumnRenamed("next_end", "final_end"),
-          Seq("source"))
+        // null-safe: a null-source stream's rows (incl. overlong) keep
+        // their state row — an inner Seq("source") join would drop them
+        .join(st2.select(col("source").as("_src"),
+            col("next_end").as("final_end")),
+          col("source") <=> col("_src"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("seq_id"), col("seq_off"), col("overlong"), col("batch"),
           col("final_end"))
@@ -397,7 +406,12 @@ object BpeQueries extends QueryModule {
     // oracle re-derives the greedy fold AND the payload assembly
     // (per-doc piece flatten in word order, per-sequence flatten in
     // seq_off order, pad fill), so the full byte content of every
-    // training sequence is hash-gated cross-engine.
+    // training sequence is hash-gated cross-engine. The tokens column
+    // crosses the gate U+001F-joined to a SCALAR (the j12/a4 house
+    // convention — the driver's checker row-sorts every column raw, and
+    // a raw ARRAY column errors pandas' lexsort); no token can contain
+    // the separator (tokens are whitespace-split words + [EOS]/[PAD]),
+    // so the joined string carries the full byte content.
     q("x_materialize_sequences",
       s"""WITH $cntsSql,
          |${foldCtes("doc_id")},
@@ -418,9 +432,9 @@ object BpeQueries extends QueryModule {
          |       GROUP BY 1, 2)
          |SELECT source, seq_id, n_docs,
          |       384 - len(body) AS n_pad,
-         |       list_concat(body,
+         |       array_to_string(list_concat(body,
          |         list_transform(range(1, 384 - len(body) + 1),
-         |           x -> '[PAD]')) AS tokens
+         |           x -> '[PAD]')), chr(31)) AS tokens
          |FROM sq
          |ORDER BY source, seq_id""") { (s, dir) =>
       val toks = encodedTokens(s, dir).localCheckpoint()
@@ -430,6 +444,7 @@ object BpeQueries extends QueryModule {
           Corpus.packTokenized(counts, "doc_id", "source", "bpe_tokens",
             ctxLen = 384),
           toks, "doc_id", "source", "pieces", ctxLen = 384)
+        .withColumn("tokens", array_join(col("tokens"), "\u001f"))
         .orderBy("source", "seq_id")
     },
 
@@ -472,9 +487,9 @@ object BpeQueries extends QueryModule {
          |       GROUP BY 1, 2, 3)
          |SELECT s.source, s.seq_id, s.n_docs,
          |       384 - len(body) AS n_pad,
-         |       list_concat(body,
+         |       array_to_string(list_concat(body,
          |         list_transform(range(1, 384 - len(body) + 1),
-         |           x -> '[PAD]')) AS tokens,
+         |           x -> '[PAD]')), chr(31)) AS tokens,
          |       s.final_end,
          |       coalesce(t.n_tail_docs, 0) AS n_tail_docs
          |FROM sq s
@@ -483,29 +498,32 @@ object BpeQueries extends QueryModule {
       val toks = encodedTokens(s, dir).localCheckpoint()
       val root = java.nio.file.Files
         .createTempDirectory("graft_mat_sink").toString
-      val sink = graft.streaming.DocumentStreaming.materializeSink(
-        s"$root/fill", s"$root/tail", s"$root/out",
-        "doc_id", "source", "pieces", ctxLen = 384)
-      (0 until 3).foreach { b =>
-        sink(toks.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
-      }
-      val fill = s.read.parquet(s"$root/fill")
-      val snapB = fill.agg(max("as_of_batch")).collect()(0).getLong(0)
-      val finalFill = fill.filter(col("as_of_batch") === snapB)
-        .select(col("source"), col("next_end").as("final_end"))
-      val tailCnt = s.read.parquet(s"$root/tail")
-        .filter(col("as_of_batch") === snapB)
-        .groupBy("source").agg(count(lit(1)).as("_nt"))
-      val out = s.read.parquet(s"$root/out")
-        .join(finalFill, Seq("source"))
-        .join(tailCnt, Seq("source"), "left")
-        .select(col("source"), col("seq_id"), col("n_docs"),
-          col("n_pad"), col("tokens"), col("final_end"),
-          coalesce(col("_nt"), lit(0L)).as("n_tail_docs"))
-        .orderBy("source", "seq_id")
-        .localCheckpoint()
-      CurationSinkQueries.deleteRec(root)
-      out
+      try {
+        val sink = graft.streaming.DocumentStreaming.materializeSink(
+          s"$root/fill", s"$root/tail", s"$root/out",
+          "doc_id", "source", "pieces", ctxLen = 384)
+        (0 until 3).foreach { b =>
+          sink(toks.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+        }
+        val fill = s.read.parquet(s"$root/fill")
+        val snapB = fill.agg(max("as_of_batch")).collect()(0).getLong(0)
+        val finalFill = fill.filter(col("as_of_batch") === snapB)
+          .select(col("source"), col("next_end").as("final_end"))
+        val tailCnt = s.read.parquet(s"$root/tail")
+          .filter(col("as_of_batch") === snapB)
+          .groupBy("source").agg(count(lit(1)).as("_nt"))
+        s.read.parquet(s"$root/out")
+          .join(finalFill, Seq("source"))
+          .join(tailCnt, Seq("source"), "left")
+          .select(col("source"), col("seq_id"), col("n_docs"),
+            col("n_pad"),
+            // scalar-serialized for the driver checker, like the batch row
+            array_join(col("tokens"), "\u001f").as("tokens"),
+            col("final_end"),
+            coalesce(col("_nt"), lit(0L)).as("n_tail_docs"))
+          .orderBy("source", "seq_id")
+          .localCheckpoint()
+      } finally CurationSinkQueries.deleteRec(root)
     },
 
     // Streaming packing sink (DocumentStreaming.packSink) driven
@@ -520,24 +538,27 @@ object BpeQueries extends QueryModule {
       val counts = encodedCounts(s, dir).localCheckpoint()
       val root = java.nio.file.Files
         .createTempDirectory("graft_pack_sink").toString
-      val sink = graft.streaming.DocumentStreaming.packSink(
-        s"$root/state", s"$root/packed",
-        "doc_id", "source", "bpe_tokens", ctxLen = 384)
-      (0 until 3).foreach { b =>
-        sink(counts.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
-      }
-      val finalState = s.read.parquet(s"$root/state")
-        .groupBy("source")
-        .agg(max_by(col("next_end"), col("as_of_batch")).as("final_end"))
-      val out = s.read.parquet(s"$root/packed")
-        .join(finalState, Seq("source"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("seq_id"), col("seq_off"), col("overlong"),
-          col("batch_id").cast("long").as("batch_id"), col("final_end"))
-        .orderBy("doc_id")
-        .localCheckpoint()
-      CurationSinkQueries.deleteRec(root)
-      out
+      try {
+        val sink = graft.streaming.DocumentStreaming.packSink(
+          s"$root/state", s"$root/packed",
+          "doc_id", "source", "bpe_tokens", ctxLen = 384)
+        (0 until 3).foreach { b =>
+          sink(counts.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+        }
+        val finalState = s.read.parquet(s"$root/state")
+          .groupBy("source")
+          .agg(max_by(col("next_end"), col("as_of_batch")).as("final_end"))
+        s.read.parquet(s"$root/packed")
+          // null-safe, mirroring the oracle (see packFoldSql): a
+          // null-source stream's rows keep their state row
+          .join(finalState.withColumnRenamed("source", "_src"),
+            col("source") <=> col("_src"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("seq_id"), col("seq_off"), col("overlong"),
+            col("batch_id").cast("long").as("batch_id"), col("final_end"))
+          .orderBy("doc_id")
+          .localCheckpoint()
+      } finally CurationSinkQueries.deleteRec(root)
     },
   )
 }

@@ -444,15 +444,18 @@ object Corpus {
           .as("n_tokens"),
         sum(when(col("overlong"), col("n_tokens")).otherwise(0L))
           .as("overlong_tokens"),
-        max(when(packedRow, idx)).as("_max_idx"),
-        max(when(packedRow && col("seq_id").isNull, 1).otherwise(0))
-          .as("_null_stream"))
+        max(when(packedRow, idx)).as("_max_idx"))
+      // the null-stream rule keys on the SOURCE itself (the groupBy
+      // key), not on packed rows' null seq_id: a null stream whose docs
+      // are all overlong has no packed row at all, and deriving
+      // nullness from the rows would report n_seqs=0/padding=0 where
+      // the rule (and the DuckDB twin's source-keyed CASE) says NULL
       .select(col(groupCol), col("n_docs"), col("n_overlong"),
         col("n_tokens"), col("overlong_tokens"),
-        when(col("_null_stream") === 0, nSeqs).as("n_seqs"),
-        when(col("_null_stream") === 0, nSeqs * ctx - col("n_tokens"))
+        when(col(groupCol).isNotNull, nSeqs).as("n_seqs"),
+        when(col(groupCol).isNotNull, nSeqs * ctx - col("n_tokens"))
           .as("padding_tokens"),
-        when(col("_null_stream") === 0 && col("_max_idx").isNotNull,
+        when(col(groupCol).isNotNull && col("_max_idx").isNotNull,
           round(col("n_tokens").cast("double") /
             ((col("_max_idx") + 1L) * ctx), 6)).as("fill_ratio"))
   }

@@ -170,11 +170,16 @@ object CurationSinkQueries extends QueryModule {
        |  WHERE len(f.ftoks) >= $L)""".stripMargin
   }
 
-  private def sinkOracleSql: String = {
+  /** The composition's shared WITH-body (no `WITH` keyword): the corpus/
+    * quality/vocab/signature prelude, the three sequential batch
+    * expansions, and the cross-batch unions (`finall` = per-doc post-
+    * strip tokens/text of every dedup-kept doc, `contall`,
+    * `subixfinal`). x_curation_sink's oracle selects the ledger off it;
+    * x_training_pipeline extends it with the pack/materialize fold over
+    * the ADMITTED docs. */
+  private[operators] def curationCtesSql: String = {
     val batches = (0 until 3).map(batchCte).mkString(",\n")
-    val unionAll = (p: String) => (0 until 3)
-      .map(b => s"SELECT doc_id FROM $p$b").mkString(" UNION ALL ")
-    s"""WITH corpus AS MATERIALIZED (
+    s"""corpus AS MATERIALIZED (
        |  SELECT doc_id, text FROM documents
        |  WHERE NOT (doc_id % 97 = 0 AND doc_id < 5000)),
        |t AS MATERIALIZED (SELECT doc_id, text,
@@ -214,7 +219,13 @@ object CurationSinkQueries extends QueryModule {
        |contall AS MATERIALIZED (SELECT * FROM cont0 UNION ALL
        |            SELECT * FROM cont1 UNION ALL SELECT * FROM cont2),
        |subixfinal AS MATERIALIZED (SELECT win FROM awin0 UNION
-       |               SELECT win FROM awin1 UNION SELECT win FROM awin2)
+       |               SELECT win FROM awin1 UNION SELECT win FROM awin2)""".stripMargin
+  }
+
+  private def sinkOracleSql: String = {
+    val unionAll = (p: String) => (0 until 3)
+      .map(b => s"SELECT doc_id FROM $p$b").mkString(" UNION ALL ")
+    s"""WITH $curationCtesSql
        |SELECT tt.doc_id, q.passes,
        |  (mdi.doc_id IS NOT NULL) AS dup_of_index,
        |  (mdd.doc_id IS NOT NULL) AS dup_of_delta,
@@ -264,36 +275,36 @@ object CurationSinkQueries extends QueryModule {
       // is deleted below once the result is checkpointed off it
       val root = java.nio.file.Files
         .createTempDirectory("graft_curation_sink").toString
-      graft.streaming.DocumentStreaming.registerSuite(s, s"$root/vocab",
-        d.filter(isBench), "text", "doc_id", n = 3)
-      val sink = graft.streaming.DocumentStreaming.curationSink(root,
-        "text", "doc_id", n = 2, numHashes = 16, bands = 4,
-        threshold = 0.5, windowTokens = L, shingleN = 3, flagAt = 0.8)
-      (0 until 3).foreach { b =>
-        sink(corpus.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
-      }
-      val ledger = s.read.parquet(s"$root/ledger")
-      val admitted = s.read.parquet(s"$root/admitted")
-      val sigIx = s.read.parquet(s"$root/minhash_index")
-      // bounded driver-side state cardinalities (counts, not collects)
-      val nSub = s.read.parquet(s"$root/substring_index").count()
-      val nSig = sigIx.count()
-      val out = ledger
-        .join(admitted.select(col("doc_id"),
-          sha2(col("text"), 256).as("_sha")), Seq("doc_id"), "left")
-        .join(sigIx.select(col("id").as("doc_id"))
-          .withColumn("_insig", lit(true)), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("passes"), col("dup_of_index"),
-          col("dup_of_delta"), col("keep"), col("stripped_tokens"),
-          col("contamination"), col("contaminated"),
-          col("stripped_empty"), col("admitted"),
-          col("batch_id").cast("long").as("batch_id"),
-          coalesce(col("_sha"), lit("")).as("admitted_sha"),
-          coalesce(col("_insig"), lit(false)).as("in_sig_index"),
-          lit(nSub).as("n_sub_index"), lit(nSig).as("n_sig_index"))
-        .orderBy("doc_id")
-        .localCheckpoint()
-      deleteRec(root)
-      out
+      try {
+        graft.streaming.DocumentStreaming.registerSuite(s, s"$root/vocab",
+          d.filter(isBench), "text", "doc_id", n = 3)
+        val sink = graft.streaming.DocumentStreaming.curationSink(root,
+          "text", "doc_id", n = 2, numHashes = 16, bands = 4,
+          threshold = 0.5, windowTokens = L, shingleN = 3, flagAt = 0.8)
+        (0 until 3).foreach { b =>
+          sink(corpus.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+        }
+        val ledger = s.read.parquet(s"$root/ledger")
+        val admitted = s.read.parquet(s"$root/admitted")
+        val sigIx = s.read.parquet(s"$root/minhash_index")
+        // bounded driver-side state cardinalities (counts, not collects)
+        val nSub = s.read.parquet(s"$root/substring_index").count()
+        val nSig = sigIx.count()
+        ledger
+          .join(admitted.select(col("doc_id"),
+            sha2(col("text"), 256).as("_sha")), Seq("doc_id"), "left")
+          .join(sigIx.select(col("id").as("doc_id"))
+            .withColumn("_insig", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("passes"), col("dup_of_index"),
+            col("dup_of_delta"), col("keep"), col("stripped_tokens"),
+            col("contamination"), col("contaminated"),
+            col("stripped_empty"), col("admitted"),
+            col("batch_id").cast("long").as("batch_id"),
+            coalesce(col("_sha"), lit("")).as("admitted_sha"),
+            coalesce(col("_insig"), lit(false)).as("in_sig_index"),
+            lit(nSub).as("n_sub_index"), lit(nSig).as("n_sig_index"))
+          .orderBy("doc_id")
+          .localCheckpoint()
+      } finally deleteRec(root)
     })
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryEntry, QueryModule, Tables}
+
+/** End-to-end oracle gate for the COMPOSED streaming training pipeline:
+  * [[graft.streaming.DocumentStreaming.curationSink]] → whitespace token
+  * count → [[graft.streaming.DocumentStreaming.materializeSink]] (which
+  * drives [[Corpus.incrementalPackTokenized]] — the packSink algebra —
+  * internally; x_pack_sink gates that plumbing standalone).
+  *
+  * Every stage is hash-gated alone elsewhere (x_curation_sink, x_pack_sink,
+  * x_materialize_incremental); this row gates the CHAIN: each arrival
+  * batch's ADMITTED docs — and only those — feed packing immediately, in
+  * the same micro-batch cadence a real intake runs. The DuckDB oracle
+  * recomputes the whole composition from scratch (the x_curation_sink
+  * three-batch expansion, then ONE greedy list_reduce fold over the
+  * admitted docs in arrival order, then the sequence assembly), so the
+  * admitted-only feed rule is byte-pinned: a rejected/duplicate/
+  * contaminated doc consuming sequence space would shift every later
+  * token in its stream and fail the hash, as would an admitted doc that
+  * failed to reach packing.
+  *
+  * Columns gated: one row per FINALIZED training sequence — (source,
+  * seq_id, n_docs, n_pad, tokens U+001F-joined byte content), each
+  * stream's final fill offset (final_end) and carried-tail doc count
+  * (n_tail_docs), plus the pipeline-wide ledger cardinalities
+  * n_admitted / n_ledger (bounded driver-side counts; n_ledger counts
+  * every corpus doc — one ledger row each — so admitted + rejected
+  * coverage is pinned too).
+  *
+  * Scale shape: the chain adds NOTHING to the component costs — the
+  * admitted batch flows straight from the curation sink's batch-keyed
+  * output partition to the pack fill (O(streams) state), so the
+  * composition is the sum of its stages, each already rehearsed
+  * sublinear at 100×.
+  */
+object TrainingPipelineQueries extends QueryModule {
+
+  private val Ctx = 384
+
+  private def pipelineOracleSql: String =
+    s"""WITH ${CurationSinkQueries.curationCtesSql},
+       |admall AS (SELECT doc_id FROM adm0 UNION ALL
+       |           SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2),
+       |cnts AS (SELECT f.doc_id, d.source, len(f.ftoks) + 1 AS k
+       |         FROM finall f JOIN admall USING (doc_id)
+       |         JOIN documents d USING (doc_id)),
+       |${BpeQueries.foldCtes("doc_id % 3, doc_id", Ctx)},
+       |bound AS (SELECT source, es[-1] AS final_end,
+       |                 es[-1] // $Ctx AS b
+       |          FROM ends),
+       |pk AS (SELECT source, unnest(ids) AS doc_id,
+       |              unnest(es) AS e, unnest(ks) AS k
+       |       FROM ends),
+       |tails AS (SELECT p.source, count(*) AS n_tail_docs
+       |          FROM pk p JOIN bound b USING (source)
+       |          WHERE (p.e - p.k) // $Ctx >= b.b
+       |          GROUP BY p.source),
+       |gl AS (SELECT (SELECT count(*) FROM admall) AS n_admitted,
+       |              (SELECT count(*) FROM t) AS n_ledger),
+       |sq AS (SELECT p.source,
+       |              p.source || '#' || CAST((p.e - p.k) // $Ctx
+       |                AS VARCHAR) AS seq_id,
+       |              bd.final_end,
+       |              count(*) AS n_docs,
+       |              flatten(list(list_append(f.ftoks, '[EOS]')
+       |                ORDER BY (p.e - p.k) % $Ctx)) AS body
+       |       FROM pk p
+       |       JOIN bound bd USING (source)
+       |       JOIN finall f USING (doc_id)
+       |       WHERE (p.e - p.k) // $Ctx < bd.b
+       |       GROUP BY 1, 2, 3)
+       |SELECT s.source, s.seq_id, s.n_docs,
+       |       $Ctx - len(body) AS n_pad,
+       |       array_to_string(list_concat(body,
+       |         list_transform(range(1, $Ctx - len(body) + 1),
+       |           x -> '[PAD]')), chr(31)) AS tokens,
+       |       s.final_end,
+       |       coalesce(t.n_tail_docs, 0) AS n_tail_docs,
+       |       gl.n_admitted, gl.n_ledger
+       |FROM sq s
+       |LEFT JOIN tails t USING (source)
+       |CROSS JOIN gl
+       |ORDER BY source, seq_id""".stripMargin
+
+  override val entries: Seq[QueryEntry] = Seq(
+    q("x_training_pipeline", pipelineOracleSql) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val isBench =
+        pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 5000
+      val corpus = d.filter(!isBench).select("doc_id", "text")
+      val srcDim = d.select(col("doc_id"), col("source")).localCheckpoint()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_training_pipeline").toString
+      try {
+        graft.streaming.DocumentStreaming.registerSuite(s,
+          s"$root/cur/vocab", d.filter(isBench), "text", "doc_id", n = 3)
+        val curate = graft.streaming.DocumentStreaming.curationSink(
+          s"$root/cur", "text", "doc_id", n = 2, numHashes = 16,
+          bands = 4, threshold = 0.5, windowTokens = 12, shingleN = 3,
+          flagAt = 0.8)
+        val mat = graft.streaming.DocumentStreaming.materializeSink(
+          s"$root/fill", s"$root/tail", s"$root/out",
+          "doc_id", "source", "pieces", ctxLen = Ctx)
+        (0 until 3).foreach { b =>
+          curate(corpus.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
+          // THE chain: this batch's admitted partition — and only it —
+          // feeds packing in the same micro-batch cadence
+          val admitted = s.read.parquet(s"$root/cur/admitted/batch_id=$b")
+          mat(admitted.join(srcDim, Seq("doc_id"))
+            .select(col("doc_id"), col("source"),
+              Corpus.tokens(col("text")).as("pieces")), b.toLong)
+        }
+        val ledger = s.read.parquet(s"$root/cur/ledger")
+        val nLedger = ledger.count()
+        val nAdmitted = ledger.filter(col("admitted")).count()
+        val fill = s.read.parquet(s"$root/fill")
+        val snapB = fill.agg(max("as_of_batch")).collect()(0).getLong(0)
+        val finalFill = fill.filter(col("as_of_batch") === snapB)
+          .select(col("source"), col("next_end").as("final_end"))
+        val tailCnt = s.read.parquet(s"$root/tail")
+          .filter(col("as_of_batch") === snapB)
+          .groupBy("source").agg(count(lit(1)).as("_nt"))
+        s.read.parquet(s"$root/out")
+          .join(finalFill, Seq("source"))
+          .join(tailCnt, Seq("source"), "left")
+          .select(col("source"), col("seq_id"), col("n_docs"),
+            col("n_pad"),
+            // scalar-serialized, the j12/a4 convention
+            array_join(col("tokens"), "\u001f").as("tokens"),
+            col("final_end"),
+            coalesce(col("_nt"), lit(0L)).as("n_tail_docs"),
+            lit(nAdmitted).as("n_admitted"),
+            lit(nLedger).as("n_ledger"))
+          .orderBy("source", "seq_id")
+          .localCheckpoint()
+      } finally CurationSinkQueries.deleteRec(root)
+    })
+}

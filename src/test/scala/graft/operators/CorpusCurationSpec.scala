@@ -416,6 +416,57 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(None) == ((1L, 0L, 5L, 0L, None, None, None)))
   }
 
+  test("packStats: a null stream with ONLY overlong docs still reports " +
+      "NULL n_seqs/padding/fill — the rule keys on the source, not on " +
+      "packed rows' seq_id") {
+    val sp = spark
+    import sp.implicits._
+    // no packed row exists for the null stream here, so the old
+    // seq_id-keyed detection saw nothing and reported 0/0 where the
+    // oracle's source-keyed CASE says NULL
+    val counts = Seq(
+      ("o1", null: String, 11L), // overlong on the null stream
+      ("c1", "s3", 11L))         // overlong-only NAMED stream: 0s, not NULL
+      .toDF("doc_id", "source", "n_tok")
+    val got = Corpus.packStats(
+        Corpus.packTokenized(counts, "doc_id", "source", "n_tok", 10),
+        "source", ctxLen = 10)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)), Option(r.get(6)), Option(r.get(7))))).toMap
+    assert(got(None) == ((0L, 1L, 0L, 12L, None, None, None)))
+    assert(got(Some("s3")) == ((0L, 1L, 0L, 12L, Some(0L), Some(0L), None)))
+  }
+
+  test("null-safe final-state join keeps a null-source stream's packed " +
+      "AND overlong rows (the x_incremental_pack / x_pack_sink shape)") {
+    val sp = spark
+    import sp.implicits._
+    val counts = Seq(
+      ("d1", null: String, 4L),  // k=5: packs on the null stream, end 5
+      ("d2", null: String, 11L), // k=12: overlong on the null stream
+      ("d3", "s1", 4L))          // k=5: packs on s1, end 5
+      .toDF("doc_id", "source", "n_tok")
+    val (packed, st) = Corpus.incrementalPackTokenized(
+      counts, Corpus.emptyPackState(spark), "doc_id", "source", "n_tok", 10)
+    // the query glue joins the packed rows to the final state per
+    // stream; a plain inner Seq("source") join silently drops the null
+    // stream's rows (null-unsafe equality), diverging from the oracle
+    assert(packed.join(st, Seq("source")).count() == 1)
+    val joined = packed
+      .join(st.select(col("source").as("_src"),
+        col("next_end").as("final_end")), col("source") <=> col("_src"))
+      .collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        ((Option(r.getAs[String]("source")),
+          r.getAs[Boolean]("overlong"), r.getAs[Long]("final_end"))))
+      .toMap
+    assert(joined == Map(
+      "d1" -> ((None, false, 5L)),
+      "d2" -> ((None, true, 5L)),
+      "d3" -> ((Some("s1"), false, 5L))))
+  }
+
   test("materializeSequences assembles eos-terminated, tail-padded " +
       "training rows; overlong/null-stream rows excluded; an " +
       "encode/assignment mismatch raises") {

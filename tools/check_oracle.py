@@ -25,9 +25,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+    # Driver parity: the driver row-sorts the RAW frame before hashing, and
+    # pandas' lexsort factorizes each key — a raw ARRAY/STRUCT column raises
+    # "unhashable type: 'numpy.ndarray'" THERE. Sorting before stringifying
+    # reproduces that failure locally (stringify-first masked it and let
+    # CORRECTNESS_r17's two x_materialize errors ship). Stringify only
+    # afterwards, for the value compare.
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
     return df
 
 
