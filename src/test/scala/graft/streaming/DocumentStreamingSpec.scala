@@ -634,6 +634,93 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
       .toSeq == Seq(("s1#3", 0L)))
   }
 
+  test("packSink under the real runtime: a durable file-source stream " +
+      "stopped and RESTARTED on the same checkpoint resumes batch ids " +
+      "and fill state; a fresh checkpoint resumes from compactPackState's " +
+      "re-based bootstrap") {
+    // closes the gap between "foreachBatch-compatible" (every sink spec
+    // above drives the closure by hand or via MemoryStream) and "proven
+    // under the real runtime": the file source's seen-files log lives in
+    // the CHECKPOINT, so the restarted query must process ONLY the file
+    // landed while it was down, as the next batch id — and the
+    // batch-keyed parquet state must hand the fill offsets across both
+    // restart styles
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("packrt").toString
+    val arrivals = s"$root/arrivals"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(arrivals))
+    val (st, out, out2) = (s"$root/state", s"$root/packed", s"$root/packed2")
+    val sinkTo = (o: String) => DocumentStreaming.packSink(st, o,
+      "doc_id", "source", "n_tok", ctxLen = 10)
+    val schema = Seq.empty[EncodedArrival].toDS().schema
+    // land one arrival FILE (not a parquet dir): the file source lists
+    // leaf files, so write to scratch and move the part file in
+    def land(dir: String, name: String, rows: Seq[EncodedArrival]): Unit = {
+      val tmp = s"$root/tmp_$name"
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    def run(src: String, ckpt: String, o: String): Unit = {
+      val query = sp.readStream.schema(schema).parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(sinkTo(o)).start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    val f0 = Seq(EncodedArrival(1, "a", 4), EncodedArrival(2, "a", 4),
+      EncodedArrival(3, "b", 7))
+    val f1 = Seq(EncodedArrival(4, "a", 3), EncodedArrival(5, "b", 10),
+      EncodedArrival(6, "b", 1))
+    val f2 = Seq(EncodedArrival(7, "a", 5), EncodedArrival(8, "c", 2),
+      EncodedArrival(9, "b", 3))
+    land(arrivals, "f0", f0)
+    run(arrivals, s"$root/ckpt", out)   // batch 0 = f0
+    land(arrivals, "f1", f1)            // lands while the query is DOWN
+    run(arrivals, s"$root/ckpt", out)   // restart: batch 1 = f1 ONLY
+    def packedOf(o: String, b: Long) =
+      sp.read.parquet(s"$o/batch_id=$b").collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[String]("seq_id"), r.getAs[Long]("seq_off"))).toSet
+    // the restarted runtime assigned f1 the NEXT batch id and saw f0's
+    // state: doc 4 continues stream a at a#1, doc 6 fills b#0's tail
+    assert(packedOf(out, 0L).map(_._1) == Set(1L, 2L, 3L))
+    assert(packedOf(out, 1L) == Set(
+      (4L, "a", "a#1", 0L), (5L, "b", null, -1L), (6L, "b", "b#0", 8L)))
+    // fresh-checkpoint restart: compact the state to the -1 bootstrap
+    // (batch ids restart at 0, which would hide batch-keyed rows) and
+    // point the stream at a NEW landing zone + output dir (the
+    // documented caveat: restarted ids OVERWRITE output partitions)
+    DocumentStreaming.compactPackState(sp, st)
+    val arrivals2 = s"$root/arrivals2"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(arrivals2))
+    land(arrivals2, "f2", f2)
+    run(arrivals2, s"$root/ckpt2", out2) // fresh batch 0 = f2
+    // doc 7 lands at a#1 offset 4 — exactly where the pre-compaction
+    // fill (end 14) says — so the bootstrap handed the state across
+    assert(packedOf(out2, 0L) == Set(
+      (7L, "a", "a#1", 4L), (8L, "c", "c#0", 0L), (9L, "b", "b#1", 0L)))
+    // the three legs together are byte-identical to ONE batch run over
+    // the concatenated arrival order
+    val all = packedOf(out, 0L) ++ packedOf(out, 1L) ++ packedOf(out2, 0L)
+    val oneRun = graft.operators.Corpus.packTokenized(
+      (f0 ++ f1 ++ f2).toDF("doc_id", "source", "n_tok"),
+      "doc_id", "source", "n_tok", ctxLen = 10).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(3), r.getLong(4))).toSet
+    assert(all == oneRun)
+    // final per-stream fill state (latest wins across bootstrap + batch)
+    val state = sp.read.parquet(st)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.col("next_end"),
+        org.apache.spark.sql.functions.col("as_of_batch")).as("ne"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state == Map("a" -> 20L, "b" -> 14L, "c" -> 3L))
+  }
+
   test("EmbeddingStreaming.admissionSink dedups semantically across batches") {
     val sp = spark
     import sp.implicits._
