@@ -132,6 +132,77 @@ object BpeQueries extends QueryModule {
        |                    ELSE a[-1] + x[1] END)) AS es
        |         FROM ord)""".stripMargin
 
+  /** The incremental-materialization assembly every sink oracle shares
+    * (on top of [[foldCtes]]'s `ends`): `bound`/`pk`/`tails`, the
+    * finalized-only sequence assembly (idx < floor(final_end/ctx)), and
+    * the final SELECT with the U+001F-joined tokens scalar. `tokRel`/
+    * `tokCol` name the doc_id-keyed relation holding each doc's encoded
+    * piece list; `extraSelect`/`extraFrom` append oracle-specific
+    * columns and sources. A finalization, tail-count, or serialization
+    * fix lands HERE once or the sink oracles diverge (the foldCtes
+    * rule). */
+  private[operators] def materializeFoldSql(tokRel: String,
+      tokCol: String, ctx: Int = 384, extraSelect: String = "",
+      extraFrom: String = ""): String =
+    s"""bound AS (SELECT source, es[-1] AS final_end,
+       |                 es[-1] // $ctx AS b
+       |          FROM ends),
+       |pk AS (SELECT source, unnest(ids) AS doc_id,
+       |              unnest(es) AS e, unnest(ks) AS k
+       |       FROM ends),
+       |tails AS (SELECT p.source, count(*) AS n_tail_docs
+       |          FROM pk p JOIN bound b USING (source)
+       |          WHERE (p.e - p.k) // $ctx >= b.b
+       |          GROUP BY p.source),
+       |sq AS (SELECT p.source,
+       |              p.source || '#' || CAST((p.e - p.k) // $ctx
+       |                AS VARCHAR) AS seq_id,
+       |              bd.final_end,
+       |              count(*) AS n_docs,
+       |              flatten(list(list_append(d.$tokCol, '[EOS]')
+       |                ORDER BY (p.e - p.k) % $ctx)) AS body
+       |       FROM pk p
+       |       JOIN bound bd USING (source)
+       |       JOIN $tokRel d USING (doc_id)
+       |       WHERE (p.e - p.k) // $ctx < bd.b
+       |       GROUP BY 1, 2, 3)
+       |SELECT s.source, s.seq_id, s.n_docs,
+       |       $ctx - len(body) AS n_pad,
+       |       array_to_string(list_concat(body,
+       |         list_transform(range(1, $ctx - len(body) + 1),
+       |           x -> '[PAD]')), chr(31)) AS tokens,
+       |       s.final_end,
+       |       coalesce(t.n_tail_docs, 0) AS n_tail_docs$extraSelect
+       |FROM sq s
+       |LEFT JOIN tails t USING (source)$extraFrom
+       |ORDER BY source, seq_id""".stripMargin
+
+  /** Read back a [[graft.streaming.DocumentStreaming.materializeSink]]
+    * scratch root as the oracle-comparable frame: finalized sequences
+    * (tokens U+001F-joined — the j12/a4 scalar rule) joined with each
+    * stream's final fill offset and carried-tail doc count, both read
+    * at the FILL dir's snapshot id. Callers append extra columns, then
+    * order and checkpoint. Shared by x_materialize_incremental and
+    * x_training_pipeline — glue fixes land here once. */
+  private[operators] def readMaterializedSink(
+      s: SparkSession, root: String): DataFrame = {
+    val fill = s.read.parquet(s"$root/fill")
+    val snapB = fill.agg(max("as_of_batch")).collect()(0).getLong(0)
+    val finalFill = fill.filter(col("as_of_batch") === snapB)
+      .select(col("source"), col("next_end").as("final_end"))
+    val tailCnt = s.read.parquet(s"$root/tail")
+      .filter(col("as_of_batch") === snapB)
+      .groupBy("source").agg(count(lit(1)).as("_nt"))
+    s.read.parquet(s"$root/out")
+      .join(finalFill, Seq("source"))
+      .join(tailCnt, Seq("source"), "left")
+      .select(col("source"), col("seq_id"), col("n_docs"),
+        col("n_pad"),
+        array_join(col("tokens"), "\u001f").as("tokens"),
+        col("final_end"),
+        coalesce(col("_nt"), lit(0L)).as("n_tail_docs"))
+  }
+
   /** DuckDB twin of packing `cnts` incrementally in `nBatches` arrival
     * batches (batch b = doc_id % nBatches = b, ids ascending within a
     * batch): ONE list_reduce greedy fold over the concatenated order —
@@ -409,9 +480,11 @@ object BpeQueries extends QueryModule {
     // training sequence is hash-gated cross-engine. The tokens column
     // crosses the gate U+001F-joined to a SCALAR (the j12/a4 house
     // convention — the driver's checker row-sorts every column raw, and
-    // a raw ARRAY column errors pandas' lexsort); no token can contain
-    // the separator (tokens are whitespace-split words + [EOS]/[PAD]),
-    // so the joined string carries the full byte content.
+    // a raw ARRAY column errors pandas' lexsort). The hash gate is
+    // unconditional either way — both engines join identically, so the
+    // joined string compares byte-exact; parsing it BACK into tokens is
+    // additionally lossless whenever no piece contains U+001F (true of
+    // this corpus's whitespace-split-derived pieces + [EOS]/[PAD]).
     q("x_materialize_sequences",
       s"""WITH $cntsSql,
          |${foldCtes("doc_id")},
@@ -459,42 +532,11 @@ object BpeQueries extends QueryModule {
     q("x_materialize_incremental",
       s"""WITH $cntsSql,
          |${foldCtes("doc_id % 3, doc_id")},
-         |bound AS (SELECT source, es[-1] AS final_end,
-         |                 es[-1] // 384 AS b
-         |          FROM ends),
-         |pk AS (SELECT source, unnest(ids) AS doc_id,
-         |              unnest(es) AS e, unnest(ks) AS k
-         |       FROM ends),
          |dtl AS (SELECT t.doc_id, flatten(list(s.pieces ORDER BY t.i))
          |          AS toks
          |        FROM tok t JOIN segp s USING (word)
          |        GROUP BY t.doc_id),
-         |tails AS (SELECT p.source, count(*) AS n_tail_docs
-         |          FROM pk p JOIN bound b USING (source)
-         |          WHERE (p.e - p.k) // 384 >= b.b
-         |          GROUP BY p.source),
-         |sq AS (SELECT p.source,
-         |              p.source || '#' || CAST((p.e - p.k) // 384
-         |                AS VARCHAR) AS seq_id,
-         |              bd.final_end,
-         |              count(*) AS n_docs,
-         |              flatten(list(list_append(d.toks, '[EOS]')
-         |                ORDER BY (p.e - p.k) % 384)) AS body
-         |       FROM pk p
-         |       JOIN bound bd USING (source)
-         |       JOIN dtl d USING (doc_id)
-         |       WHERE (p.e - p.k) // 384 < bd.b
-         |       GROUP BY 1, 2, 3)
-         |SELECT s.source, s.seq_id, s.n_docs,
-         |       384 - len(body) AS n_pad,
-         |       array_to_string(list_concat(body,
-         |         list_transform(range(1, 384 - len(body) + 1),
-         |           x -> '[PAD]')), chr(31)) AS tokens,
-         |       s.final_end,
-         |       coalesce(t.n_tail_docs, 0) AS n_tail_docs
-         |FROM sq s
-         |LEFT JOIN tails t USING (source)
-         |ORDER BY source, seq_id""") { (s, dir) =>
+         |${materializeFoldSql("dtl", "toks")}""") { (s, dir) =>
       val toks = encodedTokens(s, dir).localCheckpoint()
       val root = java.nio.file.Files
         .createTempDirectory("graft_mat_sink").toString
@@ -505,22 +547,7 @@ object BpeQueries extends QueryModule {
         (0 until 3).foreach { b =>
           sink(toks.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
         }
-        val fill = s.read.parquet(s"$root/fill")
-        val snapB = fill.agg(max("as_of_batch")).collect()(0).getLong(0)
-        val finalFill = fill.filter(col("as_of_batch") === snapB)
-          .select(col("source"), col("next_end").as("final_end"))
-        val tailCnt = s.read.parquet(s"$root/tail")
-          .filter(col("as_of_batch") === snapB)
-          .groupBy("source").agg(count(lit(1)).as("_nt"))
-        s.read.parquet(s"$root/out")
-          .join(finalFill, Seq("source"))
-          .join(tailCnt, Seq("source"), "left")
-          .select(col("source"), col("seq_id"), col("n_docs"),
-            col("n_pad"),
-            // scalar-serialized for the driver checker, like the batch row
-            array_join(col("tokens"), "\u001f").as("tokens"),
-            col("final_end"),
-            coalesce(col("_nt"), lit(0L)).as("n_tail_docs"))
+        readMaterializedSink(s, root)
           .orderBy("source", "seq_id")
           .localCheckpoint()
       } finally CurationSinkQueries.deleteRec(root)

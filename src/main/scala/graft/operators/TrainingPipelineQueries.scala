@@ -48,42 +48,11 @@ object TrainingPipelineQueries extends QueryModule {
        |         FROM finall f JOIN admall USING (doc_id)
        |         JOIN documents d USING (doc_id)),
        |${BpeQueries.foldCtes("doc_id % 3, doc_id", Ctx)},
-       |bound AS (SELECT source, es[-1] AS final_end,
-       |                 es[-1] // $Ctx AS b
-       |          FROM ends),
-       |pk AS (SELECT source, unnest(ids) AS doc_id,
-       |              unnest(es) AS e, unnest(ks) AS k
-       |       FROM ends),
-       |tails AS (SELECT p.source, count(*) AS n_tail_docs
-       |          FROM pk p JOIN bound b USING (source)
-       |          WHERE (p.e - p.k) // $Ctx >= b.b
-       |          GROUP BY p.source),
        |gl AS (SELECT (SELECT count(*) FROM admall) AS n_admitted,
        |              (SELECT count(*) FROM t) AS n_ledger),
-       |sq AS (SELECT p.source,
-       |              p.source || '#' || CAST((p.e - p.k) // $Ctx
-       |                AS VARCHAR) AS seq_id,
-       |              bd.final_end,
-       |              count(*) AS n_docs,
-       |              flatten(list(list_append(f.ftoks, '[EOS]')
-       |                ORDER BY (p.e - p.k) % $Ctx)) AS body
-       |       FROM pk p
-       |       JOIN bound bd USING (source)
-       |       JOIN finall f USING (doc_id)
-       |       WHERE (p.e - p.k) // $Ctx < bd.b
-       |       GROUP BY 1, 2, 3)
-       |SELECT s.source, s.seq_id, s.n_docs,
-       |       $Ctx - len(body) AS n_pad,
-       |       array_to_string(list_concat(body,
-       |         list_transform(range(1, $Ctx - len(body) + 1),
-       |           x -> '[PAD]')), chr(31)) AS tokens,
-       |       s.final_end,
-       |       coalesce(t.n_tail_docs, 0) AS n_tail_docs,
-       |       gl.n_admitted, gl.n_ledger
-       |FROM sq s
-       |LEFT JOIN tails t USING (source)
-       |CROSS JOIN gl
-       |ORDER BY source, seq_id""".stripMargin
+       |${BpeQueries.materializeFoldSql("finall", "ftoks", Ctx,
+         extraSelect = ",\n       gl.n_admitted, gl.n_ledger",
+         extraFrom = "\nCROSS JOIN gl")}""".stripMargin
 
   override val entries: Seq[QueryEntry] = Seq(
     q("x_training_pipeline", pipelineOracleSql) { (s, dir) =>
@@ -113,27 +82,15 @@ object TrainingPipelineQueries extends QueryModule {
             .select(col("doc_id"), col("source"),
               Corpus.tokens(col("text")).as("pieces")), b.toLong)
         }
-        val ledger = s.read.parquet(s"$root/cur/ledger")
-        val nLedger = ledger.count()
-        val nAdmitted = ledger.filter(col("admitted")).count()
-        val fill = s.read.parquet(s"$root/fill")
-        val snapB = fill.agg(max("as_of_batch")).collect()(0).getLong(0)
-        val finalFill = fill.filter(col("as_of_batch") === snapB)
-          .select(col("source"), col("next_end").as("final_end"))
-        val tailCnt = s.read.parquet(s"$root/tail")
-          .filter(col("as_of_batch") === snapB)
-          .groupBy("source").agg(count(lit(1)).as("_nt"))
-        s.read.parquet(s"$root/out")
-          .join(finalFill, Seq("source"))
-          .join(tailCnt, Seq("source"), "left")
-          .select(col("source"), col("seq_id"), col("n_docs"),
-            col("n_pad"),
-            // scalar-serialized, the j12/a4 convention
-            array_join(col("tokens"), "\u001f").as("tokens"),
-            col("final_end"),
-            coalesce(col("_nt"), lit(0L)).as("n_tail_docs"),
-            lit(nAdmitted).as("n_admitted"),
-            lit(nLedger).as("n_ledger"))
+        // one scan for both ledger cardinalities
+        val lc = s.read.parquet(s"$root/cur/ledger")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("admitted"), 1L).otherwise(0L)).as("na"))
+          .collect()(0)
+        val (nLedger, nAdmitted) = (lc.getLong(0), lc.getLong(1))
+        BpeQueries.readMaterializedSink(s, root)
+          .withColumn("n_admitted", lit(nAdmitted))
+          .withColumn("n_ledger", lit(nLedger))
           .orderBy("source", "seq_id")
           .localCheckpoint()
       } finally CurationSinkQueries.deleteRec(root)
