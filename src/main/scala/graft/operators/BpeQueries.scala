@@ -187,7 +187,12 @@ object BpeQueries extends QueryModule {
   private[operators] def readMaterializedSink(
       s: SparkSession, root: String): DataFrame = {
     val fill = s.read.parquet(s"$root/fill")
-    val snapB = fill.agg(max("as_of_batch")).collect()(0).getLong(0)
+    // a zero-row fill state (nothing ever packed) aggregates max to
+    // NULL — a sentinel no batch id matches yields the empty frame the
+    // oracle's empty output expects, instead of a getLong NPE
+    val snapRow = fill.agg(max("as_of_batch")).collect()(0)
+    val snapB = if (snapRow.isNullAt(0)) Long.MinValue
+                else snapRow.getLong(0)
     val finalFill = fill.filter(col("as_of_batch") === snapB)
       .select(col("source"), col("next_end").as("final_end"))
     val tailCnt = s.read.parquet(s"$root/tail")
@@ -209,17 +214,18 @@ object BpeQueries extends QueryModule {
     * the byte-identity the incremental forms guarantee. Emits the
     * batch index as `batchCol` and each stream's final fill offset as
     * `final_end`. */
-  private def packFoldSql(nBatches: Int, batchCol: String): String =
+  private def packFoldSql(nBatches: Int, batchCol: String,
+      ctx: Int = 384): String =
     s"""WITH $cntsSql,
-       |${foldCtes(s"doc_id % $nBatches, doc_id")},
+       |${foldCtes(s"doc_id % $nBatches, doc_id", ctx)},
        |fe AS (SELECT source, es[-1] AS final_end FROM ends),
        |packed AS (SELECT source, unnest(ids) AS doc_id,
        |                  unnest(es) AS e, unnest(ks) AS k
        |           FROM ends)
        |SELECT p.doc_id, p.source, p.k AS n_tokens,
-       |       p.source || '#' || CAST((p.e - p.k) // 384 AS VARCHAR)
+       |       p.source || '#' || CAST((p.e - p.k) // $ctx AS VARCHAR)
        |         AS seq_id,
-       |       (p.e - p.k) % 384 AS seq_off, FALSE AS overlong,
+       |       (p.e - p.k) % $ctx AS seq_off, FALSE AS overlong,
        |       p.doc_id % $nBatches AS $batchCol, f.final_end
        |-- null-safe state joins in BOTH branches: a null-source stream
        |-- still packs and keeps state (the operator's documented rule),
@@ -233,7 +239,7 @@ object BpeQueries extends QueryModule {
        |       c.doc_id % $nBatches AS $batchCol,
        |       coalesce(f.final_end, 0) AS final_end
        |FROM cnts c LEFT JOIN fe f ON c.source IS NOT DISTINCT FROM f.source
-       |WHERE c.k > 384
+       |WHERE c.k > $ctx
        |ORDER BY doc_id""".stripMargin
 
   private def topPairs(pc: DataFrame, k: Int): DataFrame = {

@@ -85,7 +85,10 @@ object TrainingPipelineQueries extends QueryModule {
         // one scan for both ledger cardinalities
         val lc = s.read.parquet(s"$root/cur/ledger")
           .agg(count(lit(1)).as("n"),
-            sum(when(col("admitted"), 1L).otherwise(0L)).as("na"))
+            // coalesce: sum over ZERO rows is NULL, not 0 — an empty
+            // corpus must report 0/0 like the oracle's count(*)s
+            coalesce(sum(when(col("admitted"), 1L).otherwise(0L)),
+              lit(0L)).as("na"))
           .collect()(0)
         val (nLedger, nAdmitted) = (lc.getLong(0), lc.getLong(1))
         BpeQueries.readMaterializedSink(s, root)

@@ -438,6 +438,25 @@ class CorpusCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(Some("s3")) == ((0L, 1L, 0L, 12L, Some(0L), Some(0L), None)))
   }
 
+  test("readMaterializedSink yields the empty frame (not an NPE) when " +
+      "nothing was ever packed — zero-row fill state aggregates a NULL " +
+      "snapshot id") {
+    val sp = spark
+    import sp.implicits._
+    val root = Files.createTempDirectory("mat_empty").toString
+    try {
+      val sink = graft.streaming.DocumentStreaming.materializeSink(
+        s"$root/fill", s"$root/tail", s"$root/out",
+        "doc_id", "source", "pieces", ctxLen = 10)
+      sink(Seq.empty[(String, String, Seq[String])]
+        .toDF("doc_id", "source", "pieces"), 0L)
+      val got = BpeQueries.readMaterializedSink(sp, root)
+      assert(got.count() == 0)
+      assert(got.columns.toSeq == Seq("source", "seq_id", "n_docs",
+        "n_pad", "tokens", "final_end", "n_tail_docs"))
+    } finally CurationSinkQueries.deleteRec(root)
+  }
+
   test("null-safe final-state join keeps a null-source stream's packed " +
       "AND overlong rows (the x_incremental_pack / x_pack_sink shape)") {
     val sp = spark
