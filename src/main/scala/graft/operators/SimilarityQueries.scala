@@ -307,9 +307,8 @@ object SimilarityQueries extends QueryModule {
       val e = emb(s, dir).cache()
       // the inverted-list layout: corpus partitioned by assigned list
       // (per-JVM path — see v8's concurrent-driver note)
-      val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft_ivf_lists_${ProcessHandle.current().pid()}").toString
+      // per-JVM path, deleted at JVM exit (see core.Scratch scaladoc)
+      val path = graft.core.Scratch.perJvmDir("ivf_lists")
       e.write.mode("overwrite").partitionBy("label").parquet(path)
       val cent = labelSeededCentroids(e, "c_label", "cemb")
         .withColumn("centn", norm(col("cemb")))

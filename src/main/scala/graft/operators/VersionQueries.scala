@@ -181,11 +181,9 @@ object VersionQueries extends QueryModule {
          |WHERE p_size >= 10
          |  AND (p_size < 40 OR (p_size = 40 AND p_partkey % 10 < 5))
          |ORDER BY p_partkey""") { (s, dir) =>
-      // per-JVM path: a fixed shared name lets two concurrent driver JVMs
-      // (Bench + Verify in parallel) clobber each other's layout mid-scan
-      val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft_version_keyed_${ProcessHandle.current().pid()}").toString
+      // per-JVM path, deleted at JVM exit; pid suffix so concurrent
+      // driver JVMs can't clobber each other (see core.Scratch)
+      val path = graft.core.Scratch.perJvmDir("version_keyed")
       graft.sources.VersionKeyed.write(
         withVersion(s, dir).select("p_partkey", "version"),
         "version", "semver", path)
