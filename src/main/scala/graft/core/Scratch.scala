@@ -24,14 +24,20 @@ object Scratch {
     p
   }
 
-  /** Recursive best-effort delete (missing path is a no-op). */
+  /** Recursive best-effort delete (missing path is a no-op). The walk
+    * stream is closed explicitly — callers outside the shutdown hook
+    * (query glue deleting scratch state roots) must not leak a
+    * directory handle until GC. */
   def deleteRec(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(p)) {
-      val it = java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator()
-      while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      val st = java.nio.file.Files.walk(p)
+      try {
+        val it = st
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      } finally st.close()
     }
   }
 }

@@ -186,17 +186,38 @@ object BpeQueries extends QueryModule {
     * x_training_pipeline — glue fixes land here once. */
   private[operators] def readMaterializedSink(
       s: SparkSession, root: String): DataFrame = {
-    val fill = s.read.parquet(s"$root/fill")
-    // a zero-row fill state (nothing ever packed) aggregates max to
-    // NULL — a sentinel no batch id matches yields the empty frame the
-    // oracle's empty output expects, instead of a getLong NPE
-    val snapRow = fill.agg(max("as_of_batch")).collect()(0)
-    val snapB = if (snapRow.isNullAt(0)) Long.MinValue
-                else snapRow.getLong(0)
-    val finalFill = fill.filter(col("as_of_batch") === snapB)
+    // prune to ONE fill partition — the latest batch id on disk — not
+    // the O(batches · state) history union the DocumentStreaming
+    // scaladoc forbids for snapshot reads (readStateSnapshot's rule);
+    // no batch partitions means the flat post-compaction bootstrap
+    // layout, which IS one snapshot already
+    val fillP = new org.apache.hadoop.fs.Path(s"$root/fill")
+    val fs = fillP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val latest: Option[Long] =
+      if (!fs.exists(fillP)) None
+      else fs.listStatus(fillP).toSeq.filter(_.isDirectory)
+        .flatMap(_.getPath.getName match {
+          case n if n.startsWith("batch_id=") =>
+            n.drop("batch_id=".length).toLongOption
+          case _ => None
+        }).maxOption
+    val (fillSnap, tailSnap) = latest match {
+      case Some(b) =>
+        // the sink's torn-pair guard, mirrored: fill and tail are a
+        // paired write, so a fill partition whose tail partition is
+        // missing marks a crash between the two writes — raise rather
+        // than silently reading n_tail_docs = 0
+        val tp = new org.apache.hadoop.fs.Path(s"$root/tail/batch_id=$b")
+        require(fs.exists(tp),
+          s"readMaterializedSink: fill batch_id=$b has no tail partition")
+        (s.read.parquet(s"$root/fill/batch_id=$b"),
+          s.read.parquet(s"$root/tail/batch_id=$b"))
+      case None =>
+        (s.read.parquet(s"$root/fill"), s.read.parquet(s"$root/tail"))
+    }
+    val finalFill = fillSnap
       .select(col("source"), col("next_end").as("final_end"))
-    val tailCnt = s.read.parquet(s"$root/tail")
-      .filter(col("as_of_batch") === snapB)
+    val tailCnt = tailSnap
       .groupBy("source").agg(count(lit(1)).as("_nt"))
     s.read.parquet(s"$root/out")
       .join(finalFill, Seq("source"))

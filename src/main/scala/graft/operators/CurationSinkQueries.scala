@@ -36,7 +36,28 @@ import graft.core.{QueryEntry, QueryModule, Tables}
   */
 object CurationSinkQueries extends QueryModule {
 
-  private val L = 12 // window tokens (the x_incremental_substring grain)
+  /** The ONE curation parameter set. Both Scala glue sites — the
+    * x_curation_sink entry below and TrainingPipelineQueries' composed
+    * chain — pass exactly these to
+    * [[graft.streaming.DocumentStreaming.curationSink]], and the oracle
+    * CTEs interpolate the ones not already pinned by shared SQL helpers
+    * (numHashes/bands are the 16×4 arithmetic inside
+    * CorpusQueries.minhashSigBandsSql that every MinHash oracle shares;
+    * ngramN/shingleN are spelled in the `raw`/vocab CTEs beside it).
+    * Change a value here and every consumer moves together instead of
+    * silently diverging until the hash gate fails at run time. */
+  private[operators] object CurationParams {
+    val ngramN = 2        // dedup shingle width (the `raw` CTE's 2-gram)
+    val numHashes = 16    // MinHash signature width (minhashSigBandsSql)
+    val bands = 4         // LSH band count (minhashSigBandsSql)
+    val threshold = 0.5   // MinHash similarity admission threshold
+    val windowTokens = 12 // substring-strip window grain
+    val shingleN = 3      // contamination vocab shingle width
+    val flagAt = 0.8      // contamination flag rate
+  }
+
+  // window tokens (the x_incremental_substring grain)
+  private val L = CurationParams.windowTokens
 
   /** Per-batch CTE block of the oracle: batch `b`'s quality-passing
     * delta run through MinHash admission vs the admitted-so-far
@@ -66,7 +87,7 @@ object CurationSinkQueries extends QueryModule {
        |    JOIN sigix$b six ON six.doc_id = i.doc_id) c
        |  JOIN sig sa ON sa.doc_id = c.id_a
        |  JOIN sig sb ON sb.doc_id = c.id_b
-       |  WHERE ${CorpusQueries.minhashSimSql("sa", "sb", 0.5)}),
+       |  WHERE ${CorpusQueries.minhashSimSql("sa", "sb", CurationParams.threshold)}),
        |mdd$b AS MATERIALIZED (
        |  SELECT DISTINCT c.id_a AS doc_id FROM (
        |    SELECT DISTINCT a.doc_id AS id_a, d2.doc_id AS id_b
@@ -76,7 +97,7 @@ object CurationSinkQueries extends QueryModule {
        |    JOIN pass$b p2 ON p2.doc_id = d2.doc_id) c
        |  JOIN sig sa ON sa.doc_id = c.id_a
        |  JOIN sig sb ON sb.doc_id = c.id_b
-       |  WHERE ${CorpusQueries.minhashSimSql("sa", "sb", 0.5)}),
+       |  WHERE ${CorpusQueries.minhashSimSql("sa", "sb", CurationParams.threshold)}),
        |keep$b AS MATERIALIZED (
        |  SELECT p.doc_id FROM pass$b p
        |  WHERE NOT EXISTS (SELECT 1 FROM mdi$b x WHERE x.doc_id = p.doc_id)
@@ -155,7 +176,7 @@ object CurationSinkQueries extends QueryModule {
        |cont$b AS MATERIALIZED (SELECT h.doc_id,
        |             CAST(round(CAST(h.n_hit AS DOUBLE) / ct.n_sh, 4)
        |                  AS DOUBLE) AS rate,
-       |             CAST(h.n_hit AS DOUBLE) / ct.n_sh >= 0.8
+       |             CAST(h.n_hit AS DOUBLE) / ct.n_sh >= ${CurationParams.flagAt}
        |               AS contaminated
        |           FROM chit$b h JOIN ctot$b ct USING (doc_id)),
        |adm$b AS MATERIALIZED (
@@ -254,15 +275,9 @@ object CurationSinkQueries extends QueryModule {
        |ORDER BY tt.doc_id""".stripMargin
   }
 
-  private[operators] def deleteRec(root: String): Unit = {
-    val p = java.nio.file.Paths.get(root)
-    if (java.nio.file.Files.exists(p)) {
-      val it = java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator()
-      while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
-    }
-  }
+  /** Recursive-delete lives in one place: [[graft.core.Scratch]]. */
+  private[operators] def deleteRec(root: String): Unit =
+    graft.core.Scratch.deleteRec(root)
 
   override val entries: Seq[QueryEntry] = Seq(
     q("x_curation_sink", sinkOracleSql) { (s, dir) =>
@@ -278,9 +293,12 @@ object CurationSinkQueries extends QueryModule {
       try {
         graft.streaming.DocumentStreaming.registerSuite(s, s"$root/vocab",
           d.filter(isBench), "text", "doc_id", n = 3)
+        val P = CurationParams
         val sink = graft.streaming.DocumentStreaming.curationSink(root,
-          "text", "doc_id", n = 2, numHashes = 16, bands = 4,
-          threshold = 0.5, windowTokens = L, shingleN = 3, flagAt = 0.8)
+          "text", "doc_id", n = P.ngramN, numHashes = P.numHashes,
+          bands = P.bands, threshold = P.threshold,
+          windowTokens = P.windowTokens, shingleN = P.shingleN,
+          flagAt = P.flagAt)
         (0 until 3).foreach { b =>
           sink(corpus.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong)
         }

@@ -66,10 +66,15 @@ object TrainingPipelineQueries extends QueryModule {
       try {
         graft.streaming.DocumentStreaming.registerSuite(s,
           s"$root/cur/vocab", d.filter(isBench), "text", "doc_id", n = 3)
+        // the shared parameter set — x_curation_sink's glue and the
+        // oracle CTEs derive from the same object, so the chain cannot
+        // silently diverge from its oracle on a constant change
+        val P = CurationSinkQueries.CurationParams
         val curate = graft.streaming.DocumentStreaming.curationSink(
-          s"$root/cur", "text", "doc_id", n = 2, numHashes = 16,
-          bands = 4, threshold = 0.5, windowTokens = 12, shingleN = 3,
-          flagAt = 0.8)
+          s"$root/cur", "text", "doc_id", n = P.ngramN,
+          numHashes = P.numHashes, bands = P.bands,
+          threshold = P.threshold, windowTokens = P.windowTokens,
+          shingleN = P.shingleN, flagAt = P.flagAt)
         val mat = graft.streaming.DocumentStreaming.materializeSink(
           s"$root/fill", s"$root/tail", s"$root/out",
           "doc_id", "source", "pieces", ctxLen = Ctx)
