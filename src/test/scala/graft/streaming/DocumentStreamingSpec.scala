@@ -13,6 +13,11 @@ final case class DocArrival(doc_id: Long, text: String, lang: String,
 
 final case class EncodedArrival(doc_id: Long, source: String, n_tok: Long)
 
+final case class TokArrival(doc_id: Long, source: String,
+    pieces: Seq[String])
+
+final case class CurDocArrival(doc_id: Long, text: String)
+
 /** Streaming document dedup/profile under a real readStream with
   * watermarked state (the training-data intake path). */
 class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
@@ -719,6 +724,207 @@ class DocumentStreamingSpec extends AnyFunSuite with SparkTestSession {
         org.apache.spark.sql.functions.col("as_of_batch")).as("ne"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(state == Map("a" -> 20L, "b" -> 14L, "c" -> 3L))
+  }
+
+  test("materializeSink under the real runtime: same-checkpoint restart " +
+      "recovers fill AND carried tail payloads; a fresh checkpoint " +
+      "resumes from compactMaterializeState's re-based snapshot") {
+    // packSink's restart proof (above) covers the fill offsets; this
+    // sink additionally carries PAYLOADS (the still-filling sequences'
+    // token arrays) in the tail state — both restart styles must hand
+    // them across, or a finalized sequence after restart would lose the
+    // docs packed before it
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("matrt").toString
+    val arrivals = s"$root/arrivals"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(arrivals))
+    val (fill, tail) = (s"$root/fill", s"$root/tail")
+    val sinkTo = (o: String) => DocumentStreaming.materializeSink(
+      fill, tail, o, "doc_id", "source", "pieces", ctxLen = 6)
+    val schema = Seq.empty[TokArrival].toDS().schema
+    def land(dir: String, name: String, rows: Seq[TokArrival]): Unit = {
+      val tmp = s"$root/tmp_$name"
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    def run(src: String, ckpt: String, o: String): Unit = {
+      val query = sp.readStream.schema(schema).parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(sinkTo(o)).start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    def seqsOf(o: String, b: Long) =
+      sp.read.parquet(s"$o/batch_id=$b").collect().map(r =>
+        (r.getAs[String]("source"), r.getAs[String]("seq_id"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("n_pad"),
+          r.getAs[scala.collection.Seq[String]]("tokens").mkString(" ")))
+        .toSet
+    val f0 = Seq(TokArrival(1, "a", Seq("x1", "x2", "x3")),
+      TokArrival(2, "b", Seq("y1", "y2")))
+    val f1 = Seq(TokArrival(3, "a", Seq("x4")),
+      TokArrival(4, "b", Seq("y3", "y4", "y5")))
+    val f2 = Seq(TokArrival(5, "a", Seq("x5", "x6", "x7", "x8", "x9")),
+      TokArrival(6, "b", Seq("y6")))
+    land(arrivals, "f0", f0)
+    run(arrivals, s"$root/ckpt", s"$root/out")  // batch 0 = f0
+    // nothing finalizes in f0 — both streams' docs carry in the tail
+    assert(seqsOf(s"$root/out", 0L).isEmpty)
+    land(arrivals, "f1", f1)                    // lands while DOWN
+    run(arrivals, s"$root/ckpt", s"$root/out")  // restart: batch 1 = f1
+    // the restarted runtime finalized a#0 from d1's CARRIED payload +
+    // d3, and b#0 from d2's carried payload alone (d4 jumps the ctx
+    // boundary and carries) — restart handed fill AND tail across
+    assert(seqsOf(s"$root/out", 1L) == Set(
+      ("a", "a#0", 2L, 0L, "x1 x2 x3 [EOS] x4 [EOS]"),
+      ("b", "b#0", 1L, 3L, "y1 y2 [EOS] [PAD] [PAD] [PAD]")))
+    assert(sp.read.parquet(s"$tail/batch_id=1")
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[String]("seq_id"),
+        r.getAs[scala.collection.Seq[String]]("_toks").mkString(" ")))
+      .toSet == Set(("b", "b#1", "y3 y4 y5")))
+    // fresh-checkpoint restart: re-base the state PAIR to the -1
+    // bootstrap, then point the stream at a new landing zone + output
+    DocumentStreaming.compactMaterializeState(sp, fill, tail)
+    val arrivals2 = s"$root/arrivals2"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(arrivals2))
+    land(arrivals2, "f2", f2)
+    run(arrivals2, s"$root/ckpt2", s"$root/out2") // fresh batch 0 = f2
+    // b#1 finalizes with d4's payload read through the COMPACTED tail
+    assert(seqsOf(s"$root/out2", 0L) == Set(
+      ("a", "a#1", 1L, 0L, "x5 x6 x7 x8 x9 [EOS]"),
+      ("b", "b#1", 2L, 0L, "y3 y4 y5 [EOS] y6 [EOS]")))
+    // the three legs together == ONE incrementalMaterialize run over
+    // the concatenated arrival order (sequences, fill, tail)
+    val all = seqsOf(s"$root/out", 0L) ++ seqsOf(s"$root/out", 1L) ++
+      seqsOf(s"$root/out2", 0L)
+    val (c1, f1s, t1s) = graft.operators.Corpus.incrementalMaterialize(
+      (f0 ++ f1 ++ f2).toDF("doc_id", "source", "pieces"),
+      graft.operators.Corpus.emptyPackState(sp),
+      graft.operators.Corpus.emptyMaterializeTail(sp),
+      "doc_id", "source", "pieces", ctxLen = 6)
+    assert(all == c1.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3),
+      r.getAs[scala.collection.Seq[String]](4).mkString(" "))).toSet)
+    assert(t1s.count() == 0L)
+    val fillFinal = sp.read.parquet(s"$fill/batch_id=0")
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("next_end")).toMap
+    assert(fillFinal == Map("a" -> 12L, "b" -> 12L))
+    assert(fillFinal == f1s.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("curationSink under the real runtime: same-checkpoint restart " +
+      "recovers both admission indexes; a fresh checkpoint resumes from " +
+      "compactState'd index bootstraps in a new root") {
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("currt").toString
+    val arrivals = s"$root/arrivals"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(arrivals))
+    val root1 = s"$root/cur1"
+    val sinkAt = (r: String) => DocumentStreaming.curationSink(r,
+      "text", "doc_id", n = 2, numHashes = 16, bands = 4,
+      threshold = 0.5, windowTokens = 4, shingleN = 3, flagAt = 0.8)
+    val schema = Seq.empty[CurDocArrival].toDS().schema
+    def land(dir: String, name: String, rows: Seq[CurDocArrival]): Unit = {
+      val tmp = s"$root/tmp_$name"
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    def run(src: String, ckpt: String, r: String): Unit = {
+      val query = sp.readStream.schema(schema).parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(sinkAt(r)).start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    def ledgerOf(r: String, b: Long) =
+      sp.read.parquet(s"$r/ledger/batch_id=$b").collect().map(x =>
+        x.getAs[Long]("doc_id") -> ((x.getAs[Boolean]("passes"),
+          x.getAs[Boolean]("dup_of_index"),
+          x.getAs[Long]("stripped_tokens"),
+          x.getAs[Boolean]("contaminated"),
+          x.getAs[Boolean]("admitted")))).toMap
+    val d1 = CurDocArrival(1, "the w1 w2 w3 w4 w5 w6 w7")
+    DocumentStreaming.registerSuite(sp, s"$root1/vocab",
+      Seq((100L, (0 to 10).map(j => s"b$j").mkString(" ")))
+        .toDF("doc_id", "text"), "text", "doc_id", n = 3)
+    land(arrivals, "f0", Seq(d1))
+    run(arrivals, s"$root/ckpt", root1)        // batch 0: d1 admitted
+    assert(ledgerOf(root1, 0L) ==
+      Map(1L -> ((true, false, 0L, false, true))))
+    // land while DOWN: a verbatim copy (needs the minhash index), a doc
+    // sharing d1's [w2 w3 w4 w5] window (needs the substring index),
+    // and a fresh doc
+    land(arrivals, "f1", Seq(
+      CurDocArrival(2, d1.text),
+      CurDocArrival(3, "the z1 z2 w2 w3 w4 w5 z3 z4 z5"),
+      CurDocArrival(4, "the q1 q2 q3 q4 q5")))
+    run(arrivals, s"$root/ckpt", root1)        // restart: batch 1 only
+    assert(ledgerOf(root1, 1L) == Map(
+      2L -> ((true, true, 0L, false, false)),   // dup via RECOVERED index
+      3L -> ((true, false, 4L, false, true)),   // stripped via index
+      4L -> ((true, false, 0L, false, true))))
+    assert(sp.read.parquet(s"$root1/admitted/batch_id=1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(3L -> "the z1 z2 z3 z4 z5",
+        4L -> "the q1 q2 q3 q4 q5"))
+    // fresh-checkpoint restart: batch ids restart at 0, which hides
+    // batch-keyed state AND overwrites output partitions — so compact
+    // both APPEND-style indexes to the flat bootstrap and carry them
+    // (plus the flat vocab) into a NEW root
+    DocumentStreaming.compactState(sp, s"$root1/minhash_index",
+      graft.operators.TextDedup.minHashSignatures(
+        Seq.empty[CurDocArrival].toDF("doc_id", "text").limit(0),
+        "text", "doc_id", 2, 16))
+    DocumentStreaming.compactState(sp, s"$root1/substring_index",
+      graft.operators.Corpus.substringDigestIndex(
+        Seq.empty[CurDocArrival].toDF("doc_id", "text").limit(0),
+        "text", "doc_id", 4))
+    val root2 = s"$root/cur2"
+    Seq("minhash_index", "substring_index", "vocab").foreach { d =>
+      sp.read.parquet(s"$root1/$d").write.parquet(s"$root2/$d")
+    }
+    val arrivals2 = s"$root/arrivals2"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(arrivals2))
+    land(arrivals2, "f2", Seq(
+      CurDocArrival(5, d1.text),                       // dup via bootstrap
+      CurDocArrival(6, "the y1 w2 w3 w4 w5 y2 y3 y4"), // strip via bootstrap
+      CurDocArrival(7, "the " + (0 to 10).map(j => s"b$j").mkString(" ")),
+      CurDocArrival(8, "the r1 r2 r3 r4")))
+    run(arrivals2, s"$root/ckpt2", root2)      // fresh batch 0 = f2
+    assert(ledgerOf(root2, 0L) == Map(
+      5L -> ((true, true, 0L, false, false)),
+      6L -> ((true, false, 4L, false, true)),
+      7L -> ((true, false, 0L, true, false)),  // vocab carried: contaminated
+      8L -> ((true, false, 0L, false, true))))
+    // the three legs admit exactly what ONE batch over the whole corpus
+    // admits (this corpus sits in the split-invariance domain)
+    val root3 = s"$root/cur3"
+    Seq("vocab").foreach { d =>
+      sp.read.parquet(s"$root1/$d").write.parquet(s"$root3/$d") }
+    sinkAt(root3)(Seq(
+      d1, CurDocArrival(2, d1.text),
+      CurDocArrival(3, "the z1 z2 w2 w3 w4 w5 z3 z4 z5"),
+      CurDocArrival(4, "the q1 q2 q3 q4 q5"),
+      CurDocArrival(5, d1.text),
+      CurDocArrival(6, "the y1 w2 w3 w4 w5 y2 y3 y4"),
+      CurDocArrival(7, "the " + (0 to 10).map(j => s"b$j").mkString(" ")),
+      CurDocArrival(8, "the r1 r2 r3 r4")).toDF("doc_id", "text"), 0L)
+    def admittedAll(pairs: Seq[(String, Long)]) = pairs.flatMap {
+      case (r, b) => sp.read.parquet(s"$r/admitted/batch_id=$b")
+        .collect().map(x => x.getLong(0) -> x.getString(1)) }.toMap
+    assert(admittedAll(Seq(root1 -> 0L, root1 -> 1L, root2 -> 0L)) ==
+      admittedAll(Seq(root3 -> 0L)))
   }
 
   test("EmbeddingStreaming.admissionSink dedups semantically across batches") {
