@@ -26,6 +26,119 @@ import org.apache.spark.sql.SparkSession
   * clears the catalog cache between queries: each query is measured cold on
   * its own plan, like the driver's per-query verify.
   */
+/** Per-query resource probe (SPARK_GRAFT_BENCH_PROBE=1): snapshots the
+  * JVM/Spark counters that can tell an in-suite slowdown's MECHANISM
+  * apart — the round-18 verdict's s27/a15/d16 "diffuse drift" class ran
+  * 2.6× slower inside the full close than scoped in the same window,
+  * and a label is not a mechanism. Counters, and the hypothesis each
+  * one tests:
+  *   - gc_ms/gc_n (JVM collector MXBeans) + heap_peak_mb (pool peaks,
+  *     reset per rep): old-gen pressure from 240 queries of plan/block
+  *     debris → later queries pay longer collections.
+  *   - storage_used_mb (getExecutorMemoryStatus, before the rep):
+  *     broadcast/localCheckpoint block accumulation the per-query
+  *     unpersist+gc nudge fails to reclaim (ContextCleaner lag).
+  *   - shuffle_files/shuffle_file_mb (blockmgr-* dir walk, before the
+  *     rep): shuffle files from earlier queries still on disk — page
+  *     cache eviction pressure on the rows that re-read their shuffles.
+  *   - sw_mb/sr_mb/spill_mb/task_gc_ms/task_run_ms (stage-aggregated
+  *     TaskMetrics via a listener): whether the EXECUTOR side of the
+  *     query itself did more work in-suite (spill onset) or the same
+  *     work slower (GC share), vs the wall clock growing around it
+  *     (driver/scheduling).
+  *   - codegen_n (CodegenMetrics compilation count delta): whole-stage
+  *     codegen cache (100 plans) eviction — a full suite cycling >100
+  *     plans recompiles what a scoped run hits warm.
+  * All public/DeveloperApi surfaces; probe off (the default) changes
+  * nothing about the artifact shape or the measured loop. */
+private final class BenchProbe(sc: org.apache.spark.SparkContext) {
+  import java.util.concurrent.atomic.LongAdder
+  private val sw, sr, spill, tgc, trun = new LongAdder
+  sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        sw.add(m.shuffleWriteMetrics.bytesWritten)
+        sr.add(m.shuffleReadMetrics.totalBytesRead)
+        spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+        tgc.add(m.jvmGCTime)
+        trun.add(m.executorRunTime)
+      }
+    }
+  })
+  private def gcBeans = java.lang.management.ManagementFactory
+    .getGarbageCollectorMXBeans.asInstanceOf[java.util.List[
+      java.lang.management.GarbageCollectorMXBean]]
+  private def gcSnap: (Long, Long) = {
+    var t = 0L; var n = 0L
+    gcBeans.forEach { b => t += b.getCollectionTime; n += b.getCollectionCount }
+    (t, n)
+  }
+  private def heapPools = java.lang.management.ManagementFactory
+    .getMemoryPoolMXBeans.asInstanceOf[java.util.List[
+      java.lang.management.MemoryPoolMXBean]]
+  private def codegenCount: Long = org.apache.spark.metrics.source
+    .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+  /** (file count, total MB) across this JVM's blockmgr-* local dirs. */
+  private def shuffleFiles: (Long, Double) = {
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    var n = 0L; var bytes = 0L
+    val dirs = java.nio.file.Files.list(tmp)
+    try dirs.filter(p => p.getFileName.toString.startsWith("blockmgr-"))
+      .forEach { d =>
+        val st = java.nio.file.Files.walk(d)
+        try st.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            n += 1; bytes += java.nio.file.Files.size(p)
+          }
+        } finally st.close()
+      }
+    finally dirs.close()
+    (n, bytes / 1048576.0)
+  }
+  private def storageUsedMb: Double = sc.getExecutorMemoryStatus.values
+    .map { case (max, remaining) => max - remaining }.sum / 1048576.0
+  private var g0 = (0L, 0L); private var cg0 = 0L
+  private var s0 = (0L, 0L, 0L, 0L, 0L)
+  private var pre = (0.0, 0L, 0.0)
+  def begin(): Unit = {
+    heapPools.forEach { p =>
+      if (p.getType == java.lang.management.MemoryType.HEAP)
+        p.resetPeakUsage()
+    }
+    val sf = shuffleFiles
+    pre = (storageUsedMb, sf._1, sf._2)
+    g0 = gcSnap; cg0 = codegenCount
+    s0 = (sw.sum, sr.sum, spill.sum, tgc.sum, trun.sum)
+  }
+  def end(): String = {
+    val g1 = gcSnap
+    var peak = 0L
+    heapPools.forEach { p =>
+      if (p.getType == java.lang.management.MemoryType.HEAP)
+        peak += p.getPeakUsage.getUsed
+    }
+    var codeCache = 0L
+    heapPools.forEach { p =>
+      if (p.getName.contains("CodeHeap")) codeCache += p.getUsage.getUsed
+    }
+    def mb(b: Long) = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box(b / 1048576.0))
+    def d1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box(v))
+    s"""{"gc_ms":${g1._1 - g0._1},"gc_n":${g1._2 - g0._2}""" +
+      s""","heap_peak_mb":${mb(peak)},"code_cache_mb":${mb(codeCache)}""" +
+      s""","storage_used_mb":${d1(pre._1)}""" +
+      s""","shuffle_files":${pre._2},"shuffle_file_mb":${d1(pre._3)}""" +
+      s""","sw_mb":${mb(sw.sum - s0._1)},"sr_mb":${mb(sr.sum - s0._2)}""" +
+      s""","spill_mb":${mb(spill.sum - s0._3)}""" +
+      s""","task_gc_ms":${tgc.sum - s0._4}""" +
+      s""","task_run_ms":${trun.sum - s0._5}""" +
+      s""","codegen_n":${codegenCount - cg0}}"""
+  }
+}
+
 object Bench {
   private def f3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -110,9 +223,12 @@ object Bench {
       }.sorted
       times((times.size - 1) / 2)
     }
+    val probe = if (sys.env.get("SPARK_GRAFT_BENCH_PROBE").contains("1"))
+      Some(new BenchProbe(spark.sparkContext)) else None
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val probes = Vector.newBuilder[String]
       val times = (1 to reps).map { _ =>
         // Cold per query: drop catalog-cached plans AND leftover persisted
         // RDDs — localCheckpoint blocks (CC rounds, pair caches) are NOT in
@@ -145,6 +261,7 @@ object Bench {
         // the committed methodology from round 15 on; "count" remains
         // for bridge comparisons against pre-15 artifacts (BASELINE.md
         // records one round of both).
+        probe.foreach(_.begin())
         val ok =
           try {
             val df = fn(spark, sfDir)
@@ -156,6 +273,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
           }
+        probe.foreach(p => probes += p.end())
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else -dt
       }
@@ -173,18 +291,20 @@ object Bench {
       val med =
         if (succ.nonEmpty) succ((succ.size - 1) / 2)
         else times.sorted.apply((reps - 1) / 2)
-      (name, med, times)
+      (name, med, times, probes.result())
     }
     val failed = timed.collect {
-      case (name, _, times) if times.exists(_ < 0) => name
+      case (name, _, times, _) if times.exists(_ < 0) => name
     }
-    val results = timed.map { case (name, med, _) => name -> med }
+    val results = timed.map { case (name, med, _, _) => name -> med }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullJson = timed
-      .map { case (k, med, times) =>
-        if (reps == 1) s"\"" + k + "\":" + med
+      .map { case (k, med, times, prbs) =>
+        val probeJson = if (prbs.isEmpty) ""
+          else ",\"probe\":[" + prbs.mkString(",") + "]"
+        if (reps == 1 && prbs.isEmpty) s"\"" + k + "\":" + med
         else s"\"" + k + "\":{\"median\":" + med +
-          ",\"reps\":[" + times.mkString(",") + "]}"
+          ",\"reps\":[" + times.mkString(",") + "]" + probeJson + "}"
       }
       .mkString(
         s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"mode":"$mode","canary":$canary,"canary_io":$canaryIo,"failed":${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","queries":{""",
