@@ -28,6 +28,7 @@ object SparkEntry {
     SimilarityQueries,
     MultimodalQueries,
     CorpusQueries,
+    QualityClassifierQueries,
     CurationSinkQueries,
     TrainingPipelineQueries,
     StreamingQueries,

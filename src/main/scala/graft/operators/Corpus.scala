@@ -1679,4 +1679,126 @@ object Corpus {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("redacted"))
   }
+
+  /** Hashed feature bucket for the trained quality classifier: the
+    * md5-prefix integer recipe every cross-engine hash here uses
+    * ([[TextDedup]]'s MinHash base), folded into `dims` buckets. The
+    * 13-hex prefix is 52 bits — non-negative, so `%` is already the
+    * bucket. */
+  private def qcBucket(t: Column, dims: Int): Column =
+    conv(substring(md5(t), 1, 13), 16, 10).cast("long") % dims
+
+  /** Per-doc hashed uni+bigram feature buckets (fastText-style: all
+    * n-grams share one `dims`-bucket space). Map-only. */
+  private def qcFeatures(toksCol: Column, dims: Int): Column = {
+    val toks = coalesce(toksCol, array())
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    transform(concat(toks, bigrams), t => qcBucket(t, dims))
+  }
+
+  private val QcZero = new java.math.BigDecimal("0.000000000000") // s=12
+
+  /** Hard-sigmoid link on a decimal z: clamp(0.5 + z/4, 0, 1), every
+    * step rational (+, ×0.25, clamp) — exact in decimal on BOTH
+    * engines, unlike exp(), where JVM StrictMath vs libm can differ in
+    * the last ulp and a single flipped bit diverges the training
+    * trajectory across engines. */
+  private def qcHardSigmoid(z: Column): Column = {
+    val zq = (z * lit(new java.math.BigDecimal("0.25"))) // (24,14) exact
+    least(greatest(lit(new java.math.BigDecimal("0.5")) + zq,
+      lit(0).cast("decimal(24,14)")), lit(1).cast("decimal(24,14)"))
+  }
+
+  /** z = Σ_buckets w[b] + w[bias] as one map-side array fold over the
+    * LITERAL weight vector (no join, no shuffle — the broadcast-apply
+    * the classifier ships with). */
+  private def qcZ(bk: Column, w: Array[java.math.BigDecimal]): Column = {
+    val wArr = array(w.init.map(v => lit(v).cast("decimal(20,12)")): _*)
+    (aggregate(bk, lit(QcZero).cast("decimal(20,12)"),
+      (acc, b) => (acc + element_at(wArr, (b + 1).cast("int")))
+        .cast("decimal(20,12)"))
+      + lit(w.last).cast("decimal(20,12)")).cast("decimal(20,12)")
+  }
+
+  /** The labeled training slice: positives = the exemplar rows,
+    * pseudo-negatives = a FIXED md5 bucket of the rest (hex window
+    * 13..16 of md5(id) — its own window, like every deterministic
+    * sampler here, so the pick is independent of [[splitAssign]] and
+    * friends; the hash IS the seed). Feature buckets computed once. */
+  private def qcLabeled(df: DataFrame, textCol: String, idCol: String,
+      isExemplar: Column, dims: Int, negCut: Int): DataFrame = {
+    val negHash = conv(substring(md5(col(idCol).cast("string")), 13, 4),
+      16, 10).cast("long")
+    df.filter(isExemplar || negHash < negCut)
+      .select(col(idCol), when(isExemplar, 1).otherwise(0).as("_y"),
+        qcFeatures(tokens(col(textCol)), dims).as("_bk"))
+  }
+
+  /** Deterministic exemplar-trained quality classifier — the trained
+    * quality filter of GPT-3-style curation (Brown et al. 2020,
+    * arXiv:2005.14165 Appendix A: a classifier with curated text as
+    * positives and raw crawl as negatives; features are fastText-style
+    * hashed n-grams, Joulin et al. 2016): logistic regression with the
+    * HARD-sigmoid link over `dims`-bucket hashed uni+bigram counts,
+    * trained by `iters` FULL-batch gradient steps on the unnormalized
+    * sum loss (the learning rate absorbs 1/N) in exact decimal
+    * arithmetic — the trainCentroids discipline, so DuckDB recomputes
+    * the weights bit-identically: every operation is +, ×, clamp, or
+    * round-HALF_UP on exact decimals; no exp, no division.
+    *
+    * Returns the dims+1 weight vector (index dims = bias) driver-side
+    * — a BOUNDED collect (dims+1 rows, data-independent), the k-row
+    * trainCentroids state shape. Scale shape: each step is one scan of
+    * the labeled slice (cached once with features computed — the slice
+    * is exemplar + negCut/65536 of the corpus, not the corpus) feeding
+    * a dims-row partial-aggregated shuffle; weights re-enter as a
+    * literal array, so no step joins or broadcasts anything
+    * data-sized. */
+  def trainQualityClassifier(df: DataFrame, textCol: String,
+      idCol: String, isExemplar: Column, dims: Int = 64,
+      iters: Int = 2, negCut: Int = 6554,
+      lr: java.math.BigDecimal = new java.math.BigDecimal("0.000001"))
+      : Array[java.math.BigDecimal] = {
+    require(dims >= 1 && iters >= 0, "dims >= 1, iters >= 0")
+    val labeled = qcLabeled(df, textCol, idCol, isExemplar, dims, negCut)
+      .localCheckpoint()
+    var w = Array.fill(dims + 1)(QcZero)
+    (1 to iters).foreach { _ =>
+      val r = (qcHardSigmoid(qcZ(col("_bk"), w)) - col("_y")).as("_r")
+      val perBucket = labeled.select(r, explode(col("_bk")).as("_b"))
+        .groupBy("_b").agg(sum("_r").as("_g"))
+      val bias = labeled.select(r)
+        .agg(lit(dims.toLong).as("_b"), sum("_r").as("_g"))
+      val grads = perBucket.unionByName(bias)
+        .collect() // bounded: ≤ dims+1 rows, data-independent
+        .map(row => row.getLong(0).toInt ->
+          // an empty labeled slice sums to NULL — train as zero grad
+          Option(row.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+        .toMap
+      w = w.zipWithIndex.map { case (wj, j) =>
+        val g = grads.getOrElse(j, java.math.BigDecimal.ZERO)
+        wj.subtract(lr.multiply(g))
+          .setScale(12, java.math.RoundingMode.HALF_UP)
+      }
+    }
+    w
+  }
+
+  /** Map-only scoring with the trained weights as a LITERAL array:
+    * score = hard-sigmoid(Σ w[bucket(ngram)] + bias), rounded to 6 as
+    * a double (the cross-engine comparison grain every cosine here
+    * uses). Returns (idCol, score, quality_pass = score ≥ 0.5). No
+    * shuffle, no join — scan-speed at 100 TB. */
+  def scoreQuality(df: DataFrame, textCol: String, idCol: String,
+      weights: Array[java.math.BigDecimal], dims: Int = 64): DataFrame = {
+    require(weights.length == dims + 1,
+      s"weights must be dims+1 = ${dims + 1} long, got ${weights.length}")
+    val score = round(
+      qcHardSigmoid(qcZ(qcFeatures(tokens(col(textCol)), dims), weights))
+        .cast("double"), 6)
+    df.select(col(idCol), score.as("score"))
+      .withColumn("quality_pass", col("score") >= 0.5)
+  }
 }
