@@ -51,6 +51,58 @@ import org.apache.spark.sql.SparkSession
   *     plans recompiles what a scoped run hits warm.
   * All public/DeveloperApi surfaces; probe off (the default) changes
   * nothing about the artifact shape or the measured loop. */
+/** Local shuffle-file debris accounting + the pre-rep DRAIN barrier.
+  *
+  * Round-19 finding (the probe's first catch): ContextCleaner reclaims
+  * shuffle files ASYNCHRONOUSLY after the loop's System.gc() nudge, so
+  * the first measured rep after a big shuffle producer inherits its
+  * debris — the scoped a15 first rep ran 10.6 s with 288 files /
+  * 277.7 MB of canary_io leftovers still on disk (deleted DURING the
+  * rep, racing its own IO), vs 3.7 s once clean. In a full run the
+  * debris lands on whichever query follows a heavy shuffle; in a
+  * scoped run it always lands on the first query — a window-dependent
+  * bias in BOTH directions of the full-vs-scoped comparison. The drain
+  * polls the blockmgr dirs after the gc nudge until the cleaner has
+  * caught up (count stable and small) before t0, so every rep starts
+  * from the same clean-disk state. Wait time is bounded and spent
+  * OUTSIDE the measured region. */
+private object ShuffleDebris {
+  /** (file count, total MB) across this JVM's blockmgr-* local dirs. */
+  def snapshot(): (Long, Double) = {
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    var n = 0L; var bytes = 0L
+    val dirs = java.nio.file.Files.list(tmp)
+    try dirs.filter(p => p.getFileName.toString.startsWith("blockmgr-"))
+      .forEach { d =>
+        val st = java.nio.file.Files.walk(d)
+        try st.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            n += 1; bytes += java.nio.file.Files.size(p)
+          }
+        } finally st.close()
+      }
+    finally dirs.close()
+    (n, bytes / 1048576.0)
+  }
+
+  /** Wait (bounded) for the async cleaner to finish deleting earlier
+    * queries' shuffle files: poll until the count is small or the
+    * window closes. No stopped-shrinking early exit — the GC →
+    * reference-queue → cleaner-thread chain can sit idle for hundreds
+    * of ms before the first delete, so "stable" is indistinguishable
+    * from "not started"; instead the gc nudge is re-issued every few
+    * polls (one collection does not always enqueue every weak ref). */
+  def drain(maxWaitMs: Long = 3000): Unit = {
+    val deadline = System.currentTimeMillis + maxWaitMs
+    var polls = 0
+    while (System.currentTimeMillis < deadline && snapshot()._1 > 64) {
+      Thread.sleep(100)
+      polls += 1
+      if (polls % 5 == 0) System.gc()
+    }
+  }
+}
+
 private final class BenchProbe(sc: org.apache.spark.SparkContext) {
   import java.util.concurrent.atomic.LongAdder
   private val sw, sr, spill, tgc, trun = new LongAdder
@@ -80,23 +132,6 @@ private final class BenchProbe(sc: org.apache.spark.SparkContext) {
       java.lang.management.MemoryPoolMXBean]]
   private def codegenCount: Long = org.apache.spark.metrics.source
     .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
-  /** (file count, total MB) across this JVM's blockmgr-* local dirs. */
-  private def shuffleFiles: (Long, Double) = {
-    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    var n = 0L; var bytes = 0L
-    val dirs = java.nio.file.Files.list(tmp)
-    try dirs.filter(p => p.getFileName.toString.startsWith("blockmgr-"))
-      .forEach { d =>
-        val st = java.nio.file.Files.walk(d)
-        try st.forEach { p =>
-          if (java.nio.file.Files.isRegularFile(p)) {
-            n += 1; bytes += java.nio.file.Files.size(p)
-          }
-        } finally st.close()
-      }
-    finally dirs.close()
-    (n, bytes / 1048576.0)
-  }
   private def storageUsedMb: Double = sc.getExecutorMemoryStatus.values
     .map { case (max, remaining) => max - remaining }.sum / 1048576.0
   private var g0 = (0L, 0L); private var cg0 = 0L
@@ -107,7 +142,7 @@ private final class BenchProbe(sc: org.apache.spark.SparkContext) {
       if (p.getType == java.lang.management.MemoryType.HEAP)
         p.resetPeakUsage()
     }
-    val sf = shuffleFiles
+    val sf = ShuffleDebris.snapshot()
     pre = (storageUsedMb, sf._1, sf._2)
     g0 = gcSnap; cg0 = codegenCount
     s0 = (sw.sum, sr.sum, spill.sum, tgc.sum, trun.sum)
@@ -189,6 +224,7 @@ object Bench {
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         System.gc()
+        ShuffleDebris.drain()
         val t0 = System.nanoTime()
         spark.range(0L, 400000000L, 1L, 32)
           .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
@@ -212,6 +248,7 @@ object Bench {
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         System.gc()
+        ShuffleDebris.drain()
         val t0 = System.nanoTime()
         spark.range(0L, 30000000L, 1L, 32)
           .select(org.apache.spark.sql.functions.col("id"),
@@ -261,6 +298,11 @@ object Bench {
         // the committed methodology from round 15 on; "count" remains
         // for bridge comparisons against pre-15 artifacts (BASELINE.md
         // records one round of both).
+        //
+        // Pre-rep drain barrier: see ShuffleDebris — the async cleaner
+        // must not delete the PREVIOUS query's shuffle files inside
+        // this rep's measured region.
+        ShuffleDebris.drain()
         probe.foreach(_.begin())
         val ok =
           try {
