@@ -67,21 +67,54 @@ import org.apache.spark.sql.SparkSession
   * from the same clean-disk state. Wait time is bounded and spent
   * OUTSIDE the measured region. */
 private object ShuffleDebris {
-  /** (file count, total MB) across this JVM's blockmgr-* local dirs. */
-  def snapshot(): (Long, Double) = {
-    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    var n = 0L; var bytes = 0L
-    val dirs = java.nio.file.Files.list(tmp)
-    try dirs.filter(p => p.getFileName.toString.startsWith("blockmgr-"))
-      .forEach { d =>
-        val st = java.nio.file.Files.walk(d)
-        try st.forEach { p =>
-          if (java.nio.file.Files.isRegularFile(p)) {
-            n += 1; bytes += java.nio.file.Files.size(p)
-          }
-        } finally st.close()
+  import java.nio.file.{Files, Path, Paths}
+
+  /** THIS JVM's blockmgr-* dirs, pinned lazily: dirs created after this
+    * JVM started (a crashed earlier run's leftover dir, or a
+    * concurrently running driver that predates us, would otherwise make
+    * every drain spin its full timeout on files our cleaner can never
+    * delete). Spark creates the dir during session init, before the
+    * first snapshot, so the lazy pin always sees it. */
+  private lazy val ownDirs: Seq[Path] = {
+    val jvmStart = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getStartTime
+    val tmp = Paths.get(sys.props("java.io.tmpdir"))
+    val dirs = Files.list(tmp)
+    try {
+      val b = Seq.newBuilder[Path]
+      dirs.forEach { p =>
+        val isOurs = p.getFileName.toString.startsWith("blockmgr-") &&
+          (try Files.readAttributes(p,
+              classOf[java.nio.file.attribute.BasicFileAttributes])
+            .creationTime.toMillis >= jvmStart
+          catch { case _: java.io.IOException => false })
+        if (isOurs) b += p
       }
-    finally dirs.close()
+      b.result()
+    } finally dirs.close()
+  }
+
+  /** (file count, total MB) across this JVM's own blockmgr dirs.
+    * Tolerates files vanishing mid-walk — the ContextCleaner this
+    * exists to observe deletes concurrently, so NoSuchFileException is
+    * the EXPECTED signal, not an error. */
+  def snapshot(): (Long, Double) = {
+    var n = 0L; var bytes = 0L
+    ownDirs.foreach { d =>
+      if (Files.exists(d)) {
+        try {
+          val st = Files.walk(d)
+          try st.forEach { p =>
+            try {
+              if (Files.isRegularFile(p)) { n += 1; bytes += Files.size(p) }
+            } catch { case _: java.io.IOException => () } // deleted mid-stat
+          } finally st.close()
+        } catch {
+          case _: java.io.IOException => ()
+          case _: java.io.UncheckedIOException => () // deleted mid-walk
+        }
+      }
+    }
     (n, bytes / 1048576.0)
   }
 
@@ -148,6 +181,20 @@ private final class BenchProbe(sc: org.apache.spark.SparkContext) {
     s0 = (sw.sum, sr.sum, spill.sum, tgc.sum, trun.sum)
   }
   def end(): String = {
+    // Settle the async listener bus first: the job returning does not
+    // imply its stage-completed events were delivered — without this
+    // the final (typically largest) stage's task metrics land AFTER
+    // the read and silently vanish from the record (and the next
+    // begin() re-baselines over them). Bounded poll until the adders
+    // go quiet. Callers run this OUTSIDE the timed region.
+    var prev = (sw.sum, sr.sum, spill.sum, tgc.sum, trun.sum)
+    var quiet = 0
+    val deadline = System.currentTimeMillis + 1000
+    while (System.currentTimeMillis < deadline && quiet < 2) {
+      Thread.sleep(50)
+      val now = (sw.sum, sr.sum, spill.sum, tgc.sum, trun.sum)
+      if (now == prev) quiet += 1 else { quiet = 0; prev = now }
+    }
     val g1 = gcSnap
     var peak = 0L
     heapPools.forEach { p =>
@@ -280,6 +327,13 @@ object Bench {
         // widest shuffles (tfidf/vocab token aggs) measured 4-6x slower
         // in a full run than in isolation.
         System.gc()
+        // Pre-rep drain barrier: see ShuffleDebris — the async cleaner
+        // must not delete the PREVIOUS query's shuffle files inside
+        // this rep's measured region. BEFORE t0: the wait must never
+        // bill to the rep (the review caught the first cut doing
+        // exactly the bias it was built to remove).
+        ShuffleDebris.drain()
+        probe.foreach(_.begin())
         val t0 = System.nanoTime()
         // A crashed query must NOT masquerade as a fast one: an OOM'd
         // 10x run once recorded 19.7s for a query that takes 73s when it
@@ -298,12 +352,6 @@ object Bench {
         // the committed methodology from round 15 on; "count" remains
         // for bridge comparisons against pre-15 artifacts (BASELINE.md
         // records one round of both).
-        //
-        // Pre-rep drain barrier: see ShuffleDebris — the async cleaner
-        // must not delete the PREVIOUS query's shuffle files inside
-        // this rep's measured region.
-        ShuffleDebris.drain()
-        probe.foreach(_.begin())
         val ok =
           try {
             val df = fn(spark, sfDir)
@@ -315,8 +363,10 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
           }
-        probe.foreach(p => probes += p.end())
         val dt = (System.nanoTime() - t0) / 1e9
+        // end() settles the listener bus (bounded poll) — after dt, so
+        // the wait never bills to the rep
+        probe.foreach(p => probes += p.end())
         if (ok) dt else -dt
       }
       // LOWER median over SUCCESSFUL reps when any exist: a failed rep's

@@ -193,14 +193,10 @@ object BpeQueries extends QueryModule {
     // layout, which IS one snapshot already
     val fillP = new org.apache.hadoop.fs.Path(s"$root/fill")
     val fs = fillP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val latest: Option[Long] =
-      if (!fs.exists(fillP)) None
-      else fs.listStatus(fillP).toSeq.filter(_.isDirectory)
-        .flatMap(_.getPath.getName match {
-          case n if n.startsWith("batch_id=") =>
-            n.drop("batch_id=".length).toLongOption
-          case _ => None
-        }).maxOption
+    // the sink's own batch-dir discovery, shared (one copy of the
+    // visibility rule); Long.MaxValue = "latest on disk"
+    val latest: Option[Long] = graft.streaming.DocumentStreaming
+      .latestVisibleBatch(s, s"$root/fill", Long.MaxValue)
     val (fillSnap, tailSnap) = latest match {
       case Some(b) =>
         // the sink's torn-pair guard, mirrored: fill and tail are a

@@ -73,8 +73,10 @@ object DocumentStreaming {
     df.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
   /** The latest batch id visible to `batchId` in a batch-keyed state
-    * dir, or None when only flat bootstrap files (or nothing) exist. */
-  private[streaming] def latestVisibleBatch(spark: SparkSession,
+    * dir, or None when only flat bootstrap files (or nothing) exist.
+    * private[graft]: BpeQueries' sink read-back glue shares THIS
+    * discovery (one copy of the `batch_id=` parse/visibility rule). */
+  private[graft] def latestVisibleBatch(spark: SparkSession,
       path: String, batchId: Long): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
