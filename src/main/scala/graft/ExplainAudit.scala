@@ -35,7 +35,7 @@ object ExplainAudit {
         "x_chunk_dedup_digest", "x_strip_boilerplate_digest",
         "d20_code_fixes", "x_substring_dedup", "x_lm_perplexity",
         "d17c_apache_buildmeta", "s27_v2_package_list",
-        "x_substring_strip", "x_lm_perplexity3")
+        "x_substring_strip", "x_lm_perplexity3", "x_quality_classifier")
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, dir)
