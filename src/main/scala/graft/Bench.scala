@@ -69,30 +69,34 @@ import org.apache.spark.sql.SparkSession
 private object ShuffleDebris {
   import java.nio.file.{Files, Path, Paths}
 
-  /** THIS JVM's blockmgr-* dirs, pinned lazily: dirs created after this
-    * JVM started (a crashed earlier run's leftover dir, or a
-    * concurrently running driver that predates us, would otherwise make
-    * every drain spin its full timeout on files our cleaner can never
-    * delete). Spark creates the dir during session init, before the
-    * first snapshot, so the lazy pin always sees it. */
-  private lazy val ownDirs: Seq[Path] = {
-    val jvmStart = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getStartTime
+  /** blockmgr-* dirs that existed BEFORE this process created its
+    * SparkSession — captured explicitly by main() ahead of session
+    * init, because file creation-time is not reliable discrimination
+    * (Linux stat commonly reports mtime as creationTime, and an active
+    * foreign driver's dir mtime keeps advancing). Our dir is whatever
+    * appeared afterwards. */
+  @volatile private var preexisting: Set[String] = Set.empty
+  def markPreexisting(): Unit = preexisting = listBlockmgrs().toSet
+
+  private def listBlockmgrs(): Seq[String] = {
     val tmp = Paths.get(sys.props("java.io.tmpdir"))
     val dirs = Files.list(tmp)
     try {
-      val b = Seq.newBuilder[Path]
+      val b = Seq.newBuilder[String]
       dirs.forEach { p =>
-        val isOurs = p.getFileName.toString.startsWith("blockmgr-") &&
-          (try Files.readAttributes(p,
-              classOf[java.nio.file.attribute.BasicFileAttributes])
-            .creationTime.toMillis >= jvmStart
-          catch { case _: java.io.IOException => false })
-        if (isOurs) b += p
+        if (p.getFileName.toString.startsWith("blockmgr-"))
+          b += p.toString
       }
       b.result()
     } finally dirs.close()
   }
+
+  /** THIS JVM's blockmgr dirs: everything not present at the
+    * markPreexisting() snapshot — foreign leftovers and concurrently
+    * running drivers that predate us can never stall the drain on
+    * files our cleaner cannot delete. */
+  private def ownDirs: Seq[Path] =
+    listBlockmgrs().filterNot(preexisting).map(Paths.get(_))
 
   /** (file count, total MB) across this JVM's own blockmgr dirs.
     * Tolerates files vanishing mid-walk — the ContextCleaner this
@@ -133,6 +137,15 @@ private object ShuffleDebris {
       polls += 1
       if (polls % 5 == 0) System.gc()
     }
+    // a timeout exit must be OBSERVABLE, not silent: a rep measured
+    // with deletion still racing its IO is exactly the bias this
+    // barrier removes, and an artifact claiming drained reps must not
+    // quietly stop being one
+    val leftover = snapshot()._1
+    if (leftover > 64)
+      System.err.println(
+        s"[bench] drain TIMED OUT with $leftover shuffle files on disk " +
+          "— this rep is NOT debris-clean")
   }
 }
 
@@ -191,7 +204,7 @@ private final class BenchProbe(sc: org.apache.spark.SparkContext) {
     var quiet = 0
     val deadline = System.currentTimeMillis + 1000
     while (System.currentTimeMillis < deadline && quiet < 2) {
-      Thread.sleep(50)
+      Thread.sleep(15) // short poll: the quiet-bus floor is ~30 ms/rep
       val now = (sw.sum, sr.sum, spill.sum, tgc.sum, trun.sum)
       if (now == prev) quiet += 1 else { quiet = 0; prev = now }
     }
@@ -228,6 +241,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // before session init: pin which blockmgr dirs are NOT ours
+    ShuffleDebris.markPreexisting()
     val spark = graft.core.Sessions
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()

@@ -1767,11 +1767,13 @@ object Corpus {
     var w = Array.fill(dims + 1)(QcZero)
     (1 to iters).foreach { _ =>
       val r = (qcHardSigmoid(qcZ(col("_bk"), w)) - col("_y")).as("_r")
-      val perBucket = labeled.select(r, explode(col("_bk")).as("_b"))
+      // ONE scan per step: appending the bias index to each doc's
+      // bucket list makes the bias gradient (one r per doc) fall out
+      // of the same explode+sum as the per-bucket gradients
+      val grads = labeled
+        .select(r, explode(concat(col("_bk"),
+          array(lit(dims.toLong)))).as("_b"))
         .groupBy("_b").agg(sum("_r").as("_g"))
-      val bias = labeled.select(r)
-        .agg(lit(dims.toLong).as("_b"), sum("_r").as("_g"))
-      val grads = perBucket.unionByName(bias)
         .collect() // bounded: ≤ dims+1 rows, data-independent
         .map(row => row.getLong(0).toInt ->
           // an empty labeled slice sums to NULL — train as zero grad

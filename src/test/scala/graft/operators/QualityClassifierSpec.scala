@@ -14,7 +14,7 @@ class QualityClassifierSpec extends AnyFunSuite with SparkTestSession {
   private def fixture = {
     val sp = spark
     import sp.implicits._
-    // ids < 100 with id % 7 == 0 are "exemplars" (curated-looking text
+    // ids 0..59; id % 7 == 0 are "exemplars" (curated-looking text
     // with shared vocabulary); the rest is crawl-looking filler. The
     // pseudo-negative pick is the md5 window — data-independent.
     (0L until 60L).map { id =>
@@ -35,7 +35,10 @@ class QualityClassifierSpec extends AnyFunSuite with SparkTestSession {
       dims = 16, iters = 2, negCut = 65536)
     assert(w1.length == 17)
     assert(w1.toSeq == w2.toSeq)
-    // every weight moved off zero with the full corpus as negatives
+    // training moved: the bias weight is deterministically negative
+    // here (negatives outnumber exemplars 51:9, so step 1's bias
+    // gradient is +0.5·51 − 0.5·9 > 0 and w_bias steps below zero)
+    assert(w1.last.signum < 0)
     assert(w1.exists(_.signum != 0))
   }
 
