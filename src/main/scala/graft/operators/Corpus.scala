@@ -1759,12 +1759,19 @@ object Corpus {
   def trainQualityClassifier(df: DataFrame, textCol: String,
       idCol: String, isExemplar: Column, dims: Int = 64,
       iters: Int = 2, negCut: Int = 6554,
-      lr: java.math.BigDecimal = new java.math.BigDecimal("0.000001"))
+      lr: java.math.BigDecimal = new java.math.BigDecimal("0.000001"),
+      init: Option[Array[java.math.BigDecimal]] = None)
       : Array[java.math.BigDecimal] = {
     require(dims >= 1 && iters >= 0, "dims >= 1, iters >= 0")
+    require(init.forall(_.length == dims + 1),
+      s"init weights must be dims+1 = ${dims + 1} long")
     val labeled = qcLabeled(df, textCol, idCol, isExemplar, dims, negCut)
       .localCheckpoint()
-    var w = Array.fill(dims + 1)(QcZero)
+    // `init` makes the trainer resumable: the incremental form carries
+    // the weight vector across arrival batches (one step per batch,
+    // each over that batch's labeled slice) — the admission-sink
+    // pattern with a dims+1-row SNAPSHOT state instead of an index
+    var w = init.map(_.clone()).getOrElse(Array.fill(dims + 1)(QcZero))
     (1 to iters).foreach { _ =>
       val r = (qcHardSigmoid(qcZ(col("_bk"), w)) - col("_y")).as("_r")
       // ONE scan per step: appending the bias index to each doc's
