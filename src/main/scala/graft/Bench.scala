@@ -152,9 +152,19 @@ private object ShuffleDebris {
 private final class BenchProbe(sc: org.apache.spark.SparkContext) {
   import java.util.concurrent.atomic.LongAdder
   private val sw, sr, spill, tgc, trun = new LongAdder
+  // round-19: job/stage/task counts — a query whose wall clock dwarfs its
+  // summed task time is DRIVER-bound (sequential planning/scheduling/
+  // codegen of many small jobs), and the job count is the divisor that
+  // turns "slow query" into "N jobs × fixed per-job overhead"
+  private val jobs, stages, tasks = new LongAdder
   sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    override def onJobStart(
+        e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.add(1)
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.add(1)
+      tasks.add(e.stageInfo.numTasks.toLong)
       val m = e.stageInfo.taskMetrics
       if (m != null) {
         sw.add(m.shuffleWriteMetrics.bytesWritten)
@@ -178,10 +188,20 @@ private final class BenchProbe(sc: org.apache.spark.SparkContext) {
       java.lang.management.MemoryPoolMXBean]]
   private def codegenCount: Long = org.apache.spark.metrics.source
     .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+  /** Approximate total janino compile ms so far: histogram mean × count.
+    * The reservoir is sampled, so per-query deltas are an ESTIMATE — good
+    * for attribution (is compile time a 5% or a 50% share), not for
+    * sub-percent bookkeeping. */
+  private def codegenMsApprox: Double = {
+    val h = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME
+    h.getSnapshot.getMean * h.getCount
+  }
   private def storageUsedMb: Double = sc.getExecutorMemoryStatus.values
     .map { case (max, remaining) => max - remaining }.sum / 1048576.0
-  private var g0 = (0L, 0L); private var cg0 = 0L
+  private var g0 = (0L, 0L); private var cg0 = 0L; private var cgMs0 = 0.0
   private var s0 = (0L, 0L, 0L, 0L, 0L)
+  private var j0 = (0L, 0L, 0L)
   private var pre = (0.0, 0L, 0.0)
   def begin(): Unit = {
     heapPools.forEach { p =>
@@ -190,8 +210,9 @@ private final class BenchProbe(sc: org.apache.spark.SparkContext) {
     }
     val sf = ShuffleDebris.snapshot()
     pre = (storageUsedMb, sf._1, sf._2)
-    g0 = gcSnap; cg0 = codegenCount
+    g0 = gcSnap; cg0 = codegenCount; cgMs0 = codegenMsApprox
     s0 = (sw.sum, sr.sum, spill.sum, tgc.sum, trun.sum)
+    j0 = (jobs.sum, stages.sum, tasks.sum)
   }
   def end(): String = {
     // Settle the async listener bus first: the job returning does not
@@ -230,7 +251,10 @@ private final class BenchProbe(sc: org.apache.spark.SparkContext) {
       s""","spill_mb":${mb(spill.sum - s0._3)}""" +
       s""","task_gc_ms":${tgc.sum - s0._4}""" +
       s""","task_run_ms":${trun.sum - s0._5}""" +
-      s""","codegen_n":${codegenCount - cg0}}"""
+      s""","jobs":${jobs.sum - j0._1},"stages":${stages.sum - j0._2}""" +
+      s""","tasks":${tasks.sum - j0._3}""" +
+      s""","codegen_n":${codegenCount - cg0}""" +
+      s""","codegen_ms_est":${d1(codegenMsApprox - cgMs0)}}"""
   }
 }
 

@@ -16,6 +16,19 @@ object Sessions {
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Whole-stage-codegen class cache: MEASURED, then left at the
+      // default 100. The r19 probe counted ~1,800 janino compilations
+      // per bench close (identical sources re-compiled across
+      // micro-batches/reps), so a 4096-entry cache was tried: it did
+      // eliminate the recompiles (codegen_n → 0 in the warm rep,
+      // BENCH_R19OPT_A.json) but that full run read ~2× slower with
+      // 10-30× task GC — partially confounded by a VM ambient-noise
+      // phase the same session later proved can inflate identical code
+      // 4× (R19AbProbe round 4: old == new once the burst passed), but
+      // the GC/metaspace direction of a 4096-class pin is real and the
+      // compile saving is bounded (~10-20 ms × ~1,800 ≈ well under 10%
+      // of a close). Default kept: eviction keeps generated classes
+      // collectable, and the risk/reward is upside-down.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.shuffle.partitions", cpus)

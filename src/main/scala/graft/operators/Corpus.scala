@@ -1731,8 +1731,13 @@ object Corpus {
       isExemplar: Column, dims: Int, negCut: Int): DataFrame = {
     val negHash = conv(substring(md5(col(idCol).cast("string")), 13, 4),
       16, 10).cast("long")
-    df.filter(isExemplar || negHash < negCut)
-      .select(col(idCol), when(isExemplar, 1).otherwise(0).as("_y"),
+    // FanOut BEFORE the feature hashing: one md5 per uni/bigram is
+    // compute-heavy per row, and a single-row-group scan otherwise
+    // serializes it on one core (no-op at scale — the guard)
+    graft.core.FanOut(df.filter(isExemplar || negHash < negCut)
+        .select(col(idCol), when(isExemplar, 1).otherwise(0).as("_y"),
+          col(textCol)))
+      .select(col(idCol), col("_y"),
         qcFeatures(tokens(col(textCol)), dims).as("_bk"))
   }
 
@@ -1807,7 +1812,11 @@ object Corpus {
     val score = round(
       qcHardSigmoid(qcZ(qcFeatures(tokens(col(textCol)), dims), weights))
         .cast("double"), 6)
-    df.select(col(idCol), score.as("score"))
+    // FanOut: the per-ngram md5 + decimal fold is the heavy part; a
+    // single-row-group scan otherwise runs it on one core (no-op at
+    // scale — the guard)
+    graft.core.FanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), score.as("score"))
       .withColumn("quality_pass", col("score") >= 0.5)
   }
 }

@@ -352,18 +352,32 @@ object DocumentStreaming {
       n: Int = 2, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, windowTokens: Int = 20,
       shingleN: Int = 3, flagAt: Double = 0.8)
-      : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val spark = batch.sparkSession
+      : (DataFrame, Long) => Unit = { (batch0, batchId) =>
+    val spark = batch0.sparkSession
     import graft.operators.{Corpus, TextDedup}
 
-    val quality = Corpus.qualityFlags(batch, textCol)
-      .select(col(idCol), col("passes"))
+    // ONE materialization of the arrival batch, quality flag included
+    // (qualityFlags is map-only). Every stage below consumes the batch
+    // — signatures, strip base, ledger — and each previously re-planned
+    // and re-scanned the caller's source subtree per consumer; the r19
+    // probe measured the resulting ~500 whole-stage-codegen compilations
+    // per 3-batch run as this sink's dominant cost on bounded batches
+    // (wall ≈ driver time, executors near-idle). A micro-batch is
+    // bounded by contract, so checkpointing it is the standard
+    // foreachBatch idiom (persist the batch when consumed more than
+    // once) and scale-safe; it also removes the quality-filter JOIN —
+    // `passes` rides the checkpoint as a column instead.
+    val arrival = Corpus.qualityFlags(
+        batch0.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col(textCol), col("passes"))
+      .localCheckpoint()
+    val quality = arrival.select(col(idCol), col("passes"))
     // only quality-passing docs enter dedup/strip (see scaladoc)
-    val qualified = batch.join(
-      quality.filter(col("passes")).select(col(idCol)), Seq(idCol))
+    val qualified = arrival.filter(col("passes"))
+      .select(col(idCol), col(textCol))
 
     val sigIndex = readState(spark, s"$root/minhash_index", TextDedup
-      .minHashSignatures(batch.limit(0), textCol, idCol, n, numHashes),
+      .minHashSignatures(arrival.limit(0), textCol, idCol, n, numHashes),
       batchId)
     // decisions come back checkpointed; keptSig derives from that
     // checkpoint plus the checkpointed signatures (no second index join)
@@ -374,7 +388,7 @@ object DocumentStreaming {
       Seq(idCol))
 
     val subIndex = readState(spark, s"$root/substring_index", Corpus
-      .substringDigestIndex(batch.limit(0), textCol, idCol, windowTokens),
+      .substringDigestIndex(arrival.limit(0), textCol, idCol, windowTokens),
       batchId)
     val (strippedRaw, _) = Corpus.incrementalSubstringStrip(
       keptDocs, subIndex, textCol, idCol, windowTokens)
@@ -382,7 +396,7 @@ object DocumentStreaming {
 
     val vocab = {
       val empty =
-        Corpus.benchmarkVocab(batch.limit(0), textCol, idCol, shingleN)
+        Corpus.benchmarkVocab(arrival.limit(0), textCol, idCol, shingleN)
       try spark.read.schema(empty.schema).parquet(s"$root/vocab")
       catch { case _: org.apache.spark.sql.AnalysisException => empty }
     }
@@ -531,8 +545,14 @@ object DocumentStreaming {
   def materializeSink(fillPath: String, tailPath: String,
       outPath: String, idCol: String, groupCol: String, tokCol: String,
       ctxLen: Int, eos: String = "[EOS]", pad: String = "[PAD]")
-      : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val spark = batch.sparkSession
+      : (DataFrame, Long) => Unit = { (batch0, batchId) =>
+    val spark = batch0.sparkSession
+    // incrementalMaterialize consumes the batch TWICE (token counts for
+    // the fill, then the payload join) — materialize the bounded
+    // micro-batch once so the caller's source subtree (often a read +
+    // join + tokenize) is neither re-planned nor re-executed per
+    // consumer (the foreachBatch persist-the-batch idiom)
+    val batch = batch0.localCheckpoint()
     val emptyFill = graft.operators.Corpus.emptyPackState(spark, groupCol)
       .withColumn("as_of_batch", lit(0L))
     val emptyTail = graft.operators.Corpus
