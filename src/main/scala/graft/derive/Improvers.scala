@@ -112,7 +112,13 @@ object Improvers {
       nullif(regexp_extract(col("affecting_vers"), "^vers:([^/]+)/", 1),
         lit("")),
       col("ptype"))
-    val perImpact = impacts
+    // FanOut before the native vers parse/render: per-impact endpoint
+    // resolution is the heavy per-row work and a single-row-group scan
+    // otherwise runs it on one core (no-op at scale — the guard).
+    // Row multiplicities are preserved (round-robin repartition), which
+    // this operator's contract requires — duplicate impacts emit
+    // duplicate inferences.
+    val perImpact = graft.core.FanOut(impacts)
       .withColumn("affected_versions",
         renderAll(scheme, resolvedEndpoints(col("affecting_vers"))))
       .withColumn("fixed_versions", renderAll(scheme, concat(
@@ -234,15 +240,27 @@ object Improvers {
     *                   record JSON (null/unparseable → PUBLISHED)
     */
   def vulnerabilityStatuses(cveRecords: DataFrame): DataFrame = {
-    val tags = from_json(
-      get_json_object(col("body"), "$.containers.cna.tags"),
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType))
-    val state = get_json_object(col("body"), "$.cveMetadata.state")
-    cveRecords.select(col("cve_id"),
-      when(coalesce(array_contains(tags, "disputed"), lit(false)), 2)
-        .when(state === "REJECTED", 3)
-        .otherwise(1).as("status"))
+    import org.apache.spark.sql.types._
+    // ONE from_json instead of two get_json_object + a from_json: each
+    // get_json_object re-parses the record, so the old shape paid three
+    // JSON parses per row; a struct-schema parse pays one and the
+    // accessors are free field reads. FanOut first: the parse is the
+    // per-row heavy part and a single-row-group scan otherwise runs the
+    // whole corpus on one core (no-op at scale — the guard).
+    val schema = StructType(Seq(
+      StructField("cveMetadata",
+        StructType(Seq(StructField("state", StringType)))),
+      StructField("containers", StructType(Seq(StructField("cna",
+        StructType(Seq(StructField("tags",
+          ArrayType(StringType))))))))))
+    val p = from_json(col("body"), schema)
+    graft.core.FanOut(cveRecords.select(col("cve_id"), col("body")))
+      .select(col("cve_id"),
+        when(coalesce(array_contains(
+          p.getField("containers").getField("cna").getField("tags"),
+          "disputed"), lit(false)), 2)
+          .when(p.getField("cveMetadata").getField("state") === "REJECTED", 3)
+          .otherwise(1).as("status"))
   }
 
   /** ValidVersionImprover.get_inferences + generate_inferences

@@ -58,7 +58,9 @@ object BpeQueries extends QueryModule {
   /** Per-(doc, source) BPE token counts after ONE learned merge (the
     * x_bpe_encode shape, with the source stream carried for packing). */
   private def encodedCounts(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    // FanOut before the per-token explode + dimension probe: the
+    // single-row-group scan otherwise runs the whole encode serially
+    graft.core.FanOut(docs(s, dir))
       .select(col("doc_id"), col("source"),
         explode(Corpus.tokens(col("text"))).as("word"))
       .join(broadcast(segPieces(s, dir)
@@ -71,7 +73,8 @@ object BpeQueries extends QueryModule {
     * payload twin of [[encodedCounts]] (size(pieces) == bpe_tokens by
     * construction: same [[segPieces]] dimension). */
   private def encodedTokens(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    // FanOut: same reason as encodedCounts (serial scan stage)
+    graft.core.FanOut(docs(s, dir))
       .select(col("doc_id"), col("source"),
         posexplode(Corpus.tokens(col("text"))).as(Seq("pos", "word")))
       .join(broadcast(segPieces(s, dir)), Seq("word"))

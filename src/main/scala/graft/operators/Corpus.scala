@@ -901,6 +901,11 @@ object Corpus {
         s"transform(sequence(${order - 1}, size(_toks) - 1), " +
           s"i -> named_struct($structFields))")).as("_b"): _*)
       .select(keep ++ ws.map(w => col(s"_b.$w")): _*)
+    // FanOut the raw corpus side before its per-ngram expansion + the
+    // broadcast-join scoring chain: with a single-row-group scan the
+    // whole tokenize→explode→join→partial-agg pipeline otherwise runs
+    // in ONE task (no-op at scale). Reference side is exemplar-sized.
+    val rawFo = graft.core.FanOut(raw.select(col(idCol), col(textCol)))
     val refN = ngrams(reference)
     val nCounts = refN.groupBy(ws.head, ws.tail: _*)
       .agg(count(lit(1)).as("cb"))
@@ -914,7 +919,7 @@ object Corpus {
       .reduce(_ unionAll _)
       .agg(countDistinct(col("w1")).as("v"))
     val nName = if (order == 2) "n_bigrams" else "n_ngrams"
-    ngrams(raw, col(idCol))
+    ngrams(rawFo, col(idCol))
       .join(broadcast(nCounts), ws, "left")
       .join(broadcast(uniCounts), hist, "left")
       .crossJoin(broadcast(vocab))
@@ -1232,7 +1237,11 @@ object Corpus {
         .withColumn("bucket",
           pmod(conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"),
             lit(buckets.toLong)))
-    val rawTok = tok(raw)
+    // FanOut the corpus side before the per-token md5 bucketing (tok is
+    // consumed twice below — counts and the scoring join — and a
+    // single-row-group scan runs both passes on one core; no-op at
+    // scale). The bounded target side stays as-is.
+    val rawTok = tok(graft.core.FanOut(raw.select(col(idCol), col(textCol))))
     val ct = tok(target).groupBy("bucket").agg(count(lit(1)).as("ct"))
     val cr = rawTok.groupBy("bucket").agg(count(lit(1)).as("cr"))
     // outer-join the two bounded count tables: a bucket seen on only
@@ -1396,8 +1405,11 @@ object Corpus {
     * Bootstrap = this function over the initial corpus. */
   def bm25IndexDelta(df: DataFrame, textCol: String,
       idCol: String): (DataFrame, DataFrame) = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("token"))
+    // FanOut before tokenize/explode: a single-row-group scan otherwise
+    // runs the whole per-token pass on one core (no-op at scale)
+    val toks = graft.core.FanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("token"))
     val perDoc = toks.groupBy("id", "token").agg(count(lit(1)).as("tc"))
     val docLen = perDoc.groupBy("id").agg(sum("tc").as("n_toks"))
     (perDoc, docLen)

@@ -464,14 +464,24 @@ object ServingQueries extends QueryModule {
         |FROM members m JOIN links l USING (avid)
         |GROUP BY m.set_id, l.patch_kind
         |ORDER BY set_id, patch_kind""") { (s, dir) =>
+      // distinct the LONG pre-images first, synthesize strings after:
+      // patchSetMap dedups anyway (collect_set), so the distinct is
+      // lossless — but keyed on 4 narrow longs (≤50·2·97·7 groups) the
+      // partial agg in the serial scan stage is cheap and the exchange
+      // narrow (§2.3), and the 600k md5/concat evaluations collapse to
+      // one per distinct row, computed post-shuffle across all cores
       val links = Tables(s, dir, "lineitem").select(
-        concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
-        when(pmod(col("l_linenumber"), lit(2)) === 0, "introduced")
-          .otherwise("fixed").as("patch_kind"),
-        md5(pmod(col("l_partkey"), lit(97)).cast("string"))
-          .as("commit_hash"),
-        concat(lit("https://git.example/r"), pmod(col("l_suppkey"), lit(7)))
-          .as("vcs_url"))
+          pmod(col("l_orderkey"), lit(50)).as("_a"),
+          pmod(col("l_linenumber"), lit(2)).as("_k"),
+          pmod(col("l_partkey"), lit(97)).as("_c"),
+          pmod(col("l_suppkey"), lit(7)).as("_v"))
+        .distinct()
+        .select(
+          concat(lit("adv/"), col("_a")).as("avid"),
+          when(col("_k") === 0, "introduced").otherwise("fixed")
+            .as("patch_kind"),
+          md5(col("_c").cast("string")).as("commit_hash"),
+          concat(lit("https://git.example/r"), col("_v")).as("vcs_url"))
       val members = Tables(s, dir, "orders").select(
         pmod(col("o_orderkey"), lit(30)).as("set_id"),
         concat(lit("adv/"), pmod(col("o_custkey"), lit(50))).as("avid"))
@@ -510,14 +520,24 @@ object ServingQueries extends QueryModule {
         |       array_to_string(list_sort(list(source_url || '|' || t)), ',')
         |         AS trees
         |FROM per_src GROUP BY set_id ORDER BY set_id""") { (s, dir) =>
+      // same treatment as s22: distinct the long/bool pre-images first
+      // (≤50·7·2·3·9 groups; min-struct aggregation downstream is
+      // multiplicity-insensitive so the distinct is lossless), then
+      // synthesize the strings once per distinct row post-shuffle
       val ssvc = Tables(s, dir, "lineitem").select(
-        concat(lit("adv/"), pmod(col("l_orderkey"), lit(50))).as("avid"),
-        concat(lit("E:"), col("l_linenumber")).as("vector"),
-        when(col("l_quantity") > 25, "Act").otherwise("Track")
-          .as("decision"),
-        concat(lit("o"), pmod(col("l_suppkey"), lit(3))).as("options"),
-        concat(lit("https://ssvc.example/s"), pmod(col("l_partkey"), lit(9)))
-          .as("source_url"))
+          pmod(col("l_orderkey"), lit(50)).as("_a"),
+          col("l_linenumber").as("_ln"),
+          (col("l_quantity") > 25).as("_act"),
+          pmod(col("l_suppkey"), lit(3)).as("_o"),
+          pmod(col("l_partkey"), lit(9)).as("_s"))
+        .distinct()
+        .select(
+          concat(lit("adv/"), col("_a")).as("avid"),
+          concat(lit("E:"), col("_ln")).as("vector"),
+          when(col("_act"), "Act").otherwise("Track").as("decision"),
+          concat(lit("o"), col("_o")).as("options"),
+          concat(lit("https://ssvc.example/s"), col("_s"))
+            .as("source_url"))
       val members = Tables(s, dir, "orders").select(
         pmod(col("o_orderkey"), lit(30)).as("set_id"),
         concat(lit("adv/"), pmod(col("o_custkey"), lit(50))).as("avid"))
