@@ -1824,11 +1824,10 @@ object Corpus {
     val score = round(
       qcHardSigmoid(qcZ(qcFeatures(tokens(col(textCol)), dims), weights))
         .cast("double"), 6)
-    // FanOut: the per-ngram md5 + decimal fold is the heavy part; a
-    // single-row-group scan otherwise runs it on one core (no-op at
-    // scale — the guard)
-    graft.core.FanOut(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), score.as("score"))
+    // stays map-only by contract (QualityClassifierSpec pins the
+    // shuffle-free plan); callers whose scan supplies too few
+    // partitions FanOut the input themselves (the oracle queries do)
+    df.select(col(idCol), score.as("score"))
       .withColumn("quality_pass", col("score") >= 0.5)
   }
 }

@@ -142,8 +142,13 @@ object QualityClassifierQueries extends QueryModule {
       val w = Corpus.trainQualityClassifier(d, "text", "doc_id", isEx,
         dims = Dims, iters = 2, negCut = NegCut,
         lr = new java.math.BigDecimal(Lr))
-      Corpus.scoreQuality(d.filter(!isEx), "text", "doc_id", w,
-        dims = Dims)
+      // FanOut the corpus before map-only scoring: the per-ngram md5 +
+      // decimal fold is the heavy part, and the single-row-group scan
+      // otherwise runs it on one core (no-op at scale — the guard; the
+      // operator itself stays shuffle-free by contract)
+      Corpus.scoreQuality(
+          graft.core.FanOut(d.filter(!isEx).select("doc_id", "text")),
+          "text", "doc_id", w, dims = Dims)
         .orderBy("doc_id")
     },
 
@@ -164,8 +169,10 @@ object QualityClassifierQueries extends QueryModule {
           isEx, dims = Dims, iters = 1, negCut = NegCut,
           lr = new java.math.BigDecimal(Lr), init = w))
       }
-      Corpus.scoreQuality(d.filter(!isEx), "text", "doc_id", w.get,
-        dims = Dims)
+      // FanOut before map-only scoring — same reasoning as the batch row
+      Corpus.scoreQuality(
+          graft.core.FanOut(d.filter(!isEx).select("doc_id", "text")),
+          "text", "doc_id", w.get, dims = Dims)
         .orderBy("doc_id")
     })
 }

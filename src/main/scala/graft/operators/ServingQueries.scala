@@ -476,6 +476,11 @@ object ServingQueries extends QueryModule {
           pmod(col("l_partkey"), lit(97)).as("_c"),
           pmod(col("l_suppkey"), lit(7)).as("_v"))
         .distinct()
+        // repartition barrier: without it CollapseProject merges the
+        // string synthesis INTO the aggregate keys and the md5 runs per
+        // raw row again (verified in the first after-plan); the exchange
+        // carries only the distinct long tuples
+        .repartition(s.sparkContext.defaultParallelism)
         .select(
           concat(lit("adv/"), col("_a")).as("avid"),
           when(col("_k") === 0, "introduced").otherwise("fixed")
@@ -531,6 +536,10 @@ object ServingQueries extends QueryModule {
           pmod(col("l_suppkey"), lit(3)).as("_o"),
           pmod(col("l_partkey"), lit(9)).as("_s"))
         .distinct()
+        // repartition barrier — see s22: keeps the synthesis out of the
+        // aggregate keys (CollapseProject) so it runs once per distinct
+        // long tuple, post-shuffle
+        .repartition(s.sparkContext.defaultParallelism)
         .select(
           concat(lit("adv/"), col("_a")).as("avid"),
           concat(lit("E:"), col("_ln")).as("vector"),
