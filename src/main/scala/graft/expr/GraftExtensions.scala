@@ -118,6 +118,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         })
       }))
     e.injectFunction((
+      new FunctionIdentifier("qc_buckets_native"),
+      new ExpressionInfo(classOf[QcBucketsExpr].getName,
+        "qc_buckets_native"),
+      (args: Seq[Expression]) => {
+        arity("qc_buckets_native", 2, args)
+        QcBucketsExpr(args(0), args(1) match {
+          case l: Literal => l.value.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"qc_buckets_native dims must be a literal, got $other")
+        })
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("qc_z_native"),
+      new ExpressionInfo(classOf[QcZExpr].getName, "qc_z_native"),
+      (args: Seq[Expression]) => {
+        arity("qc_z_native", 2, args)
+        QcZExpr(args(0), args(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("rolling_window_digests_native"),
       new ExpressionInfo(classOf[RollingWindowDigestsExpr].getName,
         "rolling_window_digests_native"),

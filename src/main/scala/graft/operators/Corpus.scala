@@ -1692,23 +1692,19 @@ object Corpus {
         PhoneRe, "<PHONE>").as("redacted"))
   }
 
-  /** Hashed feature bucket for the trained quality classifier: the
-    * md5-prefix integer recipe every cross-engine hash here uses
-    * ([[TextDedup]]'s MinHash base), folded into `dims` buckets. The
-    * 13-hex prefix is 52 bits — non-negative, so `%` is already the
-    * bucket. */
-  private def qcBucket(t: Column, dims: Int): Column =
-    conv(substring(md5(t), 1, 13), 16, 10).cast("long") % dims
-
   /** Per-doc hashed uni+bigram feature buckets (fastText-style: all
-    * n-grams share one `dims`-bucket space). Map-only. */
-  private def qcFeatures(toksCol: Column, dims: Int): Column = {
-    val toks = coalesce(toksCol, array())
-    val n1 = greatest(size(toks) - 1, lit(0))
-    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
-      (a, b) => concat_ws(" ", a, b))
-    transform(concat(toks, bigrams), t => qcBucket(t, dims))
-  }
+    * n-grams share one `dims`-bucket space). Map-only, native
+    * ([[graft.expr.QcBucketsExpr]]): the HOF formulation —
+    * `transform(concat(toks, zip_with-bigrams), t =>
+    * conv(substring(md5(t), 1, 13), 16, 10) % dims)` — is
+    * CodegenFallback and allocated a joined string + hex string +
+    * conv parse per n-gram; the native expression computes the same
+    * md5-prefix buckets (TextDedup's MinHash recipe) in one compiled
+    * loop. Bit-equality is pinned by QualityClassifierSpec's
+    * native-vs-HOF test and the classifier oracles. */
+  private def qcFeatures(toksCol: Column, dims: Int): Column =
+    call_function("qc_buckets_native", coalesce(toksCol, array()),
+      lit(dims))
 
   private val QcZero = new java.math.BigDecimal("0.000000000000") // s=12
 
@@ -1723,16 +1719,17 @@ object Corpus {
       lit(0).cast("decimal(24,14)")), lit(1).cast("decimal(24,14)"))
   }
 
-  /** z = Σ_buckets w[b] + w[bias] as one map-side array fold over the
+  /** z = Σ_buckets w[b] + w[bias] as one map-side fold over the
     * LITERAL weight vector (no join, no shuffle — the broadcast-apply
-    * the classifier ships with). */
-  private def qcZ(bk: Column, w: Array[java.math.BigDecimal]): Column = {
-    val wArr = array(w.init.map(v => lit(v).cast("decimal(20,12)")): _*)
-    (aggregate(bk, lit(QcZero).cast("decimal(20,12)"),
-      (acc, b) => (acc + element_at(wArr, (b + 1).cast("int")))
-        .cast("decimal(20,12)"))
-      + lit(w.last).cast("decimal(20,12)")).cast("decimal(20,12)")
-  }
+    * the classifier ships with). Native ([[graft.expr.QcZExpr]]): the
+    * `aggregate(bk, 0, (acc, b) => (acc + element_at(wArr, b + 1))
+    * .cast(decimal(20,12)))` HOF was interpreted and boxed a Decimal
+    * per step; the native fold adds the same scale-12 exact values as
+    * longs in one compiled loop (same (20,12) result by exactness of
+    * decimal addition — see QcExpressions' equivalence notes). */
+  private def qcZ(bk: Column, w: Array[java.math.BigDecimal]): Column =
+    call_function("qc_z_native", bk,
+      array(w.map(v => lit(v).cast("decimal(20,12)")): _*))
 
   /** The labeled training slice: positives = the exemplar rows,
     * pseudo-negatives = a FIXED md5 bucket of the rest (hex window

@@ -469,12 +469,21 @@ object ServingQueries extends QueryModule {
       // lossless — but keyed on 4 narrow longs (≤50·2·97·7 groups) the
       // partial agg in the serial scan stage is cheap and the exchange
       // narrow (§2.3), and the 600k md5/concat evaluations collapse to
-      // one per distinct row, computed post-shuffle across all cores
+      // one per distinct row, computed post-shuffle across all cores.
+      // coalesce pins the TPC-H NOT NULL columns non-nullable (Spark
+      // reads every parquet column nullable): without the pin, the
+      // operator's truthiness filter and the join-key constraint push
+      // back through the barrier as isnotnull(md5(..))/isnotnull(
+      // concat(..)) over every RAW row — per-row md5 inside the serial
+      // scan stage for a predicate that can never be false (the r19
+      // after-plan's step (9)). Non-nullable inputs let NullPropagation
+      // fold those IsNotNulls to true, so the scan filter disappears
+      // instead of hashing 600k rows (§1.2 per-task work).
       val links = Tables(s, dir, "lineitem").select(
-          pmod(col("l_orderkey"), lit(50)).as("_a"),
-          pmod(col("l_linenumber"), lit(2)).as("_k"),
-          pmod(col("l_partkey"), lit(97)).as("_c"),
-          pmod(col("l_suppkey"), lit(7)).as("_v"))
+          pmod(coalesce(col("l_orderkey"), lit(0L)), lit(50)).as("_a"),
+          pmod(coalesce(col("l_linenumber"), lit(0)), lit(2)).as("_k"),
+          pmod(coalesce(col("l_partkey"), lit(0L)), lit(97)).as("_c"),
+          pmod(coalesce(col("l_suppkey"), lit(0L)), lit(7)).as("_v"))
         .distinct()
         // repartition barrier: without it CollapseProject merges the
         // string synthesis INTO the aggregate keys and the md5 runs per
@@ -488,8 +497,9 @@ object ServingQueries extends QueryModule {
           md5(col("_c").cast("string")).as("commit_hash"),
           concat(lit("https://git.example/r"), col("_v")).as("vcs_url"))
       val members = Tables(s, dir, "orders").select(
-        pmod(col("o_orderkey"), lit(30)).as("set_id"),
-        concat(lit("adv/"), pmod(col("o_custkey"), lit(50))).as("avid"))
+        pmod(coalesce(col("o_orderkey"), lit(0L)), lit(30)).as("set_id"),
+        concat(lit("adv/"), pmod(coalesce(col("o_custkey"), lit(0L)),
+          lit(50))).as("avid"))
         .distinct()
       Serving.patchSetMap(links, members)
         .withColumn("patches", concat_ws(",",
@@ -528,13 +538,15 @@ object ServingQueries extends QueryModule {
       // same treatment as s22: distinct the long/bool pre-images first
       // (≤50·7·2·3·9 groups; min-struct aggregation downstream is
       // multiplicity-insensitive so the distinct is lossless), then
-      // synthesize the strings once per distinct row post-shuffle
+      // synthesize the strings once per distinct row post-shuffle.
+      // coalesce = the s22 NOT-NULL pin: folds the join-key isnotnull(
+      // concat(..)) constraint out of the raw-row scan filter
       val ssvc = Tables(s, dir, "lineitem").select(
-          pmod(col("l_orderkey"), lit(50)).as("_a"),
-          col("l_linenumber").as("_ln"),
-          (col("l_quantity") > 25).as("_act"),
-          pmod(col("l_suppkey"), lit(3)).as("_o"),
-          pmod(col("l_partkey"), lit(9)).as("_s"))
+          pmod(coalesce(col("l_orderkey"), lit(0L)), lit(50)).as("_a"),
+          coalesce(col("l_linenumber"), lit(0)).as("_ln"),
+          (coalesce(col("l_quantity"), lit(0d)) > 25).as("_act"),
+          pmod(coalesce(col("l_suppkey"), lit(0L)), lit(3)).as("_o"),
+          pmod(coalesce(col("l_partkey"), lit(0L)), lit(9)).as("_s"))
         .distinct()
         // repartition barrier — see s22: keeps the synthesis out of the
         // aggregate keys (CollapseProject) so it runs once per distinct
@@ -707,9 +719,16 @@ object ServingQueries extends QueryModule {
 
   /** Synthetic advisories with ids, two aliases, references, and a
     * summary, derived from `orders` — enough surface for every search
-    * tier. Mirrors [[advisoriesFixtureSql]] column for column. */
+    * tier. Mirrors [[advisoriesFixtureSql]] column for column.
+    * FanOut BEFORE the synthesis: searchAdvisories' tier tagging runs
+    * interpreted higher-order functions (`exists` over the alias /
+    * reference arrays) per row, and a single-row-group scan otherwise
+    * evaluates them serially on one core for both cascade passes
+    * (no-op at scale — the guard; the shuffle carries the two raw
+    * longs + priority, not the synthesized arrays). */
   private def advisoriesFixture(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "orders").select(
+    graft.core.FanOut(Tables(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority")).select(
       concat(lit("ADV-"), col("o_orderkey")).as("advisory_id"),
       array(concat(lit("CVE-2020-"), col("o_custkey")),
         concat(lit("GHSA-"), pmod(col("o_orderkey"), lit(97))))

@@ -72,6 +72,30 @@ object DocumentStreaming {
       batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
 
+  /** Run one sink invocation and RELEASE its localCheckpoint blocks on
+    * the way out. The sinks (and the incremental operators they call)
+    * `localCheckpoint` bounded per-batch intermediates — the standard
+    * foreachBatch persist-the-batch idiom — but a checkpoint block
+    * lives until the driver GC lets ContextCleaner collect it, so on a
+    * long-running stream (or a bench running hundreds of queries in
+    * one JVM) the blocks accumulate across micro-batches and the
+    * storage/GC pressure lands on UNRELATED work. Everything a batch
+    * checkpoints is consumed by that batch's own writes, so the blocks
+    * are dead at sink exit by construction: unpersist them explicitly
+    * (non-blocking — the removal is async, but it no longer waits on a
+    * full GC cycle). Scoped by RDD-id snapshot, so checkpoints owned by
+    * the CALLER (e.g. frames the query glue holds across batches) are
+    * never touched. */
+  private[streaming] def releasingSinkCheckpoints[T](spark: SparkSession)
+      (body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs.foreach {
+      case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
+
   /** The latest batch id visible to `batchId` in a batch-keyed state
     * dir, or None when only flat bootstrap files (or nothing) exist.
     * private[graft]: BpeQueries' sink read-back glue shares THIS
@@ -197,19 +221,21 @@ object DocumentStreaming {
       bands: Int = 4, threshold: Double = 0.5)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val index = readState(spark, indexPath, graft.operators.TextDedup
-      .minHashSignatures(batch.limit(0), textCol, idCol, n, numHashes),
-      batchId)
-    // decisions come back localCheckpoint'ed by the library (both
-    // returned frames share the one materialized candidate join — the
-    // two write actions below cannot re-run it or diverge on replay)
-    val (decisions, admittedSig) = graft.operators.TextDedup
-      .incrementalMinHashDedup(batch, index, textCol, idCol,
-        n, numHashes, bands, threshold)
-    val kept = decisions.filter(col("keep"))
-      .select(col("id").as(idCol))
-    writeState(batch.join(kept, Seq(idCol)), admittedPath, batchId)
-    writeState(admittedSig, indexPath, batchId)
+    releasingSinkCheckpoints(spark) {
+      val index = readState(spark, indexPath, graft.operators.TextDedup
+        .minHashSignatures(batch.limit(0), textCol, idCol, n, numHashes),
+        batchId)
+      // decisions come back localCheckpoint'ed by the library (both
+      // returned frames share the one materialized candidate join — the
+      // two write actions below cannot re-run it or diverge on replay)
+      val (decisions, admittedSig) = graft.operators.TextDedup
+        .incrementalMinHashDedup(batch, index, textCol, idCol,
+          n, numHashes, bands, threshold)
+      val kept = decisions.filter(col("keep"))
+        .select(col("id").as(idCol))
+      writeState(batch.join(kept, Seq(idCol)), admittedPath, batchId)
+      writeState(admittedSig, indexPath, batchId)
+    }
   }
 
   /** Streaming cross-document substring-dedup admission — the
@@ -231,18 +257,20 @@ object DocumentStreaming {
       textCol: String, idCol: String, windowTokens: Int = 20)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val index = readState(spark, indexPath, graft.operators.Corpus
-      .substringDigestIndex(batch.limit(0), textCol, idCol, windowTokens),
-      batchId)
-    val (strippedRaw, freshRaw) = graft.operators.Corpus
-      .incrementalSubstringStrip(batch, index, textCol, idCol,
-        windowTokens)
-    // two write actions below; checkpoint so the digest classification
-    // joins against the accumulated index run once, not per consumer
-    val stripped = strippedRaw.localCheckpoint()
-    val fresh = freshRaw.localCheckpoint()
-    writeState(stripped, strippedPath, batchId)
-    writeState(fresh, indexPath, batchId)
+    releasingSinkCheckpoints(spark) {
+      val index = readState(spark, indexPath, graft.operators.Corpus
+        .substringDigestIndex(batch.limit(0), textCol, idCol, windowTokens),
+        batchId)
+      val (strippedRaw, freshRaw) = graft.operators.Corpus
+        .incrementalSubstringStrip(batch, index, textCol, idCol,
+          windowTokens)
+      // two write actions below; checkpoint so the digest classification
+      // joins against the accumulated index run once, not per consumer
+      val stripped = strippedRaw.localCheckpoint()
+      val fresh = freshRaw.localCheckpoint()
+      writeState(stripped, strippedPath, batchId)
+      writeState(fresh, indexPath, batchId)
+    }
   }
 
   /** Register an eval suite into the persisted benchmark-vocabulary
@@ -355,6 +383,7 @@ object DocumentStreaming {
       : (DataFrame, Long) => Unit = { (batch0, batchId) =>
     val spark = batch0.sparkSession
     import graft.operators.{Corpus, TextDedup}
+    releasingSinkCheckpoints(spark) {
 
     // ONE materialization of the arrival batch, quality flag included
     // (qualityFlags is map-only). Every stage below consumes the batch
@@ -461,6 +490,7 @@ object DocumentStreaming {
         textCol, idCol, windowTokens)
       .join(subIndex, Seq("h1", "h2"), "left_anti"),
       s"$root/substring_index", batchId)
+    }
   }
 
   /** Streaming tokenizer-aware sequence packing — the [[admissionSink]]
@@ -502,18 +532,20 @@ object DocumentStreaming {
       groupCol: String, nTokCol: String, ctxLen: Int, eosTokens: Int = 1)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val empty = graft.operators.Corpus.emptyPackState(spark, groupCol)
-      .withColumn("as_of_batch", lit(0L))
-    val latest = readStateSnapshot(spark, statePath, empty, batchId)
-      .drop("as_of_batch")
-    // both returned frames share the operator's one checkpointed scan —
-    // the two writes below cannot re-run it or diverge on replay
-    val (packed, newState) = graft.operators.Corpus
-      .incrementalPackTokenized(batch, latest, idCol, groupCol, nTokCol,
-        ctxLen, eosTokens)
-    writeState(packed, packedPath, batchId)
-    writeState(newState.withColumn("as_of_batch", lit(batchId)),
-      statePath, batchId)
+    releasingSinkCheckpoints(spark) {
+      val empty = graft.operators.Corpus.emptyPackState(spark, groupCol)
+        .withColumn("as_of_batch", lit(0L))
+      val latest = readStateSnapshot(spark, statePath, empty, batchId)
+        .drop("as_of_batch")
+      // both returned frames share the operator's one checkpointed scan —
+      // the two writes below cannot re-run it or diverge on replay
+      val (packed, newState) = graft.operators.Corpus
+        .incrementalPackTokenized(batch, latest, idCol, groupCol, nTokCol,
+          ctxLen, eosTokens)
+      writeState(packed, packedPath, batchId)
+      writeState(newState.withColumn("as_of_batch", lit(batchId)),
+        statePath, batchId)
+    }
   }
 
   /** Streaming sequence materialization — [[packSink]]'s last-mile
@@ -547,6 +579,7 @@ object DocumentStreaming {
       ctxLen: Int, eos: String = "[EOS]", pad: String = "[PAD]")
       : (DataFrame, Long) => Unit = { (batch0, batchId) =>
     val spark = batch0.sparkSession
+    releasingSinkCheckpoints(spark) {
     // incrementalMaterialize consumes the batch TWICE (token counts for
     // the fill, then the payload join) — materialize the bounded
     // micro-batch once so the caller's source subtree (often a read +
@@ -586,6 +619,7 @@ object DocumentStreaming {
       fillPath, batchId)
     writeState(newTail.withColumn("as_of_batch", lit(batchId)),
       tailPath, batchId)
+    }
   }
 
   /** [[compactState]] for [[materializeSink]]'s state PAIR: re-bases

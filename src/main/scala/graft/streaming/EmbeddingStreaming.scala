@@ -38,19 +38,23 @@ object EmbeddingStreaming {
         lit(null).cast(cidType).as("centroid_id"))
     // shared batch-keyed state contract (DocumentStreaming.readState:
     // flat bootstrap rows always-visible, earlier batches only, loud
-    // failure on unreadable existing state)
-    val index = DocumentStreaming.readState(spark, indexPath,
-      emptyIndex, batchId)
-    val (decisionsRaw, anchorsRaw) = Similarity.incrementalSemanticDedup(
-      batch, index, centroids, idCol, vecCol, threshold, maxPriors)
-    // two write actions consume the admission below; checkpoint so the
-    // decision join doesn't re-run per write (and can't diverge on a
-    // lineage replay)
-    val decisions = decisionsRaw.localCheckpoint()
-    val anchors = anchorsRaw.localCheckpoint()
-    val kept = decisions.filter(col("keep")).select(col(idCol))
-    DocumentStreaming.writeState(batch.join(kept, Seq(idCol)),
-      admittedPath, batchId)
-    DocumentStreaming.writeState(anchors, indexPath, batchId)
+    // failure on unreadable existing state); checkpoint blocks release
+    // at sink exit like every sink here (see
+    // DocumentStreaming.releasingBatchCheckpoints)
+    DocumentStreaming.releasingSinkCheckpoints(spark) {
+      val index = DocumentStreaming.readState(spark, indexPath,
+        emptyIndex, batchId)
+      val (decisionsRaw, anchorsRaw) = Similarity.incrementalSemanticDedup(
+        batch, index, centroids, idCol, vecCol, threshold, maxPriors)
+      // two write actions consume the admission below; checkpoint so the
+      // decision join doesn't re-run per write (and can't diverge on a
+      // lineage replay)
+      val decisions = decisionsRaw.localCheckpoint()
+      val anchors = anchorsRaw.localCheckpoint()
+      val kept = decisions.filter(col("keep")).select(col(idCol))
+      DocumentStreaming.writeState(batch.join(kept, Seq(idCol)),
+        admittedPath, batchId)
+      DocumentStreaming.writeState(anchors, indexPath, batchId)
+    }
   }
 }

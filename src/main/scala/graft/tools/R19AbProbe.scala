@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * ONE JVM, alternating rounds so ambient bursts average across both
   * sides. Prints per-round wall seconds; read the MIN per side.
   *
-  * Run: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.R19AbProbe [rounds]"
+  * Run: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.streaming.R19AbProbe [rounds]"
   */
 object R19AbProbe {
 

@@ -70,6 +70,51 @@ class QualityClassifierSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == expW.toSeq)
   }
 
+  test("native scoring (qc_buckets/qc_z) equals the HOF formulation " +
+      "bit-for-bit on edge cases") {
+    val sp = spark
+    import sp.implicits._
+    val dims = 16
+    // hand-built scale-12 weights, mixed signs, bias last
+    val w = (0 to dims).map(j => new java.math.BigDecimal(j - 8)
+      .multiply(new java.math.BigDecimal("0.000321000045"))
+      .setScale(12, java.math.RoundingMode.HALF_UP)).toArray
+    val probes = Seq[(java.lang.Long, String)](
+      (1L, "the curated reference corpus entry"),
+      (2L, ""),                      // empty → zero tokens → bias-only z
+      (3L, "   \t  "),               // whitespace-only → zero tokens
+      (4L, "single"),                // one token → no bigrams
+      (5L, null),                    // null text → null tokens → coalesce
+      (6L, "héllo wörld ünïcode 测试 токен"), // multi-byte UTF-8 md5
+      (7L, ("tok " * 200).trim))     // long doc: 200 unigrams + bigrams
+      .toDF("doc_id", "text")
+    val native = Corpus.scoreQuality(probes, "text", "doc_id", w,
+        dims = dims)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // the pre-native HOF formulation, inlined verbatim
+    val wArr = array(w.init.map(v => lit(v).cast("decimal(20,12)")): _*)
+    val toks = coalesce(Corpus.tokens(col("text")), array())
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    val bk = transform(concat(toks, bigrams), t =>
+      conv(substring(md5(t), 1, 13), 16, 10).cast("long") % dims)
+    val zero = new java.math.BigDecimal("0.000000000000")
+    val z = (aggregate(bk, lit(zero).cast("decimal(20,12)"),
+      (acc, b) => (acc + element_at(wArr, (b + 1).cast("int")))
+        .cast("decimal(20,12)"))
+      + lit(w.last).cast("decimal(20,12)")).cast("decimal(20,12)")
+    val zq = z * lit(new java.math.BigDecimal("0.25"))
+    val sig = least(greatest(lit(new java.math.BigDecimal("0.5")) + zq,
+      lit(0).cast("decimal(24,14)")), lit(1).cast("decimal(24,14)"))
+    val hof = probes.select(col("doc_id"),
+        round(sig.cast("double"), 6).as("score"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(native == hof, s"native $native != HOF $hof")
+  }
+
   test("exemplar-like text scores above crawl-like text; scoring plan " +
       "is map-only") {
     val sp = spark
